@@ -1,0 +1,11 @@
+package graft.queries
+
+import graft.QueryDef
+
+/** Single assembly point for the engine's whole query surface. Each
+  * sub-registry owns one domain from SURVEY.md §2 / the extension list.
+  */
+object Registry {
+  def all: Seq[(String, QueryDef)] =
+    Relational.all ++ Quality.all ++ Churn.all
+}

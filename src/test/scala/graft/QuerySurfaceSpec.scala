@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for specs (sf0.001 testdata, UTC, tiny
+  * shuffle parallelism — mirrors the reference's test fixture
+  * `tests/conftest.py:10-17`).
+  */
+trait SparkSpec extends BeforeAndAfterAll { self: AnyFunSuite =>
+  lazy val spark: SparkSession = SparkSpec.session
+  val Sf = "/root/testdata/sf0.001"
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Smoke + shape checks for the registered query surface. Exact value
+  * parity is the driver's DuckDB oracle (tools/check.py locally); here we
+  * assert structural invariants that don't depend on the scale factor.
+  */
+class QuerySurfaceSpec extends AnyFunSuite with SparkSpec {
+
+  test("registry names are unique and every oracle key is a query key") {
+    val names = SparkEntry.registry.map(_._1)
+    assert(names.distinct.sizeIs == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query executes and is non-empty at sf0.001") {
+    SparkEntry.registry.foreach { case (name, q) =>
+      val n = q.fn(spark, Sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("dedupe window keeps exactly one row per customer") {
+    val df = SparkEntry.queries("q11_window_dedupe")(spark, Sf)
+    assert(df.count() == df.select("o_custkey").distinct().count())
+  }
+
+  test("churn snapshot: orders_30d <= orders_90d <= lifetime_orders") {
+    import org.apache.spark.sql.functions.col
+    val bad = SparkEntry.queries("q24_churn_features")(spark, Sf)
+      .filter(col("orders_30d") > col("orders_90d") ||
+        col("orders_90d") > col("lifetime_orders") ||
+        col("recency_days") < 0 ||
+        col("recency_days") > col("customer_tenure_days"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("churn labels are binary and keyed by customer") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("q25_churn_labels")(spark, Sf)
+    assert(df.filter(!col("churn_label").isin(0, 1)).count() == 0)
+    assert(df.count() == df.select("customer_id").distinct().count())
+  }
+}
