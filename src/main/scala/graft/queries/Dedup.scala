@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import graft.functions.Text._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. (Embedding-cosine near-dup lives in Similarity.)
+  *
+  * Scale design notes per operator are on each query. The common building
+  * block is the distinct word-5-gram set per document; at 100 TB the
+  * gram self-join is the hazard, which is exactly what the MinHash-LSH
+  * variant removes (candidates come from tiny band buckets instead of a
+  * full gram join).
+  */
+object Dedup {
+
+  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val WordsSql = s"string_split($NormSql, ' ')"
+  /** DuckDB list comprehension producing the distinct word 5-grams. */
+  private val GramsSql =
+    s"""list_distinct([array_to_string(($WordsSql)[i:i+4], ' ')
+        for i in range(1, greatest(len($WordsSql) - 3, 1))])"""
+
+  /** Distinct (doc_id, gram) pairs — one shuffle-free projection+explode. */
+  private def docGrams(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgrams(words(col("text")), 5))).as("gram"))
+
+  /** Exact dedup: hash-groupBy on the canonical content hash. One shuffle
+    * on a 64-hex key; map-side partial aggregation collapses duplicates
+    * before the exchange. The canonical survivor is min(doc_id).
+    */
+  private val q34 = QueryDef(
+    (s, d) =>
+      load(s, d, "documents")
+        .groupBy(sha2(norm(col("text")), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_copies")),
+    Some(s"""SELECT sha256($NormSql) AS content_hash,
+              CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY 1"""),
+    "exact dedup via content-hash groupBy [dedup]")
+
+  /** n-gram Jaccard near-dup: pairs with |G1 ∩ G2| / |G1 ∪ G2| >= 0.8 over
+    * distinct word 5-grams, via the gram self-join. At 100 TB the join key
+    * (gram) is skew-prone: boilerplate grams fan out quadratically — the
+    * production mitigation is a document-frequency cap on grams (drop
+    * grams in >X docs, which cannot create false positives above a
+    * threshold that high-df grams alone can't reach) or the MinHash-LSH
+    * variant below. Kept uncapped here for oracle-exact semantics.
+    */
+  private val q35 = QueryDef(
+    (s, d) => {
+      val g = docGrams(s, d)
+      val n = g.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+      val shared = g.as("a")
+        .join(g.as("b"), col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(n.select(col("doc_id").as("d1"), col("ng").as("n1")), "d1")
+        .join(n.select(col("doc_id").as("d2"), col("ng").as("n2")), "d2")
+        .select(col("d1"), col("d2"),
+          (col("shared").cast("double") /
+            (col("n1") + col("n2") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    },
+    Some(s"""WITH g AS (
+              SELECT doc_id, unnest($GramsSql) AS gram FROM documents
+            ), n AS (
+              SELECT doc_id, count(*) AS ng FROM g GROUP BY 1
+            ), pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT d1, d2,
+              CAST(shared AS DOUBLE) / (n1.ng + n2.ng - shared) AS jaccard
+            FROM pairs
+            JOIN n n1 ON pairs.d1 = n1.doc_id
+            JOIN n n2 ON pairs.d2 = n2.doc_id
+            WHERE CAST(shared AS DOUBLE) / (n1.ng + n2.ng - shared) >= 0.8"""),
+    "n-gram Jaccard near-dup pairs (threshold 0.8) [dedup]")
+
+  // ---- MinHash + LSH ----
+  // 64 permutations approximated by 64 seeded xxhash64 functions; 16 bands
+  // of 4 rows. P[miss] at s=0.8 is (1-0.8^4)^16 ≈ 2e-4; at the planted
+  // near-dup similarity (~0.99) it is ~0. Candidates come from band-bucket
+  // groupBy (self-join on tiny buckets), never from a gram join — this is
+  // the 100 TB path.
+  private val NumHashes = 64
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows
+
+  /** doc_id + minhash signature (NumHashes cols mh0..mh63): one shuffle. */
+  private def signatures(g: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map { i =>
+      min(xxhash64(lit(i), col("gram"))).as(s"mh$i")
+    }
+    g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (band_id, band_hash, doc_id) via posexplode of per-band hashes. */
+  private def bandBuckets(sig: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      xxhash64((0 until BandRows).map(r => col(s"mh${b * BandRows + r}")): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(bands: _*)))
+      .toDF("doc_id", "band_id", "band_hash")
+  }
+
+  /** MinHash-LSH near-dup: LSH candidates, then exact-Jaccard verify at
+    * the same 0.8 threshold — same output contract as q35, built without
+    * the gram self-join.
+    */
+  private val q36 = QueryDef(
+    (s, d) => {
+      val g = docGrams(s, d).persist()
+      val buckets = bandBuckets(signatures(g))
+      val candidates = buckets.as("x")
+        .join(buckets.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val n = g.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+      val withShared = candidates
+        .join(g.select(col("doc_id").as("d1"), col("gram").as("g1")), "d1")
+        .join(g.select(col("doc_id").as("d2"), col("gram").as("g2")), "d2")
+        .filter(col("g1") === col("g2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+      withShared
+        .join(n.select(col("doc_id").as("d1"), col("ng").as("n1")), "d1")
+        .join(n.select(col("doc_id").as("d2"), col("ng").as("n2")), "d2")
+        .select(col("d1"), col("d2"),
+          (col("shared").cast("double") /
+            (col("n1") + col("n2") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    },
+    None, // LSH recall is probabilistic; verified against q35 in specs
+    "MinHash(64)+LSH(16x4) near-dup, exact-verify at 0.8 [dedup]")
+
+  // ---- SimHash ----
+  /** 64-bit SimHash over word occurrences (weight = term frequency via
+    * one row per occurrence). Near-dup = Hamming distance <= 3, candidates
+    * via 4x16-bit chunk banding (pigeonhole: d<=3 => >=1 chunk equal).
+    */
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val tok = load(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val perDoc = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { j =>
+      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    perDoc.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Exposed for diagnostics/specs. */
+  def simhashForDebug(s: SparkSession, d: String): DataFrame = simhashDf(s, d)
+
+  private val q37 = QueryDef(
+    (s, d) => {
+      val sh = simhashDf(s, d)
+      val chunks = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("simhash"), c * 16)
+            .bitwiseAND(lit(0xffffL))): _*)))
+        .toDF("doc_id", "simhash", "chunk_id", "chunk")
+      chunks.as("x")
+        .join(chunks.as("y"),
+          col("x.chunk_id") === col("y.chunk_id") &&
+            col("x.chunk") === col("y.chunk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    },
+    None, // bit-level hash semantics not portable to the oracle; see specs
+    "SimHash64 near-dup, Hamming<=3, chunk-banded candidates [dedup]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q34_dedup_exact" -> q34,
+    "q35_dedup_ngram_jaccard" -> q35,
+    "q36_dedup_minhash_lsh" -> q36,
+    "q37_dedup_simhash" -> q37)
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding: array<float>, label): brute-force cosine top-k as the exact
+  * baseline, a random-hyperplane LSH bucketed variant as the scale path,
+  * and embedding-cosine near-dup pairs (the 5th dedup flavor).
+  *
+  * Cosine is computed as a sequential left-fold in DOUBLE (floats cast
+  * per-element before multiply) so the result is bit-identical to the
+  * oracle's `list_reduce` mirror — see graft.common.Exact for why order
+  * discipline matters for float parity.
+  */
+object Similarity {
+
+  /** dot(a,b) as a sequential double fold over zip_with. */
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dnorm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    ddot(a, b) / (dnorm(a) * dnorm(b))
+
+  /** DuckDB mirror of the same sequential-double cosine. The builtin
+    * list_cosine_similarity accumulates in FLOAT (≈1e-7 off) — not used.
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))))"""
+
+  /** Brute-force cosine top-k (k=10) for a fixed query set (vec_id < 20).
+    * The query side is tiny → broadcast; the big side streams through one
+    * codegen stage: no shuffle except the per-query top-k window, which
+    * TakeOrdered-style only keeps k rows per partition. This is the exact
+    * baseline an IVF/LSH index is measured against.
+    */
+  private val q38 = QueryDef(
+    (s, d) => {
+      val e = load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("embedding")).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id"),
+          col("score"), col("rn").cast("int").as("rn"))
+    },
+    Some(s"""WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id < 20
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                ${cosineSql("q.qv", "e.embedding")} AS score
+              FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rn
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, vec_id ASC) AS rn FROM scored)
+            WHERE rn <= 10"""),
+    "brute-force cosine top-10 for 20 queries [similarity]")
+
+  // ---- Random-hyperplane LSH (multi-table) ----
+  // L tables of k hyperplane bits each (deterministic xorshift64* planes,
+  // fixed seed). A pair is a candidate if it collides in >=1 table.
+  // With neighbor cosine ~0.45 (this corpus is near-uniform), per-bit
+  // agreement p = 1 - θ/π ≈ 0.65: recall@k=4,L=12 ≈ 1-(1-p^4)^12 ≈ 0.9,
+  // examining ~half the points. On real (clustered) embedding corpora the
+  // same structure prunes far harder; the mechanics — narrow map to
+  // (table, bucket) + bucketed join, no cartesian — are the 100 TB path.
+  private val Dim = 64
+  private val BitsPerTable = 4
+  private val NumTables = 16
+
+  /** Deterministic planes via xorshift64* from a fixed seed:
+    * planes(table)(bit)(dim).
+    */
+  private[queries] lazy val planes: Array[Array[Array[Double]]] = {
+    var state = 0x9E3779B97F4A7C15L // fixed seed: golden-ratio constant
+    def next(): Double = {
+      state ^= state >>> 12; state ^= state << 25; state ^= state >>> 27
+      val r = state * 0x2545F4914F6CDD1DL
+      (r >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(NumTables, BitsPerTable, Dim)(next())
+  }
+
+  private def planeCol(p: Array[Double]): Column =
+    array(p.map(lit(_)): _*)
+
+  /** Bucket id of an embedding in one LSH table (k sign bits + table tag). */
+  def bucket(v: Column, table: Int): Column =
+    planes(table).zipWithIndex.map { case (p, i) =>
+      when(ddot(v, planeCol(p)) >= 0.0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _) + lit(table << BitsPerTable)
+
+  /** All L bucket ids of an embedding. */
+  def buckets(v: Column): Column =
+    array((0 until NumTables).map(t => bucket(v, t)): _*)
+
+  /** LSH-bucketed ANN: same contract as q38 but candidates restricted to
+    * vectors sharing >=1 of the query's L bucket ids.
+    */
+  private val q39 = QueryDef(
+    (s, d) => {
+      val e = load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          explode(buckets(col("embedding"))).as("bkt"))
+      val q = load(s, d, "embeddings").filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(buckets(col("embedding"))).as("qbkt"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      e.join(broadcast(q),
+          col("bkt") === col("qbkt") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("qv"), col("embedding"))
+        .distinct() // collapse multi-table collisions before scoring
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("embedding")).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id"),
+          col("score"), col("rn").cast("int").as("rn"))
+    },
+    None, // approximate: recall measured against q38 in specs
+    "LSH ANN top-10, 16 tables x 4-bit hyperplane buckets [similarity]")
+
+  /** Embedding-cosine near-dup (dedup flavor #5): each vector's nearest
+    * neighbor with its cosine and an `is_near_dup` flag at 0.95 — the full
+    * all-pairs 1-NN, fixed-size output. Norms are computed once per vector
+    * before the pair join (n² dot products, not 3n²). The LSH-bucket route
+    * (q39) is the approximate scale path for the same predicate.
+    */
+  private val q40 = QueryDef(
+    (s, d) => {
+      val e = load(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        dnorm(col("embedding")).as("nrm1"))
+      val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        dnorm(col("embedding")).as("nrm2"))
+      val w = Window.partitionBy(col("v1"))
+        .orderBy(col("cos").desc, col("v2").asc)
+      a.join(b, col("v1") =!= col("v2"))
+        .select(col("v1"), col("v2"),
+          (ddot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v1"), col("v2").as("nn"), col("cos"),
+          (col("cos") >= 0.95).as("is_near_dup"))
+    },
+    Some(s"""WITH nrm AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y)) AS nrm
+              FROM embeddings
+            ), pairs AS (
+              SELECT a.vec_id AS v1, b.vec_id AS v2,
+                list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)), (x,y) -> x+y)
+                / (a.nrm * b.nrm) AS cos
+              FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+            )
+            SELECT v1, v2 AS nn, cos, cos >= 0.95 AS is_near_dup
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+                    ORDER BY cos DESC, v2 ASC) AS rn FROM pairs)
+            WHERE rn = 1"""),
+    "all-pairs 1-NN + near-dup flag at 0.95 [dedup,similarity]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q38_ann_bruteforce" -> q38,
+    "q39_ann_lsh" -> q39,
+    "q40_dedup_embedding" -> q40)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import graft.functions.Text._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family over the `documents` table: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  * These are the training-data-pipeline extensions (builder brief /
+  * SURVEY.md §7.5); the reference itself has no text surface.
+  *
+  * Scale design: every query is a single narrow projection over the scan —
+  * no shuffle at all except the fingerprint's per-doc array fold, which is
+  * also shuffle-free. At 100 TB these are pure map jobs that saturate I/O.
+  */
+object TextOps {
+
+  // DuckDB mirrors of the Text.scala primitives (RE2 needs the 'g' flag
+  // on regexp_replace; Spark's regexp_replace is global by default).
+  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val WordsSql = s"string_split($NormSql, ' ')"
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens + distinct
+    * whitespace tokens.
+    */
+  private val q30 = QueryDef(
+    (s, d) => {
+      val docs = load(s, d, "documents")
+      docs.select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_words"),
+        size(array_distinct(words(col("text")))).as("n_words_distinct"),
+        size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0)))
+          .as("n_tokens"),
+        length(norm(col("text"))).as("n_chars_norm"))
+    },
+    Some(s"""SELECT doc_id,
+              CAST(len($WordsSql) AS INTEGER) AS n_words,
+              CAST(len(list_distinct($WordsSql)) AS INTEGER) AS n_words_distinct,
+              CAST(len(regexp_extract_all(text, '$TokenPattern')) AS INTEGER) AS n_tokens,
+              CAST(length($NormSql) AS INTEGER) AS n_chars_norm
+            FROM documents"""),
+    "token counting: whitespace + BPE-ish regex tokens [text-analysis]")
+
+  /** Quality scoring: length/punctuation/stopword/distinct ratios and a
+    * composite score. All ratios are exact-integer-count / exact-integer-
+    * count double divisions — deterministic across engines.
+    */
+  private val q31 = QueryDef(
+    (s, d) => {
+      val docs = load(s, d, "documents")
+      val w = words(col("text"))
+      val nWords = size(w)
+      val nChars = length(norm(col("text")))
+      val nonAlnum = nChars - length(
+        regexp_replace(norm(col("text")), "[^a-z0-9 ]", ""))
+      val stopHits = countIn(w, StopwordsEn)
+      val distinctWords = size(array_distinct(w))
+      docs.select(
+        col("doc_id"),
+        nChars.as("n_chars_norm"),
+        nWords.as("n_words"),
+        // single-space normalized text: chars = sum(word lens) + (n-1)
+        ((nChars - (nWords - lit(1))).cast("double") / nWords)
+          .as("avg_word_len"),
+        (nonAlnum.cast("double") / nChars).as("punct_ratio"),
+        (stopHits.cast("double") / nWords).as("stopword_ratio"),
+        (distinctWords.cast("double") / nWords).as("distinct_ratio"),
+        (least(lit(1.0), nWords.cast("double") / lit(100.0)) *
+          (lit(1.0) - nonAlnum.cast("double") / nChars) *
+          (distinctWords.cast("double") / nWords)).as("quality_score"))
+    },
+    Some(s"""SELECT doc_id,
+              CAST(length($NormSql) AS INTEGER) AS n_chars_norm,
+              CAST(len($WordsSql) AS INTEGER) AS n_words,
+              CAST(CAST(length($NormSql) - (len($WordsSql) - 1) AS DOUBLE) / len($WordsSql) AS DOUBLE) AS avg_word_len,
+              CAST(CAST(length($NormSql) - length(regexp_replace($NormSql, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length($NormSql) AS DOUBLE) AS punct_ratio,
+              CAST(CAST(len(list_filter($WordsSql, x -> x IN ('the','a','of','to','and','in','is','it','for','on'))) AS DOUBLE) / len($WordsSql) AS DOUBLE) AS stopword_ratio,
+              CAST(CAST(len(list_distinct($WordsSql)) AS DOUBLE) / len($WordsSql) AS DOUBLE) AS distinct_ratio,
+              CAST(least(1.0, CAST(len($WordsSql) AS DOUBLE) / 100.0) *
+                   (1.0 - CAST(length($NormSql) - length(regexp_replace($NormSql, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length($NormSql)) *
+                   (CAST(len(list_distinct($WordsSql)) AS DOUBLE) / len($WordsSql)) AS DOUBLE) AS quality_score
+            FROM documents"""),
+    "quality scoring: length/punct/stopword/distinct ratios [text-analysis]")
+
+  /** Language ID: stopword-marker profile scoring with a deterministic
+    * argmax tie-break (en > es > de > fr). A real corpus would use char
+    * n-gram profiles; the scoring plumbing is identical.
+    */
+  private val q32 = QueryDef(
+    (s, d) => {
+      val docs = load(s, d, "documents")
+      val w = words(col("text"))
+      val c = LangMarkers.map { case (lang, markers) =>
+        lang -> countIn(w, markers)
+      }.toMap
+      docs.select(
+        col("doc_id"),
+        col("lang").as("declared_lang"),
+        c("en").as("score_en"), c("es").as("score_es"),
+        c("de").as("score_de"), c("fr").as("score_fr"),
+        when(c("en") >= c("es") && c("en") >= c("de") && c("en") >= c("fr"), "en")
+          .when(c("es") >= c("de") && c("es") >= c("fr"), "es")
+          .when(c("de") >= c("fr"), "de")
+          .otherwise("fr").as("predicted_lang"))
+    },
+    Some {
+      val score = LangMarkers.map { case (lang, markers) =>
+        val set = markers.map(m => s"'$m'").mkString(",")
+        lang -> s"len(list_filter($WordsSql, x -> x IN ($set)))"
+      }.toMap
+      s"""SELECT doc_id, lang AS declared_lang,
+           CAST(${score("en")} AS INTEGER) AS score_en,
+           CAST(${score("es")} AS INTEGER) AS score_es,
+           CAST(${score("de")} AS INTEGER) AS score_de,
+           CAST(${score("fr")} AS INTEGER) AS score_fr,
+           CASE WHEN ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("de")} AND ${score("en")} >= ${score("fr")} THEN 'en'
+                WHEN ${score("es")} >= ${score("de")} AND ${score("es")} >= ${score("fr")} THEN 'es'
+                WHEN ${score("de")} >= ${score("fr")} THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+         FROM documents"""
+    },
+    "language ID via stopword marker profiles [text-analysis]")
+
+  /** Document fingerprinting: content hash (sha256 of canonical text) +
+    * min-shingle fingerprint (min sha256 over word 5-grams — the
+    * winnowing/minhash idea with k=1, SQL-expressible).
+    */
+  private val q33 = QueryDef(
+    (s, d) => {
+      val docs = load(s, d, "documents")
+      val grams = wordNgrams(words(col("text")), 5)
+      docs.select(
+        col("doc_id"),
+        sha2(norm(col("text")), 256).as("content_hash"),
+        size(grams).as("n_grams"),
+        array_min(transform(grams, g => sha2(g, 256))).as("min_shingle_hash"))
+    },
+    Some(s"""SELECT doc_id,
+              sha256($NormSql) AS content_hash,
+              CAST(greatest(len($WordsSql) - 4, 0) AS INTEGER) AS n_grams,
+              list_min(list_transform(
+                [array_to_string(($WordsSql)[i:i+4], ' ')
+                 for i in range(1, greatest(len($WordsSql) - 3, 1))],
+                g -> sha256(g))) AS min_shingle_hash
+            FROM documents"""),
+    "content hash + min-shingle fingerprint [text-analysis]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q30_text_tokens" -> q30,
+    "q31_text_quality" -> q31,
+    "q32_text_langid" -> q32,
+    "q33_text_fingerprint" -> q33)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness of the approximate operators (no DuckDB oracle): each is
+  * checked against its exact counterpart on the same data.
+  */
+class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, Sf)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH finds the same verified near-dup pairs as exact Jaccard") {
+    val exact = pairs("q35_dedup_ngram_jaccard")
+    val lsh = pairs("q36_dedup_minhash_lsh")
+    // LSH+verify can only lose candidates (recall), never add false
+    // positives (both verify at the same threshold).
+    assert(lsh.subsetOf(exact))
+    // at similarity ~0.99 the miss probability is ~0 — expect full recall
+    assert(lsh == exact, s"missed: ${exact -- lsh}")
+  }
+
+  test("SimHash(hamming<=3) catches most planted near-dup pairs") {
+    val exact = pairs("q35_dedup_ngram_jaccard")
+    val sim = pairs("q37_dedup_simhash")
+    assert(sim.nonEmpty)
+    // SimHash measures word-frequency similarity, 5-gram Jaccard measures
+    // sequence similarity — related but not nested (measured: hamming of
+    // the planted jaccard>=0.8 pairs spans 0..9). Expect substantial but
+    // not total overlap at the standard hamming<=3 cut.
+    val caught = (exact & sim).size.toDouble / exact.size
+    assert(caught >= 0.5, s"simhash caught only ${(exact & sim).size}/${exact.size}")
+  }
+
+  test("LSH ANN reaches >=80% recall@10 vs brute force") {
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, Sf)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+    val exact = topk("q38_ann_bruteforce")
+    val approx = topk("q39_ann_lsh")
+    val recalls = exact.map { case (q, ids) =>
+      approx.get(q).map(a => (a & ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 = $mean")
+  }
+
+  test("signature buckets are deterministic across invocations") {
+    val a = SparkEntry.queries("q39_ann_lsh")(spark, Sf).collect().toSet
+    val b = SparkEntry.queries("q39_ann_lsh")(spark, Sf).collect().toSet
+    assert(a == b)
+  }
+}
