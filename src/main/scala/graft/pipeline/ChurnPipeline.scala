@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import graft.common.Versioning
+import graft.dq._
+import graft.tables.ParquetTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end churn pipeline over the versioned table layer — the Scala
+  * re-expression of the reference's stage mains (SURVEY.md §0 flow):
+  * raw parquet → bronze → silver (DQ-gated MERGE) → gold features +
+  * labels per as_of date (MERGE) → training snapshot (MERGE) →
+  * latest-features export (overwrite).
+  *
+  * Stages stay independently callable (crash-restart between any two) and
+  * communicate only through tables, preserving the reference's
+  * idempotency model: every publish is a keyed merge into a fresh
+  * pointer-swapped version.
+  */
+final class ChurnPipeline(spark: SparkSession, warehouse: String) {
+
+  val bronzeRoot = s"$warehouse/bronze_orders"
+  val auditRoot = s"$warehouse/bronze_audit"
+  val silverRoot = s"$warehouse/silver_orders"
+  val goldRoot = s"$warehouse/gold_customer_features_daily"
+  val labelsRoot = s"$warehouse/customer_labels_daily"
+  val snapshotRoot = s"$warehouse/training_snapshot"
+  val latestFeaturesPath = s"$warehouse/latest_features_export"
+
+  def silverSchemaVersion: String =
+    Versioning.stableHash(Map(
+      "contract" -> "silver/orders", "version" -> "1",
+      "allowed_statuses" -> Silver.AllowedStatuses.mkString(",")))
+
+  def featureVersion: String =
+    Versioning.stableHash(Map("contract" -> "gold/customer_features_daily",
+      "version" -> "1"))
+
+  def ingestBronze(inputPath: String, runId: String): Bronze.IngestResult =
+    Bronze.ingest(spark, inputPath, bronzeRoot, auditRoot, runId)
+
+  /** Silver publish with the reference's DQ gate
+    * (`orders_bronze_to_silver.py:129-196`): critical failures block the
+    * merge; rejects are counted (quarantine tables in the reference).
+    */
+  def publishSilver(runId: String): DataFrame = {
+    val bronze = ParquetTable(spark, bronzeRoot).read
+    val r = Silver.normalizeAndDedupe(bronze)
+    val out = Silver.stamp(r.deduped, silverSchemaVersion, runId)
+
+    val report = DqRunner.run(out, Seq(
+      NotNull(Seq("order_id", "customer_id", "order_purchase_ts")),
+      UniqueKey(Seq("order_id")),
+      InSet("order_status", Silver.AllowedStatuses)))
+    if (!report.passed)
+      throw new IllegalStateException(
+        s"silver DQ gate failed: ${report.criticalFailures}")
+
+    ParquetTable(spark, silverRoot).merge(out, keys = Seq("order_id"))
+    out
+  }
+
+  def publishGold(asOfDate: String, runId: String): DataFrame = {
+    val silver = ParquetTable(spark, silverRoot).read
+    val snapshotId = Versioning.stableHash(s"$asOfDate|$featureVersion")
+    val gold = Gold.buildFeatureSnapshot(
+      silver, asOfDate, snapshotId, featureVersion, runId)
+    Gold.assertQuality(gold)
+    ParquetTable(spark, goldRoot)
+      .merge(gold, keys = Seq("customer_id", "as_of_date"))
+    gold
+  }
+
+  def publishLabels(asOfDate: String, runId: String,
+      horizonDays: Int = Labels.DefaultHorizonDays): DataFrame = {
+    val silver = ParquetTable(spark, silverRoot).read
+    Labels.assertEligible(silver, asOfDate, horizonDays)
+    val labels = Labels.buildLabels(silver, asOfDate, horizonDays, runId)
+    ParquetTable(spark, labelsRoot)
+      .merge(labels, keys = Seq("customer_id", "as_of_date"))
+    labels
+  }
+
+  def publishTrainingSnapshot(runId: String): DataFrame = {
+    val gold = ParquetTable(spark, goldRoot).read
+    val labels = ParquetTable(spark, labelsRoot).read
+    val snap = TrainingSnapshot.build(gold, labels, runId)
+    ParquetTable(spark, snapshotRoot)
+      .merge(snap, keys = Seq("customer_id", "as_of_date", "_data_snapshot_id"))
+    snap
+  }
+
+  /** Latest features per customer for serving (reference
+    * `build_latest_features.py:112-142`, W2 pattern): plain parquet
+    * overwrite export.
+    */
+  def exportLatestFeatures(): DataFrame = {
+    val gold = ParquetTable(spark, goldRoot).read
+    val w = Window.partitionBy("customer_id").orderBy(
+      col("as_of_date").desc, col("_gold_ts").desc_nulls_last,
+      col("_snapshot_id").desc_nulls_last)
+    val latest = gold.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    latest.write.mode("overwrite").parquet(latestFeaturesPath)
+    latest
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import graft.pipeline._
+import graft.tables.ParquetTable
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-derived golden tests (engine-independent semantics — same
+  * fixtures and expected values as the reference's unit suite) plus table
+  * layer and e2e slice coverage.
+  */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // --- reference tests/unit/test_silver_dedupe.py ---
+  test("silver dedupe keeps latest valid record (reference golden)") {
+    import spark.implicits._
+    val bronze = Seq(
+      ("ORD-1", "CUST-1", "2025-01-01 10:00:00", "delivered",
+        "run-1", "2025-01-01 12:00:00", "a.parquet", "fp1", "sh1"),
+      ("ORD-1", "CUST-1", "2025-01-02 10:00:00", "shipment_pending",
+        "run-2", "2025-01-02 12:00:00", "b.parquet", "fp2", "sh2"),
+      ("ORD-2", null, "2025-01-03 10:00:00", "delivered",
+        "run-3", "2025-01-03 12:00:00", "c.parquet", "fp3", "sh3"))
+      .toDF("order_id", "customer_id", "order_purchase_timestamp",
+        "order_status", "run_id", "ingest_ts", "source_file",
+        "source_fingerprint", "schema_hash")
+      .withColumn("ingest_ts", to_timestamp(col("ingest_ts")))
+
+    val r = Silver.normalizeAndDedupe(bronze)
+    assert(r.deduped.count() == 1)
+    assert(r.invalid.count() == 1)
+    assert(r.duplicateRejects.count() == 1)
+    val row = r.deduped.collect()(0)
+    assert(row.getAs[String]("order_id") == "ord-1")
+    assert(row.getAs[String]("customer_id") == "cust-1")
+    assert(row.getAs[String]("order_status") == "processing")
+    assert(row.getAs[String]("_bronze_run_id") == "run-2")
+  }
+
+  // --- reference tests/unit/test_customer_features_daily.py ---
+  test("gold features match reference hand-computed goldens") {
+    import spark.implicits._
+    val silver = Seq(
+      ("o1", "c1", "2025-01-10 10:00:00"),
+      ("o2", "c1", "2025-03-10 11:00:00"))
+      .toDF("order_id", "customer_id", "order_purchase_ts")
+      .withColumn("order_purchase_ts", to_timestamp(col("order_purchase_ts")))
+
+    val gold = Gold.buildFeatureSnapshot(
+      silver, "2025-03-31", "snap", "fv", "run")
+    val row = gold.collect()(0)
+    assert(row.getAs[Int]("recency_days") == 21)
+    assert(row.getAs[Long]("orders_30d") == 1L)
+    assert(row.getAs[Long]("orders_90d") == 2L)
+    assert(row.getAs[Long]("lifetime_orders") == 2L)
+    assert(row.getAs[Int]("customer_tenure_days") == 80)
+    assert(row.getAs[Double]("avg_days_between_orders") == 59.0)
+  }
+
+  // --- ParquetTable semantics ---
+  test("ParquetTable: overwrite/append/merge/time-travel") {
+    import spark.implicits._
+    val root = tmpDir("pt")
+    val t = ParquetTable(spark, s"$root/t")
+    assert(!t.exists)
+
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(t.read.count() == 2)
+
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    assert(t.read.count() == 3)
+
+    // merge: update k=2, insert k=4
+    t.merge(Seq((2, "B"), (4, "d")).toDF("k", "v"), keys = Seq("k"))
+    val m = t.read.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m == Map(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d"))
+
+    // time travel: v1 still has the original two rows
+    assert(t.readVersion(1).count() == 2)
+    assert(t.latestVersion.contains(3L))
+  }
+
+  test("ParquetTable: merge is idempotent and keeps keys unique") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmpDir("pt")}/t")
+    val src = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    t.overwrite(Seq((1, "a"), (3, "c")).toDF("k", "v"))
+    t.merge(src, keys = Seq("k"))
+    val once = t.read.orderBy("k").collect().toSeq
+    t.merge(src, keys = Seq("k")) // rerun: same source again
+    val twice = t.read.orderBy("k").collect().toSeq
+    assert(once == twice)
+    assert(t.read.groupBy("k").count().filter(col("count") > 1).count() == 0)
+  }
+
+  // --- e2e slice (reference tests/integration/test_slice_e2e.py in-JVM) ---
+  test("e2e slice: raw -> bronze -> silver -> gold+labels -> snapshot -> train -> score") {
+    import spark.implicits._
+    val wh = tmpDir("wh")
+    val rawPath = s"$wh/raw_orders"
+    val rows = Seq(
+      ("A1", "CUST_0001", "delivered", "2025-01-10 10:00:00"),
+      ("B1", "CUST_0002", "delivered", "2025-01-20 12:00:00"),
+      ("C1", "CUST_0003", "delivered", "2025-02-15 09:00:00"),
+      ("A2", "CUST_0001", "delivered", "2025-03-10 11:00:00"),
+      ("C2", "CUST_0003", "delivered", "2025-04-10 15:00:00"),
+      ("A3", "CUST_0001", "delivered", "2025-05-10 08:30:00"),
+      ("Z1", "CUST_9999", "delivered", "2025-06-15 00:00:00"))
+    rows.toDF("order_id", "customer_id", "order_status",
+        "order_purchase_timestamp")
+      .withColumn("order_approved_at", lit(null).cast("string"))
+      .withColumn("order_delivered_carrier_date", lit(null).cast("string"))
+      .withColumn("order_delivered_customer_date", lit(null).cast("string"))
+      .withColumn("order_estimated_delivery_date", lit(null).cast("string"))
+      .write.parquet(rawPath)
+
+    val p = new ChurnPipeline(spark, s"$wh/lake")
+    val r1 = p.ingestBronze(rawPath, "run-1")
+    assert(!r1.skipped && r1.rowCount == 7)
+    // idempotency: second ingest of the identical batch is skipped
+    val r2 = p.ingestBronze(rawPath, "run-2")
+    assert(r2.skipped)
+
+    assert(p.publishSilver("run-3").count() == 7)
+
+    val asOfs = Seq("2025-01-31", "2025-02-28", "2025-03-31")
+    asOfs.foreach { d =>
+      p.publishGold(d, s"gold-$d")
+      p.publishLabels(d, s"labels-$d")
+    }
+    val snap = p.publishTrainingSnapshot("run-4")
+    val n = snap.count()
+    assert(n > 0 && n == snap.select("customer_id", "as_of_date")
+      .distinct().count())
+
+    // cust_0001 @ 2025-03-31: same goldens as the unit test (A1+A2 <= asof)
+    val c1 = snap.filter(col("customer_id") === "cust_0001" &&
+      col("as_of_date") === to_date(lit("2025-03-31"))).collect()(0)
+    assert(c1.getAs[Int]("recency_days") == 21)
+    assert(c1.getAs[Long]("lifetime_orders") == 2L)
+    assert(c1.getAs[Double]("avg_days_between_orders") == 59.0)
+    // A3 lands 2025-05-10, within (03-31, 05-30] -> retained
+    assert(c1.getAs[Int]("churn_label") == 0)
+
+    // train on the snapshot (validation_fraction 0.34 like the e2e test)
+    val tr = graft.ml.ChurnTrainer.train(snap, validationFraction = 0.34)
+    assert(tr.metrics("brier") >= 0.0 && tr.metrics("brier") <= 1.0)
+    assert(tr.modelVersion.nonEmpty)
+
+    // score the latest-features export: probability in [0,1] for everyone
+    val latest = p.exportLatestFeatures()
+    val scored = graft.ml.ChurnTrainer.score(tr.model, latest)
+    val probs = scored.select("churn_probability").collect().map(_.getDouble(0))
+    assert(probs.nonEmpty && probs.forall(x => x >= 0.0 && x <= 1.0))
+  }
+}
