@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.multimodal.Media
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing exposed on the query surface. The metadata/bytes
+  * path is oracle-checked (byte length + sha256 of the payload are
+  * engine-independent); the stubbed decode + frame sampling are covered
+  * by MultimodalSpec.
+  */
+object Multimodal {
+
+  /** Binary-column metadata: payload size, content hash, typed meta. */
+  private val q43 = QueryDef(
+    (s, d) =>
+      Media.mediaFromDocuments(s, d).toDF().select(
+        col("media_id"), col("kind"),
+        length(col("bytes")).as("n_bytes"),
+        sha2(col("bytes"), 256).as("content_sha256"),
+        col("width"), col("height"), col("duration_ms")),
+    Some("""SELECT doc_id AS media_id,
+              ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+              sha256(text) AS content_sha256,
+              CAST(doc_id % 8 * 160 + 320 AS INTEGER) AS width,
+              CAST(doc_id % 8 * 90 + 180 AS INTEGER) AS height,
+              CAST(n_chars * 40 AS BIGINT) AS duration_ms
+            FROM documents"""),
+    "binary media columns: payload size/hash + typed metadata [multimodal]")
+
+  /** Feature extraction through the mapPartitions stub decode, then a
+    * relational aggregate over the typed output — proves the binary →
+    * feature-vector → DataFrame round trip composes with the rest of the
+    * engine. Rows-only check (the stub embedding is not SQL-expressible).
+    */
+  private val q44 = QueryDef(
+    (s, d) => {
+      val feats = Media.extractFeatures(Media.mediaFromDocuments(s, d))
+      feats.toDF().groupBy("kind").agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        countDistinct(col("media_id")).cast("long").as("n_distinct"),
+        min(size(col("feature"))).as("min_dim"),
+        max(size(col("feature"))).as("max_dim"))
+    },
+    None,
+    "mapPartitions feature extraction + agg over typed output [multimodal]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q43_multimodal_meta" -> q43,
+    "q44_multimodal_features" -> q44)
+}

@@ -8,5 +8,6 @@ import graft.QueryDef
 object Registry {
   def all: Seq[(String, QueryDef)] =
     Relational.all ++ Quality.all ++ Churn.all ++
-      TextOps.all ++ Dedup.all ++ Similarity.all ++ Events.all
+      TextOps.all ++ Dedup.all ++ Similarity.all ++ Events.all ++
+      Multimodal.all
 }
