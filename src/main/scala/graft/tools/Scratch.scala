@@ -6,22 +6,22 @@ import org.apache.spark.sql.functions._
 /** Throwaway exploration main (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
-    // hamming distance of exact-jaccard near-dup pairs under simhash
-    val exact = graft.SparkEntry.queries("q35_dedup_ngram_jaccard")(spark, sf)
-      .select("d1", "d2")
-    val sh = graft.queries.Dedup.simhashForDebug(spark, sf)
-    val j = exact
-      .join(sh.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
-      .select(col("d1"), col("d2"),
-        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
-    j.orderBy(col("hamming")).show(40, false)
+    val sf = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[dbg] $name: ${(System.nanoTime()-t0)/1e9}%.2fs rows=$n")
+    }
+    time("q24 features")(graft.queries.Churn.features(spark, sf).count())
+    time("q25 labels")(graft.queries.Churn.labels(spark, sf).count())
+    time("q26 snapshot")(graft.queries.Churn.snapshot(spark, sf).count())
+    time("q26 again")(graft.queries.Churn.snapshot(spark, sf).count())
+    graft.queries.Churn.snapshot(spark, sf).explain("formatted")
     spark.stop()
   }
 }
