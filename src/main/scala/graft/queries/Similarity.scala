@@ -29,8 +29,19 @@ object Similarity {
       transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Interpreted-HOF cosine (kept as the portable reference formulation;
+    * the hot paths use the codegen'd native expression below).
+    */
   def cosine(a: Column, b: Column): Column =
     ddot(a, b) / (dnorm(a) * dnorm(b))
+
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity) —
+    * bit-identical result, stays inside whole-stage codegen.
+    */
+  private def fastCosine(s: SparkSession)(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.GraftFunctions.cosineSim(a, b)
+  }
 
   /** DuckDB mirror of the same sequential-double cosine. The builtin
     * list_cosine_similarity accumulates in FLOAT (≈1e-7 off) — not used.
@@ -56,7 +67,7 @@ object Similarity {
         .orderBy(col("score").desc, col("vec_id").asc)
       e.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          cosine(col("qv"), col("embedding")).as("score"))
+          fastCosine(s)(col("qv"), col("embedding")).as("score"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select(col("query_id"), col("vec_id"),
@@ -148,7 +159,7 @@ object Similarity {
         .select(col("query_id"), col("vec_id"), col("qv"), col("embedding"))
         .distinct() // collapse multi-table collisions before scoring
         .select(col("query_id"), col("vec_id"),
-          cosine(col("qv"), col("embedding")).as("score"))
+          fastCosine(s)(col("qv"), col("embedding")).as("score"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select(col("query_id"), col("vec_id"),
