@@ -40,24 +40,47 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String) {
   def ingestBronze(inputPath: String, runId: String): Bronze.IngestResult =
     Bronze.ingest(spark, inputPath, bronzeRoot, auditRoot, runId)
 
+  private def logEvent(stage: String, runId: String, status: String,
+      extra: Map[String, Any] = Map.empty): Unit =
+    graft.common.JsonIO.appendLine(s"$warehouse/_logs/pipeline.jsonl",
+      Map("stage" -> stage, "run_id" -> runId, "status" -> status,
+        "ts" -> java.time.Instant.now().toString) ++ extra)
+
   /** Silver publish with the reference's DQ gate
     * (`orders_bronze_to_silver.py:129-196`): critical failures block the
-    * merge; rejects are counted (quarantine tables in the reference).
+    * merge; invalid/duplicate rejects land in bounded quarantine parquet
+    * and the DQ report is written as a JSON sidecar.
     */
   def publishSilver(runId: String): DataFrame = {
+    logEvent("silver", runId, "started")
     val bronze = ParquetTable(spark, bronzeRoot).read
     val r = Silver.normalizeAndDedupe(bronze)
     val out = Silver.stamp(r.deduped, silverSchemaVersion, runId)
+
+    // quarantine: bounded samples, existence-probed like the reference
+    Seq("invalid" -> r.invalid, "duplicates" -> r.duplicateRejects)
+      .foreach { case (kind, df) =>
+        if (df.limit(1).count() > 0)
+          df.limit(100).write.mode("overwrite")
+            .parquet(s"$warehouse/quarantine/silver_$kind")
+      }
 
     val report = DqRunner.run(out, Seq(
       NotNull(Seq("order_id", "customer_id", "order_purchase_ts")),
       UniqueKey(Seq("order_id")),
       InSet("order_status", Silver.AllowedStatuses)))
-    if (!report.passed)
+    graft.common.JsonIO.write(s"$warehouse/_meta/silver_dq_report.json",
+      Map("run_id" -> runId, "passed" -> report.passed) ++
+        report.results.map(r => s"failed_${r.checkName}" -> r.failedCount))
+    if (!report.passed) {
+      logEvent("silver", runId, "failed_dq")
       throw new IllegalStateException(
         s"silver DQ gate failed: ${report.criticalFailures}")
+    }
 
+    graft.contracts.Contracts.silverOrders.enforce(out)
     ParquetTable(spark, silverRoot).merge(out, keys = Seq("order_id"))
+    logEvent("silver", runId, "completed")
     out
   }
 
@@ -67,8 +90,15 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String) {
     val gold = Gold.buildFeatureSnapshot(
       silver, asOfDate, snapshotId, featureVersion, runId)
     Gold.assertQuality(gold)
+    graft.contracts.Contracts.goldCustomerFeaturesDaily.enforce(gold)
     ParquetTable(spark, goldRoot)
       .merge(gold, keys = Seq("customer_id", "as_of_date"))
+    graft.common.JsonIO.write(
+      s"$warehouse/_meta/gold_snapshot_$asOfDate.json",
+      Map("run_id" -> runId, "as_of_date" -> asOfDate,
+        "snapshot_id" -> snapshotId, "feature_version" -> featureVersion,
+        "row_count" -> gold.count()))
+    logEvent("gold", runId, "completed", Map("as_of_date" -> asOfDate))
     gold
   }
 
