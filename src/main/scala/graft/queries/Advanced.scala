@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Exact._
+import graft.common.Tables.load
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced relational surface beyond the reference (engine-completeness:
+  * correlated/scalar subqueries exercising Catalyst decorrelation, pivot,
+  * cube, the full ranking family, conditional aggregation).
+  */
+object Advanced {
+
+  /** Scalar-subquery shape (TPC-H Q17): lineitems below 50% of their
+    * part's average quantity. Expressed as groupBy + self-join (the plan
+    * Catalyst decorrelates a correlated subquery into anyway — written
+    * directly so the intent is visible) with the avg in exact decimal.
+    */
+  private val q47 = QueryDef(
+    (s, d) => {
+      val li = load(s, d, "lineitem")
+      val avgQty = li.groupBy("l_partkey")
+        .agg(davg(col("l_quantity")).as("avg_qty"))
+      li.join(avgQty, "l_partkey")
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .groupBy(col("l_partkey"))
+        .agg(lcountAll.as("n_small_lines"),
+          dsum(col("l_extendedprice")).as("small_revenue"))
+    },
+    Some("""WITH a AS (
+              SELECT l_partkey,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l.l_partkey,
+              CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
+            FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+            WHERE l.l_quantity < a.avg_qty * 0.5
+            GROUP BY 1"""),
+    "scalar-subquery shape: below-part-average filter [subquery]")
+
+  /** Pivot: order counts by year x status (wide output). */
+  private val q48 = QueryDef(
+    (s, d) =>
+      load(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("order_year"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p")),
+    Some("""SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+              CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+              CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+              CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
+            FROM orders GROUP BY 1"""),
+    "pivot orders by year x status [pivot]")
+
+  /** Ranking family: rank / dense_rank / ntile / percent_rank / cume_dist
+    * over one window spec (one shuffle, one sort).
+    */
+  private val q49 = QueryDef(
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("total_spend").desc, col("o_custkey").asc)
+      val spend = load(s, d, "orders")
+        .join(broadcast(load(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("total_spend"))
+      spend
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .filter(col("rnk") <= 20)
+        .select(col("c_mktsegment"), col("o_custkey"), col("total_spend"),
+          col("rnk").cast("long").as("rnk"),
+          col("drnk").cast("long").as("drnk"),
+          col("quartile").cast("int").as("quartile"),
+          col("pct_rank"))
+    },
+    Some("""WITH spend AS (
+              SELECT c_mktsegment, o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2
+            )
+            SELECT c_mktsegment, o_custkey, total_spend,
+              CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+              CAST(quartile AS INTEGER) AS quartile, pct_rank
+            FROM (SELECT *,
+                    RANK() OVER w AS rnk,
+                    DENSE_RANK() OVER w AS drnk,
+                    NTILE(4) OVER w AS quartile,
+                    PERCENT_RANK() OVER w AS pct_rank
+                  FROM spend
+                  WINDOW w AS (PARTITION BY c_mktsegment
+                               ORDER BY total_spend DESC, o_custkey ASC))
+            WHERE rnk <= 20"""),
+    "rank/dense_rank/ntile/percent_rank battery [ranking]")
+
+  /** Cube: all grouping-set combinations of (status, priority). */
+  private val q50 = QueryDef(
+    (s, d) =>
+      load(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(lcountAll.as("n_orders"), dsum(col("o_totalprice")).as("revenue")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
+    "cube grouping sets [agg extension]")
+
+  /** Conditional aggregation battery: filtered aggregates in one pass
+    * (the dashboard-query staple; partial aggregation applies normally).
+    */
+  private val q51 = QueryDef(
+    (s, d) =>
+      load(s, d, "lineitem").agg(
+        lcountAll.as("n_rows"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .cast("long").as("n_returned"),
+        dsum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+          .otherwise(lit(0.0))).as("returned_revenue"),
+        sum(when(col("l_quantity") > 45.0, 1L).otherwise(0L)).cast("long")
+          .as("n_bulk"),
+        davg(when(col("l_linestatus") === "F", col("l_discount")))
+          .as("avg_f_discount")),
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+              CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS returned_revenue,
+              CAST(SUM(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+              CAST(CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_discount END AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(CASE WHEN l_linestatus = 'F' THEN l_discount END) AS DOUBLE) AS avg_f_discount
+            FROM lineitem"""),
+    "conditional aggregation battery [agg]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q47_scalar_subquery" -> q47,
+    "q48_pivot" -> q48,
+    "q49_rank_family" -> q49,
+    "q50_cube" -> q50,
+    "q51_conditional_agg" -> q51)
+}
