@@ -59,8 +59,22 @@ final class ParquetTable(spark: SparkSession, root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Next version = one past every version dir on disk, not just past the
+    * pointer: a writer that crashed after writing `v=N+1` but before the
+    * pointer flip leaves an orphan dir, and a rerun must skip over it
+    * (orphans are invisible to readers and harmless; a fixed
+    * `pointer + 1` would collide with the orphan and wedge the table).
+    */
+  private def nextVersion: Long = {
+    val onDisk = Option(Paths.get(root).toFile.listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .map(_.getName.drop(2).toLong))
+      .getOrElse(Nil)
+    (latestVersion.getOrElse(0L) +: onDisk).max + 1L
+  }
+
   private def writeVersion(df: DataFrame, partitionBy: Seq[String]): Long = {
-    val next = latestVersion.getOrElse(0L) + 1L
+    val next = nextVersion
     val w = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(versionDir(next))

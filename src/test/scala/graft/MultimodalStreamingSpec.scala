@@ -42,6 +42,55 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("watermark drops late data in append mode across restarts") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = java.nio.file.Files.createTempDirectory("late").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("epoch_s", "event_type")
+        .select(timestamp_seconds(col("epoch_s")).as("ts"), col("event_type"))
+        .coalesce(1).write.parquet(s"$base/stage_$name")
+      // atomic-ish move into the watched dir
+      val staged = new java.io.File(s"$base/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(staged.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val h = 1700000000L - (1700000000L % 3600) // an exact hour boundary
+    // batch 1: one event in window H, plus one 3.5h later -> watermark
+    // advances past H+1h, finalizing window H with n=1
+    writeBatch("b1", Seq((h + 600, "click"), (h + 12600, "click")))
+    runOnce()
+    // batch 2: a LATE event in window H (behind the watermark) -> dropped
+    writeBatch("b2", Seq((h + 1200, "click"), (h + 16200, "click")))
+    runOnce()
+
+    val finalized = spark.read.parquet(out)
+      .filter(col("hour_start") === timestamp_seconds(lit(h)))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(finalized == 1L,
+      s"late row behind the watermark must not change finalized window H (got $finalized)")
+  }
+
   test("stateful sessionizer produces the same session count as batch q42") {
     import spark.implicits._
     val events = graft.common.Tables.load(spark, Sf, "events")

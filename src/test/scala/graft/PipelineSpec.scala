@@ -98,6 +98,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(t.read.groupBy("k").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("ParquetTable: recovers from a crash between write and pointer flip") {
+    import spark.implicits._
+    val root = s"${tmpDir("pt")}/t"
+    val t = ParquetTable(spark, root)
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    // simulate a crashed writer: orphan v=2 exists, pointer still at 1
+    Seq((9, "z")).toDF("k", "v").write.parquet(s"$root/v=2")
+    assert(t.latestVersion.contains(1L))
+    assert(t.read.count() == 1) // reader never sees the orphan
+    // next publish must skip the orphan, not collide with it
+    t.merge(Seq((2, "b")).toDF("k", "v"), keys = Seq("k"))
+    assert(t.latestVersion.contains(3L))
+    assert(t.read.count() == 2)
+  }
+
   // --- e2e slice (reference tests/integration/test_slice_e2e.py in-JVM) ---
   test("e2e slice: raw -> bronze -> silver -> gold+labels -> snapshot -> train -> score") {
     import spark.implicits._
