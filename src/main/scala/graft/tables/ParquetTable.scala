@@ -46,9 +46,18 @@ final class ParquetTable(spark: SparkSession, root: String) {
     case None => throw new IllegalStateException(s"table $root does not exist")
   }
 
-  /** Time-travel read of an immutable historical version. */
-  def readVersion(v: Long): DataFrame =
+  /** Time-travel read of an immutable historical version. Only versions
+    * at or below the committed pointer are readable — a higher `v=` dir
+    * can only be an uncommitted orphan from a crashed writer (possibly
+    * partial), never valid data.
+    */
+  def readVersion(v: Long): DataFrame = {
+    val latest = latestVersion.getOrElse(
+      throw new IllegalStateException(s"table $root does not exist"))
+    require(v >= 1 && v <= latest,
+      s"version $v is not committed (latest=$latest)")
     spark.read.parquet(versionDir(v))
+  }
 
   /** Atomically flip `_LATEST` to version v (write temp file + move). */
   private def commitPointer(v: Long): Unit = {
@@ -66,9 +75,13 @@ final class ParquetTable(spark: SparkSession, root: String) {
     * `pointer + 1` would collide with the orphan and wedge the table).
     */
   private def nextVersion: Long = {
+    val versioned = "v=(\\d+)".r
     val onDisk = Option(Paths.get(root).toFile.listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v="))
-        .map(_.getName.drop(2).toLong))
+      .map(_.toSeq.collect { f =>
+        f.getName match {
+          case versioned(n) if f.isDirectory => n.toLong
+        }
+      })
       .getOrElse(Nil)
     (latestVersion.getOrElse(0L) +: onDisk).max + 1L
   }

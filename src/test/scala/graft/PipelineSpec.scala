@@ -107,10 +107,16 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     Seq((9, "z")).toDF("k", "v").write.parquet(s"$root/v=2")
     assert(t.latestVersion.contains(1L))
     assert(t.read.count() == 1) // reader never sees the orphan
+    // time travel must refuse the uncommitted orphan
+    intercept[IllegalArgumentException] { t.readVersion(2) }
+    // stray non-numeric v= dirs must not wedge version allocation
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/v=backup"))
     // next publish must skip the orphan, not collide with it
     t.merge(Seq((2, "b")).toDF("k", "v"), keys = Seq("k"))
     assert(t.latestVersion.contains(3L))
     assert(t.read.count() == 2)
+    assert(t.readVersion(3).count() == 2) // committed versions readable
   }
 
   // --- e2e slice (reference tests/integration/test_slice_e2e.py in-JVM) ---
