@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins (builder-brief
+  * extension list: as-of join, range join), composed from existing
+  * relational ops so Catalyst plans them — preference (a) from the
+  * custom-operator ladder, no custom physical operator needed.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for every left row, attach the single latest
+    * right row with the same key and `rightTs <= leftTs` (ties broken by
+    * the highest `rightTs`, then highest tie-break column).
+    *
+    * Implementation is the scalable union trick — NOT a per-key loop and
+    * NOT an inequality join: tag both sides, union, one window sorted by
+    * (ts, side, tieBreak) per key, carry the right payload forward with
+    * last_value(ignoreNulls), keep left rows. One shuffle + one sort,
+    * linear in |L|+|R|; at 100 TB this is the same cost as any keyed
+    * window, with none of the quadratic blowup an inequality join has.
+    *
+    * @param left      left rows
+    * @param right     right rows
+    * @param key       equi-key column name present on both sides
+    * @param leftTs    left timestamp column name
+    * @param rightTs   right timestamp column name
+    * @param payload   right columns to attach (renamed as given)
+    * @param tieBreak  right column ordering ties at equal rightTs
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[(String, String)],
+      tieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val taggedLeft = left.select(
+      leftCols.map(col) ++
+        payload.map { case (from, as) =>
+          lit(null).cast(right.schema(from).dataType).as(as)
+        } ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side"),
+          lit(null).cast("long").as("_tie")): _*)
+    val taggedRight = right.select(
+      leftCols.map { c =>
+        if (c == key) col(key)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ payload.map { case (from, as) => col(from).as(as) } ++
+        Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
+          col(tieBreak).cast("long").as("_tie")): _*)
+
+    // right rows sort BEFORE left rows at equal ts: "at or before" includes
+    // an exactly-simultaneous right row
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = payload.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      case (df, (_, as)) =>
+        df.withColumn(as, last(col(as), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_ts", "_side", "_tie")
+  }
+
+  /** Bucketed range join: pairs within `rangeSeconds` of each other,
+    * without an inequality join. Each side maps to epoch buckets of
+    * `rangeSeconds`; the right side additionally lands in both neighbor
+    * buckets, so every true pair shares >=1 bucket; an exact range filter
+    * removes the false candidates. Shuffle volume is 3x the input rows —
+    * constant factor, never quadratic, and the bucket key shards evenly.
+    */
+  def rangeJoinCount(events: DataFrame, tsCol: String, idCol: String,
+      rangeSeconds: Int): DataFrame = {
+    // exact microsecond arithmetic: unix_timestamp() truncates to whole
+    // seconds, which would admit pairs up to rangeSeconds+0.99s apart
+    val rangeMicros = rangeSeconds * 1000000L
+    val micros = unix_micros(col(tsCol))
+    val bucket = (micros / rangeMicros).cast("long")
+    val l = events.select(col(idCol).as("_lid"), micros.as("_lus"),
+      bucket.as("_bkt"))
+    val r = events.select(col(idCol).as("_rid"), micros.as("_rus"),
+      bucket.as("_rbkt"))
+      .withColumn("_bkt",
+        explode(array(col("_rbkt") - 1, col("_rbkt"), col("_rbkt") + 1)))
+      .drop("_rbkt")
+    l.join(r, Seq("_bkt"))
+      .filter(col("_lid") =!= col("_rid") &&
+        abs(col("_lus") - col("_rus")) <= rangeMicros)
+      .select(col("_lid"), col("_rid")).distinct() // bucket overlap dedupe
+      .groupBy(col("_lid")).agg(count(lit(1)).as("n_neighbors"))
+  }
+}
