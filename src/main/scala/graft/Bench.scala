@@ -19,17 +19,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.registry.map { case (name, q) =>
+      // a failed query reports -1, never a flattering time-to-throw
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try { q.fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            return -1.0
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      val t = math.min(once(), once())
+      val a = once()
+      val t = if (a < 0) a else math.min(a, once())
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

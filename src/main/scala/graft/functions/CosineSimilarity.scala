@@ -17,9 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Expression is justified exactly where the built-ins can't keep the hot
   * path in codegen. Dot product and both norms come from one fused pass.
   *
-  * Null handling: null if either array is null (BinaryExpression default);
-  * arrays of different lengths fold over the common prefix for the dot
-  * product while norms span each full array (same as the HOF version).
+  * Null handling: null if either array is null (BinaryExpression default)
+  * or if the lengths differ (mirroring the HOF version, where zip_with's
+  * null padding poisons the fold).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,26 +37,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) {
-      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null // matches the HOF version's null result
+    else {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    var na = 0.0
-    i = 0
-    while (i < x.numElements()) {
-      val v = x.getFloat(i).toDouble; na += v * v; i += 1
-    }
-    var nb = 0.0
-    i = 0
-    while (i < y.numElements()) {
-      val v = y.getFloat(i).toDouble; nb += v * v; i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -69,20 +69,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double $x = (double) $a.getFloat($i); $na += $x * $x;
-         |}
-         |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  double $y = (double) $b.getFloat($i); $nb += $y * $y;
-         |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

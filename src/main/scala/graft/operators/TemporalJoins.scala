@@ -34,31 +34,43 @@ object TemporalJoins {
       leftTs: String, rightTs: String, payload: Seq[(String, String)],
       tieBreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the payload travels as ONE struct so the attached values always come
+    // from the SAME right row — carrying columns independently with
+    // last(ignoreNulls) would stitch a phantom row together whenever a
+    // payload field is null in the matched row but set in an older one
+    val payloadStruct = struct(payload.map { case (from, as) =>
+      col(from).as(as)
+    }: _*)
+    val tieType = right.schema(tieBreak).dataType
     val taggedLeft = left.select(
-      leftCols.map(col) ++
-        payload.map { case (from, as) =>
-          lit(null).cast(right.schema(from).dataType).as(as)
-        } ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side"),
-          lit(null).cast("long").as("_tie")): _*)
+      leftCols.map(col) ++ Seq(
+        lit(null).cast(
+          org.apache.spark.sql.types.StructType(payload.map { case (f, a) =>
+            org.apache.spark.sql.types.StructField(
+              a, right.schema(f).dataType, nullable = true)
+          })).as("_payload"),
+        col(leftTs).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(tieType).as("_tie")): _*)
     val taggedRight = right.select(
       leftCols.map { c =>
         if (c == key) col(key)
         else lit(null).cast(left.schema(c).dataType).as(c)
-      } ++ payload.map { case (from, as) => col(from).as(as) } ++
-        Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
-          col(tieBreak).cast("long").as("_tie")): _*)
+      } ++ Seq(payloadStruct.as("_payload"),
+        col(rightTs).as("_ts"), lit(0).as("_side"),
+        col(tieBreak).as("_tie")): _*)
 
     // right rows sort BEFORE left rows at equal ts: "at or before" includes
-    // an exactly-simultaneous right row
+    // an exactly-simultaneous right row; _tie keeps its native type and
+    // ordering (no lossy cast)
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payload.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      case (df, (_, as)) =>
-        df.withColumn(as, last(col(as), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_ts", "_side", "_tie")
+    val carried = taggedLeft.unionByName(taggedRight)
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
+    payload.foldLeft(carried.filter(col("_side") === 1)) {
+      case (df, (_, as)) => df.withColumn(as, col(s"_payload.$as"))
+    }.drop("_ts", "_side", "_tie", "_payload")
   }
 
   /** Bucketed range join: pairs within `rangeSeconds` of each other,

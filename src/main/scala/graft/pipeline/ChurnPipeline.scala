@@ -55,10 +55,16 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String) {
     logEvent("silver", runId, "started")
     val bronze = ParquetTable(spark, bronzeRoot).read
     val r = Silver.normalizeAndDedupe(bronze)
-    val out = Silver.stamp(r.deduped, silverSchemaVersion, runId)
+    // each frame feeds several actions (probe + write + DQ + merge);
+    // persist once instead of re-running the normalize/dedupe plan per
+    // action, release before returning
+    val out = Silver.stamp(r.deduped, silverSchemaVersion, runId).persist()
+    val invalid = r.invalid.persist()
+    val dups = r.duplicateRejects.persist()
+    try {
 
     // quarantine: bounded samples, existence-probed like the reference
-    Seq("invalid" -> r.invalid, "duplicates" -> r.duplicateRejects)
+    Seq("invalid" -> invalid, "duplicates" -> dups)
       .foreach { case (kind, df) =>
         if (df.limit(1).count() > 0)
           df.limit(100).write.mode("overwrite")
@@ -82,24 +88,31 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String) {
     ParquetTable(spark, silverRoot).merge(out, keys = Seq("order_id"))
     logEvent("silver", runId, "completed")
     out
+    } finally {
+      invalid.unpersist(); dups.unpersist(); out.unpersist()
+    }
   }
 
   def publishGold(asOfDate: String, runId: String): DataFrame = {
     val silver = ParquetTable(spark, silverRoot).read
     val snapshotId = Versioning.stableHash(s"$asOfDate|$featureVersion")
+    // quality collect + merge write + sidecar count all reuse one
+    // materialization of the feature plan
     val gold = Gold.buildFeatureSnapshot(
-      silver, asOfDate, snapshotId, featureVersion, runId)
-    Gold.assertQuality(gold)
-    graft.contracts.Contracts.goldCustomerFeaturesDaily.enforce(gold)
-    ParquetTable(spark, goldRoot)
-      .merge(gold, keys = Seq("customer_id", "as_of_date"))
-    graft.common.JsonIO.write(
-      s"$warehouse/_meta/gold_snapshot_$asOfDate.json",
-      Map("run_id" -> runId, "as_of_date" -> asOfDate,
-        "snapshot_id" -> snapshotId, "feature_version" -> featureVersion,
-        "row_count" -> gold.count()))
-    logEvent("gold", runId, "completed", Map("as_of_date" -> asOfDate))
-    gold
+      silver, asOfDate, snapshotId, featureVersion, runId).persist()
+    try {
+      Gold.assertQuality(gold)
+      graft.contracts.Contracts.goldCustomerFeaturesDaily.enforce(gold)
+      ParquetTable(spark, goldRoot)
+        .merge(gold, keys = Seq("customer_id", "as_of_date"))
+      graft.common.JsonIO.write(
+        s"$warehouse/_meta/gold_snapshot_$asOfDate.json",
+        Map("run_id" -> runId, "as_of_date" -> asOfDate,
+          "snapshot_id" -> snapshotId, "feature_version" -> featureVersion,
+          "row_count" -> gold.count()))
+      logEvent("gold", runId, "completed", Map("as_of_date" -> asOfDate))
+      gold
+    } finally gold.unpersist()
   }
 
   def publishLabels(asOfDate: String, runId: String,

@@ -40,6 +40,10 @@ object TrainingSnapshot {
 
     val bounds = payload.agg(
       min("as_of_date").as("lo"), max("as_of_date").as("hi")).collect()(0)
+    if (bounds.isNullAt(0))
+      throw new IllegalStateException(
+        "training snapshot assembly produced zero rows " +
+          "(no (customer_id, as_of_date) overlap between gold and labels)")
     val dataSnapshotId = Versioning.stableHash(Map(
       "as_of_date_min" -> bounds.get(0).toString,
       "as_of_date_max" -> bounds.get(1).toString,

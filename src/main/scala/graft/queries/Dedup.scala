@@ -176,8 +176,12 @@ object Dedup {
     */
   private val q36 = QueryDef(
     (s, d) => {
-      // one shuffle: per-doc signature + gram-hash set
-      val sig = signatures(docGramHashes(s, d)).persist()
+      // one shuffle: per-doc signature + gram-hash set. Not persisted:
+      // the two consumers (band buckets, verification sets) each
+      // re-evaluate one cheap aggregation, whereas persist() would pin
+      // cached blocks for the session lifetime (no safe unpersist point
+      // for a lazily-returned frame).
+      val sig = signatures(docGramHashes(s, d))
       val buckets = bandBuckets(sig)
       val candidates = buckets.as("x")
         .join(buckets.as("y"),

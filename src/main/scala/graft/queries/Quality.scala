@@ -34,7 +34,11 @@ object Quality {
             FROM orders
             UNION ALL
             SELECT 'unique_o_orderkey',
-              CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+              -- excess rows beyond one per key, where a NULL key forms its
+              -- own group (matches Spark's countDistinct(struct(k)))
+              CAST(COUNT(*) - COUNT(DISTINCT o_orderkey)
+                   - (CASE WHEN COUNT(*) > COUNT(o_orderkey) THEN 1 ELSE 0 END)
+                   AS BIGINT)
             FROM orders
             UNION ALL
             SELECT 'nonneg_o_totalprice',

@@ -105,9 +105,31 @@ object Scorer {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
     """"((?:[^"\\]|\\.)*)"\s*:\s*(?:"((?:[^"\\]|\\.)*)"|([-0-9.eE+]+|true|false))"""
       .r.findAllMatchIn(txt).map { m =>
-        val k = m.group(1)
-        val v = if (m.group(2) != null) m.group(2) else m.group(3)
+        val k = unescape(m.group(1))
+        val v = if (m.group(2) != null) unescape(m.group(2)) else m.group(3)
         k -> v
       }.toMap
+  }
+
+  /** Inverse of JsonIO.escape — values must round-trip, not accumulate
+    * literal backslash sequences.
+    */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case c => sb.append(c); i += 2
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 }
