@@ -246,8 +246,102 @@ object Similarity {
             WHERE rn = 1"""),
     "all-pairs 1-NN + near-dup flag at 0.95 [dedup,similarity]")
 
+  // ---- IVF (inverted-file) ANN ----
+  // Coarse quantizer: NumCells deterministic centroids (the vectors with
+  // the NumCells smallest vec_ids — a fixed, data-independent choice that
+  // needs no training pass; production would k-means them). Every vector
+  // is assigned to its nearest centroid once (narrow map over a tiny
+  // broadcast); a query probes its NProbe nearest cells only. At 100 TB
+  // the index build is one linear pass and search touches
+  // ~NProbe/NumCells of the data — the classic FAISS-style layout, in
+  // pure DataFrame operations.
+  private val NumCells = 16
+  private val NProbe = 4
+
+  private def cellAssignments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = load(s, d, "embeddings")
+    val centroids = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(centroids)
+    e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = 0L
+        var bestCos = Double.NegativeInfinity
+        var vn = 0.0
+        var k = 0
+        while (k < v.length) { vn += v(k).toDouble * v(k).toDouble; k += 1 }
+        vn = math.sqrt(vn)
+        cs.foreach { case (cid, c) =>
+          var dot = 0.0
+          var cn = 0.0
+          var i = 0
+          while (i < c.length) {
+            dot += v(i).toDouble * c(i).toDouble
+            cn += c(i).toDouble * c(i).toDouble
+            i += 1
+          }
+          val cos = dot / (vn * math.sqrt(cn))
+          if (cos > bestCos) { bestCos = cos; best = cid }
+        }
+        (id, v, best)
+      }.toDF("vec_id", "embedding", "cell")
+  }
+
+  /** IVF-bucketed ANN: same contract as q38, candidates restricted to
+    * the query's NProbe nearest cells.
+    */
+  private val q54 = QueryDef(
+    (s, d) => {
+      import s.implicits._
+      val assigned = cellAssignments(s, d)
+      val e = load(s, d, "embeddings")
+      val centroids = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      def topCells(v: Array[Float]): Seq[Long] = {
+        var vn = 0.0
+        var k = 0
+        while (k < v.length) { vn += v(k).toDouble * v(k).toDouble; k += 1 }
+        vn = math.sqrt(vn)
+        centroids.map { case (cid, c) =>
+          var dot = 0.0
+          var cn = 0.0
+          var i = 0
+          while (i < c.length) {
+            dot += v(i).toDouble * c(i).toDouble
+            cn += c(i).toDouble * c(i).toDouble
+            i += 1
+          }
+          cid -> dot / (vn * math.sqrt(cn))
+        }.sortBy(-_._2).take(NProbe).map(_._1).toSeq
+      }
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (qid, v) =>
+          topCells(v).map(c => (qid, v, c))
+        }.toDF("query_id", "qv", "probe_cell")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      assigned.join(broadcast(queries),
+          col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          fastCosine(s)(col("qv"), col("embedding")).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id"),
+          col("score"), col("rn").cast("int").as("rn"))
+    },
+    None, // approximate: recall measured against q38 in specs
+    "IVF ANN top-10: 16 cells, 4-probe [similarity]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
     "q39_ann_lsh" -> q39,
-    "q40_dedup_embedding" -> q40)
+    "q40_dedup_embedding" -> q40,
+    "q54_ann_ivf" -> q54)
 }

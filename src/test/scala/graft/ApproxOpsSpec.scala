@@ -35,20 +35,33 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
     assert(caught >= 0.5, s"simhash caught only ${(exact & sim).size}/${exact.size}")
   }
 
-  test("LSH ANN reaches >=80% recall@10 vs brute force") {
-    def topk(name: String): Map[Long, Set[Long]] =
-      SparkEntry.queries(name)(spark, Sf)
-        .select("query_id", "vec_id").collect()
-        .groupBy(_.getLong(0)).map { case (q, rs) =>
-          q -> rs.map(_.getLong(1)).toSet
-        }
+  private def topk(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, Sf)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet
+      }
+
+  private def meanRecall(approxName: String): Double = {
     val exact = topk("q38_ann_bruteforce")
-    val approx = topk("q39_ann_lsh")
+    val approx = topk(approxName)
     val recalls = exact.map { case (q, ids) =>
       approx.get(q).map(a => (a & ids).size.toDouble / ids.size).getOrElse(0.0)
     }
-    val mean = recalls.sum / recalls.size
+    recalls.sum / recalls.size
+  }
+
+  test("LSH ANN reaches >=80% recall@10 vs brute force") {
+    val mean = meanRecall("q39_ann_lsh")
     assert(mean >= 0.8, s"mean recall@10 = $mean")
+  }
+
+  test("IVF ANN reaches >=50% recall@10 while probing 1/4 of the cells") {
+    // 4 of 16 cells probed; on a near-uniform corpus recall tracks the
+    // probed fraction more closely than on clustered data — the spec
+    // pins a floor well above the 25% a random probe would give
+    val mean = meanRecall("q54_ann_ivf")
+    assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
   test("signature buckets are deterministic across invocations") {
