@@ -14,6 +14,16 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Register every testdata table as a temp view so the whole corpus is
+    * queryable through `spark.sql` (the SQL twin of the Column-API
+    * surface; graft native functions register separately via
+    * GraftFunctions.register).
+    */
+  def createViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n =>
+      load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+
   /** The events table is written with TIMESTAMP(NANOS) which Spark has no
     * native type for; read nanos as long and convert to a micros
     * timestamp. The testdata's values are µs-exact (verified), so the

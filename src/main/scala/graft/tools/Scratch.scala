@@ -10,13 +10,17 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.01"
-    Seq("q01_pruned_scan", "q06_join_broadcast", "q10_star_join",
-      "q14_orderby_limit", "q24_churn_features", "q03_agg_pricing")
-      .foreach { q =>
-        println(s"######## $q")
-        graft.SparkEntry.queries(q)(spark, sf).explain("formatted")
-      }
+    val sf = "/root/testdata/sf0.001"
+    graft.common.Tables.createViews(spark, sf)
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n FROM orders
+        |JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"""
+        .stripMargin).show()
+    spark.sql(
+      """SELECT a.vec_id, round(cosine_sim(a.embedding, b.embedding), 4) c
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY a.vec_id LIMIT 3""".stripMargin).show()
     spark.stop()
   }
 }
