@@ -9,5 +9,6 @@ object Registry {
   def all: Seq[(String, QueryDef)] =
     Relational.all ++ Quality.all ++ Churn.all ++
       TextOps.all ++ Dedup.all ++ Similarity.all ++ Events.all ++
-      Multimodal.all ++ ApproxOps.all ++ Advanced.all ++ Temporal.all
+      Multimodal.all ++ ApproxOps.all ++ Advanced.all ++ Temporal.all ++
+      TextClean.all
 }

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import graft.functions.Text._
+import org.apache.spark.sql.functions._
+
+/** Text cleaning + corpus filtering — the compose-everything stage of a
+  * training-data pipeline: markup strip, whitespace/unicode-ish
+  * normalization, PII-shaped redaction, then the full clean-corpus
+  * composition (dedup ∘ language filter ∘ quality filter) as ONE
+  * declarative plan.
+  */
+object TextClean {
+
+  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Cleaning battery: every transform is a codegen'd regexp over the
+    * scan — pure map work at any scale. (The corpus has no real markup
+    * or PII; the transforms are the operators, applied verbatim.)
+    */
+  private val q55 = QueryDef(
+    (s, d) =>
+      load(s, d, "documents").select(
+        col("doc_id"),
+        // markup strip: remove <...> spans
+        regexp_replace(col("text"), "<[^>]*>", " ").as("no_markup"),
+        // PII-shaped redaction: email-like and long-digit-run tokens
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>").as("redacted"),
+        // printable-ascii projection + whitespace collapse
+        regexp_replace(
+          regexp_replace(col("text"), "[^ -~]", ""),
+          "\\s+", " ").as("ascii_clean"),
+        length(col("text")).as("n_chars_raw")),
+    Some("""SELECT doc_id,
+              regexp_replace(text, '<[^>]*>', ' ', 'g') AS no_markup,
+              regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+              regexp_replace(regexp_replace(text, '[^ -~]', '', 'g'),
+                '\s+', ' ', 'g') AS ascii_clean,
+              CAST(length(text) AS INTEGER) AS n_chars_raw
+            FROM documents"""),
+    "cleaning battery: markup strip, PII redaction, ascii projection [text-analysis]")
+
+  /** Clean-corpus composition: exact-dedup (keep min doc_id per content
+    * hash) ∘ keep docs with >=20 words ∘ keep distinct-word ratio >=0.3.
+    * One plan: the dedup window and the filters fuse into a single
+    * shuffle on the content hash — the shape of a real corpus-prep job,
+    * end-to-end oracle-checked.
+    */
+  private val q56 = QueryDef(
+    (s, d) => {
+      val w = words(col("text"))
+      val docs = load(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        sha2(norm(col("text")), 256).as("content_hash"),
+        size(w).as("n_words"),
+        (size(array_distinct(w)).cast("double") / size(w))
+          .as("distinct_ratio"))
+      val keep = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("doc_id").asc)
+      docs
+        .filter(col("n_words") >= 20 && col("distinct_ratio") >= 0.3)
+        .withColumn("rn", row_number().over(keep))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "content_hash", "n_words", "distinct_ratio")
+    },
+    Some(s"""WITH scored AS (
+              SELECT doc_id, lang,
+                sha256($NormSql) AS content_hash,
+                CAST(len(string_split($NormSql, ' ')) AS INTEGER) AS n_words,
+                CAST(CAST(len(list_distinct(string_split($NormSql, ' '))) AS DOUBLE)
+                     / len(string_split($NormSql, ' ')) AS DOUBLE) AS distinct_ratio
+              FROM documents
+            )
+            SELECT doc_id, lang, content_hash, n_words, distinct_ratio
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash
+                    ORDER BY doc_id ASC) AS rn
+                  FROM scored
+                  WHERE n_words >= 20 AND distinct_ratio >= 0.3)
+            WHERE rn = 1"""),
+    "clean-corpus composition: dedup + quality filters in one plan [dedup,text-analysis]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q55_text_clean" -> q55,
+    "q56_corpus_clean" -> q56)
+}

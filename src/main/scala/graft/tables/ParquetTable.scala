@@ -113,6 +113,34 @@ final class ParquetTable(spark: SparkSession, root: String) {
         writeVersion(readVersion(v).unionByName(df), partitionBy)
     }
 
+  /** Retention: delete version dirs older than the last `keepLast`
+    * committed versions, plus any uncommitted orphans above the pointer
+    * (the operational counterpart of Delta's VACUUM for this layout —
+    * each publish adds a dir, so long-lived tables need pruning).
+    * The current version is never deletable.
+    */
+  def vacuum(keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1)
+    val latest = latestVersion.getOrElse(return Nil)
+    val versioned = "v=(\\d+)".r
+    val victims = Option(Paths.get(root).toFile.listFiles())
+      .map(_.toSeq.collect { f =>
+        f.getName match {
+          case versioned(n) if f.isDirectory => n.toLong
+        }
+      }).getOrElse(Nil)
+      .filter(v => v <= latest - keepLast || v > latest)
+      .sorted
+    victims.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(Paths.get(versionDir(v)).toFile)
+    }
+    victims
+  }
+
   /** Keyed upsert — the reference's Delta MERGE
     * `whenMatchedUpdateAll.whenNotMatchedInsertAll`
     * (`orders_bronze_to_silver.py:184-192`): every target row whose key

@@ -98,6 +98,24 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(t.read.groupBy("k").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("ParquetTable: vacuum prunes old versions and orphans, never the current") {
+    import spark.implicits._
+    val root = s"${tmpDir("pt")}/t"
+    val t = ParquetTable(spark, root)
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))                 // v1
+    t.merge(Seq((2, "b")).toDF("k", "v"), keys = Seq("k"))    // v2
+    t.merge(Seq((3, "c")).toDF("k", "v"), keys = Seq("k"))    // v3
+    Seq((9, "z")).toDF("k", "v").write.parquet(s"$root/v=9")  // orphan
+    val removed = t.vacuum(keepLast = 2)
+    assert(removed == Seq(1L, 9L)) // old v1 + orphan v9; v2/v3 retained
+    assert(t.read.count() == 3)
+    assert(t.readVersion(2).count() == 2) // retained history still works
+    intercept[Exception] { t.readVersion(1).count() }
+    // allocation continues cleanly after vacuum
+    t.merge(Seq((4, "d")).toDF("k", "v"), keys = Seq("k"))
+    assert(t.latestVersion.contains(4L))
+  }
+
   test("ParquetTable: recovers from a crash between write and pointer flip") {
     import spark.implicits._
     val root = s"${tmpDir("pt")}/t"
