@@ -87,7 +87,10 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String) {
     graft.contracts.Contracts.silverOrders.enforce(out)
     ParquetTable(spark, silverRoot).merge(out, keys = Seq("order_id"))
     logEvent("silver", runId, "completed")
-    out
+    // hand back the just-merged TABLE, not the (about to be unpersisted)
+    // logical plan: any caller action reads parquet instead of re-running
+    // the normalize/dedupe DAG
+    ParquetTable(spark, silverRoot).read
     } finally {
       invalid.unpersist(); dups.unpersist(); out.unpersist()
     }
@@ -111,7 +114,9 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String) {
           "snapshot_id" -> snapshotId, "feature_version" -> featureVersion,
           "row_count" -> gold.count()))
       logEvent("gold", runId, "completed", Map("as_of_date" -> asOfDate))
-      gold
+      // materialized snapshot slice, not the unpersisted plan
+      ParquetTable(spark, goldRoot).read
+        .filter(col("as_of_date") === to_date(lit(asOfDate)))
     } finally gold.unpersist()
   }
 

@@ -258,37 +258,52 @@ object Similarity {
   private val NumCells = 16
   private val NProbe = 4
 
-  private def cellAssignments(s: SparkSession, d: String): DataFrame = {
+  /** Primitive-loop cosine against a pre-normed centroid. */
+  private def cosTo(v: Array[Float], vNorm: Double,
+      c: Array[Double], cNorm: Double): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < c.length) { dot += v(i).toDouble * c(i); i += 1 }
+    dot / (vNorm * cNorm)
+  }
+
+  private def vecNorm(v: Array[Float]): Double = {
+    var n = 0.0
+    var k = 0
+    while (k < v.length) { n += v(k).toDouble * v(k).toDouble; k += 1 }
+    math.sqrt(n)
+  }
+
+  /** Centroids with precomputed norms, collected ONCE per query build:
+    * (cell_id, components as doubles, norm).
+    */
+  private def collectCentroids(s: SparkSession, d: String): Array[(Long, Array[Double], Double)] = {
     import s.implicits._
-    val e = load(s, d, "embeddings")
-    val centroids = e.filter(col("vec_id") < NumCells)
+    load(s, d, "embeddings").filter(col("vec_id") < NumCells)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (cid, c) =>
+        val cd = c.map(_.toDouble)
+        (cid, cd, math.sqrt(cd.map(x => x * x).sum))
+      }
+  }
+
+  /** Cells ranked by centroid cosine for one vector, best first. */
+  private def rankedCells(cs: Array[(Long, Array[Double], Double)],
+      v: Array[Float]): Array[Long] = {
+    val vn = vecNorm(v)
+    cs.map { case (cid, c, cn) => cid -> cosTo(v, vn, c, cn) }
+      .sortBy(-_._2).map(_._1)
+  }
+
+  private def cellAssignments(s: SparkSession, d: String,
+      centroids: Array[(Long, Array[Double], Double)]): DataFrame = {
+    import s.implicits._
     val bc = s.sparkContext.broadcast(centroids)
-    e.select(col("vec_id"), col("embedding"))
+    load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val cs = bc.value
-        var best = 0L
-        var bestCos = Double.NegativeInfinity
-        var vn = 0.0
-        var k = 0
-        while (k < v.length) { vn += v(k).toDouble * v(k).toDouble; k += 1 }
-        vn = math.sqrt(vn)
-        cs.foreach { case (cid, c) =>
-          var dot = 0.0
-          var cn = 0.0
-          var i = 0
-          while (i < c.length) {
-            dot += v(i).toDouble * c(i).toDouble
-            cn += c(i).toDouble * c(i).toDouble
-            i += 1
-          }
-          val cos = dot / (vn * math.sqrt(cn))
-          if (cos > bestCos) { bestCos = cos; best = cid }
-        }
-        (id, v, best)
-      }.toDF("vec_id", "embedding", "cell")
+      .map { case (id, v) => (id, v, rankedCells(bc.value, v).head) }
+      .toDF("vec_id", "embedding", "cell")
   }
 
   /** IVF-bucketed ANN: same contract as q38, candidates restricted to
@@ -297,33 +312,14 @@ object Similarity {
   private val q54 = QueryDef(
     (s, d) => {
       import s.implicits._
-      val assigned = cellAssignments(s, d)
-      val e = load(s, d, "embeddings")
-      val centroids = e.filter(col("vec_id") < NumCells)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      def topCells(v: Array[Float]): Seq[Long] = {
-        var vn = 0.0
-        var k = 0
-        while (k < v.length) { vn += v(k).toDouble * v(k).toDouble; k += 1 }
-        vn = math.sqrt(vn)
-        centroids.map { case (cid, c) =>
-          var dot = 0.0
-          var cn = 0.0
-          var i = 0
-          while (i < c.length) {
-            dot += v(i).toDouble * c(i).toDouble
-            cn += c(i).toDouble * c(i).toDouble
-            i += 1
-          }
-          cid -> dot / (vn * math.sqrt(cn))
-        }.sortBy(-_._2).take(NProbe).map(_._1).toSeq
-      }
-      val queries = e.filter(col("vec_id") < 20)
+      val centroids = collectCentroids(s, d) // collected once, shared
+      val assigned = cellAssignments(s, d, centroids)
+      val bc = s.sparkContext.broadcast(centroids)
+      val queries = load(s, d, "embeddings").filter(col("vec_id") < 20)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
         .flatMap { case (qid, v) =>
-          topCells(v).map(c => (qid, v, c))
+          rankedCells(bc.value, v).take(NProbe).map(c => (qid, v, c))
         }.toDF("query_id", "qv", "probe_cell")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("vec_id").asc)

@@ -33,6 +33,7 @@ import org.apache.spark.sql.functions.col
 final class ParquetTable(spark: SparkSession, root: String) {
 
   private def pointerPath: Path = Paths.get(root, "_LATEST")
+  private def committedLogPath: Path = Paths.get(root, "_COMMITTED")
   private def versionDir(v: Long): String = s"$root/v=$v"
 
   def exists: Boolean = Files.exists(pointerPath)
@@ -41,31 +42,51 @@ final class ParquetTable(spark: SparkSession, root: String) {
     if (!exists) None
     else Some(new String(Files.readAllBytes(pointerPath)).trim.toLong)
 
+  /** The set of versions that were ever committed (pointer history log ∪
+    * current pointer). The log line for a version is appended AFTER its
+    * atomic pointer flip, so a crash between flip and append only loses
+    * the log line — the pointer itself still marks the version committed;
+    * the union covers that window. A version dir NOT in this set is an
+    * uncommitted orphan (possibly partial) regardless of its number.
+    */
+  def committedVersions: Set[Long] = {
+    val logged =
+      if (!Files.exists(committedLogPath)) Set.empty[Long]
+      else new String(Files.readAllBytes(committedLogPath))
+        .split("\n").filter(_.nonEmpty).map(_.trim.toLong).toSet
+    logged ++ latestVersion
+  }
+
   def read: DataFrame = latestVersion match {
     case Some(v) => readVersion(v)
     case None => throw new IllegalStateException(s"table $root does not exist")
   }
 
   /** Time-travel read of an immutable historical version. Only versions
-    * at or below the committed pointer are readable — a higher `v=` dir
-    * can only be an uncommitted orphan from a crashed writer (possibly
-    * partial), never valid data.
+    * in the committed set are readable — any other `v=` dir is an
+    * uncommitted orphan from a crashed writer (possibly partial), never
+    * valid data.
     */
   def readVersion(v: Long): DataFrame = {
-    val latest = latestVersion.getOrElse(
-      throw new IllegalStateException(s"table $root does not exist"))
-    require(v >= 1 && v <= latest,
-      s"version $v is not committed (latest=$latest)")
+    if (!exists)
+      throw new IllegalStateException(s"table $root does not exist")
+    require(committedVersions.contains(v),
+      s"version $v is not committed (committed=${committedVersions.toSeq.sorted})")
     spark.read.parquet(versionDir(v))
   }
 
-  /** Atomically flip `_LATEST` to version v (write temp file + move). */
+  /** Atomically flip `_LATEST` to version v (write temp file + move),
+    * then record v in the committed log.
+    */
   private def commitPointer(v: Long): Unit = {
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, s"._LATEST.tmp.$v")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    Files.writeString(committedLogPath, s"$v\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
 
   /** Next version = one past every version dir on disk, not just past the
@@ -113,15 +134,19 @@ final class ParquetTable(spark: SparkSession, root: String) {
         writeVersion(readVersion(v).unionByName(df), partitionBy)
     }
 
-  /** Retention: delete version dirs older than the last `keepLast`
-    * committed versions, plus any uncommitted orphans above the pointer
-    * (the operational counterpart of Delta's VACUUM for this layout —
-    * each publish adds a dir, so long-lived tables need pruning).
-    * The current version is never deletable.
+  /** Retention: keep the last `keepLast` COMMITTED versions (always
+    * including the current one); delete every other version dir — older
+    * committed history AND uncommitted orphans wherever their numbers
+    * fall (an orphan may sit below the pointer after crash-then-recover,
+    * so retention decisions must come from the committed log, not from
+    * version arithmetic). The committed log is rewritten to the retained
+    * set via temp + atomic move.
     */
   def vacuum(keepLast: Int = 2): Seq[Long] = {
     require(keepLast >= 1)
     val latest = latestVersion.getOrElse(return Nil)
+    val retained = (committedVersions.toSeq.sorted.takeRight(keepLast)
+      :+ latest).toSet
     val versioned = "v=(\\d+)".r
     val victims = Option(Paths.get(root).toFile.listFiles())
       .map(_.toSeq.collect { f =>
@@ -129,7 +154,7 @@ final class ParquetTable(spark: SparkSession, root: String) {
           case versioned(n) if f.isDirectory => n.toLong
         }
       }).getOrElse(Nil)
-      .filter(v => v <= latest - keepLast || v > latest)
+      .filterNot(retained.contains)
       .sorted
     victims.foreach { v =>
       def rm(f: java.io.File): Unit = {
@@ -138,6 +163,12 @@ final class ParquetTable(spark: SparkSession, root: String) {
       }
       rm(Paths.get(versionDir(v)).toFile)
     }
+    val tmp = Paths.get(root, "._COMMITTED.tmp")
+    Files.writeString(tmp,
+      committedVersions.intersect(retained).toSeq.sorted
+        .map(v => s"$v\n").mkString)
+    Files.move(tmp, committedLogPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     victims
   }
 

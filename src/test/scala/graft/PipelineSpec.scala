@@ -135,6 +135,13 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(t.latestVersion.contains(3L))
     assert(t.read.count() == 2)
     assert(t.readVersion(3).count() == 2) // committed versions readable
+    // the orphan stays unreadable even though its number is below latest
+    intercept[IllegalArgumentException] { t.readVersion(2) }
+    // vacuum keys retention off the committed log, not version arithmetic:
+    // it removes the below-pointer orphan and keeps committed {1, 3}
+    assert(t.vacuum(keepLast = 2) == Seq(2L))
+    assert(t.readVersion(1).count() == 1)
+    assert(t.readVersion(3).count() == 2)
   }
 
   // --- e2e slice (reference tests/integration/test_slice_e2e.py in-JVM) ---
