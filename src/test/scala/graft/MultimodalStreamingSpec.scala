@@ -91,6 +91,28 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       s"late row behind the watermark must not change finalized window H (got $finalized)")
   }
 
+  test("streaming dedup drops in-watermark duplicate event_ids") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val src = s"$base/src"
+    Seq((1L, 1000L), (2L, 1010L), (1L, 1020L), (3L, 1030L), (2L, 1040L))
+      .toDF("event_id", "epoch_s")
+      .select(col("event_id"), timestamp_seconds(col("epoch_s")).as("ts"))
+      .coalesce(1).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = EventStream.dedupeStream(
+      spark.readStream.schema(schema).parquet(src))
+      .writeStream.format("memory").queryName("sdedup_test")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table("sdedup_test").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L)) // dups of 1 and 2 dropped
+  }
+
   test("stateful sessionizer produces the same session count as batch q42") {
     import spark.implicits._
     val events = graft.common.Tables.load(spark, Sf, "events")

@@ -144,6 +144,39 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(t.readVersion(3).count() == 2)
   }
 
+  test("incremental gold equals the full rebuild for affected customers") {
+    import spark.implicits._
+    val wh = tmpDir("inc")
+    val rawPath = s"$wh/raw"
+    Seq(
+      ("A1", "CUST_0001", "delivered", "2025-01-10 10:00:00"),
+      ("A2", "CUST_0001", "delivered", "2025-03-10 11:00:00"),
+      ("B1", "CUST_0002", "delivered", "2025-01-20 12:00:00"),
+      ("C1", "CUST_0003", "delivered", "2025-02-15 09:00:00"))
+      .toDF("order_id", "customer_id", "order_status",
+        "order_purchase_timestamp")
+      .withColumn("order_approved_at", lit(null).cast("string"))
+      .withColumn("order_delivered_carrier_date", lit(null).cast("string"))
+      .withColumn("order_delivered_customer_date", lit(null).cast("string"))
+      .withColumn("order_estimated_delivery_date", lit(null).cast("string"))
+      .write.parquet(rawPath)
+    val p = new ChurnPipeline(spark, s"$wh/lake")
+    p.ingestBronze(rawPath, "r1")
+    p.publishSilver("r2")
+    val full = p.publishGold("2025-03-31", "full")
+    // incremental with changedSince before all data: every customer is
+    // "affected" -> must reproduce the full rebuild row-for-row
+    val inc = p.publishGoldIncremental("2025-03-31", "inc", "2025-01-01 00:00:00")
+    val cols = Seq("customer_id", "recency_days", "orders_30d", "orders_90d",
+      "lifetime_orders", "customer_tenure_days", "avg_days_between_orders")
+    assert(inc.select(cols.map(col): _*)
+      .exceptAll(full.select(cols.map(col): _*)).count() == 0)
+    // incremental scoped to activity after 2025-03-01 recomputes only
+    // CUST_0001 (its A2 order), leaving others' rows from the full run
+    val inc2 = p.publishGoldIncremental("2025-03-31", "inc2", "2025-03-01 00:00:00")
+    assert(inc2.count() == full.count()) // merge preserved everyone
+  }
+
   // --- e2e slice (reference tests/integration/test_slice_e2e.py in-JVM) ---
   test("e2e slice: raw -> bronze -> silver -> gold+labels -> snapshot -> train -> score") {
     import spark.implicits._
