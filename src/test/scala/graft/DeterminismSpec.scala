@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Topology independence: results must be identical under different
+  * shuffle parallelism — the property that makes local[32] results
+  * transfer to a 1000-executor cluster. Exercises the exact-decimal
+  * aggregation discipline (a plain double sum would fail this).
+  */
+class DeterminismSpec extends AnyFunSuite with SparkSpec {
+
+  private val Sensitive = Seq(
+    "q03_agg_pricing", "q10_star_join", "q12_window_lag_gap",
+    "q24_churn_features", "q42_events_sessions", "q57_column_profile")
+
+  test("results are invariant under shuffle-partition count") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Sensitive.foreach { name =>
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val a = SparkEntry.queries(name)(spark, Sf).collect()
+          .map(_.toString).sorted.toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        val b = SparkEntry.queries(name)(spark, Sf).collect()
+          .map(_.toString).sorted.toSeq
+        assert(a == b, s"$name differs across partitioning")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
