@@ -172,6 +172,16 @@ final class ParquetTable(spark: SparkSession, root: String) {
     victims
   }
 
+  /** Compaction: rewrite the current version into `targetFiles` output
+    * files and commit it as a new version (Delta OPTIMIZE's role for
+    * this layout). Merge/append churn accumulates small files; scans pay
+    * per-file overhead, so long-lived tables compact periodically.
+    * Readers are never disturbed — it's an ordinary pointer-flipped
+    * publish of identical rows.
+    */
+  def compact(targetFiles: Int = 1): Long =
+    writeVersion(read.coalesce(targetFiles), Nil)
+
   /** Keyed upsert — the reference's Delta MERGE
     * `whenMatchedUpdateAll.whenNotMatchedInsertAll`
     * (`orders_bronze_to_silver.py:184-192`): every target row whose key

@@ -98,6 +98,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(t.read.groupBy("k").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("ParquetTable: compact rewrites the current version into one file") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmpDir("pt")}/t")
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    t.merge(Seq((2, "b")).toDF("k", "v"), keys = Seq("k"))
+    t.merge(Seq((3, "c")).toDF("k", "v"), keys = Seq("k"))
+    val before = t.read.orderBy("k").collect().toSeq
+    val v = t.compact(targetFiles = 1)
+    assert(t.latestVersion.contains(v))
+    assert(t.read.orderBy("k").collect().toSeq == before)
+    assert(t.read.inputFiles.length == 1)
+  }
+
   test("ParquetTable: vacuum prunes old versions and orphans, never the current") {
     import spark.implicits._
     val root = s"${tmpDir("pt")}/t"

@@ -74,6 +74,19 @@ class ServingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("auth utilities: constant-time key check, request id, log hash") {
+    import graft.serving.Auth
+    assert(Auth.checkApiKey(Some("secret-key"), "secret-key"))
+    assert(!Auth.checkApiKey(Some("wrong"), "secret-key"))
+    assert(!Auth.checkApiKey(None, "secret-key"))
+    assert(!Auth.checkApiKey(Some("anything"), "")) // fail closed
+    assert(Auth.requestId(Some("req-123")) == "req-123")
+    assert(Auth.requestId(None).length == 36)
+    val h = Auth.customerIdLogHash("cust_0001")
+    assert(h.length == 12 && h.matches("[0-9a-f]{12}"))
+    assert(h == Auth.customerIdLogHash("cust_0001")) // stable
+  }
+
   test("unapproved model version refuses to load") {
     val (p, bundle, _) = ctx
     val dir = Files.createTempDirectory("bundle2").toString
