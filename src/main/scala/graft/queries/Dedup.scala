@@ -19,10 +19,13 @@ object Dedup {
 
   private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private val WordsSql = s"string_split($NormSql, ' ')"
-  /** DuckDB list comprehension producing the distinct word 5-grams. */
-  private val GramsSql =
+  /** DuckDB list comprehension producing the distinct word 5-grams
+    * (shared with the clustering oracle in DedupClusters).
+    */
+  private[queries] val GramsOracleSql =
     s"""list_distinct([array_to_string(($WordsSql)[i:i+4], ' ')
         for i in range(1, greatest(len($WordsSql) - 3, 1))])"""
+  private val GramsSql = GramsOracleSql
 
   /** Distinct (doc_id, gram) pairs — one shuffle-free projection+explode. */
   private def docGrams(spark: SparkSession, sfDir: String): DataFrame =
@@ -94,8 +97,8 @@ object Dedup {
     * threshold that high-df grams alone can't reach) or the MinHash-LSH
     * variant below. Kept uncapped here for oracle-exact semantics.
     */
-  private val q35 = QueryDef(
-    (s, d) => {
+  /** The q35 computation, exposed for composition (clustering). */
+  private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
       // join on the 8-byte gram hash, not the ~25-char string: same
       // pairs (modulo negligible hash collisions), much cheaper to
       // compute, shuffle, and compare
@@ -118,7 +121,10 @@ object Dedup {
           (col("shared").cast("double") /
             (col("n1") + col("n2") - col("shared"))).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
-    },
+  }
+
+  private val q35 = QueryDef(
+    (s, d) => nearDupPairs(s, d),
     Some(s"""WITH g AS (
               SELECT doc_id, unnest($GramsSql) AS gram FROM documents
             ), n AS (

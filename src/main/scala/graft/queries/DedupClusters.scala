@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-dup clustering: connected components over the Jaccard>=0.8 pair
+  * graph, labeling every clustered document with min(doc_id) of its
+  * component — the step that turns pairwise near-dup evidence into "keep
+  * one canonical doc per cluster".
+  *
+  * Implementation is iterative min-label propagation (the standard
+  * Spark CC shape without GraphX): each round joins labels across edges
+  * and keeps the per-node min; convergence when no label changes.
+  * Rounds needed = graph diameter (near-dup clusters are tiny chains, so
+  * 2-4 rounds); each round is one shuffle join on doc_id. At 100 TB the
+  * same loop runs with checkpointing every few rounds to cut lineage.
+  */
+object DedupClusters {
+
+  /** Connected components over an undirected edge list (d1, d2). */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    // undirected: propagate both ways
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // per-node min of (own label, neighbors' labels)
+      val fromNeighbors = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(fromNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label")).persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Clusters over the q35 near-dup pairs: (doc_id, cluster_id) for every
+    * document with at least one near-dup, cluster_id = min doc_id of the
+    * component. The oracle computes the same fixpoint with a recursive
+    * CTE (min reachable id == component minimum on an undirected graph).
+    */
+  private val q59 = QueryDef(
+    (s, d) => {
+      val pairs = Dedup.nearDupPairs(s, d)
+      connectedComponents(s, pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    },
+    Some(s"""WITH RECURSIVE g AS (
+              SELECT doc_id, unnest(${Dedup.GramsOracleSql}) AS gram FROM documents
+            ), n AS (
+              SELECT doc_id, count(*) AS ng FROM g GROUP BY 1
+            ), pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), near AS (
+              SELECT d1, d2
+              FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+              WHERE CAST(shared AS DOUBLE) / (n1.ng + n2.ng - shared) >= 0.8
+            ), edges AS (
+              SELECT d1 AS src, d2 AS dst FROM near
+              UNION SELECT d2, d1 FROM near
+            ), comp AS (
+              SELECT DISTINCT src AS node, src AS label FROM edges
+              UNION
+              SELECT e.src, c.label FROM edges e JOIN comp c ON e.dst = c.node
+            )
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM comp GROUP BY node"""),
+    "near-dup clusters via iterative connected components [dedup]")
+
+  def all: Seq[(String, QueryDef)] = Seq("q59_dedup_clusters" -> q59)
+}
