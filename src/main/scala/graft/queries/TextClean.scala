@@ -85,7 +85,33 @@ object TextClean {
             WHERE rn = 1"""),
     "clean-corpus composition: dedup + quality filters in one plan [dedup,text-analysis]")
 
+  /** Stratified downsampling: per-language keep-fractions applied via a
+    * deterministic key-mod predicate (not an RNG — reruns and retries
+    * keep IDENTICAL rows, which a random sample cannot promise across
+    * engines or executions; the trade is that doc_id must be
+    * well-distributed, which a hash-mod variant fixes at scale).
+    * Balances over-represented strata in one codegen'd filter.
+    */
+  private val q60 = QueryDef(
+    (s, d) => {
+      val keepPct = typedLit(Map(
+        "en" -> 80, "zh" -> 40, "es" -> 40, "de" -> 60, "fr" -> 60))
+      load(s, d, "documents")
+        .withColumn("keep_pct", coalesce(keepPct(col("lang")), lit(20)))
+        .filter(pmod(col("doc_id"), lit(100)) < col("keep_pct"))
+        .select(col("doc_id"), col("lang"), col("keep_pct").cast("int"))
+    },
+    Some("""SELECT doc_id, lang, CAST(keep_pct AS INTEGER) AS keep_pct
+            FROM (SELECT doc_id, lang,
+                    CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 40
+                              WHEN 'es' THEN 40 WHEN 'de' THEN 60
+                              WHEN 'fr' THEN 60 ELSE 20 END AS keep_pct
+                  FROM documents)
+            WHERE doc_id % 100 < keep_pct"""),
+    "deterministic stratified downsample via key-mod [sampling]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q55_text_clean" -> q55,
-    "q56_corpus_clean" -> q56)
+    "q56_corpus_clean" -> q56,
+    "q60_stratified_sample" -> q60)
 }
