@@ -157,6 +157,32 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(t.readVersion(3).count() == 2)
   }
 
+  test("publishSilver rerun is idempotent: new version, identical content") {
+    import spark.implicits._
+    val wh = tmpDir("rerun")
+    val rawPath = s"$wh/raw"
+    Seq(("A1", "CUST_0001", "delivered", "2025-01-10 10:00:00"))
+      .toDF("order_id", "customer_id", "order_status",
+        "order_purchase_timestamp")
+      .withColumn("order_approved_at", lit(null).cast("string"))
+      .withColumn("order_delivered_carrier_date", lit(null).cast("string"))
+      .withColumn("order_delivered_customer_date", lit(null).cast("string"))
+      .withColumn("order_estimated_delivery_date", lit(null).cast("string"))
+      .write.parquet(rawPath)
+    val p = new ChurnPipeline(spark, s"$wh/lake")
+    p.ingestBronze(rawPath, "r1")
+    p.publishSilver("r2")
+    val t = ParquetTable(spark, p.silverRoot)
+    val v1 = t.latestVersion.get
+    val rows1 = t.read.drop("_silver_run_id", "_silver_ts")
+      .orderBy("order_id").collect().toSeq
+    p.publishSilver("r3") // rerun over unchanged bronze
+    assert(t.latestVersion.get > v1) // a new committed version...
+    val rows2 = t.read.drop("_silver_run_id", "_silver_ts")
+      .orderBy("order_id").collect().toSeq
+    assert(rows1 == rows2) // ...with identical business content
+  }
+
   test("incremental gold equals the full rebuild for affected customers") {
     import spark.implicits._
     val wh = tmpDir("inc")
