@@ -19,9 +19,50 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
-  /** Connected components over an undirected edge list (d1, d2). */
+  /** Connected components over an undirected edge list (d1, d2).
+    * Strategy by size: a near-dup pair set is by construction a tiny
+    * fraction of the corpus, so below `driverMaxEdges` the edges are
+    * collected and solved with union-find (microseconds, no jobs beyond
+    * the collect); above it the distributed min-label propagation loop
+    * runs. Both label every node with its component's min id.
+    */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverMaxEdges: Long = 10000000L): DataFrame = {
+    val n = edges.count()
+    if (n <= driverMaxEdges) driverComponents(spark, edges)
+    else propagateComponents(spark, edges, maxIter)
+  }
+
+  /** Union-find with path compression, then min-id per root. */
+  private def driverComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = edges.select(col("d1").cast("long"), col("d2").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { // path compression
+        val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+    nodes.map(nd => (nd, minOfRoot(find(nd)))).toSeq
+      .toDF("node", "label")
+  }
+
+  /** Distributed min-label propagation (the 100 TB path). */
+  private def propagateComponents(spark: SparkSession, edges: DataFrame,
+      maxIter: Int): DataFrame = {
     // undirected: propagate both ways
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))

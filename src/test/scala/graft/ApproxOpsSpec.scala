@@ -64,6 +64,21 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("driver union-find and distributed propagation agree on clusters") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 5L), (10L, 11L))
+      .toDF("d1", "d2")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = canon(graft.queries.DedupClusters
+      .connectedComponents(spark, edges)) // small: union-find
+    val b = canon(graft.queries.DedupClusters
+      .connectedComponents(spark, edges, driverMaxEdges = 0L)) // forced loop
+    assert(a == b)
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("signature buckets are deterministic across invocations") {
     val a = SparkEntry.queries("q39_ann_lsh")(spark, Sf).collect().toSet
     val b = SparkEntry.queries("q39_ann_lsh")(spark, Sf).collect().toSet
