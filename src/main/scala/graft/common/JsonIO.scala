@@ -27,6 +27,9 @@ object JsonIO {
       val value = v match {
         case n: Int => n.toString
         case n: Long => n.toString
+        // NaN/Infinity are not valid JSON numbers — quote them
+        case n: Double if n.isNaN || n.isInfinite =>
+          "\"" + n.toString + "\""
         case n: Double => n.toString
         case b: Boolean => b.toString
         case other => "\"" + escape(other.toString) + "\""

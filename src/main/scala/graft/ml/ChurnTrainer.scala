@@ -61,8 +61,7 @@ object ChurnTrainer {
   final case class TrainResult(model: PipelineModel, metrics: Map[String, Double],
       modelVersion: String)
 
-  def train(snapshot: DataFrame, validationFraction: Double = 0.2,
-      seed: Long = 42L): TrainResult = {
+  def train(snapshot: DataFrame, validationFraction: Double = 0.2): TrainResult = {
     val base = snapshot.select(
       (Seq("as_of_date", "churn_label") ++ FeatureCols).map(col): _*)
     val split = timeSplit(base, validationFraction)
@@ -99,9 +98,20 @@ object ChurnTrainer {
       "n_train" -> split.train.count().toDouble,
       "n_valid" -> split.valid.count().toDouble)
 
+    // model identity must cover the DATA it was trained on, not only the
+    // recipe — the reference hashes data_snapshot_id/feature_version/
+    // label_version into model_version (train_stub.py:241-251) so that a
+    // retrain on different data cannot impersonate an approved model
+    def lineage(c: String): String =
+      if (!snapshot.columns.contains(c)) "none"
+      else snapshot.select(c).distinct().limit(10).collect()
+        .map(_.get(0).toString).sorted.mkString(",")
     val modelVersion = Versioning.stableHash(Map(
       "features" -> FeatureCols.mkString(","),
       "validation_dates" -> split.validDates.mkString(","),
+      "data_snapshot_id" -> lineage("_data_snapshot_id"),
+      "feature_version" -> lineage("_feature_version"),
+      "label_version" -> lineage("_label_version"),
       "algo" -> "spark-ml-logreg-balanced", "version" -> "1"))
 
     TrainResult(model, metrics, modelVersion)

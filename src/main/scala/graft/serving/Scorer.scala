@@ -88,12 +88,19 @@ object Scorer {
     if (rec.featureVersion != bundle.featureVersion)
       throw new IllegalStateException(
         s"serving features ${rec.featureVersion} != model's ${bundle.featureVersion}")
-    import spark.implicits._
-    val row = Seq((customerId, rec.features("recency_days"),
-      rec.features("orders_30d"), rec.features("orders_90d"),
-      rec.features("lifetime_orders"), rec.features("customer_tenure_days"),
-      rec.features("avg_days_between_orders")))
-      .toDF(("customer_id" +: ChurnTrainer.FeatureCols): _*)
+    // row layout derived from FeatureCols, never duplicated by hand — a
+    // reordered/extended feature list must not silently shift values
+    // under the wrong column names
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("customer_id",
+        org.apache.spark.sql.types.StringType) +:
+        ChurnTrainer.FeatureCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.DoubleType)))
+    val row = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
+        customerId +: ChurnTrainer.FeatureCols.map(rec.features))),
+      schema)
     val p = ChurnTrainer.score(bundle.model, row).collect()(0).getDouble(1)
     Some(Prediction(customerId, p, if (p >= 0.5) 1 else 0,
       bundle.modelVersion, bundle.featureVersion))

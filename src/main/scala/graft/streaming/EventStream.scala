@@ -14,26 +14,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** File-stream source over an events parquet directory. Schema comes
-    * from a static read (nanos→micros conversion identical to
-    * Tables.loadEvents).
+  /** File-stream source over an events parquet directory. Pass the
+    * schema explicitly for cold-start deployments (a watched directory
+    * that is still empty cannot be inferred from); omitted, it falls
+    * back to a static read. nanos→micros conversion is identical to
+    * Tables.loadEvents.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+    val s = schema.getOrElse(spark.read.parquet(dir).schema)
+    spark.readStream.schema(s).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour windowed aggregate with a 2-hour watermark —
-    * the streaming twin of q41.
+    * the streaming twin of q41. sum_value uses the exact-decimal
+    * discipline (graft.common.Exact) so stream and batch agree
+    * bit-for-bit regardless of partial-agg order.
     */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        graft.common.Exact.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -47,32 +52,49 @@ object EventStream {
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
       closed: Boolean)
 
-  val GapMs: Long = 30 * 60 * 1000L
+  val GapSeconds: Long = 30 * 60L
 
-  /** Per-user gap sessionizer: emits the current open session per batch;
-    * closes it when the gap exceeds 30 min (processing-time timeout keeps
-    * state bounded). The batch twin is q42.
+  /** Per-user gap sessionizer: emits every session CLOSED by an
+    * intra-batch gap plus one open-session update per touched user, and
+    * flushes idle users' open sessions via a processing-time timeout so
+    * state stays bounded. Gap comparison truncates to whole seconds —
+    * the same arithmetic as the batch twin q42's unix_timestamp diff, so
+    * stream and batch agree on boundary gaps.
     */
-  def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
+  def sessionize(events: Dataset[Event],
+      idleFlush: String = "1 hour"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var s = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            s =
-              if (s.start < 0) SessionState(1L, t, t, 1L)
-              else if (t - s.end > GapMs)
-                SessionState(s.sessionSeq + 1, t, t, 1L)
-              else s.copy(end = math.max(s.end, t), nEvents = s.nEvents + 1)
-          }
-          state.update(s)
-          SessionUpdate(userId, s.sessionSeq, s.nEvents,
+          def update(s: SessionState, closed: Boolean) = SessionUpdate(
+            userId, s.sessionSeq, s.nEvents,
             new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-            closed = false)
+            closed)
+          if (state.hasTimedOut) {
+            // idle user: close and drop the open session
+            val out = state.getOption.map(update(_, closed = true)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
+            val closedOut = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              s =
+                if (s.start < 0) SessionState(1L, t, t, 1L)
+                else if (t / 1000L - s.end / 1000L > GapSeconds) {
+                  closedOut += update(s, closed = true)
+                  SessionState(s.sessionSeq + 1, t, t, 1L)
+                } else s.copy(end = math.max(s.end, t), nEvents = s.nEvents + 1)
+            }
+            state.update(s)
+            state.setTimeoutDuration(idleFlush)
+            (closedOut.result() :+ update(s, closed = false)).iterator
+          }
       }
   }
 

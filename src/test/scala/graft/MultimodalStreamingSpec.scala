@@ -35,10 +35,11 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       dir.resolve("events.parquet"))
     val streamed = EventStream.runHourlyToMemory(
       spark, dir.toString, "hourly_test")
-      .select("hour_start", "event_type", "n_events")
+      .select("hour_start", "event_type", "n_events", "sum_value")
     val batch = SparkEntry.queries("q41_events_hourly")(spark, Sf)
-      .select("hour_start", "event_type", "n_events")
+      .select("hour_start", "event_type", "n_events", "sum_value")
     assert(streamed.count() == batch.count())
+    // exact-decimal discipline: even the double sums match bit-for-bit
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
@@ -118,11 +119,18 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
     val events = graft.common.Tables.load(spark, Sf, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventStream.Event]
-    // one mega-batch through the stateful function == final session state
+    // one mega-batch through the stateful function: each user's final
+    // open-session update carries session_seq == that user's total
+    // session count, and closed emissions cover all earlier sessions
     val updates = EventStream.sessionize(events).collect()
-    val totalSessions = updates.map(_.session_seq).sum
+    val totalSessions = updates.groupBy(_.user_id)
+      .map { case (_, us) => us.map(_.session_seq).max }.sum
     val batchSessions = SparkEntry.queries("q42_events_sessions")(spark, Sf)
       .count()
     assert(totalSessions == batchSessions)
+    // every non-final session was emitted exactly once as closed
+    val closedCount = updates.count(_.closed)
+    val nUsers = updates.map(_.user_id).distinct.length
+    assert(closedCount == totalSessions - nUsers)
   }
 }
