@@ -57,7 +57,27 @@ object Profiling {
             GROUP BY bucket"""),
     "equi-width histogram via floor-bucket groupBy [profiling]")
 
+  /** Heavy-hitter detection (graft.operators.SkewJoin.heavyHitters on
+    * the query surface): the top-20 hottest join keys with their share —
+    * the input to the broadcast/salt/AQE decision.
+    */
+  private val q59b = QueryDef(
+    (s, d) => {
+      val total = load(s, d, "lineitem").count()
+      graft.operators.SkewJoin.heavyHitters(
+        load(s, d, "lineitem"), "l_suppkey", topN = 20)
+        .withColumn("share",
+          col("n_rows").cast("double") / lit(total.toDouble))
+    },
+    Some("""SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(CAST(COUNT(*) AS DOUBLE) /
+                (SELECT COUNT(*) FROM lineitem) AS DOUBLE) AS share
+            FROM lineitem GROUP BY 1
+            ORDER BY n_rows DESC, l_suppkey ASC LIMIT 20"""),
+    "heavy-hitter join keys with share [profiling,skew]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q57_column_profile" -> q57,
-    "q58_histogram" -> q58)
+    "q58_histogram" -> q58,
+    "q61_heavy_hitters" -> q59b)
 }
