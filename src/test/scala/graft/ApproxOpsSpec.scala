@@ -79,6 +79,21 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
       5L -> 5L, 6L -> 5L, 8L -> 5L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("blocked-broadcast 1-NN merges per-block argmaxes bit-identically") {
+    import graft.queries.Similarity
+    // 500 vectors at sf0.001: 64-row blocks force an 8-way block split,
+    // so the cross-block argmax merge (including the id tie-break) is
+    // genuinely exercised against the single-block result.
+    assert(Similarity.blockCount(500L, 64) > 1)
+    val multi = Similarity.nearestNeighborBlocked(spark, Sf, blockRows = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = Similarity.nearestNeighborBlocked(spark, Sf, blockRows = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(multi == single)
+    // default block size also exercises the multi-block path on testdata
+    assert(Similarity.blockCount(500L, Similarity.DefaultBlockRows) > 1)
+  }
+
   test("signature buckets are deterministic across invocations") {
     val a = SparkEntry.queries("q39_ann_lsh")(spark, Sf).collect().toSet
     val b = SparkEntry.queries("q39_ann_lsh")(spark, Sf).collect().toSet
