@@ -60,16 +60,34 @@ object Bronze {
     }
     val fp = fingerprint(files)
     val audit = ParquetTable(spark, auditRoot)
+    val table = ParquetTable(spark, tableRoot)
 
-    val alreadyIngested = audit.exists && audit.read
+    val auditSaysDone = audit.exists && audit.read
       .filter(col("dataset") === "orders" &&
         col("source_fingerprint") === fp && col("status") === "success")
       .limit(1).count() > 0
 
-    if (alreadyIngested) {
+    if (auditSaysDone) {
       appendAudit(spark, audit, runId, fp, "skipped_already_ingested", 0L,
         files.size)
       return IngestResult(skipped = true, 0L, fp, None)
+    }
+
+    // Crash-safety: the data append commits BEFORE the success audit row,
+    // so a crash between the two leaves committed bronze rows with no
+    // audit record. The data table itself is the source of truth — if any
+    // committed version already carries this fingerprint, the batch is in;
+    // heal the audit log with the success row the crash lost and skip.
+    // (Normal reruns never reach this scan: the audit fast path above
+    // answers first.)
+    if (table.exists) {
+      val committedRows = table.read
+        .filter(col("source_fingerprint") === fp).count()
+      if (committedRows > 0) {
+        appendAudit(spark, audit, runId, fp, "success", committedRows,
+          files.size)
+        return IngestResult(skipped = true, 0L, fp, None)
+      }
     }
 
     val rowCount = raw.count()
@@ -82,7 +100,6 @@ object Bronze {
       .withColumn("row_count", lit(rowCount))
       .withColumn("schema_hash", lit(schemaHash))
 
-    val table = ParquetTable(spark, tableRoot)
     val v = table.append(stamped, partitionBy = Seq("ingest_date"))
     appendAudit(spark, audit, runId, fp, "success", rowCount, files.size)
     IngestResult(skipped = false, rowCount, fp, Some(v))

@@ -1,40 +1,55 @@
 package graft.tables
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, count_distinct, input_file_name, lit, struct}
 
-/** Versioned-snapshot Parquet table: the engine's replacement for the
-  * reference's Delta Lake layer (reference uses Delta append / overwrite /
-  * MERGE at `src/ingestion/orders_to_bronze.py:276-282`,
+/** Versioned manifest-based Parquet table: the engine's replacement for
+  * the reference's Delta Lake layer (reference uses Delta append /
+  * overwrite / MERGE at `src/ingestion/orders_to_bronze.py:276-282`,
   * `src/transformations/orders_bronze_to_silver.py:184-196`,
   * `src/features/customer_features_daily.py:269-284`; our jar set has no
-  * Delta, and the pipeline only uses atomic publish + keyed upsert, so a
-  * pointer-swapped snapshot layout preserves every behavior actually used).
+  * Delta, so the Delta behaviors the pipeline actually uses — atomic
+  * publish, O(batch) append, keyed MERGE, time travel, retention — are
+  * rebuilt on plain parquet + a manifest per version).
   *
   * Layout:
   * {{{
-  *   <root>/v=1/part-*.parquet
-  *   <root>/v=2/...
-  *   <root>/_LATEST          # contains "2"; written via temp + atomic move
+  *   <root>/d/v3/part-*.parquet    # immutable data dir, one per write
+  *   <root>/m/v=3.manifest         # version = list of (dataDir, file)
+  *   <root>/_LATEST                # current version; temp + atomic move
+  *   <root>/_COMMITTED             # committed-version history log
   * }}}
   *
-  * Crash safety: a partially-written `v=N+1` is invisible until the
-  * `_LATEST` pointer flips (rename is atomic on POSIX); re-runs are
-  * idempotent because writers always target a fresh version dir.
-  * Single-writer by design (the reference's pipeline stages are serial OS
-  * processes — SURVEY.md §3). Readers of `v=N` are never disturbed: old
-  * versions are immutable (time travel comes for free via `readVersion`).
+  * A version is a MANIFEST (a file list), not a copy of the data:
+  * `append` writes only the new batch's files and emits a manifest that
+  * is the previous manifest plus those files — O(batch) I/O like Delta's
+  * append, never a rewrite of history. `merge` rewrites only the data
+  * files that actually contain a matched key (found with one key-column
+  * scan), carrying every untouched file into the new manifest by
+  * reference — Delta's copy-on-write file pruning. With per-file min/max
+  * stats the key scan itself could prune too; stats are the natural next
+  * increment, the I/O shape is already O(touched + source).
   *
-  * At scale the merge is one `left_anti` shuffle join on the key columns +
-  * a union write — the same I/O shape as Delta's copy-on-write MERGE
-  * without the transaction-log machinery this pipeline never exercises.
+  * Crash safety: data dirs and manifests are invisible until the
+  * `_LATEST` pointer flips (rename is atomic on POSIX); re-runs are
+  * idempotent because writers always target a fresh version number.
+  * Single-writer by design (the reference's pipeline stages are serial OS
+  * processes — SURVEY.md §3). Readers of `v=N` are never disturbed:
+  * manifests and data files are immutable (time travel via `readVersion`).
   */
 final class ParquetTable(spark: SparkSession, root: String) {
 
   private def pointerPath: Path = Paths.get(root, "_LATEST")
   private def committedLogPath: Path = Paths.get(root, "_COMMITTED")
-  private def versionDir(v: Long): String = s"$root/v=$v"
+  private def manifestDir: Path = Paths.get(root, "m")
+  private def dataDir: Path = Paths.get(root, "d")
+  private def manifestPath(v: Long): Path = manifestDir.resolve(s"v=$v.manifest")
+  private def dataDirName(v: Long): String = s"v$v"
+
+  /** (relative data dir under d/, relative parquet files under that dir). */
+  private type Entry = (String, Seq[String])
 
   def exists: Boolean = Files.exists(pointerPath)
 
@@ -46,8 +61,8 @@ final class ParquetTable(spark: SparkSession, root: String) {
     * current pointer). The log line for a version is appended AFTER its
     * atomic pointer flip, so a crash between flip and append only loses
     * the log line — the pointer itself still marks the version committed;
-    * the union covers that window. A version dir NOT in this set is an
-    * uncommitted orphan (possibly partial) regardless of its number.
+    * the union covers that window. A manifest NOT in this set is an
+    * uncommitted orphan from a crashed writer, never valid data.
     */
   def committedVersions: Set[Long] = {
     val logged =
@@ -63,23 +78,54 @@ final class ParquetTable(spark: SparkSession, root: String) {
   }
 
   /** Time-travel read of an immutable historical version. Only versions
-    * in the committed set are readable — any other `v=` dir is an
-    * uncommitted orphan from a crashed writer (possibly partial), never
-    * valid data.
+    * in the committed set are readable — any other manifest is an
+    * uncommitted orphan from a crashed writer, never valid data.
     */
   def readVersion(v: Long): DataFrame = {
     if (!exists)
       throw new IllegalStateException(s"table $root does not exist")
     require(committedVersions.contains(v),
       s"version $v is not committed (committed=${committedVersions.toSeq.sorted})")
-    spark.read.parquet(versionDir(v))
+    readEntries(readManifest(v))
   }
 
-  /** Atomically flip `_LATEST` to version v (write temp file + move),
-    * then record v in the committed log.
+  /** One union branch per data dir so Spark's partition discovery (the
+    * `k=v` path inference for `partitionBy` writes) gets a correct
+    * basePath per branch; filters push into every branch, so partition
+    * pruning survives the union.
     */
-  private def commitPointer(v: Long): Unit = {
-    Files.createDirectories(Paths.get(root))
+  private def readEntries(entries: Seq[Entry]): DataFrame = {
+    val frames = entries.collect { case (dir, files) if files.nonEmpty =>
+      val base = dataDir.resolve(dir).toString
+      spark.read.option("basePath", base)
+        .parquet(files.map(f => s"$base/$f"): _*)
+    }
+    if (frames.isEmpty)
+      throw new IllegalStateException(s"table $root: version has no data files")
+    frames.reduce(_.unionByName(_))
+  }
+
+  private def readManifest(v: Long): Seq[Entry] = {
+    val lines = Files.readAllLines(manifestPath(v)).asScala.toSeq
+      .filter(_.nonEmpty).map { l =>
+        val Array(dir, file) = l.split("\t", 2)
+        dir -> file
+      }
+    lines.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+  }
+
+  /** Write the manifest (temp + atomic move), flip `_LATEST`, then record
+    * v in the committed log.
+    */
+  private def commit(v: Long, entries: Seq[Entry]): Unit = {
+    Files.createDirectories(manifestDir)
+    val body = entries.flatMap { case (dir, files) =>
+      files.map(f => s"$dir\t$f")
+    }.mkString("", "\n", "\n")
+    val mTmp = manifestDir.resolve(s".v=$v.manifest.tmp")
+    Files.writeString(mTmp, body)
+    Files.move(mTmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     val tmp = Paths.get(root, s"._LATEST.tmp.$v")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
@@ -89,87 +135,136 @@ final class ParquetTable(spark: SparkSession, root: String) {
       java.nio.file.StandardOpenOption.APPEND)
   }
 
-  /** Next version = one past every version dir on disk, not just past the
-    * pointer: a writer that crashed after writing `v=N+1` but before the
-    * pointer flip leaves an orphan dir, and a rerun must skip over it
-    * (orphans are invisible to readers and harmless; a fixed
-    * `pointer + 1` would collide with the orphan and wedge the table).
+  /** Next version = one past every version visible on disk (manifests AND
+    * data dirs), not just past the pointer: a writer that crashed after
+    * writing `d/vN` or `m/v=N.manifest` but before the pointer flip
+    * leaves orphans, and a rerun must allocate past them (orphans are
+    * invisible to readers and harmless; reusing their number would wedge
+    * the table).
     */
   private def nextVersion: Long = {
-    val versioned = "v=(\\d+)".r
-    val onDisk = Option(Paths.get(root).toFile.listFiles())
-      .map(_.toSeq.collect { f =>
-        f.getName match {
-          case versioned(n) if f.isDirectory => n.toLong
-        }
-      })
-      .getOrElse(Nil)
-    (latestVersion.getOrElse(0L) +: onDisk).max + 1L
+    val manifestRe = "v=(\\d+)\\.manifest".r
+    val dirRe = "v(\\d+)".r
+    def numbers(p: Path, re: scala.util.matching.Regex): Seq[Long] =
+      Option(p.toFile.listFiles()).map(_.toSeq.collect { f =>
+        f.getName match { case re(n) => n.toLong }
+      }).getOrElse(Nil)
+    (latestVersion.getOrElse(0L)
+      +: (numbers(manifestDir, manifestRe) ++ numbers(dataDir, dirRe))).max + 1L
   }
 
-  private def writeVersion(df: DataFrame, partitionBy: Seq[String]): Long = {
-    val next = nextVersion
+  /** Write df's rows as version v's fresh data dir; returns its entry. */
+  private def writeData(df: DataFrame, partitionBy: Seq[String],
+      v: Long): Entry = {
+    val dir = dataDirName(v)
+    val abs = dataDir.resolve(dir)
     val w = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(versionDir(next))
-    commitPointer(next)
-    next
+      .parquet(abs.toString)
+    dir -> listParquet(abs)
+  }
+
+  /** Relative paths of data files under a data dir (partition subdirs
+    * included), excluding `_SUCCESS` and hidden files.
+    */
+  private def listParquet(dir: Path): Seq[String] = {
+    val stream = Files.walk(dir)
+    try stream.iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(p => dir.relativize(p).toString)
+      .filter(f => f.endsWith(".parquet") &&
+        !f.startsWith(".") && !f.startsWith("_"))
+      .toSeq.sorted
+    finally stream.close()
   }
 
   /** First publish or full replace (reference S5/S7 semantics). */
-  def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
-    writeVersion(df, partitionBy)
+  def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    val v = nextVersion
+    val entry = writeData(df, partitionBy, v)
+    commit(v, Seq(entry))
+    v
+  }
 
   /** Append-only write (reference S3/S4: bronze evidence log, audit log).
-    * Implemented as union-into-next-version so readers see an atomic flip;
-    * the scan of the previous version is a file-list union, not a rewrite
-    * (Spark reads old parquet files; only the new rows are written twice —
-    * acceptable for the audit-scale tables this is used for, and bronze
-    * appends partition-prune by `ingest_date`).
+    * O(batch): only the new rows hit disk; the new manifest carries every
+    * prior file by reference — exactly Delta's append I/O shape
+    * (`orders_to_bronze.py:276-282`). History is never re-read or
+    * re-written, so an append-only evidence log costs linear total I/O
+    * in rows ingested, not quadratic in batch count.
     */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
     latestVersion match {
-      case None => writeVersion(df, partitionBy)
-      case Some(v) =>
-        writeVersion(readVersion(v).unionByName(df), partitionBy)
+      case None => overwrite(df, partitionBy)
+      case Some(cur) =>
+        val existing = readVersion(cur).columns.toSet
+        require(df.columns.toSet == existing,
+          s"append schema mismatch: table has ${existing.toSeq.sorted}, " +
+            s"batch has ${df.columns.sorted.toSeq}")
+        val v = nextVersion
+        val entry = writeData(df, partitionBy, v)
+        commit(v, readManifest(cur) :+ entry)
+        v
     }
 
   /** Retention: keep the last `keepLast` COMMITTED versions (always
-    * including the current one); delete every other version dir — older
-    * committed history AND uncommitted orphans wherever their numbers
-    * fall (an orphan may sit below the pointer after crash-then-recover,
-    * so retention decisions must come from the committed log, not from
-    * version arithmetic). The committed log is rewritten to the retained
-    * set via temp + atomic move.
+    * including the current one); delete every other manifest — older
+    * committed history AND uncommitted orphans — plus every data file no
+    * retained manifest references (deletion is at file granularity
+    * because a merge-pruned manifest may reference only part of an older
+    * data dir). The committed log is rewritten to the retained set via
+    * temp + atomic move. Returns the removed version numbers.
     */
   def vacuum(keepLast: Int = 2): Seq[Long] = {
     require(keepLast >= 1)
     val latest = latestVersion.getOrElse(return Nil)
     val retained = (committedVersions.toSeq.sorted.takeRight(keepLast)
       :+ latest).toSet
-    val versioned = "v=(\\d+)".r
-    val victims = Option(Paths.get(root).toFile.listFiles())
+    val manifestRe = "v=(\\d+)\\.manifest".r
+    val manifestsOnDisk = Option(manifestDir.toFile.listFiles())
       .map(_.toSeq.collect { f =>
-        f.getName match {
-          case versioned(n) if f.isDirectory => n.toLong
-        }
+        f.getName match { case manifestRe(n) => n.toLong }
       }).getOrElse(Nil)
-      .filterNot(retained.contains)
-      .sorted
-    victims.foreach { v =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(Paths.get(versionDir(v)).toFile)
-    }
+    val victims = manifestsOnDisk.filterNot(retained.contains).sorted
+    val referenced: Set[String] = retained
+      .filter(v => Files.exists(manifestPath(v)))
+      .flatMap(v => readManifest(v).flatMap { case (dir, files) =>
+        files.map(f => s"$dir/$f")
+      })
+    victims.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    // delete unreferenced data files, then any dirs left empty; collect
+    // the version numbers of fully-removed orphan data dirs for the report
+    val dirRe = "v(\\d+)".r
+    val removedDirs = Option(dataDir.toFile.listFiles()).map(_.toSeq
+      .filter(_.isDirectory).flatMap { d =>
+        val dirName = d.getName
+        listParquet(d.toPath)
+          .filterNot(f => referenced.contains(s"$dirName/$f"))
+          .foreach(f => Files.deleteIfExists(d.toPath.resolve(f)))
+        // drop now-empty partition subdirs and the data dir itself
+        def sweep(f: java.io.File): Boolean = {
+          val children = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+          val emptied = children.forall {
+            c => if (c.isDirectory) sweep(c)
+                 else if (c.getName == "_SUCCESS" || c.getName.startsWith(".")) {
+                   c.delete(); true
+                 } else false
+          }
+          if (emptied) f.delete()
+          emptied
+        }
+        if (sweep(d)) dirName match {
+          case dirRe(n) => Some(n.toLong)
+          case _ => None
+        } else None
+      }).getOrElse(Nil)
     val tmp = Paths.get(root, "._COMMITTED.tmp")
     Files.writeString(tmp,
       committedVersions.intersect(retained).toSeq.sorted
         .map(v => s"$v\n").mkString)
     Files.move(tmp, committedLogPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    victims
+    (victims ++ removedDirs.filterNot(victims.contains)).distinct.sorted
   }
 
   /** Compaction: rewrite the current version into `targetFiles` output
@@ -180,24 +275,82 @@ final class ParquetTable(spark: SparkSession, root: String) {
     * publish of identical rows.
     */
   def compact(targetFiles: Int = 1): Long =
-    writeVersion(read.coalesce(targetFiles), Nil)
+    overwrite(read.coalesce(targetFiles), Nil)
 
   /** Keyed upsert — the reference's Delta MERGE
     * `whenMatchedUpdateAll.whenNotMatchedInsertAll`
     * (`orders_bronze_to_silver.py:184-192`): every target row whose key
     * appears in `source` is replaced by the source row; unmatched source
-    * rows are inserted.
+    * rows are inserted. Like Delta, a source with duplicate keys fails
+    * fast (multiple matches per target row are ambiguous) rather than
+    * silently inserting duplicates for a downstream DQ gate to catch.
+    *
+    * File pruning: one key-column scan finds the data files that contain
+    * a matched key (`input_file_name` + semi join); only those files are
+    * re-written — every untouched file rides into the new manifest by
+    * reference, so a merge touching 0.1% of keys rewrites ~0.1% of the
+    * table, not 100%.
     */
   def merge(source: DataFrame, keys: Seq[String],
-      partitionBy: Seq[String] = Nil): Long =
+      partitionBy: Seq[String] = Nil): Long = {
+    val keyCols = keys.map(col)
+    val stats = source.agg(
+      count(lit(1)).as("n"),
+      count_distinct(struct(keyCols: _*)).as("d")).collect()(0)
+    require(stats.getLong(0) == stats.getLong(1),
+      s"merge source has duplicate keys on ${keys.mkString(",")} " +
+        s"(${stats.getLong(0)} rows, ${stats.getLong(1)} distinct) — " +
+        "Delta MERGE parity: multiple source matches are an error")
     latestVersion match {
-      case None => writeVersion(source, partitionBy)
-      case Some(v) =>
-        val target = readVersion(v)
-        val kept = target.join(source.select(keys.map(col): _*).distinct(),
-          keys, "left_anti")
-        writeVersion(kept.unionByName(source), partitionBy)
+      case None => overwrite(source, partitionBy)
+      case Some(cur) =>
+        val entries = readManifest(cur)
+        val srcKeys = source.select(keyCols: _*).distinct()
+        val touched: Set[String] = readEntries(entries)
+          .select(keyCols :+ input_file_name().as("__graft_file"): _*)
+          .join(srcKeys, keys, "left_semi")
+          .select("__graft_file").distinct()
+          .collect().map(r => baseName(r.getString(0))).toSet
+        val (touchedEntries, keptEntries) =
+          splitEntries(entries, touched)
+        val survivors =
+          if (touchedEntries.forall(_._2.isEmpty)) source
+          else readEntries(touchedEntries)
+            .join(srcKeys, keys, "left_anti")
+            .unionByName(source)
+        val v = nextVersion
+        val entry = writeData(survivors, partitionBy, v)
+        commit(v, keptEntries :+ entry)
+        v
     }
+  }
+
+  private def baseName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** Partition each entry's file list into (touched, untouched) by part
+    * file name — part names carry task UUIDs, unique across writes.
+    */
+  private def splitEntries(entries: Seq[Entry],
+      touched: Set[String]): (Seq[Entry], Seq[Entry]) = {
+    val t = entries.map { case (dir, files) =>
+      dir -> files.filter(f => touched.contains(baseName(f)))
+    }.filter(_._2.nonEmpty)
+    val k = entries.map { case (dir, files) =>
+      dir -> files.filterNot(f => touched.contains(baseName(f)))
+    }.filter(_._2.nonEmpty)
+    (t, k)
+  }
+
+  /** Absolute paths of the current version's data files (spec/debug aid —
+    * lets callers assert which physical files a version references).
+    */
+  def currentFiles: Seq[String] = latestVersion match {
+    case None => Nil
+    case Some(v) => readManifest(v).flatMap { case (dir, files) =>
+      files.map(f => dataDir.resolve(dir).resolve(f).toString)
+    }.sorted
+  }
 }
 
 object ParquetTable {

@@ -118,7 +118,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     t.overwrite(Seq((1, "a")).toDF("k", "v"))                 // v1
     t.merge(Seq((2, "b")).toDF("k", "v"), keys = Seq("k"))    // v2
     t.merge(Seq((3, "c")).toDF("k", "v"), keys = Seq("k"))    // v3
-    Seq((9, "z")).toDF("k", "v").write.parquet(s"$root/v=9")  // orphan
+    Seq((9, "z")).toDF("k", "v").write.parquet(s"$root/d/v9") // orphan dir
     val removed = t.vacuum(keepLast = 2)
     assert(removed == Seq(1L, 9L)) // old v1 + orphan v9; v2/v3 retained
     assert(t.read.count() == 3)
@@ -134,15 +134,15 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val root = s"${tmpDir("pt")}/t"
     val t = ParquetTable(spark, root)
     t.overwrite(Seq((1, "a")).toDF("k", "v"))
-    // simulate a crashed writer: orphan v=2 exists, pointer still at 1
-    Seq((9, "z")).toDF("k", "v").write.parquet(s"$root/v=2")
+    // simulate a crashed writer: orphan data dir v2, pointer still at 1
+    Seq((9, "z")).toDF("k", "v").write.parquet(s"$root/d/v2")
     assert(t.latestVersion.contains(1L))
     assert(t.read.count() == 1) // reader never sees the orphan
     // time travel must refuse the uncommitted orphan
     intercept[IllegalArgumentException] { t.readVersion(2) }
-    // stray non-numeric v= dirs must not wedge version allocation
+    // stray non-numeric dirs must not wedge version allocation
     java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$root/v=backup"))
+      java.nio.file.Paths.get(s"$root/d/vbackup"))
     // next publish must skip the orphan, not collide with it
     t.merge(Seq((2, "b")).toDF("k", "v"), keys = Seq("k"))
     assert(t.latestVersion.contains(3L))
@@ -155,6 +155,85 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(t.vacuum(keepLast = 2) == Seq(2L))
     assert(t.readVersion(1).count() == 1)
     assert(t.readVersion(3).count() == 2)
+  }
+
+  test("ParquetTable: append is O(batch) — prior files untouched, byte-identical") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmpDir("pt")}/t")
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val before = t.currentFiles
+    val bytes = before.map(f =>
+      f -> Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq).toMap
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    val after = t.currentFiles
+    // every prior data file is carried by reference, byte-identical
+    assert(before.toSet.subsetOf(after.toSet))
+    before.foreach { f =>
+      assert(Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq == bytes(f),
+        s"prior file rewritten: $f")
+    }
+    // the only new files are the batch's own
+    val added = after.toSet -- before.toSet
+    assert(added.nonEmpty && added.forall(_.contains("/d/v2/")))
+    assert(t.read.count() == 3)
+    // time travel still sees the pre-append table
+    assert(t.readVersion(1).count() == 2)
+  }
+
+  test("ParquetTable: merge rewrites only files containing matched keys") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmpDir("pt")}/t")
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"))   // v1 files
+    t.append(Seq((3, "c"), (4, "d")).toDF("k", "v"))      // v2 files
+    val v1Files = t.readVersion(1).inputFiles.map(f =>
+      java.nio.file.Paths.get(new java.net.URI(f).getPath).toString).toSet
+    val v2Only = t.currentFiles.toSet -- v1Files
+    t.merge(Seq((1, "A")).toDF("k", "v"), keys = Seq("k")) // touches v1 only
+    val after = t.currentFiles.toSet
+    assert(v2Only.subsetOf(after)) // untouched files carried by reference
+    assert((v1Files -- after).nonEmpty) // the matched file was replaced
+    val m = t.read.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m == Map(1 -> "A", 2 -> "b", 3 -> "c", 4 -> "d"))
+  }
+
+  test("ParquetTable: merge fails fast on duplicate source keys (Delta parity)") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmpDir("pt")}/t")
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((2, "x"), (2, "y")).toDF("k", "v"), keys = Seq("k"))
+    }
+    assert(t.read.count() == 1) // table unchanged after the refusal
+  }
+
+  test("bronze rerun after crash between data commit and audit row is a no-op") {
+    import spark.implicits._
+    val wh = tmpDir("crash")
+    val rawPath = s"$wh/raw"
+    Seq(("A1", "CUST_0001", "delivered", "2025-01-10 10:00:00"))
+      .toDF("order_id", "customer_id", "order_status",
+        "order_purchase_timestamp")
+      .withColumn("order_approved_at", lit(null).cast("string"))
+      .withColumn("order_delivered_carrier_date", lit(null).cast("string"))
+      .withColumn("order_delivered_customer_date", lit(null).cast("string"))
+      .withColumn("order_estimated_delivery_date", lit(null).cast("string"))
+      .write.parquet(rawPath)
+    val p = new ChurnPipeline(spark, s"$wh/lake")
+    val r1 = p.ingestBronze(rawPath, "run-1")
+    assert(!r1.skipped && r1.rowCount == 1)
+    // simulate the crash window: bronze data committed, but the success
+    // audit row was never written (strip it from the audit table)
+    val audit = ParquetTable(spark, p.auditRoot)
+    audit.overwrite(audit.read.filter(col("status") =!= "success"))
+    // rerun must NOT re-append (the data table is the source of truth)...
+    val r2 = p.ingestBronze(rawPath, "run-2")
+    assert(r2.skipped)
+    val bronze = ParquetTable(spark, p.bronzeRoot).read
+    assert(bronze.count() == 1, "crash rerun duplicated bronze rows")
+    // ...and it heals the audit log so the next rerun takes the fast path
+    assert(audit.read.filter(col("status") === "success").count() == 1)
+    val r3 = p.ingestBronze(rawPath, "run-3")
+    assert(r3.skipped && bronze.count() == 1)
   }
 
   test("publishSilver rerun is idempotent: new version, identical content") {
