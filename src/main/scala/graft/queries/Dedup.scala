@@ -43,10 +43,13 @@ object Dedup {
     * VALUES), so any deterministic 64-bit hash is sound; FNV-1a collision
     * odds at corpus scale are ~n²/2^65.
     */
-  private def docGramHashes(spark: SparkSession, sfDir: String): DataFrame = {
+  private def docGramHashes(spark: SparkSession, sfDir: String): DataFrame =
+    docGramHashesFrom(spark, load(spark, sfDir, "documents"))
+
+  /** Same, over an explicit documents frame (composition + specs). */
+  private def docGramHashesFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
           val w = text.trim.toLowerCase(java.util.Locale.ROOT)
@@ -89,37 +92,72 @@ object Dedup {
             FROM documents GROUP BY 1"""),
     "exact dedup via content-hash groupBy [dedup]")
 
-  /** n-gram Jaccard near-dup: pairs with |G1 ∩ G2| / |G1 ∪ G2| >= 0.8 over
-    * distinct word 5-grams, via the gram self-join. At 100 TB the join key
-    * (gram) is skew-prone: boilerplate grams fan out quadratically — the
-    * production mitigation is a document-frequency cap on grams (drop
-    * grams in >X docs, which cannot create false positives above a
-    * threshold that high-df grams alone can't reach) or the MinHash-LSH
-    * variant below. Kept uncapped here for oracle-exact semantics.
+  /** Candidate-generation document-frequency cap for the gram self-join:
+    * a gram occurring in more than this many documents generates NO
+    * candidate pairs, so the worst-case fan-out per gram is bounded at
+    * cap²/2 regardless of boilerplate skew (an uncapped self-join on a
+    * gram shared by 1M docs fans out ~10^12 pairs). 64 is far above any
+    * df in this corpus (max observed df = 4 at sf0.1), so the capped
+    * path is exactly the uncapped one at test scale — the cap exists to
+    * make the 100 TB shape safe, and its effect is spec'd with planted
+    * boilerplate (DedupSkewSpec).
     */
-  /** The q35 computation, exposed for composition (clustering). */
-  private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] val DefaultMaxGramDf = 64L
+
+  /** n-gram Jaccard near-dup: pairs with |G1 ∩ G2| / |G1 ∪ G2| >= 0.8 over
+    * distinct word 5-grams. Two phases:
+    *
+    *  1. CANDIDATES from the gram self-join, restricted to grams with
+    *     document frequency <= maxGramDf (the skew guard). The length
+    *     prune (J >= 0.8 forces 0.8·|Gmax| <= |Gmin|) cuts unbalanced
+    *     pairs before the pair expansion.
+    *  2. EXACT verify: every candidate's Jaccard is computed on the FULL
+    *     per-doc gram-hash sets (restricted to candidate docs first), so
+    *     the cap affects candidate recall only — never the Jaccard value
+    *     or the threshold decision. A qualifying pair is missed only if
+    *     ALL its shared grams are boilerplate (df > cap); documents that
+    *     are pure boilerplate dedup via q34's exact content hash anyway.
+    */
+  private[queries] def nearDupPairs(s: SparkSession, d: String,
+      maxGramDf: Long = DefaultMaxGramDf): DataFrame =
+    nearDupPairsFrom(s, load(s, d, "documents"), maxGramDf)
+
+  private[graft] def nearDupPairsFrom(s: SparkSession, docs: DataFrame,
+      maxGramDf: Long = DefaultMaxGramDf): DataFrame = {
       // join on the 8-byte gram hash, not the ~25-char string: same
       // pairs (modulo negligible hash collisions), much cheaper to
       // compute, shuffle, and compare
-      val g = docGramHashes(s, d)
+      val g = docGramHashesFrom(s, docs)
       val n = g.groupBy("doc_id").agg(count(lit(1)).as("ng"))
-      val ga = g.join(broadcast(n), "doc_id")
-      // length filter (semantics-preserving prune): J(a,b) >= 0.8 forces
-      // 0.8*|Gmax| <= |Gmin|, so unbalanced pairs can't qualify — drop
-      // them BEFORE the pair expansion, not after the groupBy
-      val shared = ga.as("a")
+      // phase 1: the self-join sees only sub-cap grams
+      val lowDf = g.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxGramDf)
+        .select("h")
+      val ga = g.join(lowDf, "h").join(broadcast(n), "doc_id")
+      val candidates = ga.as("a")
         .join(ga.as("b"), col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.ng") * 4 <= col("b.ng") * 5 &&
           col("b.ng") * 4 <= col("a.ng") * 5)
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.ng").as("n1"), col("b.ng").as("n2"))
-        .agg(count(lit(1)).as("shared"))
-      shared
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      // phase 2: exact Jaccard on full gram sets, candidate docs only
+      val candDocs = candidates.select(col("d1").as("doc_id"))
+        .unionByName(candidates.select(col("d2").as("doc_id")))
+        .distinct()
+      val sets = g.join(candDocs, "doc_id")
+        .groupBy("doc_id")
+        .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("ng"))
+      candidates
+        .join(sets.select(col("doc_id").as("d1"),
+          col("hs").as("hs1"), col("ng").as("n1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"),
+          col("hs").as("hs2"), col("ng").as("n2")), "d2")
         .select(col("d1"), col("d2"),
-          (col("shared").cast("double") /
-            (col("n1") + col("n2") - col("shared"))).as("jaccard"))
+          (size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+            (col("n1") + col("n2") -
+              size(array_intersect(col("hs1"), col("hs2")))))
+            .as("jaccard"))
         .filter(col("jaccard") >= 0.8)
   }
 
@@ -178,10 +216,12 @@ object Dedup {
 
   /** MinHash-LSH near-dup: LSH candidates, then exact-Jaccard verify at
     * the same 0.8 threshold — same output contract as q35, built without
-    * the gram self-join.
+    * the gram self-join. Exposed as the edge source for near-dup
+    * clustering (q59): band buckets bound the fan-out by construction,
+    * and the exact-verify step keeps only true >= 0.8 pairs (miss
+    * probability (1-s⁴)¹⁶ ≈ 2e-4 at s = 0.8, ~0 at the planted ~0.99).
     */
-  private val q36 = QueryDef(
-    (s, d) => {
+  private[graft] def lshNearDupPairs(s: SparkSession, d: String): DataFrame = {
       // one shuffle: per-doc signature + gram-hash set. Not persisted:
       // the two consumers (band buckets, verification sets) each
       // re-evaluate one cheap aggregation, whereas persist() would pin
@@ -212,7 +252,10 @@ object Dedup {
           (col("shared").cast("double") /
             (col("n1") + col("n2") - col("shared"))).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
-    },
+  }
+
+  private val q36 = QueryDef(
+    (s, d) => lshNearDupPairs(s, d),
     None, // LSH recall is probabilistic; verified against q35 in specs
     "MinHash(64)+LSH(16x4) near-dup, exact-verify at 0.8 [dedup]")
 

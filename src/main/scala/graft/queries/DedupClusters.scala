@@ -60,7 +60,17 @@ object DedupClusters {
       .toDF("node", "label")
   }
 
-  /** Distributed min-label propagation (the 100 TB path). */
+  /** Distributed min-label propagation (the 100 TB path). Min labels
+    * advance one hop per round, so rounds needed = graph diameter;
+    * hitting `maxIter` without convergence means the labels are WRONG
+    * (components would be split), so it throws rather than returning
+    * silently. Lineage is truncated with a localCheckpoint every few
+    * rounds — an iterative plan otherwise grows one join/agg layer per
+    * round until analysis itself dominates (a durable `checkpoint()` to
+    * a cluster-visible dir is the production variant).
+    */
+  private val CheckpointEvery = 5
+
   private def propagateComponents(spark: SparkSession, edges: DataFrame,
       maxIter: Int): DataFrame = {
     // undirected: propagate both ways
@@ -77,10 +87,12 @@ object DedupClusters {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(fromNeighbors, Seq("node"), "left")
+      val step = labels.join(fromNeighbors, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label")).persist()
+            .as("label"))
+      val next = (if (iter % CheckpointEvery == CheckpointEvery - 1)
+        step.localCheckpoint() else step).persist()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).limit(1).count() > 0
       labels.unpersist()
@@ -89,6 +101,11 @@ object DedupClusters {
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds — " +
+          "graph diameter exceeds maxIter and the labels would be wrong; " +
+          "raise maxIter")
     labels
   }
 
@@ -99,7 +116,13 @@ object DedupClusters {
     */
   private val q59 = QueryDef(
     (s, d) => {
-      val pairs = Dedup.nearDupPairs(s, d)
+      // Edges come from the MinHash-LSH path, NOT the gram self-join:
+      // band buckets bound the candidate fan-out by construction (no
+      // boilerplate-gram quadratic blowup), and the exact-verify step
+      // emits the same >= 0.8 pairs as q35 minus a ~2e-4 worst-case miss
+      // probability (~0 at the corpus's planted ~0.99 similarity —
+      // ApproxOpsSpec asserts LSH == exact pair-for-pair).
+      val pairs = Dedup.lshNearDupPairs(s, d)
       connectedComponents(s, pairs)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
     },

@@ -1,0 +1,89 @@
+package graft
+
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew behavior of the n-gram near-dup path: a boilerplate gram shared
+  * by every document must not drive quadratic pair fan-out, and the
+  * df-cap must not change which pairs qualify (the exact-verify phase
+  * computes Jaccard on full gram sets regardless of the cap).
+  */
+class DedupSkewSpec extends AnyFunSuite with SparkSpec {
+
+  /** 40 docs opening with the same 8-word boilerplate sentence (so every
+    * boilerplate 5-gram has df = 40) followed by unique tails; docs 100
+    * and 101 are planted near-dups sharing a long unique passage.
+    */
+  private lazy val planted = {
+    import spark.implicits._
+    val boiler = "this document is provided as is without any warranty"
+    val tail = (id: Int) =>
+      (0 until 30).map(i => s"unique${id}word$i").mkString(" ")
+    val common = (0 until 40).map(i => s"sharedpassageword$i").mkString(" ")
+    val docs =
+      (0 until 38).map(i => (i.toLong, s"$boiler ${tail(i)}")) ++
+        Seq(
+          (100L, s"$boiler $common extraA"),
+          (101L, s"$boiler $common extraB"))
+    docs.toDF("doc_id", "text")
+  }
+
+  private def pairs(maxGramDf: Long): Set[(Long, Long, Double)] =
+    Dedup.nearDupPairsFrom(spark, planted, maxGramDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  test("df-cap bounds boilerplate fan-out without losing qualifying pairs") {
+    // cap = 4 excludes every boilerplate gram (df = 40) from candidate
+    // generation; the planted twins still pair via their unique passage,
+    // and their Jaccard is computed on FULL sets (boilerplate included)
+    val capped = pairs(maxGramDf = 4L)
+    assert(capped.map(p => (p._1, p._2)) == Set((100L, 101L)))
+    // the uncapped run finds the same pairs with identical Jaccard —
+    // boilerplate-only overlap never reaches 0.8, so the cap is lossless
+    val uncapped = pairs(maxGramDf = Long.MaxValue)
+    assert(capped == uncapped)
+    // Jaccard uses the full gram sets: both docs have the same gram count
+    // g and share all but 2 grams (extraA/extraB tails differ), so the
+    // value reflects boilerplate grams even though they were df-capped out
+    val j = capped.head._3
+    assert(j > 0.8 && j < 1.0)
+  }
+
+  test("default cap is inactive on the test corpus (oracle-exact)") {
+    val sfPairs = SparkEntry.queries("q35_dedup_ngram_jaccard")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.nearDupPairsFrom(spark,
+        spark.read.parquet(s"$Sf/documents.parquet"), Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sfPairs == uncapped)
+    assert(sfPairs.nonEmpty)
+  }
+
+  test("clustering over LSH edges matches clustering over exact edges") {
+    val viaLsh = SparkEntry.queries("q59_dedup_clusters")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactEdges = Dedup.nearDupPairsFrom(spark,
+      spark.read.parquet(s"$Sf/documents.parquet"))
+    val viaExact = graft.queries.DedupClusters
+      .connectedComponents(spark, exactEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLsh == viaExact)
+  }
+
+  test("propagation throws instead of returning wrong labels at maxIter") {
+    import spark.implicits._
+    // a 6-node path graph has diameter 5: maxIter=2 cannot converge
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      graft.queries.DedupClusters.connectedComponents(
+        spark, chain, maxIter = 2, driverMaxEdges = 0L)
+    }
+    // and with enough rounds the same graph converges to one component
+    val ok = graft.queries.DedupClusters.connectedComponents(
+      spark, chain, maxIter = 10, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+}
