@@ -107,16 +107,20 @@ object Scorer {
   }
 
   /** Tiny flat-JSON reader for the sidecars this module writes. */
-  private[serving] def readFlatJson(path: String): Map[String, String] = {
-    val txt = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+  private[serving] def readFlatJson(path: String): Map[String, String] =
+    parseFlatJson(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  /** Flat JSON-object parser (sidecars + request bodies — same shape as
+    * JsonIO.render emits; nested objects are not produced or consumed).
+    */
+  private[graft] def parseFlatJson(txt: String): Map[String, String] =
     """"((?:[^"\\]|\\.)*)"\s*:\s*(?:"((?:[^"\\]|\\.)*)"|([-0-9.eE+]+|true|false))"""
       .r.findAllMatchIn(txt).map { m =>
         val k = unescape(m.group(1))
         val v = if (m.group(2) != null) unescape(m.group(2)) else m.group(3)
         k -> v
       }.toMap
-  }
 
   /** Inverse of JsonIO.escape — values must round-trip, not accumulate
     * literal backslash sequences.

@@ -87,6 +87,148 @@ class ServingSpec extends AnyFunSuite with SparkSpec {
     assert(h == Auth.customerIdLogHash("cust_0001")) // stable
   }
 
+  // --- HTTP loop e2e (reference services/api/tests/test_predict_auth.py:8-20,
+  // test_predict_validation.py:8-23, over a real localhost port) ---
+
+  private def http(port: Int, method: String, path: String,
+      headers: Map[String, String] = Map.empty,
+      body: Option[String] = None): (Int, Map[String, String], String) = {
+    val url = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+    val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod(method)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    body.foreach { b =>
+      c.setDoOutput(true)
+      val os = c.getOutputStream
+      try os.write(b.getBytes("UTF-8")) finally os.close()
+    }
+    val status = c.getResponseCode
+    val stream = if (status >= 400) c.getErrorStream else c.getInputStream
+    val text = new String(stream.readAllBytes(), "UTF-8")
+    val respHeaders = Map("X-Request-Id" ->
+      Option(c.getHeaderField("X-Request-Id")).getOrElse(""))
+    c.disconnect()
+    (status, respHeaders, text)
+  }
+
+  private def jsonField(body: String, key: String): Option[String] =
+    graft.serving.Scorer.parseFlatJson(body).get(key)
+
+  test("HTTP: auth failure returns 401 with error envelope + request id") {
+    val (_, bundle, store) = ctx
+    val srv = new graft.serving.PredictServer(
+      spark, "test-api-key", Some(bundle), Some(store))
+    srv.start()
+    try {
+      val p = srv.boundPort
+      // no key at all (reference test_predict_auth.py)
+      val (s1, h1, b1) = http(p, "POST", "/v1/churn/predict",
+        body = Some("""{"customer_id": "cust_0001"}"""))
+      assert(s1 == 401)
+      assert(jsonField(b1, "detail").contains("Invalid or missing API key."))
+      assert(jsonField(b1, "request_id").exists(_.nonEmpty))
+      assert(h1("X-Request-Id").nonEmpty)
+      // wrong key
+      val (s2, _, _) = http(p, "POST", "/v1/churn/predict",
+        headers = Map("X-API-Key" -> "nope"),
+        body = Some("""{"customer_id": "cust_0001"}"""))
+      assert(s2 == 401)
+    } finally srv.stop()
+  }
+
+  test("HTTP: validation failure returns 422 with errors list") {
+    val (_, bundle, store) = ctx
+    val srv = new graft.serving.PredictServer(
+      spark, "test-api-key", Some(bundle), Some(store))
+    srv.start()
+    try {
+      val p = srv.boundPort
+      // blank customer_id (reference test_predict_validation.py)
+      val (s1, _, b1) = http(p, "POST", "/v1/churn/predict",
+        headers = Map("X-API-Key" -> "test-api-key"),
+        body = Some("""{"customer_id": "   "}"""))
+      assert(s1 == 422)
+      assert(jsonField(b1, "detail").contains("Invalid request payload."))
+      assert(jsonField(b1, "request_id").exists(_.nonEmpty))
+      assert(b1.contains("\"errors\": ["))
+      // missing field entirely
+      val (s2, _, _) = http(p, "POST", "/v1/churn/predict",
+        headers = Map("X-API-Key" -> "test-api-key"), body = Some("{}"))
+      assert(s2 == 422)
+    } finally srv.stop()
+  }
+
+  test("HTTP: successful predict returns scored envelope; 404 on miss") {
+    val (_, bundle, store) = ctx
+    val srv = new graft.serving.PredictServer(
+      spark, "test-api-key", Some(bundle), Some(store))
+    srv.start()
+    try {
+      val p = srv.boundPort
+      val (s1, h1, b1) = http(p, "POST", "/v1/churn/predict",
+        headers = Map("X-API-Key" -> "test-api-key",
+          "X-Request-Id" -> "req-e2e-1"),
+        body = Some("""{"customer_id": "cust_0001"}"""))
+      assert(s1 == 200)
+      assert(jsonField(b1, "customer_id").contains("cust_0001"))
+      val prob = jsonField(b1, "churn_probability").get.toDouble
+      assert(prob >= 0.0 && prob <= 1.0)
+      assert(Set("0", "1").contains(jsonField(b1, "churn_label").get))
+      assert(jsonField(b1, "model_version").contains(bundle.modelVersion))
+      assert(jsonField(b1, "request_id").contains("req-e2e-1")) // propagated
+      assert(h1("X-Request-Id") == "req-e2e-1")
+      val (s2, _, b2) = http(p, "POST", "/v1/churn/predict",
+        headers = Map("X-API-Key" -> "test-api-key"),
+        body = Some("""{"customer_id": "no_such_customer"}"""))
+      assert(s2 == 404)
+      assert(jsonField(b2, "detail")
+        .contains("No serving features found for customer_id."))
+      assert(srv.counters.getOrElse("predictions_total", 0L) == 1L)
+    } finally srv.stop()
+  }
+
+  test("HTTP: not-ready stores answer 503; health/ready/version routes") {
+    val (_, bundle, store) = ctx
+    val notReady = new graft.serving.PredictServer(
+      spark, "test-api-key", None, None)
+    notReady.start()
+    try {
+      val p = notReady.boundPort
+      val (hs, _, hb) = http(p, "GET", "/health")
+      assert(hs == 200 && jsonField(hb, "status").contains("ok"))
+      val (rs, _, rb) = http(p, "GET", "/ready")
+      assert(rs == 503 && jsonField(rb, "status").contains("not_ready"))
+      val (ps, _, pb) = http(p, "POST", "/v1/churn/predict",
+        headers = Map("X-API-Key" -> "test-api-key"),
+        body = Some("""{"customer_id": "cust_0001"}"""))
+      assert(ps == 503)
+      assert(jsonField(pb, "detail")
+        .contains("Latest feature store is not ready."))
+    } finally notReady.stop()
+
+    // feature-version mismatch -> 503, never a mis-served score
+    val stale = store.map { case (k, v) =>
+      k -> v.copy(featureVersion = "stale0000")
+    }
+    val mismatched = new graft.serving.PredictServer(
+      spark, "test-api-key", Some(bundle), Some(stale))
+    mismatched.start()
+    try {
+      val p = mismatched.boundPort
+      val (rs, _, rb) = http(p, "GET", "/ready")
+      assert(rs == 200 && jsonField(rb, "status").contains("ready"))
+      val (s, _, b) = http(p, "POST", "/v1/churn/predict",
+        headers = Map("X-API-Key" -> "test-api-key"),
+        body = Some("""{"customer_id": "cust_0001"}"""))
+      assert(s == 503)
+      assert(jsonField(b, "detail").exists(
+        _.startsWith("Serving feature version does not match")))
+      val (vs, _, vb) = http(p, "GET", "/version")
+      assert(vs == 200 &&
+        jsonField(vb, "model_version").contains(bundle.modelVersion))
+    } finally mismatched.stop()
+  }
+
   test("unapproved model version refuses to load") {
     val (p, bundle, _) = ctx
     val dir = Files.createTempDirectory("bundle2").toString
