@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * idempotency model: every publish is a keyed merge into a fresh
   * pointer-swapped version.
   */
-final class ChurnPipeline(spark: SparkSession, warehouse: String) {
+final class ChurnPipeline(spark: SparkSession, warehouse: String,
+    expectationsPath: Option[String] = None) {
 
   val bronzeRoot = s"$warehouse/bronze_orders"
   val auditRoot = s"$warehouse/bronze_audit"
@@ -71,10 +72,14 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String) {
             .parquet(s"$warehouse/quarantine/silver_$kind")
       }
 
-    val report = DqRunner.run(out, Seq(
+    // checks come from the expectations FILE when one is configured
+    // (reference `data/expectations/silver/orders.yml` — config, not
+    // code); the built-in list below is its exact in-code equivalent
+    val checks = expectationsPath.map(DqConfig.load(_).checks).getOrElse(Seq(
       NotNull(Seq("order_id", "customer_id", "order_purchase_ts")),
       UniqueKey(Seq("order_id")),
       InSet("order_status", Silver.AllowedStatuses)))
+    val report = DqRunner.run(out, checks)
     graft.common.JsonIO.write(s"$warehouse/_meta/silver_dq_report.json",
       Map("run_id" -> runId, "passed" -> report.passed) ++
         report.results.map(r => s"failed_${r.checkName}" -> r.failedCount))
@@ -158,30 +163,71 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String) {
     } finally gold.unpersist()
   }
 
+  /** Labels publish + metadata sidecar (reference `labels.py:82-112`:
+    * as_of, horizon, label version, row/positive/negative counts).
+    */
   def publishLabels(asOfDate: String, runId: String,
       horizonDays: Int = Labels.DefaultHorizonDays): DataFrame = {
     val silver = ParquetTable(spark, silverRoot).read
     Labels.assertEligible(silver, asOfDate, horizonDays)
     val labels = Labels.buildLabels(silver, asOfDate, horizonDays, runId)
-    ParquetTable(spark, labelsRoot)
-      .merge(labels, keys = Seq("customer_id", "as_of_date"))
-    labels
+      .persist()
+    try {
+      ParquetTable(spark, labelsRoot)
+        .merge(labels, keys = Seq("customer_id", "as_of_date"))
+      val counts = labels.agg(
+        count(lit(1)), sum(col("churn_label")).cast("long")).collect()(0)
+      val rows = counts.getLong(0)
+      val positives = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+      graft.common.JsonIO.write(s"$warehouse/_meta/labels_$asOfDate.json",
+        Map("as_of_date" -> asOfDate,
+          "label_horizon_days" -> horizonDays,
+          "label_version" -> Labels.labelPolicyVersion(horizonDays),
+          "labels_run_id" -> runId,
+          "row_count" -> rows,
+          "positive_rows" -> positives,
+          "negative_rows" -> (rows - positives)))
+      logEvent("labels", runId, "completed", Map("as_of_date" -> asOfDate))
+      labels
+    } finally labels.unpersist()
   }
 
+  /** Training-snapshot publish + metadata sidecar (reference
+    * `build_training_snapshot.py:82-110`: snapshot id, row count, as-of
+    * range, feature/label versions, payload schema hash).
+    */
   def publishTrainingSnapshot(runId: String): DataFrame = {
     val gold = ParquetTable(spark, goldRoot).read
     val labels = ParquetTable(spark, labelsRoot).read
-    val snap = TrainingSnapshot.build(gold, labels, runId)
-    ParquetTable(spark, snapshotRoot)
-      .merge(snap, keys = Seq("customer_id", "as_of_date", "_data_snapshot_id"))
-    snap
+    val snap = TrainingSnapshot.build(gold, labels, runId).persist()
+    try {
+      ParquetTable(spark, snapshotRoot)
+        .merge(snap, keys = Seq("customer_id", "as_of_date", "_data_snapshot_id"))
+      val stats = snap.agg(count(lit(1)),
+        min(col("as_of_date")).cast("string"),
+        max(col("as_of_date")).cast("string"),
+        first(col("_data_snapshot_id")),
+        first(col("_feature_version")),
+        first(col("_label_version"))).collect()(0)
+      graft.common.JsonIO.write(s"$warehouse/_meta/training_snapshot.json",
+        Map("data_snapshot_id" -> stats.getString(3),
+          "row_count" -> stats.getLong(0),
+          "as_of_date_min" -> stats.getString(1),
+          "as_of_date_max" -> stats.getString(2),
+          "feature_version" -> stats.getString(4),
+          "label_version" -> stats.getString(5),
+          "payload_schema_hash" -> Versioning.stableHash(snap.schema.json)))
+      logEvent("training_snapshot", runId, "completed")
+      snap
+    } finally snap.unpersist()
   }
 
   /** Latest features per customer for serving (reference
     * `build_latest_features.py:112-142`, W2 pattern): plain parquet
-    * overwrite export.
+    * overwrite export + manifest sidecar (`build_latest_features.py:
+    * 62-86`: path, row count, as-of max, feature versions, run id).
     */
-  def exportLatestFeatures(): DataFrame = {
+  def exportLatestFeatures(runId: String = "adhoc"): DataFrame = {
     val gold = ParquetTable(spark, goldRoot).read
     val w = Window.partitionBy("customer_id").orderBy(
       col("as_of_date").desc, col("_gold_ts").desc_nulls_last,
@@ -189,6 +235,19 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String) {
     val latest = gold.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
     latest.write.mode("overwrite").parquet(latestFeaturesPath)
-    latest
+    val exported = spark.read.parquet(latestFeaturesPath)
+    val stats = exported.agg(count(lit(1)),
+      max(col("as_of_date")).cast("string"),
+      concat_ws(",", sort_array(collect_set(col("_feature_version")))))
+      .collect()(0)
+    graft.common.JsonIO.write(
+      s"$warehouse/_meta/latest_features_manifest.json",
+      Map("latest_features_path" -> latestFeaturesPath,
+        "row_count" -> stats.getLong(0),
+        "as_of_date_max" -> stats.getString(1),
+        "feature_versions" -> stats.getString(2),
+        "run_id" -> runId))
+    logEvent("latest_features", runId, "completed")
+    exported
   }
 }

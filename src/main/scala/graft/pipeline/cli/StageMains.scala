@@ -1,0 +1,189 @@
+package graft.pipeline.cli
+
+import graft.pipeline.ChurnPipeline
+import org.apache.spark.sql.SparkSession
+
+/** Per-stage CLI entry points — the reference's operational unit is one
+  * OS process per stage (`python -m src.ingestion.orders_to_bronze
+  * --input ... --bronze_path ... --run_id ...`,
+  * `orders_to_bronze.py:189-199` and siblings), with crash-restart
+  * between stages exercised by launching them as subprocesses
+  * (`tests/integration/test_slice_e2e.py:109-337`). Each main here is an
+  * independently launchable JVM entry point: it builds its own
+  * SparkSession, runs exactly one stage against the warehouse, prints
+  * one status line, and exits — all cross-stage state lives in the
+  * tables, never in the process.
+  *
+  * Common flags: `--warehouse <dir>` and `--run_id <id>` everywhere;
+  * stage-specific flags documented per main. `--expectations <file>`
+  * points at a DQ expectations JSON (reference `--expectations`).
+  *
+  * When a main runs inside a JVM that already has a SparkSession (the
+  * in-JVM e2e spec), it reuses it and leaves it running; as a real OS
+  * process it owns the session and stops it on exit.
+  */
+object StageMains {
+
+  private[cli] def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"arguments must be --flag value pairs, got: ${args.mkString(" ")}")
+    args.grouped(2).map { pair =>
+      require(pair(0).startsWith("--"), s"expected a --flag, got ${pair(0)}")
+      pair(0).drop(2) -> pair(1)
+    }.toMap
+  }
+
+  private[cli] def required(a: Map[String, String], k: String): String =
+    a.getOrElse(k, throw new IllegalArgumentException(s"missing --$k"))
+
+  private[cli] def withSession[A](f: SparkSession => A): A = {
+    val owned = SparkSession.getDefaultSession.isEmpty
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try f(spark) finally if (owned) spark.stop()
+  }
+
+  private[cli] def pipeline(spark: SparkSession,
+      a: Map[String, String]): ChurnPipeline =
+    new ChurnPipeline(spark, required(a, "warehouse"),
+      expectationsPath = a.get("expectations"))
+}
+
+/** `--input <raw parquet> --warehouse <dir> --run_id <id>` —
+  * reference `orders_to_bronze.py:189-199`.
+  */
+object BronzeMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val r = pipeline(spark, a)
+      .ingestBronze(required(a, "input"), required(a, "run_id"))
+    println(s"[bronze] rows=${r.rowCount} skipped=${r.skipped} " +
+      s"fingerprint=${r.fingerprint} version=${r.version.getOrElse(-1L)}")
+  }
+}
+
+/** `--warehouse <dir> --run_id <id> [--expectations <json>]` —
+  * reference `orders_bronze_to_silver.py:94-106`.
+  */
+object SilverMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val out = pipeline(spark, a).publishSilver(required(a, "run_id"))
+    println(s"[silver] rows=${out.count()}")
+  }
+}
+
+/** `--warehouse <dir> --as_of_date <yyyy-mm-dd> --run_id <id>
+  * [--changed_since <ts>]` — reference `customer_features_daily.py`;
+  * `--changed_since` selects the incremental rebuild.
+  */
+object GoldMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val p = pipeline(spark, a)
+    val asOf = required(a, "as_of_date")
+    val runId = required(a, "run_id")
+    val out = a.get("changed_since") match {
+      case Some(since) => p.publishGoldIncremental(asOf, runId, since)
+      case None => p.publishGold(asOf, runId)
+    }
+    println(s"[gold] as_of=$asOf rows=${out.count()}")
+  }
+}
+
+/** `--warehouse <dir> --as_of_date <yyyy-mm-dd> --run_id <id>
+  * [--horizon_days <n>]` — reference `labels.py`.
+  */
+object LabelsMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val horizon = a.get("horizon_days").map(_.toInt)
+      .getOrElse(graft.pipeline.Labels.DefaultHorizonDays)
+    val out = pipeline(spark, a).publishLabels(
+      required(a, "as_of_date"), required(a, "run_id"), horizon)
+    println(s"[labels] as_of=${required(a, "as_of_date")} rows=${out.count()}")
+  }
+}
+
+/** `--warehouse <dir> --run_id <id>` — reference
+  * `build_training_snapshot.py:114-125`.
+  */
+object SnapshotMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val out = pipeline(spark, a)
+      .publishTrainingSnapshot(required(a, "run_id"))
+    println(s"[snapshot] rows=${out.count()}")
+  }
+}
+
+/** `--warehouse <dir> --bundle_dir <dir> --run_id <id>
+  * [--validation_fraction <f>]` — reference `train_stub.py:93-109`:
+  * trains on the standing snapshot, saves + approves the bundle.
+  */
+object TrainMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val p = pipeline(spark, a)
+    val snap = graft.tables.ParquetTable(spark, p.snapshotRoot).read
+    val tr = graft.ml.ChurnTrainer.train(snap,
+      validationFraction =
+        a.get("validation_fraction").map(_.toDouble).getOrElse(0.2))
+    val bundleDir = required(a, "bundle_dir")
+    graft.serving.Scorer.saveBundle(tr.model, bundleDir, tr.modelVersion,
+      p.featureVersion, tr.metrics)
+    graft.serving.Scorer.approve(bundleDir, tr.modelVersion)
+    println(s"[train] model_version=${tr.modelVersion} " +
+      tr.metrics.map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
+  }
+}
+
+/** `--warehouse <dir> --run_id <id>` — reference
+  * `build_latest_features.py`.
+  */
+object LatestFeaturesMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val out = pipeline(spark, a).exportLatestFeatures(required(a, "run_id"))
+    println(s"[latest_features] rows=${out.count()}")
+  }
+}
+
+/** `--warehouse <dir> --bundle_dir <dir> --customer_id <id>` — one-shot
+  * scoring through the serving path (feature store + version gate),
+  * the CLI twin of POST /v1/churn/predict.
+  */
+object ScoreMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val p = pipeline(spark, a)
+    val bundle = graft.serving.Scorer.loadBundle(spark,
+      required(a, "bundle_dir"))
+    val store = graft.serving.Scorer.loadFeatureStore(spark,
+      p.latestFeaturesPath)
+    graft.serving.Scorer.predict(spark, bundle, store,
+      required(a, "customer_id")) match {
+      case Some(pred) =>
+        println(f"[score] customer=${pred.customerId} " +
+          f"p_churn=${pred.probability}%.6f label=${pred.label} " +
+          s"model=${pred.modelVersion}")
+      case None =>
+        println(s"[score] customer=${required(a, "customer_id")} NOT_FOUND")
+        sys.exit(4)
+    }
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Subprocess-shaped e2e: every pipeline stage runs as its OWN JVM
+  * process (the reference launches each stage with `python -m src.<stage>`
+  * from subprocesses in `tests/integration/test_slice_e2e.py:109-337`).
+  * Crash-restart between stages is therefore a tested reality here: no
+  * state survives a stage except what the tables/sidecars hold.
+  */
+class CliE2eSpec extends AnyFunSuite with SparkSpec {
+
+  /** Classpath pieces recovered from loaded classes, not hardcoded: the
+    * compiled classes dir from this project and the Spark jar dir.
+    */
+  private lazy val classesDir = new java.io.File(
+    classOf[graft.pipeline.ChurnPipeline]
+      .getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+  private lazy val sparkJarsGlob = new java.io.File(
+    classOf[org.apache.spark.sql.SparkSession]
+      .getProtectionDomain.getCodeSource.getLocation.toURI)
+    .getParent + "/*"
+
+  /** Spark-on-JDK17 module opens (what spark-submit passes). */
+  private val opens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+    "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic", "java.base/jdk.internal.ref",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+
+  /** Launch one stage main as a separate JVM; returns its stdout. */
+  private def stage(mainClass: String, args: (String, String)*): String = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(javaBin) ++ opens ++ Seq(
+      "-Xmx2g", "-cp", s"$classesDir:$sparkJarsGlob",
+      mainClass) ++ args.flatMap { case (k, v) => Seq(s"--$k", v) }
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val finished = proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+    assert(finished, s"$mainClass timed out.\n$out")
+    assert(proc.exitValue() == 0,
+      s"$mainClass exited ${proc.exitValue()}.\n${out.takeRight(4000)}")
+    out
+  }
+
+  test("e2e slice across separate JVM stage processes") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("cli_e2e").toString
+    val rawPath = s"$wh/raw_orders"
+    Seq(
+      ("A1", "CUST_0001", "delivered", "2025-01-10 10:00:00"),
+      ("B1", "CUST_0002", "delivered", "2025-01-20 12:00:00"),
+      ("C1", "CUST_0003", "delivered", "2025-02-15 09:00:00"),
+      ("A2", "CUST_0001", "delivered", "2025-03-10 11:00:00"),
+      ("C2", "CUST_0003", "delivered", "2025-04-10 15:00:00"),
+      ("A3", "CUST_0001", "delivered", "2025-05-10 08:30:00"),
+      ("Z1", "CUST_9999", "delivered", "2025-06-15 00:00:00"))
+      .toDF("order_id", "customer_id", "order_status",
+        "order_purchase_timestamp")
+      .withColumn("order_approved_at", lit(null).cast("string"))
+      .withColumn("order_delivered_carrier_date", lit(null).cast("string"))
+      .withColumn("order_delivered_customer_date", lit(null).cast("string"))
+      .withColumn("order_estimated_delivery_date", lit(null).cast("string"))
+      .write.parquet(rawPath)
+    val lake = s"$wh/lake"
+
+    val b1 = stage("graft.pipeline.cli.BronzeMain",
+      "input" -> rawPath, "warehouse" -> lake, "run_id" -> "cli-1")
+    assert(b1.contains("rows=7") && b1.contains("skipped=false"))
+    // idempotency survives the process boundary: a SECOND JVM skips
+    val b2 = stage("graft.pipeline.cli.BronzeMain",
+      "input" -> rawPath, "warehouse" -> lake, "run_id" -> "cli-2")
+    assert(b2.contains("skipped=true"))
+
+    val s1 = stage("graft.pipeline.cli.SilverMain",
+      "warehouse" -> lake, "run_id" -> "cli-3",
+      "expectations" -> "conf/expectations/silver_orders.json")
+    assert(s1.contains("[silver] rows=7"))
+
+    Seq("2025-01-31", "2025-02-28", "2025-03-31").foreach { d =>
+      stage("graft.pipeline.cli.GoldMain",
+        "warehouse" -> lake, "as_of_date" -> d, "run_id" -> s"cli-g-$d")
+      stage("graft.pipeline.cli.LabelsMain",
+        "warehouse" -> lake, "as_of_date" -> d, "run_id" -> s"cli-l-$d")
+    }
+    stage("graft.pipeline.cli.SnapshotMain",
+      "warehouse" -> lake, "run_id" -> "cli-4")
+    stage("graft.pipeline.cli.TrainMain",
+      "warehouse" -> lake, "bundle_dir" -> s"$wh/bundle",
+      "run_id" -> "cli-5", "validation_fraction" -> "0.34")
+    stage("graft.pipeline.cli.LatestFeaturesMain",
+      "warehouse" -> lake, "run_id" -> "cli-6")
+
+    // the reference e2e's prediction contract, through the CLI scorer
+    val score = stage("graft.pipeline.cli.ScoreMain",
+      "warehouse" -> lake, "bundle_dir" -> s"$wh/bundle",
+      "customer_id" -> "cust_0001")
+    assert(score.contains("customer=cust_0001") &&
+      score.contains("p_churn="))
+
+    // cust_0001 @ 2025-03-31 goldens (same as the unit/e2e fixtures),
+    // read back from the tables the subprocesses wrote
+    val snap = graft.tables.ParquetTable(spark,
+      s"$lake/training_snapshot").read
+    val c1 = snap.filter(col("customer_id") === "cust_0001" &&
+      col("as_of_date") === to_date(lit("2025-03-31"))).collect()(0)
+    assert(c1.getAs[Int]("recency_days") == 21)
+    assert(c1.getAs[Long]("lifetime_orders") == 2L)
+    assert(c1.getAs[Double]("avg_days_between_orders") == 59.0)
+
+    // the sidecar set the stages must leave behind (reference
+    // labels.py:82-112, build_training_snapshot.py:82-110,
+    // build_latest_features.py:62-86)
+    val meta = new java.io.File(s"$lake/_meta").list().toSet
+    Seq("labels_2025-03-31.json", "training_snapshot.json",
+      "latest_features_manifest.json", "silver_dq_report.json")
+      .foreach(f => assert(meta.contains(f), s"missing sidecar $f"))
+    val labelsMeta = graft.serving.Scorer
+      .parseFlatJson(Files.readString(
+        java.nio.file.Paths.get(s"$lake/_meta/labels_2025-03-31.json")))
+    Seq("as_of_date", "label_horizon_days", "label_version",
+      "labels_run_id", "row_count", "positive_rows", "negative_rows")
+      .foreach(k => assert(labelsMeta.contains(k), s"labels sidecar lacks $k"))
+    val snapMeta = graft.serving.Scorer.parseFlatJson(Files.readString(
+      java.nio.file.Paths.get(s"$lake/_meta/training_snapshot.json")))
+    Seq("data_snapshot_id", "row_count", "as_of_date_min", "as_of_date_max",
+      "feature_version", "label_version", "payload_schema_hash")
+      .foreach(k => assert(snapMeta.contains(k), s"snapshot sidecar lacks $k"))
+    val manifest = graft.serving.Scorer.parseFlatJson(Files.readString(
+      java.nio.file.Paths.get(s"$lake/_meta/latest_features_manifest.json")))
+    Seq("latest_features_path", "row_count", "as_of_date_max",
+      "feature_versions", "run_id")
+      .foreach(k => assert(manifest.contains(k), s"manifest lacks $k"))
+  }
+}
