@@ -36,7 +36,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // per-query history: append every run (timestamped) so later rounds
+    // can diff query-by-query against earlier recordings, not just the
+    // total — a 2x regression in one query hides inside a flat total
+    try {
+      val entry = s"""{"ts":"${java.time.Instant.now()}",""" + line.drop(1)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")),
+        entry + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] history append failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -124,16 +124,25 @@ object Dedup {
 
   private[graft] def nearDupPairsFrom(s: SparkSession, docs: DataFrame,
       maxGramDf: Long = DefaultMaxGramDf): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
       // join on the 8-byte gram hash, not the ~25-char string: same
       // pairs (modulo negligible hash collisions), much cheaper to
       // compute, shuffle, and compare
       val g = docGramHashesFrom(s, docs)
-      val n = g.groupBy("doc_id").agg(count(lit(1)).as("ng"))
-      // phase 1: the self-join sees only sub-cap grams
-      val lowDf = g.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxGramDf)
-        .select("h")
-      val ga = g.join(lowDf, "h").join(broadcast(n), "doc_id")
+      // one shuffle on doc_id yields BOTH per-doc gram counts (the
+      // length prune + Jaccard denominators) and the full hash sets
+      // (the exact-verify material)
+      val sets = g.groupBy("doc_id")
+        .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("ng"))
+      val n = sets.select(col("doc_id"), col("ng"))
+      // phase 1 candidates: the gram df comes from a count-over-window
+      // on the SAME h-partitioning the self-join needs — no separate
+      // df-aggregate + join branch; the self-join's two sides reuse one
+      // exchange. Sub-cap filter bounds per-gram fan-out at cap²/2.
+      val withDf = g.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("h")))
+      val ga = withDf.filter(col("df") <= maxGramDf)
+        .join(broadcast(n), "doc_id")
       val candidates = ga.as("a")
         .join(ga.as("b"), col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -141,13 +150,9 @@ object Dedup {
           col("b.ng") * 4 <= col("a.ng") * 5)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      // phase 2: exact Jaccard on full gram sets, candidate docs only
-      val candDocs = candidates.select(col("d1").as("doc_id"))
-        .unionByName(candidates.select(col("d2").as("doc_id")))
-        .distinct()
-      val sets = g.join(candDocs, "doc_id")
-        .groupBy("doc_id")
-        .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("ng"))
+      // phase 2: exact Jaccard on the full (uncapped) gram sets — the
+      // candidate set is small, so it broadcasts into two hash joins
+      // against `sets`
       candidates
         .join(sets.select(col("doc_id").as("d1"),
           col("hs").as("hs1"), col("ng").as("n1")), "d1")

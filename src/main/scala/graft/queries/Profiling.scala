@@ -63,11 +63,19 @@ object Profiling {
     */
   private val q59b = QueryDef(
     (s, d) => {
-      val total = load(s, d, "lineitem").count()
-      graft.operators.SkewJoin.heavyHitters(
-        load(s, d, "lineitem"), "l_suppkey", topN = 20)
+      // single scan: the per-key counts feed BOTH the top-20 and the
+      // share denominator (sum of counts == total rows); Catalyst reuses
+      // the aggregation exchange for the two consumers, so lineitem is
+      // read once — no separate count() job for the denominator
+      val counts = load(s, d, "lineitem")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_rows"))
+      val total = counts.agg(sum(col("n_rows")).as("_total"))
+      counts.orderBy(col("n_rows").desc, col("l_suppkey").asc)
+        .limit(20)
+        .crossJoin(broadcast(total))
         .withColumn("share",
-          col("n_rows").cast("double") / lit(total.toDouble))
+          col("n_rows").cast("double") / col("_total").cast("double"))
+        .drop("_total")
     },
     Some("""SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
               CAST(CAST(COUNT(*) AS DOUBLE) /

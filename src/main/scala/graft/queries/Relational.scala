@@ -121,15 +121,20 @@ object Relational {
             FROM lineitem"""),
     "global agg + exact distinct count [A5,A6,A2]")
 
-  /** J1: fact ⋈ small dim. `broadcast()` pins the hash join — at 100 TB the
-    * 150M-row customer dim may exceed the auto threshold but still fits
-    * executor memory; broadcasting avoids shuffling the fact table.
+  /** J1: fact ⋈ small dim. No broadcast hint: AQE decides from the
+    * dim's RUNTIME size (`autoBroadcastJoinThreshold` +
+    * adaptive re-plan), which is the right call at every scale — a
+    * pinned hint would force a 10+ GB broadcast of a 150M-row customer
+    * dim at 100 TB, exactly the OOM AQE exists to avoid, while a dim
+    * that does fit broadcasts anyway without the hint. q10's star join
+    * keeps the explicit hint as the contrast case where dims are
+    * known-tiny (region/nation).
     */
   private val q06 = QueryDef(
     (s, d) => {
       val o = load(s, d, "orders")
       val c = load(s, d, "customer")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(dsum(col("o_totalprice")).as("revenue"),
           lcountAll.as("n_orders"))

@@ -175,12 +175,14 @@ object Similarity {
     None, // approximate: recall measured against q38 in specs
     "LSH ANN top-10, 16 tables x 4-bit hyperplane buckets [similarity]")
 
-  /** Rows per broadcast block in the blocked 1-NN. Deliberately small so
-    * the sf0.01 correctness gate itself exercises the multi-block argmax
-    * merge (500 vectors -> 2 blocks); a production corpus would size this
-    * to executor broadcast budget (e.g. 1-4M vectors per block).
+  /** Rows per broadcast block in the blocked 1-NN. Sized so the sf0.1
+    * correctness gate exercises the multi-block argmax merge (2000
+    * vectors -> 2 blocks) without paying a collect-per-256-rows at bench
+    * time; ApproxOpsSpec forces an 8-way split explicitly. A production
+    * corpus would size this to executor broadcast budget (1-4M vectors
+    * per block).
     */
-  private[graft] val DefaultBlockRows = 256
+  private[graft] val DefaultBlockRows = 1024
 
   private[graft] def blockCount(n: Long, blockRows: Int): Int =
     math.max(1, math.ceil(n.toDouble / blockRows).toInt)

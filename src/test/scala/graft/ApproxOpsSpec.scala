@@ -90,8 +90,9 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
     val single = Similarity.nearestNeighborBlocked(spark, Sf, blockRows = 1 << 20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(multi == single)
-    // default block size also exercises the multi-block path on testdata
-    assert(Similarity.blockCount(500L, Similarity.DefaultBlockRows) > 1)
+    // the default block size keeps the sf0.1 correctness gate (2000
+    // vectors) on the multi-block path
+    assert(Similarity.blockCount(2000L, Similarity.DefaultBlockRows) > 1)
   }
 
   test("signature buckets are deterministic across invocations") {
