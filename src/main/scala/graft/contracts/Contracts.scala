@@ -21,6 +21,18 @@ final case class TableContract(
   def contractHash: String =
     Versioning.schemaHash(fields.map { case (n, t) => n -> t.typeName })
 
+  /** Stable identity hash over the full contract (name, version, field
+    * list, primary key) — the value downstream version gates compare
+    * (the reference re-hashes the contract JSON in
+    * `train_stub.py:154-165` and refuses a mismatched snapshot). The
+    * same contract loaded from its JSON artifact hashes identically to
+    * the in-code value.
+    */
+  def identityHash: String = Versioning.stableHash(
+    s"$name|v$version|" +
+      fields.map { case (n, t) => s"$n:${t.typeName}" }.mkString(",") +
+      s"|pk:${primaryKey.mkString(",")}")
+
   /** Validate a frame: required fields present with exact types; extras
     * rejected when the contract is closed.
     */
@@ -45,6 +57,72 @@ final case class TableContract(
     if (violations.nonEmpty)
       throw new IllegalArgumentException(
         s"contract $name v$version violated: ${violations.mkString("; ")}")
+  }
+}
+
+/** Contract JSON artifacts (reference `data/contracts/bronze|silver|
+  * gold/orders.v1.json` et al.): the contract is a standalone versioned
+  * FILE that tools re-hash to refuse drift — not only a Scala value.
+  * Format:
+  * {{{
+  * {"contract_name": "silver/orders", "contract_version": 1,
+  *  "primary_key": ["order_id"], "allow_extra_columns": true,
+  *  "columns": [{"name": "order_id", "type": "string"}, ...]}
+  * }}}
+  */
+object ContractFile {
+  import graft.common.Json
+
+  private val typeFor: Map[String, DataType] = Map(
+    "string" -> StringType, "long" -> LongType, "integer" -> IntegerType,
+    "double" -> DoubleType, "timestamp" -> TimestampType,
+    "date" -> DateType, "boolean" -> BooleanType, "binary" -> BinaryType)
+
+  def load(path: String): TableContract = {
+    val root = Json.obj(Json.parseFile(path))
+    TableContract(
+      name = Json.str(root("contract_name")),
+      version = root("contract_version").asInstanceOf[Double].toInt,
+      fields = Json.arr(root("columns")).map { c =>
+        val m = Json.obj(c)
+        val t = Json.str(m("type"))
+        Json.str(m("name")) -> typeFor.getOrElse(t,
+          throw new IllegalArgumentException(s"unknown contract type: $t"))
+      },
+      primaryKey = root.get("primary_key")
+        .map(v => Json.arr(v).map(Json.str)).getOrElse(Nil),
+      allowExtraColumns = root.get("allow_extra_columns")
+        .forall(_.asInstanceOf[Boolean]))
+  }
+
+  /** The version-gate value of a contract artifact (reference
+    * `hash_contract_json`, `train_stub.py:154`).
+    */
+  def hash(path: String): String = load(path).identityHash
+
+  /** Emit the contract as its JSON artifact (keeps code and file forms
+    * in lockstep — specs assert round-trip equality).
+    */
+  def write(contract: TableContract, path: String): Unit = {
+    val cols = contract.fields.map { case (n, t) =>
+      s"""    {"name": "${graft.common.JsonIO.escape(n)}", "type": "${t.typeName}"}"""
+    }.mkString(",\n")
+    val pk = contract.primaryKey
+      .map(k => "\"" + graft.common.JsonIO.escape(k) + "\"").mkString(", ")
+    val body =
+      s"""{
+         |  "contract_name": "${graft.common.JsonIO.escape(contract.name)}",
+         |  "contract_version": ${contract.version},
+         |  "primary_key": [$pk],
+         |  "allow_extra_columns": ${contract.allowExtraColumns},
+         |  "columns": [
+         |$cols
+         |  ]
+         |}
+         |""".stripMargin
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, body)
   }
 }
 

@@ -61,7 +61,22 @@ object ChurnTrainer {
   final case class TrainResult(model: PipelineModel, metrics: Map[String, Double],
       modelVersion: String)
 
-  def train(snapshot: DataFrame, validationFraction: Double = 0.2): TrainResult = {
+  /** @param expectedFeatureVersion when set (the re-hashed feature
+    *   contract artifact), training REFUSES a snapshot stamped with any
+    *   other `_feature_version` — the reference's contract gate
+    *   (`train_stub.py:154-165`): a drifted contract must fail the run,
+    *   not silently train on mismatched features.
+    */
+  def train(snapshot: DataFrame, validationFraction: Double = 0.2,
+      expectedFeatureVersion: Option[String] = None): TrainResult = {
+    expectedFeatureVersion.foreach { expected =>
+      val versions = snapshot.select("_feature_version").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (versions != Seq(expected))
+        throw new IllegalStateException(
+          "feature contract hash does not match training snapshot " +
+            s"feature version: contract=$expected, snapshot=$versions")
+    }
     val base = snapshot.select(
       (Seq("as_of_date", "churn_label") ++ FeatureCols).map(col): _*)
     val split = timeSplit(base, validationFraction)

@@ -34,9 +34,13 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
       "contract" -> "silver/orders", "version" -> "1",
       "allowed_statuses" -> Silver.AllowedStatuses.mkString(",")))
 
+  /** The feature version IS the gold contract's identity hash — the
+    * trainer re-hashes the contract ARTIFACT (`--feature_contract`) and
+    * refuses a snapshot stamped with any other version
+    * (`train_stub.py:154-165`).
+    */
   def featureVersion: String =
-    Versioning.stableHash(Map("contract" -> "gold/customer_features_daily",
-      "version" -> "1"))
+    graft.contracts.Contracts.goldCustomerFeaturesDaily.identityHash
 
   def ingestBronze(inputPath: String, runId: String): Bronze.IngestResult =
     Bronze.ingest(spark, inputPath, bronzeRoot, auditRoot, runId)

@@ -129,8 +129,11 @@ object SnapshotMain {
 }
 
 /** `--warehouse <dir> --bundle_dir <dir> --run_id <id>
-  * [--validation_fraction <f>]` — reference `train_stub.py:93-109`:
-  * trains on the standing snapshot, saves + approves the bundle.
+  * [--validation_fraction <f>] [--feature_contract <json>]` — reference
+  * `train_stub.py:93-109`: trains on the standing snapshot, saves +
+  * approves the bundle. With `--feature_contract` the contract artifact
+  * is re-hashed and a mismatched snapshot refuses to train
+  * (`train_stub.py:154-165`).
   */
 object TrainMain {
   import StageMains._
@@ -140,7 +143,9 @@ object TrainMain {
     val snap = graft.tables.ParquetTable(spark, p.snapshotRoot).read
     val tr = graft.ml.ChurnTrainer.train(snap,
       validationFraction =
-        a.get("validation_fraction").map(_.toDouble).getOrElse(0.2))
+        a.get("validation_fraction").map(_.toDouble).getOrElse(0.2),
+      expectedFeatureVersion =
+        a.get("feature_contract").map(graft.contracts.ContractFile.hash))
     val bundleDir = required(a, "bundle_dir")
     graft.serving.Scorer.saveBundle(tr.model, bundleDir, tr.modelVersion,
       p.featureVersion, tr.metrics)

@@ -95,7 +95,9 @@ class CliE2eSpec extends AnyFunSuite with SparkSpec {
       "warehouse" -> lake, "run_id" -> "cli-4")
     stage("graft.pipeline.cli.TrainMain",
       "warehouse" -> lake, "bundle_dir" -> s"$wh/bundle",
-      "run_id" -> "cli-5", "validation_fraction" -> "0.34")
+      "run_id" -> "cli-5", "validation_fraction" -> "0.34",
+      "feature_contract" ->
+        "conf/contracts/gold_customer_features_daily.v1.json")
     stage("graft.pipeline.cli.LatestFeaturesMain",
       "warehouse" -> lake, "run_id" -> "cli-6")
 

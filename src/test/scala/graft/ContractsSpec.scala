@@ -45,6 +45,44 @@ class ContractsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("contract JSON artifacts are in lockstep with the code contracts") {
+    import graft.contracts.ContractFile
+    val pairs = Seq(
+      "conf/contracts/bronze_orders.v1.json" -> Contracts.bronzeOrders,
+      "conf/contracts/silver_orders.v1.json" -> Contracts.silverOrders,
+      "conf/contracts/gold_customer_features_daily.v1.json" ->
+        Contracts.goldCustomerFeaturesDaily)
+    pairs.foreach { case (path, code) =>
+      // the artifact parses to the exact in-code contract...
+      assert(ContractFile.load(path) == code, s"$path drifted from code")
+      // ...hashes identically (the version-gate value)...
+      assert(ContractFile.hash(path) == code.identityHash)
+      // ...and regenerating the artifact reproduces the file byte-for-byte
+      val tmp = java.nio.file.Files.createTempFile("contract", ".json")
+      ContractFile.write(code, tmp.toString)
+      assert(java.nio.file.Files.readString(tmp) ==
+        java.nio.file.Files.readString(java.nio.file.Paths.get(path)),
+        s"$path not writable-reproducible")
+    }
+  }
+
+  test("trainer refuses a snapshot whose feature version mismatches the contract") {
+    import spark.implicits._
+    val snap = Seq(("c1", "2025-03-31", 1, 0L, 1L, 1L, 10, 0.0, "v_other"))
+      .toDF("customer_id", "as_of_date", "recency_days", "orders_30d",
+        "orders_90d", "lifetime_orders", "customer_tenure_days",
+        "avg_days_between_orders", "_feature_version")
+      .withColumn("as_of_date", to_date(col("as_of_date")))
+      .withColumn("churn_label", lit(1))
+    val contractHash = graft.contracts.ContractFile.hash(
+      "conf/contracts/gold_customer_features_daily.v1.json")
+    val ex = intercept[IllegalStateException] {
+      graft.ml.ChurnTrainer.train(snap,
+        expectedFeatureVersion = Some(contractHash))
+    }
+    assert(ex.getMessage.contains("does not match"))
+  }
+
   test("contract hash is stable and sensitive to change") {
     val h1 = Contracts.goldCustomerFeaturesDaily.contractHash
     val h2 = Contracts.goldCustomerFeaturesDaily.contractHash
