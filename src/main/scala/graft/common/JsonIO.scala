@@ -21,6 +21,28 @@ object JsonIO {
     case c => c.toString
   }
 
+  /** Inverse of [[escape]] — round-trips any string value emitted by this
+    * module (manifest file-stats, sidecar values).
+    */
+  def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case c => sb.append(c); i += 2
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Render a flat map; numeric/boolean-looking values stay unquoted. */
   def render(obj: Map[String, Any]): String =
     obj.toSeq.sortBy(_._1).map { case (k, v) =>

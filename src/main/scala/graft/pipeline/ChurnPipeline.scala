@@ -29,6 +29,20 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
   val snapshotRoot = s"$warehouse/training_snapshot"
   val latestFeaturesPath = s"$warehouse/latest_features_export"
 
+  // merge-target handles declare their merge keys as stats columns, so
+  // every write records per-file key ranges and every merge's touched-file
+  // discovery skips files outside the source's key bounds (Delta-style
+  // data skipping; see ParquetTable)
+  private def silverTable =
+    ParquetTable(spark, silverRoot, Seq("order_id"))
+  private def goldTable =
+    ParquetTable(spark, goldRoot, Seq("customer_id", "as_of_date"))
+  private def labelsTable =
+    ParquetTable(spark, labelsRoot, Seq("customer_id", "as_of_date"))
+  private def snapshotTable =
+    ParquetTable(spark, snapshotRoot,
+      Seq("customer_id", "as_of_date", "_data_snapshot_id"))
+
   def silverSchemaVersion: String =
     Versioning.stableHash(Map(
       "contract" -> "silver/orders", "version" -> "1",
@@ -94,7 +108,7 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
     }
 
     graft.contracts.Contracts.silverOrders.enforce(out)
-    ParquetTable(spark, silverRoot).merge(out, keys = Seq("order_id"))
+    silverTable.merge(out, keys = Seq("order_id"))
     logEvent("silver", runId, "completed")
     // hand back the just-merged TABLE, not the (about to be unpersisted)
     // logical plan: any caller action reads parquet instead of re-running
@@ -115,7 +129,7 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
     try {
       Gold.assertQuality(gold)
       graft.contracts.Contracts.goldCustomerFeaturesDaily.enforce(gold)
-      ParquetTable(spark, goldRoot)
+      goldTable
         .merge(gold, keys = Seq("customer_id", "as_of_date"))
       graft.common.JsonIO.write(
         s"$warehouse/_meta/gold_snapshot_$asOfDate.json",
@@ -158,7 +172,7 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
     try {
       Gold.assertQuality(gold)
       graft.contracts.Contracts.goldCustomerFeaturesDaily.enforce(gold)
-      ParquetTable(spark, goldRoot)
+      goldTable
         .merge(gold, keys = Seq("customer_id", "as_of_date"))
       logEvent("gold_incremental", runId, "completed",
         Map("as_of_date" -> asOfDate, "changed_since" -> changedSince))
@@ -177,7 +191,7 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
     val labels = Labels.buildLabels(silver, asOfDate, horizonDays, runId)
       .persist()
     try {
-      ParquetTable(spark, labelsRoot)
+      labelsTable
         .merge(labels, keys = Seq("customer_id", "as_of_date"))
       val counts = labels.agg(
         count(lit(1)), sum(col("churn_label")).cast("long")).collect()(0)
@@ -205,7 +219,7 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
     val labels = ParquetTable(spark, labelsRoot).read
     val snap = TrainingSnapshot.build(gold, labels, runId).persist()
     try {
-      ParquetTable(spark, snapshotRoot)
+      snapshotTable
         .merge(snap, keys = Seq("customer_id", "as_of_date", "_data_snapshot_id"))
       val stats = snap.agg(count(lit(1)),
         min(col("as_of_date")).cast("string"),

@@ -3,7 +3,7 @@ package graft.tables
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, count_distinct, input_file_name, lit, struct}
+import org.apache.spark.sql.functions.{col, count, count_distinct, input_file_name, lit, max, min, struct}
 
 /** Versioned manifest-based Parquet table: the engine's replacement for
   * the reference's Delta Lake layer (reference uses Delta append /
@@ -28,9 +28,20 @@ import org.apache.spark.sql.functions.{col, count, count_distinct, input_file_na
   * append, never a rewrite of history. `merge` rewrites only the data
   * files that actually contain a matched key (found with one key-column
   * scan), carrying every untouched file into the new manifest by
-  * reference — Delta's copy-on-write file pruning. With per-file min/max
-  * stats the key scan itself could prune too; stats are the natural next
-  * increment, the I/O shape is already O(touched + source).
+  * reference — Delta's copy-on-write file pruning.
+  *
+  * Data skipping: when `statsColumns` is non-empty, every write records
+  * per-file min/max for those columns in the manifest (one O(batch) scan
+  * of the just-written files — Delta's per-file stats collection, which
+  * is what makes the reference's MERGE
+  * (`orders_bronze_to_silver.py:184-192`) skip files). `merge` intersects
+  * the source's key bounds with each file's recorded range and runs the
+  * touched-file discovery scan only over files whose range overlaps — a
+  * merge of one day's keys against a year's table reads one day's files,
+  * not the year. Files written before stats were declared (or by a table
+  * handle without `statsColumns`) have no recorded range and are always
+  * scan candidates, so old manifests stay readable and pruning is purely
+  * an over-approximation of the touched set — never a correctness risk.
   *
   * Crash safety: data dirs and manifests are invisible until the
   * `_LATEST` pointer flips (rename is atomic on POSIX); re-runs are
@@ -39,7 +50,8 @@ import org.apache.spark.sql.functions.{col, count, count_distinct, input_file_na
   * processes — SURVEY.md §3). Readers of `v=N` are never disturbed:
   * manifests and data files are immutable (time travel via `readVersion`).
   */
-final class ParquetTable(spark: SparkSession, root: String) {
+final class ParquetTable(spark: SparkSession, root: String,
+    statsColumns: Seq[String] = Nil) {
 
   private def pointerPath: Path = Paths.get(root, "_LATEST")
   private def committedLogPath: Path = Paths.get(root, "_COMMITTED")
@@ -106,21 +118,41 @@ final class ParquetTable(spark: SparkSession, root: String) {
   }
 
   private def readManifest(v: Long): Seq[Entry] = {
-    val lines = Files.readAllLines(manifestPath(v)).asScala.toSeq
-      .filter(_.nonEmpty).map { l =>
-        val Array(dir, file) = l.split("\t", 2)
-        dir -> file
-      }
+    val lines = readManifestLines(v).map { case (dir, file, _) => dir -> file }
     lines.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
   }
 
-  /** Write the manifest (temp + atomic move), flip `_LATEST`, then record
-    * v in the committed log.
+  /** Manifest lines as (dir, file, statsJson?) — the third tab field is
+    * the optional per-file column-range record; two-field lines (written
+    * before stats were declared) parse with no stats.
     */
-  private def commit(v: Long, entries: Seq[Entry]): Unit = {
+  private def readManifestLines(
+      v: Long): Seq[(String, String, Option[String])] =
+    Files.readAllLines(manifestPath(v)).asScala.toSeq
+      .filter(_.nonEmpty).map { l =>
+        l.split("\t", 3) match {
+          case Array(dir, file) => (dir, file, None)
+          case Array(dir, file, stats) => (dir, file, Some(stats))
+        }
+      }
+
+  /** "dir/file" → stats JSON for every file of version v that has stats. */
+  private def readStatsMap(v: Long): Map[String, String] =
+    readManifestLines(v).collect {
+      case (dir, file, Some(s)) => s"$dir/$file" -> s
+    }.toMap
+
+  /** Write the manifest (temp + atomic move), flip `_LATEST`, then record
+    * v in the committed log. `stats` ("dir/file" → stats JSON) rides as
+    * each line's optional third field.
+    */
+  private def commit(v: Long, entries: Seq[Entry],
+      stats: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(manifestDir)
     val body = entries.flatMap { case (dir, files) =>
-      files.map(f => s"$dir\t$f")
+      files.map { f =>
+        stats.get(s"$dir/$f").fold(s"$dir\t$f")(s => s"$dir\t$f\t$s")
+      }
     }.mkString("", "\n", "\n")
     val mTmp = manifestDir.resolve(s".v=$v.manifest.tmp")
     Files.writeString(mTmp, body)
@@ -153,15 +185,69 @@ final class ParquetTable(spark: SparkSession, root: String) {
       +: (numbers(manifestDir, manifestRe) ++ numbers(dataDir, dirRe))).max + 1L
   }
 
-  /** Write df's rows as version v's fresh data dir; returns its entry. */
+  /** Write df's rows as version v's fresh data dir; returns its entry
+    * plus the per-file stats record for the declared stats columns.
+    */
   private def writeData(df: DataFrame, partitionBy: Seq[String],
-      v: Long): Entry = {
+      v: Long): (Entry, Map[String, String]) = {
     val dir = dataDirName(v)
     val abs = dataDir.resolve(dir)
     val w = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(abs.toString)
-    dir -> listParquet(abs)
+    (dir -> listParquet(abs), collectStats(abs, dir))
+  }
+
+  /** One scan of the just-written data dir → per-file min/max of the
+    * declared stats columns (Delta-style stats collection: O(batch), paid
+    * once at write time so every later merge can skip files). A column
+    * that is all-null in a file is omitted from that file's record —
+    * omission means "unknown", i.e. the file is always a scan candidate
+    * for that column.
+    */
+  private def collectStats(abs: Path, dir: String): Map[String, String] = {
+    if (statsColumns.isEmpty) return Map.empty
+    val df = spark.read.option("basePath", abs.toString)
+      .parquet(abs.toString)
+    val present = statsColumns.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val types = present.map(c => c -> df.schema(c).dataType.typeName).toMap
+    val aggs = present.flatMap(c => Seq(
+      min(col(c)).cast("string"), max(col(c)).cast("string")))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.flatMap { r =>
+      val rel = abs.relativize(
+        Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
+      val cols = present.zipWithIndex.flatMap { case (c, i) =>
+        val mn = r.getString(1 + 2 * i)
+        val mx = r.getString(2 + 2 * i)
+        if (mn == null || mx == null) None
+        else Some((c, types(c), mn, mx))
+      }
+      if (cols.isEmpty) None else Some(s"$dir/$rel" -> renderStats(cols))
+    }.toMap
+  }
+
+  private def renderStats(
+      cols: Seq[(String, String, String, String)]): String = {
+    import graft.common.JsonIO.escape
+    cols.map { case (c, t, mn, mx) =>
+      s""""${escape(c)}":["${escape(t)}","${escape(mn)}","${escape(mx)}"]"""
+    }.mkString("{", ",", "}")
+  }
+
+  private val StatRe =
+    (""""((?:[^"\\]|\\.)*)"\s*:\s*\[\s*"((?:[^"\\]|\\.)*)"\s*,""" +
+      """\s*"((?:[^"\\]|\\.)*)"\s*,\s*"((?:[^"\\]|\\.)*)"\s*\]""").r
+
+  /** col → (typeName, min, max). */
+  private def parseStats(json: String): Map[String, (String, String, String)] = {
+    import graft.common.JsonIO.unescape
+    StatRe.findAllMatchIn(json).map { m =>
+      unescape(m.group(1)) ->
+        ((unescape(m.group(2)), unescape(m.group(3)), unescape(m.group(4))))
+    }.toMap
   }
 
   /** Relative paths of data files under a data dir (partition subdirs
@@ -181,8 +267,8 @@ final class ParquetTable(spark: SparkSession, root: String) {
   /** First publish or full replace (reference S5/S7 semantics). */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
     val v = nextVersion
-    val entry = writeData(df, partitionBy, v)
-    commit(v, Seq(entry))
+    val (entry, stats) = writeData(df, partitionBy, v)
+    commit(v, Seq(entry), stats)
     v
   }
 
@@ -202,8 +288,8 @@ final class ParquetTable(spark: SparkSession, root: String) {
           s"append schema mismatch: table has ${existing.toSeq.sorted}, " +
             s"batch has ${df.columns.sorted.toSeq}")
         val v = nextVersion
-        val entry = writeData(df, partitionBy, v)
-        commit(v, readManifest(cur) :+ entry)
+        val (entry, stats) = writeData(df, partitionBy, v)
+        commit(v, readManifest(cur) :+ entry, readStatsMap(cur) ++ stats)
         v
     }
 
@@ -272,10 +358,17 @@ final class ParquetTable(spark: SparkSession, root: String) {
     * this layout). Merge/append churn accumulates small files; scans pay
     * per-file overhead, so long-lived tables compact periodically.
     * Readers are never disturbed — it's an ordinary pointer-flipped
-    * publish of identical rows.
+    * publish of identical rows. For targetFiles > 1 the rewrite is a
+    * `repartition` so it runs as targetFiles parallel write tasks;
+    * `coalesce` would funnel the whole table through at most targetFiles
+    * upstream tasks with no shuffle to spread them. A single-file target
+    * keeps `coalesce(1)` — one write task is inherent there and the
+    * shuffle would buy nothing.
     */
   def compact(targetFiles: Int = 1): Long =
-    overwrite(read.coalesce(targetFiles), Nil)
+    overwrite(
+      if (targetFiles <= 1) read.coalesce(1)
+      else read.repartition(targetFiles), Nil)
 
   /** Keyed upsert — the reference's Delta MERGE
     * `whenMatchedUpdateAll.whenNotMatchedInsertAll`
@@ -285,32 +378,43 @@ final class ParquetTable(spark: SparkSession, root: String) {
     * fast (multiple matches per target row are ambiguous) rather than
     * silently inserting duplicates for a downstream DQ gate to catch.
     *
-    * File pruning: one key-column scan finds the data files that contain
-    * a matched key (`input_file_name` + semi join); only those files are
-    * re-written — every untouched file rides into the new manifest by
-    * reference, so a merge touching 0.1% of keys rewrites ~0.1% of the
-    * table, not 100%.
+    * File pruning, two layers:
+    *  1. Data skipping — when the manifest carries per-file stats for the
+    *     merge keys, files whose recorded [min,max] cannot intersect the
+    *     source's key bounds are skipped before any data is read.
+    *  2. One key-column scan of the remaining candidates finds the files
+    *     that actually contain a matched key (`input_file_name` + semi
+    *     join); only those files are re-written — every untouched file
+    *     rides into the new manifest by reference, so a merge touching
+    *     0.1% of keys rewrites ~0.1% of the table, not 100%.
     */
   def merge(source: DataFrame, keys: Seq[String],
       partitionBy: Seq[String] = Nil): Long = {
     val keyCols = keys.map(col)
-    val stats = source.agg(
+    val dupStats = source.agg(
       count(lit(1)).as("n"),
       count_distinct(struct(keyCols: _*)).as("d")).collect()(0)
-    require(stats.getLong(0) == stats.getLong(1),
+    require(dupStats.getLong(0) == dupStats.getLong(1),
       s"merge source has duplicate keys on ${keys.mkString(",")} " +
-        s"(${stats.getLong(0)} rows, ${stats.getLong(1)} distinct) — " +
+        s"(${dupStats.getLong(0)} rows, ${dupStats.getLong(1)} distinct) — " +
         "Delta MERGE parity: multiple source matches are an error")
     latestVersion match {
       case None => overwrite(source, partitionBy)
       case Some(cur) =>
         val entries = readManifest(cur)
+        val priorStats = readStatsMap(cur)
         val srcKeys = source.select(keyCols: _*).distinct()
-        val touched: Set[String] = readEntries(entries)
-          .select(keyCols :+ input_file_name().as("__graft_file"): _*)
-          .join(srcKeys, keys, "left_semi")
-          .select("__graft_file").distinct()
-          .collect().map(r => baseName(r.getString(0))).toSet
+        val candidates = pruneByStats(entries, priorStats, source, keys)
+        lastScanned = candidates.flatMap { case (dir, files) =>
+          files.map(f => s"$dir/$f")
+        }
+        val touched: Set[String] =
+          if (candidates.isEmpty) Set.empty
+          else readEntries(candidates)
+            .select(keyCols :+ input_file_name().as("__graft_file"): _*)
+            .join(srcKeys, keys, "left_semi")
+            .select("__graft_file").distinct()
+            .collect().map(r => baseName(r.getString(0))).toSet
         val (touchedEntries, keptEntries) =
           splitEntries(entries, touched)
         val survivors =
@@ -319,11 +423,84 @@ final class ParquetTable(spark: SparkSession, root: String) {
             .join(srcKeys, keys, "left_anti")
             .unionByName(source)
         val v = nextVersion
-        val entry = writeData(survivors, partitionBy, v)
-        commit(v, keptEntries :+ entry)
+        val (entry, newStats) = writeData(survivors, partitionBy, v)
+        val keptFiles = keptEntries.flatMap { case (d, fs) =>
+          fs.map(f => s"$d/$f")
+        }.toSet
+        commit(v, keptEntries :+ entry,
+          priorStats.view.filterKeys(keptFiles.contains).toMap ++ newStats)
         v
     }
   }
+
+  @volatile private var lastScanned: Seq[String] = Nil
+
+  /** "dir/file" of every file the last merge's touched-file discovery
+    * actually scanned (i.e. the post-data-skipping candidate set) —
+    * spec/debug aid like [[currentFiles]].
+    */
+  private[graft] def lastMergeScannedFiles: Seq[String] = lastScanned
+
+  /** Entries restricted to files whose recorded key ranges can overlap
+    * the source's key bounds (one tiny agg over the source for the
+    * bounds). A file with no stats record — or a column type whose
+    * string-cast ordering isn't trustworthy — is always a candidate;
+    * pruning only ever over-approximates the touched set.
+    */
+  private def pruneByStats(entries: Seq[Entry], stats: Map[String, String],
+      source: DataFrame, keys: Seq[String]): Seq[Entry] = {
+    if (stats.isEmpty) return entries
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).cast("string"), max(col(k)).cast("string")))
+    val row = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bounds: Map[String, (String, String)] = keys.zipWithIndex.flatMap {
+      case (k, i) =>
+        val mn = row.getString(2 * i)
+        val mx = row.getString(2 * i + 1)
+        if (mn == null || mx == null) None else Some(k -> ((mn, mx)))
+    }.toMap
+    if (bounds.isEmpty) return entries
+    entries.map { case (dir, files) =>
+      dir -> files.filter { f =>
+        stats.get(s"$dir/$f").forall { json =>
+          val ranges = parseStats(json)
+          !bounds.exists { case (k, (sMin, sMax)) =>
+            ranges.get(k).exists { case (t, fMin, fMax) =>
+              disjoint(t, fMin, fMax, sMin, sMax)
+            }
+          }
+        }
+      }
+    }.filter(_._2.nonEmpty)
+  }
+
+  /** True only when [fMin,fMax] and [sMin,sMax] provably cannot
+    * intersect under the column type's ordering.
+    */
+  private def disjoint(tpe: String, fMin: String, fMax: String,
+      sMin: String, sMax: String): Boolean =
+    cmp(tpe, fMin, sMax).exists(_ > 0) || cmp(tpe, sMin, fMax).exists(_ > 0)
+
+  /** Compare two CAST-to-string values under `tpe`'s real ordering; None
+    * for types where the string form doesn't order correctly (e.g.
+    * timestamps trim trailing fraction zeros) — those never prune.
+    */
+  private def cmp(tpe: String, a: String, b: String): Option[Int] =
+    try tpe match {
+      case "byte" | "short" | "integer" | "long" =>
+        Some(java.lang.Long.compare(a.toLong, b.toLong))
+      case "float" | "double" =>
+        Some(java.lang.Double.compare(a.toDouble, b.toDouble))
+      case t if t.startsWith("decimal") =>
+        Some(BigDecimal(a).compare(BigDecimal(b)))
+      case "string" => // Spark orders strings by UTF-8 bytes (UTF8String)
+        Some(java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case "date" => // ISO yyyy-MM-dd: lexicographic == chronological
+        Some(a.compareTo(b))
+      case _ => None
+    } catch { case _: NumberFormatException => None }
 
   private def baseName(uri: String): String =
     uri.substring(uri.lastIndexOf('/') + 1)
@@ -356,4 +533,11 @@ final class ParquetTable(spark: SparkSession, root: String) {
 object ParquetTable {
   def apply(spark: SparkSession, root: String): ParquetTable =
     new ParquetTable(spark, root)
+
+  /** Table handle that records per-file min/max for `statsColumns` at
+    * write time, enabling merge data skipping.
+    */
+  def apply(spark: SparkSession, root: String,
+      statsColumns: Seq[String]): ParquetTable =
+    new ParquetTable(spark, root, statsColumns)
 }

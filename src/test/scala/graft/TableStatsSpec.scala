@@ -1,0 +1,116 @@
+package graft
+
+import graft.tables.ParquetTable
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Manifest file-stats data skipping + parallel compaction on the table
+  * layer (reference: Delta's per-file stats give its MERGE
+  * `orders_bronze_to_silver.py:184-192` file skipping for free; this
+  * layer records the same stats in its own manifests).
+  */
+class TableStatsSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("stats").toString
+
+  test("merge with source keys inside one file's range scans only that file") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmp()}/t", Seq("k"))
+    val base = (0 until 1000).map(i => (i, s"v$i")).toDF("k", "v")
+    t.overwrite(base.repartitionByRange(4, col("k")))
+    assert(t.currentFiles.size == 4)
+
+    val src = Seq((10, "X"), (20, "Y")).toDF("k", "v")
+    t.merge(src, Seq("k"))
+    // data skipping: of the 4 range-disjoint files, only the one whose
+    // [min,max] covers keys 10 and 20 is a discovery-scan candidate
+    assert(t.lastMergeScannedFiles.size == 1,
+      s"expected 1 candidate file, scanned ${t.lastMergeScannedFiles}")
+
+    // correctness unaffected: updated rows replaced, all others intact
+    assert(t.read.count() == 1000)
+    val got = t.read.filter(col("k").isin(10, 20))
+      .orderBy("k").as[(Int, String)].collect().toSeq
+    assert(got == Seq((10, "X"), (20, "Y")))
+    assert(t.read.filter(col("k") === 11 && col("v") === "v11").count() == 1)
+  }
+
+  test("string keys prune too, and stats survive merge into later merges") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmp()}/t", Seq("id"))
+    val base = (0 until 400).map(i => (f"id_$i%04d", i)).toDF("id", "n")
+    t.overwrite(base.repartitionByRange(4, col("id")))
+    assert(t.currentFiles.size == 4)
+
+    t.merge(Seq(("id_0005", -5)).toDF("id", "n"), Seq("id"))
+    assert(t.lastMergeScannedFiles.size == 1)
+
+    // second merge: kept files' stats rode through the first merge's
+    // manifest, so pruning still works against the rewritten table
+    t.merge(Seq(("id_0350", -350)).toDF("id", "n"), Seq("id"))
+    assert(t.lastMergeScannedFiles.size < t.currentFiles.size)
+    assert(t.read.count() == 400)
+    assert(t.read.filter(col("id") === "id_0005").as[(String, Int)]
+      .collect().toSeq == Seq(("id_0005", -5)))
+    assert(t.read.filter(col("id") === "id_0350").as[(String, Int)]
+      .collect().toSeq == Seq(("id_0350", -350)))
+  }
+
+  test("files written without stats are always scan candidates (back-compat)") {
+    import spark.implicits._
+    val root = s"${tmp()}/t"
+    // write through a handle with no stats columns (old manifests)
+    val plain = ParquetTable(spark, root)
+    plain.overwrite((0 until 100).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")))
+    // merge through a stats-declaring handle: no recorded ranges → every
+    // file must be scanned, and the merge is still correct
+    val t = ParquetTable(spark, root, Seq("k"))
+    t.merge(Seq((7, "X")).toDF("k", "v"), Seq("k"))
+    assert(t.lastMergeScannedFiles.size == 4)
+    assert(t.read.count() == 100)
+    assert(t.read.filter(col("k") === 7).as[(Int, String)]
+      .collect().toSeq == Seq((7, "X")))
+  }
+
+  test("append carries prior stats forward and adds the new batch's") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmp()}/t", Seq("k"))
+    t.overwrite((0 until 100).map(i => (i, "a")).toDF("k", "v"))
+    t.append((100 until 200).map(i => (i, "b")).toDF("k", "v"))
+    // source keys live entirely in the appended batch's range
+    t.merge(Seq((150, "X")).toDF("k", "v"), Seq("k"))
+    assert(t.lastMergeScannedFiles.size < t.currentFiles.size)
+    assert(t.read.count() == 200)
+    assert(t.read.filter(col("k") === 150).as[(Int, String)]
+      .collect().toSeq == Seq((150, "X")))
+  }
+
+  test("merge fully outside every file's range rewrites nothing, inserts source") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmp()}/t", Seq("k"))
+    t.overwrite((0 until 100).map(i => (i, "a")).toDF("k", "v")
+      .repartitionByRange(4, col("k")))
+    val before = t.currentFiles.toSet
+    t.merge(Seq((5000, "new")).toDF("k", "v"), Seq("k"))
+    assert(t.lastMergeScannedFiles.isEmpty) // every file skipped by stats
+    assert(before.subsetOf(t.currentFiles.toSet)) // nothing rewritten
+    assert(t.read.count() == 101)
+  }
+
+  test("compact(4) runs wide and preserves row identity") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmp()}/t", Seq("k"))
+    t.overwrite((0 until 500).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(13))
+    val before = t.read.orderBy("k").collect().toSeq
+    t.compact(4)
+    assert(t.currentFiles.size == 4)
+    assert(t.read.orderBy("k").collect().toSeq == before)
+    // compacted files got fresh stats: a point merge still prunes
+    t.merge(Seq((0, "X")).toDF("k", "v"), Seq("k"))
+    assert(t.lastMergeScannedFiles.size <= 4)
+    assert(t.read.count() == 500)
+  }
+}
