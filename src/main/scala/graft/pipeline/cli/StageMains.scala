@@ -180,7 +180,7 @@ object ScoreMain {
       required(a, "bundle_dir"))
     val store = graft.serving.Scorer.loadFeatureStore(spark,
       p.latestFeaturesPath)
-    graft.serving.Scorer.predict(spark, bundle, store,
+    graft.serving.Scorer.predict(bundle, store,
       required(a, "customer_id")) match {
       case Some(pred) =>
         println(f"[score] customer=${pred.customerId} " +

@@ -152,7 +152,7 @@ final class PredictServer(
           s"version. serving=${rec.featureVersion}, " +
           s"model=${b.featureVersion}", rid))
     }
-    val pred = Scorer.predict(spark, b, st, customerId).get
+    val pred = Scorer.predict(b, st, customerId).get
     inc("predictions_total")
     inc(s"predictions_label_${pred.label}_total")
     Resp(200,

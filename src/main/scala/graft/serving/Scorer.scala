@@ -55,8 +55,57 @@ object Scorer {
     JsonIO.write(s"$dir/approved_model_version.json",
       Map("approved_model_version" -> modelVersion))
 
+  /** In-process scorer: the scaler + logistic-regression arithmetic
+    * extracted from the Spark-ML pipeline at bundle-load time, so each
+    * request is a few dozen flops on the serving thread — no Spark job,
+    * no driver scheduling, no collect (the reference serves the same way:
+    * `model_loader.py:89-99` scores in-process). The arithmetic mirrors
+    * Spark ML exactly — `(x - mean) * (1/std)` with zero-variance
+    * features scaled to 0, sequential dot + intercept, logistic link —
+    * so probabilities match `ChurnTrainer.score` to float-fold order
+    * (ServingSpec asserts 1e-12 parity for every store customer).
+    */
+  final case class LinearScorer(mean: Array[Double], std: Array[Double],
+      coef: Array[Double], intercept: Double) {
+    require(mean.length == std.length && std.length == coef.length,
+      s"scorer shape mismatch: mean=${mean.length} std=${std.length} " +
+        s"coef=${coef.length}")
+    def probability(x: Array[Double]): Double = {
+      var dot = 0.0
+      var i = 0
+      while (i < coef.length) {
+        val scaled =
+          if (std(i) != 0.0) (x(i) - mean(i)) * (1.0 / std(i)) else 0.0
+        dot += coef(i) * scaled
+        i += 1
+      }
+      val margin = dot + intercept
+      1.0 / (1.0 + math.exp(-margin))
+    }
+  }
+
   final case class Bundle(model: PipelineModel, modelVersion: String,
-      featureVersion: String)
+      featureVersion: String, scorer: LinearScorer)
+
+  /** Pull scaler means/stds + LR coefficients out of the fitted pipeline
+    * (stage layout is ChurnTrainer's: assembler → scaler → logreg; found
+    * by type so an extra stage upstream can't silently misalign).
+    */
+  private[serving] def extractLinearScorer(
+      model: PipelineModel): LinearScorer = {
+    val scaler = model.stages.collectFirst {
+      case s: org.apache.spark.ml.feature.StandardScalerModel => s
+    }.getOrElse(throw new IllegalStateException(
+      "bundle pipeline has no StandardScaler stage"))
+    val lr = model.stages.collectFirst {
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel => m
+    }.getOrElse(throw new IllegalStateException(
+      "bundle pipeline has no LogisticRegression stage"))
+    require(lr.numClasses == 2,
+      s"expected binary logistic regression, got ${lr.numClasses} classes")
+    LinearScorer(scaler.mean.toArray, scaler.std.toArray,
+      lr.coefficients.toArray, lr.intercept)
+  }
 
   def loadBundle(spark: SparkSession, dir: String): Bundle = {
     val meta = readFlatJson(s"$dir/model_meta.json")
@@ -70,8 +119,9 @@ object Scorer {
     if (approved != meta("model_version"))
       throw new IllegalStateException(
         s"model ${meta("model_version")} is not the approved version $approved")
-    Bundle(PipelineModel.load(s"$dir/model"),
-      meta("model_version"), meta("feature_version"))
+    val model = PipelineModel.load(s"$dir/model")
+    Bundle(model, meta("model_version"), meta("feature_version"),
+      extractLinearScorer(model))
   }
 
   final case class Prediction(customerId: String, probability: Double,
@@ -79,9 +129,29 @@ object Scorer {
 
   /** M4+M6: score one customer from the store, gated on feature-version
     * equality (`predict.py:97-106`: mismatch → unavailable, not a wrong
-    * answer).
+    * answer). Pure in-process arithmetic — a request never schedules a
+    * Spark job (the Spark path survives as [[predictViaSparkJob]], the
+    * parity oracle).
     */
-  def predict(spark: SparkSession, bundle: Bundle,
+  def predict(bundle: Bundle, store: Map[String, FeatureRecord],
+      customerId: String): Option[Prediction] = {
+    val rec = store.getOrElse(customerId, return None)
+    if (rec.featureVersion != bundle.featureVersion)
+      throw new IllegalStateException(
+        s"serving features ${rec.featureVersion} != model's ${bundle.featureVersion}")
+    val x = new Array[Double](ChurnTrainer.FeatureCols.length)
+    var i = 0
+    ChurnTrainer.FeatureCols.foreach { c => x(i) = rec.features(c); i += 1 }
+    val p = bundle.scorer.probability(x)
+    Some(Prediction(customerId, p, if (p >= 0.5) 1 else 0,
+      bundle.modelVersion, bundle.featureVersion))
+  }
+
+  /** The old Spark-job-per-request path, kept as the parity check for the
+    * in-process scorer (ServingSpec runs both and asserts equality; never
+    * on the serving hot path).
+    */
+  private[graft] def predictViaSparkJob(spark: SparkSession, bundle: Bundle,
       store: Map[String, FeatureRecord],
       customerId: String): Option[Prediction] = {
     val rec = store.getOrElse(customerId, return None)

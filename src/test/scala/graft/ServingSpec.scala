@@ -56,11 +56,35 @@ class ServingSpec extends AnyFunSuite with SparkSpec {
 
   test("prediction returns a gated, bounded probability") {
     val (_, bundle, store) = ctx
-    val pred = Scorer.predict(spark, bundle, store, "cust_0001").get
+    val pred = Scorer.predict(bundle, store, "cust_0001").get
     assert(pred.probability >= 0.0 && pred.probability <= 1.0)
     assert(pred.label == 0 || pred.label == 1)
     assert(pred.modelVersion == bundle.modelVersion)
-    assert(Scorer.predict(spark, bundle, store, "no_such_customer").isEmpty)
+    assert(Scorer.predict(bundle, store, "no_such_customer").isEmpty)
+  }
+
+  test("in-process scorer matches the Spark ML pipeline to 1e-12 for every store customer") {
+    val (_, bundle, store) = ctx
+    assert(store.nonEmpty)
+    store.keys.foreach { cid =>
+      val fast = Scorer.predict(bundle, store, cid).get
+      val oracle = Scorer.predictViaSparkJob(spark, bundle, store, cid).get
+      assert(math.abs(fast.probability - oracle.probability) < 1e-12,
+        s"$cid: in-process=${fast.probability} spark=${oracle.probability}")
+      assert(fast.label == oracle.label)
+    }
+  }
+
+  test("predict schedules zero Spark jobs per request") {
+    val (_, bundle, store) = ctx
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    (1 to 50).foreach { _ =>
+      assert(Scorer.predict(bundle, store, "cust_0001").nonEmpty)
+    }
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"predict scheduled ${after - before} Spark jobs across 50 requests")
   }
 
   test("feature-version mismatch is refused, not mis-served") {
@@ -70,7 +94,7 @@ class ServingSpec extends AnyFunSuite with SparkSpec {
       )
     }
     intercept[IllegalStateException] {
-      Scorer.predict(spark, bundle, tampered, "cust_0001")
+      Scorer.predict(bundle, tampered, "cust_0001")
     }
   }
 
