@@ -57,7 +57,9 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
     graft.contracts.Contracts.goldCustomerFeaturesDaily.identityHash
 
   def ingestBronze(inputPath: String, runId: String): Bronze.IngestResult =
-    Bronze.ingest(spark, inputPath, bronzeRoot, auditRoot, runId)
+    staged("bronze", runId) {
+      Bronze.ingest(spark, inputPath, bronzeRoot, auditRoot, runId)
+    }
 
   private def logEvent(stage: String, runId: String, status: String,
       extra: Map[String, Any] = Map.empty): Unit =
@@ -65,13 +67,33 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
       Map("stage" -> stage, "run_id" -> runId, "status" -> status,
         "ts" -> java.time.Instant.now().toString) ++ extra)
 
+  /** Uniform stage event envelope (reference
+    * `orders_to_bronze.py:202-209,314-324`: every stage logs
+    * `started`/`completed`, and on any error a `failed` event with the
+    * cause before re-raising — a crashed run always leaves a log line
+    * saying which stage died and why).
+    */
+  private def staged[A](stage: String, runId: String,
+      extra: Map[String, Any] = Map.empty)(body: => A): A = {
+    logEvent(stage, runId, "started", extra)
+    try {
+      val r = body
+      logEvent(stage, runId, "completed", extra)
+      r
+    } catch {
+      case e: Throwable =>
+        logEvent(stage, runId, "failed",
+          extra + ("error" -> e.toString.take(500)))
+        throw e
+    }
+  }
+
   /** Silver publish with the reference's DQ gate
     * (`orders_bronze_to_silver.py:129-196`): critical failures block the
     * merge; invalid/duplicate rejects land in bounded quarantine parquet
     * and the DQ report is written as a JSON sidecar.
     */
-  def publishSilver(runId: String): DataFrame = {
-    logEvent("silver", runId, "started")
+  def publishSilver(runId: String): DataFrame = staged("silver", runId) {
     val bronze = ParquetTable(spark, bronzeRoot).read
     val r = Silver.normalizeAndDedupe(bronze)
     // each frame feeds several actions (probe + write + DQ + merge);
@@ -98,18 +120,27 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
       UniqueKey(Seq("order_id")),
       InSet("order_status", Silver.AllowedStatuses)))
     val report = DqRunner.run(out, checks)
+    // per-check failed-row samples (reference dq.py:101-118: a <=100-row
+    // parquet sample per failing check — the first thing an operator
+    // debugging a DQ failure reaches for); written BEFORE the gate throws
+    // so a blocked publish still leaves its evidence behind
+    val samplePaths = checks.zip(report.results).collect {
+      case (check, res) if !res.passed =>
+        val path = s"$warehouse/quarantine/silver_dq_${res.checkName}"
+        DqRunner.failedSample(out, check)
+          .write.mode("overwrite").parquet(path)
+        res.checkName -> path
+    }
     graft.common.JsonIO.write(s"$warehouse/_meta/silver_dq_report.json",
       Map("run_id" -> runId, "passed" -> report.passed) ++
-        report.results.map(r => s"failed_${r.checkName}" -> r.failedCount))
-    if (!report.passed) {
-      logEvent("silver", runId, "failed_dq")
+        report.results.map(r => s"failed_${r.checkName}" -> r.failedCount) ++
+        samplePaths.map { case (n, p) => s"sample_$n" -> p })
+    if (!report.passed)
       throw new IllegalStateException(
         s"silver DQ gate failed: ${report.criticalFailures}")
-    }
 
     graft.contracts.Contracts.silverOrders.enforce(out)
     silverTable.merge(out, keys = Seq("order_id"))
-    logEvent("silver", runId, "completed")
     // hand back the just-merged TABLE, not the (about to be unpersisted)
     // logical plan: any caller action reads parquet instead of re-running
     // the normalize/dedupe DAG
@@ -119,7 +150,8 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
     }
   }
 
-  def publishGold(asOfDate: String, runId: String): DataFrame = {
+  def publishGold(asOfDate: String, runId: String): DataFrame =
+      staged("gold", runId, Map("as_of_date" -> asOfDate)) {
     val silver = ParquetTable(spark, silverRoot).read
     val snapshotId = Versioning.stableHash(s"$asOfDate|$featureVersion")
     // quality collect + merge write + sidecar count all reuse one
@@ -136,7 +168,6 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
         Map("run_id" -> runId, "as_of_date" -> asOfDate,
           "snapshot_id" -> snapshotId, "feature_version" -> featureVersion,
           "row_count" -> gold.count()))
-      logEvent("gold", runId, "completed", Map("as_of_date" -> asOfDate))
       // materialized snapshot slice, not the unpersisted plan
       ParquetTable(spark, goldRoot).read
         .filter(col("as_of_date") === to_date(lit(asOfDate)))
@@ -157,7 +188,9 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
     *                     this timestamp are recomputed
     */
   def publishGoldIncremental(asOfDate: String, runId: String,
-      changedSince: String): DataFrame = {
+      changedSince: String): DataFrame =
+      staged("gold_incremental", runId,
+        Map("as_of_date" -> asOfDate, "changed_since" -> changedSince)) {
     val silver = ParquetTable(spark, silverRoot).read
     val affected = silver
       .filter(col("_silver_ts") >= to_timestamp(lit(changedSince)) ||
@@ -174,8 +207,6 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
       graft.contracts.Contracts.goldCustomerFeaturesDaily.enforce(gold)
       goldTable
         .merge(gold, keys = Seq("customer_id", "as_of_date"))
-      logEvent("gold_incremental", runId, "completed",
-        Map("as_of_date" -> asOfDate, "changed_since" -> changedSince))
       ParquetTable(spark, goldRoot).read
         .filter(col("as_of_date") === to_date(lit(asOfDate)))
     } finally gold.unpersist()
@@ -185,7 +216,8 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
     * as_of, horizon, label version, row/positive/negative counts).
     */
   def publishLabels(asOfDate: String, runId: String,
-      horizonDays: Int = Labels.DefaultHorizonDays): DataFrame = {
+      horizonDays: Int = Labels.DefaultHorizonDays): DataFrame =
+      staged("labels", runId, Map("as_of_date" -> asOfDate)) {
     val silver = ParquetTable(spark, silverRoot).read
     Labels.assertEligible(silver, asOfDate, horizonDays)
     val labels = Labels.buildLabels(silver, asOfDate, horizonDays, runId)
@@ -205,7 +237,6 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
           "row_count" -> rows,
           "positive_rows" -> positives,
           "negative_rows" -> (rows - positives)))
-      logEvent("labels", runId, "completed", Map("as_of_date" -> asOfDate))
       labels
     } finally labels.unpersist()
   }
@@ -214,7 +245,8 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
     * `build_training_snapshot.py:82-110`: snapshot id, row count, as-of
     * range, feature/label versions, payload schema hash).
     */
-  def publishTrainingSnapshot(runId: String): DataFrame = {
+  def publishTrainingSnapshot(runId: String): DataFrame =
+      staged("training_snapshot", runId) {
     val gold = ParquetTable(spark, goldRoot).read
     val labels = ParquetTable(spark, labelsRoot).read
     val snap = TrainingSnapshot.build(gold, labels, runId).persist()
@@ -235,7 +267,6 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
           "feature_version" -> stats.getString(4),
           "label_version" -> stats.getString(5),
           "payload_schema_hash" -> Versioning.stableHash(snap.schema.json)))
-      logEvent("training_snapshot", runId, "completed")
       snap
     } finally snap.unpersist()
   }
@@ -245,7 +276,8 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
     * overwrite export + manifest sidecar (`build_latest_features.py:
     * 62-86`: path, row count, as-of max, feature versions, run id).
     */
-  def exportLatestFeatures(runId: String = "adhoc"): DataFrame = {
+  def exportLatestFeatures(runId: String = "adhoc"): DataFrame =
+      staged("latest_features", runId) {
     val gold = ParquetTable(spark, goldRoot).read
     val w = Window.partitionBy("customer_id").orderBy(
       col("as_of_date").desc, col("_gold_ts").desc_nulls_last,
@@ -265,7 +297,6 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
         "as_of_date_max" -> stats.getString(1),
         "feature_versions" -> stats.getString(2),
         "run_id" -> runId))
-    logEvent("latest_features", runId, "completed")
     exported
   }
 }

@@ -34,8 +34,9 @@ class CliE2eSpec extends AnyFunSuite with SparkSpec {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).map(p => s"--add-opens=$p=ALL-UNNAMED")
 
-  /** Launch one stage main as a separate JVM; returns its stdout. */
-  private def stage(mainClass: String, args: (String, String)*): String = {
+  /** Launch one stage main as a separate JVM; returns (exitCode, output). */
+  private def stageRaw(mainClass: String,
+      args: (String, String)*): (Int, String) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cmd = Seq(javaBin) ++ opens ++ Seq(
       "-Xmx2g", "-cp", s"$classesDir:$sparkJarsGlob",
@@ -46,8 +47,15 @@ class CliE2eSpec extends AnyFunSuite with SparkSpec {
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     val finished = proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
     assert(finished, s"$mainClass timed out.\n$out")
-    assert(proc.exitValue() == 0,
-      s"$mainClass exited ${proc.exitValue()}.\n${out.takeRight(4000)}")
+    (proc.exitValue(), out)
+  }
+
+  /** Launch one stage main as a separate JVM; asserts success, returns
+    * its stdout.
+    */
+  private def stage(mainClass: String, args: (String, String)*): String = {
+    val (rc, out) = stageRaw(mainClass, args: _*)
+    assert(rc == 0, s"$mainClass exited $rc.\n${out.takeRight(4000)}")
     out
   }
 
@@ -141,5 +149,18 @@ class CliE2eSpec extends AnyFunSuite with SparkSpec {
     Seq("latest_features_path", "row_count", "as_of_date_max",
       "feature_versions", "run_id")
       .foreach(k => assert(manifest.contains(k), s"manifest lacks $k"))
+  }
+
+  test("a failing stage process exits nonzero and logs a failed event") {
+    val lake = s"${Files.createTempDirectory("cli_fail")}/lake"
+    // silver against an empty warehouse: no bronze table to read
+    val (rc, out) = stageRaw("graft.pipeline.cli.SilverMain",
+      "warehouse" -> lake, "run_id" -> "cli-fail-1")
+    assert(rc != 0, s"expected nonzero exit.\n${out.takeRight(2000)}")
+    val log = java.nio.file.Paths.get(s"$lake/_logs/pipeline.jsonl")
+    assert(Files.exists(log))
+    val lines = Files.readAllLines(log).toArray.toSeq.map(_.toString)
+    assert(lines.exists(l => l.contains("\"stage\": \"silver\"") &&
+      l.contains("\"status\": \"failed\"") && l.contains("\"error\"")))
   }
 }
