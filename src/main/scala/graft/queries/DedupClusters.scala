@@ -25,39 +25,80 @@ object DedupClusters {
     * collected and solved with union-find (microseconds, no jobs beyond
     * the collect); above it the distributed min-label propagation loop
     * runs. Both label every node with its component's min id.
+    *
+    * The driver path is all primitive arrays — no boxed per-entry
+    * objects. At the 1M-edge threshold: collected tuple array ~40 MB
+    * (transient, 40 B per specialized Tuple2), src/dst 8 MB each,
+    * sorted node-id array ≤16 MB (≤2M longs), parent index array ≤8 MB
+    * — ≤~120 MB peak, comfortably inside any driver heap. The previous
+    * boxed HashMap[Long,Long] was ~100 B/entry, which at its 10M-edge
+    * threshold meant multi-GB; DedupSkewSpec exercises this path at
+    * 200k edges.
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 20, driverMaxEdges: Long = 10000000L): DataFrame = {
+      maxIter: Int = 20, driverMaxEdges: Long = 1000000L): DataFrame = {
     val n = edges.count()
     if (n <= driverMaxEdges) driverComponents(spark, edges)
     else propagateComponents(spark, edges, maxIter)
   }
 
-  /** Union-find with path compression, then min-id per root. */
-  private def driverComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+  /** Union-find over dense int indexes (path halving + union toward the
+    * lower root index), then min-id per root. Node ids are compacted to
+    * 0..m-1 via one sorted primitive array + binary search; every working
+    * structure is a primitive array.
+    */
+  private def driverComponents(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
     import spark.implicits._
     val es = edges.select(col("d1").cast("long"), col("d2").cast("long"))
       .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+    val ne = es.length
+    val src = new Array[Long](ne)
+    val dst = new Array[Long](ne)
+    var i = 0
+    while (i < ne) { src(i) = es(i)._1; dst(i) = es(i)._2; i += 1 }
+
+    // compact node ids: sorted unique array; id -> index by binary search
+    val all = new Array[Long](2 * ne)
+    System.arraycopy(src, 0, all, 0, ne)
+    System.arraycopy(dst, 0, all, ne, ne)
+    java.util.Arrays.sort(all)
+    var m = 0
+    i = 0
+    while (i < all.length) {
+      if (m == 0 || all(i) != all(m - 1)) { all(m) = all(i); m += 1 }
+      i += 1
+    }
+    val nodes = java.util.Arrays.copyOf(all, m) // ascending unique ids
+    def idx(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
+
+    val parent = new Array[Int](m)
+    i = 0
+    while (i < m) { parent(i) = i; i += 1 }
+    def find(x: Int): Int = {
       var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != r) { // path compression
-        val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      while (parent(r) != r) {
+        parent(r) = parent(parent(r)) // path halving
+        r = parent(r)
       }
       r
     }
-    es.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a)
-      parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(ra) = rb
+    i = 0
+    while (i < ne) {
+      val ra = find(idx(src(i)))
+      val rb = find(idx(dst(i)))
+      if (ra != rb) {
+        // union toward the lower index = lower node id (ids are sorted),
+        // so every root's index is its component's min-id index
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      i += 1
     }
-    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
-    val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
-    nodes.map(nd => (nd, minOfRoot(find(nd)))).toSeq
-      .toDF("node", "label")
+
+    val out = new Array[(Long, Long)](m)
+    i = 0
+    while (i < m) { out(i) = (nodes(i), nodes(find(i))); i += 1 }
+    out.toSeq.toDF("node", "label")
   }
 
   /** Distributed min-label propagation (the 100 TB path). Min labels

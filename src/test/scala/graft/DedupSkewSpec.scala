@@ -72,6 +72,39 @@ class DedupSkewSpec extends AnyFunSuite with SparkSpec {
     assert(viaLsh == viaExact)
   }
 
+  test("primitive driver union-find labels 200k chain edges with each chain's min id") {
+    import spark.implicits._
+    // 1000 chains of 200 nodes each: node ids interleaved so components
+    // are NOT contiguous id ranges; expected label = chain head's id
+    val edges = (0 until 1000).flatMap { c =>
+      (0 until 199).map(j => (c + 1000L * j, c + 1000L * (j + 1)))
+    }.toDF("d1", "d2")
+    val labels = graft.queries.DedupClusters
+      .connectedComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 200000)
+    labels.foreach { case (node, label) =>
+      assert(label == node % 1000, s"node $node labeled $label")
+    }
+  }
+
+  test("driver union-find and distributed propagation agree on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 2000 edges over ~1500 nodes
+    val edges = (0 until 2000).map { i =>
+      val a = (i * 2654435761L) % 1500
+      val b = (i * 40503L + 7) % 1500
+      (math.min(a, b), math.max(a, b) + 1) // +1 avoids self-loops
+    }.toDF("d1", "d2")
+    val viaDriver = graft.queries.DedupClusters
+      .connectedComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPropagation = graft.queries.DedupClusters
+      .connectedComponents(spark, edges, maxIter = 40, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaPropagation)
+  }
+
   test("propagation throws instead of returning wrong labels at maxIter") {
     import spark.implicits._
     // a 6-node path graph has diameter 5: maxIter=2 cannot converge
