@@ -294,16 +294,18 @@ object Similarity {
     "all-pairs 1-NN + near-dup flag at 0.95 [dedup,similarity]")
 
   // ---- IVF (inverted-file) ANN ----
-  // Coarse quantizer: NumCells deterministic centroids (the vectors with
-  // the NumCells smallest vec_ids — a fixed, data-independent choice that
-  // needs no training pass; production would k-means them). Every vector
-  // is assigned to its nearest centroid once (narrow map over a tiny
-  // broadcast); a query probes its NProbe nearest cells only. At 100 TB
-  // the index build is one linear pass and search touches
+  // Coarse quantizer: NumCells spherical-k-means centroids trained on a
+  // deterministic hash-sample of the corpus. Every vector is assigned to
+  // its nearest centroid once (narrow map over a tiny broadcast); a
+  // query probes its NProbe nearest cells only. At 100 TB the quantizer
+  // trains on a fixed-size sample (one bounded pass per Lloyd round),
+  // the index build is one linear pass, and search touches
   // ~NProbe/NumCells of the data — the classic FAISS-style layout, in
   // pure DataFrame operations.
   private val NumCells = 16
   private val NProbe = 4
+  private val KMeansIters = 8
+  private val KMeansSampleTarget = 4096L
 
   /** Primitive-loop cosine against a pre-normed centroid. */
   private def cosTo(v: Array[Float], vNorm: Double,
@@ -321,18 +323,109 @@ object Similarity {
     math.sqrt(n)
   }
 
-  /** Centroids with precomputed norms, collected ONCE per query build:
-    * (cell_id, components as doubles, norm).
+  /** The untrained quantizer (the NumCells smallest-id vectors as
+    * centroids) — kept only as the baseline the k-means balance spec
+    * measures against; q54 uses [[kMeansCentroids]].
     */
-  private def collectCentroids(s: SparkSession, d: String): Array[(Long, Array[Double], Double)] = {
+  private[graft] def firstVectorCentroids(s: SparkSession,
+      d: String): Array[(Long, Array[Double], Double)] = {
     import s.implicits._
     load(s, d, "embeddings").filter(col("vec_id") < NumCells)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-      .map { case (cid, c) =>
+      .zipWithIndex
+      .map { case ((_, c), i) =>
         val cd = c.map(_.toDouble)
-        (cid, cd, math.sqrt(cd.map(x => x * x).sum))
+        (i.toLong, cd, math.sqrt(cd.map(x => x * x).sum))
       }
+  }
+
+  /** Spherical-k-means coarse quantizer, trained deterministically.
+    *
+    * Sample: vectors with `xxhash64(vec_id) % sampleMod == 0`, where
+    * sampleMod bounds the sample near KMeansSampleTarget regardless of
+    * corpus size — at 100 TB training cost is a fixed-size sample scan
+    * per Lloyd round, not a corpus scan. Init: the k sample vectors with
+    * the smallest hash (a deterministic pseudo-random draw). Each round
+    * assigns sample vectors to their max-cosine centroid in one narrow
+    * mapPartitions and updates centroids from per-partition partial
+    * (sum, count) pairs folded on the driver in partition order — every
+    * float fold has a fixed order, so retraining on the same file layout
+    * is bit-identical. Empty cells keep their previous centroid.
+    * Returns (cell_id 0..k-1, components, norm).
+    */
+  private[graft] def kMeansCentroids(s: SparkSession, d: String,
+      k: Int = NumCells,
+      iters: Int = KMeansIters): Array[(Long, Array[Double], Double)] = {
+    import s.implicits._
+    val base = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val sampleMod = math.max(1L, n / KMeansSampleTarget)
+    val hashed = base.withColumn("h", xxhash64(col("vec_id")))
+      .filter(pmod(col("h"), lit(sampleMod)) === 0)
+    val sample = hashed.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Double]] = hashed
+        .orderBy(col("h"), col("vec_id")).limit(k)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+        .map(_._2.map(_.toDouble))
+      require(centroids.nonEmpty, "k-means: empty sample")
+      var iter = 0
+      while (iter < iters) {
+        val withNorms = centroids.map(c =>
+          (c, math.sqrt(c.map(x => x * x).sum)))
+        val bc = s.sparkContext.broadcast(withNorms)
+        val partials = sample.mapPartitions { rows =>
+          val cs = bc.value
+          val kk = cs.length
+          val sums = Array.ofDim[Double](kk, Dim)
+          val counts = new Array[Long](kk)
+          rows.foreach { case (_, v) =>
+            // argmax of dot/centroidNorm == argmax of cosine (|v| is
+            // constant across candidates); strict > keeps the lowest
+            // cell on ties, matching rankedCells' stable sort
+            var best = 0
+            var bestScore = Double.NegativeInfinity
+            var c = 0
+            while (c < kk) {
+              val (cd, cn) = cs(c)
+              var dot = 0.0
+              var i = 0
+              while (i < cd.length) { dot += v(i).toDouble * cd(i); i += 1 }
+              val score =
+                if (cn == 0.0) Double.NegativeInfinity else dot / cn
+              if (score > bestScore) { bestScore = score; best = c }
+              c += 1
+            }
+            val sb = sums(best)
+            var i = 0
+            while (i < v.length) { sb(i) += v(i).toDouble; i += 1 }
+            counts(best) += 1L
+          }
+          (0 until kk).iterator.filter(counts(_) > 0L)
+            .map(c => (c, counts(c), sums(c)))
+        }.collect()
+        val newSums = Array.ofDim[Double](centroids.length, Dim)
+        val newCounts = new Array[Long](centroids.length)
+        partials.foreach { case (c, cnt, sum) =>
+          newCounts(c) += cnt
+          var i = 0
+          while (i < Dim) { newSums(c)(i) += sum(i); i += 1 }
+        }
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          if (newCounts(c) == 0L) old
+          else newSums(c).map(_ / newCounts(c))
+        }
+        iter += 1
+      }
+      centroids.zipWithIndex.map { case (cd, i) =>
+        (i.toLong, cd, math.sqrt(cd.map(x => x * x).sum))
+      }
+    } finally sample.unpersist(blocking = false)
   }
 
   /** Cells ranked by centroid cosine for one vector, best first. */
@@ -343,7 +436,7 @@ object Similarity {
       .sortBy(-_._2).map(_._1)
   }
 
-  private def cellAssignments(s: SparkSession, d: String,
+  private[graft] def cellAssignments(s: SparkSession, d: String,
       centroids: Array[(Long, Array[Double], Double)]): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(centroids)
@@ -353,34 +446,40 @@ object Similarity {
       .toDF("vec_id", "embedding", "cell")
   }
 
-  /** IVF-bucketed ANN: same contract as q38, candidates restricted to
-    * the query's NProbe nearest cells.
+  /** IVF-bucketed top-10 under a given quantizer: same contract as q38,
+    * candidates restricted to each query's NProbe nearest cells.
+    * Parameterized so the spec can measure recall under both quantizers.
+    */
+  private[graft] def ivfTopK(s: SparkSession, d: String,
+      centroids: Array[(Long, Array[Double], Double)]): DataFrame = {
+    import s.implicits._
+    val assigned = cellAssignments(s, d, centroids)
+    val bc = s.sparkContext.broadcast(centroids)
+    val queries = load(s, d, "embeddings").filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, v) =>
+        rankedCells(bc.value, v).take(NProbe).map(c => (qid, v, c))
+      }.toDF("query_id", "qv", "probe_cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    assigned.join(broadcast(queries),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fastCosine(s)(col("qv"), col("embedding")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"),
+        col("score"), col("rn").cast("int").as("rn"))
+  }
+
+  /** IVF-bucketed ANN: q38's contract under the trained k-means
+    * quantizer.
     */
   private val q54 = QueryDef(
-    (s, d) => {
-      import s.implicits._
-      val centroids = collectCentroids(s, d) // collected once, shared
-      val assigned = cellAssignments(s, d, centroids)
-      val bc = s.sparkContext.broadcast(centroids)
-      val queries = load(s, d, "embeddings").filter(col("vec_id") < 20)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .flatMap { case (qid, v) =>
-          rankedCells(bc.value, v).take(NProbe).map(c => (qid, v, c))
-        }.toDF("query_id", "qv", "probe_cell")
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("vec_id").asc)
-      assigned.join(broadcast(queries),
-          col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          fastCosine(s)(col("qv"), col("embedding")).as("score"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
-        .select(col("query_id"), col("vec_id"),
-          col("score"), col("rn").cast("int").as("rn"))
-    },
+    (s, d) => ivfTopK(s, d, kMeansCentroids(s, d)),
     None, // approximate: recall measured against q38 in specs
-    "IVF ANN top-10: 16 cells, 4-probe [similarity]")
+    "IVF ANN top-10: 16 k-means cells, 4-probe [similarity]")
 
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
