@@ -481,9 +481,70 @@ object Similarity {
     None, // approximate: recall measured against q38 in specs
     "IVF ANN top-10: 16 k-means cells, 4-probe [similarity]")
 
+  /** Candidates-then-rerank exact-scored 1-NN — the default q40-shaped
+    * operator at 100 TB. Candidate pairs come from two independent
+    * bucketings (either suffices to nominate): the 16×4-bit hyperplane
+    * LSH tables and the trained IVF quantizer's cells. Both are narrow
+    * maps followed by bucketed equi-joins on 8-byte keys; candidate ids
+    * travel as 16-byte pairs and embeddings are joined back only for
+    * surviving pairs, which are then scored with the same bit-exact
+    * cosine as q40 and reduced to each vector's argmax (ties → smaller
+    * id, q40's rule). Unlike [[nearestNeighborBlocked]] there is no
+    * per-block driver collect — no data transits the driver, so
+    * throughput scales with the cluster, at the price of missing a
+    * neighbor that shares no bucket (recall vs q40 asserted >=0.95@1 in
+    * ApproxOpsSpec). Vectors with no candidate surface with a null nn
+    * and is_near_dup=false rather than silently disappearing.
+    */
+  private[graft] def nearestNeighborCandidates(s: SparkSession,
+      d: String): DataFrame = {
+    val ids = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val lsh = bucketedVectors(s, d).select(col("vec_id"), col("bkt"))
+    val lshPairs = lsh.as("a").join(lsh.as("b"),
+        col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+    // each vector nominates from its TOP-2 cells (multi-assignment blunts
+    // the boundary-miss mode where 1-NN pairs straddle one Voronoi edge)
+    val cells = {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(kMeansCentroids(s, d))
+      load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          rankedCells(bc.value, v).take(2).map(c => (id, c))
+        }.toDF("vec_id", "cell")
+    }
+    val cellPairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+    val pairs = lshPairs.unionByName(cellPairs).distinct()
+    val e1 = ids.select(col("vec_id").as("v1"), col("embedding").as("emb1"))
+    val e2 = ids.select(col("vec_id").as("v2"), col("embedding").as("emb2"))
+    val scored = pairs.join(e1, "v1").join(e2, "v2")
+      .select(col("v1"), col("v2"),
+        fastCosine(s)(col("emb1"), col("emb2")).as("cos"))
+    val w = Window.partitionBy(col("v1"))
+      .orderBy(col("cos").desc, col("v2").asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("v1"), col("v2").as("nn"), col("cos"))
+    ids.select(col("vec_id").as("v1")).join(best, Seq("v1"), "left")
+      .select(col("v1"), col("nn"), col("cos"),
+        coalesce(col("cos") >= 0.95, lit(false)).as("is_near_dup"))
+  }
+
+  private val q62 = QueryDef(
+    (s, d) => nearestNeighborCandidates(s, d),
+    None, // approximate: recall vs q40 asserted in ApproxOpsSpec
+    "candidates (LSH ∪ IVF cells) + exact re-rank 1-NN [dedup,similarity]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
     "q39_ann_lsh" -> q39,
     "q40_dedup_embedding" -> q40,
-    "q54_ann_ivf" -> q54)
+    "q54_ann_ivf" -> q54,
+    "q62_dedup_embedding_ann" -> q62)
 }

@@ -107,6 +107,32 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rKm >= rFv, s"unleaked recall: kmeans=$rKm first16=$rFv")
   }
 
+  test("candidates-then-rerank 1-NN (q62) reaches >=0.95 recall@1 vs exact q40") {
+    val exact = SparkEntry.queries("q40_dedup_embedding")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val approx = SparkEntry.queries("q62_dedup_embedding_ann")(spark, Sf)
+      .collect().map { r =>
+        r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))
+      }.toMap
+    // every vector surfaces, even candidate-less ones
+    assert(approx.keySet == exact.keySet)
+    val hits = exact.count { case (v, (nn, cos)) =>
+      // equal-cosine ties count as a hit: both are true 1-NNs
+      approx(v).exists { case (ann, acos) => ann == nn || acos == cos }
+    }
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.95, s"recall@1 = $recall") // measured 0.98 here
+    // when the candidate path finds the exact neighbor, its score is the
+    // bit-identical exact cosine (same fold), not an approximation
+    exact.foreach { case (v, (nn, cos)) =>
+      approx(v).foreach { case (ann, acos) =>
+        if (ann == nn) assert(acos == cos, s"vector $v cosine mismatch")
+      }
+    }
+  }
+
   test("k-means training is deterministic across repeated runs") {
     import graft.queries.Similarity
     val a = Similarity.kMeansCentroids(spark, Sf)
