@@ -135,8 +135,10 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
 
   test("k-means training is deterministic across repeated runs") {
     import graft.queries.Similarity
-    val a = Similarity.kMeansCentroids(spark, Sf)
-    val b = Similarity.kMeansCentroids(spark, Sf)
+    // train twice for real (bypassing the per-dataset memo) — partial
+    // sums fold in partition order, so retraining must be bit-identical
+    val a = Similarity.trainKMeans(spark, Sf, 16, 4)
+    val b = Similarity.trainKMeans(spark, Sf, 16, 4)
     assert(a.length == b.length)
     a.zip(b).foreach { case ((ida, ca, na), (idb, cb, nb)) =>
       assert(ida == idb && na == nb)
