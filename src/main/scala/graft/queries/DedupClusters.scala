@@ -37,9 +37,15 @@ object DedupClusters {
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
       maxIter: Int = 20, driverMaxEdges: Long = 1000000L): DataFrame = {
-    val n = edges.count()
-    if (n <= driverMaxEdges) driverComponents(spark, edges)
-    else propagateComponents(spark, edges, maxIter)
+    // the edge plan may be expensive (LSH candidates + exact verify);
+    // persist it so the size probe and the solve don't run it twice
+    val cached = edges.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cached.count()
+      if (n <= driverMaxEdges) driverComponents(spark, cached)
+      else propagateComponents(spark, cached, maxIter)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Union-find over dense int indexes (path halving + union toward the

@@ -370,6 +370,22 @@ final class ParquetTable(spark: SparkSession, root: String,
       if (targetFiles <= 1) read.coalesce(1)
       else read.repartition(targetFiles), Nil)
 
+  /** Clustered compaction: rewrite the current version range-partitioned
+    * and sorted on `clusterBy` (Delta OPTIMIZE ZORDER's role for the
+    * 1-D case). Output files cover disjoint key ranges, so with
+    * `clusterBy ⊆ statsColumns` the recorded per-file stats become
+    * maximally selective — a later point merge's discovery scan prunes
+    * to a single file instead of every file a hash layout would leave
+    * overlapping. Run periodically on merge-heavy tables to restore
+    * skipping power as churn smears key ranges across files.
+    */
+  def compactClustered(targetFiles: Int, clusterBy: Seq[String]): Long = {
+    require(targetFiles >= 1 && clusterBy.nonEmpty)
+    val cols = clusterBy.map(col)
+    overwrite(read.repartitionByRange(targetFiles, cols: _*)
+      .sortWithinPartitions(cols: _*), Nil)
+  }
+
   /** Keyed upsert — the reference's Delta MERGE
     * `whenMatchedUpdateAll.whenNotMatchedInsertAll`
     * (`orders_bronze_to_silver.py:184-192`): every target row whose key

@@ -99,6 +99,27 @@ class TableStatsSpec extends AnyFunSuite with SparkSpec {
     assert(t.read.count() == 101)
   }
 
+  test("clustered compaction restores maximal merge pruning after churn") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmp()}/t", Seq("k"))
+    // hash-partitioned writes: every file spans the full key range, so a
+    // point merge cannot prune anything
+    t.overwrite((0 until 1000).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4))
+    t.merge(Seq((500, "X")).toDF("k", "v"), Seq("k"))
+    assert(t.lastMergeScannedFiles.size == 4) // overlapping ranges: no skip
+
+    // range-clustered rewrite: files become key-disjoint with fresh stats
+    t.compactClustered(4, Seq("k"))
+    assert(t.currentFiles.size == 4)
+    assert(t.read.count() == 1000)
+    t.merge(Seq((500, "Y")).toDF("k", "v"), Seq("k"))
+    assert(t.lastMergeScannedFiles.size == 1,
+      s"expected 1 candidate after clustering, got ${t.lastMergeScannedFiles}")
+    assert(t.read.filter(col("k") === 500).as[(Int, String)]
+      .collect().toSeq == Seq((500, "Y")))
+  }
+
   test("compact(4) runs wide and preserves row identity") {
     import spark.implicits._
     val t = ParquetTable(spark, s"${tmp()}/t", Seq("k"))
