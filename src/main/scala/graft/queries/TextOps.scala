@@ -147,9 +147,78 @@ object TextOps {
             FROM documents"""),
     "content hash + min-shingle fingerprint [text-analysis]")
 
+  /** Distinctive terms per document — the TF-IDF idea with an
+    * all-integer ranking (tf desc, document frequency asc, term asc) so
+    * the order is a total order both engines agree on bit-for-bit (no
+    * float log in the sort key). The shape is the real thing: per-doc
+    * term frequencies with map-side combine, a corpus DF table, a keyed
+    * join, and a bounded per-doc top-k — at 100 TB the only wide ops are
+    * two keyed aggregations and one join on the term.
+    */
+  private val q63 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = load(s, d, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(words(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      // tf has one row per (doc, term), so DF = row count per term
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("term"),
+          col("tf").cast("int").as("tf"),
+          col("df").cast("int").as("df"),
+          col("rn").cast("int").as("rn"))
+    },
+    Some(s"""WITH terms AS (
+              SELECT doc_id, unnest($WordsSql) AS term FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+            ), df AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            )
+            SELECT doc_id, term, CAST(tf AS INTEGER) AS tf,
+              CAST(df AS INTEGER) AS df, CAST(rn AS INTEGER) AS rn
+            FROM (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+                  FROM tf JOIN df USING (term))
+            WHERE rn <= 5"""),
+    "top-5 distinctive terms per doc (tf desc, df asc) [text-analysis]")
+
+  /** Corpus n-gram statistics: top-100 word trigrams by count — the
+    * language-model-style corpus profile. One explode + one keyed agg
+    * (map-side partial) + TakeOrdered; the (count desc, gram asc) key is
+    * a total order, so the cut at 100 is deterministic.
+    */
+  private val q64 = QueryDef(
+    (s, d) => {
+      val docs = load(s, d, "documents")
+      docs.select(explode(wordNgrams(words(col("text")), 3)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(100)
+    },
+    Some(s"""WITH g AS (
+              SELECT unnest(
+                [array_to_string(($WordsSql)[i:i+2], ' ')
+                 for i in range(1, greatest(len($WordsSql) - 1, 1))]) AS gram
+              FROM documents
+            )
+            SELECT gram, count(*) AS n FROM g GROUP BY 1
+            ORDER BY n DESC, gram ASC LIMIT 100"""),
+    "top-100 corpus word trigrams [text-analysis]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q30_text_tokens" -> q30,
     "q31_text_quality" -> q31,
     "q32_text_langid" -> q32,
-    "q33_text_fingerprint" -> q33)
+    "q33_text_fingerprint" -> q33,
+    "q63_tfidf_terms" -> q63,
+    "q64_corpus_ngrams" -> q64)
 }
