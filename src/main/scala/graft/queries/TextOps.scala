@@ -198,8 +198,20 @@ object TextOps {
     */
   private val q64 = QueryDef(
     (s, d) => {
+      import s.implicits._
       val docs = load(s, d, "documents")
-      docs.select(explode(wordNgrams(words(col("text")), 3)).as("gram"))
+      // tokens come from the same Catalyst norm/split chain as every
+      // other text op (oracle-consistent); the gram construction runs as
+      // a typed linear loop — the interpreted slice-per-gram HOF chain
+      // is O(words^2) per doc and ~10x slower (same pitfall PLANS.md
+      // documents for the shingle path)
+      docs.select(words(col("text")).as("w")).as[Seq[String]]
+        .flatMap { w =>
+          if (w.length < 3) Iterator.empty
+          else (0 to w.length - 3).iterator
+            .map(i => w(i) + " " + w(i + 1) + " " + w(i + 2))
+        }
+        .toDF("gram")
         .groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram").asc)
         .limit(100)
