@@ -309,9 +309,74 @@ object Dedup {
     None, // bit-level hash semantics not portable to the oracle; see specs
     "SimHash64 near-dup, Hamming<=3, chunk-banded candidates [dedup]")
 
+  /** Incremental exact dedup: classify an incoming BATCH of documents
+    * (doc_id ≡ 0 mod 5 — a stand-in for "today's crawl") against the
+    * already-ingested CORPUS (the rest). Each batch doc is
+    * `dup_of_corpus` (hash already in the corpus index),
+    * `dup_in_batch` (first seen earlier in this same batch), or `new`;
+    * `keep_doc_id` is the canonical survivor (corpus min-id, else batch
+    * min-id). This is the shape every continuously-fed training corpus
+    * needs: at 100 TB the corpus index (content_hash → min doc_id) is a
+    * materialized table maintained across ingests — here it is derived
+    * in-plan from the same scan, but the batch side only ever joins
+    * against the ALREADY-AGGREGATED index (one row per distinct corpus
+    * hash, map-side combined), never against corpus rows, and the
+    * within-batch tie-break is a window over the (small) batch alone.
+    * One shuffle each for the index, the join, and the batch window —
+    * all on the 64-hex hash key.
+    */
+  /** Core of q66 over an explicit documents frame and batch predicate
+    * (specs plant cross-split duplicates — the natural corpus has none).
+    */
+  private[graft] def incrementalExactFrom(docs: DataFrame,
+      isBatch: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = docs
+      .select(col("doc_id"), sha2(norm(col("text")), 256).as("content_hash"),
+        isBatch.as("is_batch"))
+    val corpusIdx = hashed.filter(!col("is_batch"))
+      .groupBy("content_hash").agg(min("doc_id").as("corpus_doc_id"))
+    val byHash = Window.partitionBy("content_hash")
+    hashed.filter(col("is_batch"))
+      .withColumn("rn", row_number().over(byHash.orderBy("doc_id")))
+      .withColumn("first_batch_id", min("doc_id").over(byHash))
+      .join(corpusIdx, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        when(col("corpus_doc_id").isNotNull, "dup_of_corpus")
+          .when(col("rn") > 1, "dup_in_batch")
+          .otherwise("new").as("status"),
+        coalesce(col("corpus_doc_id"), col("first_batch_id"))
+          .as("keep_doc_id"))
+  }
+
+  private val q66 = QueryDef(
+    (s, d) => incrementalExactFrom(load(s, d, "documents"),
+      col("doc_id") % 5 === 0),
+    Some(s"""WITH h AS (
+              SELECT doc_id, sha256($NormSql) AS content_hash FROM documents
+            ), ci AS (
+              SELECT content_hash, min(doc_id) AS corpus_doc_id
+              FROM h WHERE doc_id % 5 <> 0 GROUP BY 1
+            ), b AS (
+              SELECT doc_id, content_hash,
+                ROW_NUMBER() OVER (PARTITION BY content_hash
+                  ORDER BY doc_id) AS rn,
+                MIN(doc_id) OVER (PARTITION BY content_hash) AS first_batch_id
+              FROM h WHERE doc_id % 5 = 0
+            )
+            SELECT b.doc_id, b.content_hash,
+              CASE WHEN ci.corpus_doc_id IS NOT NULL THEN 'dup_of_corpus'
+                   WHEN b.rn > 1 THEN 'dup_in_batch'
+                   ELSE 'new' END AS status,
+              CAST(coalesce(ci.corpus_doc_id, b.first_batch_id) AS BIGINT)
+                AS keep_doc_id
+            FROM b LEFT JOIN ci USING (content_hash)"""),
+    "incremental dedup: batch vs corpus index [dedup]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q34_dedup_exact" -> q34,
     "q35_dedup_ngram_jaccard" -> q35,
     "q36_dedup_minhash_lsh" -> q36,
-    "q37_dedup_simhash" -> q37)
+    "q37_dedup_simhash" -> q37,
+    "q66_dedup_incremental" -> q66)
 }

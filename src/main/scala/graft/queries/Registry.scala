@@ -10,5 +10,5 @@ object Registry {
     Relational.all ++ Quality.all ++ Churn.all ++
       TextOps.all ++ Dedup.all ++ Similarity.all ++ Events.all ++
       Multimodal.all ++ ApproxOps.all ++ Advanced.all ++ Temporal.all ++
-      TextClean.all ++ Profiling.all ++ DedupClusters.all
+      TextClean.all ++ Profiling.all ++ DedupClusters.all ++ Packing.all
 }

@@ -226,11 +226,59 @@ object TextOps {
             ORDER BY n DESC, gram ASC LIMIT 100"""),
     "top-100 corpus word trigrams [text-analysis]")
 
+  /** Context-window chunking parameters: 64-token windows advancing by
+    * 48 (16-token overlap keeps boundary context in both neighbors —
+    * the standard long-doc preprocessing for a fixed-context trainer or
+    * a RAG chunk index).
+    */
+  private[graft] val ChunkLen = 64
+  private[graft] val ChunkStride = 48
+
+  /** Sequence chunking: split each document's token stream into
+    * fixed-size overlapping windows. Chunk starts are 0, stride, 2·stride
+    * … while start < n, so the final window may be short but no token is
+    * ever dropped. Pure narrow flatMap — zero shuffle, output rows carry
+    * (doc, chunk ordinal, length, text), so at 100 TB this is a map-only
+    * job whose output feeds tokenize/embed stages directly. The window
+    * construction runs as a typed linear loop for the same reason as q64
+    * (Catalyst slice/concat HOFs are interpreted).
+    */
+  private val q65 = QueryDef(
+    (s, d) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .as[(Long, Seq[String])]
+        .flatMap { case (id, w) =>
+          val n = w.length
+          Iterator.range(0, math.max(n, 1), ChunkStride).map { st =>
+            val c = w.slice(st, math.min(st + ChunkLen, n))
+            (id, st / ChunkStride, c.length, c.mkString(" "))
+          }
+        }
+        .toDF("doc_id", "chunk_id", "n_tokens", "chunk")
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, $WordsSql AS w FROM documents
+            ), st AS (
+              SELECT doc_id, w,
+                unnest(range(0, greatest(len(w), 1), $ChunkStride)) AS s
+              FROM t
+            )
+            SELECT doc_id,
+              CAST(s // $ChunkStride AS INTEGER) AS chunk_id,
+              CAST(least(s + $ChunkLen, len(w)) - s AS INTEGER) AS n_tokens,
+              array_to_string(w[s + 1 : least(s + $ChunkLen, len(w))], ' ')
+                AS chunk
+            FROM st"""),
+    s"$ChunkLen-token chunks, stride $ChunkStride [text-analysis]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q30_text_tokens" -> q30,
     "q31_text_quality" -> q31,
     "q32_text_langid" -> q32,
     "q33_text_fingerprint" -> q33,
     "q63_tfidf_terms" -> q63,
-    "q64_corpus_ngrams" -> q64)
+    "q64_corpus_ngrams" -> q64,
+    "q65_doc_chunks" -> q65)
 }
