@@ -10,17 +10,12 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
-    graft.common.Tables.createViews(spark, sf)
-    graft.functions.GraftFunctions.register(spark)
-    spark.sql(
-      """SELECT c_mktsegment, count(*) AS n FROM orders
-        |JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"""
-        .stripMargin).show()
-    spark.sql(
-      """SELECT a.vec_id, round(cosine_sim(a.embedding, b.embedding), 4) c
-        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-        |ORDER BY a.vec_id LIMIT 3""".stripMargin).show()
+    val sf = "/root/testdata/sf0.01"
+    Seq("q65_doc_chunks", "q66_dedup_incremental", "q67_sequence_packing")
+      .foreach { n =>
+        println(s"===== $n =====")
+        graft.SparkEntry.queries(n)(spark, sf).explain("formatted")
+      }
     spark.stop()
   }
 }
