@@ -560,10 +560,86 @@ object Similarity {
     None, // approximate: recall vs q40 asserted in ApproxOpsSpec
     "candidates (LSH ∪ IVF cells) + exact re-rank 1-NN [dedup,similarity]")
 
+  /** Scalar int8 quantization of the embedding column — the standard
+    * 4x memory compression for a resident ANN index (64 floats → 64
+    * bytes + one scale). Per-vector symmetric scheme: scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5) (explicit round-half-up — both engines
+    * agree bit-for-bit on IEEE double floor, unlike their native round()
+    * tie rules). The query reports the quantization quality per vector:
+    * the cosine between the original and the dequantized vector and the
+    * max absolute reconstruction error — the numbers that justify (or
+    * veto) serving the compressed index. Pure narrow map, zero shuffle;
+    * all folds are sequential in array order so the doubles are
+    * bit-identical to the DuckDB mirror.
+    */
+  private val q68 = QueryDef(
+    (s, d) => {
+      import s.implicits._
+      load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          var maxAbs = 0.0
+          var i = 0
+          while (i < v.length) {
+            val a = math.abs(v(i).toDouble)
+            if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          val scale = maxAbs / 127.0
+          // fold order: dot/norms accumulate left-to-right, matching the
+          // oracle's list_reduce
+          var dot = 0.0
+          var n1 = 0.0
+          var n2 = 0.0
+          var maxErr = 0.0
+          i = 0
+          while (i < v.length) {
+            val x = v(i).toDouble
+            val q = math.floor(x / scale + 0.5)
+            val r = q * scale
+            dot += x * r
+            n1 += x * x
+            n2 += r * r
+            val e = math.abs(x - r)
+            if (e > maxErr) maxErr = e
+            i += 1
+          }
+          (id, scale, dot / (math.sqrt(n1) * math.sqrt(n2)), maxErr)
+        }
+        .toDF("vec_id", "scale", "recon_cos", "max_abs_err")
+    },
+    Some("""WITH t AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, v,
+                list_reduce(list_transform(v, x -> abs(x)),
+                  (a, b) -> greatest(a, b)) / 127.0 AS scale
+              FROM t
+            ), r AS (
+              SELECT vec_id, v, scale,
+                list_transform(v, x -> floor(x / scale + 0.5) * scale) AS rv
+              FROM s
+            )
+            SELECT vec_id, scale,
+              list_reduce(list_transform(list_zip(v, rv),
+                  x -> x[1] * x[2]), (a, b) -> a + b)
+              / (sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
+               * sqrt(list_reduce(list_transform(rv, x -> x * x), (a, b) -> a + b)))
+                AS recon_cos,
+              list_reduce(list_transform(list_zip(v, rv),
+                  x -> abs(x[1] - x[2])), (a, b) -> greatest(a, b))
+                AS max_abs_err
+            FROM r"""),
+    "int8 scalar quantization quality per vector [similarity]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
     "q39_ann_lsh" -> q39,
     "q40_dedup_embedding" -> q40,
     "q54_ann_ivf" -> q54,
-    "q62_dedup_embedding_ann" -> q62)
+    "q62_dedup_embedding_ann" -> q62,
+    "q68_embedding_quantize" -> q68)
 }

@@ -133,6 +133,21 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("int8 quantization (q68) preserves cosine geometry") {
+    val rows = SparkEntry.queries("q68_embedding_quantize")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, cos, err) =>
+      assert(scale > 0.0, s"vec $id degenerate scale")
+      // int8 symmetric quantization of a 64-dim vector keeps the
+      // reconstruction within half a quantization step per component —
+      // cosine to the original should be essentially 1
+      assert(cos > 0.999, s"vec $id recon cosine $cos")
+      assert(err <= scale / 2 + 1e-12, s"vec $id error $err > step/2")
+    }
+  }
+
   test("k-means training is deterministic across repeated runs") {
     import graft.queries.Similarity
     // train twice for real (bypassing the per-dataset memo) — partial
