@@ -27,53 +27,71 @@ object Dedup {
         for i in range(1, greatest(len($WordsSql) - 3, 1))])"""
   private val GramsSql = GramsOracleSql
 
-  /** Distinct (doc_id, gram) pairs — one shuffle-free projection+explode. */
-  private def docGrams(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(wordNgrams(words(col("text")), 5))).as("gram"))
-
-  /** Distinct (doc_id, gram-hash) pairs in one typed partition pass.
-    * Catalyst's higher-order array functions (transform/slice/concat_ws)
-    * are interpreted — building 5-grams that way costs seconds per
-    * evaluation and a self-join evaluates its subtree per side. Here the
-    * normalization + shingling + 64-bit FNV-1a hashing run as primitive
-    * JVM code; downstream joins/aggregations only ever see (long, long)
-    * rows. Gram identity is engine-internal (the oracle compares Jaccard
-    * VALUES), so any deterministic 64-bit hash is sound; FNV-1a collision
-    * odds at corpus scale are ~n²/2^65.
+  /** Distinct 64-bit FNV-1a hashes of a document's word 5-grams,
+    * computed by a primitive JVM loop. Catalyst's higher-order array
+    * functions (transform/slice/concat_ws) are interpreted — building
+    * 5-grams that way costs seconds per evaluation and a self-join
+    * evaluates its subtree per side. Gram identity is engine-internal
+    * (the oracle compares Jaccard VALUES), so any deterministic 64-bit
+    * hash is sound; FNV-1a collision odds at corpus scale are ~n²/2^65.
+    * Returned sorted so every downstream float/array fold has one fixed
+    * order.
     */
-  private def docGramHashes(spark: SparkSession, sfDir: String): DataFrame =
-    docGramHashesFrom(spark, load(spark, sfDir, "documents"))
+  private def shingleHashes(text: String): Array[Long] = {
+    val w = text.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (w.length < 5) Array.emptyLongArray
+    else {
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      var i = 0
+      while (i <= w.length - 5) {
+        var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+        var j = i
+        while (j < i + 5) {
+          val s = w(j)
+          var k = 0
+          while (k < s.length) {
+            h ^= s.charAt(k); h *= 0x100000001b3L; k += 1
+          }
+          h ^= ' '; h *= 0x100000001b3L
+          j += 1
+        }
+        seen.add(h)
+        i += 1
+      }
+      val out = seen.toArray
+      java.util.Arrays.sort(out)
+      out
+    }
+  }
 
-  /** Same, over an explicit documents frame (composition + specs). */
-  private def docGramHashesFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** splitmix64 finalizer — full-avalanche mixing for hash-derived keys
+    * (public-domain constant set). Used wherever a weak-avalanche base
+    * hash (FNV) feeds bucketing bits.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-doc (sorted distinct gram hashes, gram count) in ONE narrow
+    * pass — documents arrive one per row, so the per-doc "aggregation"
+    * is a local loop, not a groupBy: the old shape shuffled one row per
+    * gram into a doc_id exchange, which at 100 TB moves ~50x the corpus
+    * token count through the network for no reason.
+    */
+  private def docGramSetsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
-          val w = text.trim.toLowerCase(java.util.Locale.ROOT)
-            .split("\\s+").filter(_.nonEmpty)
-          if (w.length < 5) Iterator.empty
-          else {
-            val seen = scala.collection.mutable.HashSet.empty[Long]
-            (0 to w.length - 5).iterator.flatMap { i =>
-              var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-              var j = i
-              while (j < i + 5) {
-                val s = w(j)
-                var k = 0
-                while (k < s.length) {
-                  h ^= s.charAt(k); h *= 0x100000001b3L; k += 1
-                }
-                h ^= ' '; h *= 0x100000001b3L
-                j += 1
-              }
-              if (seen.add(h)) Iterator.single((id, h)) else Iterator.empty
-            }
-          }
+          val hs = shingleHashes(text)
+          if (hs.isEmpty) Iterator.empty
+          else Iterator.single((id, hs, hs.length))
         }
-      }.toDF("doc_id", "h")
+      }.toDF("doc_id", "hs", "ng")
   }
 
   /** Exact dedup: hash-groupBy on the canonical content hash. One shuffle
@@ -125,15 +143,14 @@ object Dedup {
   private[graft] def nearDupPairsFrom(s: SparkSession, docs: DataFrame,
       maxGramDf: Long = DefaultMaxGramDf): DataFrame = {
       import org.apache.spark.sql.expressions.Window
+      // per-doc sets and counts come from the narrow shingling pass —
+      // no doc_id shuffle; the only exchange left is the inverted-index
+      // one (on the gram hash), which is inherent to candidate finding
+      val sets = docGramSetsFrom(s, docs)
       // join on the 8-byte gram hash, not the ~25-char string: same
       // pairs (modulo negligible hash collisions), much cheaper to
       // compute, shuffle, and compare
-      val g = docGramHashesFrom(s, docs)
-      // one shuffle on doc_id yields BOTH per-doc gram counts (the
-      // length prune + Jaccard denominators) and the full hash sets
-      // (the exact-verify material)
-      val sets = g.groupBy("doc_id")
-        .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("ng"))
+      val g = sets.select(col("doc_id"), explode(col("hs")).as("h"))
       val n = sets.select(col("doc_id"), col("ng"))
       // phase 1 candidates: the gram df comes from a count-over-window
       // on the SAME h-partitioning the self-join needs — no separate
@@ -195,28 +212,53 @@ object Dedup {
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows
 
-  /** Per-doc minhash signature (mh0..mh63) AND the gram-hash set, from
-    * ONE aggregation over the exploded grams — a single shuffle on
-    * doc_id. Each gram string is hashed ONCE (xxhash64); the 64
-    * "permutations" re-hash that fixed 8-byte value with a
-    * per-permutation seed — far cheaper than hashing the variable-length
-    * gram 64 times, and overflow-free under ANSI mode (a mul-add mix
-    * would throw).
+  /** Per-doc LSH band hashes AND the gram-hash set, from ONE narrow
+    * typed pass — shingling, the 64 minhash "permutations", and the 16
+    * band hashes are all local loops over the document row (the old
+    * shape aggregated exploded grams through a doc_id exchange: one
+    * shuffled row PER GRAM — pure waste at corpus scale). Each gram is
+    * FNV-hashed once; permutation i re-mixes that fixed 8 bytes with a
+    * per-permutation offset through the splitmix64 finalizer (full
+    * avalanche, overflow-safe in plain JVM arithmetic), and each band
+    * hash chains its 4 row minima through the same mixer.
     */
-  private def signatures(g: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"mh$i")
-    } :+ collect_set(col("h")).as("hs")
-    g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** (band_id, band_hash, doc_id) via posexplode of per-band hashes. */
-  private def bandBuckets(sig: DataFrame): DataFrame = {
-    val bands = (0 until NumBands).map { b =>
-      xxhash64((0 until BandRows).map(r => col(s"mh${b * BandRows + r}")): _*)
-    }
-    sig.select(col("doc_id"), posexplode(array(bands: _*)))
-      .toDF("doc_id", "band_id", "band_hash")
+  private def bandSetsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val hs = shingleHashes(text)
+          if (hs.isEmpty) Iterator.empty
+          else {
+            val mins = Array.fill(NumHashes)(Long.MaxValue)
+            var gi = 0
+            while (gi < hs.length) {
+              val h = hs(gi)
+              var i = 0
+              while (i < NumHashes) {
+                // per-permutation tweak: odd multiplier keeps offsets
+                // distinct; mix64 gives the avalanche
+                val v = mix64(h ^ (i.toLong * 0xA24BAED4963EE407L))
+                if (v < mins(i)) mins(i) = v
+                i += 1
+              }
+              gi += 1
+            }
+            val bands = new Array[Long](NumBands)
+            var b = 0
+            while (b < NumBands) {
+              var bh = 0L
+              var r = 0
+              while (r < BandRows) {
+                bh = mix64(bh ^ mins(b * BandRows + r)); r += 1
+              }
+              bands(b) = bh
+              b += 1
+            }
+            Iterator.single((id, bands, hs, hs.length))
+          }
+        }
+      }.toDF("doc_id", "bands", "hs", "ng")
   }
 
   /** MinHash-LSH near-dup: LSH candidates, then exact-Jaccard verify at
@@ -227,13 +269,13 @@ object Dedup {
     * probability (1-s⁴)¹⁶ ≈ 2e-4 at s = 0.8, ~0 at the planted ~0.99).
     */
   private[graft] def lshNearDupPairs(s: SparkSession, d: String): DataFrame = {
-      // one shuffle: per-doc signature + gram-hash set. Not persisted:
-      // the two consumers (band buckets, verification sets) each
-      // re-evaluate one cheap aggregation, whereas persist() would pin
-      // cached blocks for the session lifetime (no safe unpersist point
-      // for a lazily-returned frame).
-      val sig = signatures(docGramHashes(s, d))
-      val buckets = bandBuckets(sig)
+      // the signature pass is a narrow map (no shuffle at all) — its two
+      // consumers (band buckets, verification sets) each re-run the
+      // shingling loop, which is cheaper than pinning a session-lifetime
+      // cache for a lazily-returned frame
+      val sig = bandSetsFrom(s, load(s, d, "documents"))
+      val buckets = sig.select(col("doc_id"), posexplode(col("bands")))
+        .toDF("doc_id", "band_id", "band_hash")
       val candidates = buckets.as("x")
         .join(buckets.as("y"),
           col("x.band_id") === col("y.band_id") &&
@@ -244,7 +286,7 @@ object Dedup {
       // exact-Jaccard verification on the hash sets: candidate count is
       // tiny, so both sides broadcast and the intersection is in-memory
       // array work — no re-join against the exploded gram table
-      val sets = sig.select(col("doc_id"), col("hs"), size(col("hs")).as("ng"))
+      val sets = sig.select(col("doc_id"), col("hs"), col("ng"))
       candidates
         .join(broadcast(sets.select(col("doc_id").as("d1"),
           col("hs").as("hs1"), col("ng").as("n1"))), "d1")
@@ -265,23 +307,50 @@ object Dedup {
     "MinHash(64)+LSH(16x4) near-dup, exact-verify at 0.8 [dedup]")
 
   // ---- SimHash ----
-  /** 64-bit SimHash over word occurrences (weight = term frequency via
-    * one row per occurrence). Near-dup = Hamming distance <= 3, candidates
-    * via 4x16-bit chunk banding (pigeonhole: d<=3 => >=1 chunk equal).
+  /** 64-bit SimHash over word occurrences (weight = term frequency).
+    * Near-dup = Hamming distance <= 3, candidates via 4x16-bit chunk
+    * banding (pigeonhole: d<=3 => >=1 chunk equal). The signature is a
+    * local loop per document row — tokenize, FNV-hash each word through
+    * the splitmix64 finalizer (bit independence matters here: every
+    * signature bit is one hash bit), accumulate the 64 +/-1 counters,
+    * collapse to the sign bits. Zero shuffle (the old shape exploded one
+    * row per token occurrence into a 64-column groupBy aggregate — a
+    * token-count-sized exchange).
     */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val tok = load(s, d, "documents")
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1))
-        .as(s"s$j")
-    }
-    val perDoc = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { j =>
-      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    perDoc.select(col("doc_id"), sim.as("simhash"))
+    import s.implicits._
+    load(s, d, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val w = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          val counts = new Array[Int](64)
+          var i = 0
+          while (i < w.length) {
+            val s = w(i)
+            var h = 0xcbf29ce484222325L
+            var k = 0
+            while (k < s.length) {
+              h ^= s.charAt(k); h *= 0x100000001b3L; k += 1
+            }
+            val m = mix64(h)
+            var j = 0
+            while (j < 64) {
+              if (((m >>> j) & 1L) != 0L) counts(j) += 1 else counts(j) -= 1
+              j += 1
+            }
+            i += 1
+          }
+          var sim = 0L
+          var j = 0
+          while (j < 64) {
+            if (counts(j) >= 0) sim |= (1L << j)
+            j += 1
+          }
+          (id, sim)
+        }
+      }.toDF("doc_id", "simhash")
   }
 
   /** Exposed for diagnostics/specs. */
