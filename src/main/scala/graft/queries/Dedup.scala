@@ -442,10 +442,67 @@ object Dedup {
             FROM b LEFT JOIN ci USING (content_hash)"""),
     "incremental dedup: batch vs corpus index [dedup]")
 
+  /** Benchmark decontamination: for every training document, how many
+    * of its distinct word 5-grams also occur in the BENCHMARK set
+    * (doc_id ≡ 0 mod 50 — a stand-in for held-out eval suites). The
+    * real-pipeline shape: benchmark suites are tiny, so their distinct
+    * gram set broadcasts; training docs stream through the narrow
+    * shingling pass, explode to (doc, gram-hash), and the overlap count
+    * is a broadcast-join + per-doc aggregation — the corpus is scanned
+    * once and never self-joined. Every training doc is reported (zero
+    * overlap included): the output is the audit table a filter stage
+    * consumes, not just the kill list.
+    */
+  /** Core of q69 over an explicit documents frame and benchmark
+    * predicate (specs plant overlapping docs — the natural corpus
+    * shares no 5-grams with its benchmark slice).
+    */
+  private[graft] def decontaminationFrom(s: SparkSession, docs: DataFrame,
+      isBench: Column): DataFrame = {
+    val sets = docGramSetsFrom(s, docs).withColumn("is_bench", isBench)
+    val benchGrams = sets.filter(col("is_bench"))
+      .select(explode(col("hs")).as("h")).distinct()
+    val train = sets.filter(!col("is_bench"))
+    val shared = train.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(benchGrams), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.select(col("doc_id"), col("ng"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ng").as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).cast("int").as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("ng"))
+          .as("contamination_ratio"),
+        coalesce(col("n_shared") >= 1, lit(false)).as("is_contaminated"))
+  }
+
+  private val q69 = QueryDef(
+    (s, d) => decontaminationFrom(s, load(s, d, "documents"),
+      col("doc_id") % 50 === 0),
+    Some(s"""WITH gs AS (
+              SELECT doc_id, unnest($GramsOracleSql) AS gram FROM documents
+            ), bg AS (
+              SELECT DISTINCT gram FROM gs WHERE doc_id % 50 = 0
+            ), tr AS (
+              SELECT doc_id, gram FROM gs WHERE doc_id % 50 <> 0
+            ), ngr AS (
+              SELECT doc_id, count(*) AS ng FROM tr GROUP BY 1
+            ), sh AS (
+              SELECT doc_id, count(*) AS n_shared
+              FROM tr JOIN bg USING (gram) GROUP BY 1
+            )
+            SELECT ngr.doc_id, CAST(ngr.ng AS INTEGER) AS n_grams,
+              CAST(coalesce(sh.n_shared, 0) AS INTEGER) AS n_shared,
+              CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / ngr.ng
+                AS contamination_ratio,
+              coalesce(sh.n_shared >= 1, false) AS is_contaminated
+            FROM ngr LEFT JOIN sh ON ngr.doc_id = sh.doc_id"""),
+    "benchmark decontamination: 5-gram overlap audit [dedup,text-analysis]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q34_dedup_exact" -> q34,
     "q35_dedup_ngram_jaccard" -> q35,
     "q36_dedup_minhash_lsh" -> q36,
     "q37_dedup_simhash" -> q37,
-    "q66_dedup_incremental" -> q66)
+    "q66_dedup_incremental" -> q66,
+    "q69_decontamination" -> q69)
 }

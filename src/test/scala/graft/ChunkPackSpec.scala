@@ -112,6 +112,28 @@ class ChunkPackSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q69 core: planted benchmark overlap is detected, clean docs report zero") {
+    val session = spark
+    import session.implicits._
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (100L, bench), // benchmark doc
+      // training doc embedding a benchmark 5-gram run verbatim
+      (1L, s"intro words then $bench and a tail"),
+      (2L, "completely unrelated training text with enough words here")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Dedup
+      .decontaminationFrom(docs.sparkSession, docs, col("doc_id") === 100L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getBoolean(4)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    val (shared1, flag1) = out(1L)
+    // all 6 of the benchmark's 5-grams appear contiguously in doc 1
+    assert(shared1 == 6 && flag1, s"doc 1 reported $shared1 shared grams")
+    assert(out(2L) == ((0, false)), "clean doc must report zero overlap")
+  }
+
   test("q67: packs respect the budget and are dense in doc order") {
     import graft.queries.Packing.{GroupSize, PackBudget}
     val rows = SparkEntry.queries("q67_sequence_packing")(spark, Sf)
