@@ -157,12 +157,28 @@ object TextOps {
     */
   private val q63 = QueryDef(
     (s, d) => {
+      import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docs = load(s, d, "documents")
-      val terms = docs.select(col("doc_id"),
-        explode(words(col("text"))).as("term"))
-      val tf = terms.groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"))
+      // per-doc term frequencies are a LOCAL property of the document
+      // row — count them in a per-doc hash map instead of exploding one
+      // row per token occurrence into a (doc_id, term) exchange (the
+      // same narrow-pass discipline as the dedup signatures; the only
+      // shuffles left are the term-keyed DF aggregate and the TF⋈DF
+      // join, which are inherent)
+      val tf = docs.select(col("doc_id"), words(col("text")).as("w"))
+        .as[(Long, Seq[String])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, w) =>
+            val counts = new java.util.HashMap[String, Long]()
+            w.foreach(t => counts.merge(t, 1L, _ + _))
+            val it = counts.entrySet().iterator()
+            new Iterator[(Long, String, Long)] {
+              def hasNext = it.hasNext
+              def next() = { val e = it.next(); (id, e.getKey, e.getValue) }
+            }
+          }
+        }.toDF("doc_id", "term", "tf")
       // tf has one row per (doc, term), so DF = row count per term
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
