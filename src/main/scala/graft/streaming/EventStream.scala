@@ -107,6 +107,30 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming incremental dedup — the streaming twin of the batch
+    * q66 classifier. Incoming documents (doc_id, text, ts) are content-
+    * hashed, first-arrival-deduped against the stream's own recent
+    * history (`dropDuplicatesWithinWatermark` on the hash: state is
+    * bounded by the watermark horizon, the streaming rendering of
+    * q66's `dup_in_batch` window), then left-joined against the STATIC
+    * corpus hash index (stream-static join: the static side is planned
+    * per micro-batch, broadcast while it fits). Survivors emerge
+    * labeled `new` or `dup_of_corpus` with the canonical survivor id —
+    * exactly the rows an ingest sink appends vs skips.
+    */
+  def classifyIncoming(docs: DataFrame, corpusIdx: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        sha2(graft.functions.Text.norm(col("text")), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .join(corpusIdx, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"), col("ts"),
+        when(col("corpus_doc_id").isNotNull, "dup_of_corpus")
+          .otherwise("new").as("status"),
+        coalesce(col("corpus_doc_id"), col("doc_id")).as("keep_doc_id"))
+
   /** Run the hourly aggregate to completion on a bounded directory
     * (Trigger.AvailableNow + memory sink) and return the result — used by
     * specs to assert stream/batch parity.

@@ -43,6 +43,40 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming incremental dedup classifies like batch q66") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val session = spark
+    import session.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // static corpus: two docs, one of which the stream re-sends
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpusIdx = corpus
+      .groupBy(sha2(graft.functions.Text.norm(col("text")), 256)
+        .as("content_hash"))
+      .agg(min("doc_id").as("corpus_doc_id"))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](session)
+    val q = EventStream.classifyIncoming(
+      input.toDF.toDF("doc_id", "text", "ts"), corpusIdx)
+      .writeStream.format("memory").queryName("incoming_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "ALPHA beta   gamma", t0), // dup_of_corpus (normalizes to doc 1)
+        (11L, "brand new text", t0), // new
+        (12L, "brand  NEW text", t0)) // in-stream dup of 11 → dropped
+      q.processAllAvailable()
+      val out = spark.table("incoming_dedup")
+        .select("doc_id", "status", "keep_doc_id").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      // 12 was swallowed by dropDuplicatesWithinWatermark (first arrival
+      // 11 survives); 10 carries the corpus survivor id
+      assert(out == Map(
+        10L -> (("dup_of_corpus", 1L)),
+        11L -> (("new", 11L))))
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode across restarts") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
