@@ -289,6 +289,66 @@ object TextOps {
             FROM st"""),
     s"$ChunkLen-token chunks, stride $ChunkStride [text-analysis]")
 
+  /** Repetition metrics — the quality-filter signals for boilerplate /
+    * degenerate text (the duplicate-n-gram and most-common-word
+    * fractions of the published web-corpus filtering recipes): per doc,
+    * the most-frequent word's share, the duplicate-word share, and the
+    * duplicate-trigram share. All ratios are exact-integer-count
+    * divisions (engine-agnostic doubles). One narrow typed pass over
+    * the Catalyst token chain — per-doc counting is local, zero shuffle
+    * (trigram identity is the exact string, not a hash: these COUNTS
+    * are the query's values, so they must match the oracle exactly).
+    */
+  private val q70 = QueryDef(
+    (s, d) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .as[(Long, Seq[String])]
+        .map { case (id, w) =>
+          val n = w.length
+          val counts = new java.util.HashMap[String, Int]()
+          w.foreach(t => counts.merge(t, 1, _ + _))
+          var top = 0
+          counts.values.forEach(c => if (c > top) top = c)
+          val nTri = math.max(n - 2, 0)
+          val tris = new java.util.HashSet[String]()
+          var i = 0
+          while (i < n - 2) {
+            tris.add(w(i) + " " + w(i + 1) + " " + w(i + 2)); i += 1
+          }
+          (id, n, top.toDouble / n,
+            (n - counts.size).toDouble / n,
+            if (nTri > 0) (nTri - tris.size).toDouble / nTri else 0.0)
+        }
+        .toDF("doc_id", "n_words", "top_word_frac",
+          "dup_word_frac", "dup_trigram_frac")
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, $WordsSql AS w FROM documents
+            ), wc AS (
+              SELECT doc_id, word, count(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY 1, 2
+            ), topw AS (
+              SELECT doc_id, max(c) AS top_c FROM wc GROUP BY 1
+            ), tg AS (
+              SELECT doc_id, len(w) AS nw,
+                greatest(len(w) - 2, 0) AS n_tri,
+                len(list_distinct(
+                  [array_to_string(w[i:i+2], ' ')
+                   for i in range(1, greatest(len(w) - 1, 1))])) AS nd_tri,
+                len(list_distinct(w)) AS ndw
+              FROM t
+            )
+            SELECT tg.doc_id, CAST(nw AS INTEGER) AS n_words,
+              CAST(top_c AS DOUBLE) / nw AS top_word_frac,
+              CAST(nw - ndw AS DOUBLE) / nw AS dup_word_frac,
+              CASE WHEN n_tri > 0
+                   THEN CAST(n_tri - nd_tri AS DOUBLE) / n_tri
+                   ELSE 0.0 END AS dup_trigram_frac
+            FROM tg JOIN topw USING (doc_id)"""),
+    "repetition metrics: top-word / dup-word / dup-trigram fractions [text-analysis]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q30_text_tokens" -> q30,
     "q31_text_quality" -> q31,
@@ -296,5 +356,6 @@ object TextOps {
     "q33_text_fingerprint" -> q33,
     "q63_tfidf_terms" -> q63,
     "q64_corpus_ngrams" -> q64,
-    "q65_doc_chunks" -> q65)
+    "q65_doc_chunks" -> q65,
+    "q70_repetition" -> q70)
 }
