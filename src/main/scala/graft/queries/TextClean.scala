@@ -110,8 +110,46 @@ object TextClean {
             WHERE doc_id % 100 < keep_pct"""),
     "deterministic stratified downsample via key-mod [sampling]")
 
+  /** Corpus mixing weights: per-language sampling weight that moves the
+    * observed mix toward a uniform target share, upsampling capped at 4x
+    * (the standard guard against repeating a tiny stratum into
+    * memorization). The group table after aggregation has one row per
+    * stratum, so the share/weight windows run over k rows — free at any
+    * corpus size; the weights feed a weighted sampler (q60's key-mod
+    * form or a trainer-side sampler) downstream.
+    */
+  private val q71 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val all = Window.partitionBy()
+      load(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("total", sum("n_docs").over(all))
+        .withColumn("k", count(lit(1)).over(all))
+        .select(col("lang"), col("n_docs"),
+          (col("n_docs").cast("double") / col("total"))
+            .as("actual_share"),
+          (lit(1.0) / col("k")).as("target_share"),
+          least(
+            (lit(1.0) / col("k")) /
+              (col("n_docs").cast("double") / col("total")),
+            lit(4.0)).as("sample_weight"))
+    },
+    Some("""WITH g AS (
+              SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+            )
+            SELECT lang, n_docs,
+              CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS actual_share,
+              1.0 / count(*) OVER () AS target_share,
+              least((1.0 / count(*) OVER ()) /
+                    (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()), 4.0)
+                AS sample_weight
+            FROM g"""),
+    "per-language mixing weights toward a uniform target [sampling]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q55_text_clean" -> q55,
     "q56_corpus_clean" -> q56,
-    "q60_stratified_sample" -> q60)
+    "q60_stratified_sample" -> q60,
+    "q71_mix_weights" -> q71)
 }
