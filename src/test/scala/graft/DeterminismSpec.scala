@@ -11,7 +11,12 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
 
   private val Sensitive = Seq(
     "q03_agg_pricing", "q10_star_join", "q12_window_lag_gap",
-    "q24_churn_features", "q42_events_sessions", "q57_column_profile")
+    "q24_churn_features", "q42_events_sessions", "q57_column_profile",
+    // r4 additions: incremental dedup (hash window + index join), packing
+    // (repartition + in-partition sort + stateful scan), tfidf (narrow
+    // TF pass + DF join + per-doc window), mix weights (k-row windows)
+    "q66_dedup_incremental", "q67_sequence_packing", "q63_tfidf_terms",
+    "q71_mix_weights")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
