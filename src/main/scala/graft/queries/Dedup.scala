@@ -150,16 +150,19 @@ object Dedup {
       // join on the 8-byte gram hash, not the ~25-char string: same
       // pairs (modulo negligible hash collisions), much cheaper to
       // compute, shuffle, and compare
-      val g = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-      val n = sets.select(col("doc_id"), col("ng"))
+      // the per-doc gram count rides along through the explode (8 bytes
+      // per row into an exchange that happens anyway) — joining it back
+      // by doc_id would either broadcast an O(corpus) count table or
+      // re-shuffle the exploded grams
+      val g = sets.select(col("doc_id"), explode(col("hs")).as("h"),
+        col("ng"))
       // phase 1 candidates: the gram df comes from a count-over-window
       // on the SAME h-partitioning the self-join needs — no separate
       // df-aggregate + join branch; the self-join's two sides reuse one
       // exchange. Sub-cap filter bounds per-gram fan-out at cap²/2.
-      val withDf = g.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("h")))
-      val ga = withDf.filter(col("df") <= maxGramDf)
-        .join(broadcast(n), "doc_id")
+      val ga = g.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("df") <= maxGramDf)
       val candidates = ga.as("a")
         .join(ga.as("b"), col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -283,15 +286,19 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      // exact-Jaccard verification on the hash sets: candidate count is
-      // tiny, so both sides broadcast and the intersection is in-memory
-      // array work — no re-join against the exploded gram table
+      // exact-Jaccard verification on the hash sets: the CANDIDATE side
+      // is the tiny one, so it is what broadcasts — the per-doc gram
+      // sets (O(corpus) rows with array payloads) stream through narrow
+      // broadcast joins and are never shuffled or broadcast themselves.
+      // After the first join the intermediate is still candidate-sized
+      // (now carrying hs1), so it broadcasts into the second join too.
       val sets = sig.select(col("doc_id"), col("hs"), col("ng"))
-      candidates
-        .join(broadcast(sets.select(col("doc_id").as("d1"),
-          col("hs").as("hs1"), col("ng").as("n1"))), "d1")
-        .join(broadcast(sets.select(col("doc_id").as("d2"),
-          col("hs").as("hs2"), col("ng").as("n2"))), "d2")
+      val withS1 = sets.select(col("doc_id").as("d1"),
+          col("hs").as("hs1"), col("ng").as("n1"))
+        .join(broadcast(candidates), "d1")
+      sets.select(col("doc_id").as("d2"),
+          col("hs").as("hs2"), col("ng").as("n2"))
+        .join(broadcast(withS1), "d2")
         .select(col("d1"), col("d2"),
           size(array_intersect(col("hs1"), col("hs2"))).as("shared"),
           col("n1"), col("n2"))
