@@ -302,11 +302,22 @@ object Similarity {
   // the index build is one linear pass, and search touches
   // ~NProbe/NumCells of the data — the classic FAISS-style layout, in
   // pure DataFrame operations.
-  private val NumCells = 16
-  private val NProbe = 4
+  // 64 cells / 16 probes: at a FIXED 1/4 scan fraction, finer
+  // quantization recalls better — measured recall@10 vs q38 at 25% scan:
+  // k=16/p=4 0.53-0.58, k=32/p=8 0.67-0.68, k=64/p=16 0.76-0.78 (sf0.001
+  // / sf0.01). Training cost stays bounded (fixed-size sample per Lloyd
+  // round); the assignment pass pays k distance evals per vector, still
+  // a narrow map. k tracks ~sqrt(n) on real corpora and would be a
+  // per-dataset tuning knob.
+  private val NumCells = 64
+  private val NProbe = 16
+  // each vector nominates near-dup candidates from its NearDupProbes
+  // top cells (q62): k/8 keeps the nominated corpus fraction at ~1/8
+  // as k changes
+  private val NearDupProbes = math.max(2, NumCells / 8)
   // 4 Lloyd rounds: measured occupancy cv 0.1117 at 4 vs 0.1123 at 8 on
-  // the test corpus — convergence is effectively complete, so the extra
-  // rounds only buy latency
+  // the test corpus (k=16) — convergence is effectively complete, so
+  // extra rounds only buy latency
   private val KMeansIters = 4
   private val KMeansSampleTarget = 4096L
 
@@ -336,14 +347,15 @@ object Similarity {
     math.sqrt(n)
   }
 
-  /** The untrained quantizer (the NumCells smallest-id vectors as
-    * centroids) — kept only as the baseline the k-means balance spec
-    * measures against; q54 uses [[kMeansCentroids]].
+  /** The untrained quantizer (the k smallest-id vectors as centroids) —
+    * kept only as the baseline the k-means balance/leakage spec measures
+    * against (at k=16, where the leakage analysis was done); q54 uses
+    * [[kMeansCentroids]].
     */
   private[graft] def firstVectorCentroids(s: SparkSession,
-      d: String): Array[(Long, Array[Double], Double)] = {
+      d: String, k: Int = NumCells): Array[(Long, Array[Double], Double)] = {
     import s.implicits._
-    load(s, d, "embeddings").filter(col("vec_id") < NumCells)
+    load(s, d, "embeddings").filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
       .zipWithIndex
@@ -469,7 +481,8 @@ object Similarity {
     * Parameterized so the spec can measure recall under both quantizers.
     */
   private[graft] def ivfTopK(s: SparkSession, d: String,
-      centroids: Array[(Long, Array[Double], Double)]): DataFrame = {
+      centroids: Array[(Long, Array[Double], Double)],
+      nProbe: Int = NProbe): DataFrame = {
     import s.implicits._
     val assigned = cellAssignments(s, d, centroids)
     val bc = s.sparkContext.broadcast(centroids)
@@ -477,7 +490,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, v) =>
-        rankedCells(bc.value, v).take(NProbe).map(c => (qid, v, c))
+        rankedCells(bc.value, v).take(nProbe).map(c => (qid, v, c))
       }.toDF("query_id", "qv", "probe_cell")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -497,7 +510,7 @@ object Similarity {
   private val q54 = QueryDef(
     (s, d) => ivfTopK(s, d, kMeansCentroids(s, d)),
     None, // approximate: recall measured against q38 in specs
-    "IVF ANN top-10: 16 k-means cells, 4-probe [similarity]")
+    "IVF ANN top-10: 64 k-means cells, 16-probe [similarity]")
 
   /** Candidates-then-rerank exact-scored 1-NN — the default q40-shaped
     * operator at 100 TB. Candidate pairs come from two independent
@@ -523,15 +536,17 @@ object Similarity {
         col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-    // each vector nominates from its TOP-2 cells (multi-assignment blunts
-    // the boundary-miss mode where 1-NN pairs straddle one Voronoi edge)
+    // each vector nominates from its NearDupProbes top cells
+    // (multi-assignment blunts the boundary-miss mode where 1-NN pairs
+    // straddle a Voronoi edge; k/8 cells keeps the nominated fraction
+    // constant as the quantizer refines)
     val cells = {
       import s.implicits._
       val bc = s.sparkContext.broadcast(kMeansCentroids(s, d))
       load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
         .flatMap { case (id, v) =>
-          rankedCells(bc.value, v).take(2).map(c => (id, c))
+          rankedCells(bc.value, v).take(NearDupProbes).map(c => (id, c))
         }.toDF("vec_id", "cell")
     }
     val cellPairs = cells.as("a").join(cells.as("b"),

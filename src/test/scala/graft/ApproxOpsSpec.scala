@@ -56,18 +56,22 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
     assert(mean >= 0.8, s"mean recall@10 = $mean")
   }
 
-  test("IVF ANN reaches >=50% recall@10 while probing 1/4 of the cells") {
-    // 4 of 16 cells probed; on a near-uniform corpus recall tracks the
-    // probed fraction more closely than on clustered data — the spec
-    // pins a floor well above the 25% a random probe would give
+  test("IVF ANN reaches >=65% recall@10 while probing 1/4 of the cells") {
+    // 16 of 64 cells probed; finer quantization at the same scan
+    // fraction recalls far better than the old 4-of-16 (measured 0.78
+    // vs 0.53 at sf0.001) — the spec pins a floor well above both the
+    // 25% a random probe would give and the coarse configuration
     val mean = meanRecall("q54_ann_ivf")
-    assert(mean >= 0.5, s"mean recall@10 = $mean")
+    assert(mean >= 0.65, s"mean recall@10 = $mean")
   }
 
   test("k-means quantizer: materially better cell balance, recall not worse unleaked") {
     import graft.queries.Similarity
-    val km = Similarity.kMeansCentroids(spark, Sf)
-    val fv = Similarity.firstVectorCentroids(spark, Sf)
+    // the balance/leakage study is pinned at k=16 (where the leakage
+    // analysis was done: first-16 centroids = 16 of the 20 queries);
+    // production k is larger but the comparison is quantizer-vs-baseline
+    val km = Similarity.trainKMeans(spark, Sf, 16, 4)
+    val fv = Similarity.firstVectorCentroids(spark, Sf, 16)
 
     // cell-occupancy balance: coefficient of variation across the 16
     // cells (0 = perfectly even). Measured at this corpus: km ~0.11 vs
@@ -91,7 +95,7 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
     // contains the query vector.
     val exact = topk("q38_ann_bruteforce")
     def recallOn(cs: Array[(Long, Array[Double], Double)]): Double = {
-      val approx = Similarity.ivfTopK(spark, Sf, cs)
+      val approx = Similarity.ivfTopK(spark, Sf, cs, nProbe = 4)
         .select("query_id", "vec_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) =>
           q -> rs.map(_.getLong(1)).toSet
