@@ -84,6 +84,73 @@ object Profiling {
             ORDER BY n_rows DESC, l_suppkey ASC LIMIT 20"""),
     "heavy-hitter join keys with share [profiling,skew]")
 
+  // ---- generic profiles + drift (table-layer companion) ----
+
+  /** One-pass generic per-column profile: (column, n_rows, n_nulls,
+    * n_distinct, min_value, max_value) with min/max stringified so one
+    * schema covers every column type. All aggregates run in a single
+    * `agg` (the multiple exact distincts plan as one Expand pass —
+    * fine for the handful of columns a drift check watches; a very wide
+    * audit would swap in approx_count_distinct per column).
+    */
+  def columnProfiles(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "columnProfiles: no columns")
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_cnt_$c"),
+        count_distinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val entries = array(cols.map { c =>
+      struct(lit(c).as("column"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_cnt_$c")).as("n_nulls"),
+        col(s"_nd_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_value"),
+        col(s"_max_$c").as("max_value"))
+    }: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(entries).as("p")).select("p.*")
+  }
+
+  /** Profile drift between two snapshots of the same table (pair with
+    * `ParquetTable.readVersion` for before/after): per watched column,
+    * both profiles side by side plus the drift signals a monitor alerts
+    * on — null-rate delta, distinct-count ratio, min/max movement. Two
+    * single-pass profiles and a k-row join; nothing scales with table
+    * width beyond the watched columns.
+    */
+  def profileDrift(before: org.apache.spark.sql.DataFrame,
+      after: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val b = columnProfiles(before, cols).select(col("column"),
+      col("n_rows").as("n_rows_before"), col("n_nulls").as("n_nulls_before"),
+      col("n_distinct").as("n_distinct_before"),
+      col("min_value").as("min_before"), col("max_value").as("max_before"))
+    val a = columnProfiles(after, cols).select(col("column"),
+      col("n_rows").as("n_rows_after"), col("n_nulls").as("n_nulls_after"),
+      col("n_distinct").as("n_distinct_after"),
+      col("min_value").as("min_after"), col("max_value").as("max_after"))
+    val nullRate = (n: org.apache.spark.sql.Column,
+        t: org.apache.spark.sql.Column) =>
+      when(t > 0, n.cast("double") / t).otherwise(lit(0.0))
+    b.join(a, "column")
+      .withColumn("null_rate_delta",
+        nullRate(col("n_nulls_after"), col("n_rows_after")) -
+          nullRate(col("n_nulls_before"), col("n_rows_before")))
+      .withColumn("distinct_ratio",
+        when(col("n_distinct_before") > 0,
+          col("n_distinct_after").cast("double") / col("n_distinct_before"))
+          .otherwise(lit(Double.NaN)))
+      .withColumn("min_changed", !(col("min_after") <=> col("min_before")))
+      .withColumn("max_changed", !(col("max_after") <=> col("max_before")))
+      .withColumn("drifted",
+        abs(col("null_rate_delta")) > 0.01 ||
+          col("distinct_ratio") < 0.5 || col("distinct_ratio") > 2.0 ||
+          col("min_changed") || col("max_changed"))
+  }
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q57_column_profile" -> q57,
     "q58_histogram" -> q58,

@@ -14,6 +14,35 @@ class TableStatsSpec extends AnyFunSuite with SparkSpec {
 
   private def tmp(): String = Files.createTempDirectory("stats").toString
 
+  test("profile drift across table versions flags what changed and only that") {
+    import spark.implicits._
+    import graft.queries.Profiling
+    val t = ParquetTable(spark, s"${tmp()}/t", Seq("k"))
+    val v1 = (0 until 100).map(i => (i, s"cat${i % 5}", Some(i * 1.0)))
+      .toDF("k", "cat", "x")
+    val before = t.overwrite(v1)
+    // v2: new max key, nulls appear in x, cat cardinality collapses
+    val v2 = (0 until 100).map(i => (i, "cat0",
+        if (i % 10 == 0) None else Some(i * 1.0))) :+
+      ((500, "cat0", Some(1.0)))
+    t.overwrite(v2.toDF("k", "cat", "x"))
+    val drift = Profiling.profileDrift(
+      t.readVersion(before), t.read, Seq("k", "cat", "x"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(drift.keySet == Set("k", "cat", "x"))
+    val k = drift("k")
+    assert(k.getAs[Boolean]("max_changed") && k.getAs[Boolean]("drifted"))
+    assert(!k.getAs[Boolean]("min_changed"))
+    val cat = drift("cat")
+    assert(cat.getAs[Double]("distinct_ratio") == 0.2 &&
+      cat.getAs[Boolean]("drifted"))
+    val x = drift("x")
+    assert(x.getAs[Long]("n_nulls_before") == 0L &&
+      x.getAs[Long]("n_nulls_after") == 10L &&
+      x.getAs[Double]("null_rate_delta") > 0.09 &&
+      x.getAs[Boolean]("drifted"))
+  }
+
   test("merge with source keys inside one file's range scans only that file") {
     import spark.implicits._
     val t = ParquetTable(spark, s"${tmp()}/t", Seq("k"))
