@@ -40,59 +40,91 @@ object Packing {
     */
   private[graft] val GroupSize = 50L
 
-  /** Next-fit packing within doc_id-range groups. Output: one row per
-    * document with its group, pack ordinal within the group, and token
-    * count. pack_seq is dense from 0 in doc_id order by construction.
+  /** Next-fit pack assignment: one row per document with its group,
+    * pack ordinal within the group, and token count. pack_seq is dense
+    * from 0 in doc_id order by construction. Shared by q67 (the
+    * assignment) and q72 (the efficiency report).
     */
-  private val q67 = QueryDef(
-    (s, d) => {
-      import s.implicits._
-      load(s, d, "documents")
-        .select(col("doc_id"),
-          size(words(col("text"))).as("n_tokens"),
-          floor(col("doc_id") / GroupSize).as("pack_group"))
-        .repartition(col("pack_group"))
-        .sortWithinPartitions(col("pack_group"), col("doc_id"))
-        .as[(Long, Int, Long)]
-        .mapPartitions { rows =>
-          var group = Long.MinValue
-          var pack = 0
-          var acc = 0L
-          rows.map { case (id, n, g) =>
-            if (g != group) { group = g; pack = 0; acc = n.toLong }
-            else if (acc + n > PackBudget) { pack += 1; acc = n.toLong }
-            else acc += n
-            (g, pack, id, n)
-          }
+  private[graft] def packedDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    load(s, d, "documents")
+      .select(col("doc_id"),
+        size(words(col("text"))).as("n_tokens"),
+        floor(col("doc_id") / GroupSize).as("pack_group"))
+      .repartition(col("pack_group"))
+      .sortWithinPartitions(col("pack_group"), col("doc_id"))
+      .as[(Long, Int, Long)]
+      .mapPartitions { rows =>
+        var group = Long.MinValue
+        var pack = 0
+        var acc = 0L
+        rows.map { case (id, n, g) =>
+          if (g != group) { group = g; pack = 0; acc = n.toLong }
+          else if (acc + n > PackBudget) { pack += 1; acc = n.toLong }
+          else acc += n
+          (g, pack, id, n)
         }
-        .toDF("pack_group", "pack_seq", "doc_id", "n_tokens")
-    },
-    // next-fit is inherently sequential per group → recursive CTE walking
-    // each group's doc order (depth <= GroupSize)
-    Some(s"""WITH RECURSIVE t AS (
-              SELECT doc_id, doc_id // $GroupSize AS pack_group,
-                len($WordsSql) AS n_tokens,
-                ROW_NUMBER() OVER (PARTITION BY doc_id // $GroupSize
-                  ORDER BY doc_id) AS rn
-              FROM documents
-            ), p AS (
-              SELECT pack_group, rn, doc_id, n_tokens,
-                0 AS pack_seq, n_tokens AS acc
-              FROM t WHERE rn = 1
-              UNION ALL
-              SELECT t.pack_group, t.rn, t.doc_id, t.n_tokens,
-                CASE WHEN p.acc + t.n_tokens > $PackBudget
-                     THEN p.pack_seq + 1 ELSE p.pack_seq END,
-                CASE WHEN p.acc + t.n_tokens > $PackBudget
-                     THEN t.n_tokens ELSE p.acc + t.n_tokens END
-              FROM t JOIN p
-                ON t.pack_group = p.pack_group AND t.rn = p.rn + 1
-            )
+      }
+      .toDF("pack_group", "pack_seq", "doc_id", "n_tokens")
+  }
+
+  // next-fit is inherently sequential per group → the oracle is a
+  // recursive CTE walking each group's doc order (depth <= GroupSize),
+  // shared by the q67 and q72 mirrors
+  private val PackCte =
+    s"""WITH RECURSIVE t AS (
+         SELECT doc_id, doc_id // $GroupSize AS pack_group,
+           len($WordsSql) AS n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY doc_id // $GroupSize
+             ORDER BY doc_id) AS rn
+         FROM documents
+       ), p AS (
+         SELECT pack_group, rn, doc_id, n_tokens,
+           0 AS pack_seq, n_tokens AS acc
+         FROM t WHERE rn = 1
+         UNION ALL
+         SELECT t.pack_group, t.rn, t.doc_id, t.n_tokens,
+           CASE WHEN p.acc + t.n_tokens > $PackBudget
+                THEN p.pack_seq + 1 ELSE p.pack_seq END,
+           CASE WHEN p.acc + t.n_tokens > $PackBudget
+                THEN t.n_tokens ELSE p.acc + t.n_tokens END
+         FROM t JOIN p
+           ON t.pack_group = p.pack_group AND t.rn = p.rn + 1
+       )"""
+
+  private val q67 = QueryDef(
+    (s, d) => packedDocs(s, d),
+    Some(s"""$PackCte
             SELECT CAST(pack_group AS BIGINT) AS pack_group,
               CAST(pack_seq AS INTEGER) AS pack_seq,
               doc_id, CAST(n_tokens AS INTEGER) AS n_tokens
             FROM p"""),
     s"next-fit sequence packing, budget $PackBudget tok [text-analysis]")
 
-  def all: Seq[(String, QueryDef)] = Seq("q67_sequence_packing" -> q67)
+  /** Packing-efficiency report: per pack, its document count, token
+    * total, and fill fraction against the budget — the padding-waste
+    * number a trainer capacity-plans with. One keyed aggregation over
+    * the assignment (map-side combined); the oversized-singleton packs
+    * surface as fill_frac > 1.
+    */
+  private val q72 = QueryDef(
+    (s, d) => packedDocs(s, d)
+      .groupBy("pack_group", "pack_seq")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"))
+      .withColumn("fill_frac",
+        col("pack_tokens").cast("double") / lit(PackBudget.toDouble)),
+    Some(s"""$PackCte
+            SELECT CAST(pack_group AS BIGINT) AS pack_group,
+              CAST(pack_seq AS INTEGER) AS pack_seq,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+              CAST(sum(n_tokens) AS DOUBLE) / $PackBudget.0 AS fill_frac
+            FROM p GROUP BY 1, 2"""),
+    "packing efficiency: per-pack docs/tokens/fill [text-analysis]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q67_sequence_packing" -> q67,
+    "q72_packing_efficiency" -> q72)
 }
