@@ -74,7 +74,92 @@ object Events {
             FROM sessions GROUP BY 1, 2"""),
     "gap-based sessionization via lag + running sum [streaming-as-batch,W3]")
 
+  /** Ordered conversion funnel view → click → purchase: a user counts
+    * at stage n only if the stage-n event happens AT OR AFTER their
+    * first stage-(n-1) event. Three keyed min-aggregations chained by
+    * user_id joins (each a map-side-combined agg + one join — no
+    * windows, no per-user sorting), collapsed to one summary row. The
+    * inner joins make each stage's frame shrink, so at 100 TB the
+    * funnel narrows the data instead of re-scanning it per stage.
+    */
+  private val q73 = QueryDef(
+    (s, d) => {
+      val e = load(s, d, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val total = e.select(countDistinct("user_id").as("n_users"))
+      total
+        .crossJoin(broadcast(v.agg(count(lit(1)).as("n_view"))))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+        .select(col("n_users"), col("n_view"), col("n_view_click"),
+          col("n_full_funnel"),
+          (col("n_full_funnel").cast("double") / col("n_view"))
+            .as("view_to_purchase_rate"))
+    },
+    Some("""WITH v AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+              SELECT e.user_id, min(ts) AS t2 FROM events e
+              JOIN v USING (user_id)
+              WHERE event_type = 'click' AND ts >= t1 GROUP BY 1
+            ), p AS (
+              SELECT e.user_id, min(ts) AS t3 FROM events e
+              JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1
+            )
+            SELECT
+              CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+              CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+              CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+              CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel,
+              CAST((SELECT count(*) FROM p) AS DOUBLE) /
+                (SELECT count(*) FROM v) AS view_to_purchase_rate"""),
+    "ordered conversion funnel view->click->purchase [events]")
+
+  /** Retention cohorts: users grouped by first-activity date, activity
+    * counted in whole-week offsets from that date. Two aggregations
+    * (first-seen per user; distinct actives per cohort-offset cell) and
+    * one user-keyed join — the standard cohort-triangle input. Exact
+    * distinct counts keyed by (cohort_day, offset) shuffle only the
+    * already-deduplicated (user, day) pairs.
+    */
+  private val q74 = QueryDef(
+    (s, d) => {
+      val e = load(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          floor(datediff(col("day"), col("cohort_day")) / 7)
+            .cast("int").as("offset_weeks"))
+        .distinct()
+        .groupBy("cohort_day", "offset_weeks")
+        .agg(count(lit(1)).as("n_active_users"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, CAST(ts AS DATE) AS day FROM events
+            ), cohort AS (
+              SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+            )
+            SELECT cohort_day, CAST(offset_weeks AS INTEGER) AS offset_weeks,
+              CAST(count(*) AS BIGINT) AS n_active_users
+            FROM (SELECT DISTINCT e.user_id, cohort_day,
+                    (day - cohort_day) // 7 AS offset_weeks
+                  FROM e JOIN cohort USING (user_id))
+            GROUP BY 1, 2"""),
+    "retention cohorts by first-activity date x week offset [events]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q41_events_hourly" -> q41,
-    "q42_events_sessions" -> q42)
+    "q42_events_sessions" -> q42,
+    "q73_event_funnel" -> q73,
+    "q74_retention_cohorts" -> q74)
 }
