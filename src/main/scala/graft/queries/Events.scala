@@ -157,9 +157,44 @@ object Events {
             GROUP BY 1, 2"""),
     "retention cohorts by first-activity date x week offset [events]")
 
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * `props` column and aggregate it per event_type. `get_json_object`
+    * evaluates inside codegen with no schema declaration — the right
+    * tool for plucking a few fields at scan time (a wide extraction
+    * would declare a `from_json` schema once instead). Sums stay in
+    * longs (exact), the mean is one double division at the end.
+    */
+  private val q75 = QueryDef(
+    (s, d) =>
+      load(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(lcountAll.as("n_events"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_null_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          sum("k").as("sum_k"))
+        .withColumn("avg_k",
+          col("sum_k").cast("double") / (col("n_events") - col("n_null_k"))),
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+              CAST(min(k) AS BIGINT) AS min_k,
+              CAST(max(k) AS BIGINT) AS max_k,
+              CAST(sum(k) AS BIGINT) AS sum_k,
+              CAST(CAST(sum(k) AS DOUBLE) /
+                (count(*) - sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END))
+                AS DOUBLE) AS avg_k
+            FROM (SELECT event_type,
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY 1"""),
+    "JSON field extraction + typed aggregation [events,semi-structured]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q41_events_hourly" -> q41,
     "q42_events_sessions" -> q42,
     "q73_event_funnel" -> q73,
-    "q74_retention_cohorts" -> q74)
+    "q74_retention_cohorts" -> q74,
+    "q75_json_props" -> q75)
 }
