@@ -76,28 +76,37 @@ object Events {
 
   /** Ordered conversion funnel view → click → purchase: a user counts
     * at stage n only if the stage-n event happens AT OR AFTER their
-    * first stage-(n-1) event. Three keyed min-aggregations chained by
-    * user_id joins (each a map-side-combined agg + one join — no
-    * windows, no per-user sorting), collapsed to one summary row. The
-    * inner joins make each stage's frame shrink, so at 100 TB the
-    * funnel narrows the data instead of re-scanning it per stage.
+    * first stage-(n-1) event. ONE scan, ONE shuffle: the chained stage
+    * times are unbounded-frame window minima over the same user
+    * partitioning (t2's predicate references t1, so they are separate
+    * Window nodes, but identical partitioning means one exchange and no
+    * sort — min needs no frame ordering); the per-user collapse reuses
+    * that partitioning, and the final summary is a tiny global agg. The
+    * naive formulation — one filtered aggregate per stage joined back —
+    * reads the events table once PER STAGE, which at 100 TB is three
+    * extra corpus scans for no information the windows don't already
+    * have.
     */
   private val q73 = QueryDef(
     (s, d) => {
-      val e = load(s, d, "events")
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") >= col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t2"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") >= col("t2"))
-        .groupBy("user_id").agg(min("ts").as("t3"))
-      val total = e.select(countDistinct("user_id").as("n_users"))
-      total
-        .crossJoin(broadcast(v.agg(count(lit(1)).as("n_view"))))
-        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
-        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+      val byUser = Window.partitionBy(col("user_id"))
+      val staged = load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(byUser))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") >= col("t1"),
+            col("ts"))).over(byUser))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("t2"),
+            col("ts"))).over(byUser))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      staged.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_full_funnel"))
         .select(col("n_users"), col("n_view"), col("n_view_click"),
           col("n_full_funnel"),
           (col("n_full_funnel").cast("double") / col("n_view"))
