@@ -200,10 +200,62 @@ object Events {
             GROUP BY 1"""),
     "JSON field extraction + typed aggregation [events,semi-structured]")
 
+  /** Rolling 7-day window per user — the RANGE-frame window family
+    * (every prior window op uses row frames or unbounded frames). The
+    * frame is keyed on integer days-since-epoch so `rangeBetween(-6, 0)`
+    * means "this day and the 6 calendar days before it", holes included.
+    * The rolled value stays DECIMAL through the frame sum (exact →
+    * order/topology/engine-independent; a double rolling sum would
+    * diverge in the low bits whenever the two engines associate the
+    * frame differently) and is cast to double once at the end. Daily
+    * pre-aggregation collapses events to user-day rows BEFORE the
+    * window, and both the aggregate and the window shuffle on user_id —
+    * Catalyst reuses one exchange.
+    */
+  private val q76 = QueryDef(
+    (s, d) => {
+      val daily = load(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("dv"))
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(datediff(col("day"), to_date(lit("1970-01-01"))))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("rs", sum(col("dv")).over(frame))
+        .withColumn("rn", count(lit(1)).over(frame))
+        .select(col("user_id"), col("day"),
+          col("dv").cast("double").as("day_value"),
+          col("rs").cast("double").as("roll_sum_7d"),
+          col("rn").cast("long").as("roll_days"),
+          (col("rs").cast("double") / col("rn")).as("roll_avg_7d"))
+    },
+    Some("""WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                SUM(CAST(value AS DECIMAL(18,4))) AS dv
+              FROM events GROUP BY 1, 2
+            ), r AS (
+              SELECT user_id, day, dv,
+                SUM(dv) OVER (PARTITION BY user_id
+                  ORDER BY day - DATE '1970-01-01'
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rs,
+                COUNT(*) OVER (PARTITION BY user_id
+                  ORDER BY day - DATE '1970-01-01'
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rn
+              FROM daily
+            )
+            SELECT user_id, day, CAST(dv AS DOUBLE) AS day_value,
+              CAST(rs AS DOUBLE) AS roll_sum_7d,
+              CAST(rn AS BIGINT) AS roll_days,
+              CAST(CAST(rs AS DOUBLE) / rn AS DOUBLE) AS roll_avg_7d
+            FROM r"""),
+    "rolling 7-day RANGE-frame window per user [events,W]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q41_events_hourly" -> q41,
     "q42_events_sessions" -> q42,
     "q73_event_funnel" -> q73,
     "q74_retention_cohorts" -> q74,
-    "q75_json_props" -> q75)
+    "q75_json_props" -> q75,
+    "q76_rolling_window" -> q76)
 }
