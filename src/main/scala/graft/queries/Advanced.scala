@@ -144,5 +144,34 @@ object Advanced {
     "q48_pivot" -> q48,
     "q49_rank_family" -> q49,
     "q50_cube" -> q50,
-    "q51_conditional_agg" -> q51)
+    "q51_conditional_agg" -> q51,
+    "q77_grouping_sets" -> q77)
+
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * three chosen aggregation levels in one pass with `grouping_id`
+    * disambiguating them — the standard bitmask (first grouping column
+    * = highest bit) both engines implement. Plans as a single Expand +
+    * hash aggregate, identical in shape to q22/q50.
+    */
+  private lazy val q77 = QueryDef(
+    (s, d) => {
+      load(s, d, "orders").createOrReplaceTempView("orders_q77")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                 CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT)
+                   AS gid,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+               FROM orders_q77
+               GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                       (o_orderstatus), ())""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())"""),
+    "explicit GROUPING SETS with grouping_id [aggregation]")
 }

@@ -251,11 +251,54 @@ object Events {
             FROM r"""),
     "rolling 7-day RANGE-frame window per user [events,W]")
 
+  /** Longest consecutive-active-day streak per user — the classic
+    * gaps-and-islands shape: distinct active days minus their per-user
+    * row_number leaves a constant per consecutive run, so one window +
+    * two keyed aggregations find every island without self-joins or
+    * recursion. All-integer arithmetic end to end.
+    */
+  private val q78 = QueryDef(
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      load(s, d, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .as("day_num"))
+        .distinct()
+        .withColumn("island", col("day_num") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").cast("int").as("longest_streak_days"),
+          sum("len").cast("long").as("n_active_days"),
+          count(lit(1)).cast("long").as("n_streaks"))
+    },
+    Some("""WITH d AS (
+              SELECT DISTINCT user_id,
+                CAST(ts AS DATE) - DATE '1970-01-01' AS day_num
+              FROM events
+            ), i AS (
+              SELECT user_id, day_num,
+                day_num - ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY day_num) AS island
+              FROM d
+            ), s AS (
+              SELECT user_id, island, count(*) AS len
+              FROM i GROUP BY 1, 2
+            )
+            SELECT user_id,
+              CAST(max(len) AS INTEGER) AS longest_streak_days,
+              CAST(sum(len) AS BIGINT) AS n_active_days,
+              CAST(count(*) AS BIGINT) AS n_streaks
+            FROM s GROUP BY 1"""),
+    "gaps-and-islands: longest active-day streak per user [events,W]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q41_events_hourly" -> q41,
     "q42_events_sessions" -> q42,
     "q73_event_funnel" -> q73,
     "q74_retention_cohorts" -> q74,
     "q75_json_props" -> q75,
-    "q76_rolling_window" -> q76)
+    "q76_rolling_window" -> q76,
+    "q78_event_streaks" -> q78)
 }
