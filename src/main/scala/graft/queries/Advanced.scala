@@ -145,7 +145,31 @@ object Advanced {
     "q49_rank_family" -> q49,
     "q50_cube" -> q50,
     "q51_conditional_agg" -> q51,
-    "q77_grouping_sets" -> q77)
+    "q77_grouping_sets" -> q77,
+    "q79_unpivot" -> q79)
+
+  /** Unpivot / melt — pivot's inverse (q48 is the forward direction):
+    * wide numeric columns become (metric, value) rows. `Dataset.unpivot`
+    * plans as a single Expand (the same operator GROUPING SETS uses) —
+    * one narrow pass, rows × metrics output, no shuffle. The oracle is
+    * the portable UNION ALL spelling.
+    */
+  private lazy val q79 = QueryDef(
+    (s, d) =>
+      load(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_custkey").cast("double").as("o_custkey"))
+        .unpivot(
+          Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("o_custkey")),
+          "metric", "value"),
+    Some("""SELECT o_orderkey, 'o_totalprice' AS metric,
+              CAST(o_totalprice AS DOUBLE) AS value FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'o_custkey' AS metric,
+              CAST(o_custkey AS DOUBLE) AS value FROM orders"""),
+    "unpivot wide metrics to long rows (Expand, no shuffle) [reshape]")
 
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * three chosen aggregation levels in one pass with `grouping_id`
