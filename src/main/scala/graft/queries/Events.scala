@@ -293,6 +293,49 @@ object Events {
             FROM s GROUP BY 1"""),
     "gaps-and-islands: longest active-day streak per user [events,W]")
 
+  /** Date-spine gap filling: materialize every calendar day in each
+    * user's [first, last] activity span and left-join the daily counts,
+    * so downstream time-series ops (q76's rolling frames, forecasting
+    * exports) see an explicit zero row instead of a hole. `sequence` +
+    * explode generates the spine from the bounds row — per-user fan-out
+    * is the span length, never corpus-sized — and the daily counts
+    * arrive pre-aggregated on the same user key.
+    */
+  private val q80 = QueryDef(
+    (s, d) => {
+      val e = load(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val spine = e.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val daily = e.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          col("n").isNull.as("is_gap"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, CAST(ts AS DATE) AS day FROM events
+            ), bounds AS (
+              SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM e GROUP BY 1
+            ), spine AS (
+              SELECT user_id,
+                CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                  AS day
+              FROM bounds
+            ), daily AS (
+              SELECT user_id, day, count(*) AS n FROM e GROUP BY 1, 2
+            )
+            SELECT spine.user_id, spine.day,
+              CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+              daily.n IS NULL AS is_gap
+            FROM spine LEFT JOIN daily
+              ON spine.user_id = daily.user_id AND spine.day = daily.day"""),
+    "date-spine gap filling per user activity span [events,time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q41_events_hourly" -> q41,
     "q42_events_sessions" -> q42,
@@ -300,5 +343,6 @@ object Events {
     "q74_retention_cohorts" -> q74,
     "q75_json_props" -> q75,
     "q76_rolling_window" -> q76,
-    "q78_event_streaks" -> q78)
+    "q78_event_streaks" -> q78,
+    "q80_date_spine" -> q80)
 }
