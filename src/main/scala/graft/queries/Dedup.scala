@@ -7,7 +7,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator family over `documents`: exact, n-gram Jaccard,
-  * MinHash+LSH, SimHash. (Embedding-cosine near-dup lives in Similarity.)
+  * MinHash+LSH, SimHash, incremental batch-vs-corpus, and benchmark
+  * decontamination. (Embedding-cosine near-dup lives in Similarity.)
   *
   * Scale design notes per operator are on each query. The common building
   * block is the distinct word-5-gram set per document; at 100 TB the

@@ -7,8 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over the `events` table, batch-first (the
-  * reference is batch-only — SURVEY.md §2.9); the same logical windows are
-  * exposed as a Structured Streaming job in graft.streaming.
+  * reference is batch-only — SURVEY.md §2.9): windows, sessions, ordered
+  * funnel, retention cohorts, JSON props, rolling RANGE frames, streaks,
+  * and date-spine gap filling; the windowed/sessionized shapes are also
+  * exposed as Structured Streaming jobs in graft.streaming.
   */
 object Events {
 

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (vec_id,
   * embedding: array<float>, label): brute-force cosine top-k as the exact
-  * baseline, a random-hyperplane LSH bucketed variant as the scale path,
-  * and embedding-cosine near-dup pairs (the 5th dedup flavor).
+  * baseline, random-hyperplane LSH and trained-IVF bucketed variants as
+  * the scale paths, embedding-cosine near-dup pairs (the 5th dedup
+  * flavor, exact + candidates-then-rerank), and the int8 quantization
+  * audit for serving the index compressed.
   *
   * Cosine is computed as a sequential left-fold in DOUBLE (floats cast
   * per-element before multiply) so the result is bit-identical to the
