@@ -124,6 +124,35 @@ object Packing {
             FROM p GROUP BY 1, 2"""),
     "packing efficiency: per-pack docs/tokens/fill [text-analysis]")
 
+  /** Next-fit packing over CHUNK rows (doc_id, chunk_id, n_tokens) —
+    * the corpus pipeline's pack stage: same secondary-sort shape as
+    * [[packedDocs]], ordered by (doc_id, chunk_id) within doc_id-range
+    * groups so a document's chunks stay contiguous in pack order.
+    */
+  private[graft] def packChunks(chunks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = chunks.sparkSession
+    import s.implicits._
+    chunks
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        floor(col("doc_id") / GroupSize).as("pack_group"))
+      .repartition(col("pack_group"))
+      .sortWithinPartitions(col("pack_group"), col("doc_id"), col("chunk_id"))
+      .as[(Long, Int, Int, Long)]
+      .mapPartitions { rows =>
+        var group = Long.MinValue
+        var pack = 0
+        var acc = 0L
+        rows.map { case (id, cid, n, g) =>
+          if (g != group) { group = g; pack = 0; acc = n.toLong }
+          else if (acc + n > PackBudget) { pack += 1; acc = n.toLong }
+          else acc += n
+          (g, pack, id, cid, n)
+        }
+      }
+      .toDF("pack_group", "pack_seq", "doc_id", "chunk_id", "n_tokens")
+  }
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q67_sequence_packing" -> q67,
     "q72_packing_efficiency" -> q72)

@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.common.Tables.load
 import graft.functions.Text._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator family over the `documents` table: token
@@ -259,21 +260,27 @@ object TextOps {
     * construction runs as a typed linear loop for the same reason as q64
     * (Catalyst slice/concat HOFs are interpreted).
     */
-  private val q65 = QueryDef(
-    (s, d) => {
-      import s.implicits._
-      load(s, d, "documents")
-        .select(col("doc_id"), words(col("text")).as("w"))
-        .as[(Long, Seq[String])]
-        .flatMap { case (id, w) =>
-          val n = w.length
-          Iterator.range(0, math.max(n, 1), ChunkStride).map { st =>
-            val c = w.slice(st, math.min(st + ChunkLen, n))
-            (id, st / ChunkStride, c.length, c.mkString(" "))
-          }
+  /** Chunking core over an explicit documents frame (q65 + the corpus
+    * pipeline's chunk stage).
+    */
+  private[graft] def chunkDocs(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, w) =>
+        val n = w.length
+        Iterator.range(0, math.max(n, 1), ChunkStride).map { st =>
+          val c = w.slice(st, math.min(st + ChunkLen, n))
+          (id, st / ChunkStride, c.length, c.mkString(" "))
         }
-        .toDF("doc_id", "chunk_id", "n_tokens", "chunk")
-    },
+      }
+      .toDF("doc_id", "chunk_id", "n_tokens", "chunk")
+  }
+
+  private val q65 = QueryDef(
+    (s, d) => chunkDocs(s, load(s, d, "documents")),
     Some(s"""WITH t AS (
               SELECT doc_id, $WordsSql AS w FROM documents
             ), st AS (
