@@ -146,7 +146,55 @@ object Advanced {
     "q50_cube" -> q50,
     "q51_conditional_agg" -> q51,
     "q77_grouping_sets" -> q77,
-    "q79_unpivot" -> q79)
+    "q79_unpivot" -> q79,
+    "q81_exact_quantiles" -> q81)
+
+  /** Exact grouped quantiles by POSITION (lower median / quartiles at
+    * ranks floor((n+1)·q)): unlike percentile_cont there is no
+    * interpolation arithmetic, so the result is an actual data value
+    * and engine-exact — ties in the sort order cannot change which
+    * VALUE sits at a rank. One window partitioning (row_number + count
+    * share it), one shuffle; the approximate path for wide-cardinality
+    * groups is q46's Greenwald-Khanna sketch.
+    */
+  private lazy val q81 = QueryDef(
+    (s, d) => {
+      val byFlag = Window.partitionBy(col("l_returnflag"))
+      val w = byFlag.orderBy(col("l_quantity"))
+      val ranked = load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byFlag))
+      def at(k: Int): org.apache.spark.sql.Column =
+        floor((col("n") + 1) * k / 4).cast("long")
+      ranked
+        .filter(col("rn") === at(1) || col("rn") === at(2) ||
+          col("rn") === at(3))
+        .groupBy(col("l_returnflag"), col("n").as("n_rows"))
+        .agg(
+          min(when(col("rn") === at(1), col("l_quantity"))).as("p25"),
+          min(when(col("rn") === at(2), col("l_quantity"))).as("median"),
+          min(when(col("rn") === at(3), col("l_quantity"))).as("p75"))
+        .select(col("l_returnflag"), col("n_rows").cast("long").as("n_rows"),
+          col("p25").cast("double").as("p25"),
+          col("median").cast("double").as("median"),
+          col("p75").cast("double").as("p75"))
+    },
+    Some("""WITH r AS (
+              SELECT l_returnflag, l_quantity,
+                ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_quantity) AS rn,
+                COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+              CAST(min(CASE WHEN rn = (n+1)*1//4 THEN l_quantity END) AS DOUBLE) AS p25,
+              CAST(min(CASE WHEN rn = (n+1)*2//4 THEN l_quantity END) AS DOUBLE) AS median,
+              CAST(min(CASE WHEN rn = (n+1)*3//4 THEN l_quantity END) AS DOUBLE) AS p75
+            FROM r
+            WHERE rn IN ((n+1)*1//4, (n+1)*2//4, (n+1)*3//4)
+            GROUP BY 1, 2"""),
+    "exact positional quartiles per group [quantiles]")
 
   /** Unpivot / melt — pivot's inverse (q48 is the forward direction):
     * wide numeric columns become (metric, value) rows. `Dataset.unpivot`
