@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the shuffle-count claims PLANS.md makes for the narrow/
+  * single-exchange operators: a regression that adds an exchange to
+  * these plans is a scale regression even when results stay correct.
+  * Broadcast exchanges are excluded — they are the cheap side of the
+  * designs under test.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private def shuffles(name: String): Int = {
+    val plan = SparkEntry.queries(name)(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // count shuffle exchanges only (hash/range/round-robin), not
+    // BroadcastExchange
+    "(?m)^\\s*(?:\\+-|:-)?\\s*Exchange (hash|range|Round)".r
+      .findAllIn(plan).size
+  }
+
+  test("chunking (q65) is a zero-shuffle narrow plan") {
+    assert(shuffles("q65_doc_chunks") == 0)
+  }
+
+  test("repetition metrics (q70) are a zero-shuffle narrow plan") {
+    assert(shuffles("q70_repetition") == 0)
+  }
+
+  test("packing (q67) pays exactly one exchange") {
+    assert(shuffles("q67_sequence_packing") == 1)
+  }
+
+  test("funnel (q73) pays exactly one exchange") {
+    assert(shuffles("q73_event_funnel") == 1)
+  }
+
+  test("exact dedup (q34) pays exactly one exchange") {
+    assert(shuffles("q34_dedup_exact") == 1)
+  }
+
+  test("rolling window (q76): events shuffle once; the frame re-keys daily rows only") {
+    // exchange 1 moves raw events into the (user, day) aggregate;
+    // exchange 2 re-keys the already-collapsed user-day rows for the
+    // user-partitioned frame — corpus-sized data moves exactly once
+    assert(shuffles("q76_rolling_window") == 2)
+  }
+}
