@@ -16,7 +16,11 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // (repartition + in-partition sort + stateful scan), tfidf (narrow
     // TF pass + DF join + per-doc window), mix weights (k-row windows)
     "q66_dedup_incremental", "q67_sequence_packing", "q63_tfidf_terms",
-    "q71_mix_weights")
+    "q71_mix_weights",
+    // event analytics: funnel window chain, decimal RANGE frames,
+    // islands, spine join, positional quantiles
+    "q73_event_funnel", "q76_rolling_window", "q78_event_streaks",
+    "q80_date_spine", "q81_exact_quantiles")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
