@@ -152,29 +152,34 @@ object Advanced {
   /** Exact grouped quantiles by POSITION (lower median / quartiles at
     * ranks floor((n+1)·q)): unlike percentile_cont there is no
     * interpolation arithmetic, so the result is an actual data value
-    * and engine-exact — ties in the sort order cannot change which
-    * VALUE sits at a rank. One window partitioning (row_number + count
-    * share it), one shuffle; the approximate path for wide-cardinality
-    * groups is q46's Greenwald-Khanna sketch.
+    * and engine-exact. Computed HISTOGRAM-style: per-(group, value)
+    * counts with map-side combine, then a cumulative sum over each
+    * group's distinct VALUES — the value at rank r is the smallest
+    * value whose running count reaches r. A row_number formulation
+    * sorts every group's raw rows inside one task per group (3 groups
+    * here → 3 tasks own the corpus at 100 TB); this plan's heavy
+    * shuffle ends at the tiny aggregated histogram instead. Exact for
+    * discrete/bounded-cardinality values (l_quantity: 50 distinct);
+    * the continuous-value path is q46's Greenwald-Khanna sketch.
     */
   private lazy val q81 = QueryDef(
     (s, d) => {
       val byFlag = Window.partitionBy(col("l_returnflag"))
-      val w = byFlag.orderBy(col("l_quantity"))
-      val ranked = load(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(byFlag))
+      val counts = load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val cum = counts
+        .withColumn("cum", sum(col("c"))
+          .over(byFlag.orderBy(col("l_quantity"))))
+        .withColumn("n", sum(col("c")).over(byFlag))
       def at(k: Int): org.apache.spark.sql.Column =
         floor((col("n") + 1) * k / 4).cast("long")
-      ranked
-        .filter(col("rn") === at(1) || col("rn") === at(2) ||
-          col("rn") === at(3))
+      cum
         .groupBy(col("l_returnflag"), col("n").as("n_rows"))
         .agg(
-          min(when(col("rn") === at(1), col("l_quantity"))).as("p25"),
-          min(when(col("rn") === at(2), col("l_quantity"))).as("median"),
-          min(when(col("rn") === at(3), col("l_quantity"))).as("p75"))
+          min(when(col("cum") >= at(1), col("l_quantity"))).as("p25"),
+          min(when(col("cum") >= at(2), col("l_quantity"))).as("median"),
+          min(when(col("cum") >= at(3), col("l_quantity"))).as("p75"))
         .select(col("l_returnflag"), col("n_rows").cast("long").as("n_rows"),
           col("p25").cast("double").as("p25"),
           col("median").cast("double").as("median"),
