@@ -100,4 +100,33 @@ object TemporalJoins {
       .select(col("_lid"), col("_rid")).distinct() // bucket overlap dedupe
       .groupBy(col("_lid")).agg(count(lit(1)).as("n_neighbors"))
   }
+
+  /** Interval-overlap self-join: every unordered pair of intervals with
+    * `a.st <= b.en && b.st <= a.en` (second-granularity, touching
+    * endpoints count), found WITHOUT an inequality join. Input columns:
+    * `id` (any orderable type — a struct gives lexicographic pair
+    * ordering), `st`, `en` (epoch seconds, st <= en). Each interval
+    * explodes to the `bucketSeconds` cells it covers (fan-out = interval
+    * span / bucket, bounded for bounded spans); candidates share a cell,
+    * dedup on the id pair, then the exact overlap filter and length
+    * arithmetic run on the candidate set only. Candidate volume is
+    * sum-of-cell-occupancy², sharded by the bucket key — never |T|².
+    */
+  def selfIntervalOverlap(intervals: DataFrame,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    val b = intervals.withColumn("bkt",
+      explode(sequence(
+        floor(col("st") / bucketSeconds),
+        floor(col("en") / bucketSeconds))))
+    b.as("a").join(b.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.st").as("st1"), col("a.en").as("en1"),
+        col("b.st").as("st2"), col("b.en").as("en2"))
+      .distinct() // multi-cell co-occurrence dedupe
+      .filter(col("st1") <= col("en2") && col("st2") <= col("en1"))
+      .select(col("id1"), col("id2"),
+        (least(col("en1"), col("en2")) - greatest(col("st1"), col("st2")))
+          .as("overlap_seconds"))
+  }
 }

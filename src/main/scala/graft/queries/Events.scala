@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.common.Exact._
 import graft.common.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,24 +39,29 @@ object Events {
     * the batch equivalent of flatMapGroupsWithState sessions. Two window
     * functions over the same (user_id, ts) partitioning → single shuffle.
     */
+  /** q42's session frame (also the interval source for the overlap
+    * join q82).
+    */
+  private[graft] def sessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    load(s, d, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        lcountAll.as("n_events"),
+        dsum(col("value")).as("sum_value"))
+  }
+
   private val q42 = QueryDef(
-    (s, d) => {
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      load(s, d, "events")
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
-            1L).otherwise(0L))
-        .withColumn("session_seq", sum(col("new_session")).over(byUser))
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(
-          min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"),
-          lcountAll.as("n_events"),
-          dsum(col("value")).as("sum_value"))
-    },
+    (s, d) => sessions(s, d),
     Some("""WITH marked AS (
               SELECT user_id, event_id, ts, value,
                 CASE WHEN LAG(ts) OVER w IS NULL

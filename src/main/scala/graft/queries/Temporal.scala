@@ -58,7 +58,59 @@ object Temporal {
             GROUP BY 1"""),
     "bucketed range join: +-5min neighbor counts [range-join]")
 
+  /** Interval-overlap join: concurrent-session pairs among the first 20
+    * users (q42's sessions are the intervals; the user cap keeps the
+    * oracle's inequality join tractable — the Spark side's bucketed
+    * plan needs no such cap). Overlap arithmetic is whole seconds
+    * (unix_timestamp ↔ date_diff'second' both truncate), so the values
+    * are exact integers.
+    */
+  private val q82 = QueryDef(
+    (s, d) => {
+      val sess = Events.sessions(s, d).filter(col("user_id") < 20)
+        .select(
+          struct(col("user_id"), col("session_seq")).as("id"),
+          unix_timestamp(col("session_start")).as("st"),
+          unix_timestamp(col("session_end")).as("en"))
+      TemporalJoins.selfIntervalOverlap(sess, bucketSeconds = 3600L)
+        .select(
+          col("id1.user_id").as("u1"),
+          col("id1.session_seq").as("s1"),
+          col("id2.user_id").as("u2"),
+          col("id2.session_seq").as("s2"),
+          col("overlap_seconds"))
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WHERE user_id < 20
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), numbered AS (
+              SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM marked
+            ), sess AS (
+              SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                date_diff('second', TIMESTAMP '1970-01-01', MIN(ts)) AS st,
+                date_diff('second', TIMESTAMP '1970-01-01', MAX(ts)) AS en
+              FROM numbered GROUP BY 1, 2
+            )
+            SELECT a.user_id AS u1, a.session_seq AS s1,
+              b.user_id AS u2, b.session_seq AS s2,
+              CAST(least(a.en, b.en) - greatest(a.st, b.st) AS BIGINT)
+                AS overlap_seconds
+            FROM sess a JOIN sess b
+              ON (a.user_id < b.user_id OR
+                  (a.user_id = b.user_id AND a.session_seq < b.session_seq))
+             AND a.st <= b.en AND b.st <= a.en"""),
+    "interval-overlap join: concurrent session pairs [interval-join]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q52_asof_join" -> q52,
-    "q53_range_join" -> q53)
+    "q53_range_join" -> q53,
+    "q82_interval_overlap" -> q82)
 }
