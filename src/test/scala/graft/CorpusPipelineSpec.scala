@@ -39,6 +39,28 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("a document's chunks stay contiguous and ordered through packing") {
+    val rows = spark.read.parquet(s"$out/packed")
+      .select("pack_group", "pack_seq", "doc_id", "chunk_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (g, inGroup) =>
+      // within a group, ordering by (pack_seq, doc_id, chunk_id) must
+      // list every doc's chunks consecutively and in chunk order
+      val ordered = inGroup.sortBy(t => (t._2, t._3, t._4))
+      ordered.groupBy(_._3).foreach { case (doc, cs) =>
+        val seq = cs.sortBy(_._4).map(_._4).toSeq
+        assert(seq == (seq.min to seq.max).toSeq,
+          s"group $g doc $doc chunk ids not consecutive")
+        // chunks of one doc never interleave with another doc's between
+        // positions in the ordered pack stream
+        val pos = ordered.zipWithIndex.filter(_._1._3 == doc).map(_._2).toSeq
+        assert(pos == (pos.min to pos.max).toSeq,
+          s"group $g doc $doc chunks interleaved")
+      }
+    }
+  }
+
   test("stats sidecar matches the summary") {
     val json = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/corpus_stats.json"))
