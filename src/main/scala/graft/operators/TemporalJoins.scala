@@ -111,6 +111,11 @@ object TemporalJoins {
     * dedup on the id pair, then the exact overlap filter and length
     * arithmetic run on the candidate set only. Candidate volume is
     * sum-of-cell-occupancy², sharded by the bucket key — never |T|².
+    * Known skew mode: a globally hot cell (many concurrent intervals)
+    * concentrates its occupancy² pairs in one task; the mitigation is
+    * the salted-join pattern from operators.SkewJoin (replicate one
+    * side across an id-hash salt inside the hot cell), applied when a
+    * cell-occupancy profile (q61-style) flags hot cells.
     */
   def selfIntervalOverlap(intervals: DataFrame,
       bucketSeconds: Long = 3600L): DataFrame = {
