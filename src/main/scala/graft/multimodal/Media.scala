@@ -80,6 +80,49 @@ object Media {
     }
   }
 
+  /** Resize (image kind): fit-within-box nearest-neighbor downsample.
+    * STUB codec like [[fakeDecode]] — the payload is treated as a
+    * row-major width×height byte grid (index wrapped to the real
+    * length) — but the plumbing is real: aspect-preserving scale
+    * arithmetic, a per-pixel primitive loop, new payload + metadata
+    * emitted in the same fused partition pass a codec-backed resize
+    * would use. Non-image rows and already-fitting images pass through
+    * untouched.
+    */
+  def resize(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(maxW > 0 && maxH > 0, "resize: empty target box")
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.kind != "image" || (m.width <= maxW && m.height <= maxH)) m
+        else {
+          val scale = math.min(
+            maxW.toDouble / m.width, maxH.toDouble / m.height)
+          val nw = math.max(1, math.floor(m.width * scale).toInt)
+          val nh = math.max(1, math.floor(m.height * scale).toInt)
+          val src = m.bytes
+          val buf = new Array[Byte](nw * nh)
+          if (src.nonEmpty) {
+            var y = 0
+            var idx = 0
+            while (y < nh) {
+              val sy = y * m.height / nh
+              var x = 0
+              while (x < nw) {
+                val sx = x * m.width / nw
+                buf(idx) = src((sy * m.width + sx) % src.length)
+                x += 1
+                idx += 1
+              }
+              y += 1
+            }
+          }
+          m.copy(bytes = buf, width = nw, height = nh)
+        }
+      }
+    }
+  }
+
   /** Frame sampling (video kind): emit one frame row per second of
     * duration, capped — the generator-shaped operator (explode analog)
     * done with mapPartitions + flatMap.

@@ -27,6 +27,31 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
     assert(frames.map(_.media_id).distinct.length == nVideos)
   }
 
+  test("resize fits the box, preserves aspect, and passes non-images through") {
+    val media = Media.mediaFromDocuments(spark, Sf)
+    val out = Media.resize(media, maxW = 400, maxH = 225).collect()
+    val in = media.collect().map(m => m.media_id -> m).toMap
+    assert(out.nonEmpty)
+    out.foreach { m =>
+      val orig = in(m.media_id)
+      if (orig.kind != "image" ||
+          (orig.width <= 400 && orig.height <= 225)) {
+        assert(m.width == orig.width && m.height == orig.height &&
+          (m.bytes sameElements orig.bytes))
+      } else {
+        assert(m.width <= 400 && m.height <= 225)
+        assert(m.bytes.length == m.width * m.height)
+        // aspect preserved to integer truncation
+        val scale = math.min(400.0 / orig.width, 225.0 / orig.height)
+        assert(m.width == math.max(1, math.floor(orig.width * scale).toInt))
+        assert(m.height == math.max(1, math.floor(orig.height * scale).toInt))
+      }
+    }
+    // deterministic
+    val again = Media.resize(media, maxW = 400, maxH = 225).collect()
+    assert(out.map(_.bytes.toSeq).toSeq == again.map(_.bytes.toSeq).toSeq)
+  }
+
   test("streaming hourly agg matches the batch q41 counts") {
     // file-stream sources need a directory: stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
