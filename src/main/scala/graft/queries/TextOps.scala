@@ -156,8 +156,8 @@ object TextOps {
     * join, and a bounded per-doc top-k — at 100 TB the only wide ops are
     * two keyed aggregations and one join on the term.
     */
-  private val q63 = QueryDef(
-    (s, d) => {
+  /** q63's frame (also the bounded pair source for q83). */
+  private def distinctiveTerms(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docs = load(s, d, "documents")
@@ -191,7 +191,10 @@ object TextOps {
           col("tf").cast("int").as("tf"),
           col("df").cast("int").as("df"),
           col("rn").cast("int").as("rn"))
-    },
+  }
+
+  private val q63 = QueryDef(
+    (s, d) => distinctiveTerms(s, d),
     Some(s"""WITH terms AS (
               SELECT doc_id, unnest($WordsSql) AS term FROM documents
             ), tf AS (
@@ -207,6 +210,48 @@ object TextOps {
                   FROM tf JOIN df USING (term))
             WHERE rn <= 5"""),
     "top-5 distinctive terms per doc (tf desc, df asc) [text-analysis]")
+
+  /** Term co-occurrence over the distinctive-term sets: which top-5
+    * q63 terms appear together in documents, ranked. Restricting the
+    * pair expansion to each doc's (already deterministic) top-5 bounds
+    * the fan-out at C(5,2)=10 pairs per document BY CONSTRUCTION — the
+    * unbounded variant (all distinct-term pairs per doc) is quadratic
+    * in document vocabulary and needs a df-cap guard like q35's; this
+    * composition needs none. One doc-keyed self-join on 5-row groups,
+    * one keyed count, TakeOrdered cut on a total order.
+    */
+  private val q83 = QueryDef(
+    (s, d) => {
+      val t = distinctiveTerms(s, d).select("doc_id", "term")
+      t.as("a").join(t.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1").asc, col("t2").asc)
+        .limit(50)
+    },
+    Some(s"""WITH terms AS (
+              SELECT doc_id, unnest($WordsSql) AS term FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+            ), df AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), top5 AS (
+              SELECT doc_id, term
+              FROM (SELECT tf.doc_id, tf.term,
+                      ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                        ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+                    FROM tf JOIN df USING (term))
+              WHERE rn <= 5
+            )
+            SELECT a.term AS t1, b.term AS t2,
+              CAST(count(*) AS BIGINT) AS n
+            FROM top5 a JOIN top5 b
+              ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2
+            ORDER BY n DESC, t1 ASC, t2 ASC LIMIT 50"""),
+    "top-50 co-occurring distinctive-term pairs [text-analysis]")
 
   /** Corpus n-gram statistics: top-100 word trigrams by count — the
     * language-model-style corpus profile. One explode + one keyed agg
@@ -364,5 +409,6 @@ object TextOps {
     "q63_tfidf_terms" -> q63,
     "q64_corpus_ngrams" -> q64,
     "q65_doc_chunks" -> q65,
-    "q70_repetition" -> q70)
+    "q70_repetition" -> q70,
+    "q83_term_cooccurrence" -> q83)
 }
