@@ -33,11 +33,18 @@ object Bench {
       val t = if (a < 0) a else math.min(a, once())
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Key order: queries first, summary fields LAST. The harness that
+    // collects this output keeps only the final ~2000 characters; with 80
+    // queries the map alone is longer than that, so the headline total must
+    // sit at the end of the line to stay visible. JSON key order is
+    // insignificant to any parser. 4-decimal times (0.1 ms) keep the line
+    // short without losing measurement precision.
+    def f(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":${f(total)},"unit":"sec"}"""
     println(line)
     // per-query history: append every run (timestamped) so later rounds
     // can diff query-by-query against earlier recordings, not just the

@@ -37,7 +37,7 @@ object CorpusPipeline {
   private[pipeline] val MinDistinctRatio = 0.3
 
   /** Quality floor + exact dedup in one plan (q56's composition). */
-  private[pipeline] def cleanDocs(docs: DataFrame): DataFrame = {
+  private[graft] def cleanDocs(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val keep = Window.partitionBy(col("content_hash"))
       .orderBy(col("doc_id").asc)
@@ -54,17 +54,28 @@ object CorpusPipeline {
       .select("doc_id", "text")
   }
 
-  /** Drop survivors sharing any 5-gram with the benchmark slice (q69
-    * over the cleaned frame; the benchmark docs themselves are also
-    * excluded from the training output by construction).
+  /** Drop cleaned survivors sharing any 5-gram with the benchmark slice
+    * (q69's audit; the benchmark docs themselves are also excluded from
+    * the training output by construction).
+    *
+    * The benchmark gram set is built from the RAW benchmark slice, not
+    * the cleaned frame: a benchmark doc dropped by the quality floor, or
+    * deduped away because a verbatim training copy holds the smaller
+    * doc_id, would otherwise contribute no grams — and that copy (the
+    * strongest contamination this stage exists to remove) would pass.
+    * Only the training side comes from the cleaned frame.
     */
-  private[pipeline] def decontaminate(s: SparkSession, docs: DataFrame,
-      isBench: org.apache.spark.sql.Column): DataFrame =
-    docs.join(
-      Dedup.decontaminationFrom(s, docs, isBench)
+  private[graft] def decontaminate(s: SparkSession, raw: DataFrame,
+      cleaned: DataFrame,
+      isBench: org.apache.spark.sql.Column): DataFrame = {
+    val audited = raw.filter(isBench).select("doc_id", "text")
+      .unionByName(cleaned.filter(!isBench).select("doc_id", "text"))
+    cleaned.join(
+      Dedup.decontaminationFrom(s, audited, isBench)
         .filter(!col("is_contaminated"))
         .select("doc_id"),
       "doc_id")
+  }
 
   /** Run the full preparation against a testdata dir, writing
     * `chunks` + `packed` parquet and `corpus_stats.json` under outDir.
@@ -85,7 +96,8 @@ object CorpusPipeline {
     }
     val nDedup = cleaned.count()
 
-    val training = decontaminate(spark, cleaned, col("doc_id") % 50 === 0)
+    val training =
+      decontaminate(spark, docs, cleaned, col("doc_id") % 50 === 0)
 
     val chunks = TextOps.chunkDocs(spark, training)
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")

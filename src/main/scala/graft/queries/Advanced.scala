@@ -162,29 +162,42 @@ object Advanced {
     * discrete/bounded-cardinality values (l_quantity: 50 distinct);
     * the continuous-value path is q46's Greenwald-Khanna sketch.
     */
+  /** Core of q81 over an explicit frame (specs exercise tiny groups the
+    * natural tables never produce). Ranks are clamped to >= 1: for
+    * groups with n < 3, floor((n+1)k/4) is 0 — an out-of-range position
+    * that `cum >= 0` would silently resolve to the group's min while a
+    * positional `rn = 0` lookup finds nothing. Clamping pins the
+    * semantics to "quartile of a tiny group is its smallest value" in
+    * both the engine and the oracle.
+    */
+  private[graft] def positionalQuartiles(
+      df: org.apache.spark.sql.DataFrame,
+      group: String, value: String): org.apache.spark.sql.DataFrame = {
+    val byGroup = Window.partitionBy(col(group))
+    val counts = df
+      .groupBy(col(group), col(value))
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c"))
+        .over(byGroup.orderBy(col(value))))
+      .withColumn("n", sum(col("c")).over(byGroup))
+    def at(k: Int): org.apache.spark.sql.Column =
+      greatest(floor((col("n") + 1) * k / 4), lit(1)).cast("long")
+    cum
+      .groupBy(col(group), col("n").as("n_rows"))
+      .agg(
+        min(when(col("cum") >= at(1), col(value))).as("p25"),
+        min(when(col("cum") >= at(2), col(value))).as("median"),
+        min(when(col("cum") >= at(3), col(value))).as("p75"))
+      .select(col(group), col("n_rows").cast("long").as("n_rows"),
+        col("p25").cast("double").as("p25"),
+        col("median").cast("double").as("median"),
+        col("p75").cast("double").as("p75"))
+  }
+
   private lazy val q81 = QueryDef(
-    (s, d) => {
-      val byFlag = Window.partitionBy(col("l_returnflag"))
-      val counts = load(s, d, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_quantity"))
-        .agg(count(lit(1)).as("c"))
-      val cum = counts
-        .withColumn("cum", sum(col("c"))
-          .over(byFlag.orderBy(col("l_quantity"))))
-        .withColumn("n", sum(col("c")).over(byFlag))
-      def at(k: Int): org.apache.spark.sql.Column =
-        floor((col("n") + 1) * k / 4).cast("long")
-      cum
-        .groupBy(col("l_returnflag"), col("n").as("n_rows"))
-        .agg(
-          min(when(col("cum") >= at(1), col("l_quantity"))).as("p25"),
-          min(when(col("cum") >= at(2), col("l_quantity"))).as("median"),
-          min(when(col("cum") >= at(3), col("l_quantity"))).as("p75"))
-        .select(col("l_returnflag"), col("n_rows").cast("long").as("n_rows"),
-          col("p25").cast("double").as("p25"),
-          col("median").cast("double").as("median"),
-          col("p75").cast("double").as("p75"))
-    },
+    (s, d) => positionalQuartiles(
+      load(s, d, "lineitem"), "l_returnflag", "l_quantity"),
     Some("""WITH r AS (
               SELECT l_returnflag, l_quantity,
                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
@@ -193,11 +206,12 @@ object Advanced {
               FROM lineitem
             )
             SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-              CAST(min(CASE WHEN rn = (n+1)*1//4 THEN l_quantity END) AS DOUBLE) AS p25,
-              CAST(min(CASE WHEN rn = (n+1)*2//4 THEN l_quantity END) AS DOUBLE) AS median,
-              CAST(min(CASE WHEN rn = (n+1)*3//4 THEN l_quantity END) AS DOUBLE) AS p75
+              CAST(min(CASE WHEN rn = greatest((n+1)*1//4, 1) THEN l_quantity END) AS DOUBLE) AS p25,
+              CAST(min(CASE WHEN rn = greatest((n+1)*2//4, 1) THEN l_quantity END) AS DOUBLE) AS median,
+              CAST(min(CASE WHEN rn = greatest((n+1)*3//4, 1) THEN l_quantity END) AS DOUBLE) AS p75
             FROM r
-            WHERE rn IN ((n+1)*1//4, (n+1)*2//4, (n+1)*3//4)
+            WHERE rn IN (greatest((n+1)*1//4, 1), greatest((n+1)*2//4, 1),
+                         greatest((n+1)*3//4, 1))
             GROUP BY 1, 2"""),
     "exact positional quartiles per group [quantiles]")
 

@@ -323,15 +323,34 @@ object Similarity {
   private val KMeansIters = 4
   private val KMeansSampleTarget = 4096L
 
-  /** Trained quantizers memoized per (dir, k, iters): training is
-    * bit-deterministic for a given file layout, so the index build is
-    * paid once per dataset per session (q54 and q62 share one training
-    * pass), exactly as a production index would be trained once and
-    * served many times.
+  /** Trained quantizers memoized per (dataset fingerprint, k, iters):
+    * training is bit-deterministic for a given file layout, so the index
+    * build is paid once per dataset per session (q54 and q62 share one
+    * training pass), exactly as a production index would be trained once
+    * and served many times. The key is a content fingerprint of the
+    * table's files — not the directory path — so rewriting the dataset
+    * in-session (regenerated testdata, a table republished under the
+    * same root) retrains instead of serving stale centroids.
     */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
       Array[(Long, Array[Double], Double)]]()
+
+  /** Cheap content fingerprint of the embeddings table under a dir:
+    * sorted (path, length, mtime) triples of its backing files, hashed.
+    * One file-listing round trip — no data is read.
+    */
+  private def embeddingsFingerprint(s: SparkSession, d: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val parts = load(s, d, "embeddings").inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+    d + "#" + digest.map("%02x".format(_)).mkString
+  }
 
   /** Primitive-loop cosine against a pre-normed centroid. */
   private def cosTo(v: Array[Float], vNorm: Double,
@@ -384,7 +403,7 @@ object Similarity {
   private[graft] def kMeansCentroids(s: SparkSession, d: String,
       k: Int = NumCells,
       iters: Int = KMeansIters): Array[(Long, Array[Double], Double)] =
-    centroidCache.computeIfAbsent((d, k, iters),
+    centroidCache.computeIfAbsent((embeddingsFingerprint(s, d), k, iters),
       _ => trainKMeans(s, d, k, iters))
 
   private[graft] def trainKMeans(s: SparkSession, d: String, k: Int,
@@ -406,6 +425,9 @@ object Similarity {
         .as[(Long, Array[Float])].collect()
         .map(_._2.map(_.toDouble))
       require(centroids.nonEmpty, "k-means: empty sample")
+      // dimension comes from the data, not the testdata's 64 — the
+      // trainer serves any embedding width
+      val dim = centroids(0).length
       var iter = 0
       while (iter < iters) {
         val withNorms = centroids.map(c =>
@@ -414,7 +436,7 @@ object Similarity {
         val partials = sample.mapPartitions { rows =>
           val cs = bc.value
           val kk = cs.length
-          val sums = Array.ofDim[Double](kk, Dim)
+          val sums = Array.ofDim[Double](kk, dim)
           val counts = new Array[Long](kk)
           rows.foreach { case (_, v) =>
             // argmax of dot/centroidNorm == argmax of cosine (|v| is
@@ -441,12 +463,12 @@ object Similarity {
           (0 until kk).iterator.filter(counts(_) > 0L)
             .map(c => (c, counts(c), sums(c)))
         }.collect()
-        val newSums = Array.ofDim[Double](centroids.length, Dim)
+        val newSums = Array.ofDim[Double](centroids.length, dim)
         val newCounts = new Array[Long](centroids.length)
         partials.foreach { case (c, cnt, sum) =>
           newCounts(c) += cnt
           var i = 0
-          while (i < Dim) { newSums(c)(i) += sum(i); i += 1 }
+          while (i < dim) { newSums(c)(i) += sum(i); i += 1 }
         }
         centroids = centroids.zipWithIndex.map { case (old, c) =>
           if (newCounts(c) == 0L) old
@@ -589,41 +611,51 @@ object Similarity {
     * all folds are sequential in array order so the doubles are
     * bit-identical to the DuckDB mirror.
     */
+  /** Per-vector quantization audit row (core of q68; specs feed it the
+    * degenerate vectors the natural table lacks). An all-zero embedding
+    * makes scale = 0 and every x/scale a 0/0 NaN whose propagation the
+    * two engines need not agree on — short-circuit it: a zero vector
+    * reconstructs exactly, so (scale 0, recon_cos 1, max_abs_err 0).
+    */
+  private[graft] def quantizeAudit(
+      id: Long, v: Array[Float]): (Long, Double, Double, Double) = {
+    var maxAbs = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    if (scale == 0.0) return (id, 0.0, 1.0, 0.0)
+    // fold order: dot/norms accumulate left-to-right, matching the
+    // oracle's list_reduce
+    var dot = 0.0
+    var n1 = 0.0
+    var n2 = 0.0
+    var maxErr = 0.0
+    i = 0
+    while (i < v.length) {
+      val x = v(i).toDouble
+      val q = math.floor(x / scale + 0.5)
+      val r = q * scale
+      dot += x * r
+      n1 += x * x
+      n2 += r * r
+      val e = math.abs(x - r)
+      if (e > maxErr) maxErr = e
+      i += 1
+    }
+    (id, scale, dot / (math.sqrt(n1) * math.sqrt(n2)), maxErr)
+  }
+
   private val q68 = QueryDef(
     (s, d) => {
       import s.implicits._
       load(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
-        .map { case (id, v) =>
-          var maxAbs = 0.0
-          var i = 0
-          while (i < v.length) {
-            val a = math.abs(v(i).toDouble)
-            if (a > maxAbs) maxAbs = a
-            i += 1
-          }
-          val scale = maxAbs / 127.0
-          // fold order: dot/norms accumulate left-to-right, matching the
-          // oracle's list_reduce
-          var dot = 0.0
-          var n1 = 0.0
-          var n2 = 0.0
-          var maxErr = 0.0
-          i = 0
-          while (i < v.length) {
-            val x = v(i).toDouble
-            val q = math.floor(x / scale + 0.5)
-            val r = q * scale
-            dot += x * r
-            n1 += x * x
-            n2 += r * r
-            val e = math.abs(x - r)
-            if (e > maxErr) maxErr = e
-            i += 1
-          }
-          (id, scale, dot / (math.sqrt(n1) * math.sqrt(n2)), maxErr)
-        }
+        .map { case (id, v) => quantizeAudit(id, v) }
         .toDF("vec_id", "scale", "recon_cos", "max_abs_err")
     },
     Some("""WITH t AS (
@@ -641,14 +673,16 @@ object Similarity {
               FROM s
             )
             SELECT vec_id, scale,
-              list_reduce(list_transform(list_zip(v, rv),
-                  x -> x[1] * x[2]), (a, b) -> a + b)
-              / (sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
-               * sqrt(list_reduce(list_transform(rv, x -> x * x), (a, b) -> a + b)))
-                AS recon_cos,
-              list_reduce(list_transform(list_zip(v, rv),
-                  x -> abs(x[1] - x[2])), (a, b) -> greatest(a, b))
-                AS max_abs_err
+              CASE WHEN scale = 0 THEN 1.0 ELSE
+                list_reduce(list_transform(list_zip(v, rv),
+                    x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(rv, x -> x * x), (a, b) -> a + b)))
+              END AS recon_cos,
+              CASE WHEN scale = 0 THEN 0.0 ELSE
+                list_reduce(list_transform(list_zip(v, rv),
+                    x -> abs(x[1] - x[2])), (a, b) -> greatest(a, b))
+              END AS max_abs_err
             FROM r"""),
     "int8 scalar quantization quality per vector [similarity]")
 

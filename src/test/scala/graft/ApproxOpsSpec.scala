@@ -111,6 +111,36 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rKm >= rFv, s"unleaked recall: kmeans=$rKm first16=$rFv")
   }
 
+  test("quantization audit short-circuits the all-zero embedding (no NaN)") {
+    import graft.queries.Similarity
+    // scale = 0 would make every x/scale a 0/0 NaN; the defined result is
+    // "a zero vector reconstructs exactly"
+    assert(Similarity.quantizeAudit(7L, Array(0f, 0f, 0f)) ==
+      ((7L, 0.0, 1.0, 0.0)))
+    val (_, scale, cos, err) =
+      Similarity.quantizeAudit(1L, Array(0.5f, -1.0f, 0.25f))
+    assert(scale > 0 && !cos.isNaN && cos > 0.999 && err >= 0.0)
+  }
+
+  test("centroid cache keys on content, not path: in-session rewrite retrains") {
+    import graft.queries.Similarity
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    def write(seed: Int): Unit =
+      (0L until 24L).map { i =>
+        (i, Array.tabulate(8)(j =>
+          ((i * 31 + j * 7 + seed) % 13 - 6).toFloat))
+      }.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(0)
+    val c1 = Similarity.kMeansCentroids(spark, dir, k = 4, iters = 2)
+    write(5)
+    val c2 = Similarity.kMeansCentroids(spark, dir, k = 4, iters = 2)
+    assert(!c1.zip(c2).forall { case ((_, a, _), (_, b, _)) =>
+      a.sameElements(b)
+    }, "rewritten dataset was served stale centroids")
+  }
+
   test("candidates-then-rerank 1-NN (q62) reaches >=0.95 recall@1 vs exact q40") {
     val exact = SparkEntry.queries("q40_dedup_embedding")(spark, Sf)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))

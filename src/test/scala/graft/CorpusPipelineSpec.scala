@@ -73,4 +73,38 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     val again = CorpusPipeline.run(spark, Sf, out)
     assert(again == summary)
   }
+
+  test("a verbatim copy of a deduped-away or quality-dropped benchmark " +
+    "doc is still decontaminated") {
+    import spark.implicits._
+    // 25 distinct words: passes the quality floor, yields 5-grams
+    val benchText = (1 to 25).map(i => s"alpha$i").mkString(" ")
+    // 10 words: FAILS the quality floor (MinWords = 20)
+    val shortBench = (1 to 10).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      // training doc 3 is a verbatim copy of bench doc 50; under the
+      // min-doc_id survivor rule doc 3 wins dedup and doc 50 vanishes
+      // from the cleaned frame
+      (3L, benchText),
+      (50L, benchText),
+      // bench doc 100 fails quality outright; training doc 7 embeds its
+      // full text (shares its 5-grams) inside a quality-passing doc
+      (7L, shortBench + " " + (1 to 15).map(i => s"pad$i").mkString(" ")),
+      (100L, shortBench),
+      // clean training doc: survives everything
+      (9L, (1 to 25).map(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val isBench = col("doc_id") % 50 === 0
+    val cleaned = CorpusPipeline.cleanDocs(docs)
+    // precondition: neither bench doc is in the cleaned frame, so a gram
+    // set built from the cleaned slice would be empty — the bug ADVICE
+    // flagged
+    assert(cleaned.filter(isBench).count() == 0)
+    val kept = CorpusPipeline.decontaminate(spark, docs, cleaned, isBench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(3L), "verbatim copy of a deduped bench doc leaked")
+    assert(!kept.contains(7L),
+      "doc sharing grams with a quality-dropped bench doc leaked")
+    assert(kept == Set(9L))
+  }
 }

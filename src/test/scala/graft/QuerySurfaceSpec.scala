@@ -67,4 +67,21 @@ class QuerySurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(!col("churn_label").isin(0, 1)).count() == 0)
     assert(df.count() == df.select("customer_id").distinct().count())
   }
+
+  test("positional quartiles clamp the rank to >= 1 on tiny groups") {
+    import spark.implicits._
+    // n = 1 and n = 2 make floor((n+1)k/4) = 0 for the lower ranks; the
+    // clamped semantics is "the group's smallest value", never NULL or an
+    // accidental always-true cum >= 0
+    val df = Seq(("a", 5.0), ("b", 1.0), ("b", 9.0),
+      ("c", 2.0), ("c", 4.0), ("c", 6.0), ("c", 8.0)).toDF("g", "v")
+    val out = graft.queries.Advanced.positionalQuartiles(df, "g", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("a") == ((1L, 5.0, 5.0, 5.0)))
+    assert(out("b") == ((2L, 1.0, 1.0, 9.0)))
+    assert(out("c") == ((4L, 2.0, 4.0, 6.0)))
+  }
 }
