@@ -64,17 +64,25 @@ object CorpusPipeline {
     * doc_id, would otherwise contribute no grams — and that copy (the
     * strongest contamination this stage exists to remove) would pass.
     * Only the training side comes from the cleaned frame.
+    *
+    * The keep rule is an ANTI-join against the contaminated ids (plus
+    * the explicit benchmark exclusion), not an inner join against the
+    * uncontaminated ones: the audit emits no row for a doc with zero
+    * 5-grams (under 5 words), and an inner join would silently drop such
+    * docs. Unreachable via [[cleanDocs]] (MinWords = 20 ≫ 5), but this
+    * helper takes arbitrary frames — a gram-less doc shares nothing with
+    * the benchmark and must be KEPT.
     */
   private[graft] def decontaminate(s: SparkSession, raw: DataFrame,
       cleaned: DataFrame,
       isBench: org.apache.spark.sql.Column): DataFrame = {
     val audited = raw.filter(isBench).select("doc_id", "text")
       .unionByName(cleaned.filter(!isBench).select("doc_id", "text"))
-    cleaned.join(
+    cleaned.filter(!isBench).join(
       Dedup.decontaminationFrom(s, audited, isBench)
-        .filter(!col("is_contaminated"))
+        .filter(col("is_contaminated"))
         .select("doc_id"),
-      "doc_id")
+      Seq("doc_id"), "left_anti")
   }
 
   /** Run the full preparation against a testdata dir, writing

@@ -97,25 +97,29 @@ object Similarity {
   // examining ~half the points. On real (clustered) embedding corpora the
   // same structure prunes far harder; the mechanics — narrow map to
   // (table, bucket) + bucketed join, no cartesian — are the 100 TB path.
-  private val Dim = 64
   private val BitsPerTable = 4
   private val NumTables = 16
 
-  /** Deterministic planes via xorshift64* from a fixed seed:
-    * planes(table)(bit)(dim).
+  /** Deterministic planes via xorshift64* from a fixed seed, for a given
+    * embedding width: planesFor(dim)(table)(bit)(component). The width
+    * comes from the data (like the k-means trainer), so the LSH surface
+    * serves any embedding dimension; for a fixed dim the fill order is
+    * fixed, so the planes — and every downstream bucket — are identical
+    * across drivers and executors. Memoized per width (a few KB each).
     */
-  private[queries] lazy val planes: Array[Array[Array[Double]]] = {
-    var state = 0x9E3779B97F4A7C15L // fixed seed: golden-ratio constant
-    def next(): Double = {
-      state ^= state >>> 12; state ^= state << 25; state ^= state >>> 27
-      val r = state * 0x2545F4914F6CDD1DL
-      (r >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
-    Array.fill(NumTables, BitsPerTable, Dim)(next())
-  }
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Array[Double]]]]()
 
-  private def planeCol(p: Array[Double]): Column =
-    array(p.map(lit(_)): _*)
+  private[queries] def planesFor(dim: Int): Array[Array[Array[Double]]] =
+    planesCache.computeIfAbsent(dim, { d =>
+      var state = 0x9E3779B97F4A7C15L // fixed seed: golden-ratio constant
+      def next(): Double = {
+        state ^= state >>> 12; state ^= state << 25; state ^= state >>> 27
+        val r = state * 0x2545F4914F6CDD1DL
+        (r >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+      Array.fill(NumTables, BitsPerTable, d)(next())
+    })
 
   /** (vec_id, embedding, bucket) rows for all L tables, computed in one
     * typed partition pass (plane dots in a primitive loop — Spark's
@@ -128,8 +132,11 @@ object Similarity {
     pre.fold(base)(base.filter).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
-        val ps = planes
+        // plane width follows the data; cached per executor via planesFor
+        var psDim = -1
+        var ps: Array[Array[Array[Double]]] = null
         rows.flatMap { case (id, v) =>
+          if (v.length != psDim) { ps = planesFor(v.length); psDim = v.length }
           (0 until NumTables).iterator.map { t =>
             var sig = 0
             var b = 0
@@ -189,6 +196,14 @@ object Similarity {
   private[graft] def blockCount(n: Long, blockRows: Int): Int =
     math.max(1, math.ceil(n.toDouble / blockRows).toInt)
 
+  /** Hard cap on the exact 1-NN baseline's corpus size. The blocked
+    * relay is O(n²) compute with B sequential driver round trips — it
+    * exists as the RECALL ORACLE for the candidates-then-rerank path
+    * (q62), not as a production operator, and refusing early beats
+    * discovering that at hour three of a 100 TB run.
+    */
+  private[graft] val ExactBaselineMaxRows = 100000L
+
   /** Blocked-broadcast exact 1-NN: the reference side is split into
     * ceil(n/blockRows) hash blocks; the driver collects ONE bounded block
     * at a time, broadcasts it, and folds it into a running per-vector
@@ -203,13 +218,23 @@ object Similarity {
     */
   private[graft] def nearestNeighborBlocked(
       s: SparkSession, d: String,
-      blockRows: Int = DefaultBlockRows): DataFrame = {
+      blockRows: Int = DefaultBlockRows,
+      maxRows: Long = ExactBaselineMaxRows): DataFrame = {
     import s.implicits._
     val proj = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val numBlocks = blockCount(proj.count(), blockRows)
+    val n = proj.count()
+    if (n > maxRows) {
+      proj.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"exact 1-NN baseline refused: corpus has $n vectors (cap " +
+          s"$maxRows). This operator is the recall oracle for small " +
+          "probes only — use q62_dedup_embedding_ann (candidates-then-" +
+          "rerank) for production-scale corpora.")
+    }
+    val numBlocks = blockCount(n, blockRows)
 
     // (id, vec, ownNorm, bestId, bestCos) running state per vector.
     var state = proj.map { case (id, v) =>
@@ -273,7 +298,8 @@ object Similarity {
     * all-pairs 1-NN, fixed-size output, computed by blocked broadcast
     * (never a full-table collect; see nearestNeighborBlocked). The
     * LSH-bucket route (q39) is the approximate scale path for the same
-    * predicate.
+    * predicate. Refuses corpora above [[ExactBaselineMaxRows]]: this is
+    * the recall oracle for q62, never the production operator.
     */
   private val q40 = QueryDef(
     (s, d) => nearestNeighborBlocked(s, d),
@@ -293,7 +319,8 @@ object Similarity {
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
                     ORDER BY cos DESC, v2 ASC) AS rn FROM pairs)
             WHERE rn = 1"""),
-    "all-pairs 1-NN + near-dup flag at 0.95 [dedup,similarity]")
+    "exact 1-NN + near-dup flag at 0.95 — recall ORACLE for q62, " +
+      "capped at 100k vectors [dedup,similarity]")
 
   // ---- IVF (inverted-file) ANN ----
   // Coarse quantizer: NumCells spherical-k-means centroids trained on a
@@ -323,30 +350,40 @@ object Similarity {
   private val KMeansIters = 4
   private val KMeansSampleTarget = 4096L
 
-  /** Trained quantizers memoized per (dataset fingerprint, k, iters):
-    * training is bit-deterministic for a given file layout, so the index
-    * build is paid once per dataset per session (q54 and q62 share one
-    * training pass), exactly as a production index would be trained once
-    * and served many times. The key is a content fingerprint of the
-    * table's files — not the directory path — so rewriting the dataset
-    * in-session (regenerated testdata, a table republished under the
-    * same root) retrains instead of serving stale centroids.
+  /** Trained quantizers memoized per (dir, k, iters), validated by a
+    * content fingerprint of the table's files: training is
+    * bit-deterministic for a given file layout, so the index build is
+    * paid once per dataset per session (q54 and q62 share one training
+    * pass), exactly as a production index would be trained once and
+    * served many times. Rewriting the dataset in-session (regenerated
+    * testdata, a table republished under the same root) changes the
+    * fingerprint and retrains — and the stale entry is REPLACED, not
+    * kept alongside: one entry per (dir, k, iters), so repeated
+    * rewrites can't accumulate dead k×dim centroid arrays.
     */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
-      Array[(Long, Array[Double], Double)]]()
+      (String, Array[(Long, Array[Double], Double)])]()
 
   /** Cheap content fingerprint of the embeddings table under a dir:
     * sorted (path, length, mtime) triples of its backing files, hashed.
-    * One file-listing round trip — no data is read.
+    * ONE `listStatus` RPC per parent directory (almost always exactly
+    * one), not one `getFileStatus` per file — on an object store backing
+    * 10⁵ part files the per-file variant is 10⁵ sequential namenode
+    * round trips on the driver before any work starts. No data is read.
     */
-  private def embeddingsFingerprint(s: SparkSession, d: String): String = {
+  private[graft] def embeddingsFingerprint(s: SparkSession, d: String): String = {
     val conf = s.sparkContext.hadoopConfiguration
-    val parts = load(s, d, "embeddings").inputFiles.sorted.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"$f:${st.getLen}:${st.getModificationTime}"
-    }
+    val files = load(s, d, "embeddings").inputFiles
+    val parts = files.map(new org.apache.hadoop.fs.Path(_))
+      .groupBy(_.getParent)
+      .flatMap { case (parent, ps) =>
+        val wanted = ps.iterator.map(_.getName).toSet
+        parent.getFileSystem(conf).listStatus(parent).iterator
+          .filter(st => wanted.contains(st.getPath.getName))
+          .map(st =>
+            s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      }.toArray.sorted
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(parts.mkString("\n").getBytes("UTF-8"))
     d + "#" + digest.map("%02x".format(_)).mkString
@@ -402,9 +439,12 @@ object Similarity {
     */
   private[graft] def kMeansCentroids(s: SparkSession, d: String,
       k: Int = NumCells,
-      iters: Int = KMeansIters): Array[(Long, Array[Double], Double)] =
-    centroidCache.computeIfAbsent((embeddingsFingerprint(s, d), k, iters),
-      _ => trainKMeans(s, d, k, iters))
+      iters: Int = KMeansIters): Array[(Long, Array[Double], Double)] = {
+    val fp = embeddingsFingerprint(s, d)
+    centroidCache.compute((d, k, iters), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else (fp, trainKMeans(s, d, k, iters)))._2
+  }
 
   private[graft] def trainKMeans(s: SparkSession, d: String, k: Int,
       iters: Int): Array[(Long, Array[Double], Double)] = {

@@ -141,6 +141,43 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
     }, "rewritten dataset was served stale centroids")
   }
 
+  test("exact 1-NN baseline refuses corpora above the cap, naming q62") {
+    import graft.queries.Similarity
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearestNeighborBlocked(spark, Sf, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("q62_dedup_embedding_ann"),
+      s"refusal must point at the scale path: ${e.getMessage}")
+    // the sf test corpora sit under the default cap — the oracle path
+    // stays runnable where it is actually used
+    assert(Similarity.nearestNeighborBlocked(spark, Sf).count() > 0)
+  }
+
+  test("LSH hyperplanes follow the data's embedding width (not fixed 64)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("emb8").toString
+    // 8-dim embeddings: clustered pairs so top-k is non-trivial
+    (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j =>
+        (math.sin(i / 2 * 31 + j) + (i % 2) * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // both the exact and the hyperplane-bucketed path must run at dim=8
+    val exact = SparkEntry.queries("q38_ann_bruteforce")(spark, dir)
+    val lsh = SparkEntry.queries("q39_ann_lsh")(spark, dir)
+    assert(exact.count() > 0)
+    assert(lsh.count() > 0)
+    // the LSH result is a subset of scored pairs with correct cosines:
+    // spot-check that every (query, vec, score) it returns appears in
+    // the exact scoring with the same score when ranked in the top-10
+    val e = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      e.get(k).foreach(score => assert(score == r.getDouble(2)))
+    }
+  }
+
   test("candidates-then-rerank 1-NN (q62) reaches >=0.95 recall@1 vs exact q40") {
     val exact = SparkEntry.queries("q40_dedup_embedding")(spark, Sf)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))

@@ -107,4 +107,21 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
       "doc sharing grams with a quality-dropped bench doc leaked")
     assert(kept == Set(9L))
   }
+
+  test("a gram-less (under-5-word) doc is kept, not silently dropped") {
+    import spark.implicits._
+    // decontaminate takes arbitrary frames; a doc under 5 words yields
+    // zero 5-grams, so the audit has no row for it — it shares nothing
+    // with the benchmark and must survive (the old inner-join shape
+    // dropped it)
+    val docs = Seq(
+      (2L, "tiny doc here"), // 3 words: no 5-grams
+      (4L, (1 to 25).map(i => s"delta$i").mkString(" ")),
+      (50L, (1 to 25).map(i => s"epsilon$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = CorpusPipeline.decontaminate(
+      spark, docs, docs, col("doc_id") % 50 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
 }

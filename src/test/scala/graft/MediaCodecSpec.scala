@@ -1,0 +1,116 @@
+package graft
+
+import graft.multimodal.Media
+import graft.multimodal.Media.MediaRow
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The REAL image codec path: deterministic PNGs generated in-test,
+  * decoded distributed (executor-side ImageIO), with pixel statistics
+  * asserted EXACTLY — integer accumulation over the raster makes the
+  * expected values computable by hand.
+  */
+class MediaCodecSpec extends AnyFunSuite with SparkSpec {
+
+  /** Encode a raster via the same JDK writer production bytes would
+    * come from: pixels(y)(x) = (r, g, b).
+    */
+  private def png(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixels(y)(x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def solid(w: Int, h: Int, rgb: (Int, Int, Int)) =
+    png(Array.fill(h, w)(rgb))
+
+  private def mediaRow(id: Long, kind: String, bytes: Array[Byte],
+      w: Int, h: Int) =
+    MediaRow(id, kind, bytes, w, h, 16000, 1000L)
+
+  test("solid-color PNG decodes to exact per-channel means and luma histogram") {
+    import spark.implicits._
+    // luma of (200,100,50) = (299*200 + 587*100 + 114*50)/1000 = 124 → bin 1
+    val media = Seq(
+      mediaRow(1L, "image", solid(8, 6, (200, 100, 50)), 8, 6),
+      // text bytes: undecodable → byte-hash fallback, flagged
+      mediaRow(2L, "image", "not a png".getBytes("UTF-8"), 3, 3),
+      // audio kind: no JDK codec → fallback, flagged
+      mediaRow(3L, "audio", solid(4, 4, (1, 2, 3)), 4, 4)
+    ).toDS()
+    val feats = Media.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).decoded)
+    assert(feats(1L).feature.toSeq ==
+      Seq(200f, 100f, 50f, 124.2f, 0f, 1f, 0f, 0f))
+    assert(!feats(2L).decoded && !feats(3L).decoded)
+    assert(feats.values.forall(_.feature.length == Media.FeatureDim))
+  }
+
+  test("half-black/half-white PNG: exact split means and histogram extremes") {
+    import spark.implicits._
+    val pixels = Array.tabulate(4, 4)((y, _) =>
+      if (y < 2) (0, 0, 0) else (255, 255, 255))
+    val media = Seq(mediaRow(7L, "image", png(pixels), 4, 4)).toDS()
+    val f = Media.extractFeatures(media).collect().head
+    assert(f.decoded)
+    // means are exactly 127.5; luma 0 → bin 0, luma 255 → bin 3
+    assert(f.feature.toSeq ==
+      Seq(127.5f, 127.5f, 127.5f, 127.5f, 0.5f, 0f, 0f, 0.5f))
+  }
+
+  test("lumaHistogram counts real pixels at arbitrary bin counts") {
+    import spark.implicits._
+    val pixels = Array.tabulate(6, 8)((y, _) =>
+      if (y < 3) (0, 0, 0) else (255, 255, 255))
+    val media = Seq(
+      mediaRow(1L, "image", png(pixels), 8, 6),
+      mediaRow(2L, "image", "junk".getBytes("UTF-8"), 2, 2), // no rows
+      mediaRow(3L, "video", png(pixels), 8, 6) // non-image: no rows
+    ).toDS()
+    val hist = Media.lumaHistogram(media, bins = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(hist == Map((1L, 0) -> 24L, (1L, 1) -> 24L))
+  }
+
+  test("resize downsamples the real raster nearest-neighbor and re-encodes") {
+    import spark.implicits._
+    // a gradient so nearest-neighbor picks are distinguishable:
+    // pixel (x, y) = (x*2, y*4, 7)
+    val srcPix = Array.tabulate(50, 100)((y, x) => (x * 2, y * 4, 7))
+    val media = Seq(mediaRow(5L, "image", png(srcPix), 100, 50)).toDS()
+    val out = Media.resize(media, maxW = 40, maxH = 40).collect().head
+    // scale = min(40/100, 40/50) = 0.4 → 40 x 20
+    assert(out.width == 40 && out.height == 20)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.bytes))
+    assert(img.getWidth == 40 && img.getHeight == 20)
+    for (y <- 0 until 20; x <- 0 until 40) {
+      val (sx, sy) = (x * 100 / 40, y * 50 / 20)
+      val expect = (srcPix(sy)(sx)._1 << 16) |
+        (srcPix(sy)(sx)._2 << 8) | srcPix(sy)(sx)._3
+      assert((img.getRGB(x, y) & 0xffffff) == expect,
+        s"pixel ($x,$y) != source ($sx,$sy)")
+    }
+    // deterministic re-encode: same input → same bytes
+    val again = Media.resize(media, maxW = 40, maxH = 40).collect().head
+    assert(out.bytes sameElements again.bytes)
+  }
+
+  test("resize trusts the DECODED dims, not the metadata, for real images") {
+    import spark.implicits._
+    // metadata lies (says 1000x1000); the real raster is 10x10 and fits
+    val media = Seq(
+      mediaRow(9L, "image", solid(10, 10, (5, 5, 5)), 1000, 1000)).toDS()
+    val out = Media.resize(media, maxW = 20, maxH = 20).collect().head
+    assert(out.bytes sameElements media.collect().head.bytes,
+      "a fitting real raster must pass through untouched")
+  }
+}
