@@ -309,9 +309,20 @@ object Dedup {
         .filter(col("jaccard") >= 0.8)
   }
 
+  /** q36's oracle is q35's: the LSH route verifies every candidate at
+    * the same exact-Jaccard threshold, so FALSE POSITIVES are impossible
+    * and the only way to diverge from the gram-join result is a missed
+    * candidate. Candidate-miss probability is (1−s⁴)¹⁶ per true pair —
+    * ~6.6e-5 at the threshold s = 0.8 and ~1e-23 at this corpus's
+    * planted ~0.99 similarity — and both engine and data are
+    * deterministic, so on the driver's fixed testdata the comparison is
+    * stable: a hash mismatch here IS a real recall regression, which is
+    * exactly what an oracle is for. ApproxOpsSpec asserts the same
+    * pair-for-pair equality in-suite.
+    */
   private val q36 = QueryDef(
     (s, d) => lshNearDupPairs(s, d),
-    None, // LSH recall is probabilistic; verified against q35 in specs
+    (q35.oracle), // same contract: exact >= 0.8 pairs with their Jaccard
     "MinHash(64)+LSH(16x4) near-dup, exact-verify at 0.8 [dedup]")
 
   // ---- SimHash ----

@@ -29,10 +29,16 @@ object Multimodal {
             FROM documents"""),
     "binary media columns: payload size/hash + typed metadata [multimodal]")
 
-  /** Feature extraction through the mapPartitions stub decode, then a
+  /** Feature extraction through the mapPartitions decode (real ImageIO
+    * for decodable images, byte-hash fallback otherwise), then a
     * relational aggregate over the typed output — proves the binary →
     * feature-vector → DataFrame round trip composes with the rest of the
-    * engine. Rows-only check (the stub embedding is not SQL-expressible).
+    * engine. The aggregate is fully deterministic (counts, byte totals,
+    * and the FeatureDim-wide vector width), so it IS oracle-checkable
+    * even though individual feature values are engine-internal: the
+    * oracle's literal dim asserts every row really produced a
+    * FeatureDim-wide vector. Pixel-exact feature values are asserted in
+    * MediaCodecSpec.
     */
   private val q44 = QueryDef(
     (s, d) => {
@@ -44,8 +50,14 @@ object Multimodal {
         min(size(col("feature"))).as("min_dim"),
         max(size(col("feature"))).as("max_dim"))
     },
-    None,
-    "mapPartitions feature extraction + agg over typed output [multimodal]")
+    Some(s"""SELECT ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+              CAST(count(*) AS BIGINT) AS n_media,
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+              CAST(${Media.FeatureDim} AS INTEGER) AS min_dim,
+              CAST(${Media.FeatureDim} AS INTEGER) AS max_dim
+            FROM documents GROUP BY 1"""),
+    "feature extraction (ImageIO decode + fallback) + agg [multimodal]")
 
   def all: Seq[(String, QueryDef)] = Seq(
     "q43_multimodal_meta" -> q43,

@@ -40,21 +40,30 @@ class SkewAndApproxSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("approx distinct is within the configured error of exact") {
-    val rows = SparkEntry.queries("q45_approx_distinct")(spark, Sf).collect()
+    val rows = graft.queries.ApproxOps.approxDistinctRaw(spark, Sf).collect()
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
       val exact = r.getAs[Long]("exact_users").toDouble
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"approx=$approx exact=$exact")
     }
+    // the oracle-facing shape certifies the same bound as a boolean
+    val certified = SparkEntry.queries("q45_approx_distinct")(spark, Sf)
+      .collect()
+    assert(certified.nonEmpty &&
+      certified.forall(_.getAs[Boolean]("within_bound")))
   }
 
   test("approx median tracks exact median") {
-    val rows = SparkEntry.queries("q46_approx_quantiles")(spark, Sf).collect()
+    val rows = graft.queries.ApproxOps.approxMedianRaw(spark, Sf).collect()
     rows.foreach { r =>
       val a = r.getAs[Double]("approx_median")
       val e = r.getAs[Double]("exact_median")
       assert(math.abs(a - e) / e <= 0.02, s"approx=$a exact=$e")
     }
+    val certified = SparkEntry.queries("q46_approx_quantiles")(spark, Sf)
+      .collect()
+    assert(certified.nonEmpty &&
+      certified.forall(_.getAs[Boolean]("within_bound")))
   }
 }
