@@ -63,30 +63,14 @@ final class ChurnPipeline(spark: SparkSession, warehouse: String,
 
   private def logEvent(stage: String, runId: String, status: String,
       extra: Map[String, Any] = Map.empty): Unit =
-    graft.common.JsonIO.appendLine(s"$warehouse/_logs/pipeline.jsonl",
-      Map("stage" -> stage, "run_id" -> runId, "status" -> status,
-        "ts" -> java.time.Instant.now().toString) ++ extra)
+    StageEvents.logEvent(warehouse, stage, runId, status, extra)
 
-  /** Uniform stage event envelope (reference
-    * `orders_to_bronze.py:202-209,314-324`: every stage logs
-    * `started`/`completed`, and on any error a `failed` event with the
-    * cause before re-raising — a crashed run always leaves a log line
-    * saying which stage died and why).
+  /** Uniform stage event envelope — see [[StageEvents]] (shared with
+    * the corpus stages).
     */
   private def staged[A](stage: String, runId: String,
-      extra: Map[String, Any] = Map.empty)(body: => A): A = {
-    logEvent(stage, runId, "started", extra)
-    try {
-      val r = body
-      logEvent(stage, runId, "completed", extra)
-      r
-    } catch {
-      case e: Throwable =>
-        logEvent(stage, runId, "failed",
-          extra + ("error" -> e.toString.take(500)))
-        throw e
-    }
-  }
+      extra: Map[String, Any] = Map.empty)(body: => A): A =
+    StageEvents.staged(warehouse, stage, runId, extra)(body)
 
   /** Silver publish with the reference's DQ gate
     * (`orders_bronze_to_silver.py:129-196`): critical failures block the

@@ -33,22 +33,34 @@ object CorpusPipeline {
       nAfterDecontam: Long, nChunks: Long, nPacks: Long,
       packedTokens: Long)
 
+  /** What an incremental run did, plus the TOTAL corpus [[Summary]]
+    * after it — bit-identical to what a full rebuild over the union
+    * would report (IncrementalCorpusSpec asserts it).
+    */
+  final case class IncrementalResult(
+      summary: Summary, nBatch: Long, nBatchQuality: Long,
+      nNewDocs: Long, repackedGroups: Seq[Long])
+
   private[pipeline] val MinWords = 20
   private[pipeline] val MinDistinctRatio = 0.3
 
+  /** The q56 quality floor as a predicate (shared by the full and
+    * incremental paths so the funnel counts stay additive).
+    */
+  private def passesQuality: org.apache.spark.sql.Column = {
+    val w = words(col("text"))
+    size(w) >= MinWords &&
+      (size(array_distinct(w)).cast("double") / size(w)) >= MinDistinctRatio
+  }
+
   /** Quality floor + exact dedup in one plan (q56's composition). */
   private[graft] def cleanDocs(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
     val keep = Window.partitionBy(col("content_hash"))
       .orderBy(col("doc_id").asc)
     docs
       .select(col("doc_id"), col("text"),
-        sha2(norm(col("text")), 256).as("content_hash"),
-        size(w).as("n_words"),
-        (size(array_distinct(w)).cast("double") / size(w))
-          .as("distinct_ratio"))
-      .filter(col("n_words") >= MinWords &&
-        col("distinct_ratio") >= MinDistinctRatio)
+        sha2(norm(col("text")), 256).as("content_hash"))
+      .filter(passesQuality)
       .withColumn("rn", row_number().over(keep))
       .filter(col("rn") === 1)
       .select("doc_id", "text")
@@ -95,14 +107,16 @@ object CorpusPipeline {
     val nInput = docs.count()
 
     val cleaned = cleanDocs(docs)
-    val nQuality = {
-      // quality floor alone (pre-dedup), for the funnel stats
-      val w = words(col("text"))
-      docs.filter(size(w) >= MinWords &&
-        (size(array_distinct(w)).cast("double") / size(w))
-          >= MinDistinctRatio).count()
-    }
+    // quality floor alone (pre-dedup), for the funnel stats
+    val nQuality = docs.filter(passesQuality).count()
     val nDedup = cleaned.count()
+
+    // the standing corpus hash index (content_hash → surviving doc_id):
+    // what runIncremental classifies the next batch against
+    cleaned
+      .select(sha2(norm(col("text")), 256).as("content_hash"),
+        col("doc_id"))
+      .write.mode("overwrite").parquet(s"$outDir/hash_index")
 
     val training =
       decontaminate(spark, docs, cleaned, col("doc_id") % 50 === 0)
@@ -140,5 +154,141 @@ object CorpusPipeline {
         "chunk_stride" -> TextOps.ChunkStride,
         "pack_budget" -> Packing.PackBudget)))
     summary
+  }
+
+  /** Incremental run: process ONLY a new batch of documents against an
+    * existing [[run]] output, producing the same final corpus a full
+    * rebuild over (corpus ∪ batch) would — without rescanning the
+    * corpus. The production shape for a continuously ingested corpus:
+    *
+    *  1. the batch is quality-filtered and in-batch deduped
+    *     ([[cleanDocs]], batch-sized);
+    *  2. survivors are classified against the STANDING hash index
+    *     (`hash_index`, maintained by [[run]] and appended here) via
+    *     q66's classifier — `dup_of_corpus` docs drop without touching
+    *     a single corpus row;
+    *  3. genuinely new docs are decontaminated against the benchmark
+    *     slice (tiny: the only old-corpus read, predicate-pushed);
+    *  4. their chunks append, and ONLY the doc_id-range pack groups the
+    *     batch touches are repacked (group packing is independent and
+    *     deterministic per group, so repacking the affected groups
+    *     reproduces the full rebuild bit-for-bit). Untouched groups'
+    *     packed rows are carried over as-is — with a partitioned
+    *     layout this carry-over becomes dynamic partition overwrite
+    *     and touches nothing.
+    *
+    * Two preconditions, both checked: batch ids continue AFTER the
+    * corpus's (append-only ingest — the min-id survivor rule would
+    * otherwise need old rows rewritten), and the batch adds no
+    * benchmark docs (existing corpus docs would need retroactive
+    * decontamination — that is a rebuild by definition).
+    */
+  def runIncremental(spark: SparkSession, sfDir: String, outDir: String,
+      batch: DataFrame): IncrementalResult = {
+    import spark.implicits._
+    val isBench = col("doc_id") % 50 === 0
+    val oldRaw = graft.common.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val batchDocs = batch.select(col("doc_id"), col("text"))
+
+    require(batchDocs.filter(isBench).limit(1).count() == 0,
+      "incremental mode cannot extend the benchmark slice — new " +
+        "benchmark docs require a full rebuild (existing corpus docs " +
+        "would need retroactive decontamination)")
+    val maxOld = oldRaw.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val minBatch = batchDocs.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    require(minBatch > maxOld,
+      s"incremental mode expects append-only ids: batch starts at " +
+        s"$minBatch but the corpus already reaches $maxOld")
+
+    val nBatch = batchDocs.count()
+    val nBatchQuality = batchDocs.filter(passesQuality).count()
+
+    // 1-2: clean the batch, then drop everything the standing index
+    // already holds (classifier joins one batch-sized frame against the
+    // aggregated index — never corpus rows)
+    val idx = spark.read.parquet(s"$outDir/hash_index")
+    val cleanedBatch = cleanDocs(batchDocs)
+    val hashedBatch = cleanedBatch.select(col("doc_id"),
+      sha2(norm(col("text")), 256).as("content_hash"))
+    val newHashes = graft.queries.Dedup.classifyAgainstIndex(hashedBatch,
+        idx.select(col("content_hash"), col("doc_id").as("corpus_doc_id")))
+      .filter(col("status") === "new")
+      .select("doc_id", "content_hash")
+    val newDocs = cleanedBatch.join(newHashes.select("doc_id"), "doc_id")
+    val nNewDocs = newDocs.count()
+
+    // 3: decontaminate against old bench slice ∪ (empty) batch bench
+    val training = decontaminate(spark,
+      oldRaw.unionByName(batchDocs), newDocs, isBench)
+
+    // 4: append chunks, repack only the touched groups
+    val newChunks = TextOps.chunkDocs(spark, training)
+    newChunks.write.mode("append").parquet(s"$outDir/chunks")
+    val affected = newChunks
+      .select(floor(col("doc_id") / Packing.GroupSize).as("g"))
+      .distinct().as[Long].collect().sorted.toSeq
+    if (affected.nonEmpty) {
+      val groupOf = floor(col("doc_id") / Packing.GroupSize)
+      val repacked = Packing.packChunks(
+        spark.read.parquet(s"$outDir/chunks")
+          .filter(groupOf.isin(affected: _*)))
+      val carried = spark.read.parquet(s"$outDir/packed")
+        .filter(!col("pack_group").isin(affected: _*))
+      // the union reads the live packed dir → stage then swap
+      carried.unionByName(repacked)
+        .write.mode("overwrite").parquet(s"$outDir/packed_staging")
+      swapDirs(spark, s"$outDir/packed_staging", s"$outDir/packed")
+    }
+    newHashes.select("content_hash", "doc_id")
+      .write.mode("append").parquet(s"$outDir/hash_index")
+
+    // funnel stats: additive prefix from the previous sidecar, suffix
+    // recomputed from the materialized outputs (same code path as run)
+    val prev = graft.common.Json.obj(
+      graft.common.Json.parseFile(s"$outDir/corpus_stats.json"))
+    def prevN(k: String): Long =
+      prev(k).asInstanceOf[Double].toLong
+    val packedRead = spark.read.parquet(s"$outDir/packed")
+    val packStats = packedRead
+      .agg(count_distinct(struct(col("pack_group"), col("pack_seq")))
+          .as("n_packs"),
+        sum(col("n_tokens")).as("tok"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"))
+      .collect()(0)
+    val summary = Summary(
+      prevN("n_input") + nBatch,
+      prevN("n_after_quality") + nBatchQuality,
+      prevN("n_after_dedup") + nNewDocs,
+      packStats.getLong(2), packStats.getLong(3),
+      packStats.getLong(0), packStats.getLong(1))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/corpus_stats.json"),
+      JsonIO.render(Map(
+        "n_input" -> summary.nInput,
+        "n_after_quality" -> summary.nAfterQuality,
+        "n_after_dedup" -> summary.nAfterDedup,
+        "n_after_decontam" -> summary.nAfterDecontam,
+        "n_chunks" -> summary.nChunks,
+        "n_packs" -> summary.nPacks,
+        "packed_tokens" -> summary.packedTokens,
+        "chunk_len" -> TextOps.ChunkLen,
+        "chunk_stride" -> TextOps.ChunkStride,
+        "pack_budget" -> Packing.PackBudget)))
+    IncrementalResult(summary, nBatch, nBatchQuality, nNewDocs, affected)
+  }
+
+  /** Replace `target` with `staging` (both directories) — the local
+    * stand-in for a dynamic-partition-overwrite commit.
+    */
+  private def swapDirs(spark: SparkSession, staging: String,
+      target: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val st = new org.apache.hadoop.fs.Path(staging)
+    val tg = new org.apache.hadoop.fs.Path(target)
+    val fs = tg.getFileSystem(conf)
+    fs.delete(tg, true)
+    require(fs.rename(st, tg), s"swap failed: $staging -> $target")
   }
 }

@@ -167,6 +167,42 @@ object LatestFeaturesMain {
   }
 }
 
+/** `--sf_dir <testdata dir> --out <dir> --run_id <id>
+  * [--incremental <batch parquet>]` — the training-corpus preparation
+  * pipeline (quality → dedup → decontaminate → chunk → pack) as a CLI
+  * stage with the same started/completed/failed event contract as the
+  * churn stages (events under `<out>/_logs/pipeline.jsonl`). Without
+  * `--incremental` it runs the full build; with it, only the batch at
+  * the given parquet path is processed against the standing output
+  * (see `CorpusPipeline.runIncremental`).
+  */
+object CorpusMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val out = required(a, "out")
+    val runId = required(a, "run_id")
+    val sfDir = required(a, "sf_dir")
+    graft.pipeline.StageEvents.staged(out, "corpus", runId,
+      Map("mode" ->
+        a.get("incremental").fold("full")(_ => "incremental"))) {
+      a.get("incremental") match {
+        case Some(batchPath) =>
+          val r = graft.pipeline.CorpusPipeline.runIncremental(
+            spark, sfDir, out, spark.read.parquet(batchPath))
+          println(s"[corpus] mode=incremental batch=${r.nBatch} " +
+            s"new=${r.nNewDocs} repacked_groups=${r.repackedGroups.size} " +
+            s"packs=${r.summary.nPacks} tokens=${r.summary.packedTokens}")
+        case None =>
+          val s = graft.pipeline.CorpusPipeline.run(spark, sfDir, out)
+          println(s"[corpus] mode=full input=${s.nInput} " +
+            s"training=${s.nAfterDecontam} chunks=${s.nChunks} " +
+            s"packs=${s.nPacks} tokens=${s.packedTokens}")
+      }
+    }
+  }
+}
+
 /** `--warehouse <dir> --bundle_dir <dir> --customer_id <id>` — one-shot
   * scoring through the serving path (feature store + version gate),
   * the CLI twin of POST /v1/churn/predict.

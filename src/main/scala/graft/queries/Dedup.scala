@@ -418,14 +418,28 @@ object Dedup {
     */
   private[graft] def incrementalExactFrom(docs: DataFrame,
       isBatch: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hashed = docs
       .select(col("doc_id"), sha2(norm(col("text")), 256).as("content_hash"),
         isBatch.as("is_batch"))
     val corpusIdx = hashed.filter(!col("is_batch"))
       .groupBy("content_hash").agg(min("doc_id").as("corpus_doc_id"))
+    classifyAgainstIndex(
+      hashed.filter(col("is_batch")).select("doc_id", "content_hash"),
+      corpusIdx)
+  }
+
+  /** The batch side of the incremental classifier against an ALREADY
+    * MATERIALIZED corpus hash index (content_hash → corpus_doc_id, one
+    * row per distinct hash) — the production shape, where the index is
+    * a standing table maintained across ingests rather than derived
+    * in-plan (q66 derives it; `CorpusPipeline.runIncremental` loads it
+    * from the previous run's output). Same output contract as q66.
+    */
+  private[graft] def classifyAgainstIndex(hashedBatch: DataFrame,
+      corpusIdx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byHash = Window.partitionBy("content_hash")
-    hashed.filter(col("is_batch"))
+    hashedBatch
       .withColumn("rn", row_number().over(byHash.orderBy("doc_id")))
       .withColumn("first_batch_id", min("doc_id").over(byHash))
       .join(corpusIdx, Seq("content_hash"), "left")

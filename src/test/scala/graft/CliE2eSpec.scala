@@ -151,6 +151,58 @@ class CliE2eSpec extends AnyFunSuite with SparkSpec {
       .foreach(k => assert(manifest.contains(k), s"manifest lacks $k"))
   }
 
+  test("corpus pipeline runs as a CLI stage with the event contract") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("cli_corpus").toString
+    val sfDir = s"$base/sf"
+    val out = s"$base/out"
+    def txt(seed: Long) = (1 to 25).map(i => s"c${seed}x$i").mkString(" ")
+    (0L until 60L).map(i => i -> txt(i)).toDF("doc_id", "text")
+      .write.parquet(s"$sfDir/documents.parquet")
+
+    val full = stage("graft.pipeline.cli.CorpusMain",
+      "sf_dir" -> sfDir, "out" -> out, "run_id" -> "corpus-1")
+    assert(full.contains("[corpus] mode=full input=60"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/packed")))
+
+    // incremental batch through its own JVM against the standing output
+    val batchPath = s"$base/batch"
+    Seq(61L -> txt(61), 62L -> txt(7)) // one new, one corpus dup
+      .toDF("doc_id", "text").write.parquet(batchPath)
+    val inc = stage("graft.pipeline.cli.CorpusMain",
+      "sf_dir" -> sfDir, "out" -> out, "run_id" -> "corpus-2",
+      "incremental" -> batchPath)
+    assert(inc.contains("mode=incremental batch=2 new=1"))
+
+    // both runs left the started/completed pairs behind
+    val lines = Files.readAllLines(
+      java.nio.file.Paths.get(s"$out/_logs/pipeline.jsonl"))
+      .toArray.toSeq.map(_.toString)
+    Seq("corpus-1" -> "full", "corpus-2" -> "incremental").foreach {
+      case (runId, mode) =>
+        Seq("started", "completed").foreach { status =>
+          assert(lines.exists(l => l.contains("\"stage\": \"corpus\"") &&
+            l.contains(s""""run_id": "$runId"""") &&
+            l.contains(s""""status": "$status"""") &&
+            l.contains(s""""mode": "$mode"""")),
+            s"missing $status event for $runId")
+        }
+    }
+
+    // a refused incremental (non-append id) exits nonzero + failed event
+    val badPath = s"$base/bad_batch"
+    Seq(5L -> txt(990)).toDF("doc_id", "text").write.parquet(badPath)
+    val (rc, _) = stageRaw("graft.pipeline.cli.CorpusMain",
+      "sf_dir" -> sfDir, "out" -> out, "run_id" -> "corpus-3",
+      "incremental" -> badPath)
+    assert(rc != 0)
+    val after = Files.readAllLines(
+      java.nio.file.Paths.get(s"$out/_logs/pipeline.jsonl"))
+      .toArray.toSeq.map(_.toString)
+    assert(after.exists(l => l.contains(""""run_id": "corpus-3"""") &&
+      l.contains(""""status": "failed"""") && l.contains("append-only")))
+  }
+
   test("a failing stage process exits nonzero and logs a failed event") {
     val lake = s"${Files.createTempDirectory("cli_fail")}/lake"
     // silver against an empty warehouse: no bronze table to read
