@@ -105,6 +105,61 @@ class DedupSkewSpec extends AnyFunSuite with SparkSpec {
     assert(viaDriver == viaPropagation)
   }
 
+  test("union-find threshold boundary: both paths agree on a skewed 1M-edge graph") {
+    // a graph just OVER driverMaxEdges (1,000,003 edges) with the skew
+    // shapes near-dup graphs actually have: one 400k-leaf hub (a
+    // boilerplate mega-cluster), 300k isolated pairs, and 100k 4-node
+    // chains. The default call crosses the threshold onto distributed
+    // propagation; an explicitly raised cap forces the same graph
+    // through the driver union-find — the two labelings must be
+    // identical row for row.
+    val hub = spark.range(1, 400001)
+      .select(lit(0L).as("d1"), col("id").as("d2"))
+    val pairs = spark.range(0, 300000)
+      .select((lit(1000000L) + col("id") * 2).as("d1"),
+        (lit(1000000L) + col("id") * 2 + 1).as("d2"))
+    val chains = spark.range(0, 300003)
+      .select(
+        (lit(3000000L) + floor(col("id") / 3) * 4 + col("id") % 3).as("d1"),
+        (lit(3000000L) + floor(col("id") / 3) * 4 + col("id") % 3 + 1)
+          .as("d2"))
+    val edges = hub.unionByName(pairs).unionByName(chains)
+    assert(edges.count() == 1000003L,
+      "the planted graph must sit just above the 1M default threshold")
+
+    def used(): Long = {
+      System.gc()
+      Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    }
+
+    // driver path (cap raised above the edge count)
+    val before = used()
+    val viaDriver = graft.queries.DedupClusters
+      .connectedComponents(spark, edges, driverMaxEdges = 2000000L)
+      .persist()
+    val nDriver = viaDriver.count()
+    val deltaMb = (used() - before) / (1 << 20)
+    // documented budget for the primitive-array solve at the 1M-edge
+    // threshold is ~120 MB peak; the measured retained delta (which
+    // also includes the materialized result relation) must stay the
+    // same order of magnitude — the old boxed-HashMap shape was
+    // multi-GB here
+    assert(deltaMb < 400, s"driver union-find retained ${deltaMb} MB")
+
+    // distributed path (default threshold: 1,000,003 > 1,000,000)
+    val viaProp = graft.queries.DedupClusters
+      .connectedComponents(spark, edges).persist()
+    assert(viaProp.count() == nDriver)
+    assert(viaDriver.exceptAll(viaProp).limit(1).count() == 0 &&
+      viaProp.exceptAll(viaDriver).limit(1).count() == 0,
+      "driver and propagation labelings diverge")
+
+    // spot-check the skewed component: every hub leaf labeled 0
+    assert(viaDriver.filter(col("label") === 0L).count() == 400001L)
+    viaDriver.unpersist(blocking = false)
+    viaProp.unpersist(blocking = false)
+  }
+
   test("propagation throws instead of returning wrong labels at maxIter") {
     import spark.implicits._
     // a 6-node path graph has diameter 5: maxIter=2 cannot converge
