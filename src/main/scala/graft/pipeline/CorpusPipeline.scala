@@ -87,11 +87,21 @@ object CorpusPipeline {
     */
   private[graft] def decontaminate(s: SparkSession, raw: DataFrame,
       cleaned: DataFrame,
+      isBench: org.apache.spark.sql.Column): DataFrame =
+    decontaminateWithGrams(s,
+      Dedup.benchGramHashes(s, raw.filter(isBench).select("doc_id", "text")),
+      cleaned, isBench)
+
+  /** Same keep rule against an explicit (typically persisted) benchmark
+    * gram-hash set — the form the incremental path uses so it never
+    * rescans the corpus to rebuild the benchmark grams.
+    */
+  private[graft] def decontaminateWithGrams(s: SparkSession,
+      benchGrams: DataFrame, cleaned: DataFrame,
       isBench: org.apache.spark.sql.Column): DataFrame = {
-    val audited = raw.filter(isBench).select("doc_id", "text")
-      .unionByName(cleaned.filter(!isBench).select("doc_id", "text"))
-    cleaned.filter(!isBench).join(
-      Dedup.decontaminationFrom(s, audited, isBench)
+    val train = cleaned.filter(!isBench)
+    train.join(
+      Dedup.contaminationAudit(s, train.select("doc_id", "text"), benchGrams)
         .filter(col("is_contaminated"))
         .select("doc_id"),
       Seq("doc_id"), "left_anti")
@@ -118,8 +128,17 @@ object CorpusPipeline {
         col("doc_id"))
       .write.mode("overwrite").parquet(s"$outDir/hash_index")
 
-    val training =
-      decontaminate(spark, docs, cleaned, col("doc_id") % 50 === 0)
+    // the benchmark gram set is the second standing artifact: tiny
+    // (distinct 5-gram hashes of the benchmark slice), and the ONLY
+    // thing an incremental run would otherwise have to rescan the
+    // corpus for — the `doc_id % 50` membership predicate does not
+    // push down to parquet, so rebuilding it is a full-table read
+    val isBench = col("doc_id") % 50 === 0
+    Dedup.benchGramHashes(spark, docs.filter(isBench))
+      .write.mode("overwrite").parquet(s"$outDir/bench_grams")
+
+    val training = decontaminateWithGrams(spark,
+      spark.read.parquet(s"$outDir/bench_grams"), cleaned, isBench)
 
     val chunks = TextOps.chunkDocs(spark, training)
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
@@ -140,6 +159,16 @@ object CorpusPipeline {
       nChunks, packStats.getLong(0), packStats.getLong(1))
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    writeStats(outDir, summary,
+      docs.agg(max(col("doc_id"))).collect()(0).getLong(0))
+    summary
+  }
+
+  /** Stats sidecar. `max_doc_id` rides along so the incremental path
+    * can enforce append-only ids without reading the corpus.
+    */
+  private def writeStats(outDir: String, summary: Summary,
+      maxDocId: Long): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/corpus_stats.json"),
       JsonIO.render(Map(
@@ -150,16 +179,18 @@ object CorpusPipeline {
         "n_chunks" -> summary.nChunks,
         "n_packs" -> summary.nPacks,
         "packed_tokens" -> summary.packedTokens,
+        "max_doc_id" -> maxDocId,
         "chunk_len" -> TextOps.ChunkLen,
         "chunk_stride" -> TextOps.ChunkStride,
         "pack_budget" -> Packing.PackBudget)))
-    summary
-  }
 
   /** Incremental run: process ONLY a new batch of documents against an
     * existing [[run]] output, producing the same final corpus a full
-    * rebuild over (corpus ∪ batch) would — without rescanning the
-    * corpus. The production shape for a continuously ingested corpus:
+    * rebuild over (corpus ∪ batch) would — WITHOUT reading the corpus
+    * at all. Everything the batch needs is in the standing artifacts a
+    * [[run]] leaves behind: the content-hash index, the benchmark gram
+    * set, and `max_doc_id` in the stats sidecar. The production shape
+    * for a continuously ingested corpus:
     *
     *  1. the batch is quality-filtered and in-batch deduped
     *     ([[cleanDocs]], batch-sized);
@@ -167,8 +198,10 @@ object CorpusPipeline {
     *     (`hash_index`, maintained by [[run]] and appended here) via
     *     q66's classifier — `dup_of_corpus` docs drop without touching
     *     a single corpus row;
-    *  3. genuinely new docs are decontaminated against the benchmark
-    *     slice (tiny: the only old-corpus read, predicate-pushed);
+    *  3. genuinely new docs are decontaminated against the PERSISTED
+    *     benchmark gram set (`bench_grams` — rebuilding it from raw
+    *     docs would be a full corpus scan, because the benchmark
+    *     membership predicate does not push down to parquet);
     *  4. their chunks append, and ONLY the doc_id-range pack groups the
     *     batch touches are repacked (group packing is independent and
     *     deterministic per group, so repacking the affected groups
@@ -178,24 +211,27 @@ object CorpusPipeline {
     *     and touches nothing.
     *
     * Two preconditions, both checked: batch ids continue AFTER the
-    * corpus's (append-only ingest — the min-id survivor rule would
-    * otherwise need old rows rewritten), and the batch adds no
-    * benchmark docs (existing corpus docs would need retroactive
-    * decontamination — that is a rebuild by definition).
+    * corpus's recorded `max_doc_id` (append-only ingest — the min-id
+    * survivor rule would otherwise need old rows rewritten), and the
+    * batch adds no benchmark docs (existing corpus docs would need
+    * retroactive decontamination — that is a rebuild by definition).
     */
-  def runIncremental(spark: SparkSession, sfDir: String, outDir: String,
+  def runIncremental(spark: SparkSession, outDir: String,
       batch: DataFrame): IncrementalResult = {
     import spark.implicits._
     val isBench = col("doc_id") % 50 === 0
-    val oldRaw = graft.common.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
     val batchDocs = batch.select(col("doc_id"), col("text"))
+
+    val prev = graft.common.Json.obj(
+      graft.common.Json.parseFile(s"$outDir/corpus_stats.json"))
+    def prevN(k: String): Long =
+      prev(k).asInstanceOf[Double].toLong
 
     require(batchDocs.filter(isBench).limit(1).count() == 0,
       "incremental mode cannot extend the benchmark slice — new " +
         "benchmark docs require a full rebuild (existing corpus docs " +
         "would need retroactive decontamination)")
-    val maxOld = oldRaw.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val maxOld = prevN("max_doc_id")
     val minBatch = batchDocs.agg(min(col("doc_id"))).collect()(0).getLong(0)
     require(minBatch > maxOld,
       s"incremental mode expects append-only ids: batch starts at " +
@@ -218,9 +254,9 @@ object CorpusPipeline {
     val newDocs = cleanedBatch.join(newHashes.select("doc_id"), "doc_id")
     val nNewDocs = newDocs.count()
 
-    // 3: decontaminate against old bench slice ∪ (empty) batch bench
-    val training = decontaminate(spark,
-      oldRaw.unionByName(batchDocs), newDocs, isBench)
+    // 3: decontaminate against the persisted benchmark gram set
+    val training = decontaminateWithGrams(spark,
+      spark.read.parquet(s"$outDir/bench_grams"), newDocs, isBench)
 
     // 4: append chunks, repack only the touched groups
     val newChunks = TextOps.chunkDocs(spark, training)
@@ -245,10 +281,6 @@ object CorpusPipeline {
 
     // funnel stats: additive prefix from the previous sidecar, suffix
     // recomputed from the materialized outputs (same code path as run)
-    val prev = graft.common.Json.obj(
-      graft.common.Json.parseFile(s"$outDir/corpus_stats.json"))
-    def prevN(k: String): Long =
-      prev(k).asInstanceOf[Double].toLong
     val packedRead = spark.read.parquet(s"$outDir/packed")
     val packStats = packedRead
       .agg(count_distinct(struct(col("pack_group"), col("pack_seq")))
@@ -263,19 +295,8 @@ object CorpusPipeline {
       prevN("n_after_dedup") + nNewDocs,
       packStats.getLong(2), packStats.getLong(3),
       packStats.getLong(0), packStats.getLong(1))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/corpus_stats.json"),
-      JsonIO.render(Map(
-        "n_input" -> summary.nInput,
-        "n_after_quality" -> summary.nAfterQuality,
-        "n_after_dedup" -> summary.nAfterDedup,
-        "n_after_decontam" -> summary.nAfterDecontam,
-        "n_chunks" -> summary.nChunks,
-        "n_packs" -> summary.nPacks,
-        "packed_tokens" -> summary.packedTokens,
-        "chunk_len" -> TextOps.ChunkLen,
-        "chunk_stride" -> TextOps.ChunkStride,
-        "pack_budget" -> Packing.PackBudget)))
+    val maxBatch = batchDocs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    writeStats(outDir, summary, math.max(maxOld, maxBatch))
     IncrementalResult(summary, nBatch, nBatchQuality, nNewDocs, affected)
   }
 

@@ -167,14 +167,13 @@ object LatestFeaturesMain {
   }
 }
 
-/** `--sf_dir <testdata dir> --out <dir> --run_id <id>
-  * [--incremental <batch parquet>]` — the training-corpus preparation
+/** `--out <dir> --run_id <id>` plus either `--sf_dir <testdata dir>`
+  * (full build) or `--incremental <batch parquet>` (batch-only run
+  * against the standing output — needs no corpus access at all; see
+  * `CorpusPipeline.runIncremental`) — the training-corpus preparation
   * pipeline (quality → dedup → decontaminate → chunk → pack) as a CLI
   * stage with the same started/completed/failed event contract as the
-  * churn stages (events under `<out>/_logs/pipeline.jsonl`). Without
-  * `--incremental` it runs the full build; with it, only the batch at
-  * the given parquet path is processed against the standing output
-  * (see `CorpusPipeline.runIncremental`).
+  * churn stages (events under `<out>/_logs/pipeline.jsonl`).
   */
 object CorpusMain {
   import StageMains._
@@ -182,19 +181,19 @@ object CorpusMain {
     val a = parseArgs(args)
     val out = required(a, "out")
     val runId = required(a, "run_id")
-    val sfDir = required(a, "sf_dir")
     graft.pipeline.StageEvents.staged(out, "corpus", runId,
       Map("mode" ->
         a.get("incremental").fold("full")(_ => "incremental"))) {
       a.get("incremental") match {
         case Some(batchPath) =>
           val r = graft.pipeline.CorpusPipeline.runIncremental(
-            spark, sfDir, out, spark.read.parquet(batchPath))
+            spark, out, spark.read.parquet(batchPath))
           println(s"[corpus] mode=incremental batch=${r.nBatch} " +
             s"new=${r.nNewDocs} repacked_groups=${r.repackedGroups.size} " +
             s"packs=${r.summary.nPacks} tokens=${r.summary.packedTokens}")
         case None =>
-          val s = graft.pipeline.CorpusPipeline.run(spark, sfDir, out)
+          val s = graft.pipeline.CorpusPipeline.run(spark,
+            required(a, "sf_dir"), out)
           println(s"[corpus] mode=full input=${s.nInput} " +
             s"training=${s.nAfterDecontam} chunks=${s.nChunks} " +
             s"packs=${s.nPacks} tokens=${s.packedTokens}")

@@ -491,11 +491,26 @@ object Dedup {
     * shares no 5-grams with its benchmark slice).
     */
   private[graft] def decontaminationFrom(s: SparkSession, docs: DataFrame,
-      isBench: Column): DataFrame = {
-    val sets = docGramSetsFrom(s, docs).withColumn("is_bench", isBench)
-    val benchGrams = sets.filter(col("is_bench"))
+      isBench: Column): DataFrame =
+    contaminationAudit(s, docs.filter(!isBench),
+      benchGramHashes(s, docs.filter(isBench)))
+
+  /** The distinct 5-gram hash set of a benchmark slice — the tiny,
+    * MATERIALIZABLE artifact a standing decontamination service keeps
+    * (CorpusPipeline persists it as `bench_grams` so incremental runs
+    * never rescan the corpus to rebuild it).
+    */
+  private[graft] def benchGramHashes(s: SparkSession,
+      benchDocs: DataFrame): DataFrame =
+    docGramSetsFrom(s, benchDocs)
       .select(explode(col("hs")).as("h")).distinct()
-    val train = sets.filter(!col("is_bench"))
+
+  /** Per-training-doc overlap audit against an explicit benchmark gram
+    * set (col `h`: long) — q69's output contract.
+    */
+  private[graft] def contaminationAudit(s: SparkSession,
+      trainDocs: DataFrame, benchGrams: DataFrame): DataFrame = {
+    val train = docGramSetsFrom(s, trainDocs)
     val shared = train.select(col("doc_id"), explode(col("hs")).as("h"))
       .join(broadcast(benchGrams), "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

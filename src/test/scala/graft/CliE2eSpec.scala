@@ -170,7 +170,7 @@ class CliE2eSpec extends AnyFunSuite with SparkSpec {
     Seq(61L -> txt(61), 62L -> txt(7)) // one new, one corpus dup
       .toDF("doc_id", "text").write.parquet(batchPath)
     val inc = stage("graft.pipeline.cli.CorpusMain",
-      "sf_dir" -> sfDir, "out" -> out, "run_id" -> "corpus-2",
+      "out" -> out, "run_id" -> "corpus-2",
       "incremental" -> batchPath)
     assert(inc.contains("mode=incremental batch=2 new=1"))
 
@@ -193,7 +193,7 @@ class CliE2eSpec extends AnyFunSuite with SparkSpec {
     val badPath = s"$base/bad_batch"
     Seq(5L -> txt(990)).toDF("doc_id", "text").write.parquet(badPath)
     val (rc, _) = stageRaw("graft.pipeline.cli.CorpusMain",
-      "sf_dir" -> sfDir, "out" -> out, "run_id" -> "corpus-3",
+      "out" -> out, "run_id" -> "corpus-3",
       "incremental" -> badPath)
     assert(rc != 0)
     val after = Files.readAllLines(

@@ -55,7 +55,7 @@ class IncrementalCorpusSpec extends AnyFunSuite with SparkSpec {
 
     CorpusPipeline.run(spark, baseDir, outInc)
     val batch: DataFrame = batchDocs.toDF("doc_id", "text")
-    val res = CorpusPipeline.runIncremental(spark, baseDir, outInc, batch)
+    val res = CorpusPipeline.runIncremental(spark, outInc, batch)
     val full = CorpusPipeline.run(spark, fullDir, outFull)
 
     // the TOTAL summary after the incremental run equals the rebuild's
@@ -83,7 +83,7 @@ class IncrementalCorpusSpec extends AnyFunSuite with SparkSpec {
     writeDocs(baseDir, baseDocs)
     CorpusPipeline.run(spark, baseDir, out)
     val e = intercept[IllegalArgumentException] {
-      CorpusPipeline.runIncremental(spark, baseDir, out,
+      CorpusPipeline.runIncremental(spark, out,
         Seq(150L -> txt(950)).toDF("doc_id", "text"))
     }
     assert(e.getMessage.contains("full rebuild"))
@@ -96,7 +96,7 @@ class IncrementalCorpusSpec extends AnyFunSuite with SparkSpec {
     writeDocs(baseDir, baseDocs)
     CorpusPipeline.run(spark, baseDir, out)
     val e = intercept[IllegalArgumentException] {
-      CorpusPipeline.runIncremental(spark, baseDir, out,
+      CorpusPipeline.runIncremental(spark, out,
         Seq(42L -> txt(951)).toDF("doc_id", "text"))
     }
     assert(e.getMessage.contains("append-only"))
