@@ -10,5 +10,6 @@ object Registry {
     Relational.all ++ Quality.all ++ Churn.all ++
       TextOps.all ++ Dedup.all ++ Similarity.all ++ Events.all ++
       Multimodal.all ++ ApproxOps.all ++ Advanced.all ++ Temporal.all ++
-      TextClean.all ++ Profiling.all ++ DedupClusters.all ++ Packing.all
+      TextClean.all ++ Profiling.all ++ DedupClusters.all ++
+      Packing.all ++ Provenance.all
 }
