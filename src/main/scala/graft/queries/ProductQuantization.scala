@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the third leg of the FAISS-style ANN
+  * compression stack next to the IVF coarse quantizer (q54) and the
+  * int8 scalar audit (q68): the embedding splits into M contiguous
+  * subspaces, each quantized to one of K codewords, so a 64-float
+  * vector serves as M = 8 one-byte codes — 32× compression against
+  * q68's 4×, at the cost of real distortion the audit must surface.
+  *
+  * Training is deterministic by the same discipline as the IVF
+  * quantizer: a fixed-size xxhash sample (bounded regardless of corpus
+  * size), ordered by (hash, vec_id), K-means per subspace with
+  * first-K init and fixed-order folds — retraining on the same file
+  * layout is bit-identical (spec'd). The codebooks are tiny
+  * (M·K·(dim/M) doubles = one broadcast), the audit is one narrow
+  * typed pass, zero shuffle.
+  *
+  * The oracle is the derived-bound kind (like q45/q46): per-vector
+  * reconstruction cosine is codebook-dependent and not SQL-expressible,
+  * but its FLOOR is a deterministic contract — measured ≥ 0.53 on the
+  * test corpora (near-uniform embeddings, the worst case for PQ;
+  * clustered real corpora reconstruct far better), pinned at 0.3 so
+  * a broken codeword assignment (≈ 0 or negative cosine) fails the
+  * hash compare while sampling noise never does.
+  */
+object ProductQuantization {
+
+  private[graft] val NumSubspaces = 8
+  private[graft] val CodebookSize = 16
+  private val TrainIters = 6
+  private val SampleTarget = 4096L
+  private[graft] val MinReconCos = 0.3
+
+  /** codebooks(m)(k): the K codewords of subspace m, each dim/M wide. */
+  private[graft] def trainCodebooks(s: SparkSession,
+      d: String): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val base = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val sampleMod = math.max(1L, n / SampleTarget)
+    val sample = base.withColumn("h", xxhash64(col("vec_id")))
+      .filter(pmod(col("h"), lit(sampleMod)) === 0)
+      .orderBy(col("h"), col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    require(sample.nonEmpty, "PQ: empty sample")
+    val dim = sample(0)._2.length
+    require(dim % NumSubspaces == 0,
+      s"PQ: dim $dim not divisible into $NumSubspaces subspaces")
+    val ds = dim / NumSubspaces
+    Array.tabulate(NumSubspaces) { m =>
+      val subs = sample.map { case (_, v) =>
+        Array.tabulate(ds)(i => v(m * ds + i).toDouble)
+      }
+      var cb = Array.tabulate(math.min(CodebookSize, subs.length))(
+        k => subs(k).clone())
+      var it = 0
+      while (it < TrainIters) {
+        val sums = Array.ofDim[Double](cb.length, ds)
+        val counts = new Array[Long](cb.length)
+        subs.foreach { v =>
+          var best = 0
+          var bd = Double.MaxValue
+          var k = 0
+          while (k < cb.length) {
+            var dd = 0.0
+            var i = 0
+            while (i < ds) {
+              val t = v(i) - cb(k)(i); dd += t * t; i += 1
+            }
+            if (dd < bd) { bd = dd; best = k } // strict <: lowest index wins ties
+            k += 1
+          }
+          counts(best) += 1L
+          var i = 0
+          while (i < ds) { sums(best)(i) += v(i); i += 1 }
+        }
+        cb = cb.zipWithIndex.map { case (old, k) =>
+          if (counts(k) == 0L) old else sums(k).map(_ / counts(k))
+        }
+        it += 1
+      }
+      cb
+    }
+  }
+
+  /** Per-vector PQ audit with the raw reconstruction numbers: code
+    * assignment per subspace, reconstruction, sequential-double cosine.
+    * The diagnostic surface; q86 projects the oracle-checkable shape.
+    * An all-zero vector has no cosine — defined as (1.0, ok), mirroring
+    * q68's convention (nothing to reconstruct, nothing lost).
+    */
+  def pqAuditRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(trainCodebooks(s, d))
+    load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val books = bc.value
+        val ds = books(0)(0).length
+        rows.map { case (id, v) =>
+          var dot = 0.0
+          var n1 = 0.0
+          var n2 = 0.0
+          var m = 0
+          while (m < books.length) {
+            val cb = books(m)
+            // nearest codeword in this subspace (L2, ties to lower index)
+            var best = 0
+            var bd = Double.MaxValue
+            var k = 0
+            while (k < cb.length) {
+              var dd = 0.0
+              var i = 0
+              while (i < ds) {
+                val t = v(m * ds + i).toDouble - cb(k)(i); dd += t * t
+                i += 1
+              }
+              if (dd < bd) { bd = dd; best = k }
+              k += 1
+            }
+            val c = cb(best)
+            var i = 0
+            while (i < ds) {
+              val x = v(m * ds + i).toDouble
+              val r = c(i)
+              dot += x * r; n1 += x * x; n2 += r * r
+              i += 1
+            }
+            m += 1
+          }
+          val cos =
+            if (n1 == 0.0) 1.0 else dot / (math.sqrt(n1) * math.sqrt(n2))
+          (id, cos, cos >= MinReconCos)
+        }
+      }.toDF("vec_id", "recon_cos", "recon_ok")
+  }
+
+  private val q86 = QueryDef(
+    (s, d) => pqAuditRaw(s, d).select(col("vec_id"), col("recon_ok")),
+    Some("SELECT vec_id, true AS recon_ok FROM embeddings"),
+    s"PQ $NumSubspaces×$CodebookSize audit: recon cosine >= $MinReconCos " +
+      "per vector [similarity,approx]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q86_pq_quantize" -> q86)
+}

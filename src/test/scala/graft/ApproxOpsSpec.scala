@@ -219,6 +219,31 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("PQ reconstructs within the pinned floor and is deterministic") {
+    import graft.queries.ProductQuantization
+    val rows = ProductQuantization.pqAuditRaw(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // every vector clears the derived-oracle floor, with real margin:
+    // measured min ~0.53 on this near-uniform corpus
+    rows.foreach { case (id, cos, ok) =>
+      assert(ok && cos >= ProductQuantization.MinReconCos,
+        s"vec $id recon cosine $cos under floor")
+      assert(cos <= 1.0 + 1e-12)
+    }
+    // near-uniform data is PQ's worst case; the mean must still carry
+    // substantial signal (measured ~0.68)
+    val mean = rows.map(_._2).sum / rows.length
+    assert(mean >= 0.5, s"mean recon cosine $mean")
+    // training is bit-deterministic: same file layout → same codebooks
+    val a = ProductQuantization.trainCodebooks(spark, Sf)
+    val b = ProductQuantization.trainCodebooks(spark, Sf)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (ma, mb) =>
+      ma.zip(mb).foreach { case (ca, cb) => assert(ca.sameElements(cb)) }
+    }
+  }
+
   test("k-means training is deterministic across repeated runs") {
     import graft.queries.Similarity
     // train twice for real (bypassing the per-dataset memo) — partial
