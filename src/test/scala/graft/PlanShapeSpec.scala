@@ -45,4 +45,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // user-partitioned frame — corpus-sized data moves exactly once
     assert(shuffles("q76_rolling_window") == 2)
   }
+
+  test("PQ audit (q86) is a zero-shuffle narrow plan") {
+    // codebooks train on a bounded collected sample BEFORE the audit
+    // frame exists; the returned plan itself is scan → mapPartitions
+    assert(shuffles("q86_pq_quantize") == 0)
+  }
+
+  test("per-source audit (q84) moves corpus rows into one keyed aggregate") {
+    // two distinct aggregates plan through Expand, but every exchange
+    // is keyed on (source[, distinct-field]) AFTER the map-side partial
+    // — corpus rows fold locally first; allow the expand re-keys, but
+    // a plan that stopped partial-aggregating would add more
+    assert(shuffles("q84_source_quality") <= 3)
+  }
 }
