@@ -67,32 +67,46 @@ object Provenance {
       "[text-analysis,provenance]")
 
   /** Cross-source duplication: for every source pair, how many distinct
-    * contents exist in BOTH — the signal that two crawls overlap and
-    * one should be dropped or deduped against the other. The plan
-    * collapses to one row per (content_hash, source) first (map-side
-    * combined), self-joins on the hash — fan-out bounded by sources²
-    * per hash, with sources a small set — and aggregates pairs. The
-    * corpus is never pair-expanded at the document level.
+    * document fingerprints exist in BOTH — the signal that two crawls
+    * overlap and one should be dropped or deduped against the other.
+    * The fingerprint is the 32-word normalized prefix, not the full
+    * content hash: crawl overlap shows up as near-copies (same article,
+    * different boilerplate tail), and an exact-content key is blind to
+    * them — on this corpus it matches nothing below sf0.1 while the
+    * prefix key surfaces the planted near-dup families at every scale.
+    * The plan collapses to one row per (fingerprint, source) first
+    * (map-side combined), self-joins on the fingerprint — fan-out
+    * bounded by sources² per fingerprint, with sources a small set —
+    * and aggregates pairs. The corpus is never pair-expanded at the
+    * document level.
     */
+  private val PrefixWords = 32
+
   private val q85 = QueryDef(
     (s, d) => {
+      val fp = sha2(
+        concat_ws(" ", slice(words(col("text")), 1, PrefixWords)), 256)
       val bySource = load(s, d, "documents")
-        .select(col("source"), sha2(norm(col("text")), 256).as("h"))
+        .select(col("source"), fp.as("h"))
         .distinct()
       bySource.as("a").join(bySource.as("b"),
           col("a.h") === col("b.h") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"),
           col("b.source").as("source_b"))
-        .agg(count(lit(1)).as("n_shared_contents"))
+        .agg(count(lit(1)).as("n_shared_fingerprints"))
     },
     Some(s"""WITH hs AS (
-              SELECT DISTINCT source, sha256($NormSql) AS h FROM documents
+              SELECT DISTINCT source,
+                sha256(array_to_string(
+                  list_slice($WordsSql, 1, $PrefixWords), ' ')) AS h
+              FROM documents
             )
             SELECT a.source AS source_a, b.source AS source_b,
-              CAST(count(*) AS BIGINT) AS n_shared_contents
+              CAST(count(*) AS BIGINT) AS n_shared_fingerprints
             FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
             GROUP BY 1, 2"""),
-    "cross-source duplicate contents per source pair [dedup,provenance]")
+    "cross-source shared doc fingerprints (32-word prefix) per source " +
+      "pair [dedup,provenance]")
 
   def all: Seq[(String, QueryDef)] = Seq(
     "q84_source_quality" -> q84,

@@ -59,4 +59,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // a plan that stopped partial-aggregating would add more
     assert(shuffles("q84_source_quality") <= 3)
   }
+
+  test("cross-source dups (q85) self-join the collapsed fingerprints, not docs") {
+    // each join side pays its distinct-collapse exchange and the join
+    // re-key, plus the final pair aggregate — but every exchange moves
+    // (fingerprint, source) rows, never document-level pair expansions.
+    // A regression that joined before collapsing would not change the
+    // count here, so ALSO pin the shape: the join inputs must be
+    // aggregates (the distinct), not raw scans.
+    assert(shuffles("q85_cross_source_dups") <= 5)
+    val plan = SparkEntry.queries("q85_cross_source_dups")(spark, Sf)
+      .queryExecution.optimizedPlan.toString
+    val joinAt = plan.indexOf("Join Inner")
+    assert(joinAt >= 0, "expected an inner self-join in the plan")
+    // both join children must already be Aggregates (the per-source
+    // distinct), i.e. no bare relation feeds the join
+    val below = plan.substring(joinAt)
+    assert(below.split("\n").count(_.contains("Aggregate")) >= 2,
+      s"join inputs must be collapsed aggregates:\n$below")
+  }
 }
