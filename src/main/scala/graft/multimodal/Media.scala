@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   * readers in JDK 17 (zero extra jars), so an image payload is decoded
   * to its raster on the executor and featurized from actual pixels
   * (per-channel means + a luma histogram); resize runs a real
-  * nearest-neighbor raster downsample and re-encodes PNG. A payload
-  * ImageIO cannot decode (e.g. this testdata's text-byte stand-ins),
-  * and the audio/video kinds — for which the JDK has no codec — fall
-  * back to the deterministic byte-hash fake, clearly marked per row by
-  * `decoded = false` in the feature output. Everything around the codec
-  * is real and scale-true either way: schema, partitioning, batch
-  * shape, feature-vector output, explode of sampled frames.
+  * nearest-neighbor raster downsample and re-encodes PNG.
+  *
+  * AUDIO decode is REAL too: `javax.sound.sampled.AudioSystem` ships
+  * WAV/AIFF/AU parsers in JDK 17, so an audio payload is parsed to its
+  * PCM samples on the executor (converted to 16-bit signed, mixed to
+  * mono) and featurized from actual waveform statistics; resampleAudio
+  * runs a real nearest-neighbor sample-rate change and re-encodes WAV.
+  *
+  * A payload neither codec accepts (e.g. this testdata's text-byte
+  * stand-ins), and the video kind — for which the JDK has no codec —
+  * fall back to the deterministic byte-hash fake, clearly marked per
+  * row by `decoded = false` in the feature output. Everything around
+  * the codecs is real and scale-true either way: schema, partitioning,
+  * batch shape, feature-vector output, explode of sampled frames.
   */
 object Media {
 
@@ -132,22 +139,110 @@ object Media {
       (hist(3).toDouble / n).toFloat)
   }
 
+  /** Decoded audio: mono 16-bit signed samples (multi-channel payloads
+    * are mixed down by truncating-average) plus the source rate.
+    */
+  private[graft] final case class AudioClip(
+      sampleRate: Float, samples: Array[Int])
+
+  /** Real audio parse via the JDK's bundled readers (WAV/AIFF/AU in
+    * JDK 17). Non-16-bit-PCM encodings (8-bit, float, U-law…) are
+    * converted through `AudioSystem` before sampling. Returns None for
+    * bytes no installed reader accepts — the caller falls back to
+    * [[fakeDecode]] and flags the row.
+    */
+  private[graft] def decodeAudio(bytes: Array[Byte]): Option[AudioClip] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = raw.getFormat
+      val wanted = new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED, f.getSampleRate, 16,
+        f.getChannels, f.getChannels * 2, f.getSampleRate, false)
+      val pcm =
+        if (f.matches(wanted)) raw
+        else AudioSystem.getAudioInputStream(wanted, raw)
+      val data = pcm.readAllBytes()
+      val ch = wanted.getChannels
+      val frames = data.length / (2 * ch)
+      val mono = new Array[Int](frames)
+      var i = 0
+      while (i < frames) {
+        var sum = 0
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          sum += ((data(off) & 0xff) | (data(off + 1) << 8)) // little-endian
+          c += 1
+        }
+        mono(i) = sum / ch
+        i += 1
+      }
+      Some(AudioClip(wanted.getSampleRate, mono))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Real waveform statistics for decoded audio, FeatureDim = 8 wide:
+    * [meanAbs, rms, peak, zeroCrossRate, energyQ0..Q3] — amplitudes
+    * normalized by 2^15, the energy histogram as each time-quarter's
+    * share of total squared amplitude. Sums accumulate in long
+    * arithmetic over the samples in order, so the features are exact
+    * (assertable to the bit in specs) and identical on every platform.
+    */
+  private[graft] def audioFeatures(clip: AudioClip): Array[Float] = {
+    val s = clip.samples
+    val n = s.length
+    if (n == 0) return new Array[Float](FeatureDim)
+    var sumAbs = 0L
+    var sumSq = 0L
+    var peak = 0L
+    var crossings = 0L
+    val quarters = new Array[Long](4)
+    var i = 0
+    while (i < n) {
+      val v = s(i).toLong
+      val a = math.abs(v)
+      sumAbs += a
+      sumSq += v * v
+      if (a > peak) peak = a
+      if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) crossings += 1
+      quarters(math.min(3, i * 4 / n)) += v * v
+      i += 1
+    }
+    val full = 32768.0
+    Array(
+      (sumAbs.toDouble / n / full).toFloat,
+      (math.sqrt(sumSq.toDouble / n) / full).toFloat,
+      (peak.toDouble / full).toFloat,
+      (if (n > 1) crossings.toDouble / (n - 1) else 0.0).toFloat,
+      (if (sumSq > 0) quarters(0).toDouble / sumSq else 0.0).toFloat,
+      (if (sumSq > 0) quarters(1).toDouble / sumSq else 0.0).toFloat,
+      (if (sumSq > 0) quarters(2).toDouble / sumSq else 0.0).toFloat,
+      (if (sumSq > 0) quarters(3).toDouble / sumSq else 0.0).toFloat)
+  }
+
   /** Feature extraction: one fused partition pass, codegen-friendly
     * upstream, typed output with an `array<float>` feature column ready
     * for the Similarity operators. Image payloads are decoded for real
-    * (JDK ImageIO) and featurized from pixels; anything undecodable —
-    * and the codec-less audio/video kinds — takes the byte-hash
-    * fallback, marked `decoded = false`.
+    * (JDK ImageIO) and featurized from pixels; audio payloads are
+    * parsed for real (JDK AudioSystem) and featurized from waveform
+    * statistics; anything undecodable — and the codec-less video kind
+    * — takes the byte-hash fallback, marked `decoded = false`.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        val img = if (m.kind == "image") decodeImage(m.bytes) else None
-        img match {
-          case Some(i) => MediaFeatures(
-            m.media_id, m.kind, m.bytes.length, decoded = true,
-            imageFeatures(i))
+        val real: Option[Array[Float]] = m.kind match {
+          case "image" => decodeImage(m.bytes).map(imageFeatures)
+          case "audio" => decodeAudio(m.bytes).map(audioFeatures)
+          case _ => None
+        }
+        real match {
+          case Some(feature) => MediaFeatures(
+            m.media_id, m.kind, m.bytes.length, decoded = true, feature)
           case None => MediaFeatures(
             m.media_id, m.kind, m.bytes.length, decoded = false,
             fakeDecode(m.bytes))
@@ -255,6 +350,50 @@ object Media {
               }
             }
             m.copy(bytes = buf, width = nw, height = nh)
+        }
+      }
+    }
+  }
+
+  /** Resample (audio kind): real nearest-neighbor sample-rate change on
+    * the DECODED waveform, re-encoded as mono 16-bit WAV — the audio
+    * analog of [[resize]]. Decodable payloads already at the target
+    * rate, undecodable payloads, and non-audio rows pass through
+    * untouched (the undecodable ones stay flagged downstream by
+    * [[extractFeatures]]). Same fused partition pass as every other
+    * media operator.
+    */
+  def resampleAudio(media: Dataset[MediaRow], targetRate: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(targetRate > 0, "resampleAudio: target rate must be positive")
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.kind != "audio") m
+        else decodeAudio(m.bytes) match {
+          case None => m
+          case Some(clip) if clip.sampleRate.round == targetRate => m
+          case Some(clip) =>
+            val srcN = clip.samples.length
+            val dstN = math.max(1,
+              (srcN.toLong * targetRate / clip.sampleRate.round).toInt)
+            val data = new Array[Byte](dstN * 2)
+            var i = 0
+            while (i < dstN) {
+              val v = clip.samples((i.toLong * srcN / dstN).toInt)
+              data(2 * i) = (v & 0xff).toByte
+              data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              targetRate.toFloat, 16, 1, 2, targetRate.toFloat, false)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(data), fmt, dstN.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+            m.copy(bytes = out.toByteArray, sample_rate = targetRate,
+              duration_ms = dstN * 1000L / targetRate)
         }
       }
     }

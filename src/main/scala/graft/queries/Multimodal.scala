@@ -30,7 +30,8 @@ object Multimodal {
     "binary media columns: payload size/hash + typed metadata [multimodal]")
 
   /** Feature extraction through the mapPartitions decode (real ImageIO
-    * for decodable images, byte-hash fallback otherwise), then a
+    * for decodable images, real AudioSystem for decodable audio,
+    * byte-hash fallback otherwise), then a
     * relational aggregate over the typed output — proves the binary →
     * feature-vector → DataFrame round trip composes with the rest of the
     * engine. The aggregate is fully deterministic (counts, byte totals,
@@ -57,7 +58,8 @@ object Multimodal {
               CAST(${Media.FeatureDim} AS INTEGER) AS min_dim,
               CAST(${Media.FeatureDim} AS INTEGER) AS max_dim
             FROM documents GROUP BY 1"""),
-    "feature extraction (ImageIO decode + fallback) + agg [multimodal]")
+    "feature extraction (ImageIO/AudioSystem decode + fallback) + agg " +
+      "[multimodal]")
 
   def all: Seq[(String, QueryDef)] = Seq(
     "q43_multimodal_meta" -> q43,

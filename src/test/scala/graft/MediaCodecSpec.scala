@@ -4,10 +4,11 @@ import graft.multimodal.Media
 import graft.multimodal.Media.MediaRow
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The REAL image codec path: deterministic PNGs generated in-test,
-  * decoded distributed (executor-side ImageIO), with pixel statistics
-  * asserted EXACTLY — integer accumulation over the raster makes the
-  * expected values computable by hand.
+/** The REAL media codec paths: deterministic PNGs and WAVs generated
+  * in-test, decoded distributed (executor-side ImageIO / AudioSystem),
+  * with pixel and waveform statistics asserted EXACTLY — integer
+  * accumulation over rasters and samples makes the expected values
+  * computable by hand.
   */
 class MediaCodecSpec extends AnyFunSuite with SparkSpec {
 
@@ -42,7 +43,7 @@ class MediaCodecSpec extends AnyFunSuite with SparkSpec {
       mediaRow(1L, "image", solid(8, 6, (200, 100, 50)), 8, 6),
       // text bytes: undecodable → byte-hash fallback, flagged
       mediaRow(2L, "image", "not a png".getBytes("UTF-8"), 3, 3),
-      // audio kind: no JDK codec → fallback, flagged
+      // audio kind with non-audio payload: parse fails → fallback
       mediaRow(3L, "audio", solid(4, 4, (1, 2, 3)), 4, 4)
     ).toDS()
     val feats = Media.extractFeatures(media).collect()
@@ -112,5 +113,94 @@ class MediaCodecSpec extends AnyFunSuite with SparkSpec {
     val out = Media.resize(media, maxW = 20, maxH = 20).collect().head
     assert(out.bytes sameElements media.collect().head.bytes,
       "a fitting real raster must pass through untouched")
+  }
+
+  // ---- audio: JDK AudioSystem (WAV) ----
+
+  /** Encode interleaved 16-bit PCM via the same JDK writer production
+    * bytes would come from: samples(channel)(i).
+    */
+  private def wav(sampleRate: Float, samples: Array[Array[Int]]): Array[Byte] = {
+    import javax.sound.sampled._
+    val ch = samples.length
+    val n = samples(0).length
+    val data = new Array[Byte](n * ch * 2)
+    for (i <- 0 until n; c <- 0 until ch) {
+      val off = (i * ch + c) * 2
+      data(off) = (samples(c)(i) & 0xff).toByte
+      data(off + 1) = ((samples(c)(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate, 16, ch, ch * 2, sampleRate, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private def audioRow(id: Long, bytes: Array[Byte], rate: Int = 16000) =
+    MediaRow(id, "audio", bytes, 0, 0, rate, 1000L)
+
+  test("constant-amplitude WAV decodes to exact waveform statistics") {
+    import spark.implicits._
+    // 16000 samples of +16384: meanAbs = rms = peak = 16384/32768 = 0.5,
+    // no sign changes, each time quarter holds exactly 1/4 of the energy
+    val const = wav(16000f, Array(Array.fill(16000)(16384)))
+    val media = Seq(
+      audioRow(1L, const),
+      audioRow(2L, "not audio".getBytes("UTF-8"))).toDS()
+    val feats = Media.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).decoded)
+    assert(feats(1L).feature.toSeq ==
+      Seq(0.5f, 0.5f, 0.5f, 0f, 0.25f, 0.25f, 0.25f, 0.25f))
+    assert(!feats(2L).decoded)
+  }
+
+  test("alternating-sign WAV: zero-crossing rate is exactly 1") {
+    import spark.implicits._
+    // +/-8192 alternating: every adjacent pair crosses zero
+    val sq = wav(8000f,
+      Array(Array.tabulate(8000)(i => if (i % 2 == 0) 8192 else -8192)))
+    val f = Media.extractFeatures(Seq(audioRow(3L, sq, 8000)).toDS())
+      .collect().head
+    assert(f.decoded)
+    assert(f.feature.toSeq ==
+      Seq(0.25f, 0.25f, 0.25f, 1f, 0.25f, 0.25f, 0.25f, 0.25f))
+  }
+
+  test("stereo WAV mixes down by truncating average before featurizing") {
+    import spark.implicits._
+    // L = +2000, R = +1000 constant → mono 1500
+    val stereo = wav(16000f,
+      Array(Array.fill(400)(2000), Array.fill(400)(1000)))
+    val f = Media.extractFeatures(Seq(audioRow(4L, stereo)).toDS())
+      .collect().head
+    assert(f.decoded)
+    assert(f.feature(0) == 1500f / 32768f && f.feature(2) == 1500f / 32768f)
+  }
+
+  test("resampleAudio halves the rate nearest-neighbor and re-encodes WAV") {
+    import spark.implicits._
+    val src = wav(16000f, Array(Array.tabulate(1600)(i => i * 10 - 8000)))
+    val media = Seq(
+      audioRow(5L, src),
+      audioRow(6L, "junk".getBytes("UTF-8")), // undecodable: untouched
+      MediaRow(7L, "video", src, 0, 0, 16000, 1000L)).toDS()
+    val out = Media.resampleAudio(media, targetRate = 8000).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(5L).sample_rate == 8000 && out(5L).duration_ms == 100L)
+    val clip = Media.decodeAudio(out(5L).bytes).get
+    assert(clip.sampleRate == 8000f && clip.samples.length == 800)
+    // nearest-neighbor: output sample i picks source sample 2i
+    assert(clip.samples.toSeq == (0 until 800).map(i => 2 * i * 10 - 8000))
+    assert(out(6L).bytes sameElements "junk".getBytes("UTF-8"))
+    assert(out(7L).bytes sameElements src)
+    // already at target rate: payload passes through untouched
+    val same = Media.resampleAudio(Seq(audioRow(8L, src)).toDS(), 16000)
+      .collect().head
+    assert(same.bytes sameElements src)
   }
 }
