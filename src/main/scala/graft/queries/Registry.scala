@@ -11,5 +11,6 @@ object Registry {
       TextOps.all ++ Dedup.all ++ Similarity.all ++ Events.all ++
       Multimodal.all ++ ApproxOps.all ++ Advanced.all ++ Temporal.all ++
       TextClean.all ++ Profiling.all ++ DedupClusters.all ++
-      Packing.all ++ Provenance.all ++ ProductQuantization.all
+      Packing.all ++ Provenance.all ++ ProductQuantization.all ++
+      IvfPq.all
 }

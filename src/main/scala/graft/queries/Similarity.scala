@@ -40,7 +40,7 @@ object Similarity {
   /** Native codegen'd cosine (graft.functions.CosineSimilarity) —
     * bit-identical result, stays inside whole-stage codegen.
     */
-  private def fastCosine(s: SparkSession)(a: Column, b: Column): Column = {
+  private[queries] def fastCosine(s: SparkSession)(a: Column, b: Column): Column = {
     graft.functions.GraftFunctions.register(s)
     graft.functions.GraftFunctions.cosineSim(a, b)
   }
@@ -390,7 +390,7 @@ object Similarity {
   }
 
   /** Primitive-loop cosine against a pre-normed centroid. */
-  private def cosTo(v: Array[Float], vNorm: Double,
+  private[queries] def cosTo(v: Array[Float], vNorm: Double,
       c: Array[Double], cNorm: Double): Double = {
     var dot = 0.0
     var i = 0
@@ -398,7 +398,7 @@ object Similarity {
     dot / (vNorm * cNorm)
   }
 
-  private def vecNorm(v: Array[Float]): Double = {
+  private[queries] def vecNorm(v: Array[Float]): Double = {
     var n = 0.0
     var k = 0
     while (k < v.length) { n += v(k).toDouble * v(k).toDouble; k += 1 }
@@ -523,7 +523,7 @@ object Similarity {
   }
 
   /** Cells ranked by centroid cosine for one vector, best first. */
-  private def rankedCells(cs: Array[(Long, Array[Double], Double)],
+  private[queries] def rankedCells(cs: Array[(Long, Array[Double], Double)],
       v: Array[Float]): Array[Long] = {
     val vn = vecNorm(v)
     cs.map { case (cid, c, cn) => cid -> cosTo(v, vn, c, cn) }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.{IvfPq, ProductQuantization, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF-PQ ANN (q87): recall against the brute-force contract, exactness
+  * of the re-ranked scores, index shape, and determinism.
+  */
+class IvfPqSpec extends AnyFunSuite with SparkSpec {
+
+  private def topk(name: String): Map[Long, Seq[(Long, Double)]] =
+    SparkEntry.queries(name)(spark, Sf)
+      .select("query_id", "vec_id", "score").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+
+  test("q87 reaches >=60% recall@10 vs brute force on 8-byte codes") {
+    // the exact re-rank of the top-64 ADC pool recovers most of what
+    // the coarse codes lose: measured 0.72 at sf0.001 / 0.71 at sf0.01
+    // — ~5pp under q54's full-embedding probe scan while the candidate
+    // scan reads codes (8 B/vector), not vectors. Floor at 0.60 clears
+    // sampling noise, catches a broken ADC ranking (random pool ≈ 0.25)
+    val exact = topk("q38_ann_bruteforce")
+    val approx = topk("q87_ann_ivfpq")
+    val recalls = exact.map { case (q, ids) =>
+      val a = approx.getOrElse(q, Seq.empty).map(_._1).toSet
+      (a & ids.map(_._1).toSet).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.60, s"mean recall@10 = $mean")
+  }
+
+  test("q87 scores are EXACT cosines: every overlap agrees with q38 bit-for-bit") {
+    val exact = topk("q38_ann_bruteforce")
+      .flatMap { case (q, rs) => rs.map { case (v, s) => (q, v) -> s } }
+    val approx = topk("q87_ann_ivfpq")
+      .flatMap { case (q, rs) => rs.map { case (v, s) => (q, v) -> s } }
+    val overlap = exact.keySet & approx.keySet
+    assert(overlap.nonEmpty)
+    overlap.foreach { k =>
+      assert(exact(k) == approx(k), s"score mismatch at $k")
+    }
+  }
+
+  test("the compressed index row is cells + NumSubspaces byte codes") {
+    val centroids = Similarity.kMeansCentroids(spark, Sf)
+    val books = ProductQuantization.trainCodebooks(spark, Sf)
+    val rows = IvfPq.encode(spark, Sf, centroids, books).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]]("codes").length ==
+        ProductQuantization.NumSubspaces)
+      assert(r.getDouble(3) > 0.0, "reconstruction norm must be positive")
+      assert(r.getLong(1) >= 0L && r.getLong(1) < centroids.length)
+    }
+  }
+
+  test("q87 is deterministic across runs") {
+    def run() = SparkEntry.queries("q87_ann_ivfpq")(spark, Sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(run() == run())
+  }
+}
