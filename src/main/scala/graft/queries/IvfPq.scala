@@ -154,14 +154,18 @@ object IvfPq {
       .filter(col("prn") <= RerankPool)
       .select(col("query_id"), col("vec_id"))
 
-    // exact re-rank: full embeddings join back for RerankPool rows/query
+    // exact re-rank: full embeddings join back for RerankPool rows/query.
+    // The pool is bounded at queries × RerankPool rows — broadcast it
+    // explicitly so the big table is NEVER the build side: without the
+    // hint, size stats at small SF put the whole embeddings scan in the
+    // broadcast (fine at test scale, fatal at 100 TB).
     val emb = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val qemb = emb.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"))
+    val qemb = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    pool.join(emb, "vec_id").join(broadcast(qemb), "query_id")
+    emb.join(broadcast(pool), "vec_id").join(broadcast(qemb), "query_id")
       .select(col("query_id"), col("vec_id"),
         Similarity.fastCosine(s)(col("qv"), col("embedding")).as("score"))
       .withColumn("rn", row_number().over(w))

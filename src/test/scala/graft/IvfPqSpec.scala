@@ -56,6 +56,23 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q87 plan: bounded exchanges only, corpus never on a build side") {
+    val plan = SparkEntry.queries("q87_ann_ivfpq")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // exactly two shuffle exchanges — the pool and re-rank windows —
+    // and both are preceded by a Partial WindowGroupLimit, so each
+    // moves at most pool-size rows per query per partition, never the
+    // candidate set or the corpus
+    val shuffles = "(?m)Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 bounded exchanges, got $shuffles:\n$plan")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      "rank-limit pushdown must bound the pre-exchange rows")
+    // the re-rank query side reaches the scan as a pushed filter: only
+    // the 20 probe vectors are ever broadcast, not the corpus
+    assert(plan.contains("(vec_id") && plan.contains("< 20)"),
+      s"query-side scan must be pruned by vec_id < 20:\n$plan")
+  }
+
   test("q87 is deterministic across runs") {
     def run() = SparkEntry.queries("q87_ann_ivfpq")(spark, Sf)
       .collect().map(_.toString).sorted.toSeq
