@@ -36,8 +36,26 @@ object ProductQuantization {
   private val SampleTarget = 4096L
   private[graft] val MinReconCos = 0.3
 
-  /** codebooks(m)(k): the K codewords of subspace m, each dim/M wide. */
+  /** Trained codebooks memoized per dir, validated by the same
+    * file-content fingerprint as the IVF centroid cache: training is
+    * bit-deterministic for a file layout, so q86 and q87 share one
+    * training pass per dataset per session, and an in-session rewrite
+    * retrains and REPLACES the entry (no stale-codebook accumulation).
+    */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Array[Array[Array[Double]]])]()
+
   private[graft] def trainCodebooks(s: SparkSession,
+      d: String): Array[Array[Array[Double]]] = {
+    val fp = Similarity.embeddingsFingerprint(s, d)
+    codebookCache.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else (fp, trainCodebooksUncached(s, d)))._2
+  }
+
+  /** codebooks(m)(k): the K codewords of subspace m, each dim/M wide. */
+  private[graft] def trainCodebooksUncached(s: SparkSession,
       d: String): Array[Array[Array[Double]]] = {
     import s.implicits._
     val base = load(s, d, "embeddings")

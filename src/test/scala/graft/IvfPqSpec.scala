@@ -73,6 +73,28 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
       s"query-side scan must be pruned by vec_id < 20:\n$plan")
   }
 
+  test("codebook cache: same content served memoized, rewrite retrains") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pqemb").toString
+    def write(seed: Int): Unit =
+      (0L until 24L).map { i =>
+        (i, Array.tabulate(8)(j =>
+          ((i * 31 + j * 7 + seed) % 13 - 6).toFloat))
+      }.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(0)
+    val b1 = ProductQuantization.trainCodebooks(spark, dir)
+    // unchanged content: the SAME trained object comes back (one
+    // training pass per dataset per session — q86/q87 share it)
+    assert(b1 eq ProductQuantization.trainCodebooks(spark, dir))
+    write(5)
+    val b2 = ProductQuantization.trainCodebooks(spark, dir)
+    def flat(b: Array[Array[Array[Double]]]): Seq[Double] =
+      b.toSeq.flatMap(_.toSeq.flatMap(_.toSeq))
+    assert(flat(b1) != flat(b2),
+      "rewritten dataset was served stale codebooks")
+  }
+
   test("q87 is deterministic across runs") {
     def run() = SparkEntry.queries("q87_ann_ivfpq")(spark, Sf)
       .collect().map(_.toString).sorted.toSeq
