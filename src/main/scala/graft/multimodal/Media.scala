@@ -64,11 +64,11 @@ object Media {
       .as[MediaRow]
   }
 
-  /** FALLBACK decode for payloads the JDK has no codec for (audio,
-    * video, undecodable image bytes): deterministic rolling-state
+  /** FALLBACK decode for payloads no JDK codec accepts (the video
+    * kind, undecodable image/audio bytes): deterministic rolling-state
     * "embedding" of the payload. The per-partition batch shape is the
-    * same one the real image path uses, so swapping in a future codec
-    * is a per-row branch, not a rewrite.
+    * same one the real image and audio paths use, so swapping in a
+    * future codec is a per-row branch, not a rewrite.
     */
   private def fakeDecode(bytes: Array[Byte]): Array[Float] = {
     val acc = new Array[Long](FeatureDim)
