@@ -20,7 +20,11 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // event analytics: funnel window chain, decimal RANGE frames,
     // islands, spine join, positional quantiles
     "q73_event_funnel", "q76_rolling_window", "q78_event_streaks",
-    "q80_date_spine", "q81_exact_quantiles")
+    "q80_date_spine", "q81_exact_quantiles",
+    // r6 additions: per-source ratio aggregates, fingerprint self-join,
+    // driver-folded PQ training + ADC window chain
+    "q84_source_quality", "q85_cross_source_dups", "q86_pq_quantize",
+    "q87_ann_ivfpq")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
