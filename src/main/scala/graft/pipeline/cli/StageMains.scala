@@ -167,10 +167,13 @@ object LatestFeaturesMain {
   }
 }
 
-/** `--out <dir> --run_id <id>` plus either `--sf_dir <testdata dir>`
-  * (full build) or `--incremental <batch parquet>` (batch-only run
+/** `--out <dir> --run_id <id>` plus one of `--sf_dir <testdata dir>`
+  * (full build), `--incremental <batch parquet>` (batch-only run
   * against the standing output — needs no corpus access at all; see
-  * `CorpusPipeline.runIncremental`) — the training-corpus preparation
+  * `CorpusPipeline.runIncremental`), or `--stream <src dir>
+  * --checkpoint <dir>` (drain all unprocessed document files through
+  * the checkpointed streaming front door, then exit; see
+  * `streaming.CorpusStream`) — the training-corpus preparation
   * pipeline (quality → dedup → decontaminate → chunk → pack) as a CLI
   * stage with the same started/completed/failed event contract as the
   * churn stages (events under `<out>/_logs/pipeline.jsonl`).
@@ -181,17 +184,28 @@ object CorpusMain {
     val a = parseArgs(args)
     val out = required(a, "out")
     val runId = required(a, "run_id")
+    val mode =
+      if (a.contains("stream")) "stream"
+      else if (a.contains("incremental")) "incremental"
+      else "full"
     graft.pipeline.StageEvents.staged(out, "corpus", runId,
-      Map("mode" ->
-        a.get("incremental").fold("full")(_ => "incremental"))) {
-      a.get("incremental") match {
-        case Some(batchPath) =>
+      Map("mode" -> mode)) {
+      mode match {
+        case "stream" =>
+          // drain every unprocessed file under --stream via the
+          // checkpointed incremental path, then exit (AvailableNow)
+          val rs = graft.streaming.CorpusStream.ingestAvailable(spark,
+            required(a, "stream"), out, required(a, "checkpoint"))
+          println(s"[corpus] mode=stream batches=${rs.size} " +
+            s"docs=${rs.map(_.nBatch).sum} new=${rs.map(_.nNewDocs).sum} " +
+            s"packs=${rs.lastOption.fold(-1L)(_.summary.nPacks)}")
+        case "incremental" =>
           val r = graft.pipeline.CorpusPipeline.runIncremental(
-            spark, out, spark.read.parquet(batchPath))
+            spark, out, spark.read.parquet(a("incremental")))
           println(s"[corpus] mode=incremental batch=${r.nBatch} " +
             s"new=${r.nNewDocs} repacked_groups=${r.repackedGroups.size} " +
             s"packs=${r.summary.nPacks} tokens=${r.summary.packedTokens}")
-        case None =>
+        case _ =>
           val s = graft.pipeline.CorpusPipeline.run(spark,
             required(a, "sf_dir"), out)
           println(s"[corpus] mode=full input=${s.nInput} " +

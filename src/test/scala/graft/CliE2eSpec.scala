@@ -203,6 +203,49 @@ class CliE2eSpec extends AnyFunSuite with SparkSpec {
       l.contains(""""status": "failed"""") && l.contains("append-only")))
   }
 
+  test("corpus stream mode drains landed files as a CLI stage, then no-ops") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("cli_cstream").toString
+    val sfDir = s"$base/sf"
+    val out = s"$base/out"
+    val src = s"$base/incoming"
+    val ckpt = s"$base/ckpt"
+    def txt(seed: Long) = (1 to 25).map(i => s"v${seed}x$i").mkString(" ")
+    (0L until 60L).map(i => i -> txt(i)).toDF("doc_id", "text")
+      .write.parquet(s"$sfDir/documents.parquet")
+    stage("graft.pipeline.cli.CorpusMain",
+      "sf_dir" -> sfDir, "out" -> out, "run_id" -> "cs-0")
+
+    // two files land; the drain folds both (one new doc, one corpus dup)
+    Seq(70L -> txt(700), 71L -> txt(7)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val drained = stage("graft.pipeline.cli.CorpusMain",
+      "out" -> out, "run_id" -> "cs-1",
+      "stream" -> src, "checkpoint" -> ckpt)
+    assert(drained.contains("mode=stream") && drained.contains("new=1"),
+      drained.linesIterator.filter(_.contains("[corpus]")).mkString)
+
+    // a fresh JVM with the same checkpoint folds nothing
+    val again = stage("graft.pipeline.cli.CorpusMain",
+      "out" -> out, "run_id" -> "cs-2",
+      "stream" -> src, "checkpoint" -> ckpt)
+    assert(again.contains("mode=stream batches=0"),
+      again.linesIterator.filter(_.contains("[corpus]")).mkString)
+
+    // both drains left started/completed pairs with the stream mode tag
+    val lines = Files.readAllLines(
+      java.nio.file.Paths.get(s"$out/_logs/pipeline.jsonl"))
+      .toArray.toSeq.map(_.toString)
+    Seq("cs-1", "cs-2").foreach { runId =>
+      Seq("started", "completed").foreach { status =>
+        assert(lines.exists(l => l.contains(s""""run_id": "$runId"""") &&
+          l.contains(s""""status": "$status"""") &&
+          l.contains(""""mode": "stream"""")),
+          s"missing $status event for $runId")
+      }
+    }
+  }
+
   test("a failing stage process exits nonzero and logs a failed event") {
     val lake = s"${Files.createTempDirectory("cli_fail")}/lake"
     // silver against an empty warehouse: no bronze table to read
