@@ -12,5 +12,5 @@ object Registry {
       Multimodal.all ++ ApproxOps.all ++ Advanced.all ++ Temporal.all ++
       TextClean.all ++ Profiling.all ++ DedupClusters.all ++
       Packing.all ++ Provenance.all ++ ProductQuantization.all ++
-      IvfPq.all
+      IvfPq.all ++ LabelQuality.all
 }

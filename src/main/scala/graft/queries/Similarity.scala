@@ -48,7 +48,7 @@ object Similarity {
   /** DuckDB mirror of the same sequential-double cosine. The builtin
     * list_cosine_similarity accumulates in FLOAT (≈1e-7 off) — not used.
     */
-  private def cosineSql(a: String, b: String): String =
+  private[queries] def cosineSql(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b),
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x,y) -> x+y)
         / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))
@@ -591,7 +591,13 @@ object Similarity {
     * ApproxOpsSpec). Vectors with no candidate surface with a null nn
     * and is_near_dup=false rather than silently disappearing.
     */
-  private[graft] def nearestNeighborCandidates(s: SparkSession,
+  /** Exact-scored candidate pairs (v1, v2, cos) from the two
+    * independent bucketings (LSH tables ∪ IVF cells) — the shared
+    * nomination front end of q62's 1-NN and the label-noise audit's
+    * k-NN: narrow maps, bucketed equi-joins on 8-byte keys, embeddings
+    * joined back only for surviving pairs.
+    */
+  private[queries] def candidateScoredPairs(s: SparkSession,
       d: String): DataFrame = {
     val ids = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -620,9 +626,16 @@ object Similarity {
     val pairs = lshPairs.unionByName(cellPairs).distinct()
     val e1 = ids.select(col("vec_id").as("v1"), col("embedding").as("emb1"))
     val e2 = ids.select(col("vec_id").as("v2"), col("embedding").as("emb2"))
-    val scored = pairs.join(e1, "v1").join(e2, "v2")
+    pairs.join(e1, "v1").join(e2, "v2")
       .select(col("v1"), col("v2"),
         fastCosine(s)(col("emb1"), col("emb2")).as("cos"))
+  }
+
+  private[graft] def nearestNeighborCandidates(s: SparkSession,
+      d: String): DataFrame = {
+    val ids = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val scored = candidateScoredPairs(s, d)
     // argmax as a hash aggregate (partial map-side combine), not a
     // window: no per-partition sort of the candidate set. max of
     // (cos, -v2) orders by cosine then smaller id — q40's tie rule
