@@ -22,9 +22,10 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q73_event_funnel", "q76_rolling_window", "q78_event_streaks",
     "q80_date_spine", "q81_exact_quantiles",
     // r6 additions: per-source ratio aggregates, fingerprint self-join,
-    // driver-folded PQ training + ADC window chain
+    // driver-folded PQ training + ADC window chain, k-NN label
+    // agreement over the candidate front end
     "q84_source_quality", "q85_cross_source_dups", "q86_pq_quantize",
-    "q87_ann_ivfpq")
+    "q87_ann_ivfpq", "q88_label_agreement", "q89_label_noise")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
