@@ -24,9 +24,15 @@ object Verify {
     }
     // JSON escaping lives in one place (graft.common.JsonIO) — a tab or
     // CR in builder-authored SQL must not break the driver's json.load.
+    // Pair-level derived oracles reference the engine's own emitted
+    // rows through QueryDef.OutDirToken; resolve it to the absolute
+    // output dir here so the DuckDB side reads the same files
+    // regardless of its working directory.
+    val absOut = new java.io.File(outDir).getAbsolutePath
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       graft.common.JsonIO.render(
-        SparkEntry.oracleSql.map { case (k, v) => k -> (v: Any) }))
+        SparkEntry.oracleSql.map { case (k, v) =>
+          k -> (v.replace(QueryDef.OutDirToken, absOut): Any) }))
     spark.stop()
   }
 }

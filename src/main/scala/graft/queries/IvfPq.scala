@@ -106,14 +106,18 @@ object IvfPq {
     val books = ProductQuantization.trainCodebooks(s, d)
     val index = encode(s, d, centroids, books)
 
-    // fixed probe set: LUT(m)(k) = dot(q's m-th subvector, codeword k)
+    // fixed probe set: LUT(m)(k) = dot(q's m-th subvector, codeword k).
+    // LUTs are broadcast as a dense ARRAY indexed by a query ordinal
+    // the probe rows carry — the ADC hot loop does one array load per
+    // candidate row, not a boxed Map[Long,_] probe (noise at 20
+    // queries, a real cost at 10⁵ concurrent ones).
     val qvecs = load(s, d, "embeddings").filter(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect()
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
     val m = books.length
     val ds = books(0)(0).length
-    val luts: Map[Long, (Array[Array[Double]], Double)] =
-      qvecs.map { case (qid, qv) =>
+    val luts: Array[(Array[Array[Double]], Double)] =
+      qvecs.map { case (_, qv) =>
         val lut = Array.tabulate(m, books(0).length) { (mi, k) =>
           val c = books(mi)(k)
           var dot = 0.0
@@ -121,23 +125,24 @@ object IvfPq {
           while (i < ds) { dot += qv(mi * ds + i).toDouble * c(i); i += 1 }
           dot
         }
-        qid -> ((lut, Similarity.vecNorm(qv)))
-      }.toMap
-    val probes = qvecs.toSeq.flatMap { case (qid, qv) =>
+        (lut, Similarity.vecNorm(qv))
+      }
+    val probes = qvecs.toSeq.zipWithIndex.flatMap { case ((qid, qv), ord) =>
       Similarity.rankedCells(centroids, qv).take(NProbe)
-        .map(c => (qid, c))
-    }.toDF("query_id", "probe_cell")
+        .map(c => (qid, ord, c))
+    }.toDF("query_id", "query_ord", "probe_cell")
 
     val bcLut = s.sparkContext.broadcast(luts)
     // candidate scan: codes only — 8 bytes + cell per vector move here
     val approx = index.join(broadcast(probes),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("codes"), col("rnorm"))
-      .as[(Long, Long, Array[Byte], Double)]
+      .select(col("query_id"), col("query_ord"), col("vec_id"),
+        col("codes"), col("rnorm"))
+      .as[(Long, Int, Long, Array[Byte], Double)]
       .mapPartitions { rows =>
         val tables = bcLut.value
-        rows.map { case (qid, vid, codes, rnorm) =>
-          val (lut, qnorm) = tables(qid)
+        rows.map { case (qid, ord, vid, codes, rnorm) =>
+          val (lut, qnorm) = tables(ord)
           var adot = 0.0
           var mi = 0
           while (mi < codes.length) {
@@ -176,7 +181,11 @@ object IvfPq {
 
   private val q87 = QueryDef(
     (s, d) => ivfPqTopK(s, d),
-    None, // approximate: recall vs q38 pinned in IvfPqSpec
+    // pair-level derived oracle (Similarity.emittedTopKOracle): emitted
+    // scores are exact re-rank cosines and rn is their deterministic
+    // rank, both recomputable per emitted pair; recall vs q38 pinned
+    // in IvfPqSpec
+    Some(Similarity.emittedTopKOracle("q87_ann_ivfpq")),
     s"IVF-PQ ANN top-10: coarse cells + 8-byte ADC codes, exact " +
       s"re-rank of $RerankPool [similarity,approx]")
 

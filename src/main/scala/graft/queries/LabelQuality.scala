@@ -96,6 +96,7 @@ object LabelQuality {
       .join(lbl.select(col("vec_id").as("v2"), col("label").as("nlabel")), "v2")
       .groupBy(col("v1"), col("qlabel"))
       .agg(
+        sort_array(collect_list(col("v2"))).as("neighbor_ids"),
         count(lit(1)).as("n_neighbors"),
         sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
           .as("n_agree"))
@@ -104,6 +105,7 @@ object LabelQuality {
     lbl.select(col("vec_id").as("v1"), col("label").as("qlabel"))
       .join(agg, Seq("v1", "qlabel"), "left")
       .select(col("v1").as("vec_id"), col("qlabel").as("label"),
+        col("neighbor_ids"),
         col("n_neighbors"), col("n_agree"), col("agreement"),
         coalesce(col("agreement") < SuspectBelow, lit(false))
           .as("is_suspect"))
@@ -111,7 +113,42 @@ object LabelQuality {
 
   private val q89 = QueryDef(
     (s, d) => labelNoiseScan(s, d),
-    None, // candidate sets are algorithm-specific; planted-flip spec'd
+    // Pair-level derived oracle: WHICH neighbors got nominated is
+    // algorithm-specific, but the emitted `neighbor_ids` (sorted, so
+    // the array is order-canonical) let DuckDB re-run the entire
+    // agreement computation — unnest the ids, join both sides' labels
+    // from `embeddings`, recount n_agree/n_neighbors, re-derive the
+    // ratio and the 0.5 suspect flag. A no-candidate vector must
+    // surface with null neighbor_ids/counts and a false flag (q62's
+    // convention); a miscounted agreement, a phantom neighbor id
+    // (inner label join drops it → n_neighbors mismatch), or a flag
+    // off the threshold all fail the hash compare. Nomination recall
+    // is spec'd via the planted-flip test in LabelQualitySpec.
+    Some(s"""WITH emitted AS (
+              SELECT vec_id, neighbor_ids
+              FROM read_parquet('${graft.QueryDef.OutDirToken}/q89_label_noise/*.parquet')
+            ), lbl AS (
+              SELECT vec_id, label FROM embeddings
+            ), ex AS (
+              SELECT vec_id, unnest(neighbor_ids) AS nid FROM emitted
+            ), agg AS (
+              SELECT x.vec_id,
+                CAST(count(*) AS BIGINT) AS n_neighbors,
+                CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree
+              FROM ex x
+              JOIN lbl ql ON ql.vec_id = x.vec_id
+              JOIN lbl nl ON nl.vec_id = x.nid
+              GROUP BY 1
+            )
+            SELECT e.vec_id, ql.label, e.neighbor_ids,
+              a.n_neighbors, a.n_agree,
+              CAST(a.n_agree AS DOUBLE) / a.n_neighbors AS agreement,
+              COALESCE(CAST(a.n_agree AS DOUBLE) / a.n_neighbors
+                < $SuspectBelow, false) AS is_suspect
+            FROM emitted e
+            JOIN lbl ql ON ql.vec_id = e.vec_id
+            LEFT JOIN agg a ON a.vec_id = e.vec_id"""),
     "full-corpus 5-NN label-noise scan on the candidates-then-rerank " +
       "path [label-quality,similarity]")
 

@@ -46,17 +46,43 @@ object ProductQuantization {
     new java.util.concurrent.ConcurrentHashMap[String,
       (String, Array[Array[Array[Double]]])]()
 
+  /** Number of in-JVM codebook training runs — lets IndexStoreSpec
+    * prove the persisted-index load path performs ZERO training.
+    */
+  private[graft] val codebookTrainCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop the in-session codebook memo (a fresh session's state) —
+    * test hook for the persisted-index lifecycle.
+    */
+  private[graft] def clearCodebookSessionCache(): Unit =
+    codebookCache.clear()
+
   private[graft] def trainCodebooks(s: SparkSession,
       d: String): Array[Array[Array[Double]]] = {
     val fp = Similarity.embeddingsFingerprint(s, d)
     codebookCache.compute(d, (_, cur) =>
       if (cur != null && cur._1 == fp) cur
-      else (fp, trainCodebooksUncached(s, d)))._2
+      else {
+        // load-or-train through the persisted index store (the same
+        // lifecycle as the IVF centroids: train once, serve from the
+        // table layer in every later session, fingerprint-validated)
+        val books = graft.tables.IndexStore.loadCodebooks(s, fp,
+            NumSubspaces, CodebookSize, TrainIters)
+          .getOrElse {
+            val trained = trainCodebooksUncached(s, d)
+            graft.tables.IndexStore.saveCodebooks(s, fp,
+              NumSubspaces, CodebookSize, TrainIters, trained)
+            trained
+          }
+        (fp, books)
+      })._2
   }
 
   /** codebooks(m)(k): the K codewords of subspace m, each dim/M wide. */
   private[graft] def trainCodebooksUncached(s: SparkSession,
       d: String): Array[Array[Array[Double]]] = {
+    codebookTrainCount.incrementAndGet()
     import s.implicits._
     val base = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))

@@ -1,0 +1,96 @@
+package graft
+
+import graft.queries.{ProductQuantization, Similarity}
+import graft.tables.IndexStore
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted ANN index lifecycle: train once, serve later sessions from
+  * the table layer with ZERO retraining, fingerprint-validated.
+  * "New session" is simulated by dropping the in-JVM memo caches — the
+  * exact state a restarted driver starts from.
+  */
+class IndexStoreSpec extends AnyFunSuite with SparkSpec {
+
+  private var savedRoot: Option[String] = None
+  private var tmpRoot: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    savedRoot = sys.props.get("graft.index.root")
+    tmpRoot = java.nio.file.Files.createTempDirectory("graft_index_spec")
+    sys.props("graft.index.root") = tmpRoot.toString
+  }
+
+  override def afterAll(): Unit = {
+    savedRoot match {
+      case Some(v) => sys.props("graft.index.root") = v
+      case None => sys.props -= "graft.index.root"
+    }
+    super.afterAll()
+  }
+
+  test("IVF centroids: fresh session loads the persisted quantizer, trains zero times") {
+    Similarity.clearCentroidSessionCache()
+    val trained = Similarity.kMeansCentroids(spark, Sf) // cold store → trains + saves
+    val before = Similarity.kMeansTrainCount.get()
+
+    Similarity.clearCentroidSessionCache() // "restart the session"
+    val loaded = Similarity.kMeansCentroids(spark, Sf)
+    assert(Similarity.kMeansTrainCount.get() == before,
+      "load path must not retrain")
+
+    assert(loaded.length == trained.length)
+    trained.zip(loaded).foreach { case ((id1, c1, n1), (id2, c2, n2)) =>
+      assert(id1 == id2)
+      assert(java.util.Arrays.equals(c1, c2), s"cell $id1 components differ")
+      assert(n1 == n2, s"cell $id1 norm differs")
+    }
+  }
+
+  test("PQ codebooks: fresh session loads the persisted codebooks, trains zero times") {
+    ProductQuantization.clearCodebookSessionCache()
+    val trained = ProductQuantization.trainCodebooks(spark, Sf)
+    val before = ProductQuantization.codebookTrainCount.get()
+
+    ProductQuantization.clearCodebookSessionCache()
+    val loaded = ProductQuantization.trainCodebooks(spark, Sf)
+    assert(ProductQuantization.codebookTrainCount.get() == before,
+      "load path must not retrain")
+
+    assert(loaded.length == trained.length)
+    trained.zip(loaded).zipWithIndex.foreach { case ((t, l), mi) =>
+      assert(t.length == l.length, s"subspace $mi codeword count differs")
+      t.zip(l).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b), s"subspace $mi codeword differs")
+      }
+    }
+  }
+
+  test("q54 and q87 are bit-identical between the trained and the loaded index") {
+    def rows(name: String): Set[(Long, Long, Double, Int)] =
+      SparkEntry.queries(name)(spark, Sf).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    // warm (trained-or-loaded this JVM) results…
+    val q54a = rows("q54_ann_ivf")
+    val q87a = rows("q87_ann_ivfpq")
+    // …must survive a session restart served purely from the store
+    Similarity.clearCentroidSessionCache()
+    ProductQuantization.clearCodebookSessionCache()
+    val before = (Similarity.kMeansTrainCount.get(),
+      ProductQuantization.codebookTrainCount.get())
+    assert(rows("q54_ann_ivf") == q54a)
+    assert(rows("q87_ann_ivfpq") == q87a)
+    assert((Similarity.kMeansTrainCount.get(),
+      ProductQuantization.codebookTrainCount.get()) == before,
+      "restarted session must serve the persisted index, not retrain")
+  }
+
+  test("a load against a different fingerprint misses (stale index never served)") {
+    // a rewritten dataset changes the fingerprint → different key → miss
+    assert(IndexStore.loadCentroids(spark, "fp-of-some-other-dataset",
+      64, 4).isEmpty)
+    assert(IndexStore.loadCodebooks(spark, "fp-of-some-other-dataset",
+      8, 16, 6).isEmpty)
+  }
+}
