@@ -64,6 +64,84 @@ object Media {
       .as[MediaRow]
   }
 
+  /** Deterministic real PNG: a w×h raster whose pixel (x, y) channels
+    * are a splitmix-style hash of (seed, x, y) — every byte of the
+    * payload is reproducible from the id, and the JDK PNG writer is
+    * deterministic for a given raster.
+    */
+  private[graft] def generatePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var z = seed + (y.toLong * w + x) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        img.setRGB(x, y, ((z ^ (z >>> 31)) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic real mono WAV: n 16-bit samples hashed from
+    * (seed, i), same reproducibility contract as [[generatePng]].
+    */
+  private[graft] def generateWav(seed: Long, rate: Int,
+      n: Int): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      var z = seed + i.toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      val v = ((z >>> 16) & 0xFFFF).toInt - 32768
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, 1, 2, rate.toFloat, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** [[mediaFromDocuments]] with REAL payloads on the deterministic
+    * media_id % 5 == 0 slice: a generated PNG for images, a generated
+    * WAV for audio, a GFV1 PNG-frame container for video; every other
+    * row keeps the document-text stand-in bytes (which no codec
+    * accepts). The expected decode outcome is therefore a pure
+    * function of the id — which is what lets the decode-health audit
+    * (q90) be ORACLE-CHECKED: the DuckDB mirror predicts each row's
+    * flag from the id rule while the engine earns it by actually
+    * running its codecs.
+    */
+  def mediaWithRealPayloads(spark: SparkSession,
+      sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, sfDir).mapPartitions { rows =>
+      rows.map { m =>
+        if (m.media_id % 5 != 0) m
+        else m.kind match {
+          case "image" => m.copy(bytes = generatePng(m.media_id, 16, 16))
+          case "audio" =>
+            m.copy(bytes = generateWav(m.media_id, m.sample_rate, 320))
+          case _ => m.copy(bytes = encodeVideoContainer(
+            (0 until 3).map(f => generatePng(m.media_id * 31 + f, 8, 8))))
+        }
+      }
+    }
+  }
+
   /** FALLBACK decode for payloads no JDK codec accepts (the video
     * kind, undecodable image/audio bytes): deterministic rolling-state
     * "embedding" of the payload. The per-partition batch shape is the
@@ -82,21 +160,91 @@ object Media {
     acc.map(v => (v % 1000000L).toFloat / 1000000.0f)
   }
 
+  /** Once-per-JVM ImageIO configuration: the disk cache is disabled
+    * lazily on first decode on each executor — executor-side decode
+    * must not synchronize on temp-file creation, and the static setter
+    * should not be re-invoked per row.
+    */
+  private object ImageIOConfig {
+    lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
+  }
+
   /** Real image decode via the JDK's bundled readers (PNG/JPEG/BMP/GIF
     * in JDK 17). Returns None for bytes no installed reader accepts —
-    * the caller falls back to [[fakeDecode]] and flags the row. The
-    * ImageIO disk cache is disabled once per JVM: executor-side decode
-    * must not synchronize on temp-file creation.
+    * the caller falls back to [[fakeDecode]] and flags the row.
     */
   private[multimodal] def decodeImage(
       bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
-    javax.imageio.ImageIO.setUseCache(false)
+    ImageIOConfig.init
     if (bytes == null || bytes.isEmpty) None
     else
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes)))
       catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  // ---- Video container ----
+  // The JDK ships no video codec, so the engine DEFINES its video
+  // payload convention instead of faking one: a conforming payload is
+  // "GFV1" + int32 frame count + per frame (int32 length + PNG bytes),
+  // all big-endian — length-prefixed concatenated stills. That turns
+  // video into a modality the existing REAL image codec serves:
+  // sampleFrames emits actual rasters and extractFeatures featurizes
+  // actual pixels, zero new jars. Non-conforming payloads (like this
+  // testdata's text stand-ins) still take the byte-hash fallback,
+  // flagged decoded=false per row.
+
+  private val VideoMagic = Array[Byte]('G', 'F', 'V', '1')
+  private[graft] val MaxVideoFrames = 4096
+
+  /** Build a conforming video payload from PNG frame bytes. */
+  private[graft] def encodeVideoContainer(
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && frames.length <= MaxVideoFrames,
+      s"video container: 1..$MaxVideoFrames frames")
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.write(VideoMagic)
+    dos.writeInt(frames.length)
+    frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+    dos.flush()
+    out.toByteArray
+  }
+
+  /** Split a conforming payload into its frame payloads; None for
+    * anything malformed (bad magic, counts or lengths out of range,
+    * trailing garbage) — the caller falls back and flags the row.
+    */
+  private[graft] def parseVideoContainer(
+      bytes: Array[Byte]): Option[Array[Array[Byte]]] =
+    try {
+      if (bytes == null || bytes.length < VideoMagic.length + 4) None
+      else if (!java.util.Arrays.equals(
+        java.util.Arrays.copyOf(bytes, VideoMagic.length), VideoMagic)) None
+      else {
+        val dis = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(
+            bytes, VideoMagic.length, bytes.length - VideoMagic.length))
+        val n = dis.readInt()
+        if (n < 1 || n > MaxVideoFrames) None
+        else {
+          val frames = new Array[Array[Byte]](n)
+          var i = 0
+          var ok = true
+          while (ok && i < n) {
+            val len = dis.readInt()
+            if (len < 0 || len > dis.available()) ok = false
+            else {
+              val f = new Array[Byte](len)
+              dis.readFully(f)
+              frames(i) = f
+              i += 1
+            }
+          }
+          if (ok && dis.available() == 0) Some(frames) else None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real pixel statistics for a decoded raster, FeatureDim = 8 wide:
     * [meanR, meanG, meanB, meanLuma, lumaHist0..3] with the histogram
@@ -145,13 +293,21 @@ object Media {
   private[graft] final case class AudioClip(
       sampleRate: Float, samples: Array[Int])
 
+  /** Raw decoded PCM: 16-bit signed samples interleaved by frame with
+    * the CHANNEL LAYOUT PRESERVED, plus rate and channel count — the
+    * lossless decode [[resampleAudio]] works on.
+    */
+  private[graft] final case class AudioPcm(
+      sampleRate: Float, channels: Int, interleaved: Array[Int])
+
   /** Real audio parse via the JDK's bundled readers (WAV/AIFF/AU in
     * JDK 17). Non-16-bit-PCM encodings (8-bit, float, U-law…) are
-    * converted through `AudioSystem` before sampling. Returns None for
-    * bytes no installed reader accepts — the caller falls back to
-    * [[fakeDecode]] and flags the row.
+    * converted through `AudioSystem` before sampling; the channel
+    * layout is kept as-is. Returns None for bytes no installed reader
+    * accepts — the caller falls back to [[fakeDecode]] and flags the
+    * row.
     */
-  private[graft] def decodeAudio(bytes: Array[Byte]): Option[AudioClip] = {
+  private[graft] def decodeAudioPcm(bytes: Array[Byte]): Option[AudioPcm] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     if (bytes == null || bytes.isEmpty) return None
     try {
@@ -166,23 +322,37 @@ object Media {
         else AudioSystem.getAudioInputStream(wanted, raw)
       val data = pcm.readAllBytes()
       val ch = wanted.getChannels
-      val frames = data.length / (2 * ch)
+      val n = data.length / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = (data(2 * i) & 0xff) | (data(2 * i + 1) << 8) // LE
+        i += 1
+      }
+      Some(AudioPcm(wanted.getSampleRate, ch, samples))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Mono view for FEATURE extraction: multi-channel payloads mix down
+    * by truncating-average (features describe the combined waveform;
+    * the mixdown never feeds back into a re-encode — [[resampleAudio]]
+    * preserves the channel layout from [[decodeAudioPcm]]).
+    */
+  private[graft] def decodeAudio(bytes: Array[Byte]): Option[AudioClip] =
+    decodeAudioPcm(bytes).map { pcm =>
+      val ch = pcm.channels
+      val frames = pcm.interleaved.length / ch
       val mono = new Array[Int](frames)
       var i = 0
       while (i < frames) {
         var sum = 0
         var c = 0
-        while (c < ch) {
-          val off = (i * ch + c) * 2
-          sum += ((data(off) & 0xff) | (data(off + 1) << 8)) // little-endian
-          c += 1
-        }
+        while (c < ch) { sum += pcm.interleaved(i * ch + c); c += 1 }
         mono(i) = sum / ch
         i += 1
       }
-      Some(AudioClip(wanted.getSampleRate, mono))
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
+      AudioClip(pcm.sampleRate, mono)
+    }
 
   /** Real waveform statistics for decoded audio, FeatureDim = 8 wide:
     * [meanAbs, rms, peak, zeroCrossRate, energyQ0..Q3] — amplitudes
@@ -231,6 +401,28 @@ object Media {
     * statistics; anything undecodable — and the codec-less video kind
     * — takes the byte-hash fallback, marked `decoded = false`.
     */
+  /** Mean-pooled per-frame pixel features of a conforming video
+    * payload; None unless the container parses AND every frame
+    * decodes (a partially-decodable clip is flagged, not averaged
+    * over a silent subset). Pooling accumulates in double over frames
+    * in container order — deterministic and spec-assertable exactly.
+    */
+  private[graft] def videoFeatures(
+      bytes: Array[Byte]): Option[Array[Float]] =
+    parseVideoContainer(bytes).flatMap { frames =>
+      val decoded = frames.map(decodeImage)
+      if (decoded.exists(_.isEmpty)) None
+      else {
+        val acc = new Array[Double](FeatureDim)
+        decoded.foreach { img =>
+          val f = imageFeatures(img.get)
+          var i = 0
+          while (i < FeatureDim) { acc(i) += f(i); i += 1 }
+        }
+        Some(acc.map(v => (v / frames.length).toFloat))
+      }
+    }
+
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -238,6 +430,7 @@ object Media {
         val real: Option[Array[Float]] = m.kind match {
           case "image" => decodeImage(m.bytes).map(imageFeatures)
           case "audio" => decodeAudio(m.bytes).map(audioFeatures)
+          case "video" => videoFeatures(m.bytes)
           case _ => None
         }
         real match {
@@ -356,12 +549,14 @@ object Media {
   }
 
   /** Resample (audio kind): real nearest-neighbor sample-rate change on
-    * the DECODED waveform, re-encoded as mono 16-bit WAV — the audio
-    * analog of [[resize]]. Decodable payloads already at the target
-    * rate, undecodable payloads, and non-audio rows pass through
-    * untouched (the undecodable ones stay flagged downstream by
-    * [[extractFeatures]]). Same fused partition pass as every other
-    * media operator.
+    * the DECODED waveform, re-encoded as 16-bit WAV with the source's
+    * CHANNEL LAYOUT PRESERVED — a stereo payload stays stereo, every
+    * channel resampled on the same frame grid (no silent mixdown; the
+    * mono mixdown exists only inside feature extraction). Decodable
+    * payloads already at the target rate, undecodable payloads, and
+    * non-audio rows pass through untouched (the undecodable ones stay
+    * flagged downstream by [[extractFeatures]]). Same fused partition
+    * pass as every other media operator.
     */
   def resampleAudio(media: Dataset[MediaRow], targetRate: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
@@ -369,24 +564,31 @@ object Media {
     media.mapPartitions { rows =>
       rows.map { m =>
         if (m.kind != "audio") m
-        else decodeAudio(m.bytes) match {
+        else decodeAudioPcm(m.bytes) match {
           case None => m
-          case Some(clip) if clip.sampleRate.round == targetRate => m
-          case Some(clip) =>
-            val srcN = clip.samples.length
+          case Some(pcm) if pcm.sampleRate.round == targetRate => m
+          case Some(pcm) =>
+            val ch = pcm.channels
+            val srcN = pcm.interleaved.length / ch
             val dstN = math.max(1,
-              (srcN.toLong * targetRate / clip.sampleRate.round).toInt)
-            val data = new Array[Byte](dstN * 2)
+              (srcN.toLong * targetRate / pcm.sampleRate.round).toInt)
+            val data = new Array[Byte](dstN * ch * 2)
             var i = 0
             while (i < dstN) {
-              val v = clip.samples((i.toLong * srcN / dstN).toInt)
-              data(2 * i) = (v & 0xff).toByte
-              data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              val src = (i.toLong * srcN / dstN).toInt
+              var c = 0
+              while (c < ch) {
+                val v = pcm.interleaved(src * ch + c)
+                val off = (i * ch + c) * 2
+                data(off) = (v & 0xff).toByte
+                data(off + 1) = ((v >> 8) & 0xff).toByte
+                c += 1
+              }
               i += 1
             }
             val fmt = new javax.sound.sampled.AudioFormat(
               javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-              targetRate.toFloat, 16, 1, 2, targetRate.toFloat, false)
+              targetRate.toFloat, 16, ch, ch * 2, targetRate.toFloat, false)
             val out = new java.io.ByteArrayOutputStream()
             javax.sound.sampled.AudioSystem.write(
               new javax.sound.sampled.AudioInputStream(
@@ -399,21 +601,40 @@ object Media {
     }
   }
 
-  /** Frame sampling (video kind): emit one frame row per second of
-    * duration, capped — the generator-shaped operator (explode analog)
-    * done with mapPartitions + flatMap.
+  /** Frame sampling (video kind): the generator-shaped operator
+    * (explode analog) done with mapPartitions + flatMap.
+    *
+    * A CONFORMING payload (see [[parseVideoContainer]]) emits REAL
+    * frames: up to maxFrames stills sampled evenly across the
+    * container in order (stride sampling, the standard decode-budget
+    * policy), each frame row carrying the still's actual PNG bytes —
+    * ready for [[decodeImage]]/the image feature path downstream.
+    * Timestamps spread the sampled frames across the clip's metadata
+    * duration. A non-conforming payload keeps the deterministic
+    * byte-slice stand-in (one pseudo-frame per second of duration,
+    * capped) so the operator's shape is total either way.
     */
   def sampleFrames(media: Dataset[MediaRow], maxFrames: Int = 8): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { rows =>
       rows.flatMap { m =>
-        val n = math.min(maxFrames, math.max(1, (m.duration_ms / 1000L).toInt))
-        (0 until n).iterator.map { i =>
-          val ts = i.toLong * m.duration_ms / n
-          // STUB frame payload: deterministic slice of the source bytes
-          val from = if (m.bytes.isEmpty) 0 else (ts % m.bytes.length).toInt
-          val len = math.min(16, m.bytes.length - from)
-          Frame(m.media_id, i, ts, m.bytes.slice(from, from + len))
+        parseVideoContainer(m.bytes) match {
+          case Some(frames) =>
+            val n = math.min(maxFrames, frames.length)
+            (0 until n).iterator.map { i =>
+              val src = i * frames.length / n
+              Frame(m.media_id, i, i.toLong * m.duration_ms / n, frames(src))
+            }
+          case None =>
+            val n = math.min(maxFrames,
+              math.max(1, (m.duration_ms / 1000L).toInt))
+            (0 until n).iterator.map { i =>
+              val ts = i.toLong * m.duration_ms / n
+              // stand-in payload: deterministic slice of the source bytes
+              val from = if (m.bytes.isEmpty) 0 else (ts % m.bytes.length).toInt
+              val len = math.min(16, m.bytes.length - from)
+              Frame(m.media_id, i, ts, m.bytes.slice(from, from + len))
+            }
         }
       }
     }

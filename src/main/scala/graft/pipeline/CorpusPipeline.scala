@@ -35,11 +35,24 @@ object CorpusPipeline {
 
   /** What an incremental run did, plus the TOTAL corpus [[Summary]]
     * after it — bit-identical to what a full rebuild over the union
-    * would report (IncrementalCorpusSpec asserts it).
+    * would report (IncrementalCorpusSpec asserts it). `skipped` marks a
+    * replay of an already-committed streaming batch (the ingest ledger
+    * recognized the batch id): nothing was written, the summary echoes
+    * the standing sidecar.
     */
   final case class IncrementalResult(
       summary: Summary, nBatch: Long, nBatchQuality: Long,
-      nNewDocs: Long, repackedGroups: Seq[Long])
+      nNewDocs: Long, repackedGroups: Seq[Long],
+      skipped: Boolean = false)
+
+  /** Sidecar key prefix of the streaming ingest ledger: one flat entry
+    * per checkpoint (`ingest_last_batch:<checkpoint>` → last committed
+    * batch id), written ATOMICALLY WITH the stats commit so a replayed
+    * foreachBatch can be recognized — keyed per checkpoint because
+    * Structured Streaming batch ids restart from 0 under a fresh
+    * checkpoint against the same standing corpus.
+    */
+  private val LedgerPrefix = "ingest_last_batch:"
 
   private[pipeline] val MinWords = 20
   private[pipeline] val MinDistinctRatio = 0.3
@@ -165,10 +178,13 @@ object CorpusPipeline {
   }
 
   /** Stats sidecar. `max_doc_id` rides along so the incremental path
-    * can enforce append-only ids without reading the corpus.
+    * can enforce append-only ids without reading the corpus; `ledger`
+    * entries ([[LedgerPrefix]]) commit in the SAME atomic write — the
+    * sidecar write IS the incremental commit point, so a batch is
+    * either fully committed (stats + ledger agree) or fully replayable.
     */
   private def writeStats(outDir: String, summary: Summary,
-      maxDocId: Long): Unit =
+      maxDocId: Long, ledger: Map[String, Long] = Map.empty): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/corpus_stats.json"),
       JsonIO.render(Map(
@@ -182,7 +198,8 @@ object CorpusPipeline {
         "max_doc_id" -> maxDocId,
         "chunk_len" -> TextOps.ChunkLen,
         "chunk_stride" -> TextOps.ChunkStride,
-        "pack_budget" -> Packing.PackBudget)))
+        "pack_budget" -> Packing.PackBudget) ++
+        ledger.map { case (k, v) => (LedgerPrefix + k) -> (v: Any) }))
 
   /** Incremental run: process ONLY a new batch of documents against an
     * existing [[run]] output, producing the same final corpus a full
@@ -215,9 +232,32 @@ object CorpusPipeline {
     * survivor rule would otherwise need old rows rewritten), and the
     * batch adds no benchmark docs (existing corpus docs would need
     * retroactive decontamination — that is a rebuild by definition).
+    *
+    * CRASH SAFETY (the streaming contract): `foreachBatch` is
+    * at-least-once — the stream checkpoint commits only after the
+    * batch function returns, so a crash mid-run REPLAYS the batch.
+    * Two mechanisms make the replay harmless:
+    *
+    *  - every write below is an idempotent OVERWRITE, not an append:
+    *    the batch's chunk and hash-index files land under
+    *    deterministic names keyed by the batch's min doc id
+    *    ([[idempotentIngestWrite]]), and the packed swap is already a
+    *    recompute-from-chunks overwrite — so a replay after a partial
+    *    run rewrites the same files instead of duplicating rows;
+    *  - the stats sidecar (whose funnel prefix is ADDITIVE and must
+    *    not double-count) is the single commit point, and in stream
+    *    mode it carries the ingest ledger: a replay AFTER the commit
+    *    is recognized by `batchId <= ledger(checkpoint)` and skipped
+    *    wholesale (returned with `skipped = true`) BEFORE the
+    *    append-only precondition could wedge the stream.
+    *
+    * CLI mode (no `ledgerKey`) keeps the strict behavior: re-running a
+    * committed batch fails the append-only require loudly — there a
+    * duplicate submission is user error, not a delivery semantic.
     */
   def runIncremental(spark: SparkSession, outDir: String,
-      batch: DataFrame): IncrementalResult = {
+      batch: DataFrame, ledgerKey: Option[String] = None,
+      batchId: Option[Long] = None): IncrementalResult = {
     import spark.implicits._
     val isBench = col("doc_id") % 50 === 0
     val batchDocs = batch.select(col("doc_id"), col("text"))
@@ -226,6 +266,21 @@ object CorpusPipeline {
       graft.common.Json.parseFile(s"$outDir/corpus_stats.json"))
     def prevN(k: String): Long =
       prev(k).asInstanceOf[Double].toLong
+    val prevLedger: Map[String, Long] = prev.collect {
+      case (k, v) if k.startsWith(LedgerPrefix) =>
+        k.stripPrefix(LedgerPrefix) -> v.asInstanceOf[Double].toLong
+    }
+
+    // replay of an already-committed streaming batch: recognize and
+    // skip before any precondition or write
+    val committed = ledgerKey.flatMap(prevLedger.get)
+    if (batchId.isDefined && committed.exists(_ >= batchId.get)) {
+      val standing = Summary(
+        prevN("n_input"), prevN("n_after_quality"),
+        prevN("n_after_dedup"), prevN("n_after_decontam"),
+        prevN("n_chunks"), prevN("n_packs"), prevN("packed_tokens"))
+      return IncrementalResult(standing, 0L, 0L, 0L, Nil, skipped = true)
+    }
 
     require(batchDocs.filter(isBench).limit(1).count() == 0,
       "incremental mode cannot extend the benchmark slice — new " +
@@ -258,9 +313,10 @@ object CorpusPipeline {
     val training = decontaminateWithGrams(spark,
       spark.read.parquet(s"$outDir/bench_grams"), newDocs, isBench)
 
-    // 4: append chunks, repack only the touched groups
+    // 4: append chunks (idempotent, batch-keyed file name), repack only
+    // the touched groups
     val newChunks = TextOps.chunkDocs(spark, training)
-    newChunks.write.mode("append").parquet(s"$outDir/chunks")
+    idempotentIngestWrite(spark, newChunks, s"$outDir/chunks", minBatch)
     val affected = newChunks
       .select(floor(col("doc_id") / Packing.GroupSize).as("g"))
       .distinct().as[Long].collect().sorted.toSeq
@@ -276,8 +332,9 @@ object CorpusPipeline {
         .write.mode("overwrite").parquet(s"$outDir/packed_staging")
       swapDirs(spark, s"$outDir/packed_staging", s"$outDir/packed")
     }
-    newHashes.select("content_hash", "doc_id")
-      .write.mode("append").parquet(s"$outDir/hash_index")
+    idempotentIngestWrite(spark,
+      newHashes.select("content_hash", "doc_id"),
+      s"$outDir/hash_index", minBatch)
 
     // funnel stats: additive prefix from the previous sidecar, suffix
     // recomputed from the materialized outputs (same code path as run)
@@ -296,8 +353,43 @@ object CorpusPipeline {
       packStats.getLong(2), packStats.getLong(3),
       packStats.getLong(0), packStats.getLong(1))
     val maxBatch = batchDocs.agg(max(col("doc_id"))).collect()(0).getLong(0)
-    writeStats(outDir, summary, math.max(maxOld, maxBatch))
+    val ledger = (ledgerKey, batchId) match {
+      case (Some(k), Some(b)) => prevLedger + (k -> b)
+      case _ => prevLedger
+    }
+    writeStats(outDir, summary, math.max(maxOld, maxBatch), ledger)
     IncrementalResult(summary, nBatch, nBatchQuality, nNewDocs, affected)
+  }
+
+  /** Idempotent ingest append: the batch's rows land as ONE parquet
+    * file under a deterministic name keyed by the batch's min doc id
+    * (`ingest-<minId>.parquet` — unique per batch because ingest is
+    * append-only, identical across replays of the SAME batch). A
+    * replayed crash recovery overwrites the file instead of appending
+    * a duplicate part file, which is what makes the whole incremental
+    * run safe to re-execute before its sidecar commit. One file per
+    * batch is the right granularity: batches are bounded, and a
+    * partitioned production layout would make this a dynamic-partition
+    * overwrite instead.
+    */
+  private def idempotentIngestWrite(spark: SparkSession, df: DataFrame,
+      targetDir: String, batchMinId: Long): Unit = {
+    val staging = s"$targetDir-staging-$batchMinId"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val st = new org.apache.hadoop.fs.Path(staging)
+    val fs = st.getFileSystem(conf)
+    val parts = fs.listStatus(st)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    require(parts.length == 1,
+      s"idempotent ingest write: expected 1 part file, got ${parts.length}")
+    val target = new org.apache.hadoop.fs.Path(
+      s"$targetDir/ingest-$batchMinId.parquet")
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(parts(0), target),
+      s"ingest write: rename ${parts(0)} -> $target failed")
+    fs.delete(st, true)
+    ()
   }
 
   /** Replace `target` with `staging` (both directories) — the local

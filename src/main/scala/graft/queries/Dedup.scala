@@ -383,7 +383,7 @@ object Dedup {
           shiftrightunsigned(col("simhash"), c * 16)
             .bitwiseAND(lit(0xffffL))): _*)))
         .toDF("doc_id", "simhash", "chunk_id", "chunk")
-      chunks.as("x")
+      val pairs = chunks.as("x")
         .join(chunks.as("y"),
           col("x.chunk_id") === col("y.chunk_id") &&
             col("x.chunk") === col("y.chunk") &&
@@ -393,8 +393,47 @@ object Dedup {
             .as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
+      // exact word-SET Jaccard rides along per emitted pair — the
+      // independently-recomputable similarity witness for the derived
+      // oracle (the signature/Hamming arithmetic itself is not
+      // portable; see the oracle note). Same broadcast discipline as
+      // q35's verify step: the pair set is tiny, the word sets stream.
+      val wsets = load(s, d, "documents")
+        .select(col("doc_id"), array_distinct(words(col("text"))).as("w"))
+      val withA = wsets
+        .select(col("doc_id").as("d1"), col("w").as("w1"))
+        .join(broadcast(pairs), "d1")
+      wsets.select(col("doc_id").as("d2"), col("w").as("w2"))
+        .join(broadcast(withA), "d2")
+        .withColumn("shared", size(array_intersect(col("w1"), col("w2"))))
+        .select(col("d1"), col("d2"), col("hamming"),
+          (col("shared").cast("double") /
+            (size(col("w1")) + size(col("w2")) - col("shared")))
+            .as("jaccard"))
     },
-    None, // bit-level hash semantics not portable to the oracle; see specs
+    // Pair-level derived oracle: the 64-bit signature arithmetic
+    // (FNV-1a over UTF-16 units + splitmix64, wrap-around multiply) is
+    // NOT portable to DuckDB's overflow-checked BIGINT — so WHICH
+    // pairs band together, and their Hamming distances, are echoed
+    // from the emitted rows rather than recomputed. What IS
+    // independently recomputed per emitted pair: that d1/d2 are real
+    // documents (inner joins drop phantoms → rowcount mismatch) and
+    // the exact word-set Jaccard the engine claims for them. Signature
+    // semantics stay spec-verified (ApproxOpsSpec overlap floor vs
+    // exact Jaccard pairs, determinism).
+    Some(s"""WITH emitted AS (
+              SELECT d1, d2, hamming
+              FROM read_parquet('${graft.QueryDef.OutDirToken}/q37_dedup_simhash/*.parquet')
+            ), ws AS (
+              SELECT doc_id, list_distinct($WordsSql) AS w FROM documents
+            )
+            SELECT e.d1, e.d2, e.hamming,
+              CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))
+                AS jaccard
+            FROM emitted e
+            JOIN ws a ON a.doc_id = e.d1
+            JOIN ws b ON b.doc_id = e.d2"""),
     "SimHash64 near-dup, Hamming<=3, chunk-banded candidates [dedup]")
 
   /** Incremental exact dedup: classify an incoming BATCH of documents

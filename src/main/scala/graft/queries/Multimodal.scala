@@ -61,7 +61,45 @@ object Multimodal {
     "feature extraction (ImageIO/AudioSystem decode + fallback) + agg " +
       "[multimodal]")
 
+  /** Media decode health per source — the curation report that surfaces
+    * a bad crawl (payloads the codecs reject) instead of letting it
+    * silently hash-featurize: join the decode flags from the REAL codec
+    * pass back to each document's source and aggregate the rate per
+    * (source, kind). Runs over [[Media.mediaWithRealPayloads]], where
+    * the id % 5 slice carries genuinely decodable generated payloads
+    * (PNG / WAV / GFV1 frame container) — so the oracle can predict
+    * every row's expected flag from the id rule while the engine earns
+    * it by actually decoding: a broken codec, container parser, or
+    * payload generator flips rates and fails the hash compare. Plan
+    * shape: one narrow decode pass, a broadcast-sized source join, one
+    * keyed aggregate with map-side partials.
+    */
+  private val q90 = QueryDef(
+    (s, d) => {
+      val feats = Media.extractFeatures(Media.mediaWithRealPayloads(s, d))
+      val src = graft.common.Tables.load(s, d, "documents")
+        .select(col("doc_id").as("media_id"), col("source"))
+      feats.toDF().join(src, "media_id")
+        .groupBy(col("source"), col("kind"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+          (sum(when(col("decoded"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("decode_rate"))
+    },
+    Some("""SELECT source,
+              ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+              CAST(count(*) AS BIGINT) AS n_media,
+              CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_decoded,
+              CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS decode_rate
+            FROM documents GROUP BY 1, 2"""),
+    "per-source media decode-health audit over real codec passes " +
+      "[multimodal,provenance]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q43_multimodal_meta" -> q43,
-    "q44_multimodal_features" -> q44)
+    "q44_multimodal_features" -> q44,
+    "q90_media_decode_health" -> q90)
 }

@@ -35,7 +35,7 @@ class LabelQualitySpec extends AnyFunSuite with SparkSpec {
     val flipped = Set(11L, 24L, 37L)
     writeClusters(dir, flipped)
     val rows = LabelQuality.labelNoiseScan(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(5)))).toMap
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(6)))).toMap
     assert(rows.size == 60)
     rows.foreach { case (id, (_, suspect)) =>
       assert(suspect == flipped(id),

@@ -182,6 +182,104 @@ class MediaCodecSpec extends AnyFunSuite with SparkSpec {
     assert(f.feature(0) == 1500f / 32768f && f.feature(2) == 1500f / 32768f)
   }
 
+  test("resampleAudio preserves the channel layout: stereo stays stereo, per-channel exact") {
+    import spark.implicits._
+    // L is a ramp, R a constant — distinguishable after resampling
+    val stereo = wav(16000f, Array(
+      Array.tabulate(1600)(i => i * 20 - 8000), Array.fill(1600)(1000)))
+    val out = Media.resampleAudio(
+      Seq(audioRow(10L, stereo)).toDS(), targetRate = 8000).collect().head
+    assert(out.sample_rate == 8000)
+    val pcm = Media.decodeAudioPcm(out.bytes).get
+    assert(pcm.channels == 2, "stereo payload must re-encode as stereo")
+    val frames = pcm.interleaved.length / 2
+    assert(frames == 800)
+    // nearest-neighbor on the FRAME grid: output frame i is source
+    // frame 2i, both channels
+    for (i <- 0 until frames) {
+      assert(pcm.interleaved(2 * i) == 2 * i * 20 - 8000, s"L[$i]")
+      assert(pcm.interleaved(2 * i + 1) == 1000, s"R[$i]")
+    }
+  }
+
+  // ---- video: GFV1 PNG-frame container ----
+
+  private def videoRow(id: Long, bytes: Array[Byte], durationMs: Long) =
+    MediaRow(id, "video", bytes, 0, 0, 0, durationMs)
+
+  test("video container round-trips: sampleFrames emits the REAL PNG frames") {
+    import spark.implicits._
+    val frames = Seq(
+      solid(8, 8, (30, 60, 90)), solid(8, 8, (60, 90, 120)),
+      solid(8, 8, (90, 120, 150)))
+    val container = Media.encodeVideoContainer(frames)
+    val media = Seq(videoRow(1L, container, 3000L)).toDS()
+    val out = Media.sampleFrames(media).collect().sortBy(_.frame_idx)
+    assert(out.length == 3)
+    out.zipWithIndex.foreach { case (f, i) =>
+      assert(f.frame_bytes sameElements frames(i), s"frame $i bytes")
+      assert(f.ts_ms == i * 1000L)
+      // the emitted frame is a decodable still with the exact raster
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame_bytes))
+      assert(img.getWidth == 8 && img.getHeight == 8)
+    }
+  }
+
+  test("sampleFrames stride-samples a long container under the frame budget") {
+    import spark.implicits._
+    val frames = (0 until 6).map(i => solid(4, 4, (i * 40, 0, 0)))
+    val media = Seq(
+      videoRow(2L, Media.encodeVideoContainer(frames), 6000L)).toDS()
+    val out = Media.sampleFrames(media, maxFrames = 3).collect()
+      .sortBy(_.frame_idx)
+    // 6 frames into a 3-frame budget: sources 0, 2, 4
+    assert(out.length == 3)
+    out.zipWithIndex.foreach { case (f, i) =>
+      assert(f.frame_bytes sameElements frames(i * 2), s"frame $i source")
+    }
+  }
+
+  test("video features mean-pool REAL per-frame pixel stats, decoded=true") {
+    import spark.implicits._
+    val frames = Seq(
+      solid(8, 8, (30, 60, 90)), solid(8, 8, (60, 90, 120)),
+      solid(8, 8, (90, 120, 150)))
+    val container = Media.encodeVideoContainer(frames)
+    // per-frame features via the (already spec'd) image path, pooled
+    // with the same double-accumulate / divide arithmetic
+    val perFrame = Media.extractFeatures(
+      frames.zipWithIndex.map { case (b, i) =>
+        mediaRow(i.toLong, "image", b, 8, 8)
+      }.toDS()).collect().sortBy(_.media_id).map(_.feature)
+    val expected = Array.tabulate(Media.FeatureDim) { i =>
+      (perFrame.map(_(i).toDouble).sum / perFrame.length).toFloat
+    }
+    val media = Seq(
+      videoRow(3L, container, 3000L),
+      videoRow(4L, "not a container".getBytes("UTF-8"), 3000L),
+      // conforming container with an undecodable frame: flagged, not
+      // averaged over a silent subset
+      videoRow(5L, Media.encodeVideoContainer(
+        Seq(solid(4, 4, (1, 2, 3)), "junk".getBytes("UTF-8"))), 2000L)
+    ).toDS()
+    val feats = Media.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(3L).decoded)
+    assert(feats(3L).feature.toSeq == expected.toSeq)
+    assert(!feats(4L).decoded && !feats(5L).decoded)
+  }
+
+  test("q90 media table: the id-rule slice really decodes, the rest really doesn't") {
+    val media = Media.mediaWithRealPayloads(spark, Sf)
+    val feats = Media.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.decoded == (f.media_id % 5 == 0),
+        s"media ${f.media_id} (${f.kind}): decoded=${f.decoded}")
+    }
+  }
+
   test("resampleAudio halves the rate nearest-neighbor and re-encodes WAV") {
     import spark.implicits._
     val src = wav(16000f, Array(Array.tabulate(1600)(i => i * 10 - 8000)))

@@ -78,4 +78,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(below.split("\n").count(_.contains("Aggregate")) >= 2,
       s"join inputs must be collapsed aggregates:\n$below")
   }
+
+  test("label-noise scan (q89): the top-5 window is WindowGroupLimit-bounded pre-exchange") {
+    // q89 ranks the candidate-pair set with a row_number window — the
+    // one shape the q62 argmax deliberately avoids. It is admissible
+    // ONLY because Spark's rank-limit pushdown inserts a Partial
+    // WindowGroupLimit below the exchange, so each map task forwards at
+    // most 5 rows per v1 instead of sorting/shipping its whole
+    // candidate slice. Pin that: if a refactor breaks the pushdown
+    // (e.g. by filtering on a derived column), the plan silently
+    // degrades to a full candidate-set sort — a scale regression with
+    // identical results.
+    val plan = SparkEntry.queries("q89_label_noise")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val partialLimits = "(?m)WindowGroupLimit.*Partial".r
+      .findAllIn(plan).size
+    assert(partialLimits >= 1,
+      s"expected a Partial WindowGroupLimit bounding the rank filter:\n$plan")
+  }
 }
