@@ -98,6 +98,50 @@ object IndexStore {
         None
     }
 
+  /** Persist the ENCODED IVF-PQ index — the corpus-sized (vec_id,
+    * cell, codes, rnorm) table the probed candidate scan reads. Unlike
+    * the tiny quantizers above, this is O(corpus) rows, so the dataset
+    * fingerprint is validated from a sidecar next to the table root
+    * rather than a per-row column (64 fp bytes per 8-byte code row
+    * would quadruple the index). The keyed path + sidecar give the
+    * same staleness guarantee: a rewritten dataset changes the key AND
+    * the recorded fingerprint.
+    */
+  private[graft] def savePqIndex(spark: SparkSession, fp: String,
+      index: org.apache.spark.sql.DataFrame): Unit =
+    try {
+      val k = key(fp, "pq_index")
+      table(spark, "pq_index", k).overwrite(index)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/pq_index/$k/fingerprint.json"),
+        graft.common.JsonIO.render(Map("fingerprint" -> fp)))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[index-store] pq-index save skipped: $e")
+    }
+
+  /** Load the encoded index for a fingerprint; None on miss, stale or
+    * missing fingerprint sidecar, or any read failure.
+    */
+  private[graft] def loadPqIndex(spark: SparkSession,
+      fp: String): Option[org.apache.spark.sql.DataFrame] =
+    try {
+      val k = key(fp, "pq_index")
+      val t = table(spark, "pq_index", k)
+      val sidecar = java.nio.file.Paths.get(
+        s"$root/pq_index/$k/fingerprint.json")
+      if (!t.exists || !java.nio.file.Files.exists(sidecar)) None
+      else {
+        val recorded = graft.common.Json.obj(
+          graft.common.Json.parseFile(sidecar.toString))("fingerprint")
+        if (recorded != fp) None else Some(t.read)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[index-store] pq-index load skipped: $e")
+        None
+    }
+
   private val CodebookSchema = new StructType()
     .add("fingerprint", StringType)
     .add("subspace", IntegerType)

@@ -86,6 +86,22 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
       "restarted session must serve the persisted index, not retrain")
   }
 
+  test("encoded PQ index: a fresh session serves the stored codes with zero re-encoding") {
+    import graft.queries.IvfPq
+    def rows(): Set[(Long, Long, Double, Int)] =
+      SparkEntry.queries("q87_ann_ivfpq")(spark, Sf).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    val warm = rows() // encodes + publishes on first store miss
+    Similarity.clearCentroidSessionCache()
+    ProductQuantization.clearCodebookSessionCache()
+    val before = IvfPq.encodeCount.get()
+    assert(rows() == warm,
+      "stored-index serve path must be bit-identical to the encode path")
+    assert(IvfPq.encodeCount.get() == before,
+      "a session with a warm store must not re-encode the corpus")
+  }
+
   test("a load against a different fingerprint misses (stale index never served)") {
     // a rewritten dataset changes the fingerprint → different key → miss
     assert(IndexStore.loadCentroids(spark, "fp-of-some-other-dataset",
