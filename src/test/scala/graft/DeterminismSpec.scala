@@ -25,7 +25,10 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // driver-folded PQ training + ADC window chain, k-NN label
     // agreement over the candidate front end
     "q84_source_quality", "q85_cross_source_dups", "q86_pq_quantize",
-    "q87_ann_ivfpq", "q88_label_agreement", "q89_label_noise")
+    "q87_ann_ivfpq", "q88_label_agreement", "q89_label_noise",
+    // r7 additions: simhash pair set + per-pair Jaccard verification
+    // joins, per-source decode-health aggregate over real codec passes
+    "q37_dedup_simhash", "q90_media_decode_health")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
