@@ -153,14 +153,21 @@ object IvfPq {
         }
         (lut, Similarity.vecNorm(qv))
       }
-    val probes = qvecs.toSeq.zipWithIndex.flatMap { case ((qid, qv), ord) =>
+    val probeRows = qvecs.toSeq.zipWithIndex.flatMap { case ((qid, qv), ord) =>
       Similarity.rankedCells(centroids, qv).take(NProbe)
         .map(c => (qid, ord, c))
-    }.toDF("query_id", "query_ord", "probe_cell")
+    }
+    val probedCells = probeRows.map(_._3).distinct.sorted
+    val probes = probeRows.toDF("query_id", "query_ord", "probe_cell")
 
     val bcLut = s.sparkContext.broadcast(luts)
-    // candidate scan: codes only — 8 bytes + cell per vector move here
-    val approx = index.join(broadcast(probes),
+    // candidate scan: codes only — 8 bytes + cell per vector move here,
+    // and only from the PROBED cells' partitions: the driver-known cell
+    // list reaches the stored inverted file's scan as a static
+    // PartitionFilter (IndexStoreSpec pins it), so unprobed partitions
+    // are pruned at listing time, not filtered after a full read
+    val approx = index.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("query_ord"), col("vec_id"),
         col("codes"), col("rnorm"))

@@ -588,8 +588,16 @@ object Similarity {
       .sortBy(-_._2).map(_._1)
   }
 
+  /** Number of in-JVM full-corpus cell-assignment passes — lets
+    * IndexStoreSpec prove the persisted-inverted-file serve path
+    * performs ZERO re-assignment.
+    */
+  private[graft] val cellAssignCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def cellAssignments(s: SparkSession, d: String,
       centroids: Array[(Long, Array[Double], Double)]): DataFrame = {
+    cellAssignCount.incrementAndGet()
     import s.implicits._
     val bc = s.sparkContext.broadcast(centroids)
     load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -598,25 +606,59 @@ object Similarity {
       .toDF("vec_id", "embedding", "cell")
   }
 
+  /** The persisted INVERTED FILE for the trained default quantizer —
+    * (vec_id, embedding, cell) partitioned by cell in the table layer,
+    * the FAISS inverted-list layout on parquet. Without it every q54
+    * probe re-scans the corpus and re-derives each vector's cell (k
+    * centroid dot products per vector, per query run); served from
+    * storage, probing nProbe of k cells is a partition-pruned read of
+    * ~nProbe/k of the files and zero re-assignment — at 100 TB the
+    * difference between touching 25 TB and touching 100 TB plus
+    * recomputing the quantization. Store miss assigns once, publishes
+    * best-effort, and serves the stored table when the publish
+    * succeeded (the same lifecycle as [[IvfPq.loadOrEncode]]). Only
+    * the DEFAULT quantizer persists — spec runs under ad-hoc
+    * quantizers (firstVectorCentroids, swept k) stay in-session.
+    */
+  private[graft] def loadOrAssign(s: SparkSession, d: String,
+      centroids: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val fp = embeddingsFingerprint(s, d) +
+      s"|ivf|k=${centroids.length}|iters=$KMeansIters"
+    graft.tables.IndexStore.loadIvfIndex(s, fp).getOrElse {
+      val computed = cellAssignments(s, d, centroids)
+      graft.tables.IndexStore.saveIvfIndex(s, fp, computed)
+      graft.tables.IndexStore.loadIvfIndex(s, fp).getOrElse(computed)
+    }
+  }
+
   /** IVF-bucketed top-10 under a given quantizer: same contract as q38,
     * candidates restricted to each query's NProbe nearest cells.
     * Parameterized so the spec can measure recall under both quantizers.
     */
   private[graft] def ivfTopK(s: SparkSession, d: String,
       centroids: Array[(Long, Array[Double], Double)],
-      nProbe: Int = NProbe): DataFrame = {
+      nProbe: Int = NProbe,
+      assignments: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val assigned = cellAssignments(s, d, centroids)
-    val bc = s.sparkContext.broadcast(centroids)
-    val queries = load(s, d, "embeddings").filter(col("vec_id") < 20)
+    val assigned = assignments.getOrElse(cellAssignments(s, d, centroids))
+    // fixed probe set collected driver-side (the same bounded 20-vector
+    // side q87 collects): knowing every probed cell BEFORE the scan
+    // turns the candidate read into a STATIC partition-pruned read of
+    // the stored inverted file — the `isin` reaches the scan as a
+    // PartitionFilter (IndexStoreSpec pins it), so unprobed cells'
+    // files are never listed, let alone read.
+    val qvecs = load(s, d, "embeddings").filter(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, v) =>
-        rankedCells(bc.value, v).take(nProbe).map(c => (qid, v, c))
-      }.toDF("query_id", "qv", "probe_cell")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val probeRows = qvecs.toSeq.flatMap { case (qid, v) =>
+      rankedCells(centroids, v).take(nProbe).map(c => (qid, v, c))
+    }
+    val probedCells = probeRows.map(_._3).distinct.sorted
+    val queries = probeRows.toDF("query_id", "qv", "probe_cell")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    assigned.join(broadcast(queries),
+    assigned.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(queries),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         fastCosine(s)(col("qv"), col("embedding")).as("score"))
@@ -630,7 +672,10 @@ object Similarity {
     * quantizer.
     */
   private val q54 = QueryDef(
-    (s, d) => ivfTopK(s, d, kMeansCentroids(s, d)),
+    (s, d) => {
+      val cs = kMeansCentroids(s, d)
+      ivfTopK(s, d, cs, NProbe, Some(loadOrAssign(s, d, cs)))
+    },
     Some(emittedTopKOracle("q54_ann_ivf")), // pair-level derived oracle;
     // recall vs q38 measured in specs
     "IVF ANN top-10: 64 k-means cells, 16-probe [similarity]")

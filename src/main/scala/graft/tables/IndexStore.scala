@@ -1,6 +1,6 @@
 package graft.tables
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{functions, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Persisted ANN index state — the production lifecycle for the trained
@@ -106,12 +106,21 @@ object IndexStore {
     * would quadruple the index). The keyed path + sidecar give the
     * same staleness guarantee: a rewritten dataset changes the key AND
     * the recorded fingerprint.
+    *
+    * STORED PARTITIONED BY CELL — the FAISS inverted-list layout on
+    * parquet: each coarse cell's codes are their own partition dir, so
+    * a probe that knows its cells driver-side reads ~nProbe/k of the
+    * files via partition pruning instead of scanning every code row.
+    * The key versions the layout (`part=cell`) so a pre-partitioning
+    * store from an older build misses and is re-encoded rather than
+    * served without pruning.
     */
   private[graft] def savePqIndex(spark: SparkSession, fp: String,
       index: org.apache.spark.sql.DataFrame): Unit =
     try {
-      val k = key(fp, "pq_index")
-      table(spark, "pq_index", k).overwrite(index)
+      val k = key(fp, "pq_index", "part=cell")
+      table(spark, "pq_index", k)
+        .overwrite(index, partitionBy = Seq("cell"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$root/pq_index/$k/fingerprint.json"),
         graft.common.JsonIO.render(Map("fingerprint" -> fp)))
@@ -121,12 +130,16 @@ object IndexStore {
     }
 
   /** Load the encoded index for a fingerprint; None on miss, stale or
-    * missing fingerprint sidecar, or any read failure.
+    * missing fingerprint sidecar, or any read failure. The partition
+    * column comes back int-inferred from the `cell=N` dirs and LAST in
+    * column order — restore the encode schema (cell: long, original
+    * order) so the serve path is schema-identical to the encode path;
+    * the optimizer unwraps the resulting cast when pruning.
     */
   private[graft] def loadPqIndex(spark: SparkSession,
       fp: String): Option[org.apache.spark.sql.DataFrame] =
     try {
-      val k = key(fp, "pq_index")
+      val k = key(fp, "pq_index", "part=cell")
       val t = table(spark, "pq_index", k)
       val sidecar = java.nio.file.Paths.get(
         s"$root/pq_index/$k/fingerprint.json")
@@ -134,11 +147,64 @@ object IndexStore {
       else {
         val recorded = graft.common.Json.obj(
           graft.common.Json.parseFile(sidecar.toString))("fingerprint")
-        if (recorded != fp) None else Some(t.read)
+        if (recorded != fp) None
+        else Some(t.read.select(functions.col("vec_id"),
+          functions.col("cell").cast("long").as("cell"),
+          functions.col("codes"), functions.col("rnorm")))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[index-store] pq-index load skipped: $e")
+        None
+    }
+
+  /** Persist the IVF index — (vec_id, embedding, cell) PARTITIONED BY
+    * CELL: the inverted-file layout on parquet. Probing nProbe of k
+    * cells becomes a partition-pruned read of ~nProbe/k of the files
+    * instead of a full-corpus scan plus a per-vector re-assignment
+    * (64 centroid dot products each) on every query — at 100 TB the
+    * difference between touching 25 TB and touching 100 TB plus
+    * recomputing the quantization. Fingerprint validation mirrors
+    * [[savePqIndex]] (sidecar, not a per-row column).
+    */
+  private[graft] def saveIvfIndex(spark: SparkSession, fp: String,
+      index: org.apache.spark.sql.DataFrame): Unit =
+    try {
+      val k = key(fp, "ivf_index")
+      table(spark, "ivf_index", k).overwrite(index, partitionBy = Seq("cell"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/ivf_index/$k/fingerprint.json"),
+        graft.common.JsonIO.render(Map("fingerprint" -> fp)))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[index-store] ivf-index save skipped: $e")
+    }
+
+  /** Load the cell-partitioned IVF index for a fingerprint; None on
+    * miss, stale or missing fingerprint sidecar, or any read failure.
+    * Schema normalized like [[loadPqIndex]]: partition-dir-inferred
+    * `cell` cast back to long and restored to last-column order so the
+    * serve path matches the assignment path bit-for-bit.
+    */
+  private[graft] def loadIvfIndex(spark: SparkSession,
+      fp: String): Option[org.apache.spark.sql.DataFrame] =
+    try {
+      val k = key(fp, "ivf_index")
+      val t = table(spark, "ivf_index", k)
+      val sidecar = java.nio.file.Paths.get(
+        s"$root/ivf_index/$k/fingerprint.json")
+      if (!t.exists || !java.nio.file.Files.exists(sidecar)) None
+      else {
+        val recorded = graft.common.Json.obj(
+          graft.common.Json.parseFile(sidecar.toString))("fingerprint")
+        if (recorded != fp) None
+        else Some(t.read.select(functions.col("vec_id"),
+          functions.col("embedding"),
+          functions.col("cell").cast("long").as("cell")))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[index-store] ivf-index load skipped: $e")
         None
     }
 

@@ -102,6 +102,34 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
       "a session with a warm store must not re-encode the corpus")
   }
 
+  test("stored inverted file: a fresh session serves q54 with zero re-assignment") {
+    def rows(): Set[(Long, Long, Double, Int)] =
+      SparkEntry.queries("q54_ann_ivf")(spark, Sf).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    val warm = rows() // cold store → assigns once + publishes
+    Similarity.clearCentroidSessionCache() // "restart the session"
+    val before = Similarity.cellAssignCount.get()
+    assert(rows() == warm,
+      "served inverted file must be bit-identical to the assignment path")
+    assert(Similarity.cellAssignCount.get() == before,
+      "a session with a warm store must not re-assign the corpus")
+  }
+
+  test("served candidate scans are partition-pruned to the probed cells") {
+    for (q <- Seq("q54_ann_ivf", "q87_ann_ivfpq")) {
+      SparkEntry.queries(q)(spark, Sf).collect() // warm the store
+      val plan = SparkEntry.queries(q)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      // the driver-known probed-cell list must reach the stored
+      // inverted file's scan as a PARTITION filter (pruned at listing
+      // time), not merely a data filter after a full read
+      assert("PartitionFilters: \\[cell#\\d+ (INSET|IN)".r
+        .findFirstIn(plan).nonEmpty,
+        s"$q: stored scan must prune to the probed cells:\n$plan")
+    }
+  }
+
   test("a load against a different fingerprint misses (stale index never served)") {
     // a rewritten dataset changes the fingerprint → different key → miss
     assert(IndexStore.loadCentroids(spark, "fp-of-some-other-dataset",
