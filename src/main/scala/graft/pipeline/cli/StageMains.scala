@@ -216,6 +216,35 @@ object CorpusMain {
   }
 }
 
+/** `--data <dir holding an embeddings table> [--refresh true]
+  * [--compact true]` — ANN index maintenance, the nightly-cron shape:
+  * refresh resolves both corpus indexes against the dataset's current
+  * backing files (identical set → serve; new files only → assign/
+  * encode just those under the pinned quantizer and append; anything
+  * else → full rebuild), compact rewrites each index back to one file
+  * per cell, preserving the cell partitioning the probe paths prune
+  * on. With neither flag, refresh runs.
+  */
+object IndexMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val d = required(a, "data")
+    if (a.contains("refresh") || !a.contains("compact")) {
+      val (_, ivf) = graft.queries.Similarity.resolveIvfIndex(spark, d)
+      val (_, _, pq) = graft.queries.IvfPq.resolvePqIndex(spark, d)
+      println(s"[index] refreshed ivf=${ivf.count()} pq=${pq.count()} rows")
+    }
+    if (a.contains("compact")) {
+      val v1 = graft.tables.IndexStore
+        .compactCorpusIndex(spark, "ivf_index", d)
+      val v2 = graft.tables.IndexStore
+        .compactCorpusIndex(spark, "pq_index", d)
+      println(s"[index] compacted ivf=$v1 pq=$v2")
+    }
+  }
+}
+
 /** `--warehouse <dir> --bundle_dir <dir> --customer_id <id>` — one-shot
   * scoring through the serving path (feature store + version gate),
   * the CLI twin of POST /v1/churn/predict.

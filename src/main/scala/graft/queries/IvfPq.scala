@@ -52,23 +52,106 @@ object IvfPq {
   private[graft] val encodeCount =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** The encoded index, served from the table layer when a persisted
-    * copy exists for this dataset's fingerprint (the production
-    * lifecycle: encode once, serve every session; at 100 TB the encode
-    * is a full-corpus pass nobody re-runs per query). A store miss
-    * encodes, publishes best-effort, and — when the publish succeeded —
-    * returns the STORED table so the candidate scan reads the compact
-    * persisted files rather than re-deriving codes from embeddings.
+  /** Stored-index read normalized back to the encode schema (cell cast
+    * long, original column order); the optimizer unwraps the cast when
+    * pruning, so the probed-cell filter still partition-prunes.
     */
-  private[graft] def loadOrEncode(s: SparkSession, d: String,
+  private def normalizedPqRead(t: graft.tables.ParquetTable): DataFrame =
+    t.read.select(col("vec_id"), col("cell").cast("long").as("cell"),
+      col("codes"), col("rnorm"))
+
+  /** The encoded index resolved against the dataset's current backing
+    * files — [[Similarity.resolveIvfIndex]]'s lifecycle for the PQ
+    * code table (at 100 TB the encode is a full-corpus pass nobody
+    * re-runs because data arrived): identical file set → serve the
+    * stored codes under the PINNED quantizers (centroids AND
+    * codebooks, both recorded by content fingerprint in the sidecar);
+    * new files only → encode just those rows under the pinned
+    * quantizers and append (idempotent via the single-witness
+    * membership probe — the table commit is atomic); anything else, or
+    * an unrecoverable pin, → full re-encode under freshly trained
+    * quantizers. Returns the quantizers alongside the index so probe
+    * routing and ADC tables always match the stored codes.
+    */
+  private[graft] def resolvePqIndex(s: SparkSession, d: String):
+      (Array[(Long, Array[Double], Double)],
+        Array[Array[Array[Double]]], DataFrame) = {
+    import graft.tables.IndexStore
+    val meta = Similarity.embeddingsFileMeta(s, d)
+    val fp = Similarity.fingerprintOf(d, meta)
+    val kind = "pq_index"
+
+    def rebuild(): (Array[(Long, Array[Double], Double)],
+        Array[Array[Array[Double]]], DataFrame) = {
+      val cs = Similarity.kMeansCentroids(s, d)
+      val books = ProductQuantization.trainCodebooks(s, d)
+      val computed = encode(s, d, cs, books)
+      val served =
+        try {
+          val t = IndexStore.corpusIndexTable(s, kind, d)
+          t.overwrite(computed, partitionBy = Seq("cell"))
+          IndexStore.commitCorpusIndexState(kind, d, fp, meta)
+          normalizedPqRead(t)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[index-store] pq publish skipped: $e")
+            computed
+        }
+      (cs, books, served)
+    }
+
+    def pinned(qfp: String): Option[(Array[(Long, Array[Double], Double)],
+        Array[Array[Array[Double]]])] =
+      for {
+        cs <- Similarity.pinnedCentroids(s, d, qfp, fp)
+        books <- ProductQuantization.pinnedCodebooks(s, d, qfp, fp)
+      } yield (cs, books)
+
+    IndexStore.resolveCorpusIndex(s, kind, d, meta) match {
+      case IndexStore.CorpusIndexHit(qfp) =>
+        pinned(qfp) match {
+          case Some((cs, books)) =>
+            (cs, books, normalizedPqRead(
+              IndexStore.corpusIndexTable(s, kind, d)))
+          case None => rebuild()
+        }
+      case IndexStore.CorpusIndexDelta(qfp, newFiles) =>
+        pinned(qfp) match {
+          case Some((cs, books)) =>
+            try {
+              val t = IndexStore.corpusIndexTable(s, kind, d)
+              val fresh = s.read.parquet(newFiles: _*)
+                .select(col("vec_id"), col("embedding"))
+              fresh.select(col("vec_id")).limit(1).collect()
+                .headOption.map(_.getLong(0)) match {
+                case None => ()
+                case Some(witness) =>
+                  val already = t.read
+                    .filter(col("vec_id") === witness).limit(1)
+                    .count() > 0
+                  if (!already)
+                    t.append(encodeRows(s, fresh, cs, books),
+                      partitionBy = Seq("cell"))
+              }
+              IndexStore.commitCorpusIndexState(kind, d, qfp, meta)
+              (cs, books, normalizedPqRead(t))
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[index-store] pq delta append failed, rebuilding: $e")
+                rebuild()
+            }
+          case None => rebuild()
+        }
+      case IndexStore.CorpusIndexMiss => rebuild()
+    }
+  }
+
+  private[graft] def encode(s: SparkSession, d: String,
       centroids: Array[(Long, Array[Double], Double)],
       books: Array[Array[Array[Double]]]): DataFrame = {
-    val fp = Similarity.embeddingsFingerprint(s, d)
-    graft.tables.IndexStore.loadPqIndex(s, fp).getOrElse {
-      val computed = encode(s, d, centroids, books)
-      graft.tables.IndexStore.savePqIndex(s, fp, computed)
-      graft.tables.IndexStore.loadPqIndex(s, fp).getOrElse(computed)
-    }
+    encodeCount.incrementAndGet()
+    encodeRows(s, load(s, d, "embeddings"), centroids, books)
   }
 
   /** (vec_id, cell, codes, rnorm): the compressed index row. One narrow
@@ -76,14 +159,13 @@ object IvfPq {
     * of the chosen codewords' squared norms because subspaces
     * concatenate — so ADC can score cosines without touching v.
     */
-  private[graft] def encode(s: SparkSession, d: String,
+  private[graft] def encodeRows(s: SparkSession, vectors: DataFrame,
       centroids: Array[(Long, Array[Double], Double)],
       books: Array[Array[Array[Double]]]): DataFrame = {
-    encodeCount.incrementAndGet()
     import s.implicits._
     val bcC = s.sparkContext.broadcast(centroids)
     val bcB = s.sparkContext.broadcast(books)
-    load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    vectors.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val cs = bcC.value
@@ -128,9 +210,7 @@ object IvfPq {
     */
   def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val centroids = Similarity.kMeansCentroids(s, d)
-    val books = ProductQuantization.trainCodebooks(s, d)
-    val index = loadOrEncode(s, d, centroids, books)
+    val (centroids, books, index) = resolvePqIndex(s, d)
 
     // fixed probe set: LUT(m)(k) = dot(q's m-th subvector, codeword k).
     // LUTs are broadcast as a dense ARRAY indexed by a query ordinal

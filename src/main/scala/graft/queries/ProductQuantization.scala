@@ -79,6 +79,18 @@ object ProductQuantization {
       })._2
   }
 
+  /** The codebooks a standing corpus index was encoded under — the PQ
+    * half of [[Similarity.pinnedCentroids]]'s contract: current pin →
+    * memoized path; historical pin → content-keyed store load; None →
+    * the referencing index must be rebuilt.
+    */
+  private[graft] def pinnedCodebooks(s: SparkSession, d: String,
+      qfp: String,
+      currentFp: String): Option[Array[Array[Array[Double]]]] =
+    if (qfp == currentFp) Some(trainCodebooks(s, d))
+    else graft.tables.IndexStore.loadCodebooks(s, qfp,
+      NumSubspaces, CodebookSize, TrainIters)
+
   /** codebooks(m)(k): the K codewords of subspace m, each dim/M wide. */
   private[graft] def trainCodebooksUncached(s: SparkSession,
       d: String): Array[Array[Array[Double]]] = {

@@ -405,18 +405,37 @@ object Similarity {
     * 10⁵ part files the per-file variant is 10⁵ sequential namenode
     * round trips on the driver before any work starts. No data is read.
     */
-  private[graft] def embeddingsFingerprint(s: SparkSession, d: String): String = {
+  private[graft] def embeddingsFingerprint(s: SparkSession, d: String): String =
+    fingerprintOf(d, embeddingsFileMeta(s, d))
+
+  /** Per-file metadata of the embeddings table's backing files:
+    * absolute path → "length:mtime". The unit the incremental index
+    * resolution compares — a standing index whose recorded files are
+    * a strict subset of these (all unchanged) is extended with just
+    * the new files.
+    */
+  private[graft] def embeddingsFileMeta(s: SparkSession,
+      d: String): Map[String, String] = {
     val conf = s.sparkContext.hadoopConfiguration
     val files = load(s, d, "embeddings").inputFiles
-    val parts = files.map(new org.apache.hadoop.fs.Path(_))
+    files.map(new org.apache.hadoop.fs.Path(_))
       .groupBy(_.getParent)
       .flatMap { case (parent, ps) =>
         val wanted = ps.iterator.map(_.getName).toSet
         parent.getFileSystem(conf).listStatus(parent).iterator
           .filter(st => wanted.contains(st.getPath.getName))
-          .map(st =>
-            s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
-      }.toArray.sorted
+          .map(st => st.getPath.toString ->
+            s"${st.getLen}:${st.getModificationTime}")
+      }
+  }
+
+  /** The same fingerprint string the pre-incremental store derived:
+    * sorted path:len:mtime lines, hashed — existing persisted
+    * quantizers stay addressable.
+    */
+  private[graft] def fingerprintOf(d: String,
+      meta: Map[String, String]): String = {
+    val parts = meta.map { case (p, m) => s"$p:$m" }.toArray.sorted
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(parts.mkString("\n").getBytes("UTF-8"))
     d + "#" + digest.map("%02x".format(_)).mkString
@@ -595,39 +614,137 @@ object Similarity {
   private[graft] val cellAssignCount =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private[graft] def cellAssignments(s: SparkSession, d: String,
+  /** Assign each row of `vectors` (vec_id, embedding) to its
+    * max-cosine cell of `centroids` — one narrow map, no shuffle.
+    */
+  private[graft] def assignRows(s: SparkSession, vectors: DataFrame,
       centroids: Array[(Long, Array[Double], Double)]): DataFrame = {
-    cellAssignCount.incrementAndGet()
     import s.implicits._
     val bc = s.sparkContext.broadcast(centroids)
-    load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    vectors.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, rankedCells(bc.value, v).head) }
       .toDF("vec_id", "embedding", "cell")
   }
 
-  /** The persisted INVERTED FILE for the trained default quantizer —
-    * (vec_id, embedding, cell) partitioned by cell in the table layer,
-    * the FAISS inverted-list layout on parquet. Without it every q54
-    * probe re-scans the corpus and re-derives each vector's cell (k
-    * centroid dot products per vector, per query run); served from
-    * storage, probing nProbe of k cells is a partition-pruned read of
-    * ~nProbe/k of the files and zero re-assignment — at 100 TB the
-    * difference between touching 25 TB and touching 100 TB plus
-    * recomputing the quantization. Store miss assigns once, publishes
-    * best-effort, and serves the stored table when the publish
-    * succeeded (the same lifecycle as [[IvfPq.loadOrEncode]]). Only
-    * the DEFAULT quantizer persists — spec runs under ad-hoc
-    * quantizers (firstVectorCentroids, swept k) stay in-session.
-    */
-  private[graft] def loadOrAssign(s: SparkSession, d: String,
+  private[graft] def cellAssignments(s: SparkSession, d: String,
       centroids: Array[(Long, Array[Double], Double)]): DataFrame = {
-    val fp = embeddingsFingerprint(s, d) +
-      s"|ivf|k=${centroids.length}|iters=$KMeansIters"
-    graft.tables.IndexStore.loadIvfIndex(s, fp).getOrElse {
-      val computed = cellAssignments(s, d, centroids)
-      graft.tables.IndexStore.saveIvfIndex(s, fp, computed)
-      graft.tables.IndexStore.loadIvfIndex(s, fp).getOrElse(computed)
+    cellAssignCount.incrementAndGet()
+    assignRows(s, load(s, d, "embeddings"), centroids)
+  }
+
+  /** Stored-index read normalized back to the assignment schema: the
+    * partition-dir-inferred `cell` cast to long and restored to last
+    * position (the optimizer unwraps the cast when pruning, so the
+    * probed-cell filter still reaches the scan as a PartitionFilter).
+    */
+  private def normalizedIvfRead(
+      t: graft.tables.ParquetTable): DataFrame =
+    t.read.select(col("vec_id"), col("embedding"),
+      col("cell").cast("long").as("cell"))
+
+  /** The persisted INVERTED FILE — (vec_id, embedding, cell)
+    * partitioned by cell in the table layer, the FAISS inverted-list
+    * layout on parquet, resolved against the dataset's current backing
+    * files. Without it every q54 probe re-scans the corpus and
+    * re-derives each vector's cell (k centroid dot products per
+    * vector, per query run); served from storage, probing nProbe of k
+    * cells is a partition-pruned read of ~nProbe/k of the files and
+    * zero re-assignment — at 100 TB the difference between touching
+    * 25 TB and touching 100 TB plus recomputing the quantization.
+    *
+    * Lifecycle (the FAISS one): the index CARRIES ITS QUANTIZER — the
+    * sidecar records the content fingerprint the centroids were
+    * trained under, and serving loads exactly those centroids, so
+    * probe routing and stored assignments can never disagree. New
+    * files landing in the dataset (a day's partition) take the DELTA
+    * path: only the new files' rows are assigned — under the pinned
+    * quantizer, never a retrained one, or every standing row would be
+    * stale — and appended through the table layer's atomic commit.
+    * A single-witness membership probe makes the append idempotent:
+    * rows of a batch commit atomically, so one known vec_id from the
+    * new files already present means a crashed run committed the
+    * append but not the sidecar, and only the sidecar needs
+    * re-publishing. Any rewritten/removed file → full rebuild with a
+    * freshly trained quantizer. Returns the quantizer alongside the
+    * index; every failure degrades to in-session train + assign.
+    * Returns vectors with unique vec_ids' assignments (the ANN
+    * family's standing contract — vec_id is the embeddings key).
+    */
+  /** The quantizer a standing corpus index was encoded under. When the
+    * pin IS the current content the memoized path serves it (and could
+    * even retrain bit-identically — the trainer is deterministic per
+    * file layout); a historical pin loads content-keyed from the
+    * store, which is why the quantizer artifacts are content-keyed in
+    * the first place. None = the pin is unrecoverable → the index that
+    * references it is unusable and must be rebuilt.
+    */
+  private[graft] def pinnedCentroids(s: SparkSession, d: String,
+      qfp: String,
+      currentFp: String): Option[Array[(Long, Array[Double], Double)]] =
+    if (qfp == currentFp) Some(kMeansCentroids(s, d))
+    else graft.tables.IndexStore.loadCentroids(s, qfp, NumCells, KMeansIters)
+
+  private[graft] def resolveIvfIndex(s: SparkSession,
+      d: String): (Array[(Long, Array[Double], Double)], DataFrame) = {
+    import graft.tables.IndexStore
+    val meta = embeddingsFileMeta(s, d)
+    val fp = fingerprintOf(d, meta)
+    val kind = "ivf_index"
+
+    def rebuild(): (Array[(Long, Array[Double], Double)], DataFrame) = {
+      val cs = kMeansCentroids(s, d)
+      val computed = cellAssignments(s, d, cs)
+      val served =
+        try {
+          val t = IndexStore.corpusIndexTable(s, kind, d)
+          t.overwrite(computed, partitionBy = Seq("cell"))
+          IndexStore.commitCorpusIndexState(kind, d, fp, meta)
+          normalizedIvfRead(t)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[index-store] ivf publish skipped: $e")
+            computed
+        }
+      (cs, served)
+    }
+
+    IndexStore.resolveCorpusIndex(s, kind, d, meta) match {
+      case IndexStore.CorpusIndexHit(qfp) =>
+        pinnedCentroids(s, d, qfp, fp) match {
+          case Some(cs) =>
+            (cs, normalizedIvfRead(IndexStore.corpusIndexTable(s, kind, d)))
+          case None => rebuild() // pinned quantizer lost → index unusable
+        }
+      case IndexStore.CorpusIndexDelta(qfp, newFiles) =>
+        pinnedCentroids(s, d, qfp, fp) match {
+          case Some(cs) =>
+            try {
+              val t = IndexStore.corpusIndexTable(s, kind, d)
+              val fresh = s.read.parquet(newFiles: _*)
+                .select(col("vec_id"), col("embedding"))
+              fresh.select(col("vec_id")).limit(1).collect()
+                .headOption.map(_.getLong(0)) match {
+                case None => () // empty delta files: nothing to append
+                case Some(witness) =>
+                  val already = t.read
+                    .filter(col("vec_id") === witness).limit(1)
+                    .count() > 0
+                  if (!already)
+                    t.append(assignRows(s, fresh, cs),
+                      partitionBy = Seq("cell"))
+              }
+              IndexStore.commitCorpusIndexState(kind, d, qfp, meta)
+              (cs, normalizedIvfRead(t))
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[index-store] ivf delta append failed, rebuilding: $e")
+                rebuild()
+            }
+          case None => rebuild()
+        }
+      case IndexStore.CorpusIndexMiss => rebuild()
     }
   }
 
@@ -673,8 +790,8 @@ object Similarity {
     */
   private val q54 = QueryDef(
     (s, d) => {
-      val cs = kMeansCentroids(s, d)
-      ivfTopK(s, d, cs, NProbe, Some(loadOrAssign(s, d, cs)))
+      val (cs, idx) = resolveIvfIndex(s, d)
+      ivfTopK(s, d, cs, NProbe, Some(idx))
     },
     Some(emittedTopKOracle("q54_ann_ivf")), // pair-level derived oracle;
     // recall vs q38 measured in specs

@@ -1,6 +1,6 @@
 package graft.tables
 
-import org.apache.spark.sql.{functions, Row, SparkSession}
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Persisted ANN index state — the production lifecycle for the trained
@@ -12,17 +12,23 @@ import org.apache.spark.sql.types._
   * production corpus.
   *
   * Each artifact is its own versioned [[ParquetTable]] under
-  * `<root>/<kind>/<key>` where `key` = sha256(dataset-content-
-  * fingerprint + hyperparameters). The fingerprint
+  * `<root>/<kind>/<key>`. The tiny QUANTIZER artifacts (centroids,
+  * codebooks) key on sha256(dataset-content-fingerprint +
+  * hyperparameters), with the fingerprint
   * (`Similarity.embeddingsFingerprint`: file paths + lengths + mtimes)
-  * rides along as a COLUMN and is re-validated on load, so a stale
+  * riding along as a COLUMN and re-validated on load, so a stale
   * artifact for a rewritten dataset can never be served — a changed
-  * dataset changes the key AND the stored fingerprint. Retrains of the
-  * same key overwrite through the table layer's atomic-pointer commit,
-  * leaving version history (time travel over index generations for
-  * free), and array-typed payloads (`array<double>` centroid
-  * components) exercise the manifest/stats machinery beyond flat scalar
-  * schemas.
+  * dataset changes the key AND the stored fingerprint. Content keying
+  * also makes historical quantizers addressable forever, which is what
+  * lets a standing corpus index PIN the quantizer it was encoded under
+  * (see the corpus-index section below). The CORPUS-SIZED indexes key
+  * on the dataset dir instead and validate per-file from a sidecar, so
+  * a grown dataset can find and incrementally extend its standing
+  * index. Retrains of the same key overwrite through the table layer's
+  * atomic-pointer commit, leaving version history (time travel over
+  * index generations for free), and array-typed payloads
+  * (`array<double>` centroid components) exercise the manifest/stats
+  * machinery beyond flat scalar schemas.
   *
   * Loads and saves are best-effort by design: a missing/corrupt/
   * unwritable store must degrade to in-session training, never fail the
@@ -75,7 +81,11 @@ object IndexStore {
   /** Load centroids for (fingerprint, k, iters); None on miss, stale
     * fingerprint, or any read failure. Norms are recomputed with the
     * same fold the trainer uses, so a loaded quantizer is bit-identical
-    * to the trained one (IndexStoreSpec asserts it).
+    * to the trained one (IndexStoreSpec asserts it). Fewer than k rows
+    * is a corpus smaller than k at train time (the trainer caps at the
+    * sample size), not corruption — the table commit is atomic, so a
+    * partial write is never readable; like the codebook loader, the
+    * stored shape is authoritative.
     */
   private[graft] def loadCentroids(spark: SparkSession, fp: String,
       k: Int, iters: Int): Option[Array[(Long, Array[Double], Double)]] =
@@ -84,7 +94,8 @@ object IndexStore {
       if (!t.exists) None
       else {
         val rows = t.read.collect()
-        if (rows.length != k || rows.exists(_.getString(0) != fp)) None
+        if (rows.isEmpty || rows.length > k ||
+            rows.exists(_.getString(0) != fp)) None
         else Some(rows
           .map { r =>
             val c = r.getSeq[Double](2).toArray
@@ -98,115 +109,141 @@ object IndexStore {
         None
     }
 
-  /** Persist the ENCODED IVF-PQ index — the corpus-sized (vec_id,
-    * cell, codes, rnorm) table the probed candidate scan reads. Unlike
-    * the tiny quantizers above, this is O(corpus) rows, so the dataset
-    * fingerprint is validated from a sidecar next to the table root
-    * rather than a per-row column (64 fp bytes per 8-byte code row
-    * would quadruple the index). The keyed path + sidecar give the
-    * same staleness guarantee: a rewritten dataset changes the key AND
-    * the recorded fingerprint.
-    *
-    * STORED PARTITIONED BY CELL — the FAISS inverted-list layout on
-    * parquet: each coarse cell's codes are their own partition dir, so
-    * a probe that knows its cells driver-side reads ~nProbe/k of the
-    * files via partition pruning instead of scanning every code row.
-    * The key versions the layout (`part=cell`) so a pre-partitioning
-    * store from an older build misses and is re-encoded rather than
-    * served without pruning.
-    */
-  private[graft] def savePqIndex(spark: SparkSession, fp: String,
-      index: org.apache.spark.sql.DataFrame): Unit =
-    try {
-      val k = key(fp, "pq_index", "part=cell")
-      table(spark, "pq_index", k)
-        .overwrite(index, partitionBy = Seq("cell"))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$root/pq_index/$k/fingerprint.json"),
-        graft.common.JsonIO.render(Map("fingerprint" -> fp)))
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[index-store] pq-index save skipped: $e")
-    }
+  // ---------------------------------------------------------------
+  // Corpus-sized indexes (the encoded PQ code table, the IVF inverted
+  // file). Unlike the tiny quantizers above these are O(corpus) rows,
+  // stored PARTITIONED BY CELL — the FAISS inverted-list layout on
+  // parquet, so a probe that knows its cells driver-side reads
+  // ~nProbe/k of the files via partition pruning — and keyed by the
+  // DATASET DIR (identity), not content: a grown dataset must find
+  // its standing index to extend it. Content validation lives in a
+  // `state.json` sidecar that records, per backing file of the
+  // dataset at publish time, its length+mtime, plus the fingerprint
+  // of the quantizer the index was encoded under. Resolution against
+  // the dataset's current files then distinguishes:
+  //
+  //  - HIT: identical file set → serve as-is;
+  //  - DELTA: every recorded file still present unchanged, new files
+  //    appended (the production shape — a day's partition landed) →
+  //    the caller encodes ONLY the new files under the PINNED
+  //    quantizer and appends; a full re-encode never happens because
+  //    data arrived;
+  //  - MISS: anything else (file rewritten, removed, compacted, no
+  //    state) → full rebuild, because existing index rows may be
+  //    stale.
+  //
+  // Writer model: like ParquetTable itself, one writer per index at a
+  // time; concurrent appenders could both pass the caller's witness
+  // probe and double-append.
 
-  /** Load the encoded index for a fingerprint; None on miss, stale or
-    * missing fingerprint sidecar, or any read failure. The partition
-    * column comes back int-inferred from the `cell=N` dirs and LAST in
-    * column order — restore the encode schema (cell: long, original
-    * order) so the serve path is schema-identical to the encode path;
-    * the optimizer unwraps the resulting cast when pruning.
+  private[graft] sealed trait CorpusIndexResolution
+  /** Identical file set: serve the stored index. */
+  private[graft] case class CorpusIndexHit(quantizerFp: String)
+    extends CorpusIndexResolution
+  /** Strict superset: encode `newFiles` under the pinned quantizer
+    * and append.
     */
-  private[graft] def loadPqIndex(spark: SparkSession,
-      fp: String): Option[org.apache.spark.sql.DataFrame] =
+  private[graft] case class CorpusIndexDelta(quantizerFp: String,
+      newFiles: Seq[String]) extends CorpusIndexResolution
+  /** No usable standing index: full rebuild. */
+  private[graft] case object CorpusIndexMiss extends CorpusIndexResolution
+
+  private def dirKey(kind: String, d: String): String =
+    key(d, kind, "part=cell", "scheme=dir")
+
+  private def statePath(kind: String, d: String): java.nio.file.Path =
+    java.nio.file.Paths.get(s"$root/$kind/${dirKey(kind, d)}/state.json")
+
+  /** The index's versioned table for a dataset dir. */
+  private[graft] def corpusIndexTable(spark: SparkSession, kind: String,
+      d: String): ParquetTable =
+    ParquetTable(spark, s"$root/$kind/${dirKey(kind, d)}")
+
+  /** Classify the standing index against the dataset's current backing
+    * files (`current`: absolute path → "len:mtime"). Any read failure
+    * degrades to MISS — the store is a cache, never a dependency.
+    */
+  private[graft] def resolveCorpusIndex(spark: SparkSession, kind: String,
+      d: String, current: Map[String, String]): CorpusIndexResolution =
     try {
-      val k = key(fp, "pq_index", "part=cell")
-      val t = table(spark, "pq_index", k)
-      val sidecar = java.nio.file.Paths.get(
-        s"$root/pq_index/$k/fingerprint.json")
-      if (!t.exists || !java.nio.file.Files.exists(sidecar)) None
+      val sidecar = statePath(kind, d)
+      if (!corpusIndexTable(spark, kind, d).exists ||
+          !java.nio.file.Files.exists(sidecar)) CorpusIndexMiss
       else {
-        val recorded = graft.common.Json.obj(
-          graft.common.Json.parseFile(sidecar.toString))("fingerprint")
-        if (recorded != fp) None
-        else Some(t.read.select(functions.col("vec_id"),
-          functions.col("cell").cast("long").as("cell"),
-          functions.col("codes"), functions.col("rnorm")))
+        val state = graft.common.Json.obj(
+          graft.common.Json.parseFile(sidecar.toString))
+        val qfp = state.get("quantizer_fp") match {
+          case Some(s: String) => s
+          case _ => return CorpusIndexMiss
+        }
+        val stored = state.collect {
+          case (k, v: String) if k.startsWith("f:") =>
+            k.stripPrefix("f:") -> v
+        }
+        if (stored.isEmpty ||
+            stored.exists { case (p, m) => current.get(p) != Some(m) })
+          CorpusIndexMiss
+        else {
+          val fresh = (current.keySet -- stored.keySet).toSeq.sorted
+          if (fresh.isEmpty) CorpusIndexHit(qfp)
+          else CorpusIndexDelta(qfp, fresh)
+        }
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[index-store] pq-index load skipped: $e")
+        System.err.println(s"[index-store] $kind resolve degraded to miss: $e")
+        CorpusIndexMiss
+    }
+
+  /** Compact a corpus index back to one file per cell, PRESERVING the
+    * cell partitioning (the generic [[ParquetTable.compact]] rewrites
+    * unpartitioned, which would silently drop the probe paths'
+    * partition pruning). Delta appends accumulate one file per touched
+    * cell per batch; after many ingests a probe of one cell reads many
+    * small files, paying per-file open/footer overhead. The rewrite
+    * `repartition(cell)` routes each cell's rows to exactly one task,
+    * so `partitionBy` emits exactly one file per cell; readers are
+    * never disturbed (pointer-flipped publish of identical rows) and
+    * the dataset-state sidecar is untouched — compaction changes the
+    * index's file layout, not what it covers. Returns the committed
+    * version, or None when there is no index or the rewrite failed
+    * (best-effort, like every maintenance path here).
+    */
+  private[graft] def compactCorpusIndex(spark: SparkSession, kind: String,
+      d: String): Option[Long] =
+    try {
+      val t = corpusIndexTable(spark, kind, d)
+      if (!t.exists) None
+      else Some(t.overwrite(
+        t.read.repartition(org.apache.spark.sql.functions.col("cell")),
+        partitionBy = Seq("cell")))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[index-store] $kind compaction skipped: $e")
         None
     }
 
-  /** Persist the IVF index — (vec_id, embedding, cell) PARTITIONED BY
-    * CELL: the inverted-file layout on parquet. Probing nProbe of k
-    * cells becomes a partition-pruned read of ~nProbe/k of the files
-    * instead of a full-corpus scan plus a per-vector re-assignment
-    * (64 centroid dot products each) on every query — at 100 TB the
-    * difference between touching 25 TB and touching 100 TB plus
-    * recomputing the quantization. Fingerprint validation mirrors
-    * [[savePqIndex]] (sidecar, not a per-row column).
+  /** Atomically (temp + move) publish the index state sidecar: the
+    * covered file set and the quantizer the rows were encoded under.
+    * The sidecar commits AFTER the table append/overwrite — a crash
+    * between the two leaves the old sidecar, and the caller's witness
+    * probe recognizes the already-committed rows on replay instead of
+    * appending them twice (the table commit itself is atomic, so rows
+    * from a batch are either all present or all absent).
     */
-  private[graft] def saveIvfIndex(spark: SparkSession, fp: String,
-      index: org.apache.spark.sql.DataFrame): Unit =
-    try {
-      val k = key(fp, "ivf_index")
-      table(spark, "ivf_index", k).overwrite(index, partitionBy = Seq("cell"))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$root/ivf_index/$k/fingerprint.json"),
-        graft.common.JsonIO.render(Map("fingerprint" -> fp)))
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[index-store] ivf-index save skipped: $e")
-    }
-
-  /** Load the cell-partitioned IVF index for a fingerprint; None on
-    * miss, stale or missing fingerprint sidecar, or any read failure.
-    * Schema normalized like [[loadPqIndex]]: partition-dir-inferred
-    * `cell` cast back to long and restored to last-column order so the
-    * serve path matches the assignment path bit-for-bit.
-    */
-  private[graft] def loadIvfIndex(spark: SparkSession,
-      fp: String): Option[org.apache.spark.sql.DataFrame] =
-    try {
-      val k = key(fp, "ivf_index")
-      val t = table(spark, "ivf_index", k)
-      val sidecar = java.nio.file.Paths.get(
-        s"$root/ivf_index/$k/fingerprint.json")
-      if (!t.exists || !java.nio.file.Files.exists(sidecar)) None
-      else {
-        val recorded = graft.common.Json.obj(
-          graft.common.Json.parseFile(sidecar.toString))("fingerprint")
-        if (recorded != fp) None
-        else Some(t.read.select(functions.col("vec_id"),
-          functions.col("embedding"),
-          functions.col("cell").cast("long").as("cell")))
-      }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[index-store] ivf-index load skipped: $e")
-        None
-    }
+  private[graft] def commitCorpusIndexState(kind: String, d: String,
+      quantizerFp: String, entries: Map[String, String]): Unit = {
+    val sidecar = statePath(kind, d)
+    val json = graft.common.JsonIO.render(
+      Map("quantizer_fp" -> quantizerFp) ++
+        entries.map { case (p, m) => s"f:$p" -> m })
+    val tmp = sidecar.resolveSibling(s".state.${sys.props("user.name")}.tmp")
+    java.nio.file.Files.createDirectories(sidecar.getParent)
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, sidecar,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   private val CodebookSchema = new StructType()
     .add("fingerprint", StringType)

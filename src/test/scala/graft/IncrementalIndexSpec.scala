@@ -1,0 +1,202 @@
+package graft
+
+import graft.queries.{IvfPq, ProductQuantization, Similarity}
+import graft.tables.IndexStore
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental maintenance of the corpus-sized ANN indexes: when new
+  * embedding files land (the production shape — a day's partition),
+  * the standing index is EXTENDED — only the new files' rows are
+  * assigned/encoded, under the quantizer PINNED in the index state,
+  * and appended through the table layer's atomic commit. No retrain,
+  * no full re-assign/re-encode, standing rows untouched. Any
+  * rewritten or removed file instead forces a full rebuild, and a
+  * crash between the table append and the sidecar commit replays
+  * without duplicating rows (single-witness probe).
+  */
+class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private var savedRoot: Option[String] = None
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    savedRoot = sys.props.get("graft.index.root")
+    sys.props("graft.index.root") =
+      java.nio.file.Files.createTempDirectory("graft_incr_index").toString
+  }
+
+  override def afterAll(): Unit = {
+    savedRoot match {
+      case Some(v) => sys.props("graft.index.root") = v
+      case None => sys.props -= "graft.index.root"
+    }
+    super.afterAll()
+  }
+
+  /** Deterministic synthetic vectors; `mode=append` lands a NEW part
+    * file next to the standing ones, exactly like an ingest batch.
+    */
+  private def writeBatch(dir: String, ids: Range, seed: Int,
+      mode: String): Unit = {
+    import spark.implicits._
+    ids.map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        (((i * 31 + j * 7 + seed * 5) % 13) - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode(mode)
+      .parquet(s"$dir/embeddings.parquet")
+  }
+
+  private def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("ivf inverted file: new files append under the pinned quantizer") {
+    val dir = java.nio.file.Files.createTempDirectory("incr_ivf").toString
+    writeBatch(dir, 0 until 48, seed = 0, "overwrite")
+    val (cs1, idx1) = Similarity.resolveIvfIndex(spark, dir)
+    val standing = cellsOf(idx1)
+    assert(standing.size == 48)
+
+    writeBatch(dir, 48 until 64, seed = 0, "append")
+    Similarity.clearCentroidSessionCache() // "restart the session"
+    val trainBefore = Similarity.kMeansTrainCount.get()
+    val assignBefore = Similarity.cellAssignCount.get()
+    val (cs2, idx2) = Similarity.resolveIvfIndex(spark, dir)
+
+    assert(Similarity.kMeansTrainCount.get() == trainBefore,
+      "delta ingest must reuse the pinned quantizer, not retrain")
+    assert(Similarity.cellAssignCount.get() == assignBefore,
+      "delta ingest must not re-assign the standing corpus")
+    cs1.zip(cs2).foreach { case ((i1, c1, n1), (i2, c2, n2)) =>
+      assert(i1 == i2 && n1 == n2 &&
+        java.util.Arrays.equals(c1, c2), s"quantizer drifted at cell $i1")
+    }
+
+    val grown = cellsOf(idx2)
+    assert(grown.size == 64)
+    standing.foreach { case (id, cell) =>
+      assert(grown(id) == cell, s"standing row $id moved cells")
+    }
+    // appended rows sit exactly where the pinned quantizer puts them
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= 48)
+    val expected = cellsOf(Similarity.assignRows(spark, emb, cs1))
+    (48L until 64L).foreach(id => assert(grown(id) == expected(id)))
+
+    // idempotent: nothing new → same index
+    val (_, idx3) = Similarity.resolveIvfIndex(spark, dir)
+    assert(cellsOf(idx3) == grown)
+  }
+
+  test("pq code table: new files encode under the pinned quantizers and append") {
+    val dir = java.nio.file.Files.createTempDirectory("incr_pq").toString
+    writeBatch(dir, 0 until 48, seed = 1, "overwrite")
+    val (cs1, books1, idx1) = IvfPq.resolvePqIndex(spark, dir)
+    val standing = idx1.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("codes").toSeq).toMap
+    assert(standing.size == 48)
+
+    writeBatch(dir, 48 until 64, seed = 1, "append")
+    Similarity.clearCentroidSessionCache()
+    ProductQuantization.clearCodebookSessionCache()
+    val encodeBefore = IvfPq.encodeCount.get()
+    val trainBefore = (Similarity.kMeansTrainCount.get(),
+      ProductQuantization.codebookTrainCount.get())
+    val (cs2, books2, idx2) = IvfPq.resolvePqIndex(spark, dir)
+
+    assert(IvfPq.encodeCount.get() == encodeBefore,
+      "delta ingest must not re-encode the standing corpus")
+    assert((Similarity.kMeansTrainCount.get(),
+      ProductQuantization.codebookTrainCount.get()) == trainBefore,
+      "delta ingest must reuse both pinned quantizers")
+    cs1.zip(cs2).foreach { case ((i1, c1, _), (i2, c2, _)) =>
+      assert(i1 == i2 && java.util.Arrays.equals(c1, c2))
+    }
+    books1.zip(books2).foreach { case (b1, b2) =>
+      b1.zip(b2).foreach { case (w1, w2) =>
+        assert(java.util.Arrays.equals(w1, w2))
+      }
+    }
+
+    val grown = idx2.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("codes").toSeq).toMap
+    assert(grown.size == 64)
+    standing.foreach { case (id, codes) =>
+      assert(grown(id) == codes, s"standing row $id re-encoded differently")
+    }
+  }
+
+  test("a crash between append and sidecar commit replays without double-append") {
+    val dir = java.nio.file.Files.createTempDirectory("incr_crash").toString
+    writeBatch(dir, 0 until 48, seed = 2, "overwrite")
+    val meta0 = Similarity.embeddingsFileMeta(spark, dir)
+    val fp0 = Similarity.fingerprintOf(dir, meta0)
+    Similarity.resolveIvfIndex(spark, dir)
+
+    writeBatch(dir, 48 until 64, seed = 2, "append")
+    val (_, grown) = Similarity.resolveIvfIndex(spark, dir) // delta commits
+    assert(grown.count() == 64)
+
+    // simulate the crash window: table append committed, sidecar not —
+    // roll the sidecar back to the pre-append state and resolve again
+    IndexStore.commitCorpusIndexState("ivf_index", dir, fp0, meta0)
+    val (_, replayed) = Similarity.resolveIvfIndex(spark, dir)
+    assert(replayed.count() == 64,
+      "witness probe must recognize the committed append on replay")
+    assert(replayed.select("vec_id").distinct().count() == 64)
+  }
+
+  test("index compaction: one file per cell, identical rows, layout preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("incr_cmp").toString
+    writeBatch(dir, 0 until 48, seed = 5, "overwrite")
+    Similarity.resolveIvfIndex(spark, dir)
+    writeBatch(dir, 48 until 56, seed = 5, "append")
+    Similarity.resolveIvfIndex(spark, dir)
+    writeBatch(dir, 56 until 64, seed = 5, "append")
+    val (_, idx) = Similarity.resolveIvfIndex(spark, dir)
+    val rowsBefore = cellsOf(idx)
+
+    val t = IndexStore.corpusIndexTable(spark, "ivf_index", dir)
+    val filesBefore = t.read.inputFiles.length
+    assert(IndexStore.compactCorpusIndex(spark, "ivf_index", dir).nonEmpty)
+
+    val filesAfter = t.read.inputFiles.length
+    val cells = rowsBefore.values.toSet.size
+    assert(filesAfter == cells,
+      s"expected one file per cell ($cells), got $filesAfter")
+    assert(filesAfter <= filesBefore)
+    // still a HIT serving identical rows — compaction changed the file
+    // layout, not the coverage or the values
+    val (_, after) = Similarity.resolveIvfIndex(spark, dir)
+    assert(cellsOf(after) == rowsBefore)
+  }
+
+  test("IndexMain drives refresh + compact end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("incr_cli").toString
+    writeBatch(dir, 0 until 48, seed = 6, "overwrite")
+    graft.pipeline.cli.IndexMain.main(Array("--data", dir))
+    writeBatch(dir, 48 until 64, seed = 6, "append")
+    graft.pipeline.cli.IndexMain.main(
+      Array("--data", dir, "--refresh", "true", "--compact", "true"))
+    val (_, idx) = Similarity.resolveIvfIndex(spark, dir)
+    assert(idx.count() == 64)
+    val t = IndexStore.corpusIndexTable(spark, "ivf_index", dir)
+    assert(t.read.inputFiles.length ==
+      idx.select("cell").distinct().count())
+  }
+
+  test("a rewritten file forces a full rebuild with a fresh quantizer") {
+    val dir = java.nio.file.Files.createTempDirectory("incr_rw").toString
+    writeBatch(dir, 0 until 48, seed = 3, "overwrite")
+    Similarity.resolveIvfIndex(spark, dir)
+
+    writeBatch(dir, 0 until 64, seed = 4, "overwrite") // content rewritten
+    Similarity.clearCentroidSessionCache()
+    val trainBefore = Similarity.kMeansTrainCount.get()
+    val (_, idx) = Similarity.resolveIvfIndex(spark, dir)
+    assert(Similarity.kMeansTrainCount.get() == trainBefore + 1,
+      "a rewritten dataset must retrain, never serve the stale index")
+    assert(idx.count() == 64)
+  }
+}
