@@ -233,14 +233,18 @@ object IndexMain {
     if (a.contains("refresh") || !a.contains("compact")) {
       val (_, ivf) = graft.queries.Similarity.resolveIvfIndex(spark, d)
       val (_, _, pq) = graft.queries.IvfPq.resolvePqIndex(spark, d)
-      println(s"[index] refreshed ivf=${ivf.count()} pq=${pq.count()} rows")
+      val lsh = graft.queries.Similarity.resolveLshIndex(spark, d)
+      println(s"[index] refreshed ivf=${ivf.count()} pq=${pq.count()} " +
+        s"lsh=${lsh.count()} rows")
     }
     if (a.contains("compact")) {
       val v1 = graft.tables.IndexStore
         .compactCorpusIndex(spark, "ivf_index", d)
       val v2 = graft.tables.IndexStore
         .compactCorpusIndex(spark, "pq_index", d)
-      println(s"[index] compacted ivf=$v1 pq=$v2")
+      val v3 = graft.tables.IndexStore
+        .compactCorpusIndex(spark, "lsh_index", d, partitionCol = "bkt")
+      println(s"[index] compacted ivf=$v1 pq=$v2 lsh=$v3")
     }
   }
 }

@@ -153,61 +153,162 @@ object Similarity {
       Array.fill(NumTables, BitsPerTable, d)(next())
     })
 
-  /** (vec_id, embedding, bucket) rows for all L tables, computed in one
-    * typed partition pass (plane dots in a primitive loop — Spark's
-    * higher-order array functions are interpreted and ~30x slower here).
+  /** All L bucket ids of one vector — the signature loop shared by the
+    * distributed bucketing pass and the driver-side query probe (the
+    * planes are a pure function of the width, so both sides derive
+    * identical buckets with no state shipped).
     */
-  private def bucketedVectors(s: SparkSession, d: String,
-      pre: Option[Column] = None): DataFrame = {
+  private[graft] def bucketIdsOf(v: Array[Float]): Array[Int] = {
+    val ps = planesFor(v.length)
+    Array.tabulate(NumTables) { t =>
+      var sig = 0
+      var b = 0
+      while (b < BitsPerTable) {
+        val p = ps(t)(b)
+        var dot = 0.0
+        var k = 0
+        while (k < v.length) { dot += v(k).toDouble * p(k); k += 1 }
+        if (dot >= 0.0) sig |= (1 << b)
+        b += 1
+      }
+      sig + (t << BitsPerTable)
+    }
+  }
+
+  /** (vec_id, embedding, bucket) rows for all L tables over `vectors`,
+    * one typed partition pass (plane dots in a primitive loop — Spark's
+    * higher-order array functions are interpreted and ~30x slower
+    * here).
+    */
+  private def bucketRows(s: SparkSession, vectors: DataFrame): DataFrame = {
     import s.implicits._
-    val base = load(s, d, "embeddings")
-    pre.fold(base)(base.filter).select(col("vec_id"), col("embedding"))
+    vectors.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
-        // plane width follows the data; cached per executor via planesFor
-        var psDim = -1
-        var ps: Array[Array[Array[Double]]] = null
         rows.flatMap { case (id, v) =>
-          if (v.length != psDim) { ps = planesFor(v.length); psDim = v.length }
-          (0 until NumTables).iterator.map { t =>
-            var sig = 0
-            var b = 0
-            while (b < BitsPerTable) {
-              val p = ps(t)(b)
-              var dot = 0.0
-              var k = 0
-              while (k < v.length) { dot += v(k).toDouble * p(k); k += 1 }
-              if (dot >= 0.0) sig |= (1 << b)
-              b += 1
-            }
-            (id, v, sig + (t << BitsPerTable))
-          }
+          bucketIdsOf(v).iterator.map(bkt => (id, v, bkt))
         }
       }.toDF("vec_id", "embedding", "bkt")
   }
 
+  /** Version marker recorded as the LSH index's "quantizer": the planes
+    * are derived from a fixed seed (pure function of the embedding
+    * width), so unlike the IVF/PQ indexes there is no trained state to
+    * pin — but a future change to the plane scheme must invalidate
+    * every stored bucket table, and bumping this string does exactly
+    * that through the ordinary pin-mismatch path.
+    */
+  private val LshPlanesVersion = "planes:xorshift64s:L16xK4:v1"
+
+  /** Number of in-JVM full-corpus bucketing passes for the LSH index —
+    * lets IncrementalIndexSpec prove the delta path never re-buckets
+    * the standing corpus.
+    */
+  private[graft] val lshBucketCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def normalizedLshRead(t: graft.tables.ParquetTable): DataFrame =
+    t.read.select(col("vec_id"), col("bkt").cast("int").as("bkt"))
+
+  /** The persisted multi-table LSH index — (vec_id, bkt) partitioned by
+    * bkt, [[resolveIvfIndex]]'s lifecycle for the hyperplane buckets.
+    * Deliberately ids-only: bucket rows carrying embeddings would store
+    * the corpus L times over (16x at these settings); candidates travel
+    * as 16-byte pairs and embeddings join back only for survivors —
+    * q62's scale rule. Because the planes are seed-deterministic there
+    * is no trained quantizer to pin; the recorded pin is the plane
+    * SCHEME version, and new files are bucketed alone and appended
+    * (same witness-probe idempotence, same rebuild-on-rewrite).
+    */
+  private[graft] def resolveLshIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.tables.IndexStore
+    val meta = embeddingsFileMeta(s, d)
+    val kind = "lsh_index"
+
+    def rebuild(): DataFrame = {
+      lshBucketCount.incrementAndGet()
+      val computed = bucketRows(s, load(s, d, "embeddings"))
+        .select(col("vec_id"), col("bkt"))
+      try {
+        val t = IndexStore.corpusIndexTable(s, kind, d)
+        t.overwrite(computed, partitionBy = Seq("bkt"))
+        IndexStore.commitCorpusIndexState(kind, d, LshPlanesVersion, meta)
+        normalizedLshRead(t)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[index-store] lsh publish skipped: $e")
+          computed
+      }
+    }
+
+    IndexStore.resolveCorpusIndex(s, kind, d, meta) match {
+      case IndexStore.CorpusIndexHit(LshPlanesVersion) =>
+        normalizedLshRead(IndexStore.corpusIndexTable(s, kind, d))
+      case IndexStore.CorpusIndexDelta(LshPlanesVersion, newFiles) =>
+        try {
+          val t = IndexStore.corpusIndexTable(s, kind, d)
+          val fresh = s.read.parquet(newFiles: _*)
+            .select(col("vec_id"), col("embedding"))
+          fresh.select(col("vec_id")).limit(1).collect()
+            .headOption.map(_.getLong(0)) match {
+            case None => ()
+            case Some(witness) =>
+              val already = t.read
+                .filter(col("vec_id") === witness).limit(1).count() > 0
+              if (!already)
+                t.append(bucketRows(s, fresh).select(col("vec_id"), col("bkt")),
+                  partitionBy = Seq("bkt"))
+          }
+          IndexStore.commitCorpusIndexState(kind, d, LshPlanesVersion, meta)
+          normalizedLshRead(t)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[index-store] lsh delta append failed, rebuilding: $e")
+            rebuild()
+        }
+      case _ => rebuild() // miss, or a pin from an older plane scheme
+    }
+  }
+
   /** LSH-bucketed ANN: same contract as q38 but candidates restricted to
-    * vectors sharing >=1 of the query's L bucket ids.
+    * vectors sharing >=1 of the query's L bucket ids, served from the
+    * persisted bucket table. The 20 query vectors are collected
+    * driver-side and bucketed with the same pure-function planes, so
+    * every probed bucket is known BEFORE the scan — the isin reaches
+    * the stored table as a static PartitionFilter. Collisions collapse
+    * BEFORE embeddings join back: distinct on 16-byte (query, vec) id
+    * pairs, then embeddings only for surviving candidates (at 16
+    * tables, scoring first would fetch each candidate's vector up to
+    * 16 times — and a stored index carrying embeddings would store the
+    * corpus 16x).
     */
   private val q39 = QueryDef(
     (s, d) => {
-      val e = bucketedVectors(s, d)
-      // Query side buckets only the 20 query vectors: the vec_id filter
-      // is pushed to the parquet scan BEFORE the bucketing pass, so the
-      // corpus is hashed exactly once (the judge flagged the old
-      // double-pass). Collisions are collapsed AFTER scoring — distinct
-      // on (query_id, vec_id, score) shuffles 24 bytes/row instead of two
-      // 64-float arrays; the <=L duplicate cosines are cheap codegen.
-      val q = bucketedVectors(s, d, Some(col("vec_id") < 20))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("bkt").as("qbkt"))
+      import s.implicits._
+      val idx = resolveLshIndex(s, d)
+      val qvecs = load(s, d, "embeddings").filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val qRows = qvecs.toSeq.flatMap { case (qid, v) =>
+        bucketIdsOf(v).map(b => (qid, b))
+      }
+      val probed = qRows.map(_._2).distinct.sorted
+      val q = qRows.toDF("query_id", "qbkt")
+      val qemb = qvecs.toSeq.toDF("query_id", "qv")
+      val emb = load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("vec_id").asc)
-      e.join(broadcast(q),
+      idx.filter(col("bkt").isin(probed: _*))
+        .join(broadcast(q),
           col("bkt") === col("qbkt") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+        .distinct() // collapse multi-table collisions as 16-byte pairs
+        .join(emb, "vec_id") // embeddings only for surviving candidates
+        .join(broadcast(qemb), "query_id")
         .select(col("query_id"), col("vec_id"),
           fastCosine(s)(col("qv"), col("embedding")).as("score"))
-        .distinct() // collapse multi-table collisions (score is pair-determined)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select(col("query_id"), col("vec_id"),
@@ -822,7 +923,9 @@ object Similarity {
       d: String): DataFrame = {
     val ids = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val lsh = bucketedVectors(s, d).select(col("vec_id"), col("bkt"))
+    // served from the persisted bucket table (ids only) — the corpus
+    // is never re-hashed once the index stands
+    val lsh = resolveLshIndex(s, d)
     val lshPairs = lsh.as("a").join(lsh.as("b"),
         col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") =!= col("b.vec_id"))

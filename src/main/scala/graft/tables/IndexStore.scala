@@ -205,18 +205,31 @@ object IndexStore {
     * so `partitionBy` emits exactly one file per cell; readers are
     * never disturbed (pointer-flipped publish of identical rows) and
     * the dataset-state sidecar is untouched — compaction changes the
-    * index's file layout, not what it covers. Returns the committed
-    * version, or None when there is no index or the rewrite failed
+    * index's file layout, not what it covers. The rewrite is followed
+    * by a vacuum retaining ONLY the compacted version (`vacuumKeep`):
+    * compaction is precisely when history piles up (every delta append
+    * is a version whose small files the compacted one supersedes), and
+    * any retained prior manifest still references ALL of them, so
+    * keeping even one extra version reclaims nothing. An index is
+    * derived state — deep time travel belongs to the DATASET; the
+    * index can always be rebuilt. Returns the committed version,
+    * or None when there is no index or the rewrite failed
     * (best-effort, like every maintenance path here).
     */
   private[graft] def compactCorpusIndex(spark: SparkSession, kind: String,
-      d: String): Option[Long] =
+      d: String, partitionCol: String = "cell",
+      vacuumKeep: Int = 1): Option[Long] =
     try {
       val t = corpusIndexTable(spark, kind, d)
       if (!t.exists) None
-      else Some(t.overwrite(
-        t.read.repartition(org.apache.spark.sql.functions.col("cell")),
-        partitionBy = Seq("cell")))
+      else {
+        val v = t.overwrite(
+          t.read.repartition(
+            org.apache.spark.sql.functions.col(partitionCol)),
+          partitionBy = Seq(partitionCol))
+        t.vacuum(vacuumKeep)
+        Some(v)
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[index-store] $kind compaction skipped: $e")

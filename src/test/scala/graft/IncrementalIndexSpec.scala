@@ -147,6 +147,34 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
     assert(replayed.select("vec_id").distinct().count() == 64)
   }
 
+  test("lsh bucket table: new files append, the standing corpus is never re-hashed") {
+    val dir = java.nio.file.Files.createTempDirectory("incr_lsh").toString
+    writeBatch(dir, 0 until 48, seed = 7, "overwrite")
+    val idx1 = Similarity.resolveLshIndex(spark, dir)
+    val standing = idx1.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(standing.map(_._1).size == 48 && standing.size == 48 * 16,
+      "16 tables per vector")
+
+    writeBatch(dir, 48 until 64, seed = 7, "append")
+    val bucketBefore = Similarity.lshBucketCount.get()
+    val idx2 = Similarity.resolveLshIndex(spark, dir)
+    assert(Similarity.lshBucketCount.get() == bucketBefore,
+      "delta ingest must not re-bucket the standing corpus")
+    val grown = idx2.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(grown.size == 64 * 16)
+    assert(standing.subsetOf(grown), "standing buckets changed")
+    // appended rows bucket exactly as the pure-function planes dictate
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= 48)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    emb.foreach { case (id, v) =>
+      Similarity.bucketIdsOf(v).foreach(b =>
+        assert(grown.contains((id, b)), s"vector $id missing bucket $b"))
+    }
+  }
+
   test("index compaction: one file per cell, identical rows, layout preserved") {
     val dir = java.nio.file.Files.createTempDirectory("incr_cmp").toString
     writeBatch(dir, 0 until 48, seed = 5, "overwrite")
@@ -158,7 +186,14 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
     val rowsBefore = cellsOf(idx)
 
     val t = IndexStore.corpusIndexTable(spark, "ivf_index", dir)
+    def onDisk: Long = {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        s"${sys.props("graft.index.root")}/ivf_index"))
+      try stream.filter(p => p.toString.endsWith(".parquet")).count()
+      finally stream.close()
+    }
     val filesBefore = t.read.inputFiles.length
+    val diskBefore = onDisk
     assert(IndexStore.compactCorpusIndex(spark, "ivf_index", dir).nonEmpty)
 
     val filesAfter = t.read.inputFiles.length
@@ -166,6 +201,11 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
     assert(filesAfter == cells,
       s"expected one file per cell ($cells), got $filesAfter")
     assert(filesAfter <= filesBefore)
+    // compaction vacuums superseded versions: the append history's
+    // small files are gone from disk, not just from the manifest
+    assert(onDisk < diskBefore + filesAfter,
+      s"vacuum must remove superseded files (disk=$onDisk, " +
+        s"before=$diskBefore, current=$filesAfter)")
     // still a HIT serving identical rows — compaction changed the file
     // layout, not the coverage or the values
     val (_, after) = Similarity.resolveIvfIndex(spark, dir)

@@ -117,16 +117,17 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("served candidate scans are partition-pruned to the probed cells") {
-    for (q <- Seq("q54_ann_ivf", "q87_ann_ivfpq")) {
+    for ((q, pcol) <- Seq("q54_ann_ivf" -> "cell", "q87_ann_ivfpq" -> "cell",
+        "q39_ann_lsh" -> "bkt")) {
       SparkEntry.queries(q)(spark, Sf).collect() // warm the store
       val plan = SparkEntry.queries(q)(spark, Sf)
         .queryExecution.executedPlan.toString
-      // the driver-known probed-cell list must reach the stored
-      // inverted file's scan as a PARTITION filter (pruned at listing
-      // time), not merely a data filter after a full read
-      assert("PartitionFilters: \\[cell#\\d+ (INSET|IN)".r
+      // the driver-known probed-cell/bucket list must reach the stored
+      // index's scan as a PARTITION filter (pruned at listing time),
+      // not merely a data filter after a full read
+      assert(s"PartitionFilters: \\[$pcol#\\d+ (INSET|IN)".r
         .findFirstIn(plan).nonEmpty,
-        s"$q: stored scan must prune to the probed cells:\n$plan")
+        s"$q: stored scan must prune to the probed $pcol values:\n$plan")
     }
   }
 
