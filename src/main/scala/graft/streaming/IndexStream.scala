@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructType}
+
+/** Continuous ANN index maintenance: embedding part files landing under
+  * a dataset's embeddings table stream through the SAME delta path as
+  * the nightly `IndexMain` cron (`Similarity.resolveIvfIndex`,
+  * `IvfPq.resolvePqIndex`, `Similarity.resolveLshIndex`) — each
+  * micro-batch extends the three standing corpus indexes with just the
+  * newly landed files, encoded under the PINNED quantizers, so the
+  * vector search surface (q54/q62/q87 and the LSH family) serves fresh
+  * data within a trigger interval of arrival instead of a day behind.
+  *
+  * Why this shape at 100 TB: the index resolution already reads NO
+  * standing corpus data on the delta path (new files are assigned/
+  * encoded alone and appended through the table layer's atomic
+  * commit), so maintenance cost tracks the batch, not the corpus —
+  * exactly the property that makes a streaming trigger affordable.
+  * The file source's checkpoint is a WAKE-UP signal, not the
+  * correctness ledger: resolution diffs the dataset's backing files
+  * against the index state sidecar itself, and the append is
+  * replay-idempotent (single-witness probe, IncrementalIndexSpec), so
+  * at-least-once `foreachBatch` delivery — or even a deleted
+  * checkpoint — cannot double-append or skip rows. Batch rows are
+  * never read; only their arrival matters. Same single-writer model as
+  * the store: one maintainer per index at a time.
+  *
+  * [[maintainAvailable]] drains everything new then stops (catch-up /
+  * cron deployment); [[startMaintain]] takes an arbitrary trigger for
+  * the long-lived tail-the-ingest deployment.
+  */
+object IndexStream {
+
+  private val EmbSchema = new StructType()
+    .add("vec_id", LongType)
+    .add("embedding", ArrayType(FloatType))
+
+  /** Standing row counts of the three indexes after one refresh. */
+  final case class RefreshResult(batchId: Long, ivfRows: Long,
+      pqRows: Long, lshRows: Long)
+
+  /** A running maintenance query plus the per-batch refresh reports
+    * (empty wake-ups excluded).
+    */
+  final class MaintainHandle private[IndexStream] (
+      val query: StreamingQuery,
+      buf: scala.collection.mutable.ArrayBuffer[RefreshResult]) {
+    def results: Seq[RefreshResult] = buf.synchronized(buf.toSeq)
+  }
+
+  /** Start index maintenance for the embeddings table under dataset dir
+    * `d` with an arbitrary trigger; the caller owns the query lifecycle.
+    */
+  def startMaintain(spark: SparkSession, d: String,
+      checkpointDir: String, trigger: Trigger): MaintainHandle = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[RefreshResult]
+    val query = spark.readStream
+      .schema(EmbSchema)
+      .parquet(s"$d/embeddings.parquet")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // (re)starts may deliver an empty batch; nothing landed, so the
+        // resolution would be a guaranteed HIT — skip the wake-up
+        if (batch.limit(1).count() > 0) {
+          val (_, ivf) = graft.queries.Similarity.resolveIvfIndex(spark, d)
+          val (_, _, pq) = graft.queries.IvfPq.resolvePqIndex(spark, d)
+          val lsh = graft.queries.Similarity.resolveLshIndex(spark, d)
+          val r = RefreshResult(batchId, ivf.count(), pq.count(), lsh.count())
+          buf.synchronized { buf += r; () }
+        }
+        ()
+      }
+      .start()
+    new MaintainHandle(query, buf)
+  }
+
+  /** Extend the standing indexes with every embedding file not yet seen
+    * by `checkpointDir`, then stop. Returns one [[RefreshResult]] per
+    * non-empty micro-batch, in processing order.
+    */
+  def maintainAvailable(spark: SparkSession, d: String,
+      checkpointDir: String): Seq[RefreshResult] = {
+    val h = startMaintain(spark, d, checkpointDir, Trigger.AvailableNow())
+    h.query.awaitTermination()
+    h.results
+  }
+}
