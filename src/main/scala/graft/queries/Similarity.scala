@@ -1083,11 +1083,64 @@ object Similarity {
             FROM r"""),
     "int8 scalar quantization quality per vector [similarity]")
 
+  /** q91: health audit of the standing IVF inverted file — per-cell
+    * occupancy, corpus fraction, and balance (ratio to the
+    * perfectly-even load over the OBSERVED cells). This is the metric
+    * an index operator watches in production: skewed cells mean probe
+    * latency variance (a probe of a hot cell scans many times the
+    * mean) and signal a stale quantizer after the corpus drifts —
+    * retrain/rebuild is the remedy, and this query is the trigger.
+    * Served from the persisted index; the audit never touches the
+    * embeddings themselves. One keyed aggregate with map-side partials
+    * (at most k=64 groups), then a global window over the ≤k aggregate
+    * rows — bounded by the cell count, never the corpus, so the single
+    * window partition is safe at any scale.
+    *
+    * Derived oracle: frac and balance are single IEEE double divisions
+    * of exactly-represented integers (row counts and their products),
+    * so DuckDB re-deriving them from the emitted n_vectors is
+    * bit-identical; the oracle re-verifies the arithmetic and guards
+    * coverage — the per-cell counts must sum to the corpus row count
+    * (a dropped or double-indexed vector fails the compare) and cells
+    * must be distinct.
+    */
+  private val q91 = QueryDef(
+    (s, d) => {
+      val (_, idx) = resolveIvfIndex(s, d)
+      val w = Window.partitionBy()
+      val tot = sum(col("n_vectors")).over(w)
+      val cnt = count(lit(1)).over(w)
+      idx.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .select(col("cell"), col("n_vectors"),
+          (col("n_vectors").cast("double") / tot.cast("double"))
+            .as("frac"),
+          ((col("n_vectors") * cnt).cast("double") / tot.cast("double"))
+            .as("balance"))
+    },
+    Some(s"""WITH emitted AS (
+              SELECT cell, n_vectors
+              FROM read_parquet('${graft.QueryDef.OutDirToken}/q91_index_health/*.parquet')
+            ), tot AS (
+              SELECT CAST(SUM(n_vectors) AS BIGINT) AS st,
+                CAST(COUNT(*) AS BIGINT) AS c FROM emitted
+            )
+            SELECT e.cell, e.n_vectors,
+              CAST(e.n_vectors AS DOUBLE) / CAST(t.st AS DOUBLE) AS frac,
+              CAST(e.n_vectors * t.c AS DOUBLE) / CAST(t.st AS DOUBLE)
+                AS balance
+            FROM emitted e, tot t
+            WHERE t.st = (SELECT COUNT(*) FROM embeddings)
+              AND (SELECT COUNT(*) FROM emitted) =
+                  (SELECT COUNT(DISTINCT cell) FROM emitted)"""),
+    "IVF index health: per-cell occupancy + balance [similarity]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
     "q39_ann_lsh" -> q39,
     "q40_dedup_embedding" -> q40,
     "q54_ann_ivf" -> q54,
     "q62_dedup_embedding_ann" -> q62,
-    "q68_embedding_quantize" -> q68)
+    "q68_embedding_quantize" -> q68,
+    "q91_index_health" -> q91)
 }
