@@ -73,12 +73,42 @@ object IvfPq {
     * quantizers. Returns the quantizers alongside the index so probe
     * routing and ADC tables always match the stored codes.
     */
+  /** Served-index session memo + uncached-resolution counter —
+    * `Similarity.lshServeCache`'s design (see the scaladoc there: plain
+    * parquet-backed plan kept for partition pruning, fingerprint +
+    * session validated, one listStatus per lookup).
+    */
+  private val pqServeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Option[Long], Array[(Long, Array[Double], Double)],
+      Array[Array[Array[Double]]], DataFrame)]()
+
+  private[graft] val pqResolveCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def clearServedIndexCache(): Unit = pqServeCache.clear()
+
   private[graft] def resolvePqIndex(s: SparkSession, d: String):
       (Array[(Long, Array[Double], Double)],
         Array[Array[Array[Double]]], DataFrame) = {
-    import graft.tables.IndexStore
     val meta = Similarity.embeddingsFileMeta(s, d)
     val fp = Similarity.fingerprintOf(d, meta)
+    val ver = Similarity.indexVersion(s, "pq_index", d)
+    val hit = pqServeCache.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == fp && cur._2 == ver &&
+          (cur._5.sparkSession eq s)) cur
+      else {
+        pqResolveCount.incrementAndGet()
+        val (cs, books, df) = resolvePqIndexUncached(s, d, meta, fp)
+        (fp, Similarity.indexVersion(s, "pq_index", d), cs, books, df)
+      })
+    (hit._3, hit._4, hit._5)
+  }
+
+  private def resolvePqIndexUncached(s: SparkSession, d: String,
+      meta: Map[String, String], fp: String):
+      (Array[(Long, Array[Double], Double)],
+        Array[Array[Array[Double]]], DataFrame) = {
+    import graft.tables.IndexStore
     val kind = "pq_index"
 
     def rebuild(): (Array[(Long, Array[Double], Double)],
@@ -120,20 +150,15 @@ object IvfPq {
           case Some((cs, books)) =>
             try {
               val t = IndexStore.corpusIndexTable(s, kind, d)
-              val fresh = s.read.parquet(newFiles: _*)
-                .select(col("vec_id"), col("embedding"))
-              fresh.select(col("vec_id")).limit(1).collect()
-                .headOption.map(_.getLong(0)) match {
-                case None => ()
-                case Some(witness) =>
-                  val already = t.read
-                    .filter(col("vec_id") === witness).limit(1)
-                    .count() > 0
-                  if (!already)
-                    t.append(encodeRows(s, fresh, cs, books),
-                      partitionBy = Seq("cell"))
+              val toAppend = IndexStore.filesNeedingAppend(s, t, newFiles)
+              if (toAppend.nonEmpty) {
+                val fresh = s.read.parquet(toAppend: _*)
+                  .select(col("vec_id"), col("embedding"))
+                t.append(encodeRows(s, fresh, cs, books),
+                  partitionBy = Seq("cell"))
               }
               IndexStore.commitCorpusIndexState(kind, d, qfp, meta)
+              IndexStore.maybeCompactCorpusIndex(s, kind, d)
               (cs, books, normalizedPqRead(t))
             } catch {
               case scala.util.control.NonFatal(e) =>

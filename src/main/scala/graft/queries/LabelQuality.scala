@@ -96,7 +96,12 @@ object LabelQuality {
       .join(lbl.select(col("vec_id").as("v2"), col("label").as("nlabel")), "v2")
       .groupBy(col("v1"), col("qlabel"))
       .agg(
-        sort_array(collect_list(col("v2"))).as("neighbor_ids"),
+        // canonical comma-joined STRING, not array<long>: the sorted id
+        // list is the same information, but every downstream consumer —
+        // including the verification driver's canonical row-sort, which
+        // cannot order array cells — can hash/sort a scalar
+        concat_ws(",", sort_array(collect_list(col("v2"))))
+          .as("neighbor_ids"),
         count(lit(1)).as("n_neighbors"),
         sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
           .as("n_agree"))
@@ -114,12 +119,13 @@ object LabelQuality {
   private val q89 = QueryDef(
     (s, d) => labelNoiseScan(s, d),
     // Pair-level derived oracle: WHICH neighbors got nominated is
-    // algorithm-specific, but the emitted `neighbor_ids` (sorted, so
-    // the array is order-canonical) let DuckDB re-run the entire
-    // agreement computation — unnest the ids, join both sides' labels
-    // from `embeddings`, recount n_agree/n_neighbors, re-derive the
-    // ratio and the 0.5 suspect flag. A no-candidate vector must
-    // surface with null neighbor_ids/counts and a false flag (q62's
+    // algorithm-specific, but the emitted `neighbor_ids` (a sorted
+    // comma-joined string, so the encoding is order-canonical AND
+    // scalar) lets DuckDB re-run the entire agreement computation —
+    // split and unnest the ids, join both sides' labels from
+    // `embeddings`, recount n_agree/n_neighbors, re-derive the ratio
+    // and the 0.5 suspect flag. A no-candidate vector must surface
+    // with null neighbor_ids/counts and a false flag (q62's
     // convention); a miscounted agreement, a phantom neighbor id
     // (inner label join drops it → n_neighbors mismatch), or a flag
     // off the threshold all fail the hash compare. Nomination recall
@@ -130,7 +136,9 @@ object LabelQuality {
             ), lbl AS (
               SELECT vec_id, label FROM embeddings
             ), ex AS (
-              SELECT vec_id, unnest(neighbor_ids) AS nid FROM emitted
+              SELECT vec_id,
+                CAST(unnest(string_split(neighbor_ids, ',')) AS BIGINT) AS nid
+              FROM emitted
             ), agg AS (
               SELECT x.vec_id,
                 CAST(count(*) AS BIGINT) AS n_neighbors,

@@ -220,9 +220,81 @@ object Similarity {
     * SCHEME version, and new files are bucketed alone and appended
     * (same witness-probe idempotence, same rebuild-on-rewrite).
     */
+  /** Served-index session memos — the resolve analog of
+    * [[centroidCache]]. Every resolution pays driver-side filesystem
+    * work (dataset listStatus, sidecar parse, manifest read, a file
+    * listing per stored data dir) before a single row moves; a query
+    * family that executes several index-backed plans per session
+    * (q39/q54/q62/q87/q89/q91, the bench's steady state) would pay it
+    * per EXECUTION. The memo returns the previously resolved DataFrame
+    * — whose relation already holds its listed FileIndex, so re-use
+    * costs nothing on the driver — keyed by dataset dir and validated
+    * against the dataset's CURRENT content fingerprint: one listStatus
+    * per lookup is the price of never serving a stale index. The frame
+    * is deliberately NOT persist()ed: it stays a plain parquet-backed
+    * plan, so each probe still partition-prunes to its probed cells —
+    * an InMemoryRelation would pin the WHOLE index in executor memory
+    * and answer probes with full cached scans, exactly wrong at 100 TB.
+    * Entries are validated on THREE axes per lookup: the dataset
+    * content fingerprint (stale data never served), the index table's
+    * own committed version (a compaction — whose vacuum deletes the
+    * files the memoized plan references — or any other writer bumps
+    * it), and the owning SparkSession (a stopped session's plans are
+    * unusable).
+    */
+  private val lshServeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Option[Long], DataFrame)]()
+  private val ivfServeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Option[Long],
+      Array[(Long, Array[Double], Double)], DataFrame)]()
+
+  /** Current committed version of a stored corpus index — one tiny
+    * pointer-file read, the price of catching an out-of-band rewrite
+    * (compaction, another maintainer) before serving a dead plan.
+    */
+  private[queries] def indexVersion(s: SparkSession, kind: String,
+      d: String): Option[Long] =
+    try graft.tables.IndexStore.corpusIndexTable(s, kind, d).latestVersion
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Uncached resolutions performed this session (per index kind) —
+    * lets IndexStoreSpec assert the memo serves repeat executions with
+    * exactly one resolution.
+    */
+  private[graft] val lshResolveCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val ivfResolveCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop the served-index session memos (a fresh session's state) —
+    * test hook for the persisted-index lifecycle, paired with
+    * [[clearCentroidSessionCache]].
+    */
+  private[graft] def clearServedIndexCaches(): Unit = {
+    lshServeCache.clear()
+    ivfServeCache.clear()
+    IvfPq.clearServedIndexCache()
+  }
+
   private[graft] def resolveLshIndex(s: SparkSession, d: String): DataFrame = {
-    import graft.tables.IndexStore
     val meta = embeddingsFileMeta(s, d)
+    val fp = fingerprintOf(d, meta)
+    val ver = indexVersion(s, "lsh_index", d)
+    lshServeCache.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == fp && cur._2 == ver &&
+          (cur._3.sparkSession eq s)) cur
+      else {
+        lshResolveCount.incrementAndGet()
+        val df = resolveLshIndexUncached(s, d, meta)
+        // version recorded AFTER the resolve — it may have appended or
+        // compacted, and the memo must match what the next lookup sees
+        (fp, indexVersion(s, "lsh_index", d), df)
+      })._3
+  }
+
+  private def resolveLshIndexUncached(s: SparkSession, d: String,
+      meta: Map[String, String]): DataFrame = {
+    import graft.tables.IndexStore
     val kind = "lsh_index"
 
     def rebuild(): DataFrame = {
@@ -247,19 +319,15 @@ object Similarity {
       case IndexStore.CorpusIndexDelta(LshPlanesVersion, newFiles) =>
         try {
           val t = IndexStore.corpusIndexTable(s, kind, d)
-          val fresh = s.read.parquet(newFiles: _*)
-            .select(col("vec_id"), col("embedding"))
-          fresh.select(col("vec_id")).limit(1).collect()
-            .headOption.map(_.getLong(0)) match {
-            case None => ()
-            case Some(witness) =>
-              val already = t.read
-                .filter(col("vec_id") === witness).limit(1).count() > 0
-              if (!already)
-                t.append(bucketRows(s, fresh).select(col("vec_id"), col("bkt")),
-                  partitionBy = Seq("bkt"))
+          val toAppend = IndexStore.filesNeedingAppend(s, t, newFiles)
+          if (toAppend.nonEmpty) {
+            val fresh = s.read.parquet(toAppend: _*)
+              .select(col("vec_id"), col("embedding"))
+            t.append(bucketRows(s, fresh).select(col("vec_id"), col("bkt")),
+              partitionBy = Seq("bkt"))
           }
           IndexStore.commitCorpusIndexState(kind, d, LshPlanesVersion, meta)
+          IndexStore.maybeCompactCorpusIndex(s, kind, d, partitionCol = "bkt")
           normalizedLshRead(t)
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -716,16 +784,28 @@ object Similarity {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Assign each row of `vectors` (vec_id, embedding) to its
-    * max-cosine cell of `centroids` — one narrow map, no shuffle.
+    * max-cosine cell of `centroids` — one narrow map, no shuffle. The
+    * row also carries `probes`, the vector's NearDupProbes-many best
+    * cells (probes(0) == cell): the near-dup nomination (q62/q89)
+    * needs each vector's multi-probe cell set, and ranking the cells
+    * costs k centroid dot products per vector — paid HERE, once, at
+    * index build/extend time under the pinned quantizer, instead of
+    * once per query execution over the raw corpus. 8 extra longs per
+    * row next to a 256-byte embedding, the classic store-the-routing
+    * trade.
     */
   private[graft] def assignRows(s: SparkSession, vectors: DataFrame,
       centroids: Array[(Long, Array[Double], Double)]): DataFrame = {
     import s.implicits._
+    val nProbes = math.max(2, centroids.length / 8) // NearDupProbes rule
     val bc = s.sparkContext.broadcast(centroids)
     vectors.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, rankedCells(bc.value, v).head) }
-      .toDF("vec_id", "embedding", "cell")
+      .map { case (id, v) =>
+        val ranked = rankedCells(bc.value, v)
+        (id, v, ranked.head, ranked.take(nProbes))
+      }
+      .toDF("vec_id", "embedding", "cell", "probes")
   }
 
   private[graft] def cellAssignments(s: SparkSession, d: String,
@@ -735,14 +815,21 @@ object Similarity {
   }
 
   /** Stored-index read normalized back to the assignment schema: the
-    * partition-dir-inferred `cell` cast to long and restored to last
-    * position (the optimizer unwraps the cast when pruning, so the
-    * probed-cell filter still reaches the scan as a PartitionFilter).
+    * partition-dir-inferred `cell` cast to long and restored to its
+    * encode position (the optimizer unwraps the cast when pruning, so
+    * the probed-cell filter still reaches the scan as a
+    * PartitionFilter).
     */
   private def normalizedIvfRead(
       t: graft.tables.ParquetTable): DataFrame =
     t.read.select(col("vec_id"), col("embedding"),
-      col("cell").cast("long").as("cell"))
+      col("cell").cast("long").as("cell"), col("probes"))
+
+  /** Sidecar format of the stored inverted file: v2 added the `probes`
+    * multi-cell column; v1 stores (no probes) resolve MISS and rebuild
+    * once rather than serving rows the near-dup path can't use.
+    */
+  private[graft] val IvfFormat = "v2-probes"
 
   /** The persisted INVERTED FILE — (vec_id, embedding, cell)
     * partitioned by cell in the table layer, the FAISS inverted-list
@@ -788,9 +875,24 @@ object Similarity {
 
   private[graft] def resolveIvfIndex(s: SparkSession,
       d: String): (Array[(Long, Array[Double], Double)], DataFrame) = {
-    import graft.tables.IndexStore
     val meta = embeddingsFileMeta(s, d)
     val fp = fingerprintOf(d, meta)
+    val ver = indexVersion(s, "ivf_index", d)
+    val hit = ivfServeCache.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == fp && cur._2 == ver &&
+          (cur._4.sparkSession eq s)) cur
+      else {
+        ivfResolveCount.incrementAndGet()
+        val (cs, df) = resolveIvfIndexUncached(s, d, meta, fp)
+        (fp, indexVersion(s, "ivf_index", d), cs, df)
+      })
+    (hit._3, hit._4)
+  }
+
+  private def resolveIvfIndexUncached(s: SparkSession, d: String,
+      meta: Map[String, String],
+      fp: String): (Array[(Long, Array[Double], Double)], DataFrame) = {
+    import graft.tables.IndexStore
     val kind = "ivf_index"
 
     def rebuild(): (Array[(Long, Array[Double], Double)], DataFrame) = {
@@ -800,7 +902,7 @@ object Similarity {
         try {
           val t = IndexStore.corpusIndexTable(s, kind, d)
           t.overwrite(computed, partitionBy = Seq("cell"))
-          IndexStore.commitCorpusIndexState(kind, d, fp, meta)
+          IndexStore.commitCorpusIndexState(kind, d, fp, meta, IvfFormat)
           normalizedIvfRead(t)
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -810,7 +912,7 @@ object Similarity {
       (cs, served)
     }
 
-    IndexStore.resolveCorpusIndex(s, kind, d, meta) match {
+    IndexStore.resolveCorpusIndex(s, kind, d, meta, IvfFormat) match {
       case IndexStore.CorpusIndexHit(qfp) =>
         pinnedCentroids(s, d, qfp, fp) match {
           case Some(cs) =>
@@ -822,20 +924,14 @@ object Similarity {
           case Some(cs) =>
             try {
               val t = IndexStore.corpusIndexTable(s, kind, d)
-              val fresh = s.read.parquet(newFiles: _*)
-                .select(col("vec_id"), col("embedding"))
-              fresh.select(col("vec_id")).limit(1).collect()
-                .headOption.map(_.getLong(0)) match {
-                case None => () // empty delta files: nothing to append
-                case Some(witness) =>
-                  val already = t.read
-                    .filter(col("vec_id") === witness).limit(1)
-                    .count() > 0
-                  if (!already)
-                    t.append(assignRows(s, fresh, cs),
-                      partitionBy = Seq("cell"))
+              val toAppend = IndexStore.filesNeedingAppend(s, t, newFiles)
+              if (toAppend.nonEmpty) {
+                val fresh = s.read.parquet(toAppend: _*)
+                  .select(col("vec_id"), col("embedding"))
+                t.append(assignRows(s, fresh, cs), partitionBy = Seq("cell"))
               }
-              IndexStore.commitCorpusIndexState(kind, d, qfp, meta)
+              IndexStore.commitCorpusIndexState(kind, d, qfp, meta, IvfFormat)
+              IndexStore.maybeCompactCorpusIndex(s, kind, d)
               (cs, normalizedIvfRead(t))
             } catch {
               case scala.util.control.NonFatal(e) =>
@@ -933,16 +1029,13 @@ object Similarity {
     // each vector nominates from its NearDupProbes top cells
     // (multi-assignment blunts the boundary-miss mode where 1-NN pairs
     // straddle a Voronoi edge; k/8 cells keeps the nominated fraction
-    // constant as the quantizer refines)
-    val cells = {
-      import s.implicits._
-      val bc = s.sparkContext.broadcast(kMeansCentroids(s, d))
-      load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .flatMap { case (id, v) =>
-          rankedCells(bc.value, v).take(NearDupProbes).map(c => (id, c))
-        }.toDF("vec_id", "cell")
-    }
+    // constant as the quantizer refines). The multi-probe cell set is
+    // SERVED from the persisted inverted file's `probes` column — the
+    // ranking was paid once at index build time under the pinned
+    // quantizer; re-deriving it here would re-scan the raw corpus and
+    // pay k centroid dot products per vector per execution.
+    val cells = resolveIvfIndex(s, d)._2
+      .select(col("vec_id"), explode(col("probes")).as("cell"))
     val cellPairs = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))

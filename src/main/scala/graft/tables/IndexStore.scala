@@ -38,13 +38,17 @@ object IndexStore {
 
   /** Store root. Overridable for tests via the `graft.index.root`
     * system property or the `GRAFT_INDEX_ROOT` environment variable;
-    * defaults to a per-user dir under java.io.tmpdir (production would
-    * point this at the lakehouse root next to the data).
+    * defaults to a per-user dir under java.io.tmpdir — the user name is
+    * part of the path, so on a multi-user host one user can neither
+    * poison another's cached index state nor hit their permission
+    * errors (production would point this at the lakehouse root next to
+    * the data).
     */
   private[graft] def root: String =
     sys.props.get("graft.index.root")
       .orElse(sys.env.get("GRAFT_INDEX_ROOT"))
-      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_index")
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_index_" +
+        sys.props.getOrElse("user.name", "anon"))
 
   private def key(parts: String*): String = {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
@@ -162,9 +166,15 @@ object IndexStore {
   /** Classify the standing index against the dataset's current backing
     * files (`current`: absolute path → "len:mtime"). Any read failure
     * degrades to MISS — the store is a cache, never a dependency.
+    * `format` names the index's ROW-SCHEMA generation (recorded in the
+    * sidecar at commit time, absent = "v1"): a caller that widened its
+    * stored schema bumps the string, and every store written under the
+    * old layout resolves MISS → full rebuild instead of serving rows
+    * the new serve path can't read.
     */
   private[graft] def resolveCorpusIndex(spark: SparkSession, kind: String,
-      d: String, current: Map[String, String]): CorpusIndexResolution =
+      d: String, current: Map[String, String],
+      format: String = "v1"): CorpusIndexResolution =
     try {
       val sidecar = statePath(kind, d)
       if (!corpusIndexTable(spark, kind, d).exists ||
@@ -172,6 +182,8 @@ object IndexStore {
       else {
         val state = graft.common.Json.obj(
           graft.common.Json.parseFile(sidecar.toString))
+        if (state.getOrElse("format", "v1") != format)
+          return CorpusIndexMiss
         val qfp = state.get("quantizer_fp") match {
           case Some(s: String) => s
           case _ => return CorpusIndexMiss
@@ -236,6 +248,126 @@ object IndexStore {
         None
     }
 
+  /** Delta appends accumulate one file per touched partition per batch;
+    * past this many files in any one partition the resolve path
+    * compacts before serving (overridable for tests via the
+    * `graft.index.compact.threshold` system property). 4 bounds a
+    * probe's per-file open overhead at 4x the compacted read while
+    * keeping compaction — a full index rewrite — rare: one every ~4
+    * ingest batches, amortized O(1) rewrites per row appended.
+    */
+  private[graft] def compactThreshold: Int =
+    sys.props.get("graft.index.compact.threshold").map(_.toInt).getOrElse(4)
+
+  /** Compact iff some partition of the standing index holds more than
+    * [[compactThreshold]] files — called from the delta-append serve
+    * path (and therefore from streaming maintenance, which rides the
+    * same path), so a long-running ingest can never degrade probe
+    * reads indefinitely. File counts come from the current manifest
+    * (driver-side strings, no data read); partition identity is the
+    * `col=value` path segment, so files of the same cell in DIFFERENT
+    * append-version dirs count toward one partition — exactly the set
+    * a probe of that cell must open.
+    */
+  private[graft] def maybeCompactCorpusIndex(spark: SparkSession,
+      kind: String, d: String,
+      partitionCol: String = "cell"): Option[Long] =
+    try {
+      val t = corpusIndexTable(spark, kind, d)
+      if (!t.exists) None
+      else {
+        val prefix = partitionCol + "="
+        val perPartition = t.currentFiles
+          .groupBy(_.split('/').find(_.startsWith(prefix)).getOrElse(""))
+        if (perPartition.valuesIterator.exists(_.size > compactThreshold))
+          compactCorpusIndex(spark, kind, d, partitionCol)
+        else None
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[index-store] $kind auto-compaction skipped: $e")
+        None
+    }
+
+  /** Files among `newFiles` whose rows are NOT yet in the standing
+    * table, decided by a PER-FILE witness probe: each file's first
+    * `vec_id` is looked up in the index in one batched membership scan.
+    * Per-file (not one witness for the whole batch) because the crash
+    * window can interleave: append committed for batch A, sidecar not,
+    * then batch B lands — the replay's `newFiles` spans both, and a
+    * single witness drawn from A would skip B entirely (rows silently
+    * never indexed) while one drawn from B would double-append A. The
+    * probe unit must match the append unit, and the append unit is the
+    * file. Empty files carry no witness and need no append — sidecar
+    * coverage alone records them. Sound because a batch's rows commit
+    * atomically through the table layer: a file's first row present ⟺
+    * all its rows present.
+    */
+  private[graft] def filesNeedingAppend(spark: SparkSession,
+      t: ParquetTable, newFiles: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val witnesses: Seq[(String, Long)] = newFiles.flatMap { f =>
+      spark.read.parquet(f).select(col("vec_id")).limit(1).collect()
+        .headOption.map(r => f -> r.getLong(0))
+    }
+    if (witnesses.isEmpty || !t.exists) witnesses.map(_._1)
+    else {
+      val present = t.read
+        .filter(col("vec_id").isin(witnesses.map(_._2): _*))
+        .select(col("vec_id")).distinct().collect()
+        .map(_.getLong(0)).toSet
+      witnesses.collect { case (f, w) if !present.contains(w) => f }
+    }
+  }
+
+  /** Store retention: drop every store key (one `<root>/<kind>/<key>`
+    * table dir) whose last COMMIT — the newest mtime among its
+    * `_LATEST` pointer and `state.json` sidecar — is older than
+    * `maxAgeMs`. The store accumulates one keyed entry per dataset
+    * fingerprint forever otherwise (every regenerated test dataset, every
+    * rewritten table leaves an orphan); each entry is derived state a
+    * later session can always rebuild, so age-based deletion is safe by
+    * construction. Serves never refresh mtimes — this is commit-age GC,
+    * the right bound for a cache whose entries stop being committed to
+    * exactly when their dataset stops existing. Returns the deleted
+    * store dirs.
+    */
+  private[graft] def vacuumStores(maxAgeMs: Long): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val rootDir = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootDir)) return Nil
+    def mtime(p: java.nio.file.Path): Long =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      else Long.MinValue
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      val stream = java.nio.file.Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally stream.close()
+    }
+    val kinds = Option(rootDir.toFile.listFiles())
+      .map(_.toSeq.filter(_.isDirectory)).getOrElse(Nil)
+    kinds.flatMap { kindDir =>
+      Option(kindDir.listFiles()).map(_.toSeq.filter(_.isDirectory))
+        .getOrElse(Nil)
+        .filter { keyDir =>
+          val last = math.max(
+            mtime(keyDir.toPath.resolve("_LATEST")),
+            mtime(keyDir.toPath.resolve("state.json")))
+          last != Long.MinValue && now - last > maxAgeMs
+        }
+        .map { keyDir =>
+          try deleteTree(keyDir.toPath)
+          catch {
+            case scala.util.control.NonFatal(e) => System.err.println(
+              s"[index-store] vacuum of ${keyDir} incomplete: $e")
+          }
+          keyDir.toString
+        }
+    }
+  }
+
   /** Atomically (temp + move) publish the index state sidecar: the
     * covered file set and the quantizer the rows were encoded under.
     * The sidecar commits AFTER the table append/overwrite — a crash
@@ -245,10 +377,11 @@ object IndexStore {
     * from a batch are either all present or all absent).
     */
   private[graft] def commitCorpusIndexState(kind: String, d: String,
-      quantizerFp: String, entries: Map[String, String]): Unit = {
+      quantizerFp: String, entries: Map[String, String],
+      format: String = "v1"): Unit = {
     val sidecar = statePath(kind, d)
     val json = graft.common.JsonIO.render(
-      Map("quantizer_fp" -> quantizerFp) ++
+      Map("quantizer_fp" -> quantizerFp, "format" -> format) ++
         entries.map { case (p, m) => s"f:$p" -> m })
     val tmp = sidecar.resolveSibling(s".state.${sys.props("user.name")}.tmp")
     java.nio.file.Files.createDirectories(sidecar.getParent)

@@ -60,6 +60,7 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
 
     writeBatch(dir, 48 until 64, seed = 0, "append")
     Similarity.clearCentroidSessionCache() // "restart the session"
+    Similarity.clearServedIndexCaches()
     val trainBefore = Similarity.kMeansTrainCount.get()
     val assignBefore = Similarity.cellAssignCount.get()
     val (cs2, idx2) = Similarity.resolveIvfIndex(spark, dir)
@@ -99,6 +100,7 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
 
     writeBatch(dir, 48 until 64, seed = 1, "append")
     Similarity.clearCentroidSessionCache()
+    Similarity.clearServedIndexCaches()
     ProductQuantization.clearCodebookSessionCache()
     val encodeBefore = IvfPq.encodeCount.get()
     val trainBefore = (Similarity.kMeansTrainCount.get(),
@@ -140,7 +142,10 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
 
     // simulate the crash window: table append committed, sidecar not —
     // roll the sidecar back to the pre-append state and resolve again
-    IndexStore.commitCorpusIndexState("ivf_index", dir, fp0, meta0)
+    // (serve memo dropped so the resolution actually replays)
+    IndexStore.commitCorpusIndexState("ivf_index", dir, fp0, meta0,
+      Similarity.IvfFormat)
+    Similarity.clearServedIndexCaches()
     val (_, replayed) = Similarity.resolveIvfIndex(spark, dir)
     assert(replayed.count() == 64,
       "witness probe must recognize the committed append on replay")
@@ -233,6 +238,7 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
 
     writeBatch(dir, 0 until 64, seed = 4, "overwrite") // content rewritten
     Similarity.clearCentroidSessionCache()
+    Similarity.clearServedIndexCaches()
     val trainBefore = Similarity.kMeansTrainCount.get()
     val (_, idx) = Similarity.resolveIvfIndex(spark, dir)
     assert(Similarity.kMeansTrainCount.get() == trainBefore + 1,

@@ -31,10 +31,12 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
 
   test("IVF centroids: fresh session loads the persisted quantizer, trains zero times") {
     Similarity.clearCentroidSessionCache()
+    Similarity.clearServedIndexCaches()
     val trained = Similarity.kMeansCentroids(spark, Sf) // cold store → trains + saves
     val before = Similarity.kMeansTrainCount.get()
 
     Similarity.clearCentroidSessionCache() // "restart the session"
+    Similarity.clearServedIndexCaches()
     val loaded = Similarity.kMeansCentroids(spark, Sf)
     assert(Similarity.kMeansTrainCount.get() == before,
       "load path must not retrain")
@@ -76,6 +78,7 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
     val q87a = rows("q87_ann_ivfpq")
     // …must survive a session restart served purely from the store
     Similarity.clearCentroidSessionCache()
+    Similarity.clearServedIndexCaches()
     ProductQuantization.clearCodebookSessionCache()
     val before = (Similarity.kMeansTrainCount.get(),
       ProductQuantization.codebookTrainCount.get())
@@ -94,6 +97,7 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
 
     val warm = rows() // encodes + publishes on first store miss
     Similarity.clearCentroidSessionCache()
+    Similarity.clearServedIndexCaches()
     ProductQuantization.clearCodebookSessionCache()
     val before = IvfPq.encodeCount.get()
     assert(rows() == warm,
@@ -109,6 +113,7 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
 
     val warm = rows() // cold store → assigns once + publishes
     Similarity.clearCentroidSessionCache() // "restart the session"
+    Similarity.clearServedIndexCaches()
     val before = Similarity.cellAssignCount.get()
     assert(rows() == warm,
       "served inverted file must be bit-identical to the assignment path")
