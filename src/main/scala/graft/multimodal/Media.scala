@@ -35,9 +35,15 @@ object Media {
       media_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int, sample_rate: Int, duration_ms: Long)
 
+  /** `channels` is the SOURCE channel count the feature pass saw for
+    * decoded audio (2 = the waveform stats describe a stereo payload's
+    * truncating-average mixdown — detectable downstream instead of a
+    * silent collapse); 0 for non-audio and undecoded rows, where no
+    * channel layout was ever parsed.
+    */
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Int, decoded: Boolean,
-      feature: Array[Float])
+      feature: Array[Float], channels: Int)
 
   final case class Frame(
       media_id: Long, frame_idx: Int, ts_ms: Long, frame_bytes: Array[Byte])
@@ -288,10 +294,11 @@ object Media {
   }
 
   /** Decoded audio: mono 16-bit signed samples (multi-channel payloads
-    * are mixed down by truncating-average) plus the source rate.
+    * are mixed down by truncating-average) plus the source rate and the
+    * SOURCE channel count the mixdown collapsed (1 = was already mono).
     */
   private[graft] final case class AudioClip(
-      sampleRate: Float, samples: Array[Int])
+      sampleRate: Float, samples: Array[Int], channels: Int)
 
   /** Raw decoded PCM: 16-bit signed samples interleaved by frame with
     * the CHANNEL LAYOUT PRESERVED, plus rate and channel count — the
@@ -351,7 +358,7 @@ object Media {
         mono(i) = sum / ch
         i += 1
       }
-      AudioClip(pcm.sampleRate, mono)
+      AudioClip(pcm.sampleRate, mono, ch)
     }
 
   /** Real waveform statistics for decoded audio, FeatureDim = 8 wide:
@@ -427,18 +434,21 @@ object Media {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        val real: Option[Array[Float]] = m.kind match {
-          case "image" => decodeImage(m.bytes).map(imageFeatures)
-          case "audio" => decodeAudio(m.bytes).map(audioFeatures)
-          case "video" => videoFeatures(m.bytes)
+        // (feature, source channel count) — channels nonzero only where
+        // a channel layout was actually parsed (decoded audio)
+        val real: Option[(Array[Float], Int)] = m.kind match {
+          case "image" => decodeImage(m.bytes).map(i => (imageFeatures(i), 0))
+          case "audio" =>
+            decodeAudio(m.bytes).map(c => (audioFeatures(c), c.channels))
+          case "video" => videoFeatures(m.bytes).map(f => (f, 0))
           case _ => None
         }
         real match {
-          case Some(feature) => MediaFeatures(
-            m.media_id, m.kind, m.bytes.length, decoded = true, feature)
+          case Some((feature, ch)) => MediaFeatures(
+            m.media_id, m.kind, m.bytes.length, decoded = true, feature, ch)
           case None => MediaFeatures(
             m.media_id, m.kind, m.bytes.length, decoded = false,
-            fakeDecode(m.bytes))
+            fakeDecode(m.bytes), channels = 0)
         }
       }
     }

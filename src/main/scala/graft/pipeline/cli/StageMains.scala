@@ -217,46 +217,60 @@ object CorpusMain {
 }
 
 /** `--data <dir holding an embeddings table> [--refresh true]
-  * [--compact true] [--stream <checkpointDir>]` — ANN index
-  * maintenance, the nightly-cron shape: refresh resolves the corpus
-  * indexes against the dataset's current backing files (identical set
-  * → serve; new files only → assign/encode just those under the
-  * pinned quantizer and append; anything else → full rebuild),
-  * compact rewrites each index back to one file per cell, preserving
-  * the cell partitioning the probe paths prune on. With no flag,
-  * refresh runs. `--stream` instead drains newly landed embedding
-  * files through `streaming.IndexStream` (checkpoint-tracked
-  * catch-up-and-exit, the corpus `--stream` twin for the index side).
+  * [--compact true] [--stream <checkpointDir>]
+  * [--vacuum_stores <maxAgeHours>]` — ANN index maintenance, the
+  * nightly-cron shape: refresh resolves the corpus indexes against
+  * the dataset's current backing files (identical set → serve; new
+  * files only → assign/encode just those under the pinned quantizer
+  * and append; anything else → full rebuild), compact rewrites each
+  * index back to one file per cell, preserving the cell partitioning
+  * the probe paths prune on (the serve path also auto-compacts past a
+  * files-per-partition threshold; the explicit flag remains for
+  * operator-scheduled maintenance). With no flag, refresh runs.
+  * `--stream` instead drains newly landed embedding files through
+  * `streaming.IndexStream` (checkpoint-tracked catch-up-and-exit, the
+  * corpus `--stream` twin for the index side). `--vacuum_stores N`
+  * drops every store key (any kind, any dataset) not committed to in
+  * the last N hours — retention for the derived-state cache, which
+  * otherwise accumulates one entry per dataset fingerprint forever.
   */
 object IndexMain {
   import StageMains._
   def main(args: Array[String]): Unit = withSession { spark =>
     val a = parseArgs(args)
-    val d = required(a, "data")
-    a.get("stream") match {
-      case Some(ckpt) =>
-        val rs = graft.streaming.IndexStream.maintainAvailable(spark, d, ckpt)
-        println(s"[index] stream batches=${rs.size} " +
-          s"ivf=${rs.lastOption.fold(-1L)(_.ivfRows)} " +
-          s"pq=${rs.lastOption.fold(-1L)(_.pqRows)} " +
-          s"lsh=${rs.lastOption.fold(-1L)(_.lshRows)} rows")
-      case None =>
-        if (a.contains("refresh") || !a.contains("compact")) {
-          val (_, ivf) = graft.queries.Similarity.resolveIvfIndex(spark, d)
-          val (_, _, pq) = graft.queries.IvfPq.resolvePqIndex(spark, d)
-          val lsh = graft.queries.Similarity.resolveLshIndex(spark, d)
-          println(s"[index] refreshed ivf=${ivf.count()} pq=${pq.count()} " +
-            s"lsh=${lsh.count()} rows")
-        }
-        if (a.contains("compact")) {
-          val v1 = graft.tables.IndexStore
-            .compactCorpusIndex(spark, "ivf_index", d)
-          val v2 = graft.tables.IndexStore
-            .compactCorpusIndex(spark, "pq_index", d)
-          val v3 = graft.tables.IndexStore
-            .compactCorpusIndex(spark, "lsh_index", d, partitionCol = "bkt")
-          println(s"[index] compacted ivf=$v1 pq=$v2 lsh=$v3")
-        }
+    a.get("vacuum_stores").foreach { hours =>
+      val removed = graft.tables.IndexStore.vacuumStores(
+        (hours.toDouble * 3600 * 1000).toLong)
+      println(s"[index] vacuumed ${removed.size} stale store keys")
+    }
+    // a vacuum-only invocation needs no dataset; anything else does
+    if (!a.contains("vacuum_stores") || a.contains("data")) {
+      val d = required(a, "data")
+      a.get("stream") match {
+        case Some(ckpt) =>
+          val rs = graft.streaming.IndexStream.maintainAvailable(spark, d, ckpt)
+          println(s"[index] stream batches=${rs.size} " +
+            s"ivf=${rs.lastOption.fold(-1L)(_.ivfRows)} " +
+            s"pq=${rs.lastOption.fold(-1L)(_.pqRows)} " +
+            s"lsh=${rs.lastOption.fold(-1L)(_.lshRows)} rows")
+        case None =>
+          if (a.contains("refresh") || !a.contains("compact")) {
+            val (_, ivf) = graft.queries.Similarity.resolveIvfIndex(spark, d)
+            val (_, _, pq) = graft.queries.IvfPq.resolvePqIndex(spark, d)
+            val lsh = graft.queries.Similarity.resolveLshIndex(spark, d)
+            println(s"[index] refreshed ivf=${ivf.count()} pq=${pq.count()} " +
+              s"lsh=${lsh.count()} rows")
+          }
+          if (a.contains("compact")) {
+            val v1 = graft.tables.IndexStore
+              .compactCorpusIndex(spark, "ivf_index", d)
+            val v2 = graft.tables.IndexStore
+              .compactCorpusIndex(spark, "pq_index", d)
+            val v3 = graft.tables.IndexStore
+              .compactCorpusIndex(spark, "lsh_index", d, partitionCol = "bkt")
+            println(s"[index] compacted ivf=$v1 pq=$v2 lsh=$v3")
+          }
+      }
     }
   }
 }

@@ -85,15 +85,31 @@ object Multimodal {
           count(lit(1)).as("n_media"),
           sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
           (sum(when(col("decoded"), 1L).otherwise(0L)).cast("double") /
-            count(lit(1))).as("decode_rate"))
+            count(lit(1))).as("decode_rate"),
+          // channel-layout surfacing: the widest source layout the
+          // decode pass saw, and how many rows' features are a
+          // multi-channel MIXDOWN — a stereo crawl silently collapsing
+          // to mono statistics shows up here, not in the feature values
+          max(col("channels")).as("max_channels"),
+          sum(when(col("channels") > 1, 1L).otherwise(0L))
+            .as("n_mixdown"))
     },
+    // oracle: generated WAVs are mono by construction, so decoded audio
+    // rows carry channels=1 and everything else 0 — max_channels is 1
+    // exactly for audio groups containing a decodable (id%5=0) row, and
+    // n_mixdown is 0 everywhere; an engine that misparses the WAV
+    // header (or starts reporting layouts it never decoded) breaks the
+    // hash compare
     Some("""SELECT source,
               ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
               CAST(count(*) AS BIGINT) AS n_media,
               CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_decoded,
               CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
-                AS DOUBLE) / count(*) AS decode_rate
+                AS DOUBLE) / count(*) AS decode_rate,
+              CAST(max(CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 1
+                THEN 1 ELSE 0 END) AS INTEGER) AS max_channels,
+              CAST(0 AS BIGINT) AS n_mixdown
             FROM documents GROUP BY 1, 2"""),
     "per-source media decode-health audit over real codec passes " +
       "[multimodal,provenance]")

@@ -245,4 +245,92 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
       "a rewritten dataset must retrain, never serve the stale index")
     assert(idx.count() == 64)
   }
+
+  test("crash window with a second batch landing: per-file witness heals exactly") {
+    // The interleaved replay the single-witness scheme got wrong: batch
+    // A's table append commits, the sidecar does NOT (crash), then
+    // batch B lands before the replay. The replay's newFiles span both
+    // batches — a witness drawn from A would skip B (rows silently
+    // never indexed), one drawn from B would double-append A. Per-file
+    // witnesses append exactly the absent files.
+    val dir = java.nio.file.Files.createTempDirectory("incr_ilv").toString
+    writeBatch(dir, 0 until 32, seed = 8, "overwrite")
+    val meta0 = Similarity.embeddingsFileMeta(spark, dir)
+    val fp0 = Similarity.fingerprintOf(dir, meta0)
+    Similarity.resolveIvfIndex(spark, dir)
+
+    writeBatch(dir, 32 until 48, seed = 8, "append") // batch A
+    Similarity.resolveIvfIndex(spark, dir) // A's rows + sidecar commit
+    // roll the sidecar back: the crash-window state (A in table, not
+    // in sidecar)…
+    IndexStore.commitCorpusIndexState("ivf_index", dir, fp0, meta0,
+      Similarity.IvfFormat)
+    writeBatch(dir, 48 until 64, seed = 8, "append") // …then B lands
+    Similarity.clearServedIndexCaches()
+    val assignBefore = Similarity.cellAssignCount.get()
+    val (_, healed) = Similarity.resolveIvfIndex(spark, dir)
+    assert(Similarity.cellAssignCount.get() == assignBefore,
+      "healing must never re-assign the standing corpus")
+    assert(healed.count() == 64, "batch B's rows must be indexed")
+    assert(healed.select("vec_id").distinct().count() == 64,
+      "batch A's rows must not be double-appended")
+  }
+
+  test("delta appends auto-compact: files per cell stay bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("incr_auto").toString
+    writeBatch(dir, 0 until 32, seed = 9, "overwrite")
+    Similarity.resolveIvfIndex(spark, dir)
+    (0 until 6).foreach { b =>
+      writeBatch(dir, (32 + 8 * b) until (40 + 8 * b), seed = 9, "append")
+      Similarity.resolveIvfIndex(spark, dir)
+    }
+    val t = IndexStore.corpusIndexTable(spark, "ivf_index", dir)
+    val perCell = t.currentFiles
+      .groupBy(_.split('/').find(_.startsWith("cell=")).getOrElse(""))
+      .view.mapValues(_.size)
+    assert(perCell.nonEmpty &&
+      perCell.valuesIterator.max <= IndexStore.compactThreshold,
+      s"serve path must keep files/cell <= ${IndexStore.compactThreshold}: " +
+        s"${perCell.toMap}")
+    // compaction rewrote layout only — coverage and values intact
+    assert(t.read.select("vec_id").distinct().count() == 80)
+  }
+
+  test("vacuumStores drops stale store keys and retains fresh ones") {
+    val d1 = java.nio.file.Files.createTempDirectory("incr_gc1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("incr_gc2").toString
+    writeBatch(d1, 0 until 32, seed = 10, "overwrite")
+    writeBatch(d2, 0 until 32, seed = 11, "overwrite")
+    Similarity.resolveIvfIndex(spark, d1)
+    Similarity.resolveIvfIndex(spark, d2)
+
+    // key dir of d1's inverted file, derived from its own data files
+    def keyDir(d: String): java.nio.file.Path = {
+      val f = java.nio.file.Paths.get(
+        IndexStore.corpusIndexTable(spark, "ivf_index", d).currentFiles.head)
+      var p = f
+      while (p.getParent != null &&
+        p.getParent.getFileName.toString != "ivf_index") p = p.getParent
+      p
+    }
+    val stale = keyDir(d1)
+    val fresh = keyDir(d2)
+    // backdate d1's commit markers two days
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    Seq("_LATEST", "state.json").foreach { f =>
+      java.nio.file.Files.setLastModifiedTime(stale.resolve(f), old)
+    }
+
+    val removed = IndexStore.vacuumStores(maxAgeMs = 24L * 3600 * 1000)
+    assert(removed.contains(stale.toString),
+      s"stale key must be vacuumed (removed=$removed)")
+    assert(!java.nio.file.Files.exists(stale))
+    assert(java.nio.file.Files.exists(fresh),
+      "fresh keys must survive retention")
+    // a vacuumed store is derived state: the next resolve rebuilds it
+    Similarity.clearServedIndexCaches()
+    val (_, rebuilt) = Similarity.resolveIvfIndex(spark, d1)
+    assert(rebuilt.count() == 32)
+  }
 }

@@ -136,6 +136,40 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("repeat executions serve the session memo: exactly one resolution per index") {
+    import graft.queries.IvfPq
+    graft.queries.Similarity.clearServedIndexCaches()
+    // first executions populate the memos…
+    SparkEntry.queries("q54_ann_ivf")(spark, Sf).collect()
+    SparkEntry.queries("q39_ann_lsh")(spark, Sf).collect()
+    SparkEntry.queries("q87_ann_ivfpq")(spark, Sf).collect()
+    val counts = () => (Similarity.ivfResolveCount.get(),
+      Similarity.lshResolveCount.get(), IvfPq.pqResolveCount.get())
+    val warm = counts()
+    // …and every later execution over the unchanged dataset — including
+    // the queries that SHARE an index (q62 reads LSH + IVF, q91 reads
+    // IVF) — must be a memo hit: zero further resolutions, i.e. zero
+    // per-execution sidecar/manifest/file-listing work
+    SparkEntry.queries("q54_ann_ivf")(spark, Sf).collect()
+    SparkEntry.queries("q39_ann_lsh")(spark, Sf).collect()
+    SparkEntry.queries("q87_ann_ivfpq")(spark, Sf).collect()
+    SparkEntry.queries("q62_dedup_embedding_ann")(spark, Sf).collect()
+    SparkEntry.queries("q91_index_health")(spark, Sf).collect()
+    assert(counts() == warm,
+      s"repeat executions must not re-resolve: $warm -> ${counts()}")
+  }
+
+  test("q62's nomination reads routing from the stored index, not the raw corpus") {
+    // the multi-probe cell set is a stored column of the inverted file;
+    // a warm q62 run must perform zero full-corpus assignment passes
+    // (and, per the memo test above, zero re-resolutions)
+    SparkEntry.queries("q62_dedup_embedding_ann")(spark, Sf).collect()
+    val assigns = Similarity.cellAssignCount.get()
+    SparkEntry.queries("q62_dedup_embedding_ann")(spark, Sf).collect()
+    assert(Similarity.cellAssignCount.get() == assigns,
+      "warm q62 must not re-assign cells for the standing corpus")
+  }
+
   test("a load against a different fingerprint misses (stale index never served)") {
     // a rewritten dataset changes the fingerprint → different key → miss
     assert(IndexStore.loadCentroids(spark, "fp-of-some-other-dataset",

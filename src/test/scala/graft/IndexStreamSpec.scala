@@ -115,6 +115,35 @@ class IndexStreamSpec extends AnyFunSuite with SparkSpec {
       "replay through a fresh checkpoint must not duplicate rows")
   }
 
+  test("a long ingest keeps probe reads bounded: stream maintenance auto-compacts") {
+    import graft.tables.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("idxstream_cmp").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("idxstream_cmp_ck").toString
+    writeBatch(dir, 0 until 32, seed = 15, "overwrite")
+    IndexStream.maintainAvailable(spark, dir, ckpt)
+    (0 until 5).foreach { b =>
+      writeBatch(dir, (32 + 8 * b) until (40 + 8 * b), seed = 15, "append")
+      IndexStream.maintainAvailable(spark, dir, ckpt)
+    }
+    // 6 ingest batches through the stream: without compaction each
+    // touched partition would hold up to 6 files; the delta path's
+    // threshold compaction (which streaming rides) must keep every
+    // index's per-partition file count bounded
+    for ((kind, pcol) <- Seq("ivf_index" -> "cell", "pq_index" -> "cell",
+        "lsh_index" -> "bkt")) {
+      val t = IndexStore.corpusIndexTable(spark, kind, dir)
+      val perPart = t.currentFiles
+        .groupBy(_.split('/').find(_.startsWith(pcol + "=")).getOrElse(""))
+        .view.mapValues(_.size)
+      assert(perPart.nonEmpty &&
+        perPart.valuesIterator.max <= IndexStore.compactThreshold,
+        s"$kind files/partition exceeded ${IndexStore.compactThreshold}: " +
+          s"max=${perPart.valuesIterator.max}")
+    }
+    assert(Similarity.resolveIvfIndex(spark, dir)._2.count() == 72)
+  }
+
   test("IndexMain --stream drives the drain end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("idxstream_cli").toString
     val ckpt = java.nio.file.Files

@@ -156,7 +156,10 @@ class MediaCodecSpec extends AnyFunSuite with SparkSpec {
     assert(feats(1L).decoded)
     assert(feats(1L).feature.toSeq ==
       Seq(0.5f, 0.5f, 0.5f, 0f, 0.25f, 0.25f, 0.25f, 0.25f))
+    assert(feats(1L).channels == 1, "mono source must report 1 channel")
     assert(!feats(2L).decoded)
+    assert(feats(2L).channels == 0,
+      "undecoded row never parsed a channel layout")
   }
 
   test("alternating-sign WAV: zero-crossing rate is exactly 1") {
@@ -180,6 +183,8 @@ class MediaCodecSpec extends AnyFunSuite with SparkSpec {
       .collect().head
     assert(f.decoded)
     assert(f.feature(0) == 1500f / 32768f && f.feature(2) == 1500f / 32768f)
+    assert(f.channels == 2,
+      "mixed-down stereo must surface its source channel count")
   }
 
   test("resampleAudio preserves the channel layout: stereo stays stereo, per-channel exact") {
