@@ -249,25 +249,43 @@ object IndexStore {
     }
 
   /** Delta appends accumulate one file per touched partition per batch;
-    * past this many files in any one partition the resolve path
-    * compacts before serving (overridable for tests via the
-    * `graft.index.compact.threshold` system property). 4 bounds a
-    * probe's per-file open overhead at 4x the compacted read while
-    * keeping compaction — a full index rewrite — rare: one every ~4
-    * ingest batches, amortized O(1) rewrites per row appended.
+    * past this many files in any one partition the resolve path folds
+    * that partition's delta tier before serving (overridable for tests
+    * via the `graft.index.compact.threshold` system property). 4
+    * bounds a probe's per-file open overhead at ~4x the compacted read
+    * while keeping the fold — which pays only the DELTA tier's bytes,
+    * never the base file's (see [[maybeCompactCorpusIndex]]) — down to
+    * one every ~4 ingest batches.
     */
   private[graft] def compactThreshold: Int =
     sys.props.get("graft.index.compact.threshold").map(_.toInt).getOrElse(4)
 
-  /** Compact iff some partition of the standing index holds more than
-    * [[compactThreshold]] files — called from the delta-append serve
-    * path (and therefore from streaming maintenance, which rides the
-    * same path), so a long-running ingest can never degrade probe
-    * reads indefinitely. File counts come from the current manifest
-    * (driver-side strings, no data read); partition identity is the
-    * `col=value` path segment, so files of the same cell in DIFFERENT
-    * append-version dirs count toward one partition — exactly the set
-    * a probe of that cell must open.
+  /** TIERED compaction, triggered when some partition of the standing
+    * index holds more than [[compactThreshold]] files — called from
+    * the delta-append serve path (and therefore from streaming
+    * maintenance, which rides the same path), so a long-running
+    * ingest can never degrade probe reads indefinitely. File counts
+    * come from the current manifest (driver-side strings, no data
+    * read); partition identity is the `col=value` path segment, so
+    * files of the same cell in DIFFERENT append-version dirs count
+    * toward one partition — exactly the set a probe of that cell must
+    * open.
+    *
+    * Tiering is the part that survives 100 TB: in each over-threshold
+    * partition, only the SMALL files — everything but the largest —
+    * are folded into one file; the largest file (the standing base,
+    * which dominates the bytes) is carried by reference, never
+    * re-read or re-written. A full rewrite per trigger would pay
+    * O(index) I/O every ~threshold ingests — compaction cost would
+    * dwarf ingest cost at scale; folding deltas pays only the delta
+    * tier's bytes. A folded delta that outgrows the base simply
+    * BECOMES the largest file and stops being rewritten — the
+    * two-tier analog of size-tiered LSM compaction, without the level
+    * bookkeeping. Partitions at or under the threshold are left
+    * completely untouched. The fold is followed by `vacuum(1)`
+    * (compaction is exactly when superseded-version history piles
+    * up); surviving files are still referenced by the new manifest
+    * and survive the vacuum.
     */
   private[graft] def maybeCompactCorpusIndex(spark: SparkSession,
       kind: String, d: String,
@@ -277,11 +295,31 @@ object IndexStore {
       if (!t.exists) None
       else {
         val prefix = partitionCol + "="
-        val perPartition = t.currentFiles
-          .groupBy(_.split('/').find(_.startsWith(prefix)).getOrElse(""))
-        if (perPartition.valuesIterator.exists(_.size > compactThreshold))
-          compactCorpusIndex(spark, kind, d, partitionCol)
-        else None
+        // absolute path ↔ manifest key ("dir/file" under the data root)
+        val abs = t.currentFiles
+        val dataRoot = java.nio.file.Paths.get(s"${t.rootPath}/d")
+        def manifestKey(p: String): String =
+          dataRoot.relativize(java.nio.file.Paths.get(p)).toString
+        val perPartition = abs.groupBy(
+          _.split('/').find(_.startsWith(prefix)).getOrElse(""))
+        val victims = perPartition.valuesIterator
+          .filter(_.size > compactThreshold)
+          .flatMap { files =>
+            // fold everything but the largest (ties → name, for
+            // determinism); the base file is never rewritten
+            val sized = files.map(f =>
+              f -> (try java.nio.file.Files.size(
+                java.nio.file.Paths.get(f)) catch { case _: Exception => 0L }))
+            val base = sized.maxBy { case (f, sz) => (sz, f) }._1
+            files.filterNot(_ == base)
+          }
+          .map(manifestKey).toSet
+        if (victims.isEmpty) None
+        else {
+          val v = t.replaceFiles(victims, partitionBy = Seq(partitionCol))
+          if (v.nonEmpty) t.vacuum(1)
+          v
+        }
       }
     } catch {
       case scala.util.control.NonFatal(e) =>

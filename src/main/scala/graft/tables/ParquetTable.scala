@@ -53,6 +53,12 @@ import org.apache.spark.sql.functions.{col, count, count_distinct, input_file_na
 final class ParquetTable(spark: SparkSession, root: String,
     statsColumns: Seq[String] = Nil) {
 
+  /** The table's root directory (spec/maintenance aid — lets callers
+    * map the absolute paths of [[currentFiles]] back to manifest
+    * "dir/file" keys).
+    */
+  private[graft] def rootPath: String = root
+
   private def pointerPath: Path = Paths.get(root, "_LATEST")
   private def committedLogPath: Path = Paths.get(root, "_COMMITTED")
   private def manifestDir: Path = Paths.get(root, "m")
@@ -384,6 +390,49 @@ final class ParquetTable(spark: SparkSession, root: String,
     val cols = clusterBy.map(col)
     overwrite(read.repartitionByRange(targetFiles, cols: _*)
       .sortWithinPartitions(cols: _*), Nil)
+  }
+
+  /** Targeted file replacement: rewrite exactly the `victims`
+    * ("dir/file" manifest keys) into one fresh data dir and commit a
+    * version that carries every OTHER file by reference — the
+    * primitive under tiered compaction, where the point is to fold a
+    * partition's small delta files together WITHOUT ever re-reading or
+    * re-writing its large base file (a full `compact` rewrites the
+    * whole table; at scale the base dominates the bytes and must stay
+    * untouched). When `partitionBy` is non-empty the victim rows are
+    * repartitioned on those columns before the write, so the fold
+    * emits exactly one file per touched partition value. Victim rows
+    * are read with per-dir basePath (partition columns re-inferred),
+    * so the rewritten files land under the same `k=v` layout. Stats
+    * records for surviving files carry over; the new files get fresh
+    * stats. Returns None (no commit) when no victim actually exists in
+    * the current manifest. Readers of prior versions are never
+    * disturbed; reclaiming the replaced files is `vacuum`'s job.
+    */
+  private[graft] def replaceFiles(victims: Set[String],
+      partitionBy: Seq[String] = Nil): Option[Long] = {
+    val cur = latestVersion.getOrElse(return None)
+    val entries = readManifest(cur)
+    val (victimEntries, keptEntries) = (
+      entries.map { case (d, fs) =>
+        d -> fs.filter(f => victims.contains(s"$d/$f"))
+      }.filter(_._2.nonEmpty),
+      entries.map { case (d, fs) =>
+        d -> fs.filterNot(f => victims.contains(s"$d/$f"))
+      }.filter(_._2.nonEmpty))
+    if (victimEntries.isEmpty) return None
+    val rows = readEntries(victimEntries)
+    val folded =
+      if (partitionBy.isEmpty) rows
+      else rows.repartition(partitionBy.map(col): _*)
+    val v = nextVersion
+    val (entry, newStats) = writeData(folded, partitionBy, v)
+    val keptFiles = keptEntries.flatMap { case (d, fs) =>
+      fs.map(f => s"$d/$f")
+    }.toSet
+    commit(v, keptEntries :+ entry,
+      readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap ++ newStats)
+    Some(v)
   }
 
   /** Keyed upsert — the reference's Delta MERGE

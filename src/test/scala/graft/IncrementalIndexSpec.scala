@@ -296,6 +296,47 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
     assert(t.read.select("vec_id").distinct().count() == 80)
   }
 
+  test("auto-compaction is TIERED: folds the delta files, carries the base by reference") {
+    // a full rewrite per trigger would pay O(index) I/O every
+    // ~threshold ingests — at scale, compaction would dwarf ingest.
+    // The fold must leave every partition with at least one file from
+    // an OLD data dir (the carried base); a full rewrite leaves every
+    // file in the fold's own (newest) data dir.
+    val saved = sys.props.get("graft.index.compact.threshold")
+    sys.props("graft.index.compact.threshold") = "2"
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("incr_tier").toString
+      writeBatch(dir, 0 until 256, seed = 12, "overwrite") // base build
+      Similarity.resolveIvfIndex(spark, dir)
+      (0 until 3).foreach { b => // three tiny ingests: crosses threshold 2
+        writeBatch(dir, (256 + 4 * b) until (260 + 4 * b), seed = 12, "append")
+        Similarity.resolveIvfIndex(spark, dir)
+      }
+      val t = IndexStore.corpusIndexTable(spark, "ivf_index", dir)
+      val files = t.currentFiles
+      def dataDirNum(f: String): Long = {
+        val parts = f.split('/')
+        parts(parts.indexOf("d") + 1).stripPrefix("v").toLong
+      }
+      val newest = files.map(dataDirNum).max
+      val perCell = files.groupBy(
+        _.split('/').find(_.startsWith("cell=")).getOrElse(""))
+      assert(perCell.valuesIterator.map(_.size).max <= 2,
+        "fold must restore the files-per-partition bound")
+      perCell.foreach { case (cell, fs) =>
+        assert(fs.exists(f => dataDirNum(f) != newest),
+          s"$cell holds only newest-dir files — the base was rewritten")
+      }
+      // coverage and values intact across base + 3 ingests
+      assert(t.read.select("vec_id").distinct().count() == 268)
+    } finally {
+      saved match {
+        case Some(v) => sys.props("graft.index.compact.threshold") = v
+        case None => sys.props -= "graft.index.compact.threshold"
+      }
+    }
+  }
+
   test("vacuumStores drops stale store keys and retains fresh ones") {
     val d1 = java.nio.file.Files.createTempDirectory("incr_gc1").toString
     val d2 = java.nio.file.Files.createTempDirectory("incr_gc2").toString
