@@ -1228,6 +1228,54 @@ object Similarity {
                   (SELECT COUNT(DISTINCT cell) FROM emitted)"""),
     "IVF index health: per-cell occupancy + balance [similarity]")
 
+  /** q92: q91's health audit for the LSH bucket table — per-bucket
+    * occupancy, fraction, and balance over the persisted (vec_id, bkt)
+    * index. The production signal is the same (hot buckets = probe
+    * latency variance) but the remedy differs: LSH has no quantizer to
+    * retrain — persistent skew means the plane count/bit depth is
+    * mis-sized for the corpus (or the embeddings aren't centered), and
+    * the fix is a scheme-version bump that rebuilds every bucket
+    * table. Same bounded plan as q91: one keyed aggregate with
+    * map-side partials (at most L x 2^k = 256 groups), then a global
+    * window over the aggregate rows.
+    *
+    * Derived oracle (q91's pattern): frac/balance are single IEEE
+    * divisions of exactly-represented integers, re-derived from the
+    * emitted counts; the coverage guard pins sum(n_vectors) to
+    * NumTables x corpus rows — a vector missing from (or duplicated
+    * in) any table fails the compare — and buckets must be distinct.
+    */
+  private val q92 = QueryDef(
+    (s, d) => {
+      val idx = resolveLshIndex(s, d)
+      val w = Window.partitionBy()
+      val tot = sum(col("n_vectors")).over(w)
+      val cnt = count(lit(1)).over(w)
+      idx.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .select(col("bkt"), col("n_vectors"),
+          (col("n_vectors").cast("double") / tot.cast("double"))
+            .as("frac"),
+          ((col("n_vectors") * cnt).cast("double") / tot.cast("double"))
+            .as("balance"))
+    },
+    Some(s"""WITH emitted AS (
+              SELECT bkt, n_vectors
+              FROM read_parquet('${graft.QueryDef.OutDirToken}/q92_lsh_health/*.parquet')
+            ), tot AS (
+              SELECT CAST(SUM(n_vectors) AS BIGINT) AS st,
+                CAST(COUNT(*) AS BIGINT) AS c FROM emitted
+            )
+            SELECT e.bkt, e.n_vectors,
+              CAST(e.n_vectors AS DOUBLE) / CAST(t.st AS DOUBLE) AS frac,
+              CAST(e.n_vectors * t.c AS DOUBLE) / CAST(t.st AS DOUBLE)
+                AS balance
+            FROM emitted e, tot t
+            WHERE t.st = $NumTables * (SELECT COUNT(*) FROM embeddings)
+              AND (SELECT COUNT(*) FROM emitted) =
+                  (SELECT COUNT(DISTINCT bkt) FROM emitted)"""),
+    "LSH index health: per-bucket occupancy + balance [similarity]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
     "q39_ann_lsh" -> q39,
@@ -1235,5 +1283,6 @@ object Similarity {
     "q54_ann_ivf" -> q54,
     "q62_dedup_embedding_ann" -> q62,
     "q68_embedding_quantize" -> q68,
-    "q91_index_health" -> q91)
+    "q91_index_health" -> q91,
+    "q92_lsh_health" -> q92)
 }

@@ -343,11 +343,20 @@ object IndexStore {
     */
   private[graft] def filesNeedingAppend(spark: SparkSession,
       t: ParquetTable, newFiles: Seq[String]): Seq[String] = {
-    import org.apache.spark.sql.functions.col
-    val witnesses: Seq[(String, Long)] = newFiles.flatMap { f =>
-      spark.read.parquet(f).select(col("vec_id")).limit(1).collect()
-        .headOption.map(r => f -> r.getLong(0))
-    }
+    import org.apache.spark.sql.functions.{col, input_file_name, min}
+    if (newFiles.isEmpty) return Nil
+    // one aggregate job collects every file's witness (its min vec_id)
+    // — not one driver job per file, which at a production ingest of
+    // hundreds of part files per batch is hundreds of sequential jobs
+    def norm(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val byPath = newFiles.map(f => norm(f) -> f).toMap
+    val witnesses: Seq[(String, Long)] =
+      spark.read.parquet(newFiles: _*)
+        .select(input_file_name().as("f"), col("vec_id"))
+        .groupBy(col("f")).agg(min(col("vec_id")).as("w"))
+        .collect().toSeq
+        .flatMap(r => byPath.get(norm(r.getString(0))).map(_ -> r.getLong(1)))
     if (witnesses.isEmpty || !t.exists) witnesses.map(_._1)
     else {
       val present = t.read

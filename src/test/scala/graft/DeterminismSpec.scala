@@ -28,7 +28,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q87_ann_ivfpq", "q88_label_agreement", "q89_label_noise",
     // r7 additions: simhash pair set + per-pair Jaccard verification
     // joins, per-source decode-health aggregate over real codec passes
-    "q37_dedup_simhash", "q90_media_decode_health", "q91_index_health")
+    "q37_dedup_simhash", "q90_media_decode_health", "q91_index_health",
+    // r8 addition: bucket-table health aggregate over the served index
+    "q92_lsh_health")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

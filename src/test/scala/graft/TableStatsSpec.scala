@@ -163,4 +163,34 @@ class TableStatsSpec extends AnyFunSuite with SparkSpec {
     assert(t.lastMergeScannedFiles.size <= 4)
     assert(t.read.count() == 500)
   }
+
+  test("replaceFiles rewrites exactly the victims, carries the rest by reference") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmp()}/t")
+    // base + two appends, partitioned: 3 files per touched partition
+    def batch(r: Range) = r.map(i => (i, i % 4, s"v$i")).toDF("k", "p", "v")
+    t.overwrite(batch(0 until 200), partitionBy = Seq("p"))
+    val baseFiles = t.currentFiles.toSet
+    t.append(batch(200 until 240), partitionBy = Seq("p"))
+    t.append(batch(240 until 280), partitionBy = Seq("p"))
+    val before = t.read.orderBy("k").collect().toSeq
+    // victims: every file NOT in the base write (the two appends)
+    val dataRoot = java.nio.file.Paths.get(s"${t.rootPath}/d")
+    val victims = t.currentFiles.filterNot(baseFiles.contains)
+      .map(f => dataRoot.relativize(java.nio.file.Paths.get(f)).toString)
+      .toSet
+    assert(victims.nonEmpty)
+    assert(t.replaceFiles(victims, partitionBy = Seq("p")).nonEmpty)
+    val after = t.currentFiles.toSet
+    // base files survive at their ORIGINAL paths (by reference, no
+    // rewrite); the fold emits one file per touched partition
+    assert(baseFiles.subsetOf(after), "base files must be carried by reference")
+    assert((after -- baseFiles).size == 4,
+      s"expected one folded file per partition, got ${after -- baseFiles}")
+    assert(t.read.orderBy("k").collect().toSeq == before,
+      "row identity must survive the fold")
+    // replacing nothing that exists is a no-commit no-op
+    assert(t.replaceFiles(Set("vX/doesnotexist.parquet"),
+      partitionBy = Seq("p")).isEmpty)
+  }
 }
