@@ -100,12 +100,15 @@ object IndexStore {
         val rows = t.read.collect()
         if (rows.isEmpty || rows.length > k ||
             rows.exists(_.getString(0) != fp)) None
-        else Some(rows
-          .map { r =>
-            val c = r.getSeq[Double](2).toArray
-            (r.getLong(1), c, math.sqrt(c.map(x => x * x).sum))
-          }
-          .sortBy(_._1))
+        else {
+          touchServed(java.nio.file.Paths.get(t.rootPath))
+          Some(rows
+            .map { r =>
+              val c = r.getSeq[Double](2).toArray
+              (r.getLong(1), c, math.sqrt(c.map(x => x * x).sum))
+            }
+            .sortBy(_._1))
+        }
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -155,6 +158,24 @@ object IndexStore {
   private def dirKey(kind: String, d: String): String =
     key(d, kind, "part=cell", "scheme=dir")
 
+  /** Refresh a store key's `.last_served` marker (best-effort, one
+    * empty-file write). Retention by COMMIT age alone would vacuum the
+    * index of a stable dataset that is served daily but never updated
+    * — and at scale a vacuumed corpus index is an expensive rebuild —
+    * so every successful load/resolve touches the marker and
+    * [[vacuumStores]] keys retention off the newest of commit and
+    * serve. Memoized serve-path hits skip the touch along with all
+    * other filesystem work; the uncached resolution each session is
+    * enough to keep an actively-served key alive.
+    */
+  private def touchServed(keyDir: java.nio.file.Path): Unit =
+    try {
+      java.nio.file.Files.createDirectories(keyDir)
+      java.nio.file.Files.write(keyDir.resolve(".last_served"),
+        Array.emptyByteArray)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private def statePath(kind: String, d: String): java.nio.file.Path =
     java.nio.file.Paths.get(s"$root/$kind/${dirKey(kind, d)}/state.json")
 
@@ -196,6 +217,7 @@ object IndexStore {
             stored.exists { case (p, m) => current.get(p) != Some(m) })
           CorpusIndexMiss
         else {
+          touchServed(statePath(kind, d).getParent)
           val fresh = (current.keySet -- stored.keySet).toSeq.sorted
           if (fresh.isEmpty) CorpusIndexHit(qfp)
           else CorpusIndexDelta(qfp, fresh)
@@ -368,16 +390,17 @@ object IndexStore {
   }
 
   /** Store retention: drop every store key (one `<root>/<kind>/<key>`
-    * table dir) whose last COMMIT — the newest mtime among its
-    * `_LATEST` pointer and `state.json` sidecar — is older than
+    * table dir) whose last USE — the newest mtime among its `_LATEST`
+    * pointer, `state.json` sidecar, and `.last_served` marker (touched
+    * on every successful load/uncached resolve) — is older than
     * `maxAgeMs`. The store accumulates one keyed entry per dataset
-    * fingerprint forever otherwise (every regenerated test dataset, every
-    * rewritten table leaves an orphan); each entry is derived state a
-    * later session can always rebuild, so age-based deletion is safe by
-    * construction. Serves never refresh mtimes — this is commit-age GC,
-    * the right bound for a cache whose entries stop being committed to
-    * exactly when their dataset stops existing. Returns the deleted
-    * store dirs.
+    * fingerprint forever otherwise (every regenerated test dataset,
+    * every rewritten table leaves an orphan); each entry is derived
+    * state a later session can always rebuild, so age-based deletion
+    * is safe by construction — and serve-age (not just commit-age)
+    * retention keeps the index of a STABLE dataset alive while it is
+    * actively queried, instead of forcing a periodic rebuild of an
+    * index whose data never changes. Returns the deleted store dirs.
     */
   private[graft] def vacuumStores(maxAgeMs: Long): Seq[String] = {
     val now = System.currentTimeMillis()
@@ -399,9 +422,8 @@ object IndexStore {
       Option(kindDir.listFiles()).map(_.toSeq.filter(_.isDirectory))
         .getOrElse(Nil)
         .filter { keyDir =>
-          val last = math.max(
-            mtime(keyDir.toPath.resolve("_LATEST")),
-            mtime(keyDir.toPath.resolve("state.json")))
+          val last = Seq("_LATEST", "state.json", ".last_served")
+            .map(f => mtime(keyDir.toPath.resolve(f))).max
           last != Long.MinValue && now - last > maxAgeMs
         }
         .map { keyDir =>
@@ -484,8 +506,11 @@ object IndexStore {
             .groupBy(_._1)
           val sizes = bySub.values.map(_.length).toSet
           if (bySub.keySet != (0 until m).toSet || sizes.size != 1) None
-          else Some(Array.tabulate(m)(mi =>
-            bySub(mi).sortBy(_._2).map(_._3)))
+          else {
+            touchServed(java.nio.file.Paths.get(t.rootPath))
+            Some(Array.tabulate(m)(mi =>
+              bySub(mi).sortBy(_._2).map(_._3)))
+          }
         }
       }
     } catch {

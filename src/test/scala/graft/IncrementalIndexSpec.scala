@@ -356,19 +356,25 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
     }
     val stale = keyDir(d1)
     val fresh = keyDir(d2)
-    // backdate d1's commit markers two days
+    // backdate every use marker of BOTH keys two days…
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 48L * 3600 * 1000)
-    Seq("_LATEST", "state.json").foreach { f =>
-      java.nio.file.Files.setLastModifiedTime(stale.resolve(f), old)
+    for (dir <- Seq(stale, fresh); f <- Seq("_LATEST", "state.json",
+        ".last_served") if java.nio.file.Files.exists(dir.resolve(f))) {
+      java.nio.file.Files.setLastModifiedTime(dir.resolve(f), old)
     }
+    // …then SERVE d2: retention is by last use, not last commit — the
+    // index of a stable dataset that is queried daily but never
+    // updated must survive (an uncached resolve touches .last_served)
+    Similarity.clearServedIndexCaches()
+    Similarity.resolveIvfIndex(spark, d2)
 
     val removed = IndexStore.vacuumStores(maxAgeMs = 24L * 3600 * 1000)
     assert(removed.contains(stale.toString),
       s"stale key must be vacuumed (removed=$removed)")
     assert(!java.nio.file.Files.exists(stale))
     assert(java.nio.file.Files.exists(fresh),
-      "fresh keys must survive retention")
+      "a recently-SERVED key must survive retention even with old commits")
     // a vacuumed store is derived state: the next resolve rebuilds it
     Similarity.clearServedIndexCaches()
     val (_, rebuilt) = Similarity.resolveIvfIndex(spark, d1)
