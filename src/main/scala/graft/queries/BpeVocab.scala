@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import graft.functions.Text._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE vocabulary learning over the `documents` table — the tokenizer-
+  * training operator of a training-data pipeline: learn the first N
+  * byte-pair merges from corpus word frequencies (Sennrich et al. 2016,
+  * the algorithm under GPT-2/SentencePiece-BPE vocabularies).
+  *
+  * Scale design mirrors the real trainers: the corpus is first reduced
+  * DISTRIBUTED to the word-TYPE frequency table (one map-side-combined
+  * aggregation — the only pass over the 100 TB text), because the merge
+  * loop's cost depends on distinct word types, which grow sublinearly
+  * (Heaps' law: a web-scale corpus has ~10^7 types for ~10^12 tokens).
+  * Under [[DriverTypeCap]] types the merge loop runs exactly on the
+  * driver over the type table — what GPT-2's and SentencePiece's
+  * trainers do after their own corpus reduction. Above the cap the loop
+  * runs as distributed pair-count aggregations (2 tiny jobs per merge),
+  * bit-identical to the local path (BpeVocabSpec pins the equivalence).
+  *
+  * Determinism: each merge picks (count desc, lhs asc, rhs asc) — a
+  * total order both paths and the oracle agree on.
+  */
+object BpeVocab {
+
+  private[graft] val NumMerges = 30
+  private[graft] val EndMark = "</w>"
+
+  /** Above this many word TYPES the merge loop stays distributed. The
+    * driver table at the cap is ~tens of MB — far under driver memory —
+    * while covering corpora well past the test scale; the distributed
+    * path exists for the 100 TB tail (and is spec-pinned identical).
+    */
+  private[graft] val DriverTypeCap = 2000000L
+
+  /** One learned merge: rank (1-based), the merged symbol pair, the
+    * pair's weighted count at merge time, and the vocabulary size after
+    * the merge (initial distinct symbols + rank).
+    */
+  private[graft] final case class Merge(
+      merge_rank: Int, lhs: String, rhs: String, merged: String,
+      pair_n: Long, vocab_size: Int)
+
+  /** Distributed word-type frequency reduction — the only full-corpus
+    * pass. Local per-doc counting (narrow) feeds a term-keyed aggregate
+    * with map-side partials.
+    */
+  private[graft] def wordTypes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    load(s, d, "documents")
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (_, w) =>
+          val counts = new java.util.LinkedHashMap[String, Long]()
+          w.foreach(t => counts.merge(t, 1L, _ + _))
+          val it = counts.entrySet().iterator()
+          new Iterator[(String, Long)] {
+            def hasNext = it.hasNext
+            def next() = { val e = it.next(); (e.getKey, e.getValue) }
+          }
+        }
+      }
+      .toDF("term", "n")
+      .groupBy("term").agg(sum("n").as("n"))
+  }
+
+  /** A word type as its initial symbol sequence: characters plus the
+    * end-of-word marker (so merges can learn word-final units — the
+    * standard BPE formulation).
+    */
+  private def symbols(term: String): Array[String] =
+    term.toCharArray.map(_.toString) :+ EndMark
+
+  /** Exact driver-local merge loop over the collected type table. */
+  private[graft] def mergesLocal(
+      types: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+    val seqs: Array[(Array[String], Long)] =
+      types.map { case (t, n) => (symbols(t), n) }
+    val baseVocab: Int = {
+      val set = new java.util.HashSet[String]()
+      seqs.foreach(_._1.foreach(set.add))
+      set.size
+    }
+    val out = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      seqs.foreach { case (sq, n) =>
+        var i = 0
+        while (i < sq.length - 1) {
+          counts.merge((sq(i), sq(i + 1)), n, _ + _); i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+        }
+        val ((l, r), c) = best
+        var i = 0
+        while (i < seqs.length) {
+          seqs(i) = (applyMerge(seqs(i)._1, l, r), seqs(i)._2); i += 1
+        }
+        out += Merge(rank, l, r, l + r, c, baseVocab + rank)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Left-to-right single-pass pair replacement (the standard BPE merge
+    * application: after merging at i, scanning resumes at i+2, so
+    * "aaa" under merge (a,a) becomes ["aa","a"]).
+    */
+  private[graft] def applyMerge(
+      sq: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < sq.length) {
+      if (i < sq.length - 1 && sq(i) == l && sq(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += sq(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Distributed merge loop: the type table stays a Dataset; each merge
+    * is one pair-count aggregation + a 1-row collect, then a narrow map
+    * applies the merge. Each iteration re-materializes (localCheckpoint)
+    * so the 30-deep lineage never re-executes from the scan.
+    */
+  private[graft] def mergesDistributed(
+      s: SparkSession, types: DataFrame, nMerges: Int): Seq[Merge] = {
+    import s.implicits._
+    var ds = types.as[(String, Long)]
+      .map { case (t, n) => (symbols(t).toSeq, n) }
+      .toDF("s", "n").localCheckpoint()
+    val baseVocab = ds.select(explode(col("s")).as("c"))
+      .agg(count_distinct(col("c"))).collect()(0).getLong(0).toInt
+    val out = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = ds.as[(Seq[String], Long)]
+        .flatMap { case (sq, n) =>
+          (0 until sq.length - 1).iterator.map(i => (sq(i), sq(i + 1), n))
+        }
+        .toDF("l", "r", "n")
+        .groupBy("l", "r").agg(sum("n").as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val next = ds.as[(Seq[String], Long)]
+          .map { case (sq, n) => (applyMerge(sq.toArray, l, r).toSeq, n) }
+          .toDF("s", "n").localCheckpoint()
+        ds.unpersist()
+        ds = next
+        out += Merge(rank, l, r, l + r, c, baseVocab + rank)
+        rank += 1
+      }
+    }
+    ds.unpersist()
+    out.result()
+  }
+
+  /** The operator: reduce to word types, then learn `nMerges` merges on
+    * whichever path the type cardinality calls for.
+    */
+  private[graft] def bpeMerges(s: SparkSession, d: String,
+      nMerges: Int = NumMerges,
+      driverCap: Long = DriverTypeCap): DataFrame = {
+    import s.implicits._
+    val types = wordTypes(s, d)
+    val merges =
+      if (types.count() <= driverCap)
+        mergesLocal(
+          types.as[(String, Long)].collect().sortBy(_._1), nMerges)
+      else mergesDistributed(s, types, nMerges)
+    s.createDataFrame(merges)
+      .select(col("merge_rank"), col("lhs"), col("rhs"), col("merged"),
+        col("pair_n"), col("vocab_size"))
+  }
+
+  // DuckDB mirrors of the Text.scala primitives.
+  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val WordsSql = s"string_split($NormSql, ' ')"
+
+  /** Derived oracle (QueryDef.OutDirToken pattern): the merge LOOP is
+    * not SQL-expressible, but DuckDB can fully re-derive the rank-1
+    * merge from the source corpus (weighted adjacent-pair count over
+    * the word-type symbol table, same total order) and re-derive the
+    * structural columns of EVERY row (merged = lhs || rhs, vocab_size =
+    * base vocabulary + rank). A wrong first merge, a malformed merged
+    * symbol, or a drifted vocab accounting all hash-mismatch; the inner
+    * ranks' exact pair counts are pinned by BpeVocabSpec's hand-computed
+    * corpus and the local-vs-distributed equivalence test.
+    */
+  private val q94 = QueryDef(
+    (s, d) => bpeMerges(s, d),
+    Some(s"""WITH emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q94_bpe_merges/*.parquet')
+            ), t AS (
+              SELECT $WordsSql AS w FROM documents
+            ), wocc AS (
+              SELECT unnest(w) AS term FROM t
+            ), wt AS (
+              SELECT term, count(*) AS n FROM wocc GROUP BY 1
+            ), sym AS (
+              SELECT n, list_append(regexp_extract_all(term, '.'), '$EndMark') AS s
+              FROM wt
+            ), pairs AS (
+              SELECT n, unnest(
+                [{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p
+              FROM sym
+            ), pcnt AS (
+              SELECT p.l AS l, p.r AS r, sum(n) AS cnt
+              FROM pairs GROUP BY 1, 2
+            ), best AS (
+              SELECT l, r, cnt FROM pcnt
+              ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+            ), basev AS (
+              SELECT count(DISTINCT c) AS base
+              FROM (SELECT unnest(s) AS c FROM sym)
+            )
+            SELECT e.merge_rank,
+              CASE WHEN e.merge_rank = 1 THEN (SELECT l FROM best)
+                   ELSE e.lhs END AS lhs,
+              CASE WHEN e.merge_rank = 1 THEN (SELECT r FROM best)
+                   ELSE e.rhs END AS rhs,
+              CASE WHEN e.merge_rank = 1
+                   THEN (SELECT l || r FROM best)
+                   ELSE e.lhs || e.rhs END AS merged,
+              CAST(CASE WHEN e.merge_rank = 1 THEN (SELECT cnt FROM best)
+                        ELSE e.pair_n END AS BIGINT) AS pair_n,
+              CAST((SELECT base FROM basev) + e.merge_rank AS INTEGER)
+                AS vocab_size
+            FROM emitted e"""),
+    s"first $NumMerges learned BPE merges over corpus word types " +
+      "[text-analysis,tokenizer]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q94_bpe_merges" -> q94)
+}

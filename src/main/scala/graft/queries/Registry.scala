@@ -12,5 +12,6 @@ object Registry {
       Multimodal.all ++ ApproxOps.all ++ Advanced.all ++ Temporal.all ++
       TextClean.all ++ Profiling.all ++ DedupClusters.all ++
       Packing.all ++ Provenance.all ++ ProductQuantization.all ++
-      IvfPq.all ++ LabelQuality.all
+      IvfPq.all ++ LabelQuality.all ++ LmQuality.all ++ BpeVocab.all ++
+      Layout.all
 }

@@ -392,6 +392,72 @@ final class ParquetTable(spark: SparkSession, root: String,
       .sortWithinPartitions(cols: _*), Nil)
   }
 
+  /** Multi-dimensional clustered compaction: rewrite the current version
+    * range-partitioned and sorted on a Z-ORDER key over `zCols` (Delta
+    * OPTIMIZE ZORDER — the n-D counterpart of [[compactClustered]]).
+    * A 1-D sort makes only the leading column's per-file stats
+    * selective; the interleaved key makes EVERY clustered column's
+    * recorded [min,max] tight at once, so a multi-column box probe
+    * ([[readBox]]) or a merge keyed on any clustered column prunes
+    * files. `zCols` must be integral columns. The column ranges come
+    * from one tiny aggregate over the current version; at 100 TB the
+    * same bounds are available for free from the manifest's own file
+    * stats, and the rewrite's only wide op is the one range exchange
+    * any layout job pays.
+    */
+  def compactZOrdered(targetFiles: Int, zCols: Seq[String],
+      bits: Int = 8): Long = {
+    require(targetFiles >= 1 && zCols.size >= 2)
+    val df = read
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val (mins, maxs) = zCols.indices
+      .map(i => (r.getLong(2 * i), r.getLong(2 * i + 1))).unzip
+    val z = graft.operators.ZOrder.zkey(zCols.map(col), mins, maxs, bits)
+    overwrite(df.withColumn("__graft_z", z)
+      .repartitionByRange(targetFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z"), Nil)
+  }
+
+  /** Stats-pruned box scan — Delta data skipping on the READ path: files
+    * whose recorded [min,max] provably cannot intersect the literal
+    * bounds are never opened; the predicate is then applied to the
+    * survivors (pruning is an over-approximation, so results are exact
+    * regardless of layout). After [[compactZOrdered]] on the probed
+    * columns a small box opens a handful of files out of thousands.
+    * The scanned candidate set is recorded in [[lastBoxScannedFiles]].
+    */
+  def readBox(bounds: Seq[(String, Long, Long)]): DataFrame = {
+    require(bounds.nonEmpty)
+    val pred = bounds.map { case (k, lo, hi) =>
+      col(k) >= lit(lo) && col(k) <= lit(hi)
+    }.reduce(_ && _)
+    latestVersion match {
+      case None => throw new IllegalStateException(s"no version at $root")
+      case Some(cur) =>
+        val entries = readManifest(cur)
+        val lit_ = bounds.map { case (k, lo, hi) =>
+          k -> ((lo.toString, hi.toString))
+        }.toMap
+        val candidates =
+          pruneByBounds(entries, readStatsMap(cur), lit_)
+        lastBoxScanned = candidates.flatMap { case (dir, files) =>
+          files.map(f => s"$dir/$f")
+        }
+        if (candidates.isEmpty) read.limit(0).filter(pred)
+        else readEntries(candidates).filter(pred)
+    }
+  }
+
+  @volatile private var lastBoxScanned: Seq[String] = Nil
+
+  /** "dir/file" of every candidate the last [[readBox]] actually opened
+    * (post-data-skipping) — spec/debug aid like [[lastMergeScannedFiles]].
+    */
+  private[graft] def lastBoxScannedFiles: Seq[String] = lastBoxScanned
+
   /** Targeted file replacement: rewrite exactly the `victims`
     * ("dir/file" manifest keys) into one fresh data dir and commit a
     * version that carries every OTHER file by reference — the
@@ -524,7 +590,17 @@ final class ParquetTable(spark: SparkSession, root: String,
         val mx = row.getString(2 * i + 1)
         if (mn == null || mx == null) None else Some(k -> ((mn, mx)))
     }.toMap
-    if (bounds.isEmpty) return entries
+    pruneByBounds(entries, stats, bounds)
+  }
+
+  /** Entries restricted to files whose recorded ranges can overlap the
+    * given per-column [min,max] bounds (string-cast form, compared under
+    * the recorded column type's real ordering) — the shared skipping
+    * core under merge discovery and [[readBox]].
+    */
+  private def pruneByBounds(entries: Seq[Entry], stats: Map[String, String],
+      bounds: Map[String, (String, String)]): Seq[Entry] = {
+    if (stats.isEmpty || bounds.isEmpty) return entries
     entries.map { case (dir, files) =>
       dir -> files.filter { f =>
         stats.get(s"$dir/$f").forall { json =>

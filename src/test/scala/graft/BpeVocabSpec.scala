@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries.BpeVocab
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE vocabulary learning: exact hand-computed merges on the classic
+  * Sennrich-style corpus, merge-application edge cases, and the
+  * local-vs-distributed path equivalence that lets the operator claim
+  * one semantics at every scale.
+  */
+class BpeVocabSpec extends AnyFunSuite with SparkSpec {
+
+  test("hand-computed merges on the classic 4-word corpus") {
+    // low×5 lower×2 newest×6 widest×3 — the worked example of the BPE
+    // paper. Hand-derived: (e,s)=9 ties (s,t),(t,</w>) and wins on lhs;
+    // then (es,t)=9, (est,</w>)=9, (l,o)=7 ties (o,w) and wins, (lo,w)=7.
+    // Base vocab: 10 distinct chars + the end marker = 11.
+    val types = Array(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L))
+    val m = BpeVocab.mergesLocal(types, 5)
+    val expected = Seq(
+      BpeVocab.Merge(1, "e", "s", "es", 9L, 12),
+      BpeVocab.Merge(2, "es", "t", "est", 9L, 13),
+      BpeVocab.Merge(3, "est", "</w>", "est</w>", 9L, 14),
+      BpeVocab.Merge(4, "l", "o", "lo", 7L, 15),
+      BpeVocab.Merge(5, "lo", "w", "low", 7L, 16))
+    assert(m == expected)
+  }
+
+  test("merge application is left-to-right non-overlapping") {
+    // "aaa" under (a,a): the first pair merges, scanning resumes past
+    // it — ["aa","a"], never ["aa","aa"] or ["a","aa"]
+    assert(BpeVocab.applyMerge(Array("a", "a", "a"), "a", "a").toSeq ==
+      Seq("aa", "a"))
+    assert(BpeVocab.applyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq ==
+      Seq("aa", "aa"))
+    assert(BpeVocab.applyMerge(Array("x", "y"), "a", "a").toSeq ==
+      Seq("x", "y"))
+  }
+
+  test("merge loop stops when no pairs remain") {
+    // a 1-char word is [c, </w>] — one pair, then a single symbol
+    val m = BpeVocab.mergesLocal(Array(("a", 3L)), 10)
+    assert(m == Seq(BpeVocab.Merge(1, "a", "</w>", "a</w>", 3L, 3)))
+  }
+
+  test("distributed pair-count path is bit-identical to the driver loop") {
+    import spark.implicits._
+    val types = BpeVocab.wordTypes(spark, Sf)
+    val local = BpeVocab.mergesLocal(
+      types.as[(String, Long)].collect().sortBy(_._1), 8)
+    val dist = BpeVocab.mergesDistributed(spark, types, 8)
+    assert(local == dist)
+  }
+
+  test("q94 registry output: dense ranks, consistent vocab accounting") {
+    val rows = SparkEntry.queries("q94_bpe_merges")(spark, Sf)
+      .orderBy("merge_rank").collect()
+    assert(rows.length == BpeVocab.NumMerges)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("merge_rank") == i + 1)
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("lhs") + r.getAs[String]("rhs"))
+      assert(r.getAs[Long]("pair_n") > 0L)
+    }
+    // vocab_size strictly increments with rank off one base
+    val base = rows.head.getAs[Int]("vocab_size") - 1
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("vocab_size") == base + i + 1)
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.ZOrder
+import graft.tables.ParquetTable
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout clustering: the Morton-key arithmetic, the table
+  * layer's z-ordered rewrite, and the point of it all — a 2-D box probe
+  * that opens ~1 file after the rewrite where the hash layout scanned
+  * every file. (The key arithmetic itself is also oracle-checked end to
+  * end by q95.)
+  */
+class ZOrderSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("zorder").toString
+
+  test("interleave places bucket j's bit i at position i*d+j") {
+    import spark.implicits._
+    // x=5 (0101), y=3 (0011): bits land at positions
+    // x0→0, y0→1, x1→2, y1→3, x2→4 ... = 1+2+0+8+16 = 27
+    val r = Seq((5, 3)).toDF("x", "y")
+      .select(ZOrder.interleave(Seq(col("x"), col("y")), 4).as("z"))
+      .collect()(0).getLong(0)
+    assert(r == 27L)
+    // 3 dimensions: x=1,y=1,z=1 → bits at 0,1,2 = 7
+    val r3 = Seq((1, 1, 1)).toDF("a", "b", "c")
+      .select(ZOrder.interleave(
+        Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .collect()(0).getLong(0)
+    assert(r3 == 7L)
+  }
+
+  test("zkey right-shift bucketing fits wide ranges into the bit budget") {
+    import spark.implicits._
+    // range [0, 1023] into 4 bits: span bits = 10, shift = 6; 640>>6 = 10
+    val z = Seq((640L, 0L)).toDF("x", "y")
+      .select(ZOrder.zkey(Seq(col("x"), col("y")),
+        Seq(0L, 0L), Seq(1023L, 1023L), 4).as("z"))
+      .collect()(0).getLong(0)
+    // bucket_x=10 (1010) at even positions (bits 1,3 → z bits 2,6),
+    // bucket_y=0: 4 + 64 = 68
+    assert(z == 68L)
+  }
+
+  test("z-ordered rewrite prunes a 2-D box probe; hash layout cannot") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmp()}/t", Seq("x", "y"))
+    // 64×64 grid in row-major input order; round-robin into 16 files
+    // spreads every file across the full (x, y) range
+    val grid = (0 until 4096).map(i => (i % 64L, i / 64L, i.toLong))
+      .toDF("x", "y", "payload")
+    t.overwrite(grid.repartition(16))
+    assert(t.currentFiles.size == 16)
+
+    val box = Seq(("x", 0L, 7L), ("y", 0L, 7L))
+    val expected = (0 until 8).flatMap(x =>
+      (0 until 8).map(y => (x.toLong, y.toLong))).toSet
+
+    val hashRows = t.readBox(box)
+      .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hashRows.toSet == expected && hashRows.length == 64)
+    val scannedHash = t.lastBoxScannedFiles.size
+    assert(scannedHash == 16,
+      s"hash layout should leave every file a candidate, got $scannedHash")
+
+    t.compactZOrdered(16, Seq("x", "y"))
+    val zRows = t.readBox(box)
+      .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(zRows.toSet == expected && zRows.length == 64)
+    val scannedZ = t.lastBoxScannedFiles.size
+    // the box is one z-range [0,63]; range boundaries come from sampling
+    // so a straddling file or two may survive, but the win must be large
+    assert(scannedZ <= 3,
+      s"z-ordered layout should prune to ~1 file, scanned $scannedZ")
+  }
+
+  test("readBox on a statless table scans everything but stays exact") {
+    import spark.implicits._
+    val t = ParquetTable(spark, s"${tmp()}/t") // no statsColumns
+    t.overwrite((0 until 100).map(i => (i.toLong, i.toLong))
+      .toDF("x", "v").repartition(4))
+    val got = t.readBox(Seq(("x", 10L, 19L))).select("x")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (10L to 19L))
+    assert(t.lastBoxScannedFiles.size == 4)
+  }
+}
