@@ -131,6 +131,40 @@ object EventStream {
           .otherwise("new").as("status"),
         coalesce(col("corpus_doc_id"), col("doc_id")).as("keep_doc_id"))
 
+  /** Stream-stream conversion attribution — the watermarked
+    * time-interval join Structured Streaming exists for: every purchase
+    * joins the views by the same user in the preceding attribution
+    * window, with BOTH sides watermarked and the time-range condition
+    * bounding state (each side's join state evicts once the other
+    * side's watermark passes the range — without the interval bound the
+    * state store grows without limit, which at 100 TB/day of events is
+    * the difference between a runnable query and an OOM). `leftOuter`
+    * additionally emits each view with null purchase columns once the
+    * watermark proves no conversion can arrive — the abandonment
+    * stream; outer emission is DEFERRED by design until the watermark
+    * closes the window, so the unmatched rows trail by one trigger.
+    */
+  def attributeConversions(views: DataFrame, purchases: DataFrame,
+      watermark: String = "30 minutes",
+      attributionWindow: String = "1 hour",
+      leftOuter: Boolean = false): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    v.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") +
+          expr(s"INTERVAL $attributionWindow"),
+      if (leftOuter) "leftOuter" else "inner")
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"), col("value"))
+  }
+
   /** Run the hourly aggregate to completion on a bounded directory
     * (Trigger.AvailableNow + memory sink) and return the result — used by
     * specs to assert stream/batch parity.
