@@ -275,6 +275,45 @@ object IndexMain {
   }
 }
 
+/** `--table <root>` plus actions — table-layout maintenance as an
+  * operational stage (Delta OPTIMIZE / OPTIMIZE ZORDER / VACUUM's
+  * role for the engine's table layer):
+  *   `--compact <targetFiles>`    plain rewrite into N files
+  *   `--cluster c1[,c2,...]`      1 column → range-clustered compaction;
+  *                                2+ → z-ordered rewrite (Morton key);
+  *                                file count via `--target_files N`
+  *   `--vacuum <keepLast>`        drop data of superseded versions
+  *   `--stats c1[,c2,...]`        declare stats columns so the rewrite
+  *                                records per-file min/max (data skipping)
+  * Actions compose in fixed order (compact → cluster → vacuum), so one
+  * invocation can rewrite and then reclaim.
+  */
+object TableMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val stats = a.get("stats").map(_.split(",").toSeq).getOrElse(Nil)
+    val t = graft.tables.ParquetTable(spark, required(a, "table"), stats)
+    a.get("compact").foreach { n =>
+      val v = t.compact(n.toInt)
+      println(s"[table] compacted version=$v files=${t.currentFiles.size}")
+    }
+    a.get("cluster").foreach { cols0 =>
+      val cols = cols0.split(",").toSeq
+      val n = a.getOrElse("target_files", "1").toInt
+      val v =
+        if (cols.size == 1) t.compactClustered(n, cols)
+        else t.compactZOrdered(n, cols)
+      println(s"[table] clustered version=$v by=${cols.mkString(",")} " +
+        s"files=${t.currentFiles.size}")
+    }
+    a.get("vacuum").foreach { k =>
+      val removed = t.vacuum(k.toInt)
+      println(s"[table] vacuumed versions=${removed.mkString(",")}")
+    }
+  }
+}
+
 /** `--warehouse <dir> --bundle_dir <dir> --customer_id <id>` — one-shot
   * scoring through the serving path (feature store + version gate),
   * the CLI twin of POST /v1/churn/predict.

@@ -76,6 +76,23 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
       s"z-ordered layout should prune to ~1 file, scanned $scannedZ")
   }
 
+  test("TableMain CLI drives the z-ordered rewrite + vacuum") {
+    import spark.implicits._
+    val root = s"${tmp()}/t"
+    val t = ParquetTable(spark, root, Seq("x", "y"))
+    t.overwrite((0 until 4096).map(i => (i % 64L, i / 64L, i.toLong))
+      .toDF("x", "y", "payload").repartition(16))
+    graft.pipeline.cli.TableMain.main(Array(
+      "--table", root, "--stats", "x,y",
+      "--cluster", "x,y", "--target_files", "16",
+      "--vacuum", "1"))
+    val t2 = ParquetTable(spark, root, Seq("x", "y"))
+    t2.readBox(Seq(("x", 0L, 7L), ("y", 0L, 7L))).count()
+    assert(t2.lastBoxScannedFiles.size <= 3)
+    // vacuum reclaimed superseded data; the rewrite stays fully readable
+    assert(t2.read.count() == 4096L)
+  }
+
   test("readBox on a statless table scans everything but stays exact") {
     import spark.implicits._
     val t = ParquetTable(spark, s"${tmp()}/t") // no statsColumns
