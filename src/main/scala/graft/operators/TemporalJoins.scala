@@ -101,6 +101,34 @@ object TemporalJoins {
       .groupBy(col("_lid")).agg(count(lit(1)).as("n_neighbors"))
   }
 
+  /** Directed windowed join: every (left, right) pair with the same key
+    * and `leftTs <= rightTs <= leftTs + windowSeconds` — the batch form
+    * of the stream-stream interval join (conversion attribution: right
+    * = purchases, left = the views that may have caused them). Same
+    * bucketing discipline as [[rangeJoinCount]] but one-directional, so
+    * the right side explodes into only TWO buckets (its own and the
+    * previous): shuffle volume is |L| + 2|R|, the exact microsecond
+    * filter runs on bucket-colocated candidates only, and a pair can
+    * match in at most one bucket copy (the left row's bucket is unique)
+    * so no dedup pass is needed. Column names must be disjoint across
+    * sides except `key`.
+    */
+  def directedWindowJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowSeconds: Long): DataFrame = {
+    val w = windowSeconds * 1000000L
+    val lm = unix_micros(col(leftTs))
+    val rm = unix_micros(col(rightTs))
+    val l = left.withColumn("_bkt", (lm / w).cast("long"))
+    val r = right
+      .withColumn("_rbkt", (rm / w).cast("long"))
+      .withColumn("_bkt",
+        explode(array(col("_rbkt") - 1, col("_rbkt"))))
+      .drop("_rbkt")
+    l.join(r, Seq(key, "_bkt"))
+      .filter(rm >= lm && rm <= lm + w)
+      .drop("_bkt")
+  }
+
   /** Interval-overlap self-join: every unordered pair of intervals with
     * `a.st <= b.en && b.st <= a.en` (second-granularity, touching
     * endpoints count), found WITHOUT an inequality join. Input columns:

@@ -43,6 +43,39 @@ class StreamJoinSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join emits exactly the batch directed-window pairs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("conv_parity")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val src = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.attributeConversions(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("conv_parity")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("conv_parity")
+    val e = graft.common.Tables.load(spark, Sf, "events")
+    val batch = graft.operators.TemporalJoins.directedWindowJoin(
+      e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts")),
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("value"))
+        .withColumnRenamed("p_user", "user_id"),
+      "user_id", "view_ts", "purchase_ts", 3600L)
+      .select("view_id", "user_id", "view_ts",
+        "purchase_id", "purchase_ts", "value")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("left outer: abandoned view surfaces with nulls after watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val session = spark
