@@ -193,6 +193,87 @@ object BpeVocab {
         col("pair_n"), col("vocab_size"))
   }
 
+  /** Greedy BPE encode of one word under the ranked merge table:
+    * repeatedly merge every occurrence of the LOWEST-ranked pair
+    * present — applying merges in training order, which reproduces the
+    * trainer's segmentation (the standard BPE encode).
+    */
+  private[graft] def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = symbols(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else syms = applyMerge(syms, syms(bestI), syms(bestI + 1))
+    }
+    syms
+  }
+
+  /** Token-boundary marker inside the emitted segmentation (ASCII unit
+    * separator — chosen precisely because real text never carries it;
+    * the oracle's spell-the-document check would deterministically fail
+    * on a corpus that does, which is detection, not corruption).
+    */
+  private[graft] val SegMark = '\u001f'
+
+  /** Per-doc BPE tokenization under the corpus-trained merges: the
+    * apply half of the train/apply pair. Emits the marked segmentation
+    * (tokens separated by [[SegMark]] inside a word, words by spaces,
+    * the end-of-word symbol rendered invisibly) so the oracle can
+    * verify the segmentation SPELLS the document exactly.
+    */
+  private[graft] def tokenize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val types = wordTypes(s, d)
+    val merges =
+      if (types.count() <= DriverTypeCap)
+        mergesLocal(types.as[(String, Long)].collect().sortBy(_._1),
+          NumMerges)
+      else mergesDistributed(s, types, NumMerges)
+    val ranks = merges.map(m => (m.lhs, m.rhs) -> m.merge_rank).toMap
+    val bc = s.sparkContext.broadcast(ranks)
+    load(s, d, "documents")
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .as[(Long, Seq[String])]
+      .map { case (id, w) =>
+        val sb = new StringBuilder
+        var nTok = 0L
+        var nChars = 0L
+        var first = true
+        w.foreach { word =>
+          val toks = encodeWord(word, bc.value)
+          nTok += toks.length
+          nChars += word.length
+          if (!first) sb.append(' ')
+          first = false
+          var i = 0
+          var wroteAny = false
+          while (i < toks.length) {
+            val visible = toks(i).replace(EndMark, "")
+            if (visible.nonEmpty) {
+              if (wroteAny) sb.append(SegMark)
+              sb.append(visible)
+              wroteAny = true
+            }
+            i += 1
+          }
+        }
+        nChars += math.max(w.length - 1, 0) // the joining spaces
+        (id, sb.toString, w.length.toLong, nTok, nChars,
+          if (nTok > 0) Some(nChars.toDouble / nTok) else None)
+      }
+      .toDF("doc_id", "seg", "n_words", "n_bpe_tokens", "n_chars_norm",
+        "chars_per_token")
+  }
+
   // DuckDB mirrors of the Text.scala primitives.
   private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private val WordsSql = s"string_split($NormSql, ' ')"
@@ -251,6 +332,42 @@ object BpeVocab {
     s"first $NumMerges learned BPE merges over corpus word types " +
       "[text-analysis,tokenizer]")
 
+  /** Derived oracle for the apply half: the segmentation itself is not
+    * SQL-derivable (it needs the merge loop), but DuckDB can re-verify
+    * every row STRUCTURALLY against the source corpus — the marked
+    * segmentation must SPELL the normalized document exactly once the
+    * markers are stripped, the word and character accounting must match
+    * an independent re-derivation from the text, the token count must be
+    * at least the word count (each word is ≥ 1 token), and the
+    * chars-per-token ratio must be exactly the re-derived division. A
+    * wrong merge application, a dropped word, or drifted accounting all
+    * hash-mismatch; exact per-word segmentations are pinned by
+    * BpeVocabSpec against the hand-computed classic corpus.
+    */
+  private val q98 = QueryDef(
+    (s, d) => tokenize(s, d),
+    Some(s"""WITH emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q98_bpe_tokenize/*.parquet')
+            ), d AS (
+              SELECT doc_id, $NormSql AS norm FROM documents
+            )
+            SELECT e.doc_id,
+              CASE WHEN replace(e.seg, chr(31), '') = d.norm THEN e.seg
+                   ELSE '<MISSPELL>' END AS seg,
+              CAST(len(string_split(d.norm, ' ')) AS BIGINT) AS n_words,
+              CASE WHEN e.n_bpe_tokens >= len(string_split(d.norm, ' '))
+                   THEN e.n_bpe_tokens
+                   ELSE CAST(-1 AS BIGINT) END AS n_bpe_tokens,
+              CAST(length(d.norm) AS BIGINT) AS n_chars_norm,
+              CASE WHEN e.n_bpe_tokens > 0
+                   THEN CAST(length(d.norm) AS DOUBLE) / e.n_bpe_tokens
+                   ELSE NULL END AS chars_per_token
+            FROM emitted e JOIN d USING (doc_id)"""),
+    "per-doc BPE segmentation under the corpus-trained merges " +
+      "[text-analysis,tokenizer]")
+
   def all: Seq[(String, QueryDef)] = Seq(
-    "q94_bpe_merges" -> q94)
+    "q94_bpe_merges" -> q94,
+    "q98_bpe_tokenize" -> q98)
 }

@@ -53,6 +53,37 @@ class BpeVocabSpec extends AnyFunSuite with SparkSpec {
     assert(local == dist)
   }
 
+  test("encodeWord reproduces the trainer's segmentation") {
+    // ranks from the classic corpus above; "lowest" was never a training
+    // word yet segments into the learned units low + est</w>
+    val ranks = Map(("e", "s") -> 1, ("es", "t") -> 2,
+      ("est", "</w>") -> 3, ("l", "o") -> 4, ("lo", "w") -> 5)
+    assert(BpeVocab.encodeWord("lowest", ranks).toSeq ==
+      Seq("low", "est</w>"))
+    assert(BpeVocab.encodeWord("newest", ranks).toSeq ==
+      Seq("n", "e", "w", "est</w>"))
+    assert(BpeVocab.encodeWord("low", ranks).toSeq == Seq("low", "</w>"))
+    // no applicable merges: stays fully split
+    assert(BpeVocab.encodeWord("hi", ranks).toSeq ==
+      Seq("h", "i", "</w>"))
+  }
+
+  test("q98 tokenize: segmentation spells each document exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    val seg = SparkEntry.queries("q98_bpe_tokenize")(spark, Sf)
+    val src = graft.common.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), Text.norm(col("text")).as("norm"))
+    val joined = seg.join(src, "doc_id")
+    assert(joined.count() > 0)
+    val bad = joined.filter(
+      regexp_replace(col("seg"), BpeVocab.SegMark.toString, "") =!=
+        col("norm") ||
+      col("n_bpe_tokens") < col("n_words") ||
+      col("n_chars_norm") =!= length(col("norm")))
+    assert(bad.count() == 0)
+  }
+
   test("q94 registry output: dense ranks, consistent vocab accounting") {
     val rows = SparkEntry.queries("q94_bpe_merges")(spark, Sf)
       .orderBy("merge_rank").collect()
