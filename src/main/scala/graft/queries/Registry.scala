@@ -13,5 +13,5 @@ object Registry {
       TextClean.all ++ Profiling.all ++ DedupClusters.all ++
       Packing.all ++ Provenance.all ++ ProductQuantization.all ++
       IvfPq.all ++ LabelQuality.all ++ LmQuality.all ++ BpeVocab.all ++
-      Layout.all ++ Projection.all ++ Attribution.all
+      Layout.all ++ Projection.all ++ Attribution.all ++ DupSpans.all
 }
