@@ -175,19 +175,74 @@ object BpeVocab {
     out.result()
   }
 
-  /** The operator: reduce to word types, then learn `nMerges` merges on
-    * whichever path the type cardinality calls for.
+  /** In-session memo of the trained merge table per (dataset dir,
+    * nMerges), validated per lookup against the documents table's
+    * content fingerprint — one listStatus, the centroidCache
+    * discipline. BPE is train-once/apply-many: q94 (train) and q98
+    * (apply) share one training per session and dataset state instead
+    * of re-reducing the corpus per execution; a rewritten corpus
+    * changes the fingerprint and retrains in place.
     */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      (String, Seq[Merge])]()
+
+  /** Trainings actually run (spec hook for the memo contract). */
+  private[graft] val trainCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop the in-session merge memo — test hook. */
+  private[graft] def clearMergeSessionCache(): Unit = mergeCache.clear()
+
+  /** Content fingerprint of the documents table under a dir: sorted
+    * path:len:mtime of its backing files, hashed — one listStatus per
+    * parent directory, no data read (the embeddingsFileMeta shape).
+    */
+  private[graft] def documentsFingerprint(s: SparkSession,
+      d: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val lines = load(s, d, "documents").inputFiles
+      .map(new org.apache.hadoop.fs.Path(_))
+      .groupBy(_.getParent)
+      .flatMap { case (parent, ps) =>
+        val wanted = ps.iterator.map(_.getName).toSet
+        parent.getFileSystem(conf).listStatus(parent).iterator
+          .filter(st => wanted.contains(st.getPath.getName))
+          .map(st =>
+            s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      }.toArray.sorted
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+    d + "#" + digest.map("%02x".format(_)).mkString
+  }
+
+  /** Load-or-train through the memo: reduce to word types, then learn
+    * `nMerges` merges on whichever path the type cardinality calls for.
+    */
+  private[graft] def trainedMerges(s: SparkSession, d: String,
+      nMerges: Int = NumMerges,
+      driverCap: Long = DriverTypeCap): Seq[Merge] = {
+    val fp = documentsFingerprint(s, d)
+    mergeCache.compute((d, nMerges), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else {
+        trainCount.incrementAndGet()
+        import s.implicits._
+        val types = wordTypes(s, d)
+        val merges =
+          if (types.count() <= driverCap)
+            mergesLocal(
+              types.as[(String, Long)].collect().sortBy(_._1), nMerges)
+          else mergesDistributed(s, types, nMerges)
+        (fp, merges)
+      })._2
+  }
+
+  /** The train operator's frame: the memoized merge table. */
   private[graft] def bpeMerges(s: SparkSession, d: String,
       nMerges: Int = NumMerges,
       driverCap: Long = DriverTypeCap): DataFrame = {
-    import s.implicits._
-    val types = wordTypes(s, d)
-    val merges =
-      if (types.count() <= driverCap)
-        mergesLocal(
-          types.as[(String, Long)].collect().sortBy(_._1), nMerges)
-      else mergesDistributed(s, types, nMerges)
+    val merges = trainedMerges(s, d, nMerges, driverCap)
     s.createDataFrame(merges)
       .select(col("merge_rank"), col("lhs"), col("rhs"), col("merged"),
         col("pair_n"), col("vocab_size"))
@@ -232,13 +287,8 @@ object BpeVocab {
     */
   private[graft] def tokenize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val types = wordTypes(s, d)
-    val merges =
-      if (types.count() <= DriverTypeCap)
-        mergesLocal(types.as[(String, Long)].collect().sortBy(_._1),
-          NumMerges)
-      else mergesDistributed(s, types, NumMerges)
-    val ranks = merges.map(m => (m.lhs, m.rhs) -> m.merge_rank).toMap
+    val ranks = trainedMerges(s, d)
+      .map(m => (m.lhs, m.rhs) -> m.merge_rank).toMap
     val bc = s.sparkContext.broadcast(ranks)
     load(s, d, "documents")
       .select(col("doc_id"), words(col("text")).as("w"))

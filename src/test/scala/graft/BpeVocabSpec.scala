@@ -84,6 +84,15 @@ class BpeVocabSpec extends AnyFunSuite with SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("one training serves q94 and q98 in a session (merge memo)") {
+    BpeVocab.clearMergeSessionCache()
+    val before = BpeVocab.trainCount.get()
+    SparkEntry.queries("q94_bpe_merges")(spark, Sf).collect()
+    SparkEntry.queries("q98_bpe_tokenize")(spark, Sf).collect()
+    SparkEntry.queries("q94_bpe_merges")(spark, Sf).collect()
+    assert(BpeVocab.trainCount.get() == before + 1)
+  }
+
   test("q94 registry output: dense ranks, consistent vocab accounting") {
     val rows = SparkEntry.queries("q94_bpe_merges")(spark, Sf)
       .orderBy("merge_rank").collect()
