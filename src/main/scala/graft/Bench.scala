@@ -18,12 +18,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.registry.map { case (name, q) =>
-      // a failed query reports -1, never a flattering time-to-throw
+      // a failed query reports -1, never a flattering time-to-throw; the
+      // exception rides along in the JSON's `errors` map so a red row is
+      // self-diagnosing from BENCH_rN.json alone (stderr is discarded by
+      // the driver's tail-capture)
       def once(): Double = {
         val t0 = System.nanoTime()
         try { q.fn(spark, sfDir).count() } catch {
           case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             return -1.0
         }
@@ -42,9 +48,13 @@ object Bench {
     def f(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":${f(total)},"unit":"sec"}"""
+      s"""{"queries":$qs,"errors":$errJson,"sf":"$sfDir","metric":"total","value":${f(total)},"unit":"sec"}"""
     println(line)
     // per-query history: append every run (timestamped) so later rounds
     // can diff query-by-query against earlier recordings, not just the

@@ -16,16 +16,24 @@ object EventStream {
 
   /** File-stream source over an events parquet directory. Pass the
     * schema explicitly for cold-start deployments (a watched directory
-    * that is still empty cannot be inferred from); omitted, it falls
-    * back to a static read. nanos→micros conversion is identical to
-    * Tables.loadEvents.
+    * that is still empty cannot be inferred from); omitted, the source
+    * dir is schema-probed ONCE with a static read. Whatever physical
+    * `ts` encoding arrives (legacy nanos long, micros NTZ, timestamp) is
+    * canonicalized by the same Tables.normalizeEventTs branch as the
+    * batch loader, so stream and batch agree by construction.
     */
   def readEvents(spark: SparkSession, dir: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val s = schema.getOrElse(spark.read.parquet(dir).schema)
-    spark.readStream.schema(s).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val s = schema.getOrElse(
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.toLowerCase.contains("nanos") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(dir).schema
+      })
+    graft.common.Tables.normalizeEventTs(
+      spark.readStream.schema(s).parquet(dir))
   }
 
   /** Tumbling 1-hour windowed aggregate with a 2-hour watermark —
