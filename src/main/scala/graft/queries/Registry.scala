@@ -13,5 +13,6 @@ object Registry {
       TextClean.all ++ Profiling.all ++ DedupClusters.all ++
       Packing.all ++ Provenance.all ++ ProductQuantization.all ++
       IvfPq.all ++ LabelQuality.all ++ LmQuality.all ++ BpeVocab.all ++
-      Layout.all ++ Projection.all ++ Attribution.all ++ DupSpans.all
+      Layout.all ++ Projection.all ++ Attribution.all ++ DupSpans.all ++
+      Curation.all
 }

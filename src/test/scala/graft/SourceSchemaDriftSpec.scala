@@ -92,6 +92,20 @@ class SourceSchemaDriftSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("user_id"))
   }
 
+  test("streaming source normalizes a drifted encoding like the batch loader") {
+    // long-encoded fixture through EventStream.readEvents: the stream
+    // must surface the SAME canonical ts the batch loader produces
+    val dir = base(_.withColumn("ts", col("us") * 1000L))
+    val stream = graft.streaming.EventStream.readEvents(spark, dir)
+    assert(stream.schema("ts").dataType == TimestampType)
+    val q = stream.writeStream.format("memory").queryName("drift_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("drift_stream")
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == micros)
+  }
+
   test("every testdata table loads with its canonical schema at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     Tables.names.foreach { n =>
