@@ -79,6 +79,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"join inputs must be collapsed aggregates:\n$below")
   }
 
+  test("events ts filters push down through the loader's encoding normalization") {
+    // The schema-adaptive loader may wrap `ts` in a cast (NTZ→TZ under
+    // the UTC session). Catalyst unwraps that cast in comparisons, so a
+    // time-range filter still reaches the parquet scan as a pushed
+    // filter — the difference between pruning row groups and scanning
+    // 100 TB. Pin it: if a loader change (e.g. a non-unwrappable
+    // expression around ts) breaks the unwrap, this fails loudly.
+    import org.apache.spark.sql.functions._
+    val plan = graft.common.Tables.load(spark, Sf, "events")
+      .filter(col("ts") >= lit("2025-06-01 00:00:00").cast("timestamp"))
+      .select("event_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r
+      .findFirstIn(plan).isDefined,
+      s"ts range filter not pushed to the scan:\n$plan")
+  }
+
   test("label-noise scan (q89): the top-5 window is WindowGroupLimit-bounded pre-exchange") {
     // q89 ranks the candidate-pair set with a row_number window — the
     // one shape the q62 argmax deliberately avoids. It is admissible
