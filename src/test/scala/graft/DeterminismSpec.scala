@@ -30,7 +30,13 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // joins, per-source decode-health aggregate over real codec passes
     "q37_dedup_simhash", "q90_media_decode_health", "q91_index_health",
     // r8 addition: bucket-table health aggregate over the served index
-    "q92_lsh_health")
+    "q92_lsh_health",
+    // r9 additions: the epoch-shuffle global rank must not depend on how
+    // many range partitions the sort landed in (per-partition offsets
+    // over a total order), nor the stratified quotas or z-scores on
+    // aggregation partitioning
+    "q100_epoch_shuffle", "q101_stratified_exact_k",
+    "q102_event_rate_anomaly")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
