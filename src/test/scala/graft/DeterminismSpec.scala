@@ -36,7 +36,10 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // over a total order), nor the stratified quotas or z-scores on
     // aggregation partitioning
     "q100_epoch_shuffle", "q101_stratified_exact_k",
-    "q102_event_rate_anomaly")
+    "q102_event_rate_anomaly",
+    // r9 sketches: CMS merge is count-additive (partition-independent);
+    // MG candidates vary with partitioning but the rescored top-k must not
+    "q103_cms_heavy_hitters", "q104_mg_topk")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

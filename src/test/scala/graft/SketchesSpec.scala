@@ -1,0 +1,60 @@
+package graft
+
+import graft.queries.Sketches
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frequency-sketch operators (q103 CMS audit, q104 Misra-Gries pruned
+  * top-k): the classic guarantees, pinned on hand-built streams and on
+  * the corpus against engine-internal exact references.
+  */
+class SketchesSpec extends AnyFunSuite with SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, SfDir)
+
+  test("misraGries keeps every item with frequency > n/k") {
+    // stream of 1000 items: "hot" appears 300x (> 1000/5), noise spread
+    val hot = Seq.fill(300)("hot")
+    val noise = (0 until 700).map(i => s"w${i % 350}")
+    val stream = scala.util.Random.shuffle(hot ++ noise)
+    val out = Sketches.misraGries(stream.iterator, k = 5).toMap
+    assert(out.contains("hot"), s"heavy item evicted: $out")
+    // MG counter is an underestimate, never an overestimate
+    assert(out("hot") <= 300L)
+  }
+
+  test("misraGries never tracks more than k counters") {
+    val stream = (0 until 10000).map(i => s"w$i")
+    val out = Sketches.misraGries(stream.iterator, k = 7).toSeq
+    assert(out.size <= 7)
+  }
+
+  test("q104 equals the unpruned exact top-20") {
+    val got = run("q104_mg_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = graft.common.Tables.load(spark, SfDir, "documents")
+      .select(explode(graft.functions.Text.words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact)
+  }
+
+  test("q103 estimates respect the epsilon-N bound on every row") {
+    val rows = run("q103_cms_heavy_hitters").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (exact, cms, bound) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(r.getBoolean(4), s"row flagged out of bound: $r")
+      assert(cms >= exact, s"CMS undercount: $r")
+      assert(cms <= exact + bound, s"CMS overcount beyond bound: $r")
+    }
+  }
+
+  test("q103 is deterministic (fixed sketch seed)") {
+    val a = run("q103_cms_heavy_hitters").collect().map(_.toSeq).toSeq
+    val b = run("q103_cms_heavy_hitters").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
