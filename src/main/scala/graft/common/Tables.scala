@@ -13,8 +13,13 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    name match {
+      case "events" => loadEvents(spark, sfDir)
+      case "documents" => loadDocumentsPath(spark, s"$sfDir/documents.parquet")
+      case "embeddings" =>
+        loadEmbeddingsPath(spark, s"$sfDir/embeddings.parquet")
+      case _ => spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** Register every testdata table as a temp view so the whole corpus is
     * queryable through `spark.sql` (the SQL twin of the Column-API
@@ -75,6 +80,77 @@ object Tables {
         "events: required column `ts` is missing " +
           s"(found: ${df.columns.mkString(", ")})")
     }
+
+  /** documents: the other externally-generated table the corpus queries
+    * read schemaless. Canonical: n_chars LONG (a generator switching to
+    * int32 normalizes up losslessly); text/lang/source strings.
+    */
+  def loadDocumentsPath(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val widened = raw.schema.find(_.name == "n_chars").map(_.dataType) match {
+      case Some(IntegerType) | Some(ShortType) =>
+        raw.withColumn("n_chars", col("n_chars").cast(LongType))
+      case _ => raw
+    }
+    TableContract.validate(widened, path, "documents", Seq(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType))
+  }
+
+  /** embeddings: canonical `embedding` is ARRAY<FLOAT> (the ANN/PQ/LSH
+    * stack is float-typed end to end); a generator that starts writing
+    * float64 normalizes DOWN — explicitly, at the boundary, so the
+    * narrowing is a documented load-time decision rather than fourteen
+    * queries' silent analysis failures. `label` canonicalizes to INT.
+    */
+  def loadEmbeddingsPath(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val vecFixed = raw.schema.find(_.name == "embedding").map(_.dataType) match {
+      case Some(ArrayType(FloatType, _)) => raw
+      case Some(ArrayType(DoubleType, _)) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case Some(other) => throw new IllegalArgumentException(
+        s"embeddings.embedding: unsupported physical type ${other.sql} " +
+          "(expected ARRAY<FLOAT> or ARRAY<DOUBLE>)")
+      case None => raw // contract below reports the missing column
+    }
+    val labelFixed = vecFixed.schema.find(_.name == "label").map(_.dataType) match {
+      case Some(LongType) | Some(ShortType) =>
+        vecFixed.withColumn("label", col("label").cast(IntegerType))
+      case _ => vecFixed
+    }
+    TableContract.validate(labelFixed, path, "embeddings", Seq(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType))
+  }
+}
+
+/** Generic name+type contract check for externally-generated sources:
+  * one actionable error naming every drifted column.
+  */
+object TableContract {
+  def validate(df: DataFrame, source: String, table: String,
+      required: Seq[(String, DataType)]): DataFrame = {
+    val have = df.schema.map(f => f.name -> f.dataType).toMap
+    val problems = required.flatMap { case (name, dt) =>
+      have.get(name) match {
+        case None => Some(s"missing column `$name` (want ${dt.sql})")
+        case Some(got) if !compatible(got, dt) =>
+          Some(s"column `$name` is ${got.sql}, want ${dt.sql}")
+        case _ => None
+      }
+    }
+    if (problems.nonEmpty) throw new IllegalArgumentException(
+      s"$table contract violated at $source: ${problems.mkString("; ")}")
+    df
+  }
+
+  /** Array element nullability is generator noise, not drift. */
+  private def compatible(got: DataType, want: DataType): Boolean =
+    (got, want) match {
+      case (ArrayType(g, _), ArrayType(w, _)) => compatible(g, w)
+      case _ => got == want
+    }
 }
 
 /** Name+type contract for the events source: the one testdata table the
@@ -87,18 +163,6 @@ object EventsContract {
     "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
     "event_type" -> StringType, "value" -> DoubleType)
 
-  def validate(df: DataFrame, source: String): DataFrame = {
-    val have = df.schema.map(f => f.name -> f.dataType).toMap
-    val problems = required.flatMap { case (name, dt) =>
-      have.get(name) match {
-        case None => Some(s"missing column `$name` (want ${dt.sql})")
-        case Some(got) if got != dt =>
-          Some(s"column `$name` is ${got.sql}, want ${dt.sql}")
-        case _ => None
-      }
-    }
-    if (problems.nonEmpty) throw new IllegalArgumentException(
-      s"events contract violated at $source: ${problems.mkString("; ")}")
-    df
-  }
+  def validate(df: DataFrame, source: String): DataFrame =
+    TableContract.validate(df, source, "events", required)
 }

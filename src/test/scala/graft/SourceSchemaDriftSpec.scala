@@ -106,6 +106,45 @@ class SourceSchemaDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == micros)
   }
 
+  test("embeddings loader normalizes float64 vectors down to the canonical float32") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq((1L, Seq(0.5d, 0.25d), 2L), (2L, Seq(1.0d, -1.0d), 3L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir)
+    val df = Tables.loadEmbeddingsPath(spark, dir)
+    assert(df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    })
+    assert(df.schema("label").dataType == IntegerType)
+    val v = df.orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0)).toSeq
+    assert(v == Seq(Seq(0.5f, 0.25f), Seq(1.0f, -1.0f)))
+  }
+
+  test("documents loader widens int32 n_chars to the canonical long") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq((1L, "hello world", "en", "webA", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir)
+    val df = Tables.loadDocumentsPath(spark, dir)
+    assert(df.schema("n_chars").dataType == LongType)
+    assert(df.select("n_chars").head().getLong(0) == 11L)
+  }
+
+  test("an unsupported embedding element type fails with one actionable error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq((1L, Seq("a", "b"), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Tables.loadEmbeddingsPath(spark, dir)
+    }
+    assert(ex.getMessage.contains("embedding"))
+  }
+
   test("every testdata table loads with its canonical schema at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     Tables.names.foreach { n =>
