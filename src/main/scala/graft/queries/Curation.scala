@@ -125,23 +125,40 @@ object Curation {
     * types) and a broadcast join of the per-type stats back onto the
     * hourly grid — no shuffle of raw events beyond the first agg.
     */
+  /** Per-type hourly counts of a batch events frame. */
+  private[graft] def hourlyGrid(events: org.apache.spark.sql.DataFrame) =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Per-type integer-sum baseline stats (n, Σx, Σx²) over an hourly
+    * grid — the mergeable state the z-score derives from.
+    */
+  private[graft] def typeStats(hourly: org.apache.spark.sql.DataFrame) =
+    hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n_hours"),
+      sum("n_events").as("sum_n"),
+      sum(col("n_events") * col("n_events")).as("sum_n2"))
+
+  /** The z-score expression over (n_events, n_hours, sum_n, sum_n2)
+    * columns — shared verbatim by the batch query and the streaming
+    * alert path so both flag identically.
+    */
+  private[graft] def zScore: org.apache.spark.sql.Column = {
+    val mean = col("sum_n").cast("double") / col("n_hours")
+    val varS = (col("sum_n2").cast("double") -
+      col("sum_n").cast("double") * col("sum_n") / col("n_hours")) /
+      (col("n_hours") - 1)
+    when(col("n_hours") <= 1 || varS <= 0.0, 0.0)
+      .otherwise((col("n_events").cast("double") - mean) / sqrt(varS))
+  }
+
   private val q102 = QueryDef(
     (s, d) => {
-      val hourly = load(s, d, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"))
-      val stats = hourly.groupBy("event_type").agg(
-        count(lit(1)).as("n_hours"),
-        sum("n_events").as("sum_n"),
-        sum(col("n_events") * col("n_events")).as("sum_n2"))
-      val mean = col("sum_n").cast("double") / col("n_hours")
-      val varS = (col("sum_n2").cast("double") -
-        col("sum_n").cast("double") * col("sum_n") / col("n_hours")) /
-        (col("n_hours") - 1)
-      val z = when(col("n_hours") <= 1 || varS <= 0.0, 0.0)
-        .otherwise((col("n_events").cast("double") - mean) / sqrt(varS))
-      hourly.join(broadcast(stats), "event_type")
+      val hourly = hourlyGrid(load(s, d, "events"))
+      val z = zScore
+      hourly.join(broadcast(typeStats(hourly)), "event_type")
         .select(col("event_type"), col("hour_start"), col("n_events"),
           z.as("z_score"), (abs(z) > 2.0).as("is_anomaly"))
     },

@@ -173,6 +173,32 @@ object EventStream {
         col("purchase_id"), col("purchase_ts"), col("value"))
   }
 
+  /** Streaming rate-anomaly alerts — the streaming twin of the batch
+    * q102: live hourly counts per event type are z-scored against a
+    * BATCH-computed per-type baseline (`Curation.typeStats` over
+    * historical data) and flagged at |z| > 2. Stream-static join: the
+    * baseline is tiny (one row per event type, integer sums) and
+    * broadcast per micro-batch, so the stream side stays one windowed
+    * aggregation with watermark-bounded state — the standard production
+    * monitoring shape (batch job refreshes the baseline on its own
+    * cadence; the stream just scores against the latest snapshot). The
+    * z arithmetic is the SAME expression object as the batch query, so
+    * stream and batch flag identically on identical counts.
+    */
+  def rateAnomalies(events: DataFrame, baseline: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val z = graft.queries.Curation.zScore
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"))
+      .join(broadcast(baseline), Seq("event_type"))
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        z.as("z_score"), (abs(z) > 2.0).as("is_anomaly"))
+  }
+
   /** Run the hourly aggregate to completion on a bounded directory
     * (Trigger.AvailableNow + memory sink) and return the result — used by
     * specs to assert stream/batch parity.
