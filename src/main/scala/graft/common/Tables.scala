@@ -82,8 +82,11 @@ object Tables {
     }
 
   /** documents: the other externally-generated table the corpus queries
-    * read schemaless. Canonical: n_chars LONG (a generator switching to
-    * int32 normalizes up losslessly); text/lang/source strings.
+    * read schemaless. Required core is (doc_id, text) — pipeline ingest
+    * batches legitimately carry only that. lang/source/n_chars are
+    * validated WHEN PRESENT (n_chars int32 widens to the canonical
+    * long), so generator drift on any of them still fails at the
+    * boundary with a named column instead of mid-plan.
     */
   def loadDocumentsPath(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.parquet(path)
@@ -92,9 +95,12 @@ object Tables {
         raw.withColumn("n_chars", col("n_chars").cast(LongType))
       case _ => raw
     }
-    TableContract.validate(widened, path, "documents", Seq(
-      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
-      "source" -> StringType, "n_chars" -> LongType))
+    val optional = Seq("lang" -> StringType, "source" -> StringType,
+      "n_chars" -> LongType).filter { case (n, _) =>
+      widened.schema.exists(_.name == n)
+    }
+    TableContract.validate(widened, path, "documents",
+      Seq("doc_id" -> LongType, "text" -> StringType) ++ optional)
   }
 
   /** embeddings: canonical `embedding` is ARRAY<FLOAT> (the ANN/PQ/LSH
@@ -114,14 +120,20 @@ object Tables {
           "(expected ARRAY<FLOAT> or ARRAY<DOUBLE>)")
       case None => raw // contract below reports the missing column
     }
+    // `label` is OPTIONAL: index maintenance reads embeddings dirs that
+    // carry only (vec_id, embedding); label-quality queries would fail
+    // with a plain unresolved-column error if they ever met such a dir.
+    // When present, integer widths canonicalize to INT.
     val labelFixed = vecFixed.schema.find(_.name == "label").map(_.dataType) match {
       case Some(LongType) | Some(ShortType) =>
         vecFixed.withColumn("label", col("label").cast(IntegerType))
-      case _ => vecFixed
+      case Some(IntegerType) | None => vecFixed
+      case Some(other) => throw new IllegalArgumentException(
+        s"embeddings.label: unsupported physical type ${other.sql} " +
+          "(expected an integer width)")
     }
     TableContract.validate(labelFixed, path, "embeddings", Seq(
-      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
-      "label" -> IntegerType))
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType)))
   }
 }
 

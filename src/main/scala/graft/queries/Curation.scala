@@ -27,11 +27,20 @@ object Curation {
   private val A = 2654435761L
   private val Seed = 12345L
 
+  /** The seed shifts the id BEFORE the multiplicative mix — an additive
+    * constant after the multiply would shift every key uniformly and
+    * (barring wraparound) leave the ORDER unchanged, i.e. every seed
+    * would produce the same permutation. Shift-then-multiply makes each
+    * seed a genuinely different total order (CurationSpec pins it).
+    */
+  private def shuffleKeyWith(id: org.apache.spark.sql.Column, seed: Long) =
+    ((id % P + seed % P) % P) * A % P
+
   private def shuffleKey(id: org.apache.spark.sql.Column) =
-    ((id % P) * A + Seed) % P
+    shuffleKeyWith(id, Seed)
 
   private def shuffleKeySql(id: String) =
-    s"(($id % $P) * $A + $Seed) % $P"
+    s"(($id % $P + ${Seed % P}) % $P) * $A % $P"
 
   /** q100: deterministic epoch shuffle — the global training-data order
     * for one epoch. Every doc gets a seeded hash key and its 0-based
@@ -49,19 +58,39 @@ object Curation {
     * logic with no Catalyst equivalent that avoids the one-partition
     * window.
     */
+  /** The epoch order of a keyed frame: seeded hash key + global 0-based
+    * position via range-repartition, in-partition sort, and
+    * per-partition offset assignment. Shared by q100 and the shard
+    * export; any frame with a unique long `doc_id` works.
+    */
+  private[graft] def epochOrder(docs: org.apache.spark.sql.DataFrame,
+      seed: Long): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val keyed = docs
+      .select(col("doc_id"), shuffleKeyWith(col("doc_id"), seed).as("shuffle_key"))
+    val sorted = keyed
+      .repartitionByRange(col("shuffle_key"), col("doc_id"))
+      .sortWithinPartitions("shuffle_key", "doc_id")
+    val schema = sorted.schema.add("position", LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
+  /** Epoch shard assignment for a training export: every doc gets its
+    * epoch position and a round-robin shard (position % numShards —
+    * balanced to ±1 row by construction, no second shuffle). Writing
+    * `partitionBy("shard")` yields numShards files whose within-shard
+    * read order IS the epoch order; a new seed is a new epoch.
+    */
+  def epochShards(docs: org.apache.spark.sql.DataFrame, seed: Long,
+      numShards: Int): org.apache.spark.sql.DataFrame =
+    epochOrder(docs, seed)
+      .withColumn("shard", (col("position") % numShards).cast("int"))
+
   private val q100 = QueryDef(
-    (s, d) => {
-      val keyed = load(s, d, "documents")
-        .select(col("doc_id"), shuffleKey(col("doc_id")).as("shuffle_key"))
-      val sorted = keyed
-        .repartitionByRange(col("shuffle_key"), col("doc_id"))
-        .sortWithinPartitions("shuffle_key", "doc_id")
-      val schema = sorted.schema.add("position", LongType, nullable = false)
-      val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ i)
-      }
-      s.createDataFrame(indexed, schema)
-    },
+    (s, d) => epochOrder(load(s, d, "documents"), Seed),
     Some(s"""SELECT doc_id,
               ${shuffleKeySql("doc_id")} AS shuffle_key,
               CAST(ROW_NUMBER() OVER (

@@ -97,6 +97,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == hourly)
   }
 
+  test("epochShards balances round-robin shards and preserves the epoch order") {
+    val docs = graft.common.Tables.load(spark, SfDir, "documents")
+    val n = docs.count()
+    val sharded = graft.queries.Curation.epochShards(docs, seed = 7L, numShards = 8)
+      .cache()
+    // balanced to +/-1 by construction
+    val sizes = sharded.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 8 && sizes.sum == n)
+    assert(sizes.max - sizes.min <= 1)
+    // every doc exactly once
+    assert(sharded.select("doc_id").distinct().count() == n)
+    sharded.unpersist()
+  }
+
+  test("different seeds give different epoch orders") {
+    val docs = graft.common.Tables.load(spark, SfDir, "documents")
+    def order(seed: Long) = graft.queries.Curation.epochOrder(docs, seed)
+      .orderBy("position").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(order(1L) != order(2L))
+    assert(order(1L) == order(1L))
+  }
+
   test("q100 plan has no single-partition global window") {
     val plan = run("q100_epoch_shuffle").queryExecution.executedPlan.toString
     // the scalable rank must come from range partitioning, not a Window
