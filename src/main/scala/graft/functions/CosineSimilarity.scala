@@ -98,29 +98,44 @@ object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.{Column, SparkSession}
 
-  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> { args => CosineSimilarity(args(0), args(1)) })
+  val all: Seq[(String, (String, Seq[Expression] => Expression))] = Seq(
+    "cosine_sim" -> ((classOf[CosineSimilarity].getName,
+      args => CosineSimilarity(args(0), args(1)))),
+    "bloom_might_contain" -> ((classOf[BloomMightContain].getName,
+      args => BloomMightContain(args(0), args(1)))),
+    "char_entropy" -> ((classOf[CharEntropy].getName,
+      args => CharEntropy(args(0)))))
 
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, name),
-      args => b(args))
+  def register(spark: SparkSession): Unit = all.foreach {
+    case (name, (cls, b)) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls, name),
+        args => b(args))
   }
 
   /** Column-API handle (requires register(spark) once per session). */
   def cosineSim(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+
+  /** Column-API bloom probe (requires register(spark) once per session). */
+  def bloomMightContain(filter: Column, value: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "bloom_might_contain", filter, value)
+
+  /** Column-API char entropy (requires register(spark) once per session). */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("char_entropy", text)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` installer. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    GraftFunctions.all.foreach { case (name, b) =>
+    GraftFunctions.all.foreach { case (name, (cls, b)) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+        new ExpressionInfo(cls, name),
         (args: Seq[Expression]) => b(args)))
     }
 }

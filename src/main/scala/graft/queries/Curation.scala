@@ -222,8 +222,60 @@ object Curation {
             FROM hourly h JOIN stats s USING (event_type)"""),
     "event-rate anomaly: integer-sum z-scores per type/hour [monitoring]")
 
+  /** q109: sequence-length bucketing — the batch-shape audit a training
+    * exporter runs before fixing pad-to-length buckets. Every doc lands
+    * in the smallest power-of-two bucket that holds its whitespace token
+    * count; per bucket the query reports docs, real tokens, and the
+    * padding the bucket would add (bucket_len − n_tokens summed), i.e.
+    * the compute wasted at that bucket granularity. All integer
+    * arithmetic except the final waste fraction (one int/int double
+    * division — deterministic across engines).
+    *
+    * Scale: one narrow map over the corpus then a ≤|buckets|-row agg —
+    * map-side combined, effectively shuffle-free at any table size.
+    */
+  private val SeqBuckets = Seq(16, 32, 64, 128)
+  private val q109 = QueryDef(
+    (s, d) => {
+      import graft.functions.Text
+      val n = size(Text.words(col("text")))
+      val bucket = SeqBuckets.reverse.tail.foldLeft(
+        lit(SeqBuckets.last)) { (acc, b) =>
+        when(n <= b, b).otherwise(acc)
+      }
+      load(s, d, "documents")
+        .select(bucket.as("seq_bucket"), n.as("n_tokens"))
+        .groupBy("seq_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum(col("seq_bucket") - col("n_tokens")).as("total_padding"))
+        .withColumn("pad_frac",
+          col("total_padding").cast("double") /
+            (col("seq_bucket").cast("double") * col("n_docs")))
+    },
+    Some {
+      val words =
+        "len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))"
+      val bucket = s"""CASE WHEN $words <= 16 THEN 16
+                WHEN $words <= 32 THEN 32
+                WHEN $words <= 64 THEN 64
+                ELSE 128 END"""
+      s"""WITH b AS (
+            SELECT $bucket AS seq_bucket, CAST($words AS BIGINT) AS n_tokens
+            FROM documents)
+          SELECT seq_bucket,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+            CAST(SUM(seq_bucket - n_tokens) AS BIGINT) AS total_padding,
+            CAST(SUM(seq_bucket - n_tokens) AS DOUBLE) /
+              (seq_bucket * CAST(count(*) AS DOUBLE)) AS pad_frac
+          FROM b GROUP BY 1"""
+    },
+    "sequence-length buckets: power-of-two pad buckets + waste audit [training-export]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q100_epoch_shuffle" -> q100,
     "q101_stratified_exact_k" -> q101,
-    "q102_event_rate_anomaly" -> q102)
+    "q102_event_rate_anomaly" -> q102,
+    "q109_seqlen_buckets" -> q109)
 }

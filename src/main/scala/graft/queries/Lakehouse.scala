@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import graft.operators.ChangeFeed
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lakehouse maintenance operators the reference gets from its Delta
+  * layer and a plain-parquet engine must provide itself: row-level
+  * change feeds between table states (Delta CDF; reference consumes it
+  * implicitly through MERGE round-trips,
+  * `orders_bronze_to_silver.py:184-196`) and incremental materialized-
+  * view maintenance (the reference recomputes its gold aggregates per
+  * run, `customer_features_daily.py`; at 100 TB a recompute per refresh
+  * is the bottleneck, so the MV folds per-batch partial states instead).
+  *
+  * The registry queries derive both operators' inputs IN-PLAN from
+  * deterministic splits of `orders`/`lineitem` so the driver can oracle-
+  * check them; the table-layer wiring (manifest-diff change feeds via
+  * `ParquetTable.changesBetween`, MV refresh via `ParquetTable.merge`)
+  * is exercised by ChangeFeedSpec / IncrementalMvSpec on real versioned
+  * tables.
+  */
+object Lakehouse {
+
+  /** q105: row-level change feed between two snapshots of `orders`.
+    * v1 drops keys ≡ 0 (mod 10); v2 drops keys ≡ 0 (mod 13) and bumps
+    * the price of keys ≡ 0 (mod 7) — so the diff contains all three
+    * change types with deterministic membership.
+    *
+    * Scale: ONE full-outer sort-merge join on the key, output bounded by
+    * the true change count (unchanged rows are dropped null-safely).
+    * Between table-layer versions the join never even sees untouched
+    * data: `ParquetTable.changesBetween` feeds only the manifest
+    * symmetric difference (immutable files present in both versions
+    * cannot contribute changes), so a 0.1% merge diffs 0.1% of the
+    * table. The in-plan form here exists for the oracle.
+    */
+  private val q105 = QueryDef(
+    (s, d) => {
+      val orders = load(s, d, "orders")
+      val v1 = orders.filter(col("o_orderkey") % 10 =!= 0)
+      val v2 = orders.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")))
+      ChangeFeed.snapshotDiff(v1, v2,
+        keys = Seq("o_orderkey"), compare = Seq("o_totalprice"))
+    },
+    Some("""WITH v1 AS (
+              SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey % 10 <> 0),
+            v2 AS (
+              SELECT o_orderkey,
+                CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+                     ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 13 <> 0),
+            d AS (
+              SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+                v1.o_totalprice AS old_o_totalprice,
+                v2.o_totalprice AS new_o_totalprice,
+                CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                     WHEN v2.o_orderkey IS NULL THEN 'delete'
+                     WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                       THEN 'update' END AS change_type
+              FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+            SELECT * FROM d WHERE change_type IS NOT NULL"""),
+    "snapshot change feed: keyed full-outer diff, insert/update/delete [lakehouse]")
+
+  private val MvKeys = Seq("l_returnflag", "l_linestatus")
+
+  /** The mergeable partial-aggregate state of one batch: algebraic
+    * aggregates only (count/sum — each merges by addition), so refresh
+    * never needs the raw history. avg is DERIVED from the state at read
+    * time, never stored.
+    *
+    * The state is kept EXACT so the fold is associativity-safe: price is
+    * summed in integer cents (double cents summed in any grouping order
+    * would drift in the last ulp — a folded state must equal the one-shot
+    * recompute BITWISE, not approximately), and quantity is
+    * integer-valued, so its double sum is exact at any grouping.
+    */
+  private[graft] def mvPartial(batch: DataFrame): DataFrame =
+    batch.groupBy(MvKeys.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum("l_quantity").as("sum_qty"),
+      sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("sum_price_cents"))
+
+  /** Fold one batch's partial state into the standing MV state: union +
+    * re-sum. O(|MV| + |batch groups|) per refresh — the raw table is
+    * never re-read. IncrementalMvSpec runs the same fold through
+    * `ParquetTable.merge` so only CHANGED groups rewrite.
+    */
+  private[graft] def mvMerge(state: DataFrame, partial: DataFrame): DataFrame =
+    state.unionByName(partial)
+      .groupBy(MvKeys.map(col): _*).agg(
+        sum("n_rows").as("n_rows"),
+        sum("sum_qty").as("sum_qty"),
+        sum("sum_price_cents").as("sum_price_cents"))
+
+  /** The user-facing read of the MV state: derived columns (avg) computed
+    * from the algebraic state in one deterministic expression.
+    */
+  private[graft] def mvRead(state: DataFrame): DataFrame =
+    state.select(col("l_returnflag"), col("l_linestatus"),
+      col("n_rows"), col("sum_qty"), col("sum_price_cents"),
+      (col("sum_qty") / col("n_rows")).as("avg_qty"))
+
+  /** q106: incremental materialized view — the lineitem pricing summary
+    * maintained by folding four deterministic batches' partial states
+    * instead of recomputing from raw rows. The final state equals the
+    * one-shot groupBy (the oracle is the PLAIN full recompute — no
+    * derived contract needed), and IncrementalMvSpec pins that the fold
+    * is invariant to batch count and arrival order.
+    *
+    * Scale: each batch's partial agg is map-side combined before its
+    * (tiny: one row per touched group) state shuffles; the standing MV
+    * is |groups| rows, so a refresh costs O(batch + |MV|) regardless of
+    * table history — the property that makes a 100 TB gold table
+    * maintainable per-ingest.
+    */
+  private val q106 = QueryDef(
+    (s, d) => {
+      val li = load(s, d, "lineitem")
+      val batches = (0 until 4).map(i =>
+        li.filter(pmod(col("l_orderkey"), lit(4)) === i))
+      mvRead(batches.map(mvPartial).reduce(mvMerge))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              SUM(l_quantity) AS sum_qty,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+              SUM(l_quantity) / count(*) AS avg_qty
+            FROM lineitem GROUP BY 1, 2"""),
+    "incremental MV: algebraic partial-state fold equals full recompute [lakehouse]")
+
+  val all: Seq[(String, QueryDef)] = Seq(
+    "q105_snapshot_diff" -> q105,
+    "q106_incremental_mv" -> q106)
+}

@@ -143,7 +143,105 @@ object Sketches {
             ORDER BY n_occurrences DESC, term LIMIT $TopK"""),
     "Misra-Gries pruned exact top-k: map-side nomination, candidate-only shuffle [sketch]")
 
+  /** Accepted relative error of the q107 audit: DataSketches HLL at the
+    * default lgConfigK=12 has RSE ≈ 1.04/√4096 ≈ 1.6%, so 5% is ~3σ.
+    */
+  private val HllRelErr = 0.05
+
+  /** q107: distinct-user counts per event type AND globally from ONE set
+    * of mergeable HLL sketches — the cardinality backbone of an ingest
+    * dashboard at 100 TB, where `count(distinct)` per scope would shuffle
+    * the full (type, user) pair stream. The sketches are map-side
+    * combined per partition (constant bytes per partition), the global
+    * row is `hll_union_agg` over the PER-TYPE sketches (never a second
+    * scan), and HLL registers are max-based so the estimate is
+    * partitioning- and order-independent — bit-stable across runs.
+    *
+    * The exact side exists to make the error bound CHECKABLE (same
+    * derived-contract idiom as q103/q45): each row carries the exact
+    * distinct count, the sketch estimate, and `within_bound` at 5%
+    * relative error; the oracle recomputes the exacts and re-derives the
+    * bound from the emitted estimate.
+    */
+  private val q107 = QueryDef(
+    (s, d) => {
+      val ev = load(s, d, "events")
+      val perType = ev.groupBy("event_type").agg(
+        hll_sketch_agg(col("user_id")).as("sk"),
+        count_distinct(col("user_id")).as("exact_users"))
+      val typed = perType.select(col("event_type").as("scope"),
+        col("exact_users"), hll_sketch_estimate(col("sk")).as("hll_users"))
+      val global = perType.agg(hll_union_agg(col("sk")).as("sk"))
+        .crossJoin(ev.agg(count_distinct(col("user_id")).as("exact_users")))
+        .select(lit("__ALL__").as("scope"), col("exact_users"),
+          hll_sketch_estimate(col("sk")).as("hll_users"))
+      typed.unionByName(global).withColumn("within_bound",
+        abs(col("hll_users").cast("double") - col("exact_users")) <=
+          lit(HllRelErr) * col("exact_users"))
+    },
+    Some(s"""WITH emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q107_hll_distinct/*.parquet')
+            ), ex AS (
+              SELECT event_type AS scope,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+              FROM events GROUP BY 1
+              UNION ALL
+              SELECT '__ALL__', CAST(count(DISTINCT user_id) AS BIGINT)
+              FROM events
+            )
+            SELECT e.scope, e.exact_users, e.hll_users, e.within_bound
+            FROM emitted e
+            JOIN ex ON e.scope = ex.scope
+              AND e.exact_users = ex.exact_users
+            WHERE e.within_bound
+              AND abs(CAST(e.hll_users AS DOUBLE) - e.exact_users)
+                    <= $HllRelErr * e.exact_users"""),
+    "HLL distinct per scope + union: mergeable sketches, audited bound [sketch]")
+
+  /** q108: bloom-filter semi-join reduction — segment revenue by order
+    * priority where the fact scan is PRE-FILTERED by a bloom filter built
+    * from the qualifying dim keys, and the exact join then removes the
+    * (≤1%) false positives, so the result is IDENTICAL to the plain join
+    * (the oracle is the unreduced SQL).
+    *
+    * Scale rationale: when the dim's qualifying key set is too large to
+    * broadcast as a hash relation but its BITS fit comfortably (1% fpp ≈
+    * 9.6 bits/key — 10M keys ≈ 12 MB), the bloom probe cuts the fact
+    * side's scan output and shuffle to ~|matching|·(1+fpp) rows before
+    * the join. The filter is built distributed (per-partition filters,
+    * driver merge: `DataFrameStatFunctions.bloomFilter`) and probed
+    * inside whole-stage codegen via the engine's native
+    * `bloom_might_contain` expression — Spark's internal runtime-filter
+    * injection made explicit and persistable.
+    */
+  private val q108 = QueryDef(
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cust = load(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val nKeys = math.max(cust.count(), 1L) // bounded: one dim segment
+      val bf = cust.stat.bloomFilter("c_custkey", nKeys, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val pruned = load(s, d, "orders").filter(
+        graft.functions.GraftFunctions.bloomMightContain(
+          lit(bos.toByteArray), col("o_custkey")))
+      pruned.join(cust, pruned("o_custkey") === cust("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("revenue"))
+    },
+    Some("""SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              SUM(o_totalprice) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1"""),
+    "bloom semi-join reduction: codegen probe prunes fact scan, exact join [join]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q103_cms_heavy_hitters" -> q103,
-    "q104_mg_topk" -> q104)
+    "q104_mg_topk" -> q104,
+    "q107_hll_distinct" -> q107,
+    "q108_bloom_join" -> q108)
 }

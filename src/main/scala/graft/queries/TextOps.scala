@@ -401,6 +401,48 @@ object TextOps {
             FROM tg JOIN topw USING (doc_id)"""),
     "repetition metrics: top-word / dup-word / dup-trigram fractions [text-analysis]")
 
+  /** q110: per-doc character-distribution Shannon entropy — the cheap
+    * noise detector beside q31's ratio signals (repeated filler scores
+    * near 0 bits, random bytes near log2(alphabet), natural English
+    * ~4.1). Computed by the engine's native `char_entropy` codegen
+    * expression: one local histogram pass per row, summation in fixed
+    * character order so the double is bit-deterministic — no explode, no
+    * shuffle, a pure map job at any scale.
+    *
+    * Oracle: DuckDB recomputes the same closed form from exploded
+    * characters (its own summation order) and keeps only rows within
+    * 1e-9 bits — the float-tolerance derived-contract idiom (any engine
+    * drift drops rows and fails the compare).
+    */
+  private val q110 = QueryDef(
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      load(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_total"),
+        graft.functions.GraftFunctions.charEntropy(col("text"))
+          .as("entropy_bits"))
+    },
+    Some(s"""WITH emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q110_char_entropy/*.parquet')
+            ), cnt AS (
+              SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents)
+              GROUP BY 1, 2
+            ), ent AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                log2(CAST(SUM(c) AS DOUBLE)) -
+                  SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c) AS h
+              FROM cnt GROUP BY 1
+            )
+            SELECT e.doc_id, e.n_chars_total, e.entropy_bits
+            FROM emitted e
+            JOIN ent ON e.doc_id = ent.doc_id AND e.n_chars_total = ent.n
+            WHERE abs(e.entropy_bits - ent.h) < 1e-9"""),
+    "char-distribution entropy: native codegen expr, tolerance oracle [text-analysis]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q30_text_tokens" -> q30,
     "q31_text_quality" -> q31,
@@ -410,5 +452,6 @@ object TextOps {
     "q64_corpus_ngrams" -> q64,
     "q65_doc_chunks" -> q65,
     "q70_repetition" -> q70,
-    "q83_term_cooccurrence" -> q83)
+    "q83_term_cooccurrence" -> q83,
+    "q110_char_entropy" -> q110)
 }

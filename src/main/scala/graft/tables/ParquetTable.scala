@@ -572,6 +572,73 @@ final class ParquetTable(spark: SparkSession, root: String,
     */
   private[graft] def lastMergeScannedFiles: Seq[String] = lastScanned
 
+  /** Predicate delete — Delta's `DELETE WHERE` (the retention/PII-erasure
+    * op the reference's Delta layer gets for free and the plain-parquet
+    * pipeline lacks). Copy-on-write at file granularity, like [[merge]]:
+    * one column-pruned discovery scan (`input_file_name` + the predicate)
+    * finds the files that actually contain a matching row; only those are
+    * re-written WITHOUT their matching rows, every untouched file rides
+    * into the new manifest by reference. Rows where the predicate is NULL
+    * are kept (SQL DELETE semantics: only `true` deletes). Returns None —
+    * no new version — when nothing matches.
+    */
+  def delete(condition: org.apache.spark.sql.Column,
+      partitionBy: Seq[String] = Nil): Option[Long] = latestVersion match {
+    case None => throw new IllegalStateException(s"table $root does not exist")
+    case Some(cur) =>
+      val entries = readManifest(cur)
+      val touched: Set[String] = readEntries(entries)
+        .filter(condition)
+        .select(input_file_name().as("__graft_file"))
+        .distinct().collect().map(r => baseName(r.getString(0))).toSet
+      if (touched.isEmpty) None
+      else {
+        val (touchedEntries, keptEntries) = splitEntries(entries, touched)
+        val survivors = readEntries(touchedEntries)
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            condition, lit(false)))
+        val v = nextVersion
+        val (entry, newStats) = writeData(survivors, partitionBy, v)
+        val keptFiles = keptEntries.flatMap { case (d, fs) =>
+          fs.map(f => s"$d/$f")
+        }.toSet
+        commit(v, keptEntries :+ entry,
+          readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap
+            ++ newStats)
+        Some(v)
+      }
+  }
+
+  /** Change feed between two committed versions — Delta's CDF
+    * `table_changes(v1, v2)`, derived from the manifests instead of a
+    * logged change stream. Because data files are IMMUTABLE and a version
+    * is a file list, any row living in a file referenced by BOTH
+    * manifests is bitwise-identical in both versions and cannot appear in
+    * the diff — so only the SYMMETRIC DIFFERENCE of the two file sets is
+    * read: the old-only files supply candidate deletes/old-values, the
+    * new-only files candidate inserts/new-values, and a keyed full-outer
+    * join over just those rows classifies insert/update/delete. A merge
+    * that rewrote 0.1% of a 100 TB table yields a change feed that READS
+    * 0.1% of the table, not two full snapshots.
+    */
+  def changesBetween(v1: Long, v2: Long, keys: Seq[String],
+      compare: Seq[String]): DataFrame = {
+    Seq(v1, v2).foreach(v => require(committedVersions.contains(v),
+      s"version $v is not committed (committed=${committedVersions.toSeq.sorted})"))
+    def files(v: Long): Set[String] =
+      readManifest(v).flatMap { case (d, fs) => fs.map(f => s"$d/$f") }.toSet
+    def restrict(v: Long, keep: Set[String]): DataFrame = {
+      val sub = readManifest(v).map { case (d, fs) =>
+        d -> fs.filter(f => keep.contains(s"$d/$f"))
+      }.filter(_._2.nonEmpty)
+      if (sub.nonEmpty) readEntries(sub)
+      else readVersion(v).where(lit(false)) // schema-only empty frame
+    }
+    val (f1, f2) = (files(v1), files(v2))
+    graft.operators.ChangeFeed.snapshotDiff(
+      restrict(v1, f1 -- f2), restrict(v2, f2 -- f1), keys, compare)
+  }
+
   /** Entries restricted to files whose recorded key ranges can overlap
     * the source's key bounds (one tiny agg over the source for the
     * bounds). A file with no stats record — or a column type whose

@@ -39,7 +39,14 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q102_event_rate_anomaly",
     // r9 sketches: CMS merge is count-additive (partition-independent);
     // MG candidates vary with partitioning but the rescored top-k must not
-    "q103_cms_heavy_hitters", "q104_mg_topk")
+    "q103_cms_heavy_hitters", "q104_mg_topk",
+    // r10 additions: full-outer snapshot diff, exact-state MV fold
+    // (integer-cent sums — a double-cent fold would fail this), HLL
+    // register merge (max-based, order-free), distributed bloom build
+    // (per-partition filters OR-merged), bucketing agg, fixed-order
+    // entropy summation
+    "q105_snapshot_diff", "q106_incremental_mv", "q107_hll_distinct",
+    "q108_bloom_join", "q109_seqlen_buckets", "q110_char_entropy")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -37,4 +37,61 @@ class NativeFunctionsSpec extends AnyFunSuite with SparkSpec {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("bloom_might_contain: no false negatives, bounded false positives, null in → null out") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val keys = (1L to 1000L).map(_ * 3)
+    val bf = keys.toDF("k").stat.bloomFilter("k", keys.size.toLong, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val filterLit = lit(bos.toByteArray)
+    // every inserted key must hit (bloom guarantees no false negatives)
+    val hits = keys.toDF("k")
+      .filter(GraftFunctions.bloomMightContain(filterLit, col("k")))
+      .count()
+    assert(hits == keys.size)
+    // non-members: fpp well under 10x the configured 1%
+    val nonMembers = (1L to 10000L).filter(_ % 3 != 0)
+    val fp = nonMembers.toDF("k")
+      .filter(GraftFunctions.bloomMightContain(filterLit, col("k")))
+      .count()
+    assert(fp.toDouble / nonMembers.size < 0.1, s"fp rate ${fp}/${nonMembers.size}")
+    // null probe → null (filtered out), and interpreted eval agrees with codegen
+    val withNull = Seq(Some(3L), None).toDF("k")
+      .filter(GraftFunctions.bloomMightContain(filterLit, col("k")))
+      .collect()
+    assert(withNull.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("char_entropy: closed-form values, determinism, null handling") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq(
+      "aaaa" -> 0.0, // one symbol: zero bits
+      "ab" -> 1.0, // two equiprobable symbols: exactly 1 bit
+      "aabb" -> 1.0,
+      "abcd" -> 2.0,
+      "" -> 0.0)
+    val got = cases.map(_._1).toDF("s")
+      .select(GraftFunctions.charEntropy(col("s")).as("h"))
+      .collect().map(_.getDouble(0)).toSeq
+    cases.map(_._2).zip(got).foreach { case (want, have) =>
+      assert(math.abs(want - have) < 1e-12, s"want $want got $have")
+    }
+    // SQL-callable and null-safe
+    val r = spark.sql("SELECT char_entropy(CAST(NULL AS STRING))").collect()(0)
+    assert(r.isNullAt(0))
+    // matches a direct recomputation on real corpus text (codegen path ==
+    // helper run directly)
+    val docs = graft.common.Tables.load(spark, Sf, "documents").limit(50)
+    val viaExpr = docs.select(col("doc_id"),
+      GraftFunctions.charEntropy(col("text")).as("h"))
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    val direct = docs.select("doc_id", "text").collect().map { r0 =>
+      r0.getLong(0) -> graft.functions.CharEntropy.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r0.getString(1)))
+    }.toMap
+    assert(viaExpr == direct)
+  }
 }

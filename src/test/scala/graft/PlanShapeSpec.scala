@@ -113,4 +113,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(partialLimits >= 1,
       s"expected a Partial WindowGroupLimit bounding the rank filter:\n$plan")
   }
+
+  test("char entropy (q110) is a zero-shuffle narrow plan") {
+    assert(shuffles("q110_char_entropy") == 0)
+  }
+
+  test("seq-length buckets (q109) pay exactly one (map-combined) exchange") {
+    assert(shuffles("q109_seqlen_buckets") == 1)
+  }
+
+  test("bloom join (q108): the probe filters the fact scan before the join") {
+    val plan = SparkEntry.queries("q108_bloom_join")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // the native probe must sit in a Filter on the orders scan side —
+    // i.e. the scan output is cut BEFORE any join/exchange — and the
+    // dim side must broadcast (no shuffle join at this dim size), so the
+    // only shuffle left is the final aggregation's
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom probe missing from the physical plan:\n$plan")
+    assert(shuffles("q108_bloom_join") == 1)
+  }
+
+  test("snapshot diff (q105) is one full-outer sort-merge join") {
+    val plan = SparkEntry.queries("q105_snapshot_diff")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("SortMergeJoin.*FullOuter".r.findFirstIn(plan).isDefined,
+      s"expected a full-outer sort-merge join:\n$plan")
+    // one key exchange per join input and nothing after the join — the
+    // diff's only wide step is the join itself
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 key exchanges, got $exchanges:\n$plan")
+  }
 }
