@@ -40,7 +40,10 @@ object Curation {
     shuffleKeyWith(id, Seed)
 
   private def shuffleKeySql(id: String) =
-    s"(($id % $P + ${Seed % P}) % $P) * $A % $P"
+    shuffleKeySqlWith(id, Seed)
+
+  private def shuffleKeySqlWith(id: String, seed: Long) =
+    s"(($id % $P + ${seed % P}) % $P) * $A % $P"
 
   /** q100: deterministic epoch shuffle — the global training-data order
     * for one epoch. Every doc gets a seeded hash key and its 0-based
@@ -64,13 +67,28 @@ object Curation {
     * export; any frame with a unique long `doc_id` works.
     */
   private[graft] def epochOrder(docs: org.apache.spark.sql.DataFrame,
-      seed: Long): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    val keyed = docs
-      .select(col("doc_id"), shuffleKeyWith(col("doc_id"), seed).as("shuffle_key"))
-    val sorted = keyed
-      .repartitionByRange(col("shuffle_key"), col("doc_id"))
-      .sortWithinPartitions("shuffle_key", "doc_id")
+      seed: Long): org.apache.spark.sql.DataFrame =
+    globalOrder(
+      docs.select(col("doc_id"),
+        shuffleKeyWith(col("doc_id"), seed).as("shuffle_key")),
+      Seq(col("shuffle_key"), col("doc_id")))
+
+  /** Global 0-based position of every row under a total order — the
+    * scalable replacement for a one-partition `ROW_NUMBER() OVER
+    * (ORDER BY ...)` window: range-repartition on the sort columns
+    * (sampled boundaries → balanced partitions), sort within
+    * partitions, then assign contiguous indices from per-partition
+    * offsets (`zipWithIndex`: one count job over partition sizes + one
+    * map; driver state is one Long per partition). The sort columns
+    * must form a total order (include a unique tiebreaker) or the
+    * assignment within ties is partition-dependent.
+    */
+  private[graft] def globalOrder(df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema.add("position", LongType, nullable = false)
     val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
@@ -273,9 +291,80 @@ object Curation {
     },
     "sequence-length buckets: power-of-two pad buckets + waste audit [training-export]")
 
+  /** q111: weight-proportional Bernoulli sampling — include each doc
+    * with probability min(1, K·wᵢ/W) (weight = n_chars: char-budget
+    * sampling, expected K docs), decided by the seeded portable hash so
+    * the draw is reproducible and ORACLE-CHECKABLE: u < p·P with u the
+    * integer hash, p the double inclusion probability — both engines
+    * evaluate the identical expression, so the sample is the same row
+    * set every run, everywhere.
+    *
+    * Scale: one tiny total-weight aggregate broadcast back over a
+    * narrow scan — no shuffle of the corpus, no sort, no state. (Exact-k
+    * weighted reservoirs need a top-k by u^(1/w) — float-order
+    * sensitive; the Bernoulli form is what survives an engine-portable
+    * determinism contract.)
+    */
+  private val WSeed = 777L
+  private val WTargetK = 100
+  private val q111 = QueryDef(
+    (s, d) => {
+      val docs = load(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val w = docs.agg(sum("n_chars").as("w_total"))
+      docs.crossJoin(broadcast(w))
+        .withColumn("u", shuffleKeyWith(col("doc_id"), WSeed))
+        .withColumn("p_include",
+          least(lit(1.0), lit(WTargetK.toDouble) * col("n_chars") / col("w_total")))
+        .filter(col("u") < col("p_include") * P)
+        .select("doc_id", "n_chars", "p_include")
+    },
+    Some(s"""WITH w AS (
+              SELECT CAST(SUM(n_chars) AS BIGINT) AS w_total FROM documents)
+            SELECT doc_id, n_chars,
+              least(1.0, $WTargetK.0 * n_chars / w_total) AS p_include
+            FROM documents, w
+            WHERE ${shuffleKeySqlWith("doc_id", WSeed)} <
+              least(1.0, $WTargetK.0 * n_chars / w_total) * $P"""),
+    "weighted Bernoulli sample: seeded hash draw vs char-budget probability [sampling]")
+
+  /** q112: quantile normalization of a per-doc signal (n_chars as the
+    * quality proxy): each doc's percentile within its language stratum
+    * AND its global percentile — the "same scale across strata"
+    * transform a mixing stage applies before cross-source thresholds.
+    *
+    * Scale: the per-stratum percentile is a bounded-cardinality window
+    * (strata are few). The GLOBAL percentile deliberately avoids the
+    * one-partition `OVER (ORDER BY ...)` window: it reuses the
+    * range-repartitioned global-position primitive (q100's machinery)
+    * and derives percent_rank as position/(N−1) — exact integers into
+    * one double division, so it matches the window definition bitwise.
+    */
+  private val q112 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = load(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val n = docs.count() // one job; denominator of the global rank
+      val withLang = docs.withColumn("lang_pr", percent_rank().over(
+        Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))))
+      globalOrder(withLang, Seq(col("n_chars"), col("doc_id")))
+        .withColumn("global_pr",
+          col("position").cast("double") / lit(n - 1).cast("double"))
+        .select("doc_id", "lang", "n_chars", "lang_pr", "global_pr")
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+              CAST(PERCENT_RANK() OVER (
+                PARTITION BY lang ORDER BY n_chars, doc_id) AS DOUBLE)
+                AS lang_pr,
+              CAST(PERCENT_RANK() OVER (
+                ORDER BY n_chars, doc_id) AS DOUBLE) AS global_pr
+            FROM documents"""),
+    "quantile normalization: per-stratum + scalable global percentiles [curation]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q100_epoch_shuffle" -> q100,
     "q101_stratified_exact_k" -> q101,
     "q102_event_rate_anomaly" -> q102,
-    "q109_seqlen_buckets" -> q109)
+    "q109_seqlen_buckets" -> q109,
+    "q111_weighted_sample" -> q111,
+    "q112_quantile_norm" -> q112)
 }

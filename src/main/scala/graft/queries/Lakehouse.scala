@@ -99,6 +99,48 @@ object Lakehouse {
         sum("n_rows").as("n_rows"),
         sum("sum_qty").as("sum_qty"),
         sum("sum_price_cents").as("sum_price_cents"))
+      // a group whose rows were all retracted vanishes from the MV
+      // (n_rows 0 with zeroed exact sums), matching a recompute that
+      // never saw the group
+      .filter(col("n_rows") =!= 0)
+
+  /** The retraction of a partial state: every additive component
+    * negated, so folding it in subtracts the rows the partial counted.
+    * Exactness (integer cents / integer-valued quantities) is what
+    * makes retraction LOSSLESS — add then retract restores the prior
+    * state bitwise, which a float state cannot promise.
+    */
+  private[graft] def mvNegate(state: DataFrame): DataFrame =
+    state.select(MvKeys.map(col) ++ Seq(
+      (-col("n_rows")).as("n_rows"),
+      (-col("sum_qty")).as("sum_qty"),
+      (-col("sum_price_cents")).as("sum_price_cents")): _*)
+
+  /** Columns of the MV's base rows a change feed must carry (as
+    * `old_`/`new_` pairs) for CDC-driven refresh: group keys + measures.
+    */
+  private[graft] val MvInputCols =
+    MvKeys ++ Seq("l_quantity", "l_extendedprice")
+
+  /** CDC-driven incremental view maintenance: fold a
+    * [[graft.operators.ChangeFeed.snapshotDiff]]-shaped change feed of
+    * the BASE table into the standing MV state. Deleted and pre-update
+    * rows contribute retractions (negated partials), inserted and
+    * post-update rows contribute additions — so a group-key change in
+    * an update moves the row's contribution between groups correctly.
+    * Refresh cost is O(|changes| + |touched groups|): the base table is
+    * never re-read, which is the point of pairing this with
+    * `ParquetTable.changesBetween` (itself O(changed files)).
+    */
+  private[graft] def mvCdcRefresh(state: DataFrame,
+      changes: DataFrame): DataFrame = {
+    def side(prefix: String, types: Seq[String]) =
+      changes.filter(col("change_type").isin(types: _*))
+        .select(MvInputCols.map(c => col(s"$prefix$c").as(c)): _*)
+    val retract = mvNegate(mvPartial(side("old_", Seq("delete", "update"))))
+    val add = mvPartial(side("new_", Seq("insert", "update")))
+    mvMerge(mvMerge(state, retract), add)
+  }
 
   /** The user-facing read of the MV state: derived columns (avg) computed
     * from the algebraic state in one deterministic expression.

@@ -151,8 +151,73 @@ object Profiling {
           col("min_changed") || col("max_changed"))
   }
 
+  /** q114: vocabulary drift between two corpus slices (doc_id parity
+    * stands in for "yesterday's ingest vs today's") — per term, the
+    * 2×2 chi-square contribution of its count split vs the overall
+    * split, top 50 drifting terms. The monitoring query that catches a
+    * source change (new boilerplate, template shift, language mix
+    * drift) before it poisons a training mix.
+    *
+    * Determinism: counts are exact integers; expected values and χ²
+    * are derived in ONE fixed expression order on both engines, so the
+    * top-50 cut is stable (ties broken by term).
+    *
+    * Scale: one term-keyed aggregate with map-side combine (the
+    * conditional sums fold per partition), a broadcast of the 2-row
+    * totals, then TakeOrdered — the term cardinality shuffles once,
+    * raw occurrences never do.
+    */
+  private val q114 = QueryDef(
+    (s, d) => {
+      import graft.functions.Text
+      val occ = load(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(2)).as("half"),
+          explode(Text.words(col("text"))).as("term"))
+      val counts = occ.groupBy("term").agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      val tot = counts.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+      val eA = (col("n_a") + col("n_b")).cast("double") * col("t_a") /
+        (col("t_a") + col("t_b"))
+      val eB = (col("n_a") + col("n_b")).cast("double") * col("t_b") /
+        (col("t_a") + col("t_b"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("chi2",
+          (col("n_a") - eA) * (col("n_a") - eA) / eA +
+            (col("n_b") - eB) * (col("n_b") - eB) / eB)
+        .orderBy(col("chi2").desc, col("term").asc)
+        .limit(50)
+        .select("term", "n_a", "n_b", "chi2")
+    },
+    Some {
+      val words =
+        "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+      s"""WITH occ AS (
+            SELECT doc_id % 2 AS half, unnest($words) AS term
+            FROM documents),
+          c AS (
+            SELECT term,
+              CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM occ GROUP BY 1),
+          t AS (
+            SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+              CAST(SUM(n_b) AS BIGINT) AS t_b FROM c)
+          SELECT term, n_a, n_b,
+            (n_a - CAST(n_a + n_b AS DOUBLE) * t_a / (t_a + t_b)) *
+              (n_a - CAST(n_a + n_b AS DOUBLE) * t_a / (t_a + t_b)) /
+              (CAST(n_a + n_b AS DOUBLE) * t_a / (t_a + t_b)) +
+            (n_b - CAST(n_a + n_b AS DOUBLE) * t_b / (t_a + t_b)) *
+              (n_b - CAST(n_a + n_b AS DOUBLE) * t_b / (t_a + t_b)) /
+              (CAST(n_b + n_a AS DOUBLE) * t_b / (t_a + t_b)) AS chi2
+          FROM c CROSS JOIN t
+          ORDER BY chi2 DESC, term LIMIT 50"""
+    },
+    "vocabulary drift: per-term chi-square split audit, top drifting terms [monitoring]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q57_column_profile" -> q57,
     "q58_histogram" -> q58,
-    "q61_heavy_hitters" -> q59b)
+    "q61_heavy_hitters" -> q59b,
+    "q114_vocab_drift" -> q114)
 }

@@ -443,6 +443,45 @@ object TextOps {
             WHERE abs(e.entropy_bits - ent.h) < 1e-9"""),
     "char-distribution entropy: native codegen expr, tolerance oracle [text-analysis]")
 
+  /** q113: inverted text index build — (term → document frequency +
+    * the head of the sorted posting list), the retrieval-side artifact
+    * a corpus search/dedup service materializes. Emitting the FULL
+    * posting list per term is the classic scale trap (a stopword's list
+    * is the corpus); the operator caps the emitted postings at the 10
+    * smallest doc_ids per term while df stays exact over all postings.
+    *
+    * Scale: per-doc DISTINCT terms explode from a narrow scan; ONE
+    * shuffle on the term key serves both the rank window and the
+    * aggregate (same partitioning, no second exchange — PlanShapeSpec
+    * pins it). The exact df forces every (term, doc) pair across that
+    * one shuffle regardless, so the cap's job is bounding STATE, not
+    * the wire: the conditional collect_list buffers ≤10 elements per
+    * term instead of a stopword's full corpus-sized posting list.
+    */
+  private val q113 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(words(col("text")))).as("term"))
+      terms
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("term").orderBy("doc_id")))
+        .groupBy("term").agg(
+          count(lit(1)).as("df"),
+          concat_ws(",",
+            sort_array(collect_list(when(col("rn") <= 10, col("doc_id"))))
+              .cast("array<string>")).as("postings_head"))
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, unnest(list_distinct($WordsSql)) AS term
+              FROM documents)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+              array_to_string(list_sort(list(doc_id))[1:10], ',')
+                AS postings_head
+            FROM t GROUP BY 1"""),
+    "inverted index: exact df + capped sorted posting heads [text-analysis]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q30_text_tokens" -> q30,
     "q31_text_quality" -> q31,
@@ -453,5 +492,6 @@ object TextOps {
     "q65_doc_chunks" -> q65,
     "q70_repetition" -> q70,
     "q83_term_cooccurrence" -> q83,
-    "q110_char_entropy" -> q110)
+    "q110_char_entropy" -> q110,
+    "q113_inverted_index" -> q113)
 }

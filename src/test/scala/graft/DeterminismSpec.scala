@@ -46,7 +46,12 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // (per-partition filters OR-merged), bucketing agg, fixed-order
     // entropy summation
     "q105_snapshot_diff", "q106_incremental_mv", "q107_hll_distinct",
-    "q108_bloom_join", "q109_seqlen_buckets", "q110_char_entropy")
+    "q108_bloom_join", "q109_seqlen_buckets", "q110_char_entropy",
+    // r10 batch 2: global-rank percentiles (range partitions must not
+    // leak into positions), hash-draw sampling, capped posting heads
+    // (rank-limit per term), chi-square top-50 cut
+    "q111_weighted_sample", "q112_quantile_norm", "q113_inverted_index",
+    "q114_vocab_drift")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

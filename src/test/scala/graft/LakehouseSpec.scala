@@ -141,6 +141,59 @@ class LakehouseSpec extends AnyFunSuite with SparkSpec {
     assert(fold(byEight) == oneShot)
   }
 
+  test("CDC-driven MV refresh: change-feed fold equals full recompute, retractions are lossless") {
+    import graft.queries.Lakehouse
+    import org.apache.spark.sql.expressions.Window
+    val liRaw = graft.common.Tables.load(spark, Sf, "lineitem")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    // (6000 rows / 4599 distinct pairs) and snapshotDiff requires a
+    // unique key — derive a deterministic surrogate: hash of all
+    // columns + an occurrence index among exact-duplicate rows
+    // (identical rows are interchangeable, so the keyed row SET is
+    // well-defined no matter how ties land)
+    val occ = Window.partitionBy(liRaw.columns.map(col): _*).orderBy(lit(1))
+    val li = liRaw.withColumn("row_key", xxhash64(
+      concat_ws("|", liRaw.columns.map(c => col(c).cast("string")): _*),
+      row_number().over(occ).cast("string")))
+    assert(li.select("row_key").distinct().count() == li.count())
+    val keys = Seq("row_key")
+    // v1 drops every 3rd row, v2 drops every 7th and bumps quantity on
+    // every 5th order — the feed carries all three change types
+    val v1 = li.filter(pmod(col("row_key"), lit(3)) =!= 0)
+    val v2 = li.filter(pmod(col("row_key"), lit(7)) =!= 0)
+      .withColumn("l_quantity",
+        when(pmod(col("l_orderkey"), lit(5)) === 0, col("l_quantity") + 1.0)
+          .otherwise(col("l_quantity")))
+    val changes = ChangeFeed.snapshotDiff(v1, v2, keys, Lakehouse.MvInputCols)
+    val types = changes.select("change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("insert", "update", "delete"))
+
+    val refreshed = Lakehouse.mvCdcRefresh(Lakehouse.mvPartial(v1), changes)
+    val direct = Lakehouse.mvPartial(v2)
+    assert(Lakehouse.mvRead(refreshed).collect().map(_.toString).sorted.toSeq ==
+      Lakehouse.mvRead(direct).collect().map(_.toString).sorted.toSeq)
+
+    // retraction losslessness: applying a feed and then its inverse
+    // restores the original state bitwise
+    val inverse = ChangeFeed.snapshotDiff(v2, v1, keys, Lakehouse.MvInputCols)
+    val roundTrip = Lakehouse.mvCdcRefresh(refreshed, inverse)
+    assert(Lakehouse.mvRead(roundTrip).collect().map(_.toString).sorted.toSeq ==
+      Lakehouse.mvRead(Lakehouse.mvPartial(v1)).collect().map(_.toString).sorted.toSeq)
+
+    // a fully-retracted group vanishes instead of lingering at zero
+    import spark.implicits._
+    val tiny = Seq(("A", "X", 1L, 2, 3.0, 10.0), ("B", "Y", 2L, 1, 1.0, 5.0))
+      .toDF("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice")
+    val gone = ChangeFeed.snapshotDiff(tiny,
+      tiny.filter(col("l_returnflag") =!= "A"),
+      Seq("l_orderkey", "l_linenumber"), Lakehouse.MvInputCols)
+    val after = Lakehouse.mvCdcRefresh(Lakehouse.mvPartial(tiny), gone)
+    assert(after.select("l_returnflag").collect().map(_.getString(0)).toSeq
+      == Seq("B"))
+  }
+
   test("MV refresh through ParquetTable.merge rewrites only changed groups' state") {
     import graft.queries.Lakehouse
     val li = graft.common.Tables.load(spark, Sf, "lineitem")

@@ -134,6 +134,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles("q108_bloom_join") == 1)
   }
 
+  test("inverted index (q113): one term exchange serves both window and aggregate") {
+    assert(shuffles("q113_inverted_index") == 1)
+  }
+
   test("snapshot diff (q105) is one full-outer sort-merge join") {
     val plan = SparkEntry.queries("q105_snapshot_diff")(spark, Sf)
       .queryExecution.executedPlan.toString
