@@ -360,11 +360,77 @@ object Curation {
             FROM documents"""),
     "quantile normalization: per-stratum + scalable global percentiles [curation]")
 
+  /** q116: temperature-flattened source mixing (α = 1/2, i.e. T = 2 in
+    * the n^(1/T) convention) — downsample each language stratum
+    * so post-sampling counts are ∝ √n_s, the standard multilingual
+    * rebalancing step before training export (the corpus's `source`
+    * key is deliberately uniform in the testdata; `lang` carries the
+    * real skew, en ≈ 40%). Per-stratum keep rate is
+    * r_s = √(n_min / n_s): expected kept = √(n_s · n_min) ∝ √n_s, and
+    * the smallest source keeps everything (r = 1).
+    *
+    * The per-doc draw is the seeded portable hash u ∈ [0, P); accept
+    * iff u/P < r_s, evaluated WITHOUT floats by squaring both sides:
+    * u²·n_s < P²·n_min. u² and P² fit i64 (u < P ≈ 1e9 → u² ≈ 1e18);
+    * the cross-products run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    * so a 100 TB corpus (n_s up to 1e12 → products ≈ 1e30) stays exact —
+    * both engines make the identical integer decision on every row.
+    *
+    * Scale: per-source counts are a tiny agg broadcast back over a
+    * narrow (doc_id, source) scan; the accept test is a map-side
+    * integer compare; the summary re-aggregates on the same bounded
+    * source key. No corpus shuffle, no sort, no driver state.
+    */
+  private val MixSeed = 4242L
+  private val q116 = QueryDef(
+    (s, d) => {
+      val docs = load(s, d, "documents").select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val minN = counts.agg(min("n_docs").as("n_min"))
+      val u = shuffleKeyWith(col("doc_id"), MixSeed)
+      docs.join(broadcast(counts), "lang")
+        .crossJoin(broadcast(minN))
+        .withColumn("u", u)
+        .withColumn("keep",
+          ((col("u") * col("u")).cast("decimal(38,0)") * col("n_docs") <
+            lit(P * P).cast("decimal(38,0)") * col("n_min")).cast("long"))
+        .groupBy("lang", "n_docs", "n_min")
+        .agg(sum("keep").as("n_kept"))
+        .select(col("lang"), col("n_docs"), col("n_kept"),
+          (col("n_kept").cast("double") / col("n_docs").cast("double"))
+            .as("kept_frac"),
+          sqrt(col("n_min").cast("double") / col("n_docs").cast("double"))
+            .as("target_frac"))
+    },
+    Some(s"""WITH counts AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1
+            ), m AS (
+              SELECT MIN(n_docs) AS n_min FROM counts
+            ), dec AS (
+              SELECT d.lang, c.n_docs, m.n_min,
+                ${shuffleKeySqlWith("d.doc_id", MixSeed)} AS u
+              FROM documents d JOIN counts c ON d.lang = c.lang, m
+            ), agg AS (
+              SELECT lang, n_docs, n_min,
+                CAST(SUM(CASE WHEN CAST(u * u AS HUGEINT) * n_docs <
+                  CAST(${P * P} AS HUGEINT) * n_min THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept
+              FROM dec GROUP BY 1, 2, 3
+            )
+            SELECT lang, n_docs, n_kept,
+              CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS kept_frac,
+              sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                AS target_frac
+            FROM agg"""),
+    "temperature mixing: √n source rebalance, exact integer draws [sampling]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q100_epoch_shuffle" -> q100,
     "q101_stratified_exact_k" -> q101,
     "q102_event_rate_anomaly" -> q102,
     "q109_seqlen_buckets" -> q109,
     "q111_weighted_sample" -> q111,
-    "q112_quantile_norm" -> q112)
+    "q112_quantile_norm" -> q112,
+    "q116_temperature_mix" -> q116)
 }

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import graft.functions.Text._
+import org.apache.spark.sql.functions._
+
+/** Keyword-retrieval scoring over the corpus: BM25 ranked top-k for a
+  * bounded user-query term set. Complements q113's inverted-index BUILD
+  * (the artifact) with the QUERY-side operator a retrieval/dedup service
+  * actually runs — the classic Robertson/Spärck Jones BM25 form
+  * (k1 = 1.2, b = 0.75, the +1 idf variant that never goes negative).
+  *
+  * The reference has no retrieval surface; this is a training-data
+  * extension (builder brief / SURVEY.md §7.5) — decontamination and
+  * near-dup triage both start from "which docs score high for these
+  * probe terms".
+  */
+object Retrieval {
+
+  private val K1 = 1.2
+  private val B = 0.75
+  private val TopK = 10
+
+  /** Probe terms — the bounded "user query" side. At scale this is the
+    * small side by construction (a query has a handful of terms), so the
+    * per-term df table and the corpus stats row are broadcast, never
+    * shuffled.
+    */
+  private[graft] val QueryTerms =
+    Seq("vector", "hash", "stream", "filter", "scan", "merge")
+
+  /** q115: BM25 top-k per probe term.
+    *
+    * Scale: the corpus-wide work is one narrow scan projecting
+    * (doc_id, words) and one explode FILTERED to the probe-term set
+    * before it reaches any exchange — the shuffle carries only matching
+    * (term, doc) postings, not the corpus. df (≤ |terms| rows) and the
+    * (N, avgdl) stats row come back as broadcasts. The final top-k is a
+    * per-term row_number window over candidate postings only — same
+    * bounded-partition shape as q113; with a handful of probe terms the
+    * sort is per-posting-list, and the k cap bounds the emitted rows.
+    *
+    * Oracle: integer evidence (tf, dl, df) compares exactly; the score
+    * is ln-based so DuckDB recomputes it from the SAME integer evidence
+    * and keeps rows within 1e-9 (q110's tolerance-contract idiom); the
+    * rank is re-derived from the EMITTED scores (the ANN-oracle idiom),
+    * and per-term completeness is pinned by requiring exactly
+    * least(k, df) surviving rows per term.
+    */
+  private val q115 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = load(s, d, "documents")
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+        .filter(col("term").isin(QueryTerms: _*))
+        .groupBy("term", "doc_id", "dl")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("score",
+          log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) *
+            (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("term")
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= TopK)
+        .select("term", "doc_id", "tf", "dl", "df", "score", "rnk")
+    },
+    Some {
+      val WordsSql =
+        "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH emitted AS (
+            SELECT * FROM read_parquet(
+              '${graft.QueryDef.OutDirToken}/q115_bm25_topk/*.parquet')
+          ), dl AS (
+            SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS dl
+            FROM documents
+          ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl
+            FROM dl
+          ), t AS (
+            SELECT doc_id, unnest($WordsSql) AS term FROM documents
+          ), tf AS (
+            SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM t WHERE term IN ($terms) GROUP BY 1, 2
+          ), dfx AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+          ), calc AS (
+            SELECT tf.term, tf.doc_id, tf.tf, dl.dl, dfx.df,
+              ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+                (tf.tf * ${K1 + 1.0}) /
+                (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / stats.avgdl))
+                AS score
+            FROM tf
+            JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN dfx ON tf.term = dfx.term, stats
+          ), chk AS (
+            SELECT e.term, e.doc_id, e.tf, e.dl, e.df, e.score, e.rnk
+            FROM emitted e
+            JOIN calc c ON e.term = c.term AND e.doc_id = c.doc_id
+              AND e.tf = c.tf AND e.dl = c.dl AND e.df = c.df
+            WHERE abs(e.score - c.score) < 1e-9
+          ), cnt AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS c FROM chk GROUP BY 1
+          ), rr AS (
+            SELECT chk.*, cnt.c,
+              ROW_NUMBER() OVER (PARTITION BY chk.term
+                ORDER BY chk.score DESC, chk.doc_id) AS rn
+            FROM chk JOIN cnt ON chk.term = cnt.term
+          )
+          SELECT term, doc_id, tf, dl, df, score, rnk
+          FROM rr WHERE rnk = rn AND c = least($TopK, df)"""
+    },
+    "BM25 top-k retrieval: broadcast df/stats, tolerance+rank oracle [retrieval]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q115_bm25_topk" -> q115)
+}
