@@ -384,12 +384,15 @@ object Curation {
   private val MixSeed = 4242L
   private val q116 = QueryDef(
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = load(s, d, "documents").select(col("doc_id"), col("lang"))
+      // n_min folds into the counts frame via a global window — the
+      // frame is one row PER STRATUM (bounded), so the single-partition
+      // window is free and the corpus isn't re-scanned for the min.
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      val minN = counts.agg(min("n_docs").as("n_min"))
+        .withColumn("n_min", min("n_docs").over(Window.partitionBy(lit(0))))
       val u = shuffleKeyWith(col("doc_id"), MixSeed)
       docs.join(broadcast(counts), "lang")
-        .crossJoin(broadcast(minN))
         .withColumn("u", u)
         .withColumn("keep",
           ((col("u") * col("u")).cast("decimal(38,0)") * col("n_docs") <

@@ -33,13 +33,15 @@ object Retrieval {
   /** q115: BM25 top-k per probe term.
     *
     * Scale: the corpus-wide work is one narrow scan projecting
-    * (doc_id, words) and one explode FILTERED to the probe-term set
+    * (doc_id, words) and ONE explode FILTERED to the probe-term set
     * before it reaches any exchange — the shuffle carries only matching
-    * (term, doc) postings, not the corpus. df (≤ |terms| rows) and the
-    * (N, avgdl) stats row come back as broadcasts. The final top-k is a
-    * per-term row_number window over candidate postings only — same
-    * bounded-partition shape as q113; with a handful of probe terms the
-    * sort is per-posting-list, and the k cap bounds the emitted rows.
+    * (term, doc) postings, not the corpus. df is a count-over-term
+    * window and the top-k a row_number window on the SAME term
+    * partitioning, so postings shuffle once and the corpus is never
+    * re-read for df; the (N, avgdl) stats row joins as a broadcast.
+    * Same bounded-partition shape as q113: with a handful of probe
+    * terms the sort is per-posting-list, WindowGroupLimit caps the
+    * ranked rows, and the k cap bounds the emitted set.
     *
     * Oracle: integer evidence (tf, dl, df) compares exactly; the score
     * is ln-based so DuckDB recomputes it from the SAME integer evidence
@@ -61,9 +63,14 @@ object Retrieval {
         .filter(col("term").isin(QueryTerms: _*))
         .groupBy("term", "doc_id", "dl")
         .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // df as a count-over-term window, NOT a separate aggregate+join:
+      // a second aggregate would re-scan and re-explode the corpus (no
+      // exchange reuse across the branches); the window rides the same
+      // term exchange the top-k already pays, so the corpus is exploded
+      // exactly once (PlanShapeSpec pins the 2-exchange shape).
       val scored = tf
-        .join(broadcast(df), "term")
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("term")))
         .crossJoin(broadcast(stats))
         .withColumn("score",
           log(lit(1.0) +

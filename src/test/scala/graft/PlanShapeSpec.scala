@@ -14,8 +14,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val plan = SparkEntry.queries(name)(spark, Sf)
       .queryExecution.executedPlan.toString
     // count shuffle exchanges only (hash/range/round-robin), not
-    // BroadcastExchange
-    "(?m)^\\s*(?:\\+-|:-)?\\s*Exchange (hash|range|Round)".r
+    // BroadcastExchange and not the one-row SinglePartition folds of
+    // tiny stats aggregates. Matched anywhere in the line: exchanges on
+    // `:` branch-continuation lines count the same as spine `+-` ones
+    // (the old line-anchored form silently missed branch exchanges).
+    "Exchange (hashpartitioning|rangepartitioning|RoundRobinPartitioning)".r
       .findAllIn(plan).size
   }
 
@@ -136,6 +139,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
 
   test("inverted index (q113): one term exchange serves both window and aggregate") {
     assert(shuffles("q113_inverted_index") == 1)
+  }
+
+  test("BM25 (q115): corpus explodes once; df + top-k share the term exchange") {
+    // exchange 1: postings into the (term, doc, dl) aggregate;
+    // exchange 2: the term re-key serving BOTH the df count window and
+    // the WindowGroupLimit-capped rank window. A third exchange means
+    // df regressed to a separate aggregate branch re-reading the corpus.
+    assert(shuffles("q115_bm25_topk") == 2)
+    val plan = SparkEntry.queries("q115_bm25_topk")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findFirstIn(plan).isDefined,
+      s"expected a WindowGroupLimit-capped rank window:\n$plan")
+  }
+
+  test("temperature mix (q116): corpus shuffles only into keyed aggregates") {
+    // exchange 1: lang counts; exchange 2: the bounded one-row-per-
+    // stratum window re-key for n_min (NOT corpus-sized); exchange 3:
+    // the final per-lang summary. The accept test itself is a map-side
+    // integer compare against a broadcast — corpus rows never shuffle.
+    assert(shuffles("q116_temperature_mix") <= 3)
   }
 
   test("snapshot diff (q105) is one full-outer sort-merge join") {
