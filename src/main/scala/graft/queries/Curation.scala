@@ -428,6 +428,43 @@ object Curation {
             FROM agg"""),
     "temperature mixing: √n source rebalance, exact integer draws [sampling]")
 
+  private val NumFolds = 5
+
+  /** q125: GROUP k-fold assignment — cross-validation folds keyed on the
+    * CUSTOMER, not the order, so every row of one customer lands in one
+    * fold and fold-held-out evaluation cannot leak a customer's history
+    * into training (the group-CV discipline any user-level model needs).
+    * fold = seeded portable hash of o_custkey mod k: leakage-free BY
+    * CONSTRUCTION (a pure function of the group key), reproducible
+    * run-over-run, and rebalancing follows the hash's uniformity.
+    *
+    * Scale: one aggregate over (fold) after a per-row integer hash —
+    * map-side combined to k rows; the distinct-customer count per fold
+    * rides the same exchange as a two-level aggregate. No join, no
+    * assignment table materialized (the assignment is recomputable from
+    * the key anywhere, which is the point).
+    */
+  private val q125 = QueryDef(
+    (s, d) => {
+      val assigned = load(s, d, "orders")
+        .withColumn("fold",
+          (shuffleKey(col("o_custkey")) % NumFolds).cast("int"))
+      assigned
+        .groupBy(col("fold"))
+        .agg(
+          countDistinct(col("o_custkey")).cast("long").as("n_customers"),
+          graft.common.Exact.lcountAll.as("n_orders"),
+          graft.common.Exact.dsum(col("o_totalprice")).as("sum_totalprice"))
+    },
+    Some(s"""SELECT CAST(${shuffleKeySql("o_custkey")} % $NumFolds
+                AS INTEGER) AS fold,
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                AS sum_totalprice
+            FROM orders GROUP BY 1"""),
+    "group k-fold CV assignment: leakage-free by construction [training-export]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q100_epoch_shuffle" -> q100,
     "q101_stratified_exact_k" -> q101,
@@ -435,5 +472,6 @@ object Curation {
     "q109_seqlen_buckets" -> q109,
     "q111_weighted_sample" -> q111,
     "q112_quantile_norm" -> q112,
-    "q116_temperature_mix" -> q116)
+    "q116_temperature_mix" -> q116,
+    "q125_group_kfold" -> q125)
 }

@@ -84,6 +84,42 @@ object Profiling {
             ORDER BY n_rows DESC, l_suppkey ASC LIMIT 20"""),
     "heavy-hitter join keys with share [profiling,skew]")
 
+  /** q124: the salted shuffle join (graft.operators.SkewJoin.saltedJoin)
+    * as a first-class, oracle-checked query — revenue per order priority
+    * through a lineitem⋈orders join executed with an 8-way salt spray.
+    * q59b is the DETECTION half of the skew playbook; this is the
+    * MITIGATION half, certified equivalent to the plain join by the
+    * oracle (the salt must change the partitioning, never the result).
+    *
+    * Scale: the exact shape for a hot-key fact⋈dim join where the dim
+    * side is too big to broadcast — the left's rows spray across
+    * saltFactor sub-partitions of each key (bounding any one task at
+    * ~1/saltFactor of the hottest key) and the right replicates
+    * saltFactor×, a fixed small blowup. Aggregation after the join is
+    * map-side combined to |priorities| rows. Exact-decimal revenue
+    * (common.Exact discipline) keeps the sum independent of the salt's
+    * repartitioning.
+    */
+  private val q124 = QueryDef(
+    (s, d) => {
+      val fact = load(s, d, "lineitem")
+        .select(col("l_orderkey"), money(col("l_extendedprice")).as("px"),
+          oneMinus(col("l_discount")).as("disc"))
+      val dim = load(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedJoin(fact, dim, Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(lcountAll.as("n_items"),
+          sum(col("px") * col("disc")).cast("double").as("revenue"))
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1"""),
+    "salted skew join certified against the plain join [profiling,skew]")
+
   // ---- generic profiles + drift (table-layer companion) ----
 
   /** One-pass generic per-column profile: (column, n_rows, n_nulls,
@@ -219,5 +255,6 @@ object Profiling {
     "q57_column_profile" -> q57,
     "q58_histogram" -> q58,
     "q61_heavy_hitters" -> q59b,
-    "q114_vocab_drift" -> q114)
+    "q114_vocab_drift" -> q114,
+    "q124_salted_join" -> q124)
 }

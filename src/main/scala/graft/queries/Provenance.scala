@@ -108,7 +108,65 @@ object Provenance {
     "cross-source shared doc fingerprints (32-word prefix) per source " +
       "pair [dedup,provenance]")
 
+  /** q126: leave-one-source-out ablation — for each source, what the
+    * corpus mean doc length becomes if that source is dropped, and the
+    * delta vs the overall mean. The cheap first-order answer to "which
+    * source is dragging the mix" that a curation loop runs before any
+    * expensive model-based valuation: a large positive delta means the
+    * rest of the corpus is better off without it (on this metric).
+    *
+    * Scale: the ablation needs NO per-source rescan — one source-keyed
+    * aggregate produces (n_s, Σ_s), the grand totals fold from that
+    * tiny frame, and each source's leave-out mean is pure arithmetic on
+    * (T − Σ_s)/(N − n_s). One data-sized exchange total, regardless of
+    * source count.
+    *
+    * Float parity: integer counts/sums; each emitted double is a single
+    * IEEE division or subtraction of identical exact operands — exact
+    * oracle, no tolerance.
+    */
+  private val q126 = QueryDef(
+    (s, d) => {
+      val bySource = load(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+      val totals = bySource.agg(
+        sum(col("n_docs")).as("n_total"),
+        sum(col("sum_chars")).as("chars_total"))
+      bySource.crossJoin(broadcast(totals))
+        .withColumn("overall_mean",
+          col("chars_total").cast("double") / col("n_total").cast("double"))
+        .withColumn("mean_without",
+          (col("chars_total") - col("sum_chars")).cast("double") /
+            (col("n_total") - col("n_docs")).cast("double"))
+        .withColumn("delta", col("mean_without") - col("overall_mean"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("mean_without"), col("overall_mean"), col("delta"))
+    },
+    Some("""WITH s AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              FROM documents GROUP BY 1
+            ), t AS (
+              SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                CAST(SUM(sum_chars) AS BIGINT) AS chars_total
+              FROM s
+            )
+            SELECT s.source, s.n_docs, s.sum_chars,
+              CAST(t.chars_total - s.sum_chars AS DOUBLE) /
+                CAST(t.n_total - s.n_docs AS DOUBLE) AS mean_without,
+              CAST(t.chars_total AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                AS overall_mean,
+              CAST(t.chars_total - s.sum_chars AS DOUBLE) /
+                CAST(t.n_total - s.n_docs AS DOUBLE) -
+                CAST(t.chars_total AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                AS delta
+            FROM s, t"""),
+    "leave-one-source-out ablation: no per-source rescan, exact arithmetic [provenance]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q84_source_quality" -> q84,
-    "q85_cross_source_dups" -> q85)
+    "q85_cross_source_dups" -> q85,
+    "q126_source_ablation" -> q126)
 }

@@ -14,5 +14,6 @@ object Registry {
       Packing.all ++ Provenance.all ++ ProductQuantization.all ++
       IvfPq.all ++ LabelQuality.all ++ LmQuality.all ++ BpeVocab.all ++
       Layout.all ++ Projection.all ++ Attribution.all ++ DupSpans.all ++
-      Curation.all ++ Sketches.all ++ Lakehouse.all ++ Retrieval.all
+      Curation.all ++ Sketches.all ++ Lakehouse.all ++ Retrieval.all ++
+      Sequence.all ++ Basket.all ++ Outliers.all ++ FuzzyJoin.all
 }

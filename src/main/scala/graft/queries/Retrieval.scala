@@ -133,6 +133,113 @@ object Retrieval {
     },
     "BM25 top-k retrieval: broadcast df/stats, tolerance+rank oracle [retrieval]")
 
+  private val RrfK = 60
+  private val RrfTopK = 10
+
+  /** q122: hybrid retrieval via reciprocal rank fusion — a LEXICAL
+    * ranker (distinct-word overlap with the query document) and a DENSE
+    * ranker (embedding cosine) over the same candidate set, fused with
+    * RRF: 1/(60+r_lex) + 1/(60+r_dense), top-10 per query. This is the
+    * production hybrid-search shape (BM25 ⊕ vector search); the corpus
+    * is the documents that HAVE embeddings (doc_id = vec_id — at sf0.1
+    * only a subset of docs carry vectors, exactly the real-world
+    * partial-coverage case). Candidates with zero lexical overlap have
+    * no lexical rank and contribute only their dense term.
+    *
+    * Scale: one scan of the joined corpus with the 20-query probe side
+    * broadcast; BOTH signals (array_intersect size + cosine) compute in
+    * the same codegen stage over that one pass. The two rank windows
+    * and the final top-k all partition by query_id → one exchange. At
+    * corpus scale each ranker's candidate source is its index path
+    * (q113/q115 postings for lexical, q39/q54 cells for dense) and the
+    * fusion runs on top-k' lists, tiny by construction — the fusion
+    * arithmetic here is unchanged.
+    *
+    * Float parity: exact, full row-set oracle — overlap is an integer,
+    * the cosine is the order-fixed fold, and RRF is two exact divisions
+    * added once; both rank orders sort on exact values with doc_id
+    * tie-breaks. No tolerance contract needed.
+    */
+  private val q122 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = load(s, d, "documents")
+        .select(col("doc_id"), array_distinct(words(col("text"))).as("w"))
+        .join(load(s, d, "embeddings"),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("w"), col("embedding"))
+      val q = corpus.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"), col("w").as("qw"),
+          col("embedding").as("qv"))
+      val byQuery = Window.partitionBy(col("query_id"))
+      val scored = corpus.join(broadcast(q),
+          col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          size(array_intersect(col("w"), col("qw"))).cast("long")
+            .as("overlap"),
+          Similarity.fastCosine(s)(col("qv"), col("embedding"))
+            .as("cos_score"))
+        // overlap DESC puts the zero-overlap tail last, so ranks 1..m
+        // are exactly the candidates with lexical evidence; the rest
+        // null out (no lexical rank) in the same single window
+        .withColumn("rl_all", row_number().over(
+          byQuery.orderBy(col("overlap").desc, col("doc_id").asc)))
+        .withColumn("rank_lex",
+          when(col("overlap") > 0, col("rl_all").cast("int")))
+        .withColumn("rank_dense", row_number().over(
+          byQuery.orderBy(col("cos_score").desc, col("doc_id").asc))
+          .cast("int"))
+        .withColumn("rrf",
+          when(col("overlap") > 0,
+            lit(1.0) / (lit(RrfK) + col("rl_all"))).otherwise(lit(0.0)) +
+            lit(1.0) / (lit(RrfK) + col("rank_dense")))
+      scored
+        .withColumn("rn", row_number().over(
+          byQuery.orderBy(col("rrf").desc, col("doc_id").asc)))
+        .filter(col("rn") <= RrfTopK)
+        .select(col("query_id"), col("doc_id"), col("overlap"),
+          col("cos_score"), col("rank_lex"), col("rank_dense"),
+          col("rrf"), col("rn").cast("int").as("rn"))
+    },
+    Some {
+      val WordsSql =
+        "list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))"
+      s"""WITH corpus AS (
+              SELECT d.doc_id, $WordsSql AS w, e.embedding
+              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            ), q AS (
+              SELECT doc_id AS query_id, w AS qw, embedding AS qv
+              FROM corpus WHERE doc_id < 20
+            ), scored AS (
+              SELECT q.query_id, c.doc_id,
+                CAST(len(list_intersect(c.w, q.qw)) AS BIGINT) AS overlap,
+                ${Similarity.cosineSql("q.qv", "c.embedding")} AS cos_score
+              FROM corpus c JOIN q ON c.doc_id <> q.query_id
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY overlap DESC, doc_id ASC) AS rl_all,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_score DESC, doc_id ASC) AS INTEGER)
+                  AS rank_dense
+              FROM scored
+            ), fused AS (
+              SELECT query_id, doc_id, overlap, cos_score,
+                CASE WHEN overlap > 0 THEN CAST(rl_all AS INTEGER) END
+                  AS rank_lex,
+                rank_dense,
+                CASE WHEN overlap > 0 THEN 1.0 / ($RrfK + rl_all)
+                     ELSE 0.0 END + 1.0 / ($RrfK + rank_dense) AS rrf
+              FROM ranked
+            )
+            SELECT query_id, doc_id, overlap, cos_score, rank_lex,
+              rank_dense, rrf, CAST(rn AS INTEGER) AS rn
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
+            WHERE rn <= $RrfTopK"""
+    },
+    "hybrid RRF fusion of lexical + dense rankers: exact full-row oracle [retrieval]")
+
   def all: Seq[(String, QueryDef)] = Seq(
-    "q115_bm25_topk" -> q115)
+    "q115_bm25_topk" -> q115,
+    "q122_hybrid_rrf" -> q122)
 }

@@ -1276,6 +1276,54 @@ object Similarity {
                   (SELECT COUNT(DISTINCT bkt) FROM emitted)"""),
     "LSH index health: per-bucket occupancy + balance [similarity]")
 
+  /** q123: per-query recall@10 of the IVF index against the exact
+    * baseline — the production index-quality monitor (alongside q91's
+    * occupancy health): recall dropping under a threshold is the signal
+    * to retrain the quantizer or raise nprobe. Composes the q38 and q54
+    * operators directly, so it measures exactly what those queries
+    * serve.
+    *
+    * Scale: both inputs are top-k lists — 10 rows per query by
+    * construction — so the audit joins and aggregates O(queries·k)
+    * rows no matter the corpus size; the cost is the two underlying
+    * operators, which are the IVF/index paths already built for scale.
+    *
+    * Oracle: DuckDB recomputes the same join over the ENGINE'S OWN
+    * emitted q38/q54 row sets (each independently oracle-verified), so
+    * a q123 row that disagrees with the lists it claims to audit fails
+    * the compare. recall is one exact long/long division.
+    */
+  private val q123 = QueryDef(
+    (s, d) => {
+      val exact = q38.fn(s, d).select(col("query_id"), col("vec_id"))
+      val approx = q54.fn(s, d)
+        .select(col("query_id").as("aqid"), col("vec_id").as("avid"))
+      exact.join(approx,
+          col("query_id") === col("aqid") && col("vec_id") === col("avid"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(graft.common.Exact.lcountAll.as("n_exact"),
+          graft.common.Exact.lcount(col("avid")).as("n_hits"))
+        .withColumn("recall", col("n_hits") / col("n_exact"))
+    },
+    Some(s"""WITH ex AS (
+              SELECT query_id, vec_id FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q38_ann_bruteforce/*.parquet')
+            ), ap AS (
+              SELECT query_id, vec_id FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q54_ann_ivf/*.parquet')
+            ), j AS (
+              SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(a.vec_id) AS BIGINT) AS n_hits
+              FROM ex e LEFT JOIN ap a
+                ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+              GROUP BY 1
+            )
+            SELECT query_id, n_exact, n_hits,
+              n_hits / n_exact AS recall
+            FROM j"""),
+    "IVF recall@10 audit vs exact baseline: derived oracle over emitted lists [similarity]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
     "q39_ann_lsh" -> q39,
@@ -1284,5 +1332,6 @@ object Similarity {
     "q62_dedup_embedding_ann" -> q62,
     "q68_embedding_quantize" -> q68,
     "q91_index_health" -> q91,
-    "q92_lsh_health" -> q92)
+    "q92_lsh_health" -> q92,
+    "q123_ann_recall" -> q123)
 }

@@ -106,6 +106,41 @@ object EventStream {
       }
   }
 
+  // ---- streaming transition pairs (q117's streaming twin) ----
+  final case class LastEvent(ts: Long, eventId: Long, eventType: String)
+  final case class Transition(
+      user_id: Long, event_type: String, next_type: String)
+
+  /** Per-user adjacent-event transition emitter — the streaming twin of
+    * q117's transition matrix. State per user is ONE tuple (the last
+    * event seen), so the state store holds |active users| rows
+    * regardless of event volume; each micro-batch sorts its own events
+    * per user and the state carries the boundary pair across batches.
+    * Assumes per-user in-order arrival ACROSS micro-batches (the
+    * log-shipping contract the file source provides when fed
+    * time-ordered files); within a batch any order is fine. Downstream,
+    * a grouped count over (event_type, next_type) — trivially tiny —
+    * maintains the matrix incrementally.
+    */
+  def transitionPairs(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p =>
+              out += Transition(userId, p.eventType, e.event_type))
+            prev = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact-dedup: drop events whose `event_id` was already
     * seen within the watermark horizon — the streaming twin of the batch
     * exact-dedup (state is bounded by the watermark, so 100 TB/day of
