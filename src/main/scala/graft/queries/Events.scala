@@ -344,8 +344,47 @@ object Events {
               ON spine.user_id = daily.user_id AND spine.day = daily.day"""),
     "date-spine gap filling per user activity span [events,time-series]")
 
+  /** q127: SLIDING 1-hour windows every 15 minutes — q41's tumbling agg
+    * with overlap, the other canonical streaming-agg shape run as batch
+    * (a metric that must refresh 4× per horizon). Spark's window()
+    * expands each event into windowDuration/slide = 4 rows BEFORE the
+    * aggregate; the fan-out is a fixed small constant and the partial
+    * aggregate collapses it map-side, so the one exchange still carries
+    * ~|windows|·|types| combined rows, not 4× the events.
+    *
+    * Oracle: both engines floor the epoch-microsecond clock to the
+    * 15-minute grid with integer arithmetic (Spark's window() is
+    * epoch-aligned), so window boundaries match exactly; sums use the
+    * exact-decimal discipline.
+    */
+  private val q127 = QueryDef(
+    (s, d) =>
+      load(s, d, "events")
+        .groupBy(
+          window(col("ts"), "1 hour", "15 minutes")("start")
+            .as("window_start"),
+          col("event_type"))
+        .agg(lcountAll.as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).cast("long").as("n_users")),
+    Some("""WITH slides AS (
+              SELECT make_timestamp(
+                  (epoch_us(ts) // 900000000 - i) * 900000000)
+                  AS window_start,
+                event_type, user_id, value
+              FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g
+            )
+            SELECT window_start, event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                AS sum_value,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM slides GROUP BY 1, 2"""),
+    "sliding 1h/15min window agg: fixed 4x expand, map-side collapse [streaming-as-batch]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q41_events_hourly" -> q41,
+    "q127_sliding_window" -> q127,
     "q42_events_sessions" -> q42,
     "q73_event_funnel" -> q73,
     "q74_retention_cohorts" -> q74,

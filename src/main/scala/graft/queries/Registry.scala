@@ -15,5 +15,6 @@ object Registry {
       IvfPq.all ++ LabelQuality.all ++ LmQuality.all ++ BpeVocab.all ++
       Layout.all ++ Projection.all ++ Attribution.all ++ DupSpans.all ++
       Curation.all ++ Sketches.all ++ Lakehouse.all ++ Retrieval.all ++
-      Sequence.all ++ Basket.all ++ Outliers.all ++ FuzzyJoin.all
+      Sequence.all ++ Basket.all ++ Outliers.all ++ FuzzyJoin.all ++
+      FeatureEng.all
 }

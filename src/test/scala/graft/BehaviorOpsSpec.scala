@@ -166,6 +166,35 @@ class BehaviorOpsSpec extends AnyFunSuite with SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q127: 4x event fan-out, and hour-aligned slides equal q41's " +
+    "tumbling windows") {
+    val df = run("q127_sliding_window").cache()
+    try {
+      val ev = graft.common.Tables.load(spark, Sf, "events")
+      assert(df.agg(sum("n_events")).head().getLong(0) == 4 * ev.count())
+      val aligned = df.filter(minute(col("window_start")) === 0)
+        .select(col("window_start").as("hour_start"), col("event_type"),
+          col("n_events"))
+      val tumbling = run("q41_events_hourly")
+        .select("hour_start", "event_type", "n_events")
+      assert(aligned.exceptAll(tumbling).count() == 0)
+      assert(tumbling.exceptAll(aligned).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("q128: encoding shrinks the raw rate toward the prior") {
+    val df = run("q128_target_encoding")
+    val bad = df.filter(
+      (col("encoded") < least(col("n_pos") / col("n_orders"), col("prior")) -
+        lit(1e-12)) ||
+        (col("encoded") >
+          greatest(col("n_pos") / col("n_orders"), col("prior")) +
+            lit(1e-12))).count()
+    assert(bad == 0)
+    assert(df.select("prior").distinct().count() == 1)
+    assert(df.count() > 1)
+  }
+
   test("q122 plan: one scan of the candidate table, probe side broadcast") {
     val plan = run("q122_hybrid_rrf").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") ||
