@@ -33,7 +33,7 @@ object Curation {
     * would produce the same permutation. Shift-then-multiply makes each
     * seed a genuinely different total order (CurationSpec pins it).
     */
-  private def shuffleKeyWith(id: org.apache.spark.sql.Column, seed: Long) =
+  private[graft] def shuffleKeyWith(id: org.apache.spark.sql.Column, seed: Long) =
     ((id % P + seed % P) % P) * A % P
 
   private def shuffleKey(id: org.apache.spark.sql.Column) =
@@ -42,7 +42,7 @@ object Curation {
   private def shuffleKeySql(id: String) =
     shuffleKeySqlWith(id, Seed)
 
-  private def shuffleKeySqlWith(id: String, seed: Long) =
+  private[graft] def shuffleKeySqlWith(id: String, seed: Long) =
     s"(($id % $P + ${seed % P}) % $P) * $A % $P"
 
   /** q100: deterministic epoch shuffle — the global training-data order

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-space monitoring operators: per-vector extreme-value
+  * audits, per-label integer-quantized centroids, and the
+  * centroid-assignment purity matrix — the checks a production vector
+  * pipeline runs before trusting labels or committing a quantization
+  * scheme.
+  *
+  * Numeric discipline: every cross-row accumulation happens in INTEGER
+  * milli-units (vectors quantize to ⌊1000·x⌉ at the scan), so sums are
+  * associativity-exact under any partitioning and the DuckDB oracle
+  * reproduces them bit-for-bit. Doubles appear only in per-row folds in
+  * list order and in single final divisions — both bitwise-portable.
+  */
+object EmbeddingStats {
+
+  /** Quantization scale (milli-units). Sums of ⌊1000·x⌉ stay exact in
+    * i64 up to ~9·10^15 ≈ 10^12 unit-norm vectors per (label, dim)
+    * group — beyond that the centroid pass switches to DECIMAL(38,0),
+    * same plan shape.
+    */
+  private val Scale = 1000.0
+
+  private def qmilli(x: Column): Column =
+    floor(x * Scale + 0.5).cast("long")
+
+  /** q135: per-vector extreme-value audit — the largest |coordinate|,
+    * how many coordinates are "hot" (|x| ≥ 0.25: for unit-norm vectors
+    * at most 16 can be), and which dimension dominates. Feature-health
+    * dashboards read this to catch dead/exploding dimensions and
+    * vectors that collapsed onto one axis.
+    *
+    * Scale: pure narrow per-row array expressions — zero shuffle, a
+    * map job at any corpus size.
+    */
+  private val q135 = QueryDef(
+    (s, d) => {
+      val absd = transform(col("embedding").cast("array<double>"), abs(_))
+      load(s, d, "embeddings").select(
+        col("vec_id"), col("label"),
+        array_max(absd).as("max_abs"),
+        size(filter(absd, _ >= 0.25)).cast("long").as("n_hot"),
+        array_position(absd, array_max(absd)).cast("long").as("dom_dim"))
+    },
+    Some("""SELECT vec_id, label,
+              list_reduce(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE))),
+                (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_abs,
+              CAST(len(list_filter(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE))), v -> v >= 0.25))
+                AS BIGINT) AS n_hot,
+              CAST(list_position(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE))),
+                list_reduce(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE))),
+                  (a, b) -> CASE WHEN b > a THEN b ELSE a END))
+                AS BIGINT) AS dom_dim
+            FROM embeddings"""),
+    "per-vector extremes: max|x|, hot dims, dominant axis — zero shuffle [embedding]")
+
+  /** (vec_id, label, dim, qv): the corpus quantized to milli-units,
+    * one row per coordinate. The posexplode fan-out (64× rows) carries
+    * only 4 narrow columns — at 100 TB this is the standard
+    * coordinate-exchange layout, partitioned by (label, dim) at the
+    * agg with map-side combine collapsing it 500k:1 before shuffle.
+    */
+  private def coords(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"), qmilli(col("x")).as("qv"))
+
+  /** (clabel, dim, cm): per-label centroid in milli-units —
+    * cm = ⌊sum_q/n⌉, one double division + floor on exact integers, so
+    * both engines round to the identical integer centroid.
+    */
+  private def centroidsMilli(s: SparkSession, d: String): DataFrame =
+    coords(s, d)
+      .groupBy(col("label").as("clabel"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum("qv").as("sum_q"))
+      .select(col("clabel"), col("dim"),
+        floor(col("sum_q").cast("double") / col("n").cast("double") + 0.5)
+          .cast("long").as("cm"))
+
+  private val CoordsSql =
+    """SELECT vec_id, label, dim - 1 AS dim,
+         CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000.0 + 0.5)
+           AS BIGINT) AS qv
+       FROM (SELECT vec_id, label, embedding,
+               unnest(generate_series(1, len(embedding))) AS dim
+             FROM embeddings)"""
+
+  /** q136: per-(label, dim) centroid table — n, exact integer
+    * coordinate sum, the milli-unit centroid, and the double rendering.
+    * |labels|·dim rows out; this is the model card's "where does each
+    * class live" table and q137's input.
+    */
+  private val q136 = QueryDef(
+    (s, d) =>
+      coords(s, d)
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n_vecs"), sum("qv").as("sum_q"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("n_vecs"), col("sum_q"),
+          floor(col("sum_q").cast("double") / col("n_vecs").cast("double")
+            + 0.5).cast("long").as("centroid_milli"),
+          (col("sum_q").cast("double") /
+            (col("n_vecs").cast("double") * Scale)).as("centroid")),
+    Some(s"""WITH q AS ($CoordsSql)
+            SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(SUM(qv) AS BIGINT) AS sum_q,
+              CAST(floor(CAST(SUM(qv) AS DOUBLE) /
+                CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+                AS centroid_milli,
+              CAST(SUM(qv) AS DOUBLE) /
+                (CAST(count(*) AS DOUBLE) * 1000.0) AS centroid
+            FROM q GROUP BY 1, 2"""),
+    "per-label quantized centroids: coordinate exchange, exact integer sums [embedding]")
+
+  /** q137: centroid-assignment purity — every vector assigned to its
+    * nearest label centroid (squared L2 in integer milli-space, ties to
+    * the lower label), aggregated into the label×assigned confusion
+    * matrix. Off-diagonal mass is the mislabeled/overlapping-class
+    * signal that gates whether the labels are usable as training
+    * supervision.
+    *
+    * Scale: centroids are |labels|·dim rows → pivoted to |labels|
+    * arrays and BROADCAST; the distance pass is then a zero-shuffle map
+    * (|labels| integer folds per vector) + one |labels|² agg. No
+    * all-pairs, no driver loop; k-means' E-step at 100 TB is exactly
+    * this plan.
+    */
+  private val q137 = QueryDef(
+    (s, d) => {
+      val cent = centroidsMilli(s, d)
+        .groupBy("clabel")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cm")))),
+          _.getField("cm")).as("cent"))
+      val quant = load(s, d, "embeddings").select(
+        col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"), qmilli(_)).as("q"))
+      val d2 = quant.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          aggregate(
+            zip_with(col("q"), col("cent"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+      d2.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("clabel").as("assigned_label"))
+        .agg(count(lit(1)).as("n_vecs"), sum("d2").as("sum_d2"))
+    },
+    Some(s"""WITH q AS ($CoordsSql),
+            c AS (
+              SELECT label AS clabel, dim,
+                CAST(floor(CAST(SUM(qv) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS cm
+              FROM q GROUP BY 1, 2
+            ), dist AS (
+              SELECT q.vec_id, q.label, c.clabel,
+                CAST(SUM((q.qv - c.cm) * (q.qv - c.cm)) AS BIGINT) AS d2
+              FROM q JOIN c ON q.dim = c.dim
+              GROUP BY 1, 2, 3
+            ), best AS (
+              SELECT vec_id, label, clabel, d2, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+              FROM dist
+            )
+            SELECT label, clabel AS assigned_label,
+              CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(SUM(d2) AS BIGINT) AS sum_d2
+            FROM best WHERE rn = 1 GROUP BY 1, 2"""),
+    "centroid-assignment purity: broadcast centroids, integer L2, |labels|² matrix [embedding]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q135_embedding_extremes" -> q135,
+    "q136_label_centroids" -> q136,
+    "q137_centroid_purity" -> q137)
+}

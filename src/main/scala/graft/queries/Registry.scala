@@ -16,5 +16,6 @@ object Registry {
       Layout.all ++ Projection.all ++ Attribution.all ++ DupSpans.all ++
       Curation.all ++ Sketches.all ++ Lakehouse.all ++ Retrieval.all ++
       Sequence.all ++ Basket.all ++ Outliers.all ++ FuzzyJoin.all ++
-      FeatureEng.all
+      FeatureEng.all ++ PrivacyOps.all ++ Scoring.all ++ Curriculum.all ++
+      VocabOps.all ++ EmbeddingStats.all
 }

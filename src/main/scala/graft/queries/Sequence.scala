@@ -121,7 +121,57 @@ object Sequence {
             WHERE abs(e.decayed_value - a.dv) < 1e-6"""),
     "time-decay engagement: watermark broadcast, tolerance oracle [sequence]")
 
+  /** Path prefix length: the classic "first N events" onboarding
+    * window.
+    */
+  private val PathLen = 8
+
+  /** q138: top onboarding paths — every user's first 8 event types
+    * (chronological, event_id tiebreak) joined into a path string,
+    * counted across users. Product analytics reads this as "what do new
+    * users actually do"; sequence-model training reads it as the
+    * empirical prefix distribution.
+    *
+    * Scale: the window filter caps state FIRST (row_number ≤ 8 over the
+    * per-user order — one user_id shuffle, streaming rank, no buffered
+    * history), so the collect_list that follows holds at most 8 tiny
+    * structs per user no matter how active the user is. The path count
+    * is a second (path) shuffle over one short row per user. Never
+    * collect-then-slice: an unbounded user history inside one
+    * collect_list is the OOM that kills per-user aggs at 100 TB.
+    *
+    * Exactness: strings and counts only.
+    */
+  private val q138 = QueryDef(
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(byUser))
+        .filter(col("rn") <= PathLen)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(">",
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            _.getField("event_type"))).as("path"))
+        .groupBy(col("path"))
+        .agg(lcountAll.as("n_users"))
+    },
+    Some(s"""WITH ranked AS (
+              SELECT user_id, event_type, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events
+            ), paths AS (
+              SELECT user_id,
+                array_to_string(list(event_type ORDER BY rn), '>') AS path
+              FROM ranked WHERE rn <= $PathLen GROUP BY 1
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM paths GROUP BY 1"""),
+    "top onboarding paths: rank-capped prefix, bounded per-user state [sequence]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q117_event_transitions" -> q117,
-    "q118_time_decay" -> q118)
+    "q118_time_decay" -> q118,
+    "q138_event_paths" -> q138)
 }
