@@ -161,6 +161,64 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles("q116_temperature_mix") <= 3)
   }
 
+  test("export-stage scoring ops (q129, q130, q135) are zero-shuffle narrow plans") {
+    // PII export, hashed-classifier logits, and embedding extremes are
+    // all per-row projections — a 100 TB corpus scores as a map job
+    assert(shuffles("q129_pii_export") == 0)
+    assert(shuffles("q130_hashed_classifier") == 0)
+    assert(shuffles("q135_embedding_extremes") == 0)
+  }
+
+  test("threshold sweep (q131): corpus folds once; the sweep is a 12-row frame") {
+    // the single hash exchange is the ≤12-bin histogram aggregate; the
+    // grid join is broadcast and the suffix-sum window runs on ≤12 rows
+    // (its SinglePartition exchange is not corpus data)
+    assert(shuffles("q131_threshold_sweep") == 1)
+    val plan = SparkEntry.queries("q131_threshold_sweep")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"grid/bin join should broadcast:\n$plan")
+  }
+
+  test("curriculum (q132) and centroids (q136) pay exactly one visible exchange") {
+    // q132's range partition lives in the globalOrder RDD lineage; the
+    // SQL plan's only exchange is the 5-row stage aggregate. q136's is
+    // the (label, dim) coordinate aggregate with map-side combine.
+    assert(shuffles("q132_curriculum_stages") == 1)
+    assert(shuffles("q136_label_centroids") == 1)
+  }
+
+  test("vocab contamination (q134) broadcasts the vocab to the scoring join") {
+    // corpus-sized exchanges: postings into the (lang, term) aggregate,
+    // the term re-key for the top-K window (collapsed terms, not
+    // postings), the per-doc hit aggregate, and the doc-keyed audit
+    // join — the vocab side itself must be broadcast, never shuffled
+    assert(shuffles("q134_vocab_contamination") <= 4)
+    val plan = SparkEntry.queries("q134_vocab_contamination")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"vocab join should broadcast:\n$plan")
+  }
+
+  test("centroid purity (q137) broadcasts centroids; no all-pairs exchange") {
+    // exchanges: coordinate aggregate, |labels|-row centroid pivot, the
+    // vec_id rank re-key (|labels|× narrow rows), the |labels|² matrix
+    // aggregate — the vector×centroid product itself is a broadcast
+    // nested loop over ≤|labels| rows, never a shuffled cross join
+    assert(shuffles("q137_centroid_purity") <= 4)
+    val plan = SparkEntry.queries("q137_centroid_purity")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"centroid side should broadcast:\n$plan")
+  }
+
+  test("onboarding paths (q138): user exchange is reused by the prefix aggregate") {
+    // exchange 1 keys events by user for the rank window AND the
+    // per-user path aggregate (same partitioning — no re-key);
+    // exchange 2 is one short row per user into the path counts
+    assert(shuffles("q138_event_paths") == 2)
+  }
+
   test("snapshot diff (q105) is one full-outer sort-merge join") {
     val plan = SparkEntry.queries("q105_snapshot_diff")(spark, Sf)
       .queryExecution.executedPlan.toString
