@@ -180,8 +180,89 @@ object EmbeddingStats {
             FROM best WHERE rn = 1 GROUP BY 1, 2"""),
     "centroid-assignment purity: broadcast centroids, integer L2, |labels|² matrix [embedding]")
 
+  /** q141: one Lloyd (k-means) refinement step in integer space —
+    * E-step: assign every vector to its nearest label centroid (q137's
+    * broadcast integer-L2 pass); M-step: recompute each centroid from
+    * its assigned vectors; report per-centroid assignment mass and L1
+    * movement. Iterating this to convergence IS distributed k-means;
+    * one step is the oracle-checkable unit (every step is exact
+    * integer/single-division arithmetic, so both engines move every
+    * centroid identically).
+    *
+    * Scale: E-step is the zero-shuffle broadcast fold; M-step is one
+    * (assigned, dim) coordinate aggregate — the same two exchanges
+    * Lloyd pays per iteration on any cluster. Centroids that win no
+    * vectors keep their position (movement 0) via the left join — they
+    * must not vanish mid-iteration.
+    */
+  private val q141 = QueryDef(
+    (s, d) => {
+      val cents = centroidsMilli(s, d)
+      val centArr = cents
+        .groupBy("clabel")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cm")))),
+          _.getField("cm")).as("cent"))
+      val quant = load(s, d, "embeddings").select(
+        col("vec_id"),
+        transform(col("embedding").cast("array<double>"), qmilli(_)).as("q"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+      val assigned = quant.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("clabel"), col("q"),
+          aggregate(
+            zip_with(col("q"), col("cent"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val newCents = assigned
+        .select(col("clabel"), posexplode(col("q")).as(Seq("dim", "qv")))
+        .groupBy(col("clabel"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum("qv").as("sum_q"))
+        .select(col("clabel"), col("dim"),
+          col("n"),
+          floor(col("sum_q").cast("double") / col("n").cast("double") + 0.5)
+            .cast("long").as("new_cm"))
+      cents.join(newCents, Seq("clabel", "dim"), "left")
+        .groupBy(col("clabel"))
+        .agg(
+          coalesce(max(col("n")), lit(0L)).as("n_assigned"),
+          sum(abs(coalesce(col("new_cm"), col("cm")) - col("cm")))
+            .as("l1_movement_milli"))
+    },
+    Some(s"""WITH q AS ($CoordsSql),
+            c AS (
+              SELECT label AS clabel, dim,
+                CAST(floor(CAST(SUM(qv) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS cm
+              FROM q GROUP BY 1, 2
+            ), dist AS (
+              SELECT q.vec_id, q.label, c.clabel,
+                CAST(SUM((q.qv - c.cm) * (q.qv - c.cm)) AS BIGINT) AS d2
+              FROM q JOIN c ON q.dim = c.dim
+              GROUP BY 1, 2, 3
+            ), best AS (
+              SELECT vec_id, clabel FROM (
+                SELECT vec_id, clabel, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+                FROM dist) WHERE rn = 1
+            ), m AS (
+              SELECT b.clabel, q.dim, CAST(count(*) AS BIGINT) AS n,
+                CAST(floor(CAST(SUM(q.qv) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS new_cm
+              FROM best b JOIN q ON q.vec_id = b.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT c.clabel,
+              coalesce(MAX(m.n), 0) AS n_assigned,
+              CAST(SUM(abs(coalesce(m.new_cm, c.cm) - c.cm)) AS BIGINT)
+                AS l1_movement_milli
+            FROM c LEFT JOIN m ON c.clabel = m.clabel AND c.dim = m.dim
+            GROUP BY 1"""),
+    "one integer Lloyd step: broadcast E-step, coordinate M-step, L1 movement [embedding]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q135_embedding_extremes" -> q135,
     "q136_label_centroids" -> q136,
-    "q137_centroid_purity" -> q137)
+    "q137_centroid_purity" -> q137,
+    "q141_kmeans_step" -> q141)
 }

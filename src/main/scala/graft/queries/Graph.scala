@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Exact._
+import graft.common.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the co-purchase graph: Pregel-style iterative
+  * PageRank with INTEGER rank arithmetic, so every iteration is
+  * bitwise-reproducible under any partitioning and the whole fixed-
+  * iteration computation is exactly oracle-checkable (float PageRank
+  * sums are partial-order-dependent and can't be hash-compared across
+  * engines).
+  */
+object Graph {
+
+  /** Rank scale (micro-units), damping 0.85 expressed as integer
+    * ratios. contrib = r div deg; r' = 0.15·S + (85·Σcontrib) div 100.
+    * Bounds: Σcontrib ≤ |V|·S, so 85·Σ fits i64 up to ~10^11 nodes.
+    */
+  private val S = 1000000L
+  private val Iterations = 2
+  private val MinSupport = 2
+
+  /** Undirected co-purchase edges (support ≥ 2), both directions — the
+    * same no-self-join per-order pair generation as q119: one orderkey
+    * exchange collapses each order to its item array, pairs explode
+    * locally, and the pair aggregate map-side combines.
+    */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val orders = load(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val pairs = orders
+      .select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(
+          slice(col("parts"), i + lit(2), size(col("parts"))),
+          y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u"), col("p.v"))
+      .groupBy(col("u"), col("v"))
+      .agg(lcountAll.as("n"))
+      .filter(col("n") >= MinSupport)
+      .select(col("u"), col("v"))
+    pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** q140: 2-iteration integer PageRank over the co-purchase graph.
+    *
+    * Scale: the classic Pregel rendering — per iteration, ranks join
+    * edges on the source key (one hash exchange each side; the rank
+    * frame is |V| narrow rows) and contributions aggregate map-side
+    * into the destination. Iterations unroll statically into one plan;
+    * every node has deg ≥ 1 by construction (no dangling-mass term).
+    * AQE reuses the edge exchange across both iterations.
+    *
+    * Exactness: integer div throughout — both engines compute the
+    * identical rank at every iteration; no tolerance anywhere.
+    */
+  private val q140 = QueryDef(
+    (s, d) => {
+      val e = edges(s, d).cache()
+      val deg = e.groupBy(col("u")).agg(lcountAll.as("deg"))
+      var ranks = deg.select(col("u").as("node"), lit(S).as("r"))
+      for (_ <- 1 to Iterations) {
+        ranks = e
+          .join(deg, "u")
+          .join(ranks.withColumnRenamed("node", "u"), "u")
+          .select(col("v"), expr("r div deg").as("contrib"))
+          .groupBy(col("v"))
+          .agg(sum(col("contrib")).as("in_sum"))
+          .select(col("v").as("node"),
+            (lit(15L * S / 100L) + expr("(85 * in_sum) div 100")).as("r"))
+      }
+      ranks.join(deg.select(col("u").as("node"), col("deg")), "node")
+        .select(col("node").as("part"), col("deg"), col("r").as("rank_micro"))
+    },
+    Some(s"""WITH i AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+              SELECT a.l_partkey AS u, b.l_partkey AS v
+              FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= $MinSupport
+            ), e AS (
+              SELECT u, v FROM pairs
+              UNION ALL SELECT v AS u, u AS v FROM pairs
+            ), d AS (
+              SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+            ), r1 AS (
+              SELECT e.v AS node,
+                ${15L * S / 100L} +
+                  CAST((85 * SUM($S // d.deg)) // 100 AS BIGINT) AS r
+              FROM e JOIN d ON e.u = d.u GROUP BY e.v
+            ), r2 AS (
+              SELECT e.v AS node,
+                ${15L * S / 100L} +
+                  CAST((85 * SUM(r1.r // d.deg)) // 100 AS BIGINT) AS r
+              FROM e JOIN d ON e.u = d.u JOIN r1 ON r1.node = e.u
+              GROUP BY e.v
+            )
+            SELECT r2.node AS part, d.deg, r2.r AS rank_micro
+            FROM r2 JOIN d ON r2.node = d.u"""),
+    "integer PageRank, 2 Pregel iterations over co-purchase edges [graph]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q140_pagerank" -> q140)
+}
