@@ -17,5 +17,6 @@ object Registry {
       Curation.all ++ Sketches.all ++ Lakehouse.all ++ Retrieval.all ++
       Sequence.all ++ Basket.all ++ Outliers.all ++ FuzzyJoin.all ++
       FeatureEng.all ++ PrivacyOps.all ++ Scoring.all ++ Curriculum.all ++
-      VocabOps.all ++ EmbeddingStats.all ++ Scd.all ++ Graph.all
+      VocabOps.all ++ EmbeddingStats.all ++ Scd.all ++ Graph.all ++
+      Stats.all
 }

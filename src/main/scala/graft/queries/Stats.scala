@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact-arithmetic statistics operators: experiment readouts (CUPED
+  * variance reduction) and a correlation matrix. The repo-wide float
+  * discipline, applied to second moments: every cross-row sum is an
+  * integer (cents / quantized units) or an exact DECIMAL, and doubles
+  * appear only in a fixed final expression sequence — so covariance and
+  * correlation, normally the canonical partial-order-dependent
+  * quantities, are bitwise-reproducible on any cluster topology AND
+  * hash-comparable against the DuckDB oracle.
+  */
+object Stats {
+
+  /** Experiment split date: pre-period covariate before it, outcome
+    * after. Events span 2024-01; the midpoint makes both periods
+    * populous.
+    */
+  private val Mid = "2024-01-16 00:00:00"
+  private val ArmSeed = 777L
+
+  /** q142: CUPED-adjusted A/B readout. Users hash-assign to two arms
+    * (the seeded portable hash — reproducible, growth-stable). Per
+    * user: x = pre-period event count (the covariate), y = post-period
+    * spend in cents. θ = cov(x,y)/var(x) from POOLED exact integer
+    * moments (n·Σxy − Σx·Σy over n·Σx² − (Σx)²); each arm's adjusted
+    * mean is ȳ_a − θ·(x̄_a − x̄). CUPED with a pre-period covariate is
+    * how experiment platforms cut readout variance ~50% without
+    * touching assignment.
+    *
+    * Scale: one user-keyed aggregate (map-side combined) builds the
+    * per-user frame; the pooled moment fold and the per-arm fold are
+    * two tiny aggregates over it, and the 1-row moment frame broadcasts
+    * back onto the 2-row arm frame. Nothing after the first exchange is
+    * corpus-sized.
+    *
+    * Exactness: cents quantize as ⌊100·v⌉ per event (portable); all
+    * moments are i64 (bounds: |users|·x̄·ȳ ≈ 10^14 at sf0.1; the
+    * 10^9-user deployment switches the three moment sums to
+    * DECIMAL(38,0), same plan). θ and the means are a FIXED sequence of
+    * IEEE ops written identically in both engines.
+    */
+  private val q142 = QueryDef(
+    (s, d) => {
+      val perUser = load(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < lit(Mid).cast("timestamp"), 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("ts") >= lit(Mid).cast("timestamp"),
+            floor(col("value") * 100.0 + 0.5).cast("long")).otherwise(0L))
+            .as("y"))
+        .withColumn("arm",
+          when(Curation.shuffleKeyWith(col("user_id"), ArmSeed) % 2L === 0L,
+            "control").otherwise("treatment"))
+      val moments = perUser.agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val arms = perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("x").as("sum_x"), sum("y").as("sum_y"))
+      arms.crossJoin(broadcast(moments))
+        .withColumn("theta",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("mean_x", col("sum_x").cast("double") /
+          col("n_users").cast("double"))
+        .withColumn("mean_y_cents", col("sum_y").cast("double") /
+          col("n_users").cast("double"))
+        .withColumn("adjusted_mean_cents",
+          col("mean_y_cents") - col("theta") *
+            (col("mean_x") - col("sx").cast("double") / col("n").cast("double")))
+        .select(col("arm"), col("n_users"), col("sum_x"), col("sum_y"),
+          col("theta"), col("mean_y_cents"), col("adjusted_mean_cents"))
+    },
+    Some {
+      val arm = s"CASE WHEN (${Curation.shuffleKeySqlWith("user_id", ArmSeed)}) % 2 = 0 " +
+        "THEN 'control' ELSE 'treatment' END"
+      s"""WITH pu AS (
+            SELECT user_id,
+              CAST(SUM(CASE WHEN ts < TIMESTAMP '$Mid' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+              CAST(SUM(CASE WHEN ts >= TIMESTAMP '$Mid'
+                THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS y,
+              $arm AS arm
+            FROM events GROUP BY user_id
+          ), m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * x) AS BIGINT) AS sxx,
+              CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pu
+          ), a AS (
+            SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+              CAST(SUM(x) AS BIGINT) AS sum_x,
+              CAST(SUM(y) AS BIGINT) AS sum_y
+            FROM pu GROUP BY 1
+          )
+          SELECT arm, n_users, sum_x, sum_y,
+            CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) /
+              CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) AS theta,
+            CAST(sum_y AS DOUBLE) / CAST(n_users AS DOUBLE)
+              AS mean_y_cents,
+            CAST(sum_y AS DOUBLE) / CAST(n_users AS DOUBLE) -
+              (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) /
+               CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)) *
+              (CAST(sum_x AS DOUBLE) / CAST(n_users AS DOUBLE) -
+               CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+              AS adjusted_mean_cents
+          FROM a, m"""
+    },
+    "CUPED experiment readout: exact integer moments, broadcast θ [stats]")
+
+  /** The correlation pairs: lineitem's three money/quantity columns,
+    * quantized to integer units at the scan (cents for the two money
+    * columns — ⌊100·v⌉ — and raw integral quantity).
+    */
+  private val Pairs = Seq(
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"))
+
+  /** q143: exact Pearson correlation matrix over lineitem numeric
+    * columns. corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))
+    * with every Σ an exact DECIMAL(38,0) of integer-quantized values —
+    * the second moments of a 100 TB fact table without a single
+    * order-dependent double sum (Σ(price_cents)² overflows i64 at this
+    * scale already; DECIMAL(38,0) holds to ~10^38, i.e. ~10^24 rows).
+    *
+    * Scale: ONE global aggregate computes all 9 moments in a single
+    * pass (no per-pair rescan); the matrix assembles from the 1-row
+    * moment frame. Partial aggregation is exact-decimal, so any merge
+    * order yields the same bits.
+    *
+    * Float parity: numerator/denominator terms cast DECIMAL→DOUBLE
+    * (correctly rounded in both engines), then a fixed √·√·÷ sequence.
+    */
+  private val q143 = QueryDef(
+    (s, d) => {
+      val dec = DecimalType(38, 0)
+      def q100c(c: String) = floor(col(c) * 100.0 + 0.5).cast("long")
+      val li = load(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("q"),
+        q100c("l_extendedprice").as("p"),
+        q100c("l_discount").as("disc"))
+      val m = li.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("q").cast(dec)).as("sq"),
+        sum(col("p").cast(dec)).as("sp"),
+        sum(col("disc").cast(dec)).as("sd"),
+        sum((col("q") * col("q")).cast(dec)).as("sqq"),
+        sum((col("p").cast(dec) * col("p").cast(dec))).as("spp"),
+        sum((col("disc").cast(dec) * col("disc").cast(dec))).as("sdd"),
+        sum((col("q").cast(dec) * col("p").cast(dec))).as("sqp"),
+        sum((col("q").cast(dec) * col("disc").cast(dec))).as("sqd"),
+        sum((col("p").cast(dec) * col("disc").cast(dec))).as("spd"))
+      def corr(sx: String, sy: String, sxx: String, syy: String,
+          sxy: String) =
+        (col("n") * col(sxy) - col(sx) * col(sy)).cast("double") /
+          (sqrt((col("n") * col(sxx) - col(sx) * col(sx)).cast("double")) *
+            sqrt((col("n") * col(syy) - col(sy) * col(sy)).cast("double")))
+      m.select(
+        col("n").cast("long").as("n_rows"),
+        corr("sq", "sp", "sqq", "spp", "sqp").as("corr_qty_price"),
+        corr("sq", "sd", "sqq", "sdd", "sqd").as("corr_qty_discount"),
+        corr("sp", "sd", "spp", "sdd", "spd").as("corr_price_discount"))
+    },
+    Some("""WITH li AS (
+              SELECT CAST(l_quantity AS BIGINT) AS q,
+                CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p,
+                CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc
+              FROM lineitem
+            ), m AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                CAST(SUM(q) AS HUGEINT) AS sq,
+                CAST(SUM(p) AS HUGEINT) AS sp,
+                CAST(SUM(disc) AS HUGEINT) AS sd,
+                SUM(CAST(q AS HUGEINT) * q) AS sqq,
+                SUM(CAST(p AS HUGEINT) * p) AS spp,
+                SUM(CAST(disc AS HUGEINT) * disc) AS sdd,
+                SUM(CAST(q AS HUGEINT) * p) AS sqp,
+                SUM(CAST(q AS HUGEINT) * disc) AS sqd,
+                SUM(CAST(p AS HUGEINT) * disc) AS spd
+              FROM li
+            )
+            SELECT CAST(n AS BIGINT) AS n_rows,
+              CAST(n * sqp - sq * sp AS DOUBLE) /
+                (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+                 sqrt(CAST(n * spp - sp * sp AS DOUBLE)))
+                AS corr_qty_price,
+              CAST(n * sqd - sq * sd AS DOUBLE) /
+                (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+                 sqrt(CAST(n * sdd - sd * sd AS DOUBLE)))
+                AS corr_qty_discount,
+              CAST(n * spd - sp * sd AS DOUBLE) /
+                (sqrt(CAST(n * spp - sp * sp AS DOUBLE)) *
+                 sqrt(CAST(n * sdd - sd * sd AS DOUBLE)))
+                AS corr_price_discount
+            FROM m"""),
+    "exact Pearson matrix: one-pass DECIMAL moments, fixed IEEE tail [stats]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q142_cuped" -> q142,
+    "q143_exact_corr" -> q143)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CUPED readout (q142) and the exact correlation matrix (q143):
+  * statistical identities + partition-count invariance (the whole point
+  * of the integer/decimal moment discipline).
+  */
+class StatsSpec extends AnyFunSuite with SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
+
+  test("q142 emits both arms, same theta, and users are conserved") {
+    val rows = run("q142_cuped").orderBy("arm").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("control", "treatment"))
+    assert(rows(0).getDouble(4) == rows(1).getDouble(4)) // pooled θ is shared
+    val nUsers = graft.common.Tables.load(spark, Sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+  }
+
+  test("q142 adjustment preserves the pooled mean (CUPED identity)") {
+    // Σ_arm n_a·adjusted_a = Σ_arm n_a·(ȳ_a − θ(x̄_a − x̄)) = Σy −
+    // θ·(Σx − Σx) = Σy: the adjustment is mean-preserving over the pool
+    val rows = run("q142_cuped").collect()
+    val pooledAdj = rows.map(r => r.getLong(1) * r.getDouble(6)).sum
+    val sumY = rows.map(_.getLong(3)).sum.toDouble
+    assert(math.abs(pooledAdj - sumY) / sumY < 1e-9)
+  }
+
+  test("q143 correlations are in [-1, 1] and the matrix matches mllib's stat") {
+    val r = run("q143_exact_corr").head()
+    val cs = Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    cs.foreach(c => assert(c >= -1.0 && c <= 1.0, s"corr $c out of range"))
+    // cross-check against Spark's own (float-summed) corr within float
+    // noise — the synthetic generator draws the columns independently,
+    // so values are near 0; the identity must still hold exactly
+    val li = graft.common.Tables.load(spark, Sf, "lineitem")
+    val ref = li.agg(corr(col("l_quantity"), col("l_extendedprice"))).head().getDouble(0)
+    assert(math.abs(r.getDouble(1) - ref) < 1e-9)
+  }
+
+  test("q142/q143 are bitwise partition-count invariant") {
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    def snap() = Seq(
+      run("q142_cuped").orderBy("arm").collect().toSeq,
+      run("q143_exact_corr").collect().toSeq)
+    val a = snap()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(snap() == a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sp)
+  }
+}
