@@ -219,6 +219,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles("q138_event_paths") == 2)
   }
 
+  test("SCD2 build (q139): one dimension-key exchange serves all three windows") {
+    assert(shuffles("q139_scd2_history") == 1)
+  }
+
+  test("exact correlation matrix (q143) is a single-pass global aggregate") {
+    // all 9 moments fold in one scan; the only exchange is the 1-row
+    // SinglePartition final merge, which carries no corpus data
+    assert(shuffles("q143_exact_corr") == 0)
+  }
+
+  test("CUPED (q142): corpus shuffles once into the per-user frame") {
+    // exchange 1: events → per-user covariate/outcome aggregate;
+    // remaining exchanges move only |users| narrow rows (the arm
+    // aggregate) — and the pooled-moment frame is broadcast back
+    assert(shuffles("q142_cuped") <= 3)
+    val plan = SparkEntry.queries("q142_cuped")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"pooled moments should broadcast:\n$plan")
+  }
+
   test("snapshot diff (q105) is one full-outer sort-merge join") {
     val plan = SparkEntry.queries("q105_snapshot_diff")(spark, Sf)
       .queryExecution.executedPlan.toString
