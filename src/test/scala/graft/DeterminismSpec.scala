@@ -51,7 +51,16 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // leak into positions), hash-draw sampling, capped posting heads
     // (rank-limit per term), chi-square top-50 cut
     "q111_weighted_sample", "q112_quantile_norm", "q113_inverted_index",
-    "q114_vocab_drift")
+    "q114_vocab_drift",
+    // export-stage batch: curriculum positions from range-partitioned
+    // global order, vocab rank cut, integer centroid/L2 chains
+    // (double-milli sums would fail here), Pregel rank folds, exact
+    // second moments
+    "q131_threshold_sweep", "q132_curriculum_stages",
+    "q134_vocab_contamination", "q136_label_centroids",
+    "q137_centroid_purity", "q138_event_paths", "q139_scd2_history",
+    "q140_pagerank", "q141_kmeans_step", "q142_cuped",
+    "q143_exact_corr")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

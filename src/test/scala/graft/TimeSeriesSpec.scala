@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LOCF panel (q144) and OHLC resample (q145): grid completeness,
+  * carry-forward semantics, bar identities.
+  */
+class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
+
+  test("q144 panel is a complete user × day grid with conserved counts") {
+    val df = run("q144_locf_panel").cache()
+    val nUsers = graft.common.Tables.load(spark, Sf, "events")
+      .select("user_id").distinct().count()
+    assert(df.count() == nUsers * 30)
+    val nEvents = graft.common.Tables.load(spark, Sf, "events").count()
+    assert(df.agg(sum("n_events")).head().getLong(0) == nEvents)
+    df.unpersist()
+  }
+
+  test("q144 filled value is constant across gap days and null only before first obs") {
+    val df = run("q144_locf_panel").cache()
+    // once a user has a value, it never goes back to null
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val regressed = df
+      .withColumn("prev", lag(col("filled_cents"), 1).over(w))
+      .filter(col("prev").isNotNull && col("filled_cents").isNull)
+      .count()
+    assert(regressed == 0)
+    // gap days (n_events = 0) carry the previous day's value verbatim
+    val broken = df
+      .withColumn("prev", lag(col("filled_cents"), 1).over(w))
+      .filter(col("n_events") === 0 && col("prev").isNotNull &&
+        col("filled_cents") =!= col("prev"))
+      .count()
+    assert(broken == 0)
+    df.unpersist()
+  }
+
+  test("q145 bar identities: low ≤ open/close ≤ high, volume ≥ high") {
+    val df = run("q145_ohlc_resample").cache()
+    assert(df.count() > 0)
+    assert(df.filter(
+      col("low_cents") > col("open_cents") ||
+        col("low_cents") > col("close_cents") ||
+        col("high_cents") < col("open_cents") ||
+        col("high_cents") < col("close_cents")).count() == 0)
+    // single-event bars have open = close = high = low = volume
+    assert(df.filter(col("n_events") === 1 &&
+      (col("open_cents") =!= col("close_cents") ||
+        col("volume_cents") =!= col("high_cents"))).count() == 0)
+    df.unpersist()
+  }
+}
