@@ -141,6 +141,46 @@ object EventStream {
       }
   }
 
+  // ---- streaming latest-value state (q144's streaming twin) ----
+  final case class LatestState(ts: Long, eventId: Long, cents: Long)
+  final case class LatestUpdate(
+      user_id: Long, cents: Long, as_of_micros: Long, event_id: Long)
+
+  /** Per-user latest-value maintainer — the streaming twin of q144's
+    * LOCF panel: the state store continuously holds each user's most
+    * recent event value (cents, (ts, event_id)-deterministic), which is
+    * exactly the "filled" value a gap-day panel would carry forward.
+    * State is ONE tuple per user; each micro-batch emits the refreshed
+    * value per touched user, so a serving layer reading the update
+    * stream always has the current carry-forward without recomputing
+    * any panel. Cross-batch ordering is handled by the max-(ts,
+    * event_id) compare, so late files that interleave users still
+    * converge to the batch answer.
+    */
+  def latestValues(events: Dataset[Event]): Dataset[LatestUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, LatestUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[LatestState]) =>
+          var s = state.getOption.getOrElse(
+            LatestState(Long.MinValue, Long.MinValue, 0L))
+          batch.foreach { e =>
+            // full microsecond key — Timestamp.getTime alone is ms and
+            // would mis-order events inside the same millisecond
+            val t = e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
+            if (t > s.ts || (t == s.ts && e.event_id > s.eventId))
+              s = LatestState(t, e.event_id,
+                math.floor(e.value * 100.0 + 0.5).toLong)
+          }
+          state.update(s)
+          // the update carries its own ordering key, so any consumer can
+          // resolve multiple batches' emissions without sink-order
+          // assumptions
+          LatestUpdate(userId, s.cents, s.ts, s.eventId)
+      }
+  }
+
   /** Streaming exact-dedup: drop events whose `event_id` was already
     * seen within the watermark horizon — the streaming twin of the batch
     * exact-dedup (state is bounded by the watermark, so 100 TB/day of
