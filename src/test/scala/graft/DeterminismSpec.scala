@@ -60,7 +60,10 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q134_vocab_contamination", "q136_label_centroids",
     "q137_centroid_purity", "q138_event_paths", "q139_scd2_history",
     "q140_pagerank", "q141_kmeans_step", "q142_cuped",
-    "q143_exact_corr")
+    "q143_exact_corr",
+    // positional winsorization bounds and the contrastive rank windows
+    // must not depend on which partition a tie landed in
+    "q146_winsorize", "q147_contrastive_batch")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -240,6 +240,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"pooled moments should broadcast:\n$plan")
   }
 
+  test("winsorization (q146): one event_type exchange serves ranks, bounds, and audit") {
+    // rank window, per-type count, bounds cut, and the final aggregate
+    // all ride the same event_type hash partitioning; the bounds frame
+    // re-joins as a broadcast
+    assert(shuffles("q146_winsorize") <= 2)
+    val plan = SparkEntry.queries("q146_winsorize")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"bounds join should broadcast:\n$plan")
+  }
+
+  test("contrastive batch (q147) broadcasts anchors; rank windows are group-limited") {
+    val plan = SparkEntry.queries("q147_contrastive_batch")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"anchor side should broadcast:\n$plan")
+    assert("WindowGroupLimit".r.findFirstIn(plan).isDefined,
+      s"expected WindowGroupLimit-capped rank windows:\n$plan")
+  }
+
   test("snapshot diff (q105) is one full-outer sort-merge join") {
     val plan = SparkEntry.queries("q105_snapshot_diff")(spark, Sf)
       .queryExecution.executedPlan.toString
