@@ -47,4 +47,17 @@ object Exact {
   def lcount(c: Column): Column = count(c).cast("long")
 
   def lcountAll: Column = count(lit(1)).cast("long")
+
+  /** Integer cents of a 2-dp dollar value: ⌊100·v + 0.5⌉. The repo's
+    * one rounding convention for money quantization — cross-row sums of
+    * cents are associativity-exact, and the floor(+0.5) sequence is the
+    * same correctly-rounded IEEE ops in both engines. Mirror SQL via
+    * [[centsSql]]; change BOTH together or the bit-parity contract with
+    * every money oracle breaks.
+    */
+  def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+
+  /** DuckDB mirror of [[cents]]. */
+  def centsSql(e: String): String =
+    s"CAST(floor($e * 100.0 + 0.5) AS BIGINT)"
 }

@@ -104,10 +104,12 @@ object Curriculum {
       val docs = load(s, d, "documents").select(col("doc_id"), col("n_chars"))
       val ordered = Curation.globalOrder(
         docs, Seq(col("n_chars"), col("doc_id")))
-      // one count job (bounded driver state) — a COUNT() OVER () window
-      // would collapse the corpus to one partition, which is the exact
-      // anti-pattern globalOrder exists to avoid
-      val n = ordered.count()
+      // one CHEAP count job off the raw scan (globalOrder preserves row
+      // count, so counting `ordered` would execute the whole range-sort
+      // + zipWithIndex lineage just to get the same number) — a COUNT()
+      // OVER () window would be worse still: it collapses the corpus to
+      // one partition, the exact anti-pattern globalOrder exists to avoid
+      val n = docs.count()
       ordered
         .groupBy(expr(s"(position * $Stages) div ${n}L").cast("long")
           .as("stage"))

@@ -52,7 +52,7 @@ object Stats {
           sum(when(col("ts") < lit(Mid).cast("timestamp"), 1L).otherwise(0L))
             .as("x"),
           sum(when(col("ts") >= lit(Mid).cast("timestamp"),
-            floor(col("value") * 100.0 + 0.5).cast("long")).otherwise(0L))
+            graft.common.Exact.cents(col("value"))).otherwise(0L))
             .as("y"))
         .withColumn("arm",
           when(Curation.shuffleKeyWith(col("user_id"), ArmSeed) % 2L === 0L,
@@ -86,7 +86,7 @@ object Stats {
               CAST(SUM(CASE WHEN ts < TIMESTAMP '$Mid' THEN 1 ELSE 0 END)
                 AS BIGINT) AS x,
               CAST(SUM(CASE WHEN ts >= TIMESTAMP '$Mid'
-                THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                THEN ${graft.common.Exact.centsSql("value")}
                 ELSE 0 END) AS BIGINT) AS y,
               $arm AS arm
             FROM events GROUP BY user_id

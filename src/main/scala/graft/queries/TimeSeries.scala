@@ -40,7 +40,7 @@ object TimeSeries {
       val ev = load(s, d, "events").select(
         col("user_id"), col("ts"), col("event_id"),
         to_date(col("ts")).as("day"),
-        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        graft.common.Exact.cents(col("value")).as("cents"))
       val byDay = Window.partitionBy(col("user_id"), col("day"))
         .orderBy(col("ts").desc, col("event_id").desc)
       val daily = ev
@@ -62,7 +62,7 @@ object TimeSeries {
     },
     Some(s"""WITH ranked AS (
               SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                ${graft.common.Exact.centsSql("value")} AS cents,
                 ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
                   ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
@@ -104,7 +104,7 @@ object TimeSeries {
         // is DATE-typed while Spark's is TIMESTAMP — cast to the DATE
         // common type
         date_trunc("week", col("ts")).cast("date").as("week"),
-        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        graft.common.Exact.cents(col("value")).as("cents"))
       val byWeek = Window.partitionBy(col("event_type"), col("week"))
       ev
         .withColumn("rn_a", row_number().over(
@@ -120,10 +120,10 @@ object TimeSeries {
           max(when(col("rn_d") === 1, col("cents"))).as("close_cents"),
           sum(col("cents")).as("volume_cents"))
     },
-    Some("""WITH ev AS (
+    Some(s"""WITH ev AS (
               SELECT event_type, ts, event_id,
                 CAST(date_trunc('week', ts) AS DATE) AS week,
-                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                ${graft.common.Exact.centsSql("value")} AS cents
               FROM events
             ), ranked AS (
               SELECT *,

@@ -33,7 +33,7 @@ object Winsorize {
       val byType = Window.partitionBy(col("event_type"))
       val ranked = load(s, d, "events").select(
         col("event_type"), col("event_id"),
-        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        graft.common.Exact.cents(col("value")).as("cents"))
         .withColumn("rn", row_number().over(
           byType.orderBy(col("cents").asc, col("event_id").asc)))
         .withColumn("n", count(lit(1)).over(byType))
@@ -60,9 +60,9 @@ object Winsorize {
           sum(least(greatest(col("cents"), col("lo_cents")), col("hi_cents")))
             .as("sum_winsorized_cents"))
     },
-    Some("""WITH c AS (
+    Some(s"""WITH c AS (
               SELECT event_type, event_id,
-                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                ${graft.common.Exact.centsSql("value")} AS cents
               FROM events
             ), ranked AS (
               SELECT event_type, event_id, cents,
