@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Exact._
+import graft.common.Tables.load
+import org.apache.spark.sql.functions._
+
+/** Schema/data audit operators: candidate-key discovery, cross-table
+  * referential integrity, and digit-distribution (Benford) screening —
+  * the profiling battery a lakehouse runs against a newly landed source
+  * before trusting joins or amounts.
+  */
+object Audit {
+
+  /** Candidate key combos to profile, per table. Bounded, declared —
+    * full FD discovery is exponential; production profilers (and this
+    * operator) test the combos the schema claims or the modeler asks
+    * about.
+    */
+  private val KeyCombos: Seq[(String, Seq[String])] = Seq(
+    "orders" -> Seq("o_orderkey"),
+    "orders" -> Seq("o_custkey"),
+    "orders" -> Seq("o_custkey", "o_orderdate"),
+    "lineitem" -> Seq("l_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "customer" -> Seq("c_custkey"))
+
+  /** q148: candidate-key discovery — for each declared combo, the row
+    * count, distinct-combo count, exact uniqueness ratio, and the key
+    * verdict. The profile that catches "this 'key' silently went
+    * non-unique after the last backfill".
+    *
+    * Scale: one count-distinct aggregate per combo over only the
+    * combo's columns (column-pruned scans); each is a map-side-combined
+    * exchange of the combo values; results union into a |combos|-row
+    * frame. No full-column scans, no cross-combo shuffle sharing needed
+    * at this cardinality.
+    *
+    * Exactness: counts and one double division.
+    */
+  private val q148 = QueryDef(
+    (s, d) => {
+      KeyCombos.map { case (table, cols) =>
+        load(s, d, table)
+          .agg(lcountAll.as("n_rows"),
+            countDistinct(cols.head, cols.tail: _*).cast("long")
+              .as("n_distinct"))
+          .select(
+            lit(table).as("table_name"),
+            lit(cols.mkString(",")).as("key_cols"),
+            col("n_rows"), col("n_distinct"),
+            (col("n_distinct").cast("double") / col("n_rows").cast("double"))
+              .as("uniqueness"),
+            (col("n_distinct") === col("n_rows")).as("is_key"))
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      val parts = KeyCombos.map { case (table, cols) =>
+        val colList = cols.mkString(", ")
+        s"""SELECT '$table' AS table_name,
+              '${cols.mkString(",")}' AS key_cols,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT ($colList)) AS BIGINT) AS n_distinct,
+              CAST(count(DISTINCT ($colList)) AS DOUBLE) /
+                CAST(count(*) AS DOUBLE) AS uniqueness,
+              count(DISTINCT ($colList)) = count(*) AS is_key
+            FROM $table"""
+      }
+      Some(parts.mkString("\nUNION ALL\n"))
+    }.get,
+    "candidate-key discovery: per-combo pruned count-distinct profile [audit]")
+
+  /** Foreign-key edges of the star schema, child → parent. */
+  private val FkEdges: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** q149: referential-integrity audit — for every declared FK edge,
+    * how many child rows exist, how many are orphans (no parent), and
+    * how many distinct orphan keys. The cross-table DQ gate a landing
+    * zone runs before exposing joins.
+    *
+    * Scale: each edge is one LEFT join from the pruned child key
+    * column against the pruned parent key — parents are dimensions and
+    * broadcast (the fact side never shuffles); orphan counting is a
+    * conditional aggregate on the join output. |edges| bounded rows
+    * out.
+    */
+  private val q149 = QueryDef(
+    (s, d) => {
+      FkEdges.map { case (child, fk, parent, pk) =>
+        val c = load(s, d, child).select(col(fk).as("fk"))
+        val p = load(s, d, parent).select(col(pk).as("pk")).distinct()
+        c.join(broadcast(p), col("fk") === col("pk"), "left")
+          .agg(lcountAll.as("n_child_rows"),
+            sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"),
+            countDistinct(when(col("pk").isNull, col("fk")))
+              .cast("long").as("n_orphan_keys"))
+          .select(lit(s"$child.$fk").as("fk_col"),
+            lit(s"$parent.$pk").as("pk_col"),
+            col("n_child_rows"), col("n_orphans"), col("n_orphan_keys"),
+            (col("n_orphans") === 0L).as("intact"))
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      val parts = FkEdges.map { case (child, fk, parent, pk) =>
+        s"""SELECT '$child.$fk' AS fk_col, '$parent.$pk' AS pk_col,
+              CAST(count(*) AS BIGINT) AS n_child_rows,
+              CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans,
+              CAST(count(DISTINCT CASE WHEN p.pk IS NULL THEN c.$fk END)
+                AS BIGINT) AS n_orphan_keys,
+              SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) = 0 AS intact
+            FROM $child c LEFT JOIN
+              (SELECT DISTINCT $pk AS pk FROM $parent) p
+              ON c.$fk = p.pk"""
+      }
+      Some(parts.mkString("\nUNION ALL\n"))
+    }.get,
+    "referential-integrity audit: broadcast-dim left joins, orphan counts [audit]")
+
+  /** Benford first-digit expectations log10(1+1/d), spelled as full-
+    * precision literals so both engines COMPARE against the identical
+    * doubles (computing log10 in-engine would not be bit-portable).
+    */
+  private val Benford: Seq[(Int, String)] = Seq(
+    1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+    3 -> "0.12493873660829993", 4 -> "0.09691001300805642",
+    5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+    7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+    9 -> "0.04575749056067514")
+
+  /** q150: Benford first-significant-digit screening of order totals —
+    * observed digit frequencies against the Benford expectation, with
+    * per-digit absolute deviation. The classic fraud/corruption smell
+    * test for money columns (synthetic uniform-ish totals will FAIL
+    * Benford — the audit's output says so honestly; the operator is
+    * the deliverable).
+    *
+    * Scale: first digit extracts as the leading character of the
+    * integer cents rendering (no float log10) — a narrow map; one
+    * 9-group aggregate; expectations join from an inline literal frame.
+    *
+    * Exactness: counts exact; frequency and deviation are single
+    * IEEE ops against literal expectations.
+    */
+  private val q150 = QueryDef(
+    (s, d) => {
+      val digits = load(s, d, "orders")
+        .filter(col("o_totalprice") > 0.0)
+        .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit"))
+        .agg(lcountAll.as("n"))
+      val expected = Benford
+        .map { case (dig, p) => (dig, p.toDouble) }
+        .foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          case (acc, (dig, p)) =>
+            val row = s.range(1).select(lit(dig).as("digit"),
+              lit(p).as("expected_freq"))
+            Some(acc.fold(row)(_ unionByName row))
+        }.get
+      val total = digits.agg(sum("n").as("n_total"))
+      digits.join(broadcast(expected), "digit")
+        .crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("n_total").cast("double"))
+            .as("observed_freq"),
+          col("expected_freq"))
+        .withColumn("abs_dev",
+          abs(col("observed_freq") - col("expected_freq")))
+    },
+    Some {
+      // DuckDB parses a bare decimal literal as DECIMAL and
+      // CAST(decimal AS DOUBLE) rounds through the decimal domain —
+      // one ulp off the correctly-rounded string→double parse Spark's
+      // lit() does. Casting from a STRING literal makes DuckDB run the
+      // same correctly-rounded parse.
+      val expected = Benford
+        .map { case (dig, p) =>
+          s"SELECT $dig AS digit, CAST('$p' AS DOUBLE) AS expected_freq" }
+        .mkString("\nUNION ALL\n")
+      s"""WITH digits AS (
+            SELECT CAST(substr(CAST(${centsSqlExpr} AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+            FROM orders WHERE o_totalprice > 0.0
+          ), counts AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n
+            FROM digits GROUP BY 1
+          ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+          e AS ($expected)
+          SELECT c.digit, c.n,
+            CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+              AS observed_freq,
+            e.expected_freq,
+            abs(CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+              - e.expected_freq) AS abs_dev
+          FROM counts c JOIN e ON c.digit = e.digit, t"""
+    },
+    "Benford first-digit screen: string digit extract, literal expectations [audit]")
+
+  private def centsSqlExpr: String =
+    graft.common.Exact.centsSql("o_totalprice")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q148_key_discovery" -> q148,
+    "q149_referential_integrity" -> q149,
+    "q150_benford_screen" -> q150)
+}

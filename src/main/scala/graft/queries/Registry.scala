@@ -18,5 +18,6 @@ object Registry {
       Sequence.all ++ Basket.all ++ Outliers.all ++ FuzzyJoin.all ++
       FeatureEng.all ++ PrivacyOps.all ++ Scoring.all ++ Curriculum.all ++
       VocabOps.all ++ EmbeddingStats.all ++ Scd.all ++ Graph.all ++
-      Stats.all ++ TimeSeries.all ++ Winsorize.all ++ Contrastive.all
+      Stats.all ++ TimeSeries.all ++ Winsorize.all ++ Contrastive.all ++
+      Audit.all
 }

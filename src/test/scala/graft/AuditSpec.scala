@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Key discovery (q148), referential integrity (q149), Benford screen
+  * (q150).
+  */
+class AuditSpec extends AnyFunSuite with SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
+
+  test("q148 finds the real keys and rejects the non-keys") {
+    val rows = run("q148_key_discovery").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
+    assert(rows(("orders", "o_orderkey")))
+    assert(rows(("customer", "c_custkey")))
+    assert(!rows(("orders", "o_custkey"))) // customers order repeatedly
+    assert(!rows(("lineitem", "l_orderkey")))
+  }
+
+  test("q148 uniqueness ratios are exact and bounded") {
+    val df = run("q148_key_discovery")
+    assert(df.filter(col("uniqueness") > 1.0 || col("uniqueness") <= 0.0)
+      .count() == 0)
+    assert(df.filter(col("is_key") &&
+      col("n_distinct") =!= col("n_rows")).count() == 0)
+  }
+
+  test("q149 star-schema edges are intact on the generated data") {
+    val df = run("q149_referential_integrity").cache()
+    assert(df.count() == 7)
+    assert(df.filter(!col("intact")).count() == 0)
+    assert(df.filter(col("n_orphans") =!= 0L).count() == 0)
+    // child row counts match the raw tables
+    val li = graft.common.Tables.load(spark, Sf, "lineitem").count()
+    assert(df.filter(col("fk_col") === "lineitem.l_orderkey")
+      .head().getLong(2) == li)
+    df.unpersist()
+  }
+
+  test("q149 detects planted orphans") {
+    // run the same edge logic against a corrupted child frame
+    val s = spark
+    val orders = graft.common.Tables.load(spark, Sf, "orders")
+    val maxCust = orders.agg(max("o_custkey")).head().getLong(0)
+    val corrupted = orders.withColumn("o_custkey",
+      when(col("o_orderkey") % 100 === 0, lit(maxCust + 1000000L))
+        .otherwise(col("o_custkey")))
+    val cust = graft.common.Tables.load(spark, Sf, "customer")
+      .select(col("c_custkey").as("pk")).distinct()
+    val orphans = corrupted.select(col("o_custkey").as("fk"))
+      .join(broadcast(cust), col("fk") === col("pk"), "left")
+      .filter(col("pk").isNull).count()
+    assert(orphans == orders.filter(col("o_orderkey") % 100 === 0).count())
+  }
+
+  test("q150 covers all 9 digits with frequencies summing to 1") {
+    val df = run("q150_benford_screen").cache()
+    assert(df.select("digit").distinct().count() == 9)
+    val s = df.agg(sum("observed_freq")).head().getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-9)
+    assert(df.filter(col("abs_dev") < 0.0).count() == 0)
+    // expectations are the Benford constants
+    assert(math.abs(df.filter(col("digit") === 1)
+      .head().getDouble(3) - 0.30103) < 1e-4)
+    df.unpersist()
+  }
+}
