@@ -117,15 +117,6 @@ object Stats {
     },
     "CUPED experiment readout: exact integer moments, broadcast θ [stats]")
 
-  /** The correlation pairs: lineitem's three money/quantity columns,
-    * quantized to integer units at the scan (cents for the two money
-    * columns — ⌊100·v⌉ — and raw integral quantity).
-    */
-  private val Pairs = Seq(
-    ("l_quantity", "l_extendedprice"),
-    ("l_quantity", "l_discount"),
-    ("l_extendedprice", "l_discount"))
-
   /** q143: exact Pearson correlation matrix over lineitem numeric
     * columns. corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))
     * with every Σ an exact DECIMAL(38,0) of integer-quantized values —
@@ -144,11 +135,10 @@ object Stats {
   private val q143 = QueryDef(
     (s, d) => {
       val dec = DecimalType(38, 0)
-      def q100c(c: String) = floor(col(c) * 100.0 + 0.5).cast("long")
       val li = load(s, d, "lineitem").select(
         col("l_quantity").cast("long").as("q"),
-        q100c("l_extendedprice").as("p"),
-        q100c("l_discount").as("disc"))
+        graft.common.Exact.cents(col("l_extendedprice")).as("p"),
+        graft.common.Exact.cents(col("l_discount")).as("disc"))
       val m = li.agg(
         count(lit(1)).cast(dec).as("n"),
         sum(col("q").cast(dec)).as("sq"),
@@ -171,10 +161,10 @@ object Stats {
         corr("sq", "sd", "sqq", "sdd", "sqd").as("corr_qty_discount"),
         corr("sp", "sd", "spp", "sdd", "spd").as("corr_price_discount"))
     },
-    Some("""WITH li AS (
+    Some(s"""WITH li AS (
               SELECT CAST(l_quantity AS BIGINT) AS q,
-                CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p,
-                CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc
+                ${graft.common.Exact.centsSql("l_extendedprice")} AS p,
+                ${graft.common.Exact.centsSql("l_discount")} AS disc
               FROM lineitem
             ), m AS (
               SELECT CAST(count(*) AS HUGEINT) AS n,

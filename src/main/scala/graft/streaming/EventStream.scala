@@ -170,6 +170,7 @@ object EventStream {
             // would mis-order events inside the same millisecond
             val t = e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
             if (t > s.ts || (t == s.ts && e.event_id > s.eventId))
+              // scalar twin of Exact.cents — same ⌊100·v+0.5⌉ convention
               s = LatestState(t, e.event_id,
                 math.floor(e.value * 100.0 + 0.5).toLong)
           }

@@ -27,7 +27,7 @@ class WinsorizeContrastiveSpec extends AnyFunSuite with SparkSpec {
     val df = run("q146_winsorize")
     val ev = graft.common.Tables.load(spark, Sf, "events")
       .select(col("event_type"),
-        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        graft.common.Exact.cents(col("value")).as("cents"))
     val re = ev.join(df.select("event_type", "lo_cents", "hi_cents"),
       "event_type")
       .groupBy("event_type")
