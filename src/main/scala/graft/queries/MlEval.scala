@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Exact._
+import graft.common.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation operators that work at fact-table scale with EXACT
+  * arithmetic: the decile gains table and Mann-Whitney AUC. Both rank
+  * the full population with the range-partitioned global order (no
+  * one-partition window) and reduce to integer rank sums — so the two
+  * metrics every model review meeting starts with are bitwise-
+  * reproducible and oracle-checkable.
+  */
+object MlEval {
+
+  /** Label/score temporal split: score accumulates strictly before the
+    * cut, the label (did the user purchase?) strictly after — the
+    * standard leakage-free propensity-eval framing.
+    */
+  private val Cut = "2024-01-24 00:00:00"
+
+  /** Per-user (score, label): score = pre-cut spend in cents, label =
+    * any post-cut purchase. One user-keyed, map-side-combined
+    * aggregate.
+    */
+  private def perUser(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < lit(Cut).cast("timestamp"),
+          cents(col("value"))).otherwise(0L)).as("score"),
+        max(when(col("ts") >= lit(Cut).cast("timestamp") &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+
+  private val PerUserSql =
+    s"""SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '$Cut'
+           THEN ${graft.common.Exact.centsSql("value")} ELSE 0 END)
+           AS BIGINT) AS score,
+         CAST(MAX(CASE WHEN ts >= TIMESTAMP '$Cut'
+           AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS label
+       FROM events GROUP BY user_id"""
+
+  /** q151: decile gains table — users ranked best-score-first into 10
+    * contiguous deciles (position·10 div n over the scalable global
+    * order), each with its user count, positives, positive rate, and
+    * the cumulative capture rate (share of ALL positives found by this
+    * depth). The table behind every "top 20% of scores captures 55% of
+    * converters" sentence.
+    *
+    * Scale: globalOrder's range partition + per-partition offsets (no
+    * one-partition ROW_NUMBER); the decile aggregate and the 10-row
+    * cumulative window are tiny.
+    */
+  private val q151 = QueryDef(
+    (s, d) => {
+      val pu = perUser(s, d)
+      val n = pu.count()
+      val ordered = Curation.globalOrder(
+        pu, Seq(col("score").desc, col("user_id").asc))
+      val byDecile = ordered
+        .groupBy(expr(s"(position * 10) div ${n}L").cast("long")
+          .as("decile"))
+        .agg(lcountAll.as("n_users"), sum("label").as("n_pos"))
+      val cum = Window.orderBy(col("decile").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      byDecile.select(col("decile"), col("n_users"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_users").cast("double"))
+          .as("pos_rate"),
+        (sum("n_pos").over(cum).cast("double") /
+          sum("n_pos").over(total).cast("double")).as("cum_capture"))
+    },
+    Some(s"""WITH pu AS ($PerUserSql),
+            o AS (
+              SELECT label,
+                ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC) - 1
+                  AS position,
+                COUNT(*) OVER () AS n
+              FROM pu
+            ), dec AS (
+              SELECT CAST((position * 10) // n AS BIGINT) AS decile,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(SUM(label) AS BIGINT) AS n_pos
+              FROM o GROUP BY 1
+            )
+            SELECT decile, n_users, n_pos,
+              CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE) AS pos_rate,
+              CAST(SUM(n_pos) OVER (ORDER BY decile ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) /
+                CAST(SUM(n_pos) OVER () AS DOUBLE) AS cum_capture
+            FROM dec"""),
+    "decile gains table: scalable global rank, exact capture rates [ml-eval]")
+
+  /** q152: exact Mann-Whitney AUC — rank every user ascending by
+    * (score, user_id), AUC = (Σ ranks₊ − P(P+1)/2) / (P·N). Rank sums
+    * are exact integers off the same scalable global order, so the
+    * headline ranking metric is bit-stable at any corpus size (the
+    * usual sampled/binned AUC approximations become unnecessary).
+    * Tie policy: total order by (score, user_id) — a deterministic
+    * variant of the tie-averaged statistic, identical in both engines;
+    * the tie-averaged refinement is a rank-window swap away.
+    */
+  private val q152 = QueryDef(
+    (s, d) => {
+      val ordered = Curation.globalOrder(
+        perUser(s, d), Seq(col("score").asc, col("user_id").asc))
+      ordered.agg(
+        lcountAll.as("n_users"),
+        sum("label").as("n_pos"),
+        sum(when(col("label") === 1L, col("position") + 1L).otherwise(0L))
+          .as("pos_rank_sum"))
+        .select(col("n_users"), col("n_pos"),
+          (col("n_users") - col("n_pos")).as("n_neg"),
+          col("pos_rank_sum"),
+          // P(P+1) div 2: INTEGER division (Spark's `/` on longs is a
+          // double divide) to mirror the oracle's `//` exactly
+          ((col("pos_rank_sum") -
+            expr("n_pos * (n_pos + 1) div 2")).cast("double") /
+            (col("n_pos") * (col("n_users") - col("n_pos")))
+              .cast("double")).as("auc"))
+    },
+    Some(s"""WITH pu AS ($PerUserSql),
+            o AS (
+              SELECT label,
+                ROW_NUMBER() OVER (ORDER BY score ASC, user_id ASC)
+                  AS rank
+              FROM pu
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+              CAST(SUM(label) AS BIGINT) AS n_pos,
+              CAST(count(*) - SUM(label) AS BIGINT) AS n_neg,
+              CAST(SUM(CASE WHEN label = 1 THEN rank ELSE 0 END)
+                AS BIGINT) AS pos_rank_sum,
+              CAST(SUM(CASE WHEN label = 1 THEN rank ELSE 0 END)
+                - SUM(label) * (SUM(label) + 1) // 2 AS DOUBLE) /
+                CAST(SUM(label) * (count(*) - SUM(label)) AS DOUBLE)
+                AS auc
+            FROM o"""),
+    "exact Mann-Whitney AUC: integer rank sums over the global order [ml-eval]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q151_gains_table" -> q151,
+    "q152_exact_auc" -> q152)
+}
