@@ -63,7 +63,10 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q143_exact_corr",
     // positional winsorization bounds and the contrastive rank windows
     // must not depend on which partition a tie landed in
-    "q146_winsorize", "q147_contrastive_batch")
+    "q146_winsorize", "q147_contrastive_batch",
+    // audit aggregates and the rank-sum metrics over the global order
+    "q149_referential_integrity", "q150_benford_screen",
+    "q151_gains_table", "q152_exact_auc")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
