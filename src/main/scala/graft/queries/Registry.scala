@@ -19,5 +19,5 @@ object Registry {
       FeatureEng.all ++ PrivacyOps.all ++ Scoring.all ++ Curriculum.all ++
       VocabOps.all ++ EmbeddingStats.all ++ Scd.all ++ Graph.all ++
       Stats.all ++ TimeSeries.all ++ Winsorize.all ++ Contrastive.all ++
-      Audit.all ++ MlEval.all
+      Audit.all ++ MlEval.all ++ Bootstrap.all
 }

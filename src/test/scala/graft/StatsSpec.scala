@@ -41,6 +41,25 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(1) - ref) < 1e-9)
   }
 
+  test("q153 bootstrap replicas are complete, near the point estimate, and vary") {
+    val df = run("q153_bootstrap_ci").cache()
+    assert(df.count() == 50)
+    val means = df.select("boot_mean_cents").collect().map(_.getDouble(0))
+    // replicas differ (the hash draw actually resamples)
+    assert(means.distinct.length > 1)
+    // the bootstrap distribution brackets the plain mean
+    val pointEst = graft.common.Tables.load(spark, Sf, "orders")
+      .agg(avg(graft.common.Exact.cents(col("o_totalprice"))))
+      .head().getDouble(0)
+    assert(means.min <= pointEst && pointEst <= means.max)
+    // total multiplicity mass ≈ 0.976·n per replica (±20% at sf0.001)
+    val n = graft.common.Tables.load(spark, Sf, "orders").count()
+    df.select("sum_w").collect().map(_.getLong(0)).foreach { w =>
+      assert(w > n * 78 / 100 && w < n * 118 / 100, s"sum_w $w vs n $n")
+    }
+    df.unpersist()
+  }
+
   test("q142/q143 are bitwise partition-count invariant") {
     val sp = spark.conf.get("spark.sql.shuffle.partitions")
     def snap() = Seq(
