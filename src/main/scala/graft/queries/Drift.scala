@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Exact._
+import graft.common.Tables.load
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitors — the checks a feature platform runs
+  * before letting a training snapshot or a scoring batch ship:
+  * population-stability (PSI) between two time slices, and a χ²
+  * independence screen over a dimensional contingency table.
+  *
+  * Both reduce the corpus to exact integer bin counts in one map-side-
+  * combined aggregate; every emitted double after that is either a
+  * fixed IEEE chain on those integers (bit-identical cross-engine) or,
+  * for the one `ln` in PSI, tolerance-checked by a derived oracle.
+  */
+object Drift {
+
+  private val Mid = "2024-01-16 00:00:00"
+
+  /** $50 value buckets, top-coded at bin 9 — a fixed, data-independent
+    * binning so the bin of a row never depends on any other row (a
+    * quantile binning would make the PSI itself drift with partitioning
+    * and re-sampling).
+    */
+  private val BinW = 5000L
+  private val NBins = 10
+
+  /** q155: PSI between the first and second half of the event stream,
+    * per event type over value bins. Laplace-smoothed shares
+    * (c+1)/(tot+B) keep empty bins finite — the standard monitoring
+    * form. Emits the full type×bin grid (absent bins as zeros) so the
+    * row set is deterministic.
+    *
+    * Scale: ONE (type, bin)-keyed count aggregate over the stream
+    * (map-side combined), per-type totals folded from the 50-row bin
+    * frame, and a 50-row spine join — nothing after the first exchange
+    * is stream-sized.
+    *
+    * Exactness: counts and totals are exact integers; pa/pb are single
+    * divisions (bit-identical); `psi_term`'s ln is the one non-
+    * correctly-rounded primitive, so the oracle re-derives it from the
+    * exact-joined integer evidence and admits rows within 1e-9 (the
+    * q110 tolerance contract).
+    */
+  private val q155 = QueryDef(
+    (s, d) => {
+      val ev = load(s, d, "events").select(
+        col("event_type"),
+        // centsSql is valid in BOTH dialects — one quantizer source
+        least(expr(s"${centsSql("value")} div $BinW"),
+          lit(NBins - 1L)).as("bin"),
+        (col("ts") < lit(Mid).cast("timestamp")).as("is_a"))
+      val counts = ev.groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+      val spine = counts.select(col("event_type")).distinct()
+        .crossJoin(s.range(NBins).toDF("bin"))
+      val grid = spine.join(counts, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+      val tots = grid.groupBy(col("event_type"))
+        .agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+      grid.join(tots, "event_type")
+        .withColumn("pa", (col("n_a") + 1L).cast("double") /
+          (col("tot_a") + NBins.toLong).cast("double"))
+        .withColumn("pb", (col("n_b") + 1L).cast("double") /
+          (col("tot_b") + NBins.toLong).cast("double"))
+        .select(col("event_type"), col("bin"), col("n_a"), col("n_b"),
+          col("tot_a"), col("tot_b"), col("pa"), col("pb"),
+          ((col("pa") - col("pb")) * log(col("pa") / col("pb")))
+            .as("psi_term"))
+    },
+    Some(s"""WITH ev AS (
+              SELECT event_type,
+                least(${centsSql("value")} // $BinW, ${NBins - 1})
+                  AS bin,
+                ts < TIMESTAMP '$Mid' AS is_a
+              FROM events
+            ), counts AS (
+              SELECT event_type, bin,
+                CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_a,
+                CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                  AS n_b
+              FROM ev GROUP BY 1, 2
+            ), spine AS (
+              SELECT t.event_type, CAST(g.range AS BIGINT) AS bin
+              FROM (SELECT DISTINCT event_type FROM counts) t,
+                range(0, $NBins) g
+            ), grid AS (
+              SELECT s.event_type, s.bin,
+                COALESCE(c.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b
+              FROM spine s LEFT JOIN counts c
+                ON s.event_type = c.event_type AND s.bin = c.bin
+            ), tots AS (
+              SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS tot_a,
+                CAST(SUM(n_b) AS BIGINT) AS tot_b
+              FROM grid GROUP BY 1
+            ), ref AS (
+              SELECT g.event_type, g.bin, g.n_a, g.n_b, t.tot_a, t.tot_b,
+                CAST(g.n_a + 1 AS DOUBLE) / CAST(t.tot_a + $NBins AS DOUBLE)
+                  AS pa,
+                CAST(g.n_b + 1 AS DOUBLE) / CAST(t.tot_b + $NBins AS DOUBLE)
+                  AS pb
+              FROM grid g JOIN tots t ON g.event_type = t.event_type
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q155_psi_drift/*.parquet')
+            )
+            SELECT e.event_type, e.bin, e.n_a, e.n_b, e.tot_a, e.tot_b,
+              e.pa, e.pb, e.psi_term
+            FROM emitted e JOIN ref r
+              ON e.event_type = r.event_type AND e.bin = r.bin
+              AND e.n_a = r.n_a AND e.n_b = r.n_b
+              AND e.tot_a = r.tot_a AND e.tot_b = r.tot_b
+              AND e.pa = r.pa AND e.pb = r.pb
+            WHERE abs(e.psi_term - (r.pa - r.pb) * ln(r.pa / r.pb))
+              < 1e-9"""),
+    "PSI drift: one keyed count pass, smoothed shares, ln tolerance oracle [drift]")
+
+  /** q156: χ² independence cells over the market-segment × order-
+    * priority contingency table (does order urgency depend on customer
+    * segment?). Emits per-cell observed / marginals / expected /
+    * contribution; the summed statistic is left to the reader because a
+    * cross-engine float SUM is order-dependent while every per-cell
+    * value here is a fixed IEEE chain on exact integers — bit-identical
+    * with no tolerance.
+    *
+    * Scale: the fact join broadcasts the customer dim, cells reduce in
+    * one map-side-combined aggregate to |segments|·|priorities| rows,
+    * and marginals fold from the cell frame (never a fact rescan).
+    * Integer marginal products fit i64 to ~3·10⁹ rows per margin; the
+    * DECIMAL(38,0) swap is the documented 100 TB escape hatch.
+    */
+  private val q156 = QueryDef(
+    (s, d) => {
+      val base = load(s, d, "orders").join(
+        broadcast(load(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("priority"))
+      val cells = base.groupBy(col("segment"), col("priority"))
+        .agg(lcountAll.as("obs"))
+      val rowT = cells.groupBy(col("segment"))
+        .agg(sum("obs").as("row_tot"))
+      val colT = cells.groupBy(col("priority"))
+        .agg(sum("obs").as("col_tot"))
+      val n = cells.agg(sum("obs").as("n_rows"))
+      cells.join(rowT, "segment").join(colT, "priority")
+        .crossJoin(broadcast(n))
+        .withColumn("expected",
+          (col("row_tot") * col("col_tot")).cast("double") /
+            col("n_rows").cast("double"))
+        .withColumn("chi_term",
+          (col("obs").cast("double") - col("expected")) *
+            (col("obs").cast("double") - col("expected")) /
+            col("expected"))
+        .select(col("segment"), col("priority"), col("obs"),
+          col("row_tot"), col("col_tot"), col("n_rows"),
+          col("expected"), col("chi_term"))
+    },
+    Some("""WITH base AS (
+              SELECT c.c_mktsegment AS segment,
+                o.o_orderpriority AS priority
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ), cells AS (
+              SELECT segment, priority, CAST(count(*) AS BIGINT) AS obs
+              FROM base GROUP BY 1, 2
+            ), rt AS (
+              SELECT segment, CAST(SUM(obs) AS BIGINT) AS row_tot
+              FROM cells GROUP BY 1
+            ), ct AS (
+              SELECT priority, CAST(SUM(obs) AS BIGINT) AS col_tot
+              FROM cells GROUP BY 1
+            ), n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_rows FROM cells)
+            SELECT cells.segment, cells.priority, obs, row_tot, col_tot,
+              n_rows,
+              CAST(row_tot * col_tot AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                AS expected,
+              (CAST(obs AS DOUBLE) -
+                 CAST(row_tot * col_tot AS DOUBLE) / CAST(n_rows AS DOUBLE)) *
+              (CAST(obs AS DOUBLE) -
+                 CAST(row_tot * col_tot AS DOUBLE) / CAST(n_rows AS DOUBLE)) /
+              (CAST(row_tot * col_tot AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                AS chi_term
+            FROM cells
+            JOIN rt ON cells.segment = rt.segment
+            JOIN ct ON cells.priority = ct.priority
+            CROSS JOIN n"""),
+    "chi-square cells: broadcast dim join, exact marginals, fixed IEEE chain [drift]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q155_psi_drift" -> q155,
+    "q156_chisq_cells" -> q156)
+}

@@ -65,17 +65,22 @@ object Graph {
   private val edMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** The cached degree-annotated edge list (both directions, deg =
+    * undirected degree of `u`), materialized ONCE per sf dir and
+    * hash-partitioned on the source key by its build — every PageRank
+    * iteration, the triangle enumeration, and repeat bench invocations
+    * scan the same in-memory frame (the GraphX edge-partition-reuse
+    * shape; without it each use replans the whole pair generation).
+    */
+  private def degreeEdges(s: SparkSession, d: String): DataFrame =
+    edMemo.getOrElseUpdate(d, {
+      val e = edges(s, d)
+      e.join(e.groupBy(col("u")).agg(lcountAll.as("deg")), "u").cache()
+    })
+
   private val q140 = QueryDef(
     (s, d) => {
-      // materialize the degree-annotated edge list ONCE, hash-partitioned
-      // on the source key by its build — every iteration's join and the
-      // final readout scan the same in-memory, already-partitioned frame
-      // (the GraphX edge-partition-reuse shape; without it each iteration
-      // replans the whole pair-generation lineage)
-      val ed = edMemo.getOrElseUpdate(d, {
-        val e = edges(s, d)
-        e.join(e.groupBy(col("u")).agg(lcountAll.as("deg")), "u").cache()
-      })
+      val ed = degreeEdges(s, d)
       val deg = ed.groupBy(col("u")).agg(first(col("deg")).as("deg"))
       var ranks = deg.select(col("u").as("node"), lit(S).as("r"))
       for (_ <- 1 to Iterations) {
@@ -118,6 +123,101 @@ object Graph {
             FROM r2 JOIN d ON r2.node = d.u"""),
     "integer PageRank, 2 Pregel iterations over co-purchase edges [graph]")
 
+  /** q157: exact triangle counts + local clustering coefficient per
+    * part over the same co-purchase graph. Triangles via degree-ordered
+    * orientation — each undirected edge points from its (deg, id)-
+    * smaller endpoint, so every triangle materializes as exactly one
+    * wedge-close join and the wedge fan-out per node is bounded by
+    * out-degree ≤ O(√m) instead of the raw degree (the classic
+    * skew-proof triangle enumeration; a hub of degree 10⁶ would
+    * otherwise spawn 10¹² wedges).
+    *
+    * Scale: reuses q140's cached degree-annotated edge frame (one
+    * pair-generation pass serves both graph queries in a session); the
+    * wedge join and the closing join are edge-keyed hash exchanges;
+    * per-node counts fold map-side from exploded triangle corners.
+    *
+    * Exactness: all integers until the final single division per row —
+    * clustering = 2·T / (deg·(deg−1)) — bit-identical cross-engine.
+    */
+  private val q157 = QueryDef(
+    (s, d) => {
+      val ed = degreeEdges(s, d)
+      val und = ed.filter(col("u") < col("v"))
+        .select(col("u"), col("v"))
+      val deg = ed.groupBy(col("u")).agg(first(col("deg")).as("deg"))
+      val or = und
+        .join(deg.select(col("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("u").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            col("u")).otherwise(col("v")).as("src"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            col("v")).otherwise(col("u")).as("dst"))
+      val tri = or.as("e1")
+        .join(or.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(or.as("e3"),
+          col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+          col("e2.dst").as("c"))
+      val perNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(lcountAll.as("t"))
+      deg.select(col("u").as("part"), col("deg"))
+        .join(perNode.withColumnRenamed("node", "part"), Seq("part"), "left")
+        .select(col("part"), col("deg"),
+          coalesce(col("t"), lit(0L)).as("triangles"),
+          when(col("deg") >= 2L,
+            (lit(2L) * coalesce(col("t"), lit(0L))).cast("double") /
+              (col("deg") * (col("deg") - 1L)).cast("double"))
+            .otherwise(lit(0.0)).as("clustering"))
+    },
+    Some(s"""WITH i AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+              SELECT a.l_partkey AS u, b.l_partkey AS v
+              FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= $MinSupport
+            ), deg AS (
+              SELECT x, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT u AS x FROM pairs
+                UNION ALL SELECT v AS x FROM pairs)
+              GROUP BY 1
+            ), o AS (
+              SELECT
+                CASE WHEN du.deg < dv.deg
+                  OR (du.deg = dv.deg AND p.u < p.v)
+                  THEN p.u ELSE p.v END AS src,
+                CASE WHEN du.deg < dv.deg
+                  OR (du.deg = dv.deg AND p.u < p.v)
+                  THEN p.v ELSE p.u END AS dst
+              FROM pairs p
+              JOIN deg du ON p.u = du.x JOIN deg dv ON p.v = dv.x
+            ), tri AS (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM o e1
+              JOIN o e2 ON e1.dst = e2.src
+              JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            ), pn AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b AS node FROM tri
+                UNION ALL SELECT c AS node FROM tri)
+              GROUP BY 1
+            )
+            SELECT d.x AS part, d.deg,
+              COALESCE(pn.t, 0) AS triangles,
+              CASE WHEN d.deg >= 2
+                THEN CAST(2 * COALESCE(pn.t, 0) AS DOUBLE) /
+                  CAST(d.deg * (d.deg - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering
+            FROM deg d LEFT JOIN pn ON d.x = pn.node"""),
+    "oriented triangle count + clustering coefficient per part [graph]")
+
   def all: Seq[(String, QueryDef)] = Seq(
-    "q140_pagerank" -> q140)
+    "q140_pagerank" -> q140,
+    "q157_triangles" -> q157)
 }

@@ -145,7 +145,76 @@ object MlEval {
             FROM o"""),
     "exact Mann-Whitney AUC: integer rank sums over the global order [ml-eval]")
 
+  /** q154: exact Kolmogorov–Smirnov separation — max over score
+    * thresholds of |F₊(t) − F₋(t)|, the third of the three standard
+    * ranking-model readouts (gains q151, AUC q152). Emits the statistic
+    * plus its arg-max threshold (smallest score attaining it — a
+    * deterministic tie policy both engines share).
+    *
+    * Scale: the cumulative distributions come from
+    * [[graft.operators.PrefixSum.runningSums]] — a range-partitioned
+    * two-phase scan, NOT a one-partition `Window.orderBy` (distinct
+    * score values are unbounded at corpus scale). Driver state is one
+    * partial per partition.
+    *
+    * Exactness: cumulative counts are exact integers (associative
+    * two-phase addition, partition-count independent); each diff is a
+    * fixed ÷,−,abs IEEE chain; MAX over exact doubles is
+    * order-independent; the double-equality arg-max filter is safe
+    * because both engines compute bit-identical diffs.
+    */
+  private val q154 = QueryDef(
+    (s, d) => {
+      val pu = perUser(s, d)
+      val byScore = pu.groupBy(col("score"))
+        .agg(sum("label").as("pos"),
+          (lcountAll - sum("label")).cast("long").as("neg"))
+      val cum = graft.operators.PrefixSum.runningSums(
+        byScore, Seq(col("score").asc), Seq("pos", "neg"))
+      val tot = pu.agg(sum("label").as("p"),
+        (lcountAll - sum("label")).cast("long").as("nn"))
+      val diffed = cum.crossJoin(broadcast(tot))
+        .withColumn("diff",
+          abs(col("pos_cum").cast("double") / col("p").cast("double") -
+            col("neg_cum").cast("double") / col("nn").cast("double")))
+      val ksRow = diffed.agg(max(col("diff")).as("ks"))
+      diffed.crossJoin(broadcast(ksRow))
+        .filter(col("diff") === col("ks"))
+        .agg(max("p").as("n_pos"), max("nn").as("n_neg"),
+          max("ks").as("ks"), min("score").as("ks_score"))
+    },
+    Some(s"""WITH pu AS ($PerUserSql),
+            t AS (
+              SELECT score, CAST(SUM(label) AS BIGINT) AS pos,
+                CAST(count(*) - SUM(label) AS BIGINT) AS neg
+              FROM pu GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(label) AS BIGINT) AS p,
+                CAST(count(*) - SUM(label) AS BIGINT) AS nn
+              FROM pu
+            ), c AS (
+              SELECT score,
+                SUM(pos) OVER (ORDER BY score ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+                SUM(neg) OVER (ORDER BY score ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+              FROM t
+            ), d AS (
+              SELECT score,
+                abs(CAST(cp AS DOUBLE) / CAST(p AS DOUBLE) -
+                    CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE)) AS diff,
+                p, nn
+              FROM c, tot
+            ), k AS (SELECT MAX(diff) AS ks FROM d)
+            SELECT CAST(MAX(p) AS BIGINT) AS n_pos,
+              CAST(MAX(nn) AS BIGINT) AS n_neg,
+              CAST(MAX(k.ks) AS DOUBLE) AS ks,
+              CAST(MIN(score) AS BIGINT) AS ks_score
+            FROM d, k WHERE d.diff = k.ks"""),
+    "exact KS separation: two-phase prefix-sum CDFs, arg-max threshold [ml-eval]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q151_gains_table" -> q151,
-    "q152_exact_auc" -> q152)
+    "q152_exact_auc" -> q152,
+    "q154_ks_statistic" -> q154)
 }

@@ -251,10 +251,74 @@ object Profiling {
     },
     "vocabulary drift: per-term chi-square split audit, top drifting terms [monitoring]")
 
+  /** q158: join-key skew profile — the diagnostic a planner (or the
+    * engineer sizing a salted join, q124) reads before shuffling on a
+    * key: key cardinality, row total, max per-key count, exact
+    * rank-based p50/p90/p99 of the per-key counts, and the Gini
+    * concentration of rows over keys (0 = uniform, →1 = one hot key
+    * owns the table).
+    *
+    * Scale: the fact table collapses to the key-count frame in one
+    * map-side-combined aggregate; everything after runs on |keys| rows.
+    * Rank positions come from the range-partitioned global order (no
+    * one-partition window); the Gini rank-sum Σ(i+1)·cᵢ is a plain
+    * aggregate over it. i64 bound: n_keys·n_rows ≤ 10¹⁸ holds to ~10⁹
+    * keys × 10⁹ rows; past that the two sums move to DECIMAL(38,0).
+    *
+    * Exactness: every statistic is an integer except Gini — one
+    * division of two exact i64 expressions, bit-identical cross-engine.
+    */
+  private val q158 = QueryDef(
+    (s, d) => {
+      val keyCounts = load(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(lcountAll.as("cnt"))
+      val n = keyCounts.count()
+      def idx(p: Long) = p * (n - 1) / 100
+      val ord = Curation.globalOrder(
+        keyCounts, Seq(col("cnt").asc, col("o_custkey").asc))
+      val folded = ord.agg(
+        lcountAll.as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"),
+        sum((col("position") + 1L) * col("cnt")).as("rank_sum"),
+        max(when(col("position") === idx(50L), col("cnt"))).as("p50_cnt"),
+        max(when(col("position") === idx(90L), col("cnt"))).as("p90_cnt"),
+        max(when(col("position") === idx(99L), col("cnt"))).as("p99_cnt"))
+      folded.select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        ((lit(2L) * col("rank_sum") - (col("n_keys") + 1L) * col("n_rows"))
+          .cast("double") /
+          (col("n_keys") * col("n_rows")).cast("double")).as("gini"))
+    },
+    Some("""WITH kc AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+              FROM orders GROUP BY 1
+            ), o AS (
+              SELECT cnt,
+                ROW_NUMBER() OVER (ORDER BY cnt ASC, o_custkey ASC) - 1
+                  AS position
+              FROM kc
+            ), s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kc)
+            SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+              CAST(SUM(cnt) AS BIGINT) AS n_rows,
+              CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+              CAST(MAX(CASE WHEN position = 50 * (n - 1) // 100
+                THEN cnt END) AS BIGINT) AS p50_cnt,
+              CAST(MAX(CASE WHEN position = 90 * (n - 1) // 100
+                THEN cnt END) AS BIGINT) AS p90_cnt,
+              CAST(MAX(CASE WHEN position = 99 * (n - 1) // 100
+                THEN cnt END) AS BIGINT) AS p99_cnt,
+              CAST(2 * SUM((position + 1) * cnt)
+                  - (MAX(n) + 1) * SUM(cnt) AS DOUBLE) /
+                CAST(MAX(n) * SUM(cnt) AS DOUBLE) AS gini
+            FROM o, s"""),
+    "join-key skew profile: exact rank percentiles + Gini over key counts [profiling]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q57_column_profile" -> q57,
     "q58_histogram" -> q58,
     "q61_heavy_hitters" -> q59b,
     "q114_vocab_drift" -> q114,
-    "q124_salted_join" -> q124)
+    "q124_salted_join" -> q124,
+    "q158_key_skew" -> q158)
 }

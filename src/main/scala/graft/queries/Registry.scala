@@ -19,5 +19,6 @@ object Registry {
       FeatureEng.all ++ PrivacyOps.all ++ Scoring.all ++ Curriculum.all ++
       VocabOps.all ++ EmbeddingStats.all ++ Scd.all ++ Graph.all ++
       Stats.all ++ TimeSeries.all ++ Winsorize.all ++ Contrastive.all ++
-      Audit.all ++ MlEval.all ++ Bootstrap.all
+      Audit.all ++ MlEval.all ++ Bootstrap.all ++ Drift.all ++
+      Survival.all
 }

@@ -195,7 +195,100 @@ object Stats {
             FROM m"""),
     "exact Pearson matrix: one-pass DECIMAL moments, fixed IEEE tail [stats]")
 
+  /** q160: two-proportion z-test on conversion — the yes/no twin of
+    * q142's CUPED means readout. Users hash-assign to the same two
+    * seeded arms; converted = any post-period HIGH-VALUE purchase
+    * (≥ $100 — the plain any-purchase flag saturates to 100% on a
+    * dense event stream and the test degenerates). One row: per-arm
+    * exact counts, rates, and the pooled z statistic, NULL when the
+    * pooled rate is 0 or 1 (zero variance — emitting 0/0 would throw
+    * under ANSI semantics rather than convey "no information").
+    *
+    * Scale: one user-keyed aggregate (map-side combined) then a 2-row
+    * fold; the final frame is a single row assembled from exact i64
+    * counts.
+    *
+    * Exactness: counts are integers; every double is a FIXED sequence
+    * of correctly-rounded IEEE ops (÷, −, ×, √) written identically in
+    * both engines — bit-identical with no tolerance.
+    */
+  private val ConvCents = 10000L // $100, compared in exact cents
+
+  private val q160 = QueryDef(
+    (s, d) => {
+      val perUser = load(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("ts") >= lit(Mid).cast("timestamp") &&
+          col("event_type") === "purchase" &&
+          graft.common.Exact.cents(col("value")) >= ConvCents,
+          1L).otherwise(0L)).as("conv"))
+        .withColumn("arm",
+          when(Curation.shuffleKeyWith(col("user_id"), ArmSeed) % 2L === 0L,
+            0L).otherwise(1L))
+      val arms = perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+      val wide = arms.agg(
+        sum(when(col("arm") === 0L, col("n"))).as("n1"),
+        sum(when(col("arm") === 0L, col("x"))).as("x1"),
+        sum(when(col("arm") === 1L, col("n"))).as("n2"),
+        sum(when(col("arm") === 1L, col("x"))).as("x2"))
+      wide.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        (col("x1").cast("double") / col("n1").cast("double")).as("p1"),
+        (col("x2").cast("double") / col("n2").cast("double")).as("p2"),
+        when(col("x1") + col("x2") === 0L ||
+          col("x1") + col("x2") === col("n1") + col("n2"),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("x1").cast("double") / col("n1").cast("double") -
+              col("x2").cast("double") / col("n2").cast("double")) /
+              sqrt((col("x1") + col("x2")).cast("double") /
+                (col("n1") + col("n2")).cast("double") *
+                (lit(1.0) - (col("x1") + col("x2")).cast("double") /
+                  (col("n1") + col("n2")).cast("double")) *
+                (lit(1.0) / col("n1").cast("double") +
+                  lit(1.0) / col("n2").cast("double")))).as("z"))
+    },
+    Some {
+      val arm = s"CASE WHEN (${Curation.shuffleKeySqlWith("user_id", ArmSeed)}) % 2 = 0 " +
+        "THEN 0 ELSE 1 END"
+      s"""WITH pu AS (
+            SELECT user_id,
+              CAST(MAX(CASE WHEN ts >= TIMESTAMP '$Mid'
+                AND event_type = 'purchase'
+                AND ${graft.common.Exact.centsSql("value")} >= $ConvCents
+                THEN 1 ELSE 0 END) AS BIGINT)
+                AS conv,
+              $arm AS arm
+            FROM events GROUP BY user_id
+          ), a AS (
+            SELECT arm, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(conv) AS BIGINT) AS x
+            FROM pu GROUP BY 1
+          ), w AS (
+            SELECT
+              CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n1,
+              CAST(SUM(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x1,
+              CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n2,
+              CAST(SUM(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x2
+            FROM a
+          )
+          SELECT n1, x1, n2, x2,
+            CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+            CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+            CASE WHEN x1 + x2 = 0 OR x1 + x2 = n1 + n2 THEN NULL
+            ELSE
+              (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+               CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+              sqrt(CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) *
+                (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+                (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+            END AS z
+          FROM w"""
+    },
+    "two-proportion z-test: seeded arms, exact counts, fixed IEEE chain [stats]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
-    "q143_exact_corr" -> q143)
+    "q143_exact_corr" -> q143,
+    "q160_two_proportion" -> q160)
 }

@@ -47,4 +47,32 @@ class MlEvalSpec extends AnyFunSuite with SparkSpec {
     val expected = (rankSum - p * (p + 1) / 2).toDouble / (p * (n - p)).toDouble
     assert(auc == expected)
   }
+
+  test("q154 KS matches a local recomputation over the score CDFs") {
+    val r = run("q154_ks_statistic").head()
+    val (nPos, nNeg, ks, ksScore) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+    val pu = graft.common.Tables.load(spark, Sf, "events")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts") < cut, graft.common.Exact.cents(col("value")))
+          .otherwise(0L)).as("score"),
+        max(when(col("ts") >= cut && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("label"))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(nPos == pu.count(_._2 == 1L) && nNeg == pu.count(_._2 == 0L))
+    val byScore = pu.groupBy(_._1).map { case (sc, xs) =>
+      (sc, xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong)
+    }.toSeq.sortBy(_._1)
+    var (cp, cn) = (0L, 0L)
+    var best = (0.0, Long.MaxValue)
+    byScore.foreach { case (sc, p1, n1) =>
+      cp += p1; cn += n1
+      val diff = math.abs(cp.toDouble / nPos - cn.toDouble / nNeg)
+      if (diff > best._1) best = (diff, sc)
+    }
+    assert(ks == best._1 && ksScore == best._2)
+    assert(ks > 0.0 && ks <= 1.0)
+  }
 }

@@ -71,4 +71,20 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       assert(snap() == a)
     } finally spark.conf.set("spark.sql.shuffle.partitions", sp)
   }
+
+  test("q160 z-test counts conserve and z matches a local recomputation") {
+    val r = run("q160_two_proportion").head()
+    val (n1, x1, n2, x2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val nUsers = graft.common.Tables.load(spark, Sf, "events")
+      .select("user_id").distinct().count()
+    assert(n1 + n2 == nUsers)
+    assert(x1 <= n1 && x2 <= n2 && x1 >= 0 && x2 >= 0)
+    assert(r.getDouble(4) == x1.toDouble / n1)
+    assert(r.getDouble(5) == x2.toDouble / n2)
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    val z = (x1.toDouble / n1 - x2.toDouble / n2) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(r.getDouble(6) == z)
+  }
 }
