@@ -66,7 +66,15 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q146_winsorize", "q147_contrastive_batch",
     // audit aggregates and the rank-sum metrics over the global order
     "q149_referential_integrity", "q150_benford_screen",
-    "q151_gains_table", "q152_exact_auc")
+    "q151_gains_table", "q152_exact_auc",
+    // diagnostics batch: the two-phase prefix-sum CDFs (q154) must not
+    // leak range-partition boundaries into the cumulative counts; drift
+    // bins, contingency marginals, triangle counts, skew ranks, KM risk
+    // sets, and the z-test fold are all exact-integer reductions that
+    // must survive any partitioning
+    "q154_ks_statistic", "q155_psi_drift", "q156_chisq_cells",
+    "q157_triangles", "q158_key_skew", "q159_km_survival",
+    "q160_two_proportion")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

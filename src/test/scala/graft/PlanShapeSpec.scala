@@ -271,4 +271,54 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 2, s"expected 2 key exchanges, got $exchanges:\n$plan")
   }
+
+  test("KS statistic (q154): corpus folds once; the CDF scan is RDD-side") {
+    // exchange 1 builds the per-score frame; PrefixSum's range
+    // repartition + offset add run behind the createDataFrame boundary
+    // (bounded per-partition driver state); the visible tail folds the
+    // small diff frame
+    assert(shuffles("q154_ks_statistic") <= 2)
+  }
+
+  test("PSI drift (q155): one corpus-sized exchange into the bin counts") {
+    // the (type, bin) count aggregate moves corpus rows once; the
+    // spine join, totals fold, and share projection all run on the
+    // |types|×|bins| grid
+    assert(shuffles("q155_psi_drift") <= 4)
+  }
+
+  test("chi-square cells (q156) broadcast the dim; marginals fold from cells") {
+    val plan = SparkEntry.queries("q156_chisq_cells")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"customer dim should broadcast into the fact join:\n$plan")
+    // exchange 1 is the corpus-sized cells aggregate; every other
+    // exchange re-keys the |segments|×|priorities| frame
+    assert(shuffles("q156_chisq_cells") <= 8)
+  }
+
+  test("triangles (q157) reuse ONE cached oriented-edge frame across all three self-join scans") {
+    val df = SparkEntry.queries("q157_triangles")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"oriented edges must be cache-scanned, not replanned:\n$plan")
+    df.count()
+    // repeat invocation is a memo hit: no new cached RDDs stack up
+    val before = spark.sparkContext.getPersistentRDDs.size
+    SparkEntry.queries("q157_triangles")(spark, Sf).count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "repeat q157 must reuse the session-memoized cached frames")
+  }
+
+  test("KM survival (q159): corpus collapses before the calendar-bounded window") {
+    // exchange 1: per-customer min/max fold; exchange 2 keys the
+    // distinct-duration frame; the one-partition window only ever sees
+    // calendar-bounded rows
+    assert(shuffles("q159_km_survival") <= 2)
+  }
+
+  test("z-test (q160): one user exchange then 2-row folds") {
+    assert(shuffles("q160_two_proportion") <= 2)
+  }
 }
