@@ -192,7 +192,87 @@ object Drift {
             CROSS JOIN n"""),
     "chi-square cells: broadcast dim join, exact marginals, fixed IEEE chain [drift]")
 
+  /** q164: CUSUM change-point screen over the daily event volume —
+    * the classic "did the level shift, and when" monitor. Per calendar
+    * day: the count, the centered cumulative sum
+    * C_d = Σ_{i≤d} x_i − d·x̄, and a peak flag at the |C| maximum (the
+    * most likely change point). A fixed calendar spine (absent days as
+    * zeros) keeps the row set deterministic.
+    *
+    * Scale: corpus → per-day counts in one map-side-combined
+    * aggregate; the spine join, cumulative window, and argmax all run
+    * on the calendar-bounded frame (the q159 bounded-window argument).
+    *
+    * Exactness: counts and cumulative sums are integers; x̄ is one
+    * division and each C_d one multiply-subtract — fixed IEEE chains.
+    * The peak flag's double-equality is safe because both engines
+    * compute identical doubles (the q154 arg-max idiom).
+    */
+  private val DayFrom = "2024-01-01"
+  private val DayTo = "2024-01-30"
+
+  private val q164 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = load(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = s.range(1).select(explode(sequence(
+        to_date(lit(DayFrom)), to_date(lit(DayTo)))).as("day"))
+      val grid = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"),
+          (datediff(col("day"), to_date(lit(DayFrom))) + 1).cast("long")
+            .as("day_idx"))
+      val tot = grid.agg(sum("n_events").as("total"),
+        lcountAll.as("n_days"))
+      val cumW = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cusum = grid.crossJoin(broadcast(tot))
+        .withColumn("cum", sum("n_events").over(cumW))
+        .withColumn("cusum",
+          col("cum").cast("double") - col("day_idx").cast("double") *
+            (col("total").cast("double") / col("n_days").cast("double")))
+      val peak = cusum.agg(max(abs(col("cusum"))).as("peak"))
+      cusum.crossJoin(broadcast(peak))
+        .select(col("day"), col("n_events"), col("cum"), col("cusum"),
+          (abs(col("cusum")) === col("peak")).as("is_peak"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), spine AS (
+              SELECT CAST(g.gs AS DATE) AS day FROM
+                (SELECT unnest(generate_series(DATE '$DayFrom',
+                  DATE '$DayTo', INTERVAL 1 DAY)) AS gs) g
+            ), grid AS (
+              SELECT s.day, COALESCE(d.n, 0) AS n_events,
+                CAST(date_diff('day', DATE '$DayFrom', s.day) + 1
+                  AS BIGINT) AS day_idx
+              FROM spine s LEFT JOIN daily d ON s.day = d.day
+            ), tot AS (
+              SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+                CAST(count(*) AS BIGINT) AS n_days
+              FROM grid
+            ), c AS (
+              SELECT day, n_events,
+                CAST(SUM(n_events) OVER (ORDER BY day ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(SUM(n_events) OVER (ORDER BY day ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) - CAST(day_idx AS DOUBLE) *
+                  (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
+                  AS cusum
+              FROM grid, tot
+            ), p AS (SELECT MAX(abs(cusum)) AS peak FROM c)
+            SELECT day, n_events, cum, cusum,
+              abs(cusum) = p.peak AS is_peak
+            FROM c, p"""),
+    "CUSUM change-point screen: integer cumulative sums, exact peak flag [drift]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q155_psi_drift" -> q155,
-    "q156_chisq_cells" -> q156)
+    "q156_chisq_cells" -> q156,
+    "q164_cusum_changepoint" -> q164)
 }

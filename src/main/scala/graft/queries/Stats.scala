@@ -287,8 +287,78 @@ object Stats {
     },
     "two-proportion z-test: seeded arms, exact counts, fixed IEEE chain [stats]")
 
+  /** q163: grouped simple linear regression (OLS slope + intercept) —
+    * price-on-quantity per return flag, the per-segment trend readout.
+    * q142's pooled-moment θ generalized to per-group regressions:
+    * β_g = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), α_g = (Σy − βΣx)/n, r²_g from
+    * the same moments.
+    *
+    * Scale: ONE map-side-combined grouped aggregate computes all five
+    * moments per group in a single corpus pass (no per-group rescan);
+    * the β/α/r² assembly runs on the |groups| frame. Moments are
+    * DECIMAL(38,0) like q143 — Σ(cents²) overflows i64 on a fact table.
+    *
+    * Exactness: moments exact; β, α, r² are fixed IEEE chains on
+    * DECIMAL→DOUBLE casts, identical in both engines.
+    */
+  private val q163 = QueryDef(
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val li = load(s, d, "lineitem").select(
+        col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("x"),
+        graft.common.Exact.cents(col("l_extendedprice")).as("y"))
+      val m = li.groupBy(col("grp")).agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y").cast(dec) * col("y").cast(dec))).as("syy"),
+        sum((col("x").cast(dec) * col("y").cast(dec))).as("sxy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val denx = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val deny = (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      m.select(col("grp"), col("n").cast("long").as("n_rows"),
+        (num / denx).as("slope"),
+        ((col("sy").cast("double") - (num / denx) *
+          col("sx").cast("double")) / col("n").cast("double"))
+          .as("intercept"),
+        (num / denx * (num / deny)).as("r2"))
+    },
+    Some(s"""WITH li AS (
+              SELECT l_returnflag AS grp,
+                CAST(l_quantity AS BIGINT) AS x,
+                ${graft.common.Exact.centsSql("l_extendedprice")} AS y
+              FROM lineitem
+            ), m AS (
+              SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+                CAST(SUM(x) AS HUGEINT) AS sx,
+                CAST(SUM(y) AS HUGEINT) AS sy,
+                SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                SUM(CAST(y AS HUGEINT) * y) AS syy,
+                SUM(CAST(x AS HUGEINT) * y) AS sxy
+              FROM li GROUP BY 1
+            )
+            SELECT grp, CAST(n AS BIGINT) AS n_rows,
+              CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+              (CAST(sy AS DOUBLE) -
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                  CAST(n * sxx - sx * sx AS DOUBLE) *
+                CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+              CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE) *
+                (CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+            FROM m"""),
+    "grouped OLS: one-pass DECIMAL moments, per-group slope/intercept/r2 [stats]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
     "q143_exact_corr" -> q143,
-    "q160_two_proportion" -> q160)
+    "q160_two_proportion" -> q160,
+    "q163_ols_by_group" -> q163)
 }

@@ -143,7 +143,82 @@ object TimeSeries {
             FROM ranked GROUP BY 1, 2"""),
     "weekly OHLC bars: shared rank exchange, exact cents [timeseries]")
 
+  /** q165: EWMA smoothing of the daily event volume (α = 0.3,
+    * zero-initialized): s_d = α·Σ_{i≤d} (1−α)^{d−i}·x_i — the
+    * exponential smoother every monitoring dashboard draws. Computed
+    * via the scaled-sum form s_d = α·(1−α)^d · Σ_{i≤d} (1−α)^{−i}·x_i
+    * so the cumulative step is a plain running sum (the per-row weight
+    * never references the frame's end). Exponent range is calendar-
+    * bounded (≤ spine days), so the scaled terms stay well inside
+    * double range.
+    *
+    * Scale: one corpus pass into per-day counts; the spine join and
+    * the running sum act on the calendar-bounded frame.
+    *
+    * Exactness: day counts are exact integers; the float tail (pow +
+    * an ordered float sum) is the one non-reproducible piece, so the
+    * derived oracle re-joins the exact integer evidence and admits
+    * `ewma` within 1e-6 (q110 tolerance contract, loosened for the
+    * pow-scaled summation's wider dynamic range).
+    */
+  private val Alpha = 0.3
+
+  private val q165 = QueryDef(
+    (s, d) => {
+      val daily = load(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = s.range(1).select(explode(sequence(
+        to_date(lit(DayFrom)), to_date(lit(DayTo)))).as("day"))
+      val grid = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"),
+          (datediff(col("day"), to_date(lit(DayFrom))) + 1).cast("long")
+            .as("day_idx"))
+      val w = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("scaled",
+          col("n_events").cast("double") *
+            pow(lit(1.0 - Alpha), -col("day_idx").cast("double")))
+        .withColumn("ewma",
+          lit(Alpha) * pow(lit(1.0 - Alpha), col("day_idx").cast("double")) *
+            sum(col("scaled")).over(w))
+        .select(col("day"), col("n_events"), col("ewma"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), spine AS (
+              SELECT CAST(g.gs AS DATE) AS day FROM
+                (SELECT unnest(generate_series(DATE '$DayFrom',
+                  DATE '$DayTo', INTERVAL 1 DAY)) AS gs) g
+            ), grid AS (
+              SELECT s.day, COALESCE(d.n, 0) AS n_events,
+                CAST(date_diff('day', DATE '$DayFrom', s.day) + 1
+                  AS BIGINT) AS day_idx
+              FROM spine s LEFT JOIN daily d ON s.day = d.day
+            ), ref AS (
+              SELECT day, n_events,
+                $Alpha * power(${1.0 - Alpha}, CAST(day_idx AS DOUBLE)) *
+                  SUM(CAST(n_events AS DOUBLE) *
+                    power(${1.0 - Alpha}, -CAST(day_idx AS DOUBLE)))
+                  OVER (ORDER BY day ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS ewma
+              FROM grid
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q165_ewma_daily/*.parquet')
+            )
+            SELECT e.day, e.n_events, e.ewma
+            FROM emitted e JOIN ref r
+              ON e.day = r.day AND e.n_events = r.n_events
+            WHERE abs(e.ewma - r.ewma) < 1e-6"""),
+    "EWMA daily smoother: scaled running sum, tolerance oracle [time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
-    "q145_ohlc_resample" -> q145)
+    "q145_ohlc_resample" -> q145,
+    "q165_ewma_daily" -> q165)
 }

@@ -74,7 +74,12 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // must survive any partitioning
     "q154_ks_statistic", "q155_psi_drift", "q156_chisq_cells",
     "q157_triangles", "q158_key_skew", "q159_km_survival",
-    "q160_two_proportion")
+    "q160_two_proportion",
+    // behavior/time-series batch: three independent rank passes feed
+    // one cube (q161), per-cohort running sums (q162), DECIMAL moment
+    // folds (q163), and calendar-frame cumulative chains (q164/q165)
+    "q161_rfm_segments", "q162_cohort_ltv", "q163_ols_by_group",
+    "q164_cusum_changepoint", "q165_ewma_daily")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

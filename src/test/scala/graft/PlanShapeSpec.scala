@@ -321,4 +321,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   test("z-test (q160): one user exchange then 2-row folds") {
     assert(shuffles("q160_two_proportion") <= 2)
   }
+
+  test("grouped OLS (q163) computes all five moments in ONE corpus pass") {
+    assert(shuffles("q163_ols_by_group") == 1)
+  }
+
+  test("RFM (q161): one corpus fold, then |customers|-frame rank joins") {
+    // exchange 1 collapses orders per customer; the three rank-bin
+    // join-backs and the ≤125-cell fold re-key the narrow per-customer
+    // frame (the rank passes themselves are RDD-side range partitions)
+    assert(shuffles("q161_rfm_segments") <= 5)
+  }
+
+  test("cohort LTV (q162): corpus collapses twice (cohorts, cells); window is calendar-bounded") {
+    assert(shuffles("q162_cohort_ltv") <= 5)
+  }
+
+  test("CUSUM (q164) / EWMA (q165) fold the corpus once into the day frame") {
+    assert(shuffles("q164_cusum_changepoint") <= 4)
+    assert(shuffles("q165_ewma_daily") <= 2)
+  }
 }
