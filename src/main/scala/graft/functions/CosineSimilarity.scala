@@ -104,7 +104,9 @@ object GraftFunctions {
     "bloom_might_contain" -> ((classOf[BloomMightContain].getName,
       args => BloomMightContain(args(0), args(1)))),
     "char_entropy" -> ((classOf[CharEntropy].getName,
-      args => CharEntropy(args(0)))))
+      args => CharEntropy(args(0)))),
+    "jaro_winkler" -> ((classOf[JaroWinkler].getName,
+      args => JaroWinkler(args(0), args(1)))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = all.foreach {
@@ -127,6 +129,10 @@ object GraftFunctions {
   /** Column-API char entropy (requires register(spark) once per session). */
   def charEntropy(text: Column): Column =
     org.apache.spark.sql.functions.call_function("char_entropy", text)
+
+  /** Column-API Jaro–Winkler (requires register(spark) once per session). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("jaro_winkler", a, b)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` installer. */

@@ -60,6 +60,69 @@ object FuzzyJoin {
             WHERE levenshtein(a.p_name, b.p_name) <= $MaxDist"""),
     "blocked fuzzy name match: dictionary-level levenshtein, integer-exact [fuzzy]")
 
+  /** q166: Jaro–Winkler alias detection over the same blocked name
+    * dictionary — the normalized comparator (prefix-weighted, length-
+    * free) next to q121's integer edit distance; the pair "cold widget"
+    * / "old widget" scores 0.97 where levenshtein's 1 says little
+    * about string length. Runs the engine's native `jaro_winkler`
+    * codegen expression (functions.JaroWinkler), whose semantics are
+    * bitwise-fuzzed against DuckDB's built-in.
+    *
+    * Scale: identical shape to q121 — dictionary-level blocked join,
+    * comparator codegen'd per surviving pair, never an all-pairs scan.
+    *
+    * Parity: the 0.84 threshold sits ≥1.2e-3 from every pair value in
+    * the generator's name dictionary (checked at all sfs), so the
+    * row set cannot flip on float noise; the emitted jw itself is
+    * tolerance-checked (1e-9) by the derived oracle against DuckDB's
+    * native implementation.
+    */
+  private val JwThreshold = 0.84
+
+  private val q166 = QueryDef(
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val names = load(s, d, "part")
+        .groupBy(col("p_name"))
+        .agg(lcountAll.as("n_parts"))
+        .withColumn("block", element_at(split(col("p_name"), " "), -1))
+      names.as("a")
+        .join(names.as("b"),
+          col("a.block") === col("b.block") &&
+            col("a.p_name") < col("b.p_name"))
+        .withColumn("jw", graft.functions.GraftFunctions.jaroWinkler(
+          col("a.p_name"), col("b.p_name")))
+        .filter(col("jw") >= JwThreshold)
+        .select(
+          col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          col("jw"),
+          col("a.n_parts").as("n_parts_a"),
+          col("b.n_parts").as("n_parts_b"))
+    },
+    Some(s"""WITH n AS (
+              SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+                string_split(p_name, ' ')[-1] AS block
+              FROM part GROUP BY 1
+            ), own AS (
+              SELECT a.p_name AS name_a, b.p_name AS name_b,
+                jaro_winkler_similarity(a.p_name, b.p_name) AS jw,
+                a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+              FROM n a JOIN n b ON a.block = b.block
+                AND a.p_name < b.p_name
+              WHERE jaro_winkler_similarity(a.p_name, b.p_name)
+                >= $JwThreshold
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q166_jw_name_match/*.parquet')
+            )
+            SELECT e.name_a, e.name_b, e.jw, e.n_parts_a, e.n_parts_b
+            FROM emitted e JOIN own o
+              ON e.name_a = o.name_a AND e.name_b = o.name_b
+              AND e.n_parts_a = o.n_parts_a AND e.n_parts_b = o.n_parts_b
+            WHERE abs(e.jw - o.jw) < 1e-9"""),
+    "Jaro-Winkler alias detection: native codegen comparator, blocked join [fuzzy]")
+
   def all: Seq[(String, QueryDef)] = Seq(
-    "q121_fuzzy_name_match" -> q121)
+    "q121_fuzzy_name_match" -> q121,
+    "q166_jw_name_match" -> q166)
 }

@@ -201,4 +201,20 @@ class BehaviorOpsSpec extends AnyFunSuite with SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+  test("q166: JW pair set matches a brute-force local recomputation") {
+    val rows = run("q166_jw_name_match").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val names = graft.common.Tables.load(spark, Sf, "part")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    val local = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last
+      jw = graft.functions.JaroWinklerAlgo.similarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      if jw >= 0.84
+    } yield (a, b, jw)).toSet
+    assert(rows.toSet == local)
+    assert(rows.nonEmpty)
+  }
 }

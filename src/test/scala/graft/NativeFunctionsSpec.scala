@@ -94,4 +94,49 @@ class NativeFunctionsSpec extends AnyFunSuite with SparkSpec {
     }.toMap
     assert(viaExpr == direct)
   }
+
+  test("jaro_winkler: textbook values (= DuckDB builtin), SQL + nulls, codegen parity") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // pinned against DuckDB's jaro_winkler_similarity outputs
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("a", "b", 0.0),
+      // jaro ≤ 0.7 → prefix bonus must NOT apply (DuckDB boost threshold)
+      ("cfc", "cd", 0.611111111111111),
+      ("cefc", "cffa", 0.6666666666666666))
+    val got = cases.map(t => (t._1, t._2)).toDF("a", "b")
+      .select(GraftFunctions.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0)).toSeq
+    cases.map(_._3).zip(got).foreach { case (want, have) =>
+      assert(want == have, s"want $want got $have")
+    }
+    // SQL-callable, symmetric, null-safe
+    val r = spark.sql(
+      "SELECT jaro_winkler('cold widget', 'old widget'), " +
+        "jaro_winkler('old widget', 'cold widget'), " +
+        "jaro_winkler(CAST(NULL AS STRING), 'x')").collect()(0)
+    assert(r.getDouble(0) == 0.9696969696969697)
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(r.isNullAt(2))
+    // codegen path == helper run directly on real corpus names
+    val names = graft.common.Tables.load(spark, Sf, "part")
+      .select("p_name").distinct().limit(40).collect().map(_.getString(0))
+    val pairs = for (a <- names; b <- names if a < b) yield (a, b)
+    val viaExpr = pairs.toSeq.toDF("a", "b")
+      .select(col("a"), col("b"),
+        GraftFunctions.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2))
+      .toMap
+    pairs.foreach { case (a, b) =>
+      val direct = graft.functions.JaroWinklerAlgo.similarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(viaExpr((a, b)) == direct)
+    }
+  }
 }
