@@ -20,5 +20,5 @@ object Registry {
       VocabOps.all ++ EmbeddingStats.all ++ Scd.all ++ Graph.all ++
       Stats.all ++ TimeSeries.all ++ Winsorize.all ++ Contrastive.all ++
       Audit.all ++ MlEval.all ++ Bootstrap.all ++ Drift.all ++
-      Survival.all ++ Rfm.all ++ Cohorts.all
+      Survival.all ++ Rfm.all ++ Cohorts.all ++ Concentration.all
 }

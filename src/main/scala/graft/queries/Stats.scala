@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.common.Tables.load
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -356,9 +357,75 @@ object Stats {
             FROM m"""),
     "grouped OLS: one-pass DECIMAL moments, per-group slope/intercept/r2 [stats]")
 
+  /** q168: mutual information between two categorical features
+    * (customer nation × market segment) — the feature-selection /
+    * redundancy screen: MI = Σ_cells p(x,y)·ln(p(x,y)/(p(x)p(y))).
+    * Emits one row per observed cell with its joint count, both
+    * marginals, the grand total, and the cell's MI term; the corpus MI
+    * is the sum of `mi_term` (left to the reader so every cell stays
+    * individually auditable).
+    *
+    * Scale: ONE customer-keyed aggregate pays the corpus scan; the
+    * joint frame is |X|·|Y| cells (bounded by the cross-cardinality,
+    * not the row count), so the three marginal windows run over a
+    * dimension-sized frame — the same contract as q155's bin frame.
+    *
+    * Exactness: counts are exact longs (window sums over the joint
+    * frame, no corpus re-scan); `mi_term` is a fixed IEEE sequence
+    * whose one transcendental (`ln`) is tolerance-checked by the
+    * derived oracle, with the ratio's numerator/denominator built from
+    * integer products so the ln argument itself is bit-identical.
+    */
+  private val q168 = QueryDef(
+    (s, d) => {
+      val joint = load(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n_xy"))
+      val wx = Window.partitionBy(col("c_nationkey"))
+      val wy = Window.partitionBy(col("c_mktsegment"))
+      val wAll = Window.partitionBy()
+      joint.select(col("c_nationkey"), col("c_mktsegment"), col("n_xy"),
+        sum("n_xy").over(wx).as("n_x"),
+        sum("n_xy").over(wy).as("n_y"),
+        sum("n_xy").over(wAll).as("n_tot"))
+        .withColumn("mi_term",
+          (col("n_xy").cast("double") / col("n_tot").cast("double")) *
+            log((col("n_xy") * col("n_tot")).cast("double") /
+              (col("n_x") * col("n_y")).cast("double")))
+    },
+    Some(s"""WITH joint AS (
+              SELECT c_nationkey, c_mktsegment,
+                CAST(count(*) AS BIGINT) AS n_xy
+              FROM customer GROUP BY 1, 2
+            ), r AS (
+              SELECT c_nationkey, c_mktsegment, n_xy,
+                CAST(SUM(n_xy) OVER (PARTITION BY c_nationkey) AS BIGINT)
+                  AS n_x,
+                CAST(SUM(n_xy) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+                  AS n_y,
+                CAST(SUM(n_xy) OVER () AS BIGINT) AS n_tot
+              FROM joint
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q168_categorical_mi/*.parquet')
+            )
+            SELECT e.c_nationkey, e.c_mktsegment, e.n_xy, e.n_x, e.n_y,
+              e.n_tot, e.mi_term
+            FROM emitted e JOIN r
+              ON e.c_nationkey = r.c_nationkey
+              AND e.c_mktsegment = r.c_mktsegment
+              AND e.n_xy = r.n_xy AND e.n_x = r.n_x AND e.n_y = r.n_y
+              AND e.n_tot = r.n_tot
+            WHERE abs(e.mi_term -
+              (CAST(r.n_xy AS DOUBLE) / CAST(r.n_tot AS DOUBLE)) *
+                ln(CAST(r.n_xy * r.n_tot AS DOUBLE) /
+                   CAST(r.n_x * r.n_y AS DOUBLE))) < 1e-12"""),
+    "categorical mutual information: joint counts + marginal windows, ln tolerance oracle [stats]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
     "q143_exact_corr" -> q143,
     "q160_two_proportion" -> q160,
-    "q163_ols_by_group" -> q163)
+    "q163_ols_by_group" -> q163,
+    "q168_categorical_mi" -> q168)
 }

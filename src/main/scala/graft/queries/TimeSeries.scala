@@ -217,8 +217,104 @@ object TimeSeries {
             WHERE abs(e.ewma - r.ewma) < 1e-6"""),
     "EWMA daily smoother: scaled running sum, tolerance oracle [time-series]")
 
+  /** q169: STL-lite seasonal decomposition of daily order revenue —
+    * trend = 7-day centered moving average (full windows only),
+    * seasonal = day-of-week mean of the detrended series, residual =
+    * observed − trend − seasonal. The classical additive decomposition
+    * a demand-forecasting pipeline runs before modeling, kept exact:
+    * the trend window sums integers over a RANGE frame keyed on the
+    * epoch-day index (so calendar gaps shrink the window and the
+    * full-window filter drops the edge days, instead of rows-frames
+    * silently spanning gaps), and the detrended series is folded at
+    * the ×7 integer scale (7·rev − Σ₇rev) so the day-of-week means are
+    * integer sums with ONE final division.
+    *
+    * Scale: the corpus pays one day-keyed aggregate; everything after
+    * runs on the daily frame, which is calendar-bounded (~2.4k rows
+    * per 7 years regardless of data size) — the global-ordered trend
+    * window is explicitly safe for the same reason. The 7-row seasonal
+    * frame broadcasts back.
+    *
+    * Exactness: day-of-week is epoch-day mod 7 (engine-agnostic, no
+    * locale); trend/seasonal/residual are fixed IEEE sequences over
+    * integer-exact operands — direct hash-compared oracle, no
+    * tolerance.
+    */
+  private val q169 = QueryDef(
+    (s, d) => {
+      val daily = load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
+          .as("rev_cents"))
+        .withColumn("day_idx",
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("long"))
+        .withColumn("dow", (col("day_idx") % 7).cast("long"))
+      val w = Window.orderBy(col("day_idx")).rangeBetween(-3, 3)
+      val withTrend = daily
+        .withColumn("trend7_cents", sum("rev_cents").over(w))
+        .withColumn("n7", count(lit(1)).over(w))
+        .filter(col("n7") === 7)
+        .withColumn("d7", lit(7L) * col("rev_cents") - col("trend7_cents"))
+      val seasonal = withTrend.groupBy(col("dow"))
+        .agg(sum("d7").as("s_num"),
+          count(lit(1)).cast("long").as("s_cnt"))
+        .select(col("dow"),
+          (col("s_num").cast("double") /
+            (lit(7.0) * col("s_cnt").cast("double"))).as("seasonal"))
+      withTrend
+        .join(broadcast(seasonal), Seq("dow"))
+        .select(col("day"), col("dow"), col("rev_cents"),
+          col("trend7_cents"),
+          (col("trend7_cents").cast("double") / 7.0).as("trend"),
+          col("seasonal"),
+          (col("rev_cents").cast("double") -
+            col("trend7_cents").cast("double") / 7.0 - col("seasonal"))
+            .as("residual"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS rev_cents
+              FROM orders GROUP BY 1
+            ), idx AS (
+              SELECT day, rev_cents,
+                CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+                  AS day_idx,
+                CAST(date_diff('day', DATE '1970-01-01', day) % 7
+                  AS BIGINT) AS dow
+              FROM daily
+            ), tr AS (
+              SELECT day, dow, rev_cents,
+                CAST(SUM(rev_cents) OVER w AS BIGINT) AS trend7_cents,
+                COUNT(*) OVER w AS n7
+              FROM idx
+              WINDOW w AS (ORDER BY day_idx
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ), full7 AS (
+              SELECT day, dow, rev_cents, trend7_cents,
+                7 * rev_cents - trend7_cents AS d7
+              FROM tr WHERE n7 = 7
+            ), seas AS (
+              SELECT dow,
+                CAST(SUM(d7) AS BIGINT) AS s_num,
+                CAST(COUNT(*) AS BIGINT) AS s_cnt
+              FROM full7 GROUP BY 1
+            )
+            SELECT f.day, f.dow, f.rev_cents, f.trend7_cents,
+              CAST(f.trend7_cents AS DOUBLE) / 7.0 AS trend,
+              CAST(s.s_num AS DOUBLE) / (7.0 * CAST(s.s_cnt AS DOUBLE))
+                AS seasonal,
+              CAST(f.rev_cents AS DOUBLE)
+                - CAST(f.trend7_cents AS DOUBLE) / 7.0
+                - CAST(s.s_num AS DOUBLE) / (7.0 * CAST(s.s_cnt AS DOUBLE))
+                AS residual
+            FROM full7 f JOIN seas s ON f.dow = s.dow"""),
+    "STL-lite seasonal decomposition: integer trend/seasonal folds, exact residual [time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
-    "q165_ewma_daily" -> q165)
+    "q165_ewma_daily" -> q165,
+    "q169_seasonal_decomp" -> q169)
 }

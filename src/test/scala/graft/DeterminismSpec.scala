@@ -79,7 +79,11 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // one cube (q161), per-cohort running sums (q162), DECIMAL moment
     // folds (q163), and calendar-frame cumulative chains (q164/q165)
     "q161_rfm_segments", "q162_cohort_ltv", "q163_ols_by_group",
-    "q164_cusum_changepoint", "q165_ewma_daily")
+    "q164_cusum_changepoint", "q165_ewma_daily",
+    // blocked fuzzy pairs, the rank-identity Gini fold, MI marginal
+    // windows over the joint frame, and the range-frame trend window
+    "q166_jw_name_match", "q167_revenue_gini", "q168_categorical_mi",
+    "q169_seasonal_decomp")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

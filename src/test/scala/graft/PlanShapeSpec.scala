@@ -341,4 +341,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles("q164_cusum_changepoint") <= 4)
     assert(shuffles("q165_ewma_daily") <= 2)
   }
+
+  test("JW alias detection (q166): dictionary-blocked join, no corpus shuffle") {
+    // exchange 1 builds the name dictionary; exchange 2 keys it by
+    // block for the self-join — both on the |distinct names| frame
+    assert(shuffles("q166_jw_name_match") == 2)
+  }
+
+  test("Gini (q167): one corpus fold; rank + deciles ride the indexed frame") {
+    // the custkey collapse happens before globalOrder's materialized
+    // range partition (a separate job); the visible plan re-keys only
+    // the per-customer frame for the decile fold, and the Gini scalar
+    // broadcasts
+    assert(shuffles("q167_revenue_gini") == 1)
+  }
+
+  test("categorical MI (q168): one corpus fold; marginals window the cell frame") {
+    assert(shuffles("q168_categorical_mi") == 1)
+  }
+
+  test("seasonal decomposition (q169): one corpus fold + tiny dow re-key") {
+    // exchange 1 collapses orders into the calendar-bounded day frame;
+    // exchange 2 re-keys that frame for the 7-row seasonal fold, which
+    // broadcasts back
+    assert(shuffles("q169_seasonal_decomp") == 2)
+  }
 }
