@@ -239,9 +239,76 @@ object Sketches {
             GROUP BY 1"""),
     "bloom semi-join reduction: codegen probe prunes fact scan, exact join [join]")
 
+  /** q170: trailing-7-day distinct users per day from MERGEABLE per-day
+    * HLL sketches — the sliding-window cardinality pattern: the corpus
+    * is folded ONCE into |days| sketches (map-side combined, constant
+    * bytes per partition), and every window estimate is a union of ≤7
+    * day sketches; a naive `count(distinct)` per window re-shuffles the
+    * (day, user) stream once PER WINDOW. Register unions are max-based,
+    * so estimates are partitioning- and order-independent.
+    *
+    * The ×7 fan-out that assigns each day sketch to the windows ending
+    * at d..d+6 runs on the CALENDAR-BOUNDED day frame (7·|days| tiny
+    * rows), never on the corpus. The exact side exists to make the 5%
+    * bound checkable (q107's derived-contract idiom) and fans out the
+    * per-day DISTINCT pair frame, not raw events; production drops it.
+    */
+  private val q170 = QueryDef(
+    (s, d) => {
+      val ev = load(s, d, "events")
+      val perDay = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val contrib = perDay.select(col("sk"),
+        explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("win_end"))
+      val sketchWin = contrib
+        .join(perDay.select(col("day").as("win_end")), Seq("win_end"))
+        .groupBy(col("win_end"))
+        .agg(count(lit(1)).cast("long").as("n_days_present"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("hll_users"))
+      val exactWin = ev
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6)))
+            .as("win_end"))
+        .groupBy(col("win_end"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      sketchWin.join(exactWin, Seq("win_end"))
+        .withColumn("within_bound",
+          abs(col("hll_users").cast("double") - col("exact_users")) <=
+            lit(HllRelErr) * col("exact_users"))
+        .select(col("win_end"), col("n_days_present"), col("exact_users"),
+          col("hll_users"), col("within_bound"))
+    },
+    Some(s"""WITH days AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+            ), pairs AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            ), ex AS (
+              SELECT d.day AS win_end,
+                CAST(count(DISTINCT p.user_id) AS BIGINT) AS exact_users,
+                CAST(count(DISTINCT p.day) AS BIGINT) AS n_days_present
+              FROM days d JOIN pairs p
+                ON p.day BETWEEN d.day - 6 AND d.day
+              GROUP BY 1
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q170_sliding_hll/*.parquet')
+            )
+            SELECT e.win_end, e.n_days_present, e.exact_users,
+              e.hll_users, e.within_bound
+            FROM emitted e JOIN ex x ON e.win_end = x.win_end
+              AND e.exact_users = x.exact_users
+              AND e.n_days_present = x.n_days_present
+            WHERE e.within_bound
+              AND abs(CAST(e.hll_users AS DOUBLE) - e.exact_users)
+                    <= $HllRelErr * e.exact_users"""),
+    "sliding-window distinct via per-day HLL unions: one corpus fold, audited bound [sketch]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q103_cms_heavy_hitters" -> q103,
     "q104_mg_topk" -> q104,
     "q107_hll_distinct" -> q107,
-    "q108_bloom_join" -> q108)
+    "q108_bloom_join" -> q108,
+    "q170_sliding_hll" -> q170)
 }

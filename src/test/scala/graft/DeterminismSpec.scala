@@ -83,7 +83,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // blocked fuzzy pairs, the rank-identity Gini fold, MI marginal
     // windows over the joint frame, and the range-frame trend window
     "q166_jw_name_match", "q167_revenue_gini", "q168_categorical_mi",
-    "q169_seasonal_decomp")
+    "q169_seasonal_decomp",
+    // max-register HLL unions and the same-key interval-filtered join
+    "q170_sliding_hll", "q171_scd2_pit")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -366,4 +366,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // broadcasts back
     assert(shuffles("q169_seasonal_decomp") == 2)
   }
+
+  test("sliding HLL (q170): two corpus folds; the rest is day-frame traffic") {
+    // the corpus is touched twice (day sketches; distinct (day,user)
+    // pairs for the audit side — dropped in production); the remaining
+    // exchanges move only the calendar-bounded day frame
+    assert(shuffles("q170_sliding_hll") <= 6)
+  }
+
+  test("PIT lookup (q171): ONE dimension-key exchange serves build, join, and audit") {
+    assert(shuffles("q171_scd2_pit") == 1)
+  }
 }

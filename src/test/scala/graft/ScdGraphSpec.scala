@@ -91,4 +91,55 @@ class ScdGraphSpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(col("l1_movement_milli") < 0).count() == 0)
     df.unpersist()
   }
+
+  // ---- q171 PIT lookup ----
+
+  test("q171 every order matches exactly one version; audits are sane") {
+    val df = run("q171_scd2_pit").cache()
+    val nOrders = graft.common.Tables.load(spark, Sf, "orders").count()
+    // interval tiling: the per-version counts partition the fact table
+    assert(df.agg(sum("n_orders")).head().getLong(0) == nOrders)
+    // each version row matched at least the order that opened it
+    assert(df.filter(col("n_orders") < 1).count() == 0)
+    assert(df.filter(col("n_matching") > col("n_orders")).count() == 0)
+    // the opener order always self-matches, so every served version has
+    // at least one matching fact — EXCEPT same-day flips, where a later
+    // same-day version claims the whole day. Those are the only ones.
+    val unmatched = df.filter(col("n_matching") === 0).count()
+    val mismatchTotal = df.agg(sum(col("n_orders") - col("n_matching")))
+      .head().getLong(0)
+    assert(unmatched <= mismatchTotal)
+    df.unpersist()
+  }
+
+  test("q171 PIT result equals a brute-force local interval scan") {
+    val orders = graft.common.Tables.load(spark, Sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2)
+          .toEpochSecond(java.time.ZoneOffset.UTC), r.getString(3)))
+    // local SCD2 build: change rows by (date, orderkey) per customer
+    val hist = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      val sorted = os.toSeq.sortBy(o => (o._3, o._2))
+      val changes = sorted.zip(None +: sorted.map(o => Some(o._4)))
+        .filter { case (o, prev) => !prev.contains(o._4) }.map(_._1)
+      changes.zipWithIndex.map { case (c, i) =>
+        val validTo =
+          if (i + 1 < changes.length) Some(changes(i + 1)._3) else None
+        (ck, i + 1L, c._4, c._3, validTo)
+      }
+    }
+    val want = orders.flatMap { o =>
+      hist.filter(h => h._1 == o._1 && h._4 <= o._3 &&
+        h._5.forall(o._3 < _))
+        .map(h => ((h._1, h._2, h._3), o._4 == h._3))
+    }.groupBy(_._1).map { case (k, vs) =>
+      (k._1, k._2, k._3, vs.length.toLong, vs.count(_._2).toLong)
+    }.toSet
+    val got = run("q171_scd2_pit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
 }

@@ -57,4 +57,23 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     val b = run("q103_cms_heavy_hitters").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("q170 sliding windows match a local trailing-7d recomputation") {
+    val rows = run("q170_sliding_hll").collect()
+    val pairs = graft.common.Tables.load(spark, SfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val days = pairs.map(_._1).distinct.sorted
+    assert(rows.length == days.length)
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate.toEpochDay
+      val win = pairs.filter(p => p._1 >= d - 6 && p._1 <= d)
+      assert(r.getLong(1) == win.map(_._1).distinct.length,
+        s"n_days_present wrong at $d")
+      assert(r.getLong(2) == win.map(_._2).distinct.length,
+        s"exact_users wrong at $d")
+      assert(r.getBoolean(4), s"window at $d out of bound: $r")
+    }
+  }
 }
