@@ -83,6 +83,96 @@ object Cohorts {
             FROM cells JOIN cs ON cells.cohort = cs.cohort"""),
     "cohort LTV curve: exact cents, calendar-bounded cumulative window [behavior]")
 
+  /** q172: daily active users decomposed into new vs returning, plus
+    * the running registered-user base — the growth-accounting table
+    * (every DAU chart with a "new/returning" split). A user is new on
+    * the day of their FIRST event; `cum_users` is the running sum of
+    * daily new users, which equals the distinct user base through that
+    * day because each user is new exactly once.
+    *
+    * Scale: the corpus collapses to distinct (day, user) pairs in one
+    * exchange; the first-day fold and the join both ride the user key;
+    * the daily fold and its cumulative window run on the calendar-
+    * bounded day frame. All integers — exact.
+    */
+  private val q172 = QueryDef(
+    (s, d) => {
+      val pairs = load(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val first = pairs.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      val daily = pairs.join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(lcountAll.as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+      val w = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_users", sum("n_new").over(w))
+    },
+    Some("""WITH pairs AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            ), fst AS (
+              SELECT user_id, MIN(day) AS first_day FROM pairs GROUP BY 1
+            ), daily AS (
+              SELECT p.day,
+                CAST(COUNT(*) AS BIGINT) AS n_active,
+                CAST(SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new
+              FROM pairs p JOIN fst f ON p.user_id = f.user_id
+              GROUP BY 1
+            )
+            SELECT day, n_active, n_new,
+              n_active - n_new AS n_returning,
+              CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+            FROM daily"""),
+    "growth accounting: new vs returning DAU + running user base [behavior]")
+
+  /** q174: the engagement power curve — how many users were active on
+    * exactly k distinct days, with each tier's share and the "at least
+    * k days" cumulative (the retention-quality curve consumer apps
+    * read L5+/L28 numbers off). Corpus → distinct pairs → per-user day
+    * counts → a ≤|days|-row histogram; the two divisions are the only
+    * doubles and both are single exact-integer divisions.
+    */
+  private val q174 = QueryDef(
+    (s, d) => {
+      val perUser = load(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .groupBy(col("user_id"))
+        .agg(lcountAll.as("n_active_days"))
+      val hist = perUser.groupBy(col("n_active_days"))
+        .agg(lcountAll.as("n_users"))
+      val tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val ge = Window.orderBy(col("n_active_days").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      hist.select(col("n_active_days"), col("n_users"),
+        (col("n_users").cast("double") /
+          sum("n_users").over(tot).cast("double")).as("user_share"),
+        sum("n_users").over(ge).as("cum_users_ge"))
+    },
+    Some("""WITH pu AS (
+              SELECT user_id,
+                CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                  AS n_active_days
+              FROM events GROUP BY 1
+            ), hist AS (
+              SELECT n_active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM pu GROUP BY 1
+            )
+            SELECT n_active_days, n_users,
+              CAST(n_users AS DOUBLE) /
+                CAST(SUM(n_users) OVER () AS DOUBLE) AS user_share,
+              CAST(SUM(n_users) OVER (ORDER BY n_active_days
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS cum_users_ge
+            FROM hist"""),
+    "engagement power curve: active-day histogram with L-ness cumulative [behavior]")
+
   def all: Seq[(String, QueryDef)] = Seq(
-    "q162_cohort_ltv" -> q162)
+    "q162_cohort_ltv" -> q162,
+    "q172_new_vs_returning" -> q172,
+    "q174_power_curve" -> q174)
 }

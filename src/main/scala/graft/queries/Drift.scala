@@ -271,8 +271,102 @@ object Drift {
             FROM c, p"""),
     "CUSUM change-point screen: integer cumulative sums, exact peak flag [drift]")
 
+  /** q173: weight-of-evidence / information value over score quintiles
+    * — the supervised twin of q155's PSI (same ln-of-share-ratio
+    * algebra, but the two populations are the LABEL classes inside one
+    * sample, not two time slices): the credit-scoring screen for "how
+    * much does this feature separate converters". Score = pre-Mid
+    * spend cents, label = post-Mid purchase (the q151/q152 leakage-free
+    * framing); bins are population quintiles over the scalable global
+    * order (position·5 div n — never NTILE); shares are Laplace-
+    * smoothed (c+1)/(tot+B), q155's convention, so empty classes stay
+    * finite. IV = Σ iv_term (left per-bin for auditability).
+    *
+    * Scale: one user-keyed corpus fold, a range-partitioned rank over
+    * the |users| frame, a 5-row bin fold, and a 1-row total broadcast.
+    * Exactness: counts exact longs, shares single divisions; the ln is
+    * tolerance-checked by the derived oracle from exact-joined shares.
+    */
+  private val q173 = QueryDef(
+    (s, d) => {
+      val perUser = load(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < lit(Mid).cast("timestamp"),
+            cents(col("value"))).otherwise(0L)).as("score"),
+          max(when(col("ts") >= lit(Mid).cast("timestamp") &&
+            col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("label"))
+      val n = perUser.count()
+      val binned = Curation.globalOrder(
+        perUser, Seq(col("score").asc, col("user_id").asc))
+        .withColumn("bin", expr(s"(position * 5) div ${n}L").cast("long"))
+      val byBin = binned.groupBy(col("bin"))
+        .agg(lcountAll.as("n_users"), sum("label").as("n_pos"))
+        .withColumn("n_neg", col("n_users") - col("n_pos"))
+      val tots = byBin.agg(sum("n_pos").as("tot_pos"),
+        sum("n_neg").as("tot_neg"))
+      byBin.crossJoin(broadcast(tots))
+        .withColumn("pos_share", (col("n_pos") + 1L).cast("double") /
+          (col("tot_pos") + 5L).cast("double"))
+        .withColumn("neg_share", (col("n_neg") + 1L).cast("double") /
+          (col("tot_neg") + 5L).cast("double"))
+        .select(col("bin"), col("n_users"), col("n_pos"), col("n_neg"),
+          col("pos_share"), col("neg_share"),
+          log(col("pos_share") / col("neg_share")).as("woe"),
+          ((col("pos_share") - col("neg_share")) *
+            log(col("pos_share") / col("neg_share"))).as("iv_term"))
+    },
+    Some(s"""WITH pu AS (
+              SELECT user_id,
+                CAST(SUM(CASE WHEN ts < TIMESTAMP '$Mid'
+                  THEN ${centsSql("value")} ELSE 0 END) AS BIGINT)
+                  AS score,
+                CAST(MAX(CASE WHEN ts >= TIMESTAMP '$Mid'
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS label
+              FROM events GROUP BY 1
+            ), o AS (
+              SELECT score, user_id, label,
+                ROW_NUMBER() OVER (ORDER BY score, user_id) - 1
+                  AS position,
+                COUNT(*) OVER () AS n
+              FROM pu
+            ), b AS (
+              SELECT CAST((position * 5) // n AS BIGINT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n_users,
+                CAST(SUM(label) AS BIGINT) AS n_pos
+              FROM o GROUP BY 1
+            ), t AS (
+              SELECT SUM(n_pos) AS tot_pos,
+                SUM(n_users - n_pos) AS tot_neg
+              FROM b
+            ), r AS (
+              SELECT b.bin, b.n_users, b.n_pos,
+                b.n_users - b.n_pos AS n_neg,
+                CAST(b.n_pos + 1 AS DOUBLE) /
+                  CAST(t.tot_pos + 5 AS DOUBLE) AS pos_share,
+                CAST(b.n_users - b.n_pos + 1 AS DOUBLE) /
+                  CAST(t.tot_neg + 5 AS DOUBLE) AS neg_share
+              FROM b CROSS JOIN t
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q173_woe_iv/*.parquet')
+            )
+            SELECT e.bin, e.n_users, e.n_pos, e.n_neg, e.pos_share,
+              e.neg_share, e.woe, e.iv_term
+            FROM emitted e JOIN r ON e.bin = r.bin
+              AND e.n_users = r.n_users AND e.n_pos = r.n_pos
+              AND e.n_neg = r.n_neg AND e.pos_share = r.pos_share
+              AND e.neg_share = r.neg_share
+            WHERE abs(e.woe - ln(r.pos_share / r.neg_share)) < 1e-9
+              AND abs(e.iv_term - (r.pos_share - r.neg_share) *
+                ln(r.pos_share / r.neg_share)) < 1e-9"""),
+    "weight-of-evidence / IV over score quintiles: supervised PSI twin, ln tolerance oracle [drift]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q155_psi_drift" -> q155,
     "q156_chisq_cells" -> q156,
-    "q164_cusum_changepoint" -> q164)
+    "q164_cusum_changepoint" -> q164,
+    "q173_woe_iv" -> q173)
 }

@@ -85,7 +85,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q166_jw_name_match", "q167_revenue_gini", "q168_categorical_mi",
     "q169_seasonal_decomp",
     // max-register HLL unions and the same-key interval-filtered join
-    "q170_sliding_hll", "q171_scd2_pit")
+    "q170_sliding_hll", "q171_scd2_pit",
+    // first-day classification, quintile rank bins, day-count histogram
+    "q172_new_vs_returning", "q173_woe_iv", "q174_power_curve")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Growth accounting (q172), WoE/IV (q173), engagement power curve
+  * (q174): conservation identities + local recomputations at sf0.001.
+  */
+class GrowthSpec extends AnyFunSuite with SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
+
+  private def pairs() = graft.common.Tables.load(spark, Sf, "events")
+    .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    .collect()
+    .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+
+  test("q172 new/returning decomposition matches a local recomputation") {
+    val rows = run("q172_new_vs_returning").orderBy("day").collect()
+    val ps = pairs()
+    val firstDay = ps.groupBy(_._2).map { case (u, xs) =>
+      u -> xs.map(_._1).min
+    }
+    val byDay = ps.groupBy(_._1)
+    assert(rows.length == byDay.size)
+    var cum = 0L
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate.toEpochDay
+      val active = byDay(d)
+      val nNew = active.count(p => firstDay(p._2) == d).toLong
+      assert(r.getLong(1) == active.length.toLong)
+      assert(r.getLong(2) == nNew)
+      assert(r.getLong(3) == active.length - nNew)
+      cum += nNew
+      assert(r.getLong(4) == cum)
+    }
+    // every user is new exactly once: the base ends at |users|
+    assert(cum == firstDay.size.toLong)
+  }
+
+  test("q173 bins conserve users; IV terms are non-negative; woe from shares") {
+    val rows = run("q173_woe_iv").orderBy("bin").collect()
+    assert(rows.length == 5)
+    val nUsers = graft.common.Tables.load(spark, Sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1))
+      // quintile bins are balanced to ±1 by the rank construction
+      assert(math.abs(r.getLong(1) - nUsers / 5) <= 1)
+      // (a-b)·ln(a/b) >= 0 for any positive shares
+      assert(r.getDouble(7) >= 0.0, s"negative IV term: $r")
+      assert(r.getDouble(6) == math.log(r.getDouble(4) / r.getDouble(5)))
+    }
+  }
+
+  test("q174 power curve conserves users; L-ness cumulative is consistent") {
+    val rows = run("q174_power_curve").orderBy("n_active_days").collect()
+    val perUser = pairs().groupBy(_._2).map { case (_, xs) =>
+      xs.map(_._1).distinct.length.toLong
+    }.toSeq
+    val hist = perUser.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    assert(rows.length == hist.size)
+    val total = perUser.length.toLong
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == hist(k))
+      assert(r.getDouble(2) == hist(k).toDouble / total.toDouble)
+      // users active on >= k days, recomputed
+      assert(r.getLong(3) == perUser.count(_ >= k).toLong)
+    }
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    assert(rows.head.getLong(3) == total)
+  }
+}

@@ -377,4 +377,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   test("PIT lookup (q171): ONE dimension-key exchange serves build, join, and audit") {
     assert(shuffles("q171_scd2_pit") == 1)
   }
+
+  test("growth accounting (q172): pair-distinct, user fold, day fold — three exchanges") {
+    assert(shuffles("q172_new_vs_returning") == 3)
+  }
+
+  test("WoE/IV (q173): one corpus fold; rank + bins ride the indexed user frame") {
+    // the user fold happens before globalOrder's materialized range
+    // partition (q167's shape); the visible plan re-keys only the
+    // 5-row bin fold, and the class totals broadcast
+    assert(shuffles("q173_woe_iv") == 2)
+  }
+
+  test("power curve (q174): pair-distinct, user fold, histogram fold — three exchanges") {
+    assert(shuffles("q174_power_curve") == 3)
+  }
 }
