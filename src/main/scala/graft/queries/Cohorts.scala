@@ -171,8 +171,61 @@ object Cohorts {
             FROM hist"""),
     "engagement power curve: active-day histogram with L-ness cumulative [behavior]")
 
+  /** q175: purchase-cadence histogram — days between each customer's
+    * consecutive orders, folded to a gap-day frequency table with
+    * share and cumulative share. The replenishment-cycle distribution
+    * a retention model and an inventory forecast both start from
+    * ("most repeat purchases arrive within N days").
+    *
+    * Scale: one customer-keyed exchange feeds the lag window (frames
+    * are per-customer order counts); the histogram fold collapses to
+    * ≤ calendar-span rows, where the two windows run. All integers +
+    * single divisions.
+    */
+  private val q175 = QueryDef(
+    (s, d) => {
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val gaps = load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(byCust))
+        .filter(col("prev_date").isNotNull)
+        .select(datediff(to_date(col("o_orderdate")),
+          to_date(col("prev_date"))).cast("long").as("gap_days"))
+      val hist = gaps.groupBy(col("gap_days"))
+        .agg(lcountAll.as("n_gaps"))
+      val tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = Window.orderBy(col("gap_days").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.select(col("gap_days"), col("n_gaps"),
+        (col("n_gaps").cast("double") /
+          sum("n_gaps").over(tot).cast("double")).as("gap_share"),
+        (sum("n_gaps").over(cum).cast("double") /
+          sum("n_gaps").over(tot).cast("double")).as("cum_share"))
+    },
+    Some("""WITH g AS (
+              SELECT CAST(date_diff('day',
+                  CAST(LAG(o_orderdate) OVER w AS DATE),
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC)
+            ), hist AS (
+              SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS n_gaps
+              FROM g WHERE gap_days IS NOT NULL GROUP BY 1
+            )
+            SELECT gap_days, n_gaps,
+              CAST(n_gaps AS DOUBLE) /
+                CAST(SUM(n_gaps) OVER () AS DOUBLE) AS gap_share,
+              CAST(SUM(n_gaps) OVER (ORDER BY gap_days) AS DOUBLE) /
+                CAST(SUM(n_gaps) OVER () AS DOUBLE) AS cum_share
+            FROM hist"""),
+    "purchase cadence: inter-order gap histogram with cumulative share [behavior]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q162_cohort_ltv" -> q162,
     "q172_new_vs_returning" -> q172,
-    "q174_power_curve" -> q174)
+    "q174_power_curve" -> q174,
+    "q175_purchase_cadence" -> q175)
 }

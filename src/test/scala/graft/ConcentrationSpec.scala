@@ -63,6 +63,59 @@ class ConcentrationSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getDouble(6)).sum >= -1e-12)
   }
 
+  test("q176 HHI is bounded by [1/n, 1] and matches a local recomputation") {
+    val rows = run("q176_nation_hhi").collect()
+    val perCust = graft.common.Tables.load(spark, Sf, "orders")
+      .join(graft.common.Tables.load(spark, Sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg(sum(graft.common.Exact.cents(col("o_totalprice"))).as("r"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    val byNation = perCust.groupBy(_._1)
+    assert(rows.length == byNation.size)
+    rows.foreach { r =>
+      val rs = byNation(r.getInt(0)).map(_._2)
+      assert(r.getLong(1) == rs.length.toLong)
+      assert(r.getLong(2) == rs.sum)
+      val sq = rs.map(x => BigInt(x) * BigInt(x)).sum
+      val tot = BigInt(rs.sum)
+      val want = BigDecimal(sq).toDouble / BigDecimal(tot * tot).toDouble
+      assert(r.getDouble(3) == want, s"hhi mismatch: $r want $want")
+      assert(r.getDouble(3) >= 1.0 / rs.length - 1e-12)
+      assert(r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("q177 ABC classes partition parts and revenue; shares are Pareto-ordered") {
+    val rows = run("q177_abc_classes").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val rev = graft.common.Tables.load(spark, Sf, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(graft.common.Exact.cents(col("l_extendedprice"))).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = rev.map(_._2).sum
+    assert(rows.values.map(_._1).sum == rev.length.toLong)
+    assert(rows.values.map(_._2).sum == total)
+    // local classification over the best-first cumulative
+    val sorted = rev.sortBy(t => (-t._2, t._1))
+    var cum = 0L
+    val classes = sorted.map { case (_, r) =>
+      cum += r
+      val share = cum.toDouble / total.toDouble
+      if (share <= 0.80) "A" else if (share <= 0.95) "B" else "C"
+    }
+    Seq("A", "B", "C").foreach { c =>
+      val n = classes.count(_ == c).toLong
+      if (n == 0) assert(!rows.contains(c))
+      else assert(rows(c)._1 == n, s"class $c count mismatch")
+    }
+    // Pareto shape: A is fewer parts than C but more revenue
+    if (rows.contains("A") && rows.contains("C")) {
+      assert(rows("A")._2 > rows("C")._2)
+    }
+  }
+
   test("q169 decomposition matches a sequential local recomputation") {
     val rows = run("q169_seasonal_decomp").collect()
     assert(rows.nonEmpty)

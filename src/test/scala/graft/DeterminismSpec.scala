@@ -87,7 +87,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // max-register HLL unions and the same-key interval-filtered join
     "q170_sliding_hll", "q171_scd2_pit",
     // first-day classification, quintile rank bins, day-count histogram
-    "q172_new_vs_returning", "q173_woe_iv", "q174_power_curve")
+    "q172_new_vs_returning", "q173_woe_iv", "q174_power_curve",
+    // lag-window gaps, decimal square folds, two-phase prefix-sum ABC
+    "q175_purchase_cadence", "q176_nation_hhi", "q177_abc_classes")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -54,6 +54,31 @@ class GrowthSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q175 cadence histogram matches a local lag recomputation") {
+    val rows = run("q175_purchase_cadence").orderBy("gap_days").collect()
+    val orders = graft.common.Tables.load(spark, Sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toLocalDate.toEpochDay))
+    val gaps = orders.groupBy(_._1).toSeq.flatMap { case (_, os) =>
+      val s = os.toSeq.sortBy(o => (o._3, o._2)).map(_._3)
+      s.zip(s.tail).map { case (a, b) => b - a }
+    }
+    val hist = gaps.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    assert(rows.length == hist.size)
+    val total = gaps.length.toLong
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(1) == hist(r.getLong(0)))
+      assert(r.getDouble(2) == hist(r.getLong(0)).toDouble / total.toDouble)
+      cum += r.getLong(1)
+      assert(r.getDouble(3) == cum.toDouble / total.toDouble)
+    }
+    assert(rows.last.getDouble(3) == 1.0)
+  }
+
   test("q174 power curve conserves users; L-ness cumulative is consistent") {
     val rows = run("q174_power_curve").orderBy("n_active_days").collect()
     val perUser = pairs().groupBy(_._2).map { case (_, xs) =>

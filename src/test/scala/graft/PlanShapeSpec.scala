@@ -392,4 +392,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   test("power curve (q174): pair-distinct, user fold, histogram fold — three exchanges") {
     assert(shuffles("q174_power_curve") == 3)
   }
+
+  test("cadence (q175): customer lag window + calendar-bounded histogram fold") {
+    assert(shuffles("q175_purchase_cadence") == 2)
+  }
+
+  test("HHI (q176): per-customer fold + |nations| fold; dim side broadcasts") {
+    assert(shuffles("q176_nation_hhi") == 2)
+  }
+
+  test("ABC (q177): part fold + 3-class fold; the cumulative is PrefixSum, not a one-task window") {
+    // the two-phase scan's range partition is a materialized prior job
+    // (q167's globalOrder shape) — the visible exchanges are the part
+    // fold and the 3-row class fold
+    assert(shuffles("q177_abc_classes") == 2)
+  }
 }
