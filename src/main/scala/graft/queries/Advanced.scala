@@ -139,6 +139,49 @@ object Advanced {
             FROM lineitem"""),
     "conditional aggregation battery [agg]")
 
+  /** q178: order-to-ship lead time quartiles per order priority — the
+    * fulfillment-SLA table ("URGENT orders ship in a median of N
+    * days"). Rides q81's histogram-style positional-quartile engine:
+    * the heavy shuffle ends at a (priority, lead_days) count frame
+    * (lead days are calendar-bounded), never a per-row sort — the
+    * per-group ROW_NUMBER formulation would hand one task the whole
+    * priority class at 100 TB. The line→order join picks up priority
+    * with the orders side keyed on the same join key as the fact.
+    */
+  private lazy val q178 = QueryDef(
+    (s, d) => positionalQuartiles(
+      load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("lead_days")),
+      "o_orderpriority", "lead_days"),
+    Some("""WITH g AS (
+              SELECT o_orderpriority,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                  CAST(l_shipdate AS DATE)) AS BIGINT) AS lead_days
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), r AS (
+              SELECT o_orderpriority, lead_days,
+                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                  ORDER BY lead_days) AS rn,
+                COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM g
+            )
+            SELECT o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+              CAST(min(CASE WHEN rn = greatest((n+1)*1//4, 1) THEN lead_days END) AS DOUBLE) AS p25,
+              CAST(min(CASE WHEN rn = greatest((n+1)*2//4, 1) THEN lead_days END) AS DOUBLE) AS median,
+              CAST(min(CASE WHEN rn = greatest((n+1)*3//4, 1) THEN lead_days END) AS DOUBLE) AS p75
+            FROM r
+            WHERE rn IN (greatest((n+1)*1//4, 1), greatest((n+1)*2//4, 1),
+                         greatest((n+1)*3//4, 1))
+            GROUP BY 1, 2"""),
+    "fulfillment lead-time quartiles per priority: histogram-positional, exact [quantiles]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q47_scalar_subquery" -> q47,
     "q48_pivot" -> q48,
@@ -147,7 +190,8 @@ object Advanced {
     "q51_conditional_agg" -> q51,
     "q77_grouping_sets" -> q77,
     "q79_unpivot" -> q79,
-    "q81_exact_quantiles" -> q81)
+    "q81_exact_quantiles" -> q81,
+    "q178_leadtime_quartiles" -> q178)
 
   /** Exact grouped quantiles by POSITION (lower median / quartiles at
     * ranks floor((n+1)·q)): unlike percentile_cont there is no

@@ -312,9 +312,96 @@ object TimeSeries {
             FROM full7 f JOIN seas s ON f.dow = s.dow"""),
     "STL-lite seasonal decomposition: integer trend/seasonal folds, exact residual [time-series]")
 
+  /** q179: rolling 30-observation Pearson correlation between daily
+    * revenue and daily order count — "is growth price- or volume-
+    * driven this month": the co-movement monitor over the trailing
+    * window. Window moments (Σx, Σy, Σxy, Σx², Σy², all five from ONE
+    * frame — q143's discipline, windowed) are DECIMAL(38,0) sums —
+    * squared daily cents overflow i64 at fleet scale — so every
+    * emitted integer is exact; r is a fixed IEEE chain over them with
+    * the zero-variance case emitted as NULL via an exact integer
+    * guard (never a float ==0 test).
+    *
+    * Rows frame (last 30 OBSERVED days, trading-days style), full
+    * windows only; the window runs on the calendar-bounded day frame
+    * (q169's safety argument). Oracle is derived for `corr30` only:
+    * DuckDB's HUGEINT→DOUBLE cast is not correctly rounded above 2^53
+    * (the q176 finding), so the moment evidence joins bit-exactly and
+    * the float chain is admitted within 1e-9.
+    */
+  private val q179 = QueryDef(
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(graft.common.Exact.cents(col("o_totalprice"))).as("x"),
+          graft.common.Exact.lcountAll.as("y"))
+      val w = Window.orderBy(col("day").asc).rowsBetween(-29, 0)
+      val m = daily
+        .withColumn("n30", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x").cast(dec38)).over(w))
+        .withColumn("sy", sum(col("y").cast(dec38)).over(w))
+        .withColumn("sxy",
+          sum(col("x").cast(dec38) * col("y").cast(dec38)).over(w))
+        .withColumn("sxx",
+          sum(col("x").cast(dec38) * col("x").cast(dec38)).over(w))
+        .withColumn("syy",
+          sum(col("y").cast(dec38) * col("y").cast(dec38)).over(w))
+        .filter(col("n30") === 30)
+        .withColumn("varx",
+          lit(30).cast(dec38) * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vary",
+          lit(30).cast(dec38) * col("syy") - col("sy") * col("sy"))
+      m.select(col("day"), col("x").as("rev_cents"),
+        col("y").as("n_orders"),
+        when(col("varx") === lit(0).cast(dec38) ||
+          col("vary") === lit(0).cast(dec38), lit(null).cast("double"))
+          .otherwise(
+            (lit(30).cast(dec38) * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt(col("varx").cast("double")) *
+                sqrt(col("vary").cast("double")))).as("corr30"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS x,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM orders GROUP BY 1
+            ), m AS (
+              SELECT day, x, y,
+                COUNT(*) OVER w AS n30,
+                SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+                SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+                SUM(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+                SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+                SUM(CAST(y AS HUGEINT) * y) OVER w AS syy
+              FROM daily
+              WINDOW w AS (ORDER BY day
+                ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+            ), ref AS (
+              SELECT day, x, y,
+                30 * sxx - sx * sx AS varx,
+                30 * syy - sy * sy AS vary,
+                30 * sxy - sx * sy AS cov
+              FROM m WHERE n30 = 30
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q179_rolling_corr/*.parquet')
+            )
+            SELECT e.day, e.rev_cents, e.n_orders, e.corr30
+            FROM emitted e JOIN ref r ON e.day = r.day
+              AND e.rev_cents = r.x AND e.n_orders = r.y
+            WHERE (e.corr30 IS NULL AND (r.varx = 0 OR r.vary = 0))
+               OR abs(e.corr30 - CAST(r.cov AS DOUBLE) /
+                    (sqrt(CAST(r.varx AS DOUBLE)) *
+                     sqrt(CAST(r.vary AS DOUBLE)))) < 1e-9"""),
+    "rolling 30-day revenue/volume correlation: windowed DECIMAL moments, tolerance oracle [time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
     "q165_ewma_daily" -> q165,
-    "q169_seasonal_decomp" -> q169)
+    "q169_seasonal_decomp" -> q169,
+    "q179_rolling_corr" -> q179)
 }

@@ -89,7 +89,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // first-day classification, quintile rank bins, day-count histogram
     "q172_new_vs_returning", "q173_woe_iv", "q174_power_curve",
     // lag-window gaps, decimal square folds, two-phase prefix-sum ABC
-    "q175_purchase_cadence", "q176_nation_hhi", "q177_abc_classes")
+    "q175_purchase_cadence", "q176_nation_hhi", "q177_abc_classes",
+    // histogram-positional quartiles over a join; windowed moment folds
+    "q178_leadtime_quartiles", "q179_rolling_corr")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -407,4 +407,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // fold and the 3-row class fold
     assert(shuffles("q177_abc_classes") == 2)
   }
+
+  test("lead-time quartiles (q178): heavy shuffle ends at the (priority, days) count frame") {
+    assert(shuffles("q178_leadtime_quartiles") == 2)
+  }
+
+  test("rolling correlation (q179): ONE corpus fold; all five moments from one day-frame window") {
+    assert(shuffles("q179_rolling_corr") == 1)
+  }
 }
