@@ -314,6 +314,44 @@ object Relational {
             WHERE rnk <= 3"""),
     "per-group top-k window [W1,O2]")
 
+  /** q180: q13's per-segment top-3, recomputed through the engine's
+    * bounded-heap typed aggregate (functions.TopKAgg) instead of a
+    * window — SAME oracle, different physical contract: the window
+    * sorts each segment's entire slice in ONE task (5 segments own the
+    * corpus at 100 TB), while the aggregate reduces every input
+    * partition to ≤3 rows per segment before the exchange, so the
+    * shuffle is partition-count-bounded and no task ever sorts a
+    * group. Cents quantization gives the heap an exact integer order
+    * identical to the double order (2-dp values); the original price
+    * rides as payload so nothing is re-derived lossily on emit.
+    */
+  private val q180 = QueryDef(
+    (s, d) => {
+      val o = load(s, d, "orders")
+      val c = load(s, d, "customer")
+      val topk3 = graft.functions.TopK.topk(3)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment"),
+          cents(col("o_totalprice")).as("v"),
+          col("o_orderkey").as("id"),
+          col("o_totalprice").as("p"))
+        .groupBy(col("c_mktsegment"))
+        .agg(topk3(col("v"), col("id"), col("p")).as("top"))
+        .select(col("c_mktsegment"),
+          posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("c_mktsegment"),
+          col("r.id").as("o_orderkey"),
+          col("r.payload").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rnk"))
+    },
+    Some("""SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+            FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+                    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+                  FROM orders JOIN customer ON o_custkey = c_custkey)
+            WHERE rnk <= 3"""),
+    "per-group top-k via bounded-heap partial aggregate — no group ever sorts [O2]")
+
   /** O1: global order-by + limit with a total tie-break. Spark executes
     * this as TakeOrderedAndProject — no full sort of the table.
     */
@@ -497,5 +535,6 @@ object Relational {
     "q19_date_arith" -> q19,
     "q20_string_funcs" -> q20,
     "q21_distinct" -> q21,
-    "q22_rollup" -> q22)
+    "q22_rollup" -> q22,
+    "q180_topk_heap" -> q180)
 }

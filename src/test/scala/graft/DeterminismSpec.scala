@@ -91,7 +91,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // lag-window gaps, decimal square folds, two-phase prefix-sum ABC
     "q175_purchase_cadence", "q176_nation_hhi", "q177_abc_classes",
     // histogram-positional quartiles over a join; windowed moment folds
-    "q178_leadtime_quartiles", "q179_rolling_corr")
+    "q178_leadtime_quartiles", "q179_rolling_corr",
+    // bounded-heap partial aggregation must be merge-order-insensitive
+    "q180_topk_heap")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

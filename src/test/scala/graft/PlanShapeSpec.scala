@@ -415,4 +415,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   test("rolling correlation (q179): ONE corpus fold; all five moments from one day-frame window") {
     assert(shuffles("q179_rolling_corr") == 1)
   }
+
+  test("heap top-k (q180): two-phase aggregate, never a per-group sort") {
+    val plan = SparkEntry.queries("q180_topk_heap")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(shuffles("q180_topk_heap") == 1)
+    // the bounded heap rides ObjectHashAggregate's partial/final split;
+    // a Window or Sort in this plan would mean a task owns a whole
+    // segment's corpus slice
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("Sort "))
+  }
 }
