@@ -223,9 +223,72 @@ object Cohorts {
             FROM hist"""),
     "purchase cadence: inter-order gap histogram with cumulative share [behavior]")
 
+  /** q181: behavioral-diversity score — Shannon entropy of each user's
+    * event-type mix (0 = does one thing, ln(T) = uniform across all T
+    * types), with the type and event counts alongside. The engagement-
+    * quality feature that separates "500 clicks" from "500 clicks,
+    * carts, and purchases" in a churn model.
+    *
+    * Scale: one (user, type)-keyed count fold (map-side combined), then
+    * user-keyed windows over ≤|event types| rows per user. The entropy
+    * fold is a WINDOWED running sum ordered by type — a sequential
+    * left fold, so the float accumulation order is pinned and the
+    * Spark-side result is partition-invariant (a plain SUM of float
+    * terms would drift with partial-aggregation order). The ln itself
+    * is tolerance-checked by the derived oracle (the repo-wide ln
+    * contract); counts join bit-exactly.
+    */
+  private val q181 = QueryDef(
+    (s, d) => {
+      val byType = load(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(lcountAll.as("c"))
+      val perUser = Window.partitionBy(col("user_id"))
+      val ordered = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_type").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byType
+        .withColumn("n_events", sum("c").over(perUser))
+        .withColumn("n_types", count(lit(1)).over(perUser))
+        .withColumn("share",
+          col("c").cast("double") / col("n_events").cast("double"))
+        .withColumn("ent_run",
+          sum(-col("share") * log(col("share"))).over(ordered))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("event_type").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          col("ent_run").as("entropy"))
+    },
+    Some(s"""WITH bt AS (
+              SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT user_id, c,
+                SUM(c) OVER (PARTITION BY user_id) AS n
+              FROM bt
+            ), ref AS (
+              SELECT user_id,
+                CAST(MAX(n) AS BIGINT) AS n_events,
+                CAST(COUNT(*) AS BIGINT) AS n_types,
+                SUM(-(CAST(c AS DOUBLE) / n)
+                  * ln(CAST(c AS DOUBLE) / n)) AS entropy
+              FROM w GROUP BY user_id
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q181_behavior_entropy/*.parquet')
+            )
+            SELECT e.user_id, e.n_events, e.n_types, e.entropy
+            FROM emitted e JOIN ref r ON e.user_id = r.user_id
+              AND e.n_events = r.n_events AND e.n_types = r.n_types
+            WHERE abs(e.entropy - r.entropy) < 1e-9"""),
+    "behavioral diversity: event-mix entropy per user, ordered-fold exact [behavior]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q162_cohort_ltv" -> q162,
     "q172_new_vs_returning" -> q172,
     "q174_power_curve" -> q174,
-    "q175_purchase_cadence" -> q175)
+    "q175_purchase_cadence" -> q175,
+    "q181_behavior_entropy" -> q181)
 }

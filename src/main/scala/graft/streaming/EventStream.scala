@@ -50,6 +50,31 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding 7-day windows advancing daily: distinct users per trailing
+    * week off the live stream — the streaming twin of q170. Streaming
+    * keeps ONE mergeable HLL++ sketch per open window (constant bytes,
+    * closed by the watermark); an exact windowed `count(distinct)` is
+    * unsupported in streaming precisely because its state would be the
+    * full id set per window. The sketch is deterministic, so the
+    * drained stream equals the batch run of the same expression
+    * bit-for-bit (SlidingDistinctStreamSpec pins it).
+    */
+  def slidingDistinct(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "7 days", "1 day"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("approx_users"))
+
+  /** Batch twin of [[slidingDistinct]] for parity checks. */
+  def slidingDistinctBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "7 days", "1 day"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("approx_users"))
+
   // ---- stateful sessionization (mapGroupsWithState) ----
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)

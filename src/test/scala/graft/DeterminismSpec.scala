@@ -93,7 +93,10 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // histogram-positional quartiles over a join; windowed moment folds
     "q178_leadtime_quartiles", "q179_rolling_corr",
     // bounded-heap partial aggregation must be merge-order-insensitive
-    "q180_topk_heap")
+    "q180_topk_heap",
+    // the entropy accumulation is an ORDERED window fold — partition
+    // count must not reorder the float chain
+    "q181_behavior_entropy")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -79,6 +79,30 @@ class GrowthSpec extends AnyFunSuite with SparkSpec {
     assert(rows.last.getDouble(3) == 1.0)
   }
 
+  test("q181 entropy matches the ordered local fold and its bounds") {
+    val rows = run("q181_behavior_entropy").collect()
+    val counts = graft.common.Tables.load(spark, Sf, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = counts.groupBy(_._1)
+    assert(rows.length == byUser.size)
+    rows.foreach { r =>
+      val ts = byUser(r.getLong(0)).toSeq.sortBy(_._2)
+      val n = ts.map(_._3).sum
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == ts.length.toLong)
+      // the same left fold in type order the engine's window runs
+      val want = ts.foldLeft(0.0) { case (acc, (_, _, c)) =>
+        val share = c.toDouble / n.toDouble
+        acc + -share * math.log(share)
+      }
+      assert(r.getDouble(3) == want, s"entropy mismatch for ${r.getLong(0)}")
+      assert(r.getDouble(3) >= 0.0 &&
+        r.getDouble(3) <= math.log(ts.length.toDouble) + 1e-12)
+    }
+  }
+
   test("q174 power curve conserves users; L-ness cumulative is consistent") {
     val rows = run("q174_power_curve").orderBy("n_active_days").collect()
     val perUser = pairs().groupBy(_._2).map { case (_, xs) =>

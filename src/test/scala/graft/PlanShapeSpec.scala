@@ -427,4 +427,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"))
     assert(!plan.contains("Sort "))
   }
+
+  test("behavior entropy (q181): (user,type) fold + user re-key for the ordered fold") {
+    assert(shuffles("q181_behavior_entropy") == 2)
+  }
 }
