@@ -207,8 +207,62 @@ object Audit {
   private def centsSqlExpr: String =
     graft.common.Exact.centsSql("o_totalprice")
 
+  /** q183: duplicate-payment screen — pairs of purchase events by the
+    * SAME user for the SAME whole-dollar amount within 24 hours: the
+    * double-charge / replayed-webhook audit every payments pipeline
+    * runs (dollar granularity + a day window is the standard
+    * chargeback-review net; exact-cent + minutes catches only literal
+    * replays). The join key is (user, dollars) EQUALITY — maximally
+    * selective, so unlike a time-bucketed range join (q53) the
+    * candidate set is only true amount collisions, and the temporal
+    * predicate rides the hash join as a filter. Pair fan-out is
+    * bounded by per-(user, amount, day) multiplicity — duplicate
+    * clusters, not the corpus.
+    *
+    * Exactness: integer dollar keys (cents div 100), integer second
+    * deltas, ordered pair convention (a.event_id < b.event_id) —
+    * nothing floating.
+    */
+  private val q183 = QueryDef(
+    (s, d) => {
+      val p = load(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (cents(col("value")) / 100L).cast("long").as("amount_dollars"),
+          col("event_id"), unix_timestamp(col("ts")).as("sec"))
+      p.as("a").join(p.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.amount_dollars") === col("b.amount_dollars") &&
+            col("a.event_id") < col("b.event_id"))
+        .withColumn("dt_seconds",
+          abs(col("b.sec") - col("a.sec")))
+        .filter(col("dt_seconds") <= 86400L)
+        .select(col("a.user_id").as("user_id"),
+          col("a.amount_dollars").as("amount_dollars"),
+          col("a.event_id").as("event_id_a"),
+          col("b.event_id").as("event_id_b"),
+          col("dt_seconds"))
+    },
+    Some(s"""WITH p AS (
+              SELECT user_id,
+                ${centsSql("value")} // 100 AS amount_dollars,
+                event_id,
+                date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT a.user_id, a.amount_dollars,
+              a.event_id AS event_id_a, b.event_id AS event_id_b,
+              CAST(abs(b.sec - a.sec) AS BIGINT) AS dt_seconds
+            FROM p a JOIN p b
+              ON a.user_id = b.user_id
+             AND a.amount_dollars = b.amount_dollars
+             AND a.event_id < b.event_id
+            WHERE abs(b.sec - a.sec) <= 86400"""),
+    "duplicate-payment screen: exact (user, dollars) collision pairs within 24 h [audit]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q148_key_discovery" -> q148,
     "q149_referential_integrity" -> q149,
-    "q150_benford_screen" -> q150)
+    "q150_benford_screen" -> q150,
+    "q183_dup_payments" -> q183)
 }

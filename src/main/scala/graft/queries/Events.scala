@@ -42,7 +42,10 @@ object Events {
   /** q42's session frame (also the interval source for the overlap
     * join q82).
     */
-  private[graft] def sessions(s: SparkSession, d: String): DataFrame = {
+  /** Events with their 30-min-gap session id attached (the pre-fold
+    * frame behind q42's sessions; q183's co-occurrence rides it too).
+    */
+  private[graft] def sessionTagged(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     load(s, d, "events")
@@ -52,6 +55,10 @@ object Events {
           unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
           1L).otherwise(0L))
       .withColumn("session_seq", sum(col("new_session")).over(byUser))
+  }
+
+  private[graft] def sessions(s: SparkSession, d: String): DataFrame = {
+    sessionTagged(s, d)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         min(col("ts")).as("session_start"),

@@ -140,7 +140,64 @@ object Scd {
             GROUP BY 1, 2, 3"""),
     "point-in-time SCD2 lookup: same-key join with interval filter, per-version audit [scd]")
 
+  /** q182: dimension-change transition matrix — which priority follows
+    * which across q139's SCD2 versions, with row-normalized
+    * probabilities: the "where do URGENT customers drift" Markov view
+    * of the dimension's churn. Counts are exact longs off the version
+    * frame (already |versions|-sized); p is the one single division,
+    * row-normalized over a ≤|priorities|² cell frame.
+    *
+    * Scale: rides q139's one dimension-key exchange; the lead window
+    * runs over ≤|versions| rows per customer and the matrix fold + its
+    * row-total window touch only the 25-cell frame.
+    */
+  private val q182 = QueryDef(
+    (s, d) => {
+      val byVer = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("version").asc)
+      val cells = history(s, d)
+        .withColumn("to_priority",
+          lead(col("o_orderpriority"), 1).over(byVer))
+        .filter(col("to_priority").isNotNull)
+        .groupBy(col("o_orderpriority").as("from_priority"),
+          col("to_priority"))
+        .agg(count(lit(1)).cast("long").as("n_transitions"))
+      val byFrom = Window.partitionBy(col("from_priority"))
+      cells.withColumn("p_transition",
+        col("n_transitions").cast("double") /
+          sum("n_transitions").over(byFrom).cast("double"))
+    },
+    Some("""WITH seq AS (
+              SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_priority
+              FROM orders
+            ), changes AS (
+              SELECT * FROM seq
+              WHERE prev_priority IS NULL
+                 OR prev_priority <> o_orderpriority
+            ), hist AS (
+              SELECT o_custkey, o_orderpriority,
+                CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+                LEAD(o_orderpriority) OVER w AS to_priority
+              FROM changes
+              WINDOW w AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC)
+            ), cells AS (
+              SELECT o_orderpriority AS from_priority, to_priority,
+                CAST(COUNT(*) AS BIGINT) AS n_transitions
+              FROM hist WHERE to_priority IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT from_priority, to_priority, n_transitions,
+              CAST(n_transitions AS DOUBLE) /
+                CAST(SUM(n_transitions) OVER (PARTITION BY from_priority)
+                  AS DOUBLE) AS p_transition
+            FROM cells"""),
+    "SCD2 transition matrix: version-change Markov cells, row-normalized [scd]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q139_scd2_history" -> q139,
-    "q171_scd2_pit" -> q171)
+    "q171_scd2_pit" -> q171,
+    "q182_priority_transitions" -> q182)
 }

@@ -66,4 +66,25 @@ class AuditSpec extends AnyFunSuite with SparkSpec {
       .head().getDouble(3) - 0.30103) < 1e-4)
     df.unpersist()
   }
+
+  test("q183 duplicate-payment pairs match a brute-force local scan") {
+    val got = run("q183_dup_payments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val p = graft.common.Tables.load(spark, Sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (graft.common.Exact.cents(col("value")) / 100L).cast("long"),
+        col("event_id"), unix_timestamp(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = (for {
+      a <- p; b <- p
+      if a._1 == b._1 && a._2 == b._2 && a._3 < b._3 &&
+        math.abs(b._4 - a._4) <= 86400L
+    } yield (a._1, a._2, a._3, b._3, math.abs(b._4 - a._4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "generator produced no same-dollar repeat " +
+      "purchases within a day — screen has nothing to certify")
+  }
 }

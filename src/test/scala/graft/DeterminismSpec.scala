@@ -96,7 +96,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q180_topk_heap",
     // the entropy accumulation is an ORDERED window fold — partition
     // count must not reorder the float chain
-    "q181_behavior_entropy")
+    "q181_behavior_entropy",
+    // version-lead matrix cells and the selective pair join
+    "q182_priority_transitions", "q183_dup_payments")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

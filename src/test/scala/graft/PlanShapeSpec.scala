@@ -431,4 +431,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   test("behavior entropy (q181): (user,type) fold + user re-key for the ordered fold") {
     assert(shuffles("q181_behavior_entropy") == 2)
   }
+
+  test("transition matrix (q182): version build + 25-cell matrix folds") {
+    assert(shuffles("q182_priority_transitions") == 3)
+  }
+
+  test("dup-payment screen (q183): selective equi-join, never a cartesian") {
+    val plan = SparkEntry.queries("q183_dup_payments")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // the (user, dollars) key is an equality — the time predicate must
+    // ride a hash/sort-merge join as a filter, not force a nested loop
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(shuffles("q183_dup_payments") <= 2)
+  }
 }

@@ -112,6 +112,24 @@ class ScdGraphSpec extends AnyFunSuite with SparkSpec {
     df.unpersist()
   }
 
+  test("q182 transition rows normalize to 1 and conserve version changes") {
+    val rows = run("q182_priority_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // every version with a successor is exactly one transition
+    val hist = run("q139_scd2_history")
+    val expected = hist.filter(col("valid_to").isNotNull).count()
+    assert(rows.map(_._3).sum == expected)
+    // adjacent SCD2 versions differ by construction — no self loops
+    assert(rows.forall(t => t._1 != t._2))
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      val total = ts.map(_._3).sum
+      ts.foreach(t =>
+        assert(t._4 == t._3.toDouble / total.toDouble, s"$from: $t"))
+      assert(math.abs(ts.map(_._4).sum - 1.0) < 1e-12)
+    }
+  }
+
   test("q171 PIT result equals a brute-force local interval scan") {
     val orders = graft.common.Tables.load(spark, Sf, "orders")
       .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
