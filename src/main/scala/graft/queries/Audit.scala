@@ -260,9 +260,61 @@ object Audit {
             WHERE abs(b.sec - a.sec) <= 86400"""),
     "duplicate-payment screen: exact (user, dollars) collision pairs within 24 h [audit]")
 
+  /** q185: single-sourcing risk profile — how many distinct suppliers
+    * serve each part, folded to a sourcing-depth histogram with each
+    * tier's part share and revenue exposure. The supply-chain audit
+    * behind "12% of revenue rides single-sourced SKUs".
+    *
+    * Scale: one (part, supplier) distinct-pair fold (map-side
+    * combined), one part fold, and a ≤|suppliers|-row histogram; the
+    * revenue side reuses the part-keyed exchange. Integers + single
+    * divisions.
+    */
+  private val q185 = QueryDef(
+    (s, d) => {
+      val li = load(s, d, "lineitem")
+      val perPart = li
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).cast("long")
+          .as("n_suppliers"),
+          sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      val tot = perPart.agg(lcountAll.as("n_parts_total"),
+        sum("rev_cents").as("rev_total"))
+      perPart.groupBy(col("n_suppliers"))
+        .agg(lcountAll.as("n_parts"), sum("rev_cents").as("rev_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_suppliers"), col("n_parts"), col("rev_cents"),
+          (col("n_parts").cast("double") /
+            col("n_parts_total").cast("double")).as("part_share"),
+          (col("rev_cents").cast("double") /
+            col("rev_total").cast("double")).as("rev_share"))
+    },
+    Some(s"""WITH pp AS (
+              SELECT l_partkey,
+                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+                CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT)
+                  AS rev_cents
+              FROM lineitem GROUP BY 1
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_total,
+                CAST(SUM(rev_cents) AS BIGINT) AS rev_total
+              FROM pp
+            )
+            SELECT n_suppliers,
+              CAST(COUNT(*) AS BIGINT) AS n_parts,
+              CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+              CAST(COUNT(*) AS DOUBLE) / CAST(t.n_parts_total AS DOUBLE)
+                AS part_share,
+              CAST(SUM(rev_cents) AS DOUBLE) / CAST(t.rev_total AS DOUBLE)
+                AS rev_share
+            FROM pp, tot t GROUP BY n_suppliers, t.n_parts_total,
+              t.rev_total"""),
+    "single-sourcing risk: supplier-depth histogram with revenue exposure [audit]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q148_key_discovery" -> q148,
     "q149_referential_integrity" -> q149,
     "q150_benford_screen" -> q150,
-    "q183_dup_payments" -> q183)
+    "q183_dup_payments" -> q183,
+    "q185_single_sourcing" -> q185)
 }

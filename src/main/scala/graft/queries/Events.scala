@@ -389,6 +389,65 @@ object Events {
             FROM slides GROUP BY 1, 2"""),
     "sliding 1h/15min window agg: fixed 4x expand, map-side collapse [streaming-as-batch]")
 
+  /** q184: browse-abandonment rate per day — of the sessions that
+    * VIEWED something, how many never purchased before the session
+    * ended, grouped by session-start day. The conversion-leak KPI a
+    * merchandising dashboard leads with.
+    *
+    * Scale: rides q42's one user-keyed session build; the per-session
+    * flag fold collapses to |sessions| rows on the SAME key, and the
+    * day fold is calendar-bounded. All integers + one division;
+    * zero-view days emit NULL rate via an exact integer guard.
+    */
+  private val q184 = QueryDef(
+    (s, d) => {
+      val perSession = sessionTagged(s, d)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(to_date(min(col("ts"))).as("day"),
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("viewed"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchased"))
+      perSession.groupBy(col("day"))
+        .agg(lcountAll.as("n_sessions"),
+          sum("viewed").as("n_viewing"),
+          sum(col("viewed") * col("purchased")).as("n_converted"))
+        .withColumn("abandonment_rate",
+          when(col("n_viewing") === 0L, lit(null).cast("double"))
+            .otherwise((col("n_viewing") - col("n_converted"))
+              .cast("double") / col("n_viewing").cast("double")))
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, event_id, ts, event_type,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), tagged AS (
+              SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM marked
+            ), sess AS (
+              SELECT user_id, session_seq,
+                CAST(MIN(ts) AS DATE) AS day,
+                MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS viewed,
+                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS purchased
+              FROM tagged GROUP BY 1, 2
+            )
+            SELECT day,
+              CAST(COUNT(*) AS BIGINT) AS n_sessions,
+              CAST(SUM(viewed) AS BIGINT) AS n_viewing,
+              CAST(SUM(viewed * purchased) AS BIGINT) AS n_converted,
+              CASE WHEN SUM(viewed) = 0 THEN NULL
+                ELSE CAST(SUM(viewed) - SUM(viewed * purchased) AS DOUBLE)
+                  / CAST(SUM(viewed) AS DOUBLE) END AS abandonment_rate
+            FROM sess GROUP BY 1"""),
+    "browse abandonment per day: session flags on the q42 build, one division [behavior]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q41_events_hourly" -> q41,
     "q127_sliding_window" -> q127,
@@ -398,5 +457,6 @@ object Events {
     "q75_json_props" -> q75,
     "q76_rolling_window" -> q76,
     "q78_event_streaks" -> q78,
-    "q80_date_spine" -> q80)
+    "q80_date_spine" -> q80,
+    "q184_browse_abandonment" -> q184)
 }

@@ -87,4 +87,22 @@ class AuditSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty, "generator produced no same-dollar repeat " +
       "purchases within a day — screen has nothing to certify")
   }
+
+  test("q185 sourcing histogram conserves parts and revenue; shares sum to 1") {
+    val rows = run("q185_single_sourcing").collect()
+    val perPart = graft.common.Tables.load(spark, Sf, "lineitem")
+      .groupBy("l_partkey")
+      .agg(countDistinct("l_suppkey").as("ns"),
+        sum(graft.common.Exact.cents(col("l_extendedprice"))).as("r"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val hist = perPart.groupBy(_._1).map { case (k, v) =>
+      k -> (v.length.toLong, v.map(_._2).sum)
+    }
+    assert(rows.length == hist.size)
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == hist(r.getLong(0)))
+    }
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+  }
 }

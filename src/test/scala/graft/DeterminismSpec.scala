@@ -98,7 +98,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // count must not reorder the float chain
     "q181_behavior_entropy",
     // version-lead matrix cells and the selective pair join
-    "q182_priority_transitions", "q183_dup_payments")
+    "q182_priority_transitions", "q183_dup_payments",
+    // session flag folds and the sourcing-depth histogram
+    "q184_browse_abandonment", "q185_single_sourcing")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -103,6 +103,24 @@ class GrowthSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q184 abandonment decomposition is consistent with q42's sessions") {
+    val rows = run("q184_browse_abandonment").collect()
+    // session totals must agree with the q42 session build
+    val nSessions = run("q42_events_sessions").count()
+    assert(rows.map(_.getLong(1)).sum == nSessions)
+    rows.foreach { r =>
+      val (n, viewing, converted) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(viewing <= n && converted <= viewing)
+      if (viewing == 0) assert(r.isNullAt(4))
+      else assert(r.getDouble(4) ==
+        (viewing - converted).toDouble / viewing.toDouble)
+    }
+    // the generator mixes types, so both outcomes must actually occur
+    assert(rows.map(_.getLong(3)).sum > 0)
+    assert(rows.exists(r => r.getLong(2) > r.getLong(3)))
+  }
+
   test("q174 power curve conserves users; L-ness cumulative is consistent") {
     val rows = run("q174_power_curve").orderBy("n_active_days").collect()
     val perUser = pairs().groupBy(_._2).map { case (_, xs) =>

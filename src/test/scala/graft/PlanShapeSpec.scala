@@ -445,4 +445,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(shuffles("q183_dup_payments") <= 2)
   }
+
+  test("abandonment (q184): session build + day fold, two exchanges") {
+    assert(shuffles("q184_browse_abandonment") == 2)
+  }
+
+  test("sourcing risk (q185): part folds + supplier-depth histogram, bounded") {
+    // the scalar-total branch re-plans the part fold statically; AQE's
+    // ReusedExchange shares the one part-keyed shuffle at runtime
+    assert(shuffles("q185_single_sourcing") <= 4)
+  }
 }
