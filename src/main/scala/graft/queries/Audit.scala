@@ -265,29 +265,27 @@ object Audit {
     * tier's part share and revenue exposure. The supply-chain audit
     * behind "12% of revenue rides single-sourced SKUs".
     *
-    * Scale: one (part, supplier) distinct-pair fold (map-side
-    * combined), one part fold, and a ≤|suppliers|-row histogram; the
-    * revenue side reuses the part-keyed exchange. Integers + single
-    * divisions.
+    * Scale: one (part)-keyed fold computes supplier depth AND revenue
+    * together, then a ≤|suppliers|-row histogram; the corpus totals
+    * are window sums over the histogram frame ITSELF (they are its
+    * own marginals), so the fact table is scanned exactly once — no
+    * scalar-total branch to re-plan. Integers + single divisions.
     */
   private val q185 = QueryDef(
     (s, d) => {
-      val li = load(s, d, "lineitem")
-      val perPart = li
+      val perPart = load(s, d, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(countDistinct(col("l_suppkey")).cast("long")
           .as("n_suppliers"),
           sum(cents(col("l_extendedprice"))).as("rev_cents"))
-      val tot = perPart.agg(lcountAll.as("n_parts_total"),
-        sum("rev_cents").as("rev_total"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
       perPart.groupBy(col("n_suppliers"))
         .agg(lcountAll.as("n_parts"), sum("rev_cents").as("rev_cents"))
-        .crossJoin(broadcast(tot))
         .select(col("n_suppliers"), col("n_parts"), col("rev_cents"),
           (col("n_parts").cast("double") /
-            col("n_parts_total").cast("double")).as("part_share"),
+            sum("n_parts").over(wAll).cast("double")).as("part_share"),
           (col("rev_cents").cast("double") /
-            col("rev_total").cast("double")).as("rev_share"))
+            sum("rev_cents").over(wAll).cast("double")).as("rev_share"))
     },
     Some(s"""WITH pp AS (
               SELECT l_partkey,

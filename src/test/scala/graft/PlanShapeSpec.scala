@@ -450,9 +450,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles("q184_browse_abandonment") == 2)
   }
 
-  test("sourcing risk (q185): part folds + supplier-depth histogram, bounded") {
-    // the scalar-total branch re-plans the part fold statically; AQE's
-    // ReusedExchange shares the one part-keyed shuffle at runtime
-    assert(shuffles("q185_single_sourcing") <= 4)
+  test("sourcing risk (q185): ONE fact scan; totals are the histogram's own marginals") {
+    val plan = SparkEntry.queries("q185_single_sourcing")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+    assert(shuffles("q185_single_sourcing") == 3)
   }
 }
