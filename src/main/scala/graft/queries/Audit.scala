@@ -309,10 +309,147 @@ object Audit {
               t.rev_total"""),
     "single-sourcing risk: supplier-depth histogram with revenue exposure [audit]")
 
+  /** q186: price-realization audit per brand — realized line revenue
+    * vs list (quantity × retail price): how often lines sell below
+    * list, the net discount given, and the effective discount rate.
+    * The pricing-leakage report a revenue-management review starts
+    * from. ENTIRELY integer: both sides of every comparison are cents
+    * (quantity is integral by generator contract, asserted exact by
+    * the cast), so "below list" has no float-boundary ambiguity, and
+    * the two emitted rates are single divisions of exact sums.
+    *
+    * Scale: the part dim broadcasts into the fact scan; ONE
+    * brand-keyed fold after a narrow per-line compare.
+    */
+  private val q186 = QueryDef(
+    (s, d) => {
+      val li = load(s, d, "lineitem")
+        .select(col("l_partkey"), cents(col("l_extendedprice")).as("ext"),
+          col("l_quantity").cast("long").as("qty"))
+      val p = load(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          cents(col("p_retailprice")).as("retail"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("list_cents", col("qty") * col("retail"))
+        .groupBy(col("p_brand"))
+        .agg(lcountAll.as("n_lines"),
+          sum(when(col("ext") < col("list_cents"), 1L).otherwise(0L))
+            .as("n_below_list"),
+          sum(col("list_cents") - col("ext")).as("net_discount_cents"),
+          sum(col("list_cents")).as("list_cents"))
+        .select(col("p_brand"), col("n_lines"), col("n_below_list"),
+          col("net_discount_cents"),
+          (col("n_below_list").cast("double") /
+            col("n_lines").cast("double")).as("below_share"),
+          (col("net_discount_cents").cast("double") /
+            col("list_cents").cast("double")).as("discount_rate"))
+    },
+    Some(s"""WITH j AS (
+              SELECT p.p_brand,
+                ${centsSql("l_extendedprice")} AS ext,
+                CAST(l_quantity AS BIGINT)
+                  * ${centsSql("p_retailprice")} AS list_cents
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            )
+            SELECT p_brand,
+              CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(SUM(CASE WHEN ext < list_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_list,
+              CAST(SUM(list_cents - ext) AS BIGINT) AS net_discount_cents,
+              CAST(SUM(CASE WHEN ext < list_cents THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS below_share,
+              CAST(SUM(list_cents - ext) AS DOUBLE) /
+                CAST(SUM(list_cents) AS DOUBLE) AS discount_rate
+            FROM j GROUP BY 1"""),
+    "price-realization audit: integer list-vs-realized compare per brand [audit]")
+
+  /** Late threshold for q187 (days from order to line ship). */
+  private val LateDays = 90
+
+  /** q187: late-shipment screen per supplier — each supplier's late
+    * rate tested against the corpus rate with a one-sample z (the
+    * per-group version of q160's two-proportion fold): the vendor
+    * scorecard that flags chronically late suppliers with statistical
+    * backing rather than a raw rate sort.
+    *
+    * Scale: ONE line→order join keyed on the fact join key (order dim
+    * side of the join is the orders table — key-partitioned, no
+    * broadcast assumption), one supplier fold, and the corpus baseline
+    * is a window marginal over the |suppliers| frame — the q185 trick,
+    * no second scan. z's chain is subtraction/multiply/divide/sqrt —
+    * correctly-rounded IEEE ops over single-division rates, so the
+    * oracle is direct, no tolerance; degenerate baselines (p₀ ∈
+    * {0,1}) emit NULL via integer guards.
+    */
+  private val q187 = QueryDef(
+    (s, d) => {
+      val li = load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          when(datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))) > LateDays, 1L).otherwise(0L))
+        .groupBy(col("l_suppkey"))
+        .agg(lcountAll.as("n_lines"), sum("late").as("n_late"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val withTot = perSupp
+        .withColumn("tot_lines", sum("n_lines").over(wAll))
+        .withColumn("tot_late", sum("n_late").over(wAll))
+      withTot.select(col("l_suppkey"), col("n_lines"), col("n_late"),
+        (col("n_late").cast("double") / col("n_lines").cast("double"))
+          .as("late_rate"),
+        (col("tot_late").cast("double") / col("tot_lines").cast("double"))
+          .as("base_rate"),
+        when(col("tot_late") === 0L || col("tot_late") === col("tot_lines"),
+          lit(null).cast("double"))
+          .otherwise(
+            ((col("n_late").cast("double") / col("n_lines").cast("double")) -
+              (col("tot_late").cast("double") /
+                col("tot_lines").cast("double"))) /
+              sqrt((col("tot_late").cast("double") /
+                col("tot_lines").cast("double")) *
+                (lit(1.0) - col("tot_late").cast("double") /
+                  col("tot_lines").cast("double")) /
+                col("n_lines").cast("double"))).as("z"))
+    },
+    Some(s"""WITH j AS (
+              SELECT l_suppkey,
+                CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                  CAST(l_shipdate AS DATE)) > $LateDays
+                  THEN 1 ELSE 0 END AS late
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), ps AS (
+              SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(SUM(late) AS BIGINT) AS n_late
+              FROM j GROUP BY 1
+            ), t AS (
+              SELECT *, CAST(SUM(n_lines) OVER () AS BIGINT) AS tot_lines,
+                CAST(SUM(n_late) OVER () AS BIGINT) AS tot_late
+              FROM ps
+            )
+            SELECT l_suppkey, n_lines, n_late,
+              CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE) AS late_rate,
+              CAST(tot_late AS DOUBLE) / CAST(tot_lines AS DOUBLE)
+                AS base_rate,
+              CASE WHEN tot_late = 0 OR tot_late = tot_lines THEN NULL
+                ELSE (CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                    - CAST(tot_late AS DOUBLE) / CAST(tot_lines AS DOUBLE))
+                  / sqrt((CAST(tot_late AS DOUBLE)
+                      / CAST(tot_lines AS DOUBLE))
+                    * (1.0 - CAST(tot_late AS DOUBLE)
+                      / CAST(tot_lines AS DOUBLE))
+                    / CAST(n_lines AS DOUBLE)) END AS z
+            FROM t"""),
+    "late-shipment z-screen per supplier: one-sample test vs corpus baseline [audit]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q148_key_discovery" -> q148,
     "q149_referential_integrity" -> q149,
     "q150_benford_screen" -> q150,
     "q183_dup_payments" -> q183,
-    "q185_single_sourcing" -> q185)
+    "q185_single_sourcing" -> q185,
+    "q186_price_realization" -> q186,
+    "q187_late_shipment_z" -> q187)
 }

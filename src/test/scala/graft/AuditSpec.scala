@@ -105,4 +105,38 @@ class AuditSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12)
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-12)
   }
+
+  test("q186 realization audit conserves lines and bounds its rates") {
+    val rows = run("q186_price_realization").collect()
+    val nLines = graft.common.Tables.load(spark, Sf, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == nLines)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(4) ==
+        r.getLong(2).toDouble / r.getLong(1).toDouble)
+      // a discount rate above 1 would mean negative realized revenue
+      assert(r.getDouble(5) < 1.0)
+    }
+  }
+
+  test("q187 z-screen: rates reconcile, z signs follow the rate gap") {
+    val rows = run("q187_late_shipment_z").collect()
+    val base = rows.head.getDouble(4)
+    // the baseline is one corpus-wide number on every row
+    assert(rows.forall(_.getDouble(4) == base))
+    val totLate = rows.map(_.getLong(2)).sum
+    val totLines = rows.map(_.getLong(1)).sum
+    assert(base == totLate.toDouble / totLines.toDouble)
+    rows.foreach { r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+      if (!r.isNullAt(5)) {
+        assert((r.getDouble(5) > 0) == (r.getDouble(3) > base) ||
+          r.getDouble(5) == 0.0)
+        // recompute the one-sample z locally
+        val want = (r.getDouble(3) - base) /
+          math.sqrt(base * (1.0 - base) / r.getLong(1).toDouble)
+        assert(r.getDouble(5) == want)
+      }
+    }
+  }
 }

@@ -100,7 +100,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // version-lead matrix cells and the selective pair join
     "q182_priority_transitions", "q183_dup_payments",
     // session flag folds and the sourcing-depth histogram
-    "q184_browse_abandonment", "q185_single_sourcing")
+    "q184_browse_abandonment", "q185_single_sourcing",
+    // integer list-price compares and the one-sample z marginals
+    "q186_price_realization", "q187_late_shipment_z")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -450,6 +450,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles("q184_browse_abandonment") == 2)
   }
 
+  test("price realization (q186) / late-z (q187): one brand/supplier fold each") {
+    assert(shuffles("q186_price_realization") == 1)
+    assert(shuffles("q187_late_shipment_z") == 1)
+  }
+
   test("sourcing risk (q185): ONE fact scan; totals are the histogram's own marginals") {
     val plan = SparkEntry.queries("q185_single_sourcing")(spark, Sf)
       .queryExecution.executedPlan.toString
