@@ -155,19 +155,22 @@ object Events {
     * distinct counts keyed by (cohort_day, offset) shuffle only the
     * already-deduplicated (user, day) pairs.
     */
+  /** q74's (cohort, week) active-user counts; q188 normalizes them. */
+  private def cohortWeekCounts(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        floor(datediff(col("day"), col("cohort_day")) / 7)
+          .cast("int").as("offset_weeks"))
+      .distinct()
+      .groupBy("cohort_day", "offset_weeks")
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+
   private val q74 = QueryDef(
-    (s, d) => {
-      val e = load(s, d, "events")
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-      val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
-      e.join(cohort, "user_id")
-        .select(col("user_id"), col("cohort_day"),
-          floor(datediff(col("day"), col("cohort_day")) / 7)
-            .cast("int").as("offset_weeks"))
-        .distinct()
-        .groupBy("cohort_day", "offset_weeks")
-        .agg(count(lit(1)).as("n_active_users"))
-    },
+    (s, d) => cohortWeekCounts(s, d),
     Some("""WITH e AS (
               SELECT user_id, CAST(ts AS DATE) AS day FROM events
             ), cohort AS (
@@ -448,6 +451,51 @@ object Events {
             FROM sess GROUP BY 1"""),
     "browse abandonment per day: session flags on the q42 build, one division [behavior]")
 
+  /** q188: the retention curve — q74's cohort counts normalized to each
+    * cohort's week-0 size (the ratio every retention chart plots) with
+    * the below-half-life flag as an INTEGER comparison (2·n < n₀, so
+    * the flag can't flip on a float boundary). Rides q74's build; the
+    * normalization windows run per cohort over ≤ weeks-of-history rows.
+    */
+  private val q188 = QueryDef(
+    (s, d) => {
+      val byCohort = Window.partitionBy(col("cohort_day"))
+      cohortWeekCounts(s, d)
+        .withColumn("n_week0",
+          max(when(col("offset_weeks") === 0, col("n_active_users")))
+            .over(byCohort))
+        .select(col("cohort_day"), col("offset_weeks"),
+          col("n_active_users"), col("n_week0"),
+          (col("n_active_users").cast("double") /
+            col("n_week0").cast("double")).as("retention_rate"),
+          (col("n_active_users") * 2L < col("n_week0")).as("below_half"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, CAST(ts AS DATE) AS day FROM events
+            ), cohort AS (
+              SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+            ), cw AS (
+              SELECT cohort_day, CAST(offset_weeks AS INTEGER)
+                  AS offset_weeks,
+                CAST(count(*) AS BIGINT) AS n_active_users
+              FROM (SELECT DISTINCT e.user_id, cohort_day,
+                      (day - cohort_day) // 7 AS offset_weeks
+                    FROM e JOIN cohort USING (user_id))
+              GROUP BY 1, 2
+            )
+            SELECT cohort_day, offset_weeks, n_active_users,
+              CAST(MAX(CASE WHEN offset_weeks = 0 THEN n_active_users END)
+                OVER (PARTITION BY cohort_day) AS BIGINT) AS n_week0,
+              CAST(n_active_users AS DOUBLE) /
+                CAST(MAX(CASE WHEN offset_weeks = 0 THEN n_active_users END)
+                  OVER (PARTITION BY cohort_day) AS DOUBLE)
+                AS retention_rate,
+              n_active_users * 2 <
+                MAX(CASE WHEN offset_weeks = 0 THEN n_active_users END)
+                  OVER (PARTITION BY cohort_day) AS below_half
+            FROM cw"""),
+    "retention curve: cohort counts normalized to week-0, integer half-life flag [behavior]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q41_events_hourly" -> q41,
     "q127_sliding_window" -> q127,
@@ -458,5 +506,6 @@ object Events {
     "q76_rolling_window" -> q76,
     "q78_event_streaks" -> q78,
     "q80_date_spine" -> q80,
-    "q184_browse_abandonment" -> q184)
+    "q184_browse_abandonment" -> q184,
+    "q188_retention_curve" -> q188)
 }

@@ -102,7 +102,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // session flag folds and the sourcing-depth histogram
     "q184_browse_abandonment", "q185_single_sourcing",
     // integer list-price compares and the one-sample z marginals
-    "q186_price_realization", "q187_late_shipment_z")
+    "q186_price_realization", "q187_late_shipment_z",
+    // cohort normalization windows over the q74 build
+    "q188_retention_curve")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -121,6 +121,26 @@ class GrowthSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(r => r.getLong(2) > r.getLong(3)))
   }
 
+  test("q188 retention curve normalizes q74 and flags exactly below half") {
+    val rows = run("q188_retention_curve").collect()
+    val base = run("q74_retention_cohorts").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(rows.length == base.size)
+    rows.foreach { r =>
+      val k = (r.getDate(0).toLocalDate, r.getInt(1))
+      assert(r.getLong(2) == base(k))
+      val n0 = base((k._1, 0))
+      assert(r.getLong(3) == n0)
+      assert(r.getDouble(4) == base(k).toDouble / n0.toDouble)
+      assert(r.getBoolean(5) == (2 * base(k) < n0))
+      if (k._2 == 0) {
+        assert(r.getDouble(4) == 1.0)
+        assert(!r.getBoolean(5))
+      }
+    }
+  }
+
   test("q174 power curve conserves users; L-ness cumulative is consistent") {
     val rows = run("q174_power_curve").orderBy("n_active_days").collect()
     val perUser = pairs().groupBy(_._2).map { case (_, xs) =>

@@ -450,6 +450,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles("q184_browse_abandonment") == 2)
   }
 
+  test("retention curve (q188): q74's build + a cohort-frame window") {
+    // user fold, classify join, pair-distinct, (cohort,week) fold — the
+    // normalization window adds NO exchange beyond q74's own four
+    assert(shuffles("q188_retention_curve") == 4)
+  }
+
   test("price realization (q186) / late-z (q187): one brand/supplier fold each") {
     assert(shuffles("q186_price_realization") == 1)
     assert(shuffles("q187_late_shipment_z") == 1)
