@@ -398,10 +398,68 @@ object TimeSeries {
                      sqrt(CAST(r.vary AS DOUBLE)))) < 1e-9"""),
     "rolling 30-day revenue/volume correlation: windowed DECIMAL moments, tolerance oracle [time-series]")
 
+  /** q189: seasonal-naive forecast backtest — every demand forecast is
+    * judged against ŷ(t) = y(t−7), the same-weekday-last-week
+    * baseline, so the engine ships the baseline itself: per-day actual
+    * vs naive with integer absolute error and percentage error, plus
+    * the corpus MAE as a window marginal (the q185 trick — the summary
+    * is the detail frame's own marginal, no second pass).
+    *
+    * Scale: one corpus fold to the calendar-bounded day frame; the
+    * t−7 lookup is a day-frame self-join keyed on the epoch-day index
+    * (an explicit calendar join — a 7-ROW lag would silently misread
+    * gapped series). Errors are exact integers; the two rates are
+    * single divisions.
+    */
+  private val q189 = QueryDef(
+    (s, d) => {
+      val daily = load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
+          .as("rev_cents"))
+        .withColumn("day_idx",
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("long"))
+      val lastWeek = daily.select(
+        (col("day_idx") + 7L).as("day_idx"),
+        col("rev_cents").as("naive_cents"))
+      val wAll = Window.partitionBy()
+      daily.join(lastWeek, Seq("day_idx"))
+        .withColumn("abs_err_cents",
+          abs(col("rev_cents") - col("naive_cents")))
+        .select(col("day"), col("rev_cents"), col("naive_cents"),
+          col("abs_err_cents"),
+          (col("abs_err_cents").cast("double") /
+            col("rev_cents").cast("double")).as("ape"),
+          (sum("abs_err_cents").over(wAll).cast("double") /
+            count(lit(1)).over(wAll).cast("double")).as("mae_cents"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS rev_cents,
+                CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx
+              FROM orders GROUP BY 1, 3
+            ), j AS (
+              SELECT a.day, a.rev_cents, b.rev_cents AS naive_cents,
+                abs(a.rev_cents - b.rev_cents) AS abs_err_cents
+              FROM daily a JOIN daily b ON a.day_idx = b.day_idx + 7
+            )
+            SELECT day, rev_cents, naive_cents,
+              CAST(abs_err_cents AS BIGINT) AS abs_err_cents,
+              CAST(abs_err_cents AS DOUBLE) / CAST(rev_cents AS DOUBLE)
+                AS ape,
+              CAST(SUM(abs_err_cents) OVER () AS DOUBLE) /
+                CAST(COUNT(*) OVER () AS DOUBLE) AS mae_cents
+            FROM j"""),
+    "seasonal-naive backtest: calendar t-7 join, integer errors, marginal MAE [time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
     "q165_ewma_daily" -> q165,
     "q169_seasonal_decomp" -> q169,
-    "q179_rolling_corr" -> q179)
+    "q179_rolling_corr" -> q179,
+    "q189_seasonal_naive" -> q189)
 }

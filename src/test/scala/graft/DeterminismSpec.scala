@@ -104,7 +104,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // integer list-price compares and the one-sample z marginals
     "q186_price_realization", "q187_late_shipment_z",
     // cohort normalization windows over the q74 build
-    "q188_retention_curve")
+    "q188_retention_curve",
+    // calendar t-7 self-join and the marginal MAE window
+    "q189_seasonal_naive")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -31,6 +31,31 @@ class OpsMetricsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q189 seasonal-naive backtest matches a local calendar lookup") {
+    val rows = run("q189_seasonal_naive").collect()
+    val daily = graft.common.Tables.load(spark, Sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(graft.common.Exact.cents(col("o_totalprice"))).as("c"))
+      .collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1))
+      .toMap
+    val expectDays = daily.keys.filter(d => daily.contains(d - 7)).toSet
+    assert(rows.map(_.getDate(0).toLocalDate.toEpochDay).toSet
+      == expectDays)
+    val mae = rows.map(r =>
+      math.abs(daily(r.getDate(0).toLocalDate.toEpochDay) -
+        daily(r.getDate(0).toLocalDate.toEpochDay - 7))).sum.toDouble /
+      rows.length
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate.toEpochDay
+      assert(r.getLong(1) == daily(d))
+      assert(r.getLong(2) == daily(d - 7))
+      assert(r.getLong(3) == math.abs(daily(d) - daily(d - 7)))
+      assert(r.getDouble(4) == r.getLong(3).toDouble / r.getLong(1).toDouble)
+      assert(r.getDouble(5) == mae)
+    }
+  }
+
   test("q179 rolling correlation is bounded and matches local windows") {
     val rows = run("q179_rolling_corr").orderBy("day").collect()
     val daily = graft.common.Tables.load(spark, Sf, "orders")

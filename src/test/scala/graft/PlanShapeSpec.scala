@@ -450,6 +450,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles("q184_browse_abandonment") == 2)
   }
 
+  test("seasonal-naive (q189): day-frame fold + calendar self-join, two exchanges") {
+    assert(shuffles("q189_seasonal_naive") == 2)
+  }
+
   test("retention curve (q188): q74's build + a cohort-frame window") {
     // user fold, classify join, pair-distinct, (cohort,week) fold — the
     // normalization window adds NO exchange beyond q74's own four
