@@ -8,9 +8,28 @@ import org.apache.spark.sql.SparkSession
   * min-of-2 measures steady state while keeping the run short.
   */
 object Bench {
+  /** 1-minute system load average (−1.0 where the JVM can't read it). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Machine-contamination self-identification: three rounds running,
+    // the recorded bench total was polluted by concurrent load and had
+    // to be forensically discounted against bench_history. Record the
+    // wall clock and the host's 1-minute loadavg at start AND end so any
+    // reader can judge the run's trustworthiness from the JSON alone —
+    // and flag the run "hot" when the start load exceeds half the
+    // benched core count (the level at which per-query times visibly
+    // inflate on this box).
+    val startedAt = java.time.Instant.now()
+    val loadStart = loadAvg()
+    val hot = loadStart > 0.5 * cpus.toDouble
+    if (hot) System.err.println(
+      s"[bench] WARNING: 1-min loadavg $loadStart > 0.5x$cpus cores at " +
+        "start - times below include machine contention; prefer a quiet rerun")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,8 +72,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val env = s""""started_at":${jstr(startedAt.toString)},""" +
+      s""""load_avg_start":${f(loadStart)},"load_avg_end":${f(loadAvg())},""" +
+      s""""bench_cores":$cpus,"hot_run":$hot"""
     val line =
-      s"""{"queries":$qs,"errors":$errJson,"sf":"$sfDir","metric":"total","value":${f(total)},"unit":"sec"}"""
+      s"""{"queries":$qs,"errors":$errJson,$env,"sf":"$sfDir","metric":"total","value":${f(total)},"unit":"sec"}"""
     println(line)
     // per-query history: append every run (timestamped) so later rounds
     // can diff query-by-query against earlier recordings, not just the

@@ -11,13 +11,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * inline pleasantly; a static call keeps the expression inside
   * whole-stage codegen, the same shape as Spark's own `levenshtein`).
   *
-  * Semantics mirror DuckDB's `jaro_winkler_similarity` exactly
-  * (validated bitwise on a 5000-pair fuzz): classic Jaro with the
-  * ⌊max/2⌋−1 match window and integer-halved transpositions, the
-  * Winkler ≤4-char prefix bonus (p=0.1) applied only above the
-  * standard 0.7 boost threshold, 0.0 when either side is empty — so
-  * the expression is oracle-comparable with no tolerance on most
-  * inputs (a 1e-9 tolerance still guards the final float chain).
+  * Semantics mirror DuckDB's `jaro_winkler_similarity` FOR ASCII
+  * INPUTS (validated bitwise on a 5000-pair ASCII-name fuzz): classic
+  * Jaro with the ⌊max/2⌋−1 match window and integer-halved
+  * transpositions, the Winkler ≤4-char prefix bonus (p=0.1) applied
+  * only above the standard 0.7 boost threshold, 0.0 when either side
+  * is empty — so the expression is oracle-comparable with no tolerance
+  * on most inputs (a 1e-9 tolerance still guards the final float
+  * chain). The parity contract is scoped to ASCII: this
+  * implementation compares UTF-16 code units (`String.charAt`), so
+  * surrogate pairs and other non-BMP input can score differently from
+  * DuckDB's byte-level comparison — the q121/q166 oracles only feed it
+  * the ASCII name dictionary, which is inside the contract. A
+  * general-Unicode caller should normalize or transliterate first.
   */
 object JaroWinklerAlgo {
   def similarity(l: UTF8String, r: UTF8String): Double = {

@@ -67,7 +67,7 @@ object Advanced {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("total_spend").desc, col("o_custkey").asc)
       val spend = load(s, d, "orders")
-        .join(broadcast(load(s, d, "customer")),
+        .join(load(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_custkey"))
         .agg(dsum(col("o_totalprice")).as("total_spend"))

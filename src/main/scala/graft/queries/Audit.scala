@@ -86,17 +86,23 @@ object Audit {
     * zone runs before exposing joins.
     *
     * Scale: each edge is one LEFT join from the pruned child key
-    * column against the pruned parent key — parents are dimensions and
-    * broadcast (the fact side never shuffles); orphan counting is a
-    * conditional aggregate on the join output. |edges| bounded rows
-    * out.
+    * column against the pruned parent key. The parent side is
+    * deliberately NOT hinted: the first edge's parent (`orders`) is
+    * fact-grain — its distinct key set grows with the corpus, and a
+    * forced broadcast would OOM the driver at the 100 TB target. AQE
+    * picks broadcast for the genuinely small parents (nation/region,
+    * and the mid dims while they fit) from runtime sizes and falls
+    * back to a shuffle join otherwise — which is cheap here because
+    * both join inputs are single pruned key columns. Orphan counting
+    * is a conditional aggregate on the join output. |edges| bounded
+    * rows out.
     */
   private val q149 = QueryDef(
     (s, d) => {
       FkEdges.map { case (child, fk, parent, pk) =>
         val c = load(s, d, child).select(col(fk).as("fk"))
         val p = load(s, d, parent).select(col(pk).as("pk")).distinct()
-        c.join(broadcast(p), col("fk") === col("pk"), "left")
+        c.join(p, col("fk") === col("pk"), "left")
           .agg(lcountAll.as("n_child_rows"),
             sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"),
             countDistinct(when(col("pk").isNull, col("fk")))
@@ -122,7 +128,7 @@ object Audit {
       }
       Some(parts.mkString("\nUNION ALL\n"))
     }.get,
-    "referential-integrity audit: broadcast-dim left joins, orphan counts [audit]")
+    "referential-integrity audit: AQE-sized left joins, orphan counts [audit]")
 
   /** Benford first-digit expectations log10(1+1/d), spelled as full-
     * precision literals so both engines COMPARE against the identical
@@ -219,16 +225,21 @@ object Audit {
     * bounded by per-(user, amount, day) multiplicity — duplicate
     * clusters, not the corpus.
     *
-    * Exactness: integer dollar keys (cents div 100), integer second
-    * deltas, ordered pair convention (a.event_id < b.event_id) —
-    * nothing floating.
+    * Exactness: integer dollar keys via FLOOR division (cents −
+    * pmod(cents, 100) is an exact multiple of 100, so the one double
+    * division is exact and matches DuckDB's flooring `//` on negative
+    * amounts — refunds/chargebacks — where a truncating `div` would
+    * disagree), integer second deltas, ordered pair convention
+    * (a.event_id < b.event_id) — nothing floating.
     */
   private val q183 = QueryDef(
     (s, d) => {
+      val cts = cents(col("value"))
       val p = load(s, d, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"),
-          (cents(col("value")) / 100L).cast("long").as("amount_dollars"),
+          ((cts - pmod(cts, lit(100L))) / 100L).cast("long")
+            .as("amount_dollars"),
           col("event_id"), unix_timestamp(col("ts")).as("sec"))
       p.as("a").join(p.as("b"),
           col("a.user_id") === col("b.user_id") &&
@@ -318,8 +329,10 @@ object Audit {
     * the cast), so "below list" has no float-boundary ambiguity, and
     * the two emitted rates are single divisions of exact sums.
     *
-    * Scale: the part dim broadcasts into the fact scan; ONE
-    * brand-keyed fold after a narrow per-line compare.
+    * Scale: the part side is pruned to three columns and joins
+    * unhinted — `part` grows with the corpus, so the broadcast-vs-
+    * shuffle call belongs to AQE's runtime sizes, not a hard-coded
+    * hint; ONE brand-keyed fold after a narrow per-line compare.
     */
   private val q186 = QueryDef(
     (s, d) => {
@@ -329,7 +342,7 @@ object Audit {
       val p = load(s, d, "part")
         .select(col("p_partkey"), col("p_brand"),
           cents(col("p_retailprice")).as("retail"))
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
         .withColumn("list_cents", col("qty") * col("retail"))
         .groupBy(col("p_brand"))
         .agg(lcountAll.as("n_lines"),

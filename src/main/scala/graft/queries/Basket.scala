@@ -29,8 +29,11 @@ object Basket {
     * (C(n,2) with n ≤ items-per-order), and the pair aggregate map-side
     * combines before the only other data-sized exchange. Per-part order
     * counts reuse the same aggregated frame (one row per order, much
-    * smaller than the fact table), and the scalar order total + the
-    * per-part count table join back as broadcasts.
+    * smaller than the fact table); the scalar order total joins back as
+    * a broadcast, but the per-part count table is one row per DISTINCT
+    * PART — corpus-proportional — so its two join-backs are unhinted:
+    * the pair frame is already part-keyed, and AQE broadcasts the
+    * counts only while they actually fit.
     *
     * Float parity: lift = (pair·total)/(cnt_a·cnt_b) — long products
     * and ONE double division of identical integers, IEEE-exact in both
@@ -61,10 +64,10 @@ object Basket {
       val total = load(s, d, "lineitem")
         .agg(countDistinct(col("l_orderkey")).cast("long").as("n_orders"))
       pairs
-        .join(broadcast(partCounts.select(
-          col("partkey").as("part_a"), col("cnt").as("n_orders_a"))), "part_a")
-        .join(broadcast(partCounts.select(
-          col("partkey").as("part_b"), col("cnt").as("n_orders_b"))), "part_b")
+        .join(partCounts.select(
+          col("partkey").as("part_a"), col("cnt").as("n_orders_a")), "part_a")
+        .join(partCounts.select(
+          col("partkey").as("part_b"), col("cnt").as("n_orders_b")), "part_b")
         .crossJoin(broadcast(total))
         .withColumn("lift",
           (col("n_orders_pair") * col("n_orders")).cast("double") /

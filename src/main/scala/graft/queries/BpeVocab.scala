@@ -187,6 +187,8 @@ object BpeVocab {
     new java.util.concurrent.ConcurrentHashMap[(String, Int),
       (String, Seq[Merge])]()
 
+  graft.common.Memos.register("bpe.merges")(() => mergeCache.clear())
+
   /** Trainings actually run (spec hook for the memo contract). */
   private[graft] val trainCount =
     new java.util.concurrent.atomic.AtomicLong(0L)

@@ -69,6 +69,12 @@ object Concentration {
             .as("cum_rev_share"),
           col("gini"))
     },
+    // Derived oracle for the one wide float: rank_dot and n·total both
+    // exceed 2^53 even at sf0.1, and DuckDB's HUGEINT→DOUBLE cast is
+    // not correctly rounded up there (the q176 finding) — so the exact
+    // integer evidence (decile, counts, cents, and the cumulative
+    // share whose operands DO fit 2^53) joins bit-exactly and only the
+    // gini division is admitted within 1e-12.
     Some(s"""WITH rev AS (
               SELECT o_custkey,
                 CAST(SUM(${Exact.centsSql("o_totalprice")}) AS BIGINT)
@@ -91,13 +97,25 @@ object Concentration {
                 CAST(COUNT(*) AS BIGINT) AS n_customers,
                 CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
               FROM o GROUP BY 1
+            ), ref AS (
+              SELECT d.decile, d.n_customers, d.rev_cents,
+                CAST(SUM(d.rev_cents) OVER (ORDER BY d.decile) AS DOUBLE)
+                  / CAST(g.total AS DOUBLE) AS cum_rev_share,
+                g.rank_dot, g.total, g.n
+              FROM dec d CROSS JOIN g
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q167_revenue_gini/*.parquet')
             )
-            SELECT d.decile, d.n_customers, d.rev_cents,
-              CAST(SUM(d.rev_cents) OVER (ORDER BY d.decile) AS DOUBLE)
-                / CAST(g.total AS DOUBLE) AS cum_rev_share,
-              CAST(2 * g.rank_dot - (g.n + 1) * g.total AS DOUBLE)
-                / CAST(g.n * g.total AS DOUBLE) AS gini
-            FROM dec d CROSS JOIN g"""),
+            SELECT e.decile, e.n_customers, e.rev_cents,
+              e.cum_rev_share, e.gini
+            FROM emitted e JOIN ref r ON e.decile = r.decile
+              AND e.n_customers = r.n_customers
+              AND e.rev_cents = r.rev_cents
+              AND e.cum_rev_share = r.cum_rev_share
+            WHERE abs(e.gini -
+                CAST(2 * r.rank_dot - (r.n + 1) * r.total AS DOUBLE)
+                  / CAST(r.n * r.total AS DOUBLE)) < 1e-12"""),
     "Lorenz deciles + exact integer Gini of customer revenue [concentration]")
 
   /** q176: Herfindahl–Hirschman index of customer-revenue concentration

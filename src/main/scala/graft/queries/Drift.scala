@@ -129,7 +129,9 @@ object Drift {
     * value here is a fixed IEEE chain on exact integers — bit-identical
     * with no tolerance.
     *
-    * Scale: the fact join broadcasts the customer dim, cells reduce in
+    * Scale: the fact join is unhinted — `customer` is corpus-
+    * proportional, so AQE broadcasts it only while it fits and
+    * shuffle-joins beyond that; cells reduce in
     * one map-side-combined aggregate to |segments|·|priorities| rows,
     * and marginals fold from the cell frame (never a fact rescan).
     * Integer marginal products fit i64 to ~3·10⁹ rows per margin; the
@@ -138,7 +140,7 @@ object Drift {
   private val q156 = QueryDef(
     (s, d) => {
       val base = load(s, d, "orders").join(
-        broadcast(load(s, d, "customer")),
+        load(s, d, "customer"),
         col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"),
           col("o_orderpriority").as("priority"))

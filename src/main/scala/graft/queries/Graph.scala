@@ -61,9 +61,14 @@ object Graph {
     * sf dir — repeat invocations (bench's min-of-2, the determinism
     * sweep) reuse ONE cached frame instead of stacking a fresh pinned
     * copy per run (the ANN family's served-index memo pattern).
+    * BOUNDED: at most [[MemoCap]] corpora stay pinned — a multi-corpus
+    * service sweeping dirs unpersists the least-recently-used frame on
+    * overflow instead of accreting executor storage; `Memos.clearAll()`
+    * (session teardown) releases everything.
     */
-  private val edMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val MemoCap = 2
+  private val edMemo = new graft.common.BoundedFrameMemo[DataFrame](
+    MemoCap, _.unpersist())
 
   /** The cached degree-annotated edge list (both directions, deg =
     * undirected degree of `u`), materialized ONCE per sf dir and
@@ -73,10 +78,10 @@ object Graph {
     * shape; without it each use replans the whole pair generation).
     */
   private def degreeEdges(s: SparkSession, d: String): DataFrame =
-    edMemo.getOrElseUpdate(d, {
+    edMemo.getOrElseUpdate(d) {
       val e = edges(s, d)
       e.join(e.groupBy(col("u")).agg(lcountAll.as("deg")), "u").cache()
-    })
+    }
 
   private val q140 = QueryDef(
     (s, d) => {
@@ -147,12 +152,18 @@ object Graph {
     * which is the difference between a graph query and three full
     * corpus passes at 100 TB.
     */
-  private val triMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, DataFrame)]
+  private val triMemo =
+    new graft.common.BoundedFrameMemo[(DataFrame, DataFrame)](
+      MemoCap, { case (deg, or) => deg.unpersist(); or.unpersist() })
+
+  /** Both Graph memos release through the session-memo registry. */
+  graft.common.Memos.register("graph.frames") { () =>
+    edMemo.clear(); triMemo.clear()
+  }
 
   private def orientedEdges(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
-    triMemo.getOrElseUpdate(d, {
+    triMemo.getOrElseUpdate(d) {
       val ed = degreeEdges(s, d)
       val deg = ed.groupBy(col("u"))
         .agg(first(col("deg")).as("deg")).cache()
@@ -170,7 +181,7 @@ object Graph {
             col("v")).otherwise(col("u")).as("dst"))
         .cache()
       (deg, or)
-    })
+    }
 
   private val q157 = QueryDef(
     (s, d) => {

@@ -46,6 +46,8 @@ object ProductQuantization {
     new java.util.concurrent.ConcurrentHashMap[String,
       (String, Array[Array[Array[Double]]])]()
 
+  graft.common.Memos.register("pq.codebooks")(() => codebookCache.clear())
+
   /** Number of in-JVM codebook training runs — lets IndexStoreSpec
     * prove the persisted-index load path performs ZERO training.
     */

@@ -205,8 +205,12 @@ object Relational {
     "left-semi existence check [J5]")
 
   /** Multi-way star join (TPC-H Q5 shape): one shuffle join on the fact
-    * key, every dimension broadcast. At 100 TB the only wide exchange is
-    * lineitem⋈orders; AQE can convert even that to broadcast post-filter.
+    * key; the FIXED-size dims (nation: 25 rows, region: 5 rows) carry
+    * explicit broadcast hints, while `customer` — corpus-proportional —
+    * joins unhinted so AQE broadcasts it only while it fits. At 100 TB
+    * the wide exchanges are lineitem⋈orders and (beyond the broadcast
+    * threshold) orders⋈customer; AQE converts either to broadcast
+    * post-filter when runtime sizes allow.
     */
   private val q10 = QueryDef(
     (s, d) => {
@@ -218,7 +222,7 @@ object Relational {
       val n = load(s, d, "nation")
       val r = load(s, d, "region")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name")
@@ -300,7 +304,7 @@ object Relational {
       val c = load(s, d, "customer")
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
@@ -330,7 +334,7 @@ object Relational {
       val o = load(s, d, "orders")
       val c = load(s, d, "customer")
       val topk3 = graft.functions.TopK.topk(3)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .select(col("c_mktsegment"),
           cents(col("o_totalprice")).as("v"),
           col("o_orderkey").as("id"),

@@ -276,6 +276,13 @@ object Similarity {
     IvfPq.clearServedIndexCache()
   }
 
+  // session teardown / multi-corpus eviction path: one Memos.clearAll()
+  // drops every resolved-plan and trained-model memo in the family
+  graft.common.Memos.register("ann.servedIndexes")(() =>
+    clearServedIndexCaches())
+  graft.common.Memos.register("ann.centroids")(() =>
+    clearCentroidSessionCache())
+
   private[graft] def resolveLshIndex(s: SparkSession, d: String): DataFrame = {
     val meta = embeddingsFileMeta(s, d)
     val fp = fingerprintOf(d, meta)

@@ -300,7 +300,10 @@ object Stats {
     * DECIMAL(38,0) like q143 — Σ(cents²) overflows i64 on a fact table.
     *
     * Exactness: moments exact; β, α, r² are fixed IEEE chains on
-    * DECIMAL→DOUBLE casts, identical in both engines.
+    * DECIMAL→DOUBLE casts, identical in both engines. Degenerate
+    * groups (constant x or constant y → zero variance) emit NULL via
+    * guards on the EXACT integer denominators — a float division by
+    * zero here would surface engine-dependent NaN/Inf behavior.
     */
   private val q163 = QueryDef(
     (s, d) => {
@@ -316,18 +319,21 @@ object Stats {
         sum((col("x") * col("x")).cast(dec)).as("sxx"),
         sum((col("y").cast(dec) * col("y").cast(dec))).as("syy"),
         sum((col("x").cast(dec) * col("y").cast(dec))).as("sxy"))
+      val denxInt = col("n") * col("sxx") - col("sx") * col("sx")
+      val denyInt = col("n") * col("syy") - col("sy") * col("sy")
       val num = (col("n") * col("sxy") - col("sx") * col("sy"))
         .cast("double")
-      val denx = (col("n") * col("sxx") - col("sx") * col("sx"))
-        .cast("double")
-      val deny = (col("n") * col("syy") - col("sy") * col("sy"))
-        .cast("double")
+      val denx = denxInt.cast("double")
+      val deny = denyInt.cast("double")
+      val nullD = lit(null).cast("double")
       m.select(col("grp"), col("n").cast("long").as("n_rows"),
-        (num / denx).as("slope"),
-        ((col("sy").cast("double") - (num / denx) *
-          col("sx").cast("double")) / col("n").cast("double"))
+        when(denxInt === 0, nullD).otherwise(num / denx).as("slope"),
+        when(denxInt === 0, nullD).otherwise(
+          (col("sy").cast("double") - (num / denx) *
+            col("sx").cast("double")) / col("n").cast("double"))
           .as("intercept"),
-        (num / denx * (num / deny)).as("r2"))
+        when(denxInt === 0 || denyInt === 0, nullD)
+          .otherwise(num / denx * (num / deny)).as("r2"))
     },
     Some(s"""WITH li AS (
               SELECT l_returnflag AS grp,
@@ -344,16 +350,20 @@ object Stats {
               FROM li GROUP BY 1
             )
             SELECT grp, CAST(n AS BIGINT) AS n_rows,
-              CAST(n * sxy - sx * sy AS DOUBLE) /
-                CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-              (CAST(sy AS DOUBLE) -
+              CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                  CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+              CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+                (CAST(sy AS DOUBLE) -
+                  CAST(n * sxy - sx * sy AS DOUBLE) /
+                    CAST(n * sxx - sx * sx AS DOUBLE) *
+                  CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept,
+              CASE WHEN n * sxx - sx * sx = 0
+                     OR n * syy - sy * sy = 0 THEN NULL ELSE
                 CAST(n * sxy - sx * sy AS DOUBLE) /
                   CAST(n * sxx - sx * sx AS DOUBLE) *
-                CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-              CAST(n * sxy - sx * sy AS DOUBLE) /
-                CAST(n * sxx - sx * sx AS DOUBLE) *
-                (CAST(n * sxy - sx * sy AS DOUBLE) /
-                 CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+                  (CAST(n * sxy - sx * sy AS DOUBLE) /
+                   CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
             FROM m"""),
     "grouped OLS: one-pass DECIMAL moments, per-group slope/intercept/r2 [stats]")
 

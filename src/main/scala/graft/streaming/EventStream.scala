@@ -52,12 +52,17 @@ object EventStream {
 
   /** Sliding 7-day windows advancing daily: distinct users per trailing
     * week off the live stream — the streaming twin of q170. Streaming
-    * keeps ONE mergeable HLL++ sketch per open window (constant bytes,
-    * closed by the watermark); an exact windowed `count(distinct)` is
-    * unsupported in streaming precisely because its state would be the
-    * full id set per window. The sketch is deterministic, so the
-    * drained stream equals the batch run of the same expression
-    * bit-for-bit (SlidingDistinctStreamSpec pins it).
+    * keeps ONE mergeable HLL++ sketch per open window (constant bytes
+    * per window); an exact windowed `count(distinct)` is unsupported in
+    * streaming precisely because its state would be the full id set per
+    * window. The bounded-TOTAL-state contract holds in append/update
+    * output modes, where the 2-day watermark evicts closed windows; in
+    * `complete` mode the store retains every window ever opened — the
+    * parity spec deliberately drains in complete mode to read all
+    * windows at once, so it exercises correctness, not the
+    * constant-memory path a production sink would use. The sketch is
+    * deterministic, so the drained stream equals the batch run of the
+    * same expression bit-for-bit (SlidingDistinctStreamSpec pins it).
     */
   def slidingDistinct(events: DataFrame): DataFrame =
     events

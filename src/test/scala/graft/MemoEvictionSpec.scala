@@ -1,0 +1,60 @@
+package graft
+
+import graft.common.{BoundedFrameMemo, Memos}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-memo lifecycle: memos that pin cluster state must be
+  * bounded (LRU-evict + release on overflow) and centrally clearable
+  * (`Memos.clearAll` at session teardown), so a long-lived
+  * multi-corpus service never accretes pinned storage.
+  */
+class MemoEvictionSpec extends AnyFunSuite with SparkSpec {
+
+  test("BoundedFrameMemo releases the least-recently-used entry on overflow") {
+    val released = scala.collection.mutable.ArrayBuffer[String]()
+    val memo = new BoundedFrameMemo[String](2, released += _)
+    memo.getOrElseUpdate("dirA")("frameA")
+    memo.getOrElseUpdate("dirB")("frameB")
+    assert(memo.size == 2 && released.isEmpty)
+    // touch A so B becomes the LRU entry, then overflow with C
+    assert(memo.getOrElseUpdate("dirA")(fail("A must be memoized")) == "frameA")
+    memo.getOrElseUpdate("dirC")("frameC")
+    assert(released.toList == List("frameB"),
+      "the UNTOUCHED entry must be the one released")
+    assert(memo.contains("dirA") && memo.contains("dirC") &&
+      !memo.contains("dirB") && memo.size == 2)
+    // a re-request for the evicted corpus rebuilds rather than serving
+    // a released frame
+    assert(memo.getOrElseUpdate("dirB")("frameB2") == "frameB2")
+    assert(released.toList == List("frameB", "frameA"))
+  }
+
+  test("BoundedFrameMemo with cap 1: the second corpus unpersists the first") {
+    val released = scala.collection.mutable.ArrayBuffer[String]()
+    val memo = new BoundedFrameMemo[String](1, released += _)
+    memo.getOrElseUpdate("sfA")("pinnedA")
+    memo.getOrElseUpdate("sfB")("pinnedB")
+    assert(released.toList == List("pinnedA") && memo.size == 1)
+    memo.clear()
+    assert(released.toList == List("pinnedA", "pinnedB") && memo.size == 0)
+  }
+
+  test("Memos.clearAll unpersists the graph frames pinned across two corpora") {
+    val sc = spark.sparkContext
+    Memos.clearAll() // drop anything earlier suites pinned through memos
+    val before = sc.getPersistentRDDs.size
+    // two corpora → two pinned degree-edge frames (within the memo cap)
+    SparkEntry.queries("q140_pagerank")(spark, Sf).count()
+    SparkEntry.queries("q140_pagerank")(spark, "/root/testdata/sf0.01").count()
+    val during = sc.getPersistentRDDs.size
+    assert(during >= before + 2,
+      s"expected a pinned edge frame per corpus (before=$before during=$during)")
+    assert(Memos.registered.contains("graph.frames"))
+    Memos.clearAll()
+    assert(sc.getPersistentRDDs.size <= during - 2,
+      "clearAll must unpersist the graph session frames")
+    // and the memo rebuilds on demand afterwards
+    assert(SparkEntry.queries("q140_pagerank")(spark, Sf).count() > 0)
+    Memos.clearAll()
+  }
+}
