@@ -496,9 +496,103 @@ object Events {
             FROM cw"""),
     "retention curve: cohort counts normalized to week-0, integer half-life flag [behavior]")
 
+  /** q193: deadline-windowed funnel (the `windowFunnel` analog) —
+    * q73's ordered view→click→purchase, but each step must land within
+    * its DEADLINE: click within 1 hour of the first view, purchase
+    * within 24 hours of that click. The deadline form is what growth
+    * teams actually ship ("converted in-session / same-day"), and its
+    * semantics differ from q73's unbounded chain — a purchase next
+    * week no longer counts. Per-step average latencies ride along.
+    *
+    * Scale: identical plan to q73 — ONE scan, ONE user exchange; the
+    * chained deadline minima are unbounded-frame window minima over
+    * the same user partitioning (min needs no frame sort), the
+    * per-user collapse reuses the partitioning, and the summary is a
+    * 1-row fold. Latencies are exact integer second sums divided once.
+    */
+  private val q193 = QueryDef(
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+      val staged = load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(byUser))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") >= col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"), col("ts")))
+            .over(byUser))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"), col("ts")))
+            .over(byUser))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      staged.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click_1h"),
+        count(col("t3")).as("n_purchase_24h"),
+        sum(unix_timestamp(col("t2")) - unix_timestamp(col("t1")))
+          .as("click_lat_sum"),
+        sum(unix_timestamp(col("t3")) - unix_timestamp(col("t2")))
+          .as("purchase_lat_sum"))
+        .select(col("n_users"), col("n_view"), col("n_click_1h"),
+          col("n_purchase_24h"),
+          (col("n_click_1h").cast("double") / col("n_view").cast("double"))
+            .as("click_rate_1h"),
+          (col("n_purchase_24h").cast("double") /
+            col("n_click_1h").cast("double")).as("purchase_rate_24h"),
+          (col("click_lat_sum").cast("double") /
+            col("n_click_1h").cast("double")).as("avg_click_sec"),
+          (col("purchase_lat_sum").cast("double") /
+            col("n_purchase_24h").cast("double")).as("avg_purchase_sec"))
+    },
+    Some("""WITH v AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+              SELECT e.user_id, min(ts) AS t2 FROM events e
+              JOIN v USING (user_id)
+              WHERE event_type = 'click' AND ts >= t1
+                AND ts <= t1 + INTERVAL 1 HOUR
+              GROUP BY 1
+            ), p AS (
+              SELECT e.user_id, min(ts) AS t3 FROM events e
+              JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND ts >= t2
+                AND ts <= t2 + INTERVAL 24 HOURS
+              GROUP BY 1
+            ), agg AS (
+              SELECT
+                CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+                  AS n_users,
+                CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+                CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_1h,
+                CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_24h,
+                CAST((SELECT SUM(date_diff('second', v.t1, c.t2))
+                  FROM c JOIN v USING (user_id)) AS BIGINT)
+                  AS click_lat_sum,
+                CAST((SELECT SUM(date_diff('second', c.t2, p.t3))
+                  FROM p JOIN c USING (user_id)) AS BIGINT)
+                  AS purchase_lat_sum
+            )
+            SELECT n_users, n_view, n_click_1h, n_purchase_24h,
+              CAST(n_click_1h AS DOUBLE) / CAST(n_view AS DOUBLE)
+                AS click_rate_1h,
+              CAST(n_purchase_24h AS DOUBLE) / CAST(n_click_1h AS DOUBLE)
+                AS purchase_rate_24h,
+              CAST(click_lat_sum AS DOUBLE) / CAST(n_click_1h AS DOUBLE)
+                AS avg_click_sec,
+              CAST(purchase_lat_sum AS DOUBLE) /
+                CAST(n_purchase_24h AS DOUBLE) AS avg_purchase_sec
+            FROM agg"""),
+    "deadline-windowed funnel: per-step time limits + exact latencies [events]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q41_events_hourly" -> q41,
     "q127_sliding_window" -> q127,
+    "q193_windowed_funnel" -> q193,
     "q42_events_sessions" -> q42,
     "q73_event_funnel" -> q73,
     "q74_retention_cohorts" -> q74,

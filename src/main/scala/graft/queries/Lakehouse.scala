@@ -179,7 +179,97 @@ object Lakehouse {
             FROM lineitem GROUP BY 1, 2"""),
     "incremental MV: algebraic partial-state fold equals full recompute [lakehouse]")
 
+  /** q190: incremental SECOND-moment MV — per-group mean AND variance
+    * maintained by folding batch partial states, never re-reading
+    * history. q106 proves count/sum fold; variance is the moment every
+    * "is this metric drifting" dashboard needs, and it folds just as
+    * algebraically: state = (n, Σx, Σx²) with x in integer cents and
+    * Σx² in DECIMAL(38,0) (cents² overflows i64 on a fact table —
+    * q143's discipline), so any batch arrival order yields the
+    * BITWISE state of the one-shot recompute. Mean and sample variance
+    * derive at read time from the exact integer evidence via the q163
+    * guard pattern: variance = (n·Σx² − (Σx)²)/(n·(n−1)) as a single
+    * division of exact decimals, NULL for n ≤ 1 groups on the exact
+    * integer guard (no float division-by-zero semantics in play).
+    *
+    * Scale: each batch's partial is map-side combined before one
+    * |touched groups|-row shuffle; the standing state is |groups|
+    * rows. A refresh costs O(batch + |MV|) at any history length —
+    * the same property that makes q106 maintainable per-ingest, now
+    * for a dispersion metric.
+    */
+  private val q190 = QueryDef(
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def partial(batch: DataFrame): DataFrame =
+        batch.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          count(lit(1)).as("n_rows"),
+          sum(graft.common.Exact.cents(col("l_extendedprice")))
+            .as("sum_cents"),
+          sum(graft.common.Exact.cents(col("l_extendedprice")).cast(dec38) *
+            graft.common.Exact.cents(col("l_extendedprice")).cast(dec38))
+            .as("sumsq_cents"))
+      def merge(a: DataFrame, b: DataFrame): DataFrame =
+        a.unionByName(b)
+          .groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+            sum("n_rows").as("n_rows"),
+            sum("sum_cents").as("sum_cents"),
+            sum("sumsq_cents").as("sumsq_cents"))
+      val li = load(s, d, "lineitem")
+      val folded = (0 until 4)
+        .map(i => partial(li.filter(pmod(col("l_orderkey"), lit(4)) === i)))
+        .reduce(merge)
+      val n = col("n_rows").cast(dec38)
+      val varNum = n * col("sumsq_cents") -
+        col("sum_cents").cast(dec38) * col("sum_cents").cast(dec38)
+      folded.select(col("l_returnflag"), col("l_linestatus"),
+        col("n_rows"), col("sum_cents"),
+        (col("sum_cents").cast("double") / col("n_rows").cast("double"))
+          .as("mean_cents"),
+        when(col("n_rows") <= 1L, lit(null).cast("double"))
+          .otherwise(varNum.cast("double") /
+            (n * (n - lit(1).cast(dec38))).cast("double"))
+          .as("var_cents"))
+    },
+    // Oracle = the one-shot recompute (the fold must equal it), via the
+    // derived-evidence pattern: n·Σx² exceeds 2^53, where DuckDB's
+    // HUGEINT→DOUBLE cast is not correctly rounded (the q176 finding),
+    // so the integer evidence and the EXACT mean (sum_cents < 2^53 →
+    // both engines' division is the same IEEE op) join bit-exactly and
+    // only the variance division is admitted within tolerance.
+    Some(s"""WITH m AS (
+              SELECT l_returnflag, l_linestatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(SUM(${graft.common.Exact.centsSql("l_extendedprice")})
+                  AS BIGINT) AS sum_cents,
+                SUM(CAST(${graft.common.Exact.centsSql("l_extendedprice")}
+                  AS HUGEINT) *
+                  ${graft.common.Exact.centsSql("l_extendedprice")})
+                  AS sumsq_hi
+              FROM lineitem GROUP BY 1, 2
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q190_incremental_stats_mv/*.parquet')
+            )
+            SELECT e.l_returnflag, e.l_linestatus, e.n_rows, e.sum_cents,
+              e.mean_cents, e.var_cents
+            FROM emitted e JOIN m
+              ON e.l_returnflag = m.l_returnflag
+              AND e.l_linestatus = m.l_linestatus
+              AND e.n_rows = m.n_rows AND e.sum_cents = m.sum_cents
+              AND e.mean_cents = CAST(m.sum_cents AS DOUBLE)
+                / CAST(m.n_rows AS DOUBLE)
+            WHERE (e.var_cents IS NULL AND m.n_rows <= 1) OR
+              abs(e.var_cents -
+                CAST(m.n_rows * m.sumsq_hi - CAST(m.sum_cents AS HUGEINT)
+                    * m.sum_cents AS DOUBLE) /
+                  CAST(CAST(m.n_rows AS HUGEINT) * (m.n_rows - 1)
+                    AS DOUBLE))
+                <= 1e-9 * abs(e.var_cents)"""),
+    "incremental variance MV: mergeable (n, sum, sumsq) state, derived moments [lakehouse]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q105_snapshot_diff" -> q105,
-    "q106_incremental_mv" -> q106)
+    "q106_incremental_mv" -> q106,
+    "q190_incremental_stats_mv" -> q190)
 }

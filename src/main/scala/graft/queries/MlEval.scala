@@ -213,8 +213,84 @@ object MlEval {
             FROM d, k WHERE d.diff = k.ks"""),
     "exact KS separation: two-phase prefix-sum CDFs, arg-max threshold [ml-eval]")
 
+  /** Half-saturation constant of q191's probability link: spend of
+    * $100 (10000 cents) maps to p = 0.5.
+    */
+  private val CalK = 10000L
+
+  /** q191: calibration table + binned Brier decomposition. q151 ranks
+    * users; this audits whether the score's implied PROBABILITY means
+    * what it says. The link p = s/(s+K) (hyperbolic saturation, exact
+    * rational) turns spend cents into [0,1) without a transcendental,
+    * so the BIN assignment is pure integer arithmetic — bin =
+    * (10·s) div (s+K) — and cannot flip on float noise in either
+    * engine. Each bin row carries its user/positive counts, observed
+    * rate, the bin's midpoint prediction, the calibration gap, and its
+    * reliability/resolution terms of the binned Brier decomposition
+    * (uncertainty = ȳ(1−ȳ) rides along); the three SUMS are left to
+    * the reader per the q156 rule — a cross-engine float sum is
+    * order-dependent, every per-bin term here is a fixed IEEE chain on
+    * exact integers.
+    *
+    * Scale: ONE user-keyed corpus fold (perUser), one ≤10-row bin
+    * aggregate; N and ȳ are integer window marginals over the bin
+    * frame itself (q185's own-marginal trick — no second scan).
+    */
+  private val q191 = QueryDef(
+    (s, d) => {
+      val bins = perUser(s, d)
+        .select(expr(
+          s"(10 * greatest(score, 0L)) div (greatest(score, 0L) + $CalK)")
+          .cast("long").as("bin"), col("label"))
+        .groupBy(col("bin"))
+        .agg(lcountAll.as("n_users"), sum("label").as("n_pos"))
+      val all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val withM = bins
+        .withColumn("n_total", sum("n_users").over(all))
+        .withColumn("pos_total", sum("n_pos").over(all))
+      val obs = col("n_pos").cast("double") / col("n_users").cast("double")
+      val pred = (lit(2L) * col("bin") + lit(1L)).cast("double") / lit(20.0)
+      val ybar = col("pos_total").cast("double") / col("n_total").cast("double")
+      val w = col("n_users").cast("double") / col("n_total").cast("double")
+      withM.select(col("bin"), col("n_users"), col("n_pos"),
+        obs.as("obs_rate"), pred.as("pred_mid"),
+        (obs - pred).as("gap"),
+        (w * (obs - pred) * (obs - pred)).as("rel_term"),
+        (w * (obs - ybar) * (obs - ybar)).as("res_term"),
+        (ybar * (lit(1.0) - ybar)).as("uncertainty"))
+    },
+    Some(s"""WITH pu AS ($PerUserSql),
+            b AS (
+              SELECT CAST((10 * greatest(score, 0))
+                  // (greatest(score, 0) + $CalK) AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(SUM(label) AS BIGINT) AS n_pos
+              FROM pu GROUP BY 1
+            ), m AS (
+              SELECT bin, n_users, n_pos,
+                CAST(SUM(n_users) OVER () AS BIGINT) AS n_total,
+                CAST(SUM(n_pos) OVER () AS BIGINT) AS pos_total
+              FROM b
+            ), t AS (
+              SELECT bin, n_users, n_pos,
+                CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE) AS obs_rate,
+                CAST(2 * bin + 1 AS DOUBLE) / 20.0 AS pred_mid,
+                CAST(pos_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS ybar,
+                CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE) AS w
+              FROM m
+            )
+            SELECT bin, n_users, n_pos, obs_rate, pred_mid,
+              obs_rate - pred_mid AS gap,
+              w * (obs_rate - pred_mid) * (obs_rate - pred_mid) AS rel_term,
+              w * (obs_rate - ybar) * (obs_rate - ybar) AS res_term,
+              ybar * (1.0 - ybar) AS uncertainty
+            FROM t"""),
+    "calibration bins + binned Brier decomposition terms [ml-eval]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q151_gains_table" -> q151,
     "q152_exact_auc" -> q152,
-    "q154_ks_statistic" -> q154)
+    "q154_ks_statistic" -> q154,
+    "q191_calibration_bins" -> q191)
 }

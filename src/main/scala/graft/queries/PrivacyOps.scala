@@ -60,6 +60,72 @@ object PrivacyOps {
             FROM customer"""),
     "PII-safe export: digit masking, keyed md5 pseudonym, balance band [privacy]")
 
+  /** k-anonymity threshold of the q195 audit: equivalence classes
+    * smaller than this re-identify their members.
+    */
+  private val KAnon = 5L
+
+  /** q195: k-anonymity audit of q129's release schema — BEFORE an
+    * export ships, measure how identifying its quasi-identifier
+    * combination (nation, segment, $1000 balance band) actually is.
+    * Rows group into equivalence classes on the QI tuple; the audit
+    * reports the class-SIZE distribution: for each observed class
+    * size, how many classes and rows sit at it, whether that size
+    * violates k=$5, and the share of the release at that risk level.
+    * `k_min` (the smallest class) rides along on every row — the one
+    * number a privacy review asks for first.
+    *
+    * Scale: two nested aggregates — the QI fold touches the corpus
+    * once (map-side combined), the size fold runs on the |classes|
+    * frame; totals and k_min are window marginals over the ≤|sizes|
+    * result frame itself (q185's trick). Entirely integer arithmetic
+    * except two single divisions.
+    */
+  private val q195 = QueryDef(
+    (s, d) => {
+      val classes = load(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("acctbal_band"))
+        .agg(graft.common.Exact.lcountAll.as("class_size"))
+      val bySize = classes.groupBy(col("class_size"))
+        .agg(graft.common.Exact.lcountAll.as("n_classes"))
+      val all = org.apache.spark.sql.expressions.Window.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      bySize
+        .withColumn("n_rows", col("class_size") * col("n_classes"))
+        .withColumn("n_total", sum(col("n_rows")).over(all))
+        .withColumn("k_min", min(col("class_size")).over(all))
+        .select(col("class_size"), col("n_classes"), col("n_rows"),
+          (col("class_size") < KAnon).as("violates_k"),
+          (col("n_rows").cast("double") / col("n_total").cast("double"))
+            .as("row_share"),
+          col("k_min"))
+    },
+    Some(s"""WITH cls AS (
+              SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+                CAST(count(*) AS BIGINT) AS class_size
+              FROM customer GROUP BY 1, 2, 3
+            ), sz AS (
+              SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes
+              FROM cls GROUP BY 1
+            ), m AS (
+              SELECT class_size, n_classes,
+                class_size * n_classes AS n_rows,
+                CAST(SUM(class_size * n_classes) OVER () AS BIGINT)
+                  AS n_total,
+                CAST(MIN(class_size) OVER () AS BIGINT) AS k_min
+              FROM sz
+            )
+            SELECT class_size, n_classes, n_rows,
+              class_size < $KAnon AS violates_k,
+              CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) AS row_share,
+              k_min
+            FROM m"""),
+    "k-anonymity audit: QI equivalence-class size distribution + k_min [privacy]")
+
   def all: Seq[(String, QueryDef)] = Seq(
-    "q129_pii_export" -> q129)
+    "q129_pii_export" -> q129,
+    "q195_k_anonymity" -> q195)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.common.Exact.lcountAll
 import graft.common.Tables.load
 import graft.functions.Text
 import org.apache.spark.sql.functions._
@@ -305,10 +306,120 @@ object Sketches {
                     <= $HllRelErr * e.exact_users"""),
     "sliding-window distinct via per-day HLL unions: one corpus fold, audited bound [sketch]")
 
+  /** Accepted error of q194's DERIVED intersection estimate, relative
+    * to the UNION: inclusion–exclusion stacks three sketch errors
+    * (|A|, |B|, |A∪B| each ≈1.6% RSE at lgK=12), every one of which is
+    * at most union-sized, so 10% of the union is ~2σ headroom for the
+    * stacked bound.
+    */
+  private val HllInterErr = 0.10
+
+  /** q194: audience set ALGEBRA from mergeable sketches — for every
+    * pair of event types, the distinct-user union (sketch merge) and
+    * intersection (inclusion–exclusion: |A|+|B|−|A∪B|) plus the
+    * implied Jaccard overlap. Union is the one set operation HLL
+    * supports natively; the derived intersection is how real audience-
+    * overlap dashboards answer "how many viewers also purchase"
+    * without ever shuffling the (user, type) stream — and its error
+    * contract (relative to the UNION, not the intersection, which can
+    * be arbitrarily small) is exactly what this audit pins.
+    *
+    * Scale: ONE corpus fold builds the |types| sketches (the tiny
+    * sketch frame localCheckpoints so its self-join doesn't replan the
+    * corpus fold per side). The exact witnesses (here for the bound
+    * audit; dropped in production) cost one more corpus fold: each
+    * user collapses to their sorted distinct type set (bounded — the
+    * type vocabulary), pairs explode IN-ROW (q119's no-self-join
+    * shape), and the pair counts map-side combine — the (user, type)
+    * stream is never shuffled twice, never self-joined.
+    */
+  private val q194 = QueryDef(
+    (s, d) => {
+      val ev = load(s, d, "events")
+      val sk = ev.groupBy(col("event_type")).agg(
+        hll_sketch_agg(col("user_id")).as("sk"),
+        count_distinct(col("user_id")).as("exact_n"))
+        .localCheckpoint()
+      val inter = ev
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+        .select(explode(flatten(transform(col("types"), (x, i) =>
+          transform(
+            slice(col("types"), i + lit(2), size(col("types"))),
+            y => struct(x.as("type_a"), y.as("type_b")))))).as("p"))
+        .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+        .agg(lcountAll.as("exact_inter"))
+      val pairs = sk.as("x")
+        .join(sk.as("y"), col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"),
+          col("x.exact_n").as("exact_a"),
+          col("y.exact_n").as("exact_b"),
+          hll_sketch_estimate(hll_union(col("x.sk"), col("y.sk")))
+            .as("est_union"))
+      pairs.join(inter, Seq("type_a", "type_b"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .withColumn("exact_union",
+          col("exact_a") + col("exact_b") - col("exact_inter"))
+        .withColumn("est_inter",
+          (col("exact_a") + col("exact_b")).cast("double") -
+            col("est_union").cast("double"))
+        .withColumn("jaccard_est",
+          col("est_inter") / col("est_union").cast("double"))
+        .withColumn("within_bound",
+          abs(col("est_union").cast("double") - col("exact_union")) <=
+            lit(HllRelErr) * col("exact_union") &&
+            abs(col("est_inter") - col("exact_inter")) <=
+              lit(HllInterErr) * col("exact_union"))
+        .select(col("type_a"), col("type_b"), col("exact_a"),
+          col("exact_b"), col("exact_union"), col("exact_inter"),
+          col("est_union").cast("double").as("est_union"),
+          col("est_inter"), col("jaccard_est"), col("within_bound"))
+    },
+    Some(s"""WITH ex AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                CAST(count(*) AS BIGINT) AS exact_inter
+              FROM (SELECT DISTINCT user_id, event_type FROM events) a
+              JOIN (SELECT DISTINCT user_id, event_type FROM events) b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2
+            ), n AS (
+              SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+              FROM events GROUP BY 1
+            ), ref AS (
+              SELECT x.event_type AS type_a, y.event_type AS type_b,
+                x.exact_n AS exact_a, y.exact_n AS exact_b,
+                x.exact_n + y.exact_n - COALESCE(e.exact_inter, 0)
+                  AS exact_union,
+                COALESCE(e.exact_inter, 0) AS exact_inter
+              FROM n x JOIN n y ON x.event_type < y.event_type
+              LEFT JOIN ex e ON e.type_a = x.event_type
+                AND e.type_b = y.event_type
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q194_audience_overlap/*.parquet')
+            )
+            SELECT m.type_a, m.type_b, m.exact_a, m.exact_b,
+              m.exact_union, m.exact_inter, m.est_union, m.est_inter,
+              m.jaccard_est, m.within_bound
+            FROM emitted m JOIN ref r ON m.type_a = r.type_a
+              AND m.type_b = r.type_b AND m.exact_a = r.exact_a
+              AND m.exact_b = r.exact_b
+              AND m.exact_union = r.exact_union
+              AND m.exact_inter = r.exact_inter
+            WHERE m.within_bound
+              AND abs(m.est_union - r.exact_union)
+                    <= $HllRelErr * r.exact_union
+              AND abs(m.est_inter - r.exact_inter)
+                    <= $HllInterErr * r.exact_union"""),
+    "audience overlap: HLL union + inclusion-exclusion intersection, audited [sketch]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q103_cms_heavy_hitters" -> q103,
     "q104_mg_topk" -> q104,
     "q107_hll_distinct" -> q107,
     "q108_bloom_join" -> q108,
-    "q170_sliding_hll" -> q170)
+    "q170_sliding_hll" -> q170,
+    "q194_audience_overlap" -> q194)
 }
