@@ -457,6 +457,147 @@ object Audit {
             FROM t"""),
     "late-shipment z-screen per supplier: one-sample test vs corpus baseline [audit]")
 
+  /** q196: order-total reconciliation — does the recorded
+    * `o_totalprice` equal the TPC-H invariant Σ extprice·(1−disc)·
+    * (1+tax) over the order's lines? The cross-table consistency
+    * audit a finance close runs; on THIS generator it fails for every
+    * order (the synthetic totalprice is not derived from lines), which
+    * is exactly what the audit exists to surface. All arithmetic stays
+    * in SCALED integer units (cents·10⁻⁴: cents × (100−d) × (100+t)
+    * with d,t the exact 2-decimal percents), so "exact match" and the
+    * tolerance bands have no float-boundary ambiguity; orders with no
+    * lines are counted as unreconcilable rather than silently matched.
+    *
+    * Scale: one orderkey-keyed fold of the pruned fact columns + a
+    * LEFT join from orders (AQE-sized — both sides fact-grain, no
+    * hint) + a 1-row summary fold. `sum_abs_scaled` is ~2·10¹⁶ at
+    * sf0.1 and i64-safe to ~sf100; beyond that the corpus-wide sum
+    * takes the documented DECIMAL(38,0) switch (per-order terms stay
+    * comfortably in i64 at any scale).
+    */
+  private val q196 = QueryDef(
+    (s, d) => {
+      val li = load(s, d, "lineitem").groupBy(col("l_orderkey")).agg(
+        sum(cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")) *
+          (lit(100L) + round(col("l_tax") * 100).cast("long")))
+          .as("recon_scaled"))
+      val o = load(s, d, "orders")
+        .select(col("o_orderkey"),
+          (cents(col("o_totalprice")) * 10000L).as("total_scaled"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("total_scaled"), col("recon_scaled"),
+          when(col("recon_scaled").isNotNull,
+            abs(col("recon_scaled") - col("total_scaled"))).as("adiff"))
+        .agg(lcountAll.as("n_orders"),
+          sum(when(col("recon_scaled").isNull, 1L).otherwise(0L))
+            .as("n_no_lines"),
+          sum(when(col("adiff") === 0L, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("adiff") <= 10000L, 1L).otherwise(0L))
+            .as("n_within_cent"),
+          sum(when(col("adiff") <= 1000000L, 1L).otherwise(0L))
+            .as("n_within_dollar"),
+          max(col("adiff")).as("max_abs_scaled"),
+          sum(col("adiff")).as("sum_abs_scaled"))
+        .select(col("n_orders"), col("n_no_lines"), col("n_exact"),
+          col("n_within_cent"), col("n_within_dollar"),
+          col("max_abs_scaled"), col("sum_abs_scaled"),
+          (col("n_exact").cast("double") /
+            (col("n_orders") - col("n_no_lines")).cast("double"))
+            .as("exact_share"))
+    },
+    Some(s"""WITH li AS (
+              SELECT l_orderkey,
+                CAST(SUM(${centsSql("l_extendedprice")} *
+                  (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+                  (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+                  AS recon_scaled
+              FROM lineitem GROUP BY 1
+            ), j AS (
+              SELECT ${centsSql("o_totalprice")} * 10000 AS total_scaled,
+                li.recon_scaled,
+                CASE WHEN li.recon_scaled IS NOT NULL THEN
+                  abs(li.recon_scaled -
+                    ${centsSql("o_totalprice")} * 10000) END AS adiff
+              FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CASE WHEN recon_scaled IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_lines,
+              CAST(SUM(CASE WHEN adiff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_exact,
+              CAST(SUM(CASE WHEN adiff <= 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_cent,
+              CAST(SUM(CASE WHEN adiff <= 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_dollar,
+              CAST(MAX(adiff) AS BIGINT) AS max_abs_scaled,
+              CAST(SUM(adiff) AS BIGINT) AS sum_abs_scaled,
+              CAST(SUM(CASE WHEN adiff = 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+                CAST(count(*) - SUM(CASE WHEN recon_scaled IS NULL
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS exact_share
+            FROM j"""),
+    "order-total reconciliation: scaled-integer invariant check + tolerance bands [audit]")
+
+  /** Candidate functional dependencies for q199, (table, determinant,
+    * dependent) — a deliberate mix of FDs the star schema implies
+    * (nation→region; the TPC-H brand naming embeds the type family)
+    * and ones it does not, so the audit demonstrates both verdicts.
+    */
+  private val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"))
+
+  /** q199: functional-dependency audit — for each candidate A→B, does
+    * A determine B? Verdict from exact distinct counts: the FD holds
+    * iff |distinct A| = |distinct (A,B)|; the violation surplus and
+    * its rate quantify HOW broken a failed dependency is (the schema-
+    * inference signal q148's key discovery doesn't cover: keys are
+    * about rows, FDs are about column semantics).
+    *
+    * Scale: per candidate, one two-column pruned scan into two
+    * distinct aggregates that share the (A,B) exchange (the pair
+    * distinct collapses first; A-distinct folds FROM the pair frame,
+    * never a second corpus scan). |candidates| bounded rows out.
+    */
+  private val q199 = QueryDef(
+    (s, d) => {
+      FdCandidates.map { case (table, det, dep) =>
+        val pairs = load(s, d, table)
+          .select(col(det).as("a"), col(dep).as("b")).distinct()
+        pairs.agg(
+          countDistinct(col("a")).cast("long").as("n_det"),
+          lcountAll.as("n_pairs"))
+          .select(lit(table).as("table_name"),
+            lit(det).as("determinant"), lit(dep).as("dependent"),
+            col("n_det"), col("n_pairs"),
+            (col("n_det") === col("n_pairs")).as("fd_holds"),
+            (col("n_pairs") - col("n_det")).as("n_violating_pairs"),
+            ((col("n_pairs") - col("n_det")).cast("double") /
+              col("n_det").cast("double")).as("violation_rate"))
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      val parts = FdCandidates.map { case (table, det, dep) =>
+        s"""SELECT '$table' AS table_name, '$det' AS determinant,
+              '$dep' AS dependent,
+              CAST(count(DISTINCT $det) AS BIGINT) AS n_det,
+              CAST(count(DISTINCT ($det, $dep)) AS BIGINT) AS n_pairs,
+              count(DISTINCT $det) = count(DISTINCT ($det, $dep))
+                AS fd_holds,
+              CAST(count(DISTINCT ($det, $dep)) - count(DISTINCT $det)
+                AS BIGINT) AS n_violating_pairs,
+              CAST(count(DISTINCT ($det, $dep)) - count(DISTINCT $det)
+                AS DOUBLE) / CAST(count(DISTINCT $det) AS DOUBLE)
+                AS violation_rate
+            FROM $table"""
+      }
+      Some(parts.mkString("\nUNION ALL\n"))
+    }.get,
+    "functional-dependency audit: exact distinct-count verdicts per candidate [audit]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q148_key_discovery" -> q148,
     "q149_referential_integrity" -> q149,
@@ -464,5 +605,7 @@ object Audit {
     "q183_dup_payments" -> q183,
     "q185_single_sourcing" -> q185,
     "q186_price_realization" -> q186,
-    "q187_late_shipment_z" -> q187)
+    "q187_late_shipment_z" -> q187,
+    "q196_order_reconciliation" -> q196,
+    "q199_fd_audit" -> q199)
 }

@@ -99,6 +99,78 @@ object Basket {
             JOIN cnt cb ON p.part_b = cb.l_partkey, tot"""),
     "co-purchase lift: per-order pair gen (no self-join), exact division [basket]")
 
+  /** Neighbors kept per item by q197. */
+  private val NeighborK = 3
+
+  /** q197: top-K co-purchase neighbors PER ITEM — the recommendation
+    * candidate-generation table ("users who bought X also bought …"),
+    * where q119 is the global pair list. The distinction is the
+    * per-item cut: every item keeps its K strongest neighbors, so the
+    * output is K·|items| rows a serving layer can key-look-up, not a
+    * pair dump to post-process.
+    *
+    * Scale: q119's no-self-join pair generation (ONE orderkey
+    * exchange, map-side pair combine) with BOTH orientations emitted
+    * in-row at explode time — a `union` of two references to the pair
+    * frame would replan the whole generation lineage twice (measured:
+    * two corpus scans), while the in-row mirror costs only the
+    * unavoidable 2× pair fan-out in the same single pass. Then a
+    * row_number cut per item — Spark's rank-limit pushdown inserts a
+    * Partial WindowGroupLimit below the item exchange (pinned), so no
+    * task ever sorts an item's full neighbor list corpus-wide.
+    *
+    * Exactness: counts and ranks are integers; ties break on neighbor
+    * id — a total order, so the kept set is bit-identical in both
+    * engines.
+    */
+  private val q197 = QueryDef(
+    (s, d) => {
+      val orders = load(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      val sym = orders
+        .select(explode(flatten(transform(col("parts"), (x, i) =>
+          flatten(transform(
+            slice(col("parts"), i + lit(2), size(col("parts"))),
+            y => array(struct(x.as("part"), y.as("neighbor")),
+              struct(y.as("part"), x.as("neighbor")))))))).as("p"))
+        .select(col("p.part"), col("p.neighbor"))
+        .groupBy(col("part"), col("neighbor"))
+        .agg(lcountAll.as("n_orders_pair"))
+        .filter(col("n_orders_pair") >= MinSupport)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("part"))
+        .orderBy(col("n_orders_pair").desc, col("neighbor").asc)
+      sym.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= NeighborK)
+        .select(col("part"), col("neighbor"), col("n_orders_pair"),
+          col("rnk").cast("int").as("rnk"))
+    },
+    Some(s"""WITH i AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                CAST(count(*) AS BIGINT) AS n_orders_pair
+              FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= $MinSupport
+            ), sym AS (
+              SELECT part_a AS part, part_b AS neighbor, n_orders_pair
+              FROM pairs
+              UNION ALL
+              SELECT part_b AS part, part_a AS neighbor, n_orders_pair
+              FROM pairs
+            ), r AS (
+              SELECT part, neighbor, n_orders_pair,
+                ROW_NUMBER() OVER (PARTITION BY part
+                  ORDER BY n_orders_pair DESC, neighbor ASC) AS rnk
+              FROM sym
+            )
+            SELECT part, neighbor, n_orders_pair, CAST(rnk AS INTEGER) AS rnk
+            FROM r WHERE rnk <= $NeighborK"""),
+    "per-item top-K co-purchase neighbors: in-row pairs + group-limited rank [basket]")
+
   def all: Seq[(String, QueryDef)] = Seq(
-    "q119_copurchase_lift" -> q119)
+    "q119_copurchase_lift" -> q119,
+    "q197_item_neighbors" -> q197)
 }

@@ -268,8 +268,95 @@ object Lakehouse {
                 <= 1e-9 * abs(e.var_cents)"""),
     "incremental variance MV: mergeable (n, sum, sumsq) state, derived moments [lakehouse]")
 
+  /** Histogram bucket width of q198's quantile state: $100 in cents.
+    * The percentile answer is exact AT THIS GRANULARITY — the knob a
+    * deployment turns for tighter answers at linearly more state.
+    */
+  private val QBucketCents = 10000L
+
+  /** q198: mergeable QUANTILE state — per-group P50/P90/P99 maintained
+    * incrementally from a fixed-width histogram whose counts fold by
+    * addition (the t-digest role, with zero floats: a bucket count
+    * vector is the simplest mergeable quantile sketch, and its error
+    * contract — exact at bucket granularity — is DETERMINISTIC, which
+    * a centroid digest can't promise cross-engine). Batches land as
+    * (group, bucket, count) partials; refresh is a keyed re-sum; the
+    * read derives each percentile as the first bucket whose running
+    * count reaches ceil(q·n), all in integer arithmetic (ceil via
+    * (q·n + 99) div 100), reported as the bucket's inclusive upper
+    * bound in cents.
+    *
+    * Scale: partials map-side combine to |groups|·|buckets| rows per
+    * batch; the standing state is the same size regardless of history;
+    * the percentile scan is a window over each group's bucket rows
+    * (bounded by the value range / bucket width, never the corpus).
+    */
+  private val q198 = QueryDef(
+    (s, d) => {
+      def partial(batch: DataFrame): DataFrame =
+        batch.groupBy(col("l_returnflag"),
+          (graft.common.Exact.cents(col("l_extendedprice")) / QBucketCents)
+            .cast("long").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+      def merge(a: DataFrame, b: DataFrame): DataFrame =
+        a.unionByName(b).groupBy(col("l_returnflag"), col("bucket"))
+          .agg(sum("cnt").as("cnt"))
+      val li = load(s, d, "lineitem")
+      val hist = (0 until 4)
+        .map(i => partial(li.filter(pmod(col("l_orderkey"), lit(4)) === i)))
+        .reduce(merge)
+      val byGrp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      val cumW = byGrp.orderBy(col("bucket").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val n = sum("cnt").over(byGrp)
+      val withCum = hist
+        .withColumn("cum", sum("cnt").over(cumW))
+        .withColumn("n_rows", n)
+      def kOf(pct: Int) = (lit(pct.toLong) * col("n_rows") + 99L) / 100L
+      def pAt(pct: Int) =
+        min(when(col("cum") >= kOf(pct).cast("long"), col("bucket")))
+      withCum.groupBy(col("l_returnflag"))
+        .agg(max("n_rows").as("n_rows"),
+          graft.common.Exact.lcountAll.as("n_buckets"),
+          ((pAt(50) + 1L) * QBucketCents).as("p50_cents"),
+          ((pAt(90) + 1L) * QBucketCents).as("p90_cents"),
+          ((pAt(99) + 1L) * QBucketCents).as("p99_cents"))
+    },
+    Some(s"""WITH h AS (
+              SELECT l_returnflag,
+                ${graft.common.Exact.centsSql("l_extendedprice")}
+                  // $QBucketCents AS bucket,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY 1, 2
+            ), c AS (
+              SELECT l_returnflag, bucket, cnt,
+                CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+                  ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cum,
+                CAST(SUM(cnt) OVER (PARTITION BY l_returnflag)
+                  AS BIGINT) AS n_rows
+              FROM h
+            )
+            SELECT l_returnflag,
+              CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+              CAST(count(*) AS BIGINT) AS n_buckets,
+              CAST((MIN(CASE WHEN cum >= (50 * n_rows + 99) // 100
+                THEN bucket END) + 1) * $QBucketCents AS BIGINT)
+                AS p50_cents,
+              CAST((MIN(CASE WHEN cum >= (90 * n_rows + 99) // 100
+                THEN bucket END) + 1) * $QBucketCents AS BIGINT)
+                AS p90_cents,
+              CAST((MIN(CASE WHEN cum >= (99 * n_rows + 99) // 100
+                THEN bucket END) + 1) * $QBucketCents AS BIGINT)
+                AS p99_cents
+            FROM c GROUP BY 1"""),
+    "mergeable quantile state: additive histogram, integer percentile derivation [lakehouse]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q105_snapshot_diff" -> q105,
     "q106_incremental_mv" -> q106,
-    "q190_incremental_stats_mv" -> q190)
+    "q190_incremental_stats_mv" -> q190,
+    "q198_quantile_mv" -> q198)
 }

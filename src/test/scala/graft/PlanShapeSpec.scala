@@ -521,4 +521,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).size == 1)
     assert(shuffles("q195_k_anonymity") == 2)
   }
+
+  test("order reconciliation (q196): one orderkey fold; join strategy left to AQE") {
+    // one lineitem fold (the only shuffle we own) + the orders LEFT
+    // join — both sides fact-grain, so NO hint: AQE may broadcast at
+    // toy scale and must be free to shuffle-join at corpus scale.
+    val plan = SparkEntry.queries("q196_order_reconciliation")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 2)
+    assert(shuffles("q196_order_reconciliation") <= 2,
+      s"q196 owns one orderkey exchange (+ at most the AQE join):\n$plan")
+  }
+
+  test("item neighbors (q197): ONE corpus scan; rank cut group-limits below the window") {
+    // both pair orientations are emitted in-row at explode time — a
+    // union of two references to the pair frame would replan the whole
+    // generation lineage twice (measured: 2 scans). The top-K cut must
+    // show WindowGroupLimit (Partial below the part exchange) so no
+    // task ever sorts an item's full corpus-wide neighbor list.
+    val plan = SparkEntry.queries("q197_item_neighbors")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"q197 must generate both orientations in ONE pass:\n$plan")
+    assert("WindowGroupLimit".r.findAllIn(plan).nonEmpty,
+      s"q197's rank cut must push a group limit below the window:\n$plan")
+    assert(shuffles("q197_item_neighbors") == 3)
+  }
+
+  test("quantile MV (q198): four batch partials + one merge fold + the bucket window") {
+    assert(shuffles("q198_quantile_mv") <= 5)
+  }
+
+  test("FD audit (q199): one scan per candidate table; A-distinct folds from the pair frame") {
+    val plan = SparkEntry.queries("q199_fd_audit")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 5,
+      s"q199 must scan each candidate table exactly once:\n$plan")
+    assert(shuffles("q199_fd_audit") <= 10)
+  }
 }
