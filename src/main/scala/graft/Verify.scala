@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated name filter] — the
+    // optional third arg restricts the dump to the named queries for
+    // fast local iteration; the driver always passes exactly two.
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,13 +20,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-    }
     // JSON escaping lives in one place (graft.common.JsonIO) — a tab or
     // CR in builder-authored SQL must not break the driver's json.load.
     // Pair-level derived oracles reference the engine's own emitted
@@ -31,8 +38,10 @@ object Verify {
     val absOut = new java.io.File(outDir).getAbsolutePath
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       graft.common.JsonIO.render(
-        SparkEntry.oracleSql.map { case (k, v) =>
-          k -> (v.replace(QueryDef.OutDirToken, absOut): Any) }))
+        SparkEntry.oracleSql
+          .filter { case (k, _) => only.forall(_.contains(k)) }
+          .map { case (k, v) =>
+            k -> (v.replace(QueryDef.OutDirToken, absOut): Any) }))
     spark.stop()
   }
 }

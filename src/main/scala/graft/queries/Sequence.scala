@@ -170,8 +170,216 @@ object Sequence {
             FROM paths GROUP BY 1"""),
     "top onboarding paths: rank-capped prefix, bounded per-user state [sequence]")
 
+  /** Stationary-distribution scale (micro-units) and fixed iteration
+    * count. π⁰ is uniform at [[PiScale]]; each step folds
+    * (π_i·n_ij) div total_i — pure i64 (bounds: π ≤ |types|·S and
+    * n ≤ corpus rows, so the product stays under 2^63 up to ~10^11
+    * transitions per cell).
+    */
+  private val PiScale = 1000000L
+  private val PiIters = 3
+
+  /** q200: stationary distribution of the event-type Markov chain —
+    * fixed-round integer power iteration over q117's transition
+    * matrix. Product reads this as "where does a user's session settle
+    * long-run"; anomaly baselines read it as the expected type mix.
+    * Fixed rounds + integer div = defined cross-engine semantics
+    * (q140's PageRank precedent; float power iteration is partial-
+    * order-dependent and can't be hash-compared).
+    *
+    * Scale: ONE user exchange builds the pair counts (map-side
+    * combined to ≤|types|² rows); the chain closes on from-states and
+    * row-normalizes AFTER the closure so truncated to-only states
+    * can't leak mass. The tiny matrix localCheckpoints (q192's cut) so
+    * the statically-unrolled iterations replan nothing — each round is
+    * a join of two ≤|types|-row frames, never a corpus touch.
+    */
+  private val q200 = QueryDef(
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(lcountAll.as("n"))
+      val states = pairs.select(col("event_type")).distinct()
+      val t = pairs
+        .join(states.select(col("event_type").as("next_type")), "next_type")
+        .withColumn("from_total",
+          sum(col("n")).over(Window.partitionBy(col("event_type"))))
+        .localCheckpoint()
+      var pi = t.select(col("event_type").as("node")).distinct()
+        .withColumn("r", lit(PiScale))
+      for (_ <- 1 to PiIters) {
+        pi = t
+          .join(pi.withColumnRenamed("node", "event_type"), "event_type")
+          .select(col("next_type"),
+            expr("(r * n) div from_total").as("contrib"))
+          .groupBy(col("next_type"))
+          .agg(sum(col("contrib")).as("r"))
+          .select(col("next_type").as("node"), col("r"))
+      }
+      pi.select(col("node").as("event_type"), col("r").as("pi_scaled"),
+        (col("r").cast("double") / lit(PiScale.toDouble)).as("pi"))
+    },
+    Some(s"""WITH seq AS (
+              SELECT event_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC) AS next_type
+              FROM events
+            ), pairs AS (
+              SELECT event_type, next_type,
+                CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+            ), st AS (
+              SELECT DISTINCT event_type FROM pairs
+            ), t AS (
+              SELECT p.event_type, p.next_type, p.n,
+                CAST(SUM(p.n) OVER (PARTITION BY p.event_type) AS BIGINT)
+                  AS from_total
+              FROM pairs p JOIN st ON p.next_type = st.event_type
+            ), pi0 AS (
+              SELECT event_type AS node, CAST($PiScale AS BIGINT) AS r
+              FROM st
+            ), pi1 AS (
+              SELECT t.next_type AS node,
+                CAST(SUM((pi0.r * t.n) // t.from_total) AS BIGINT) AS r
+              FROM t JOIN pi0 ON t.event_type = pi0.node GROUP BY 1
+            ), pi2 AS (
+              SELECT t.next_type AS node,
+                CAST(SUM((pi1.r * t.n) // t.from_total) AS BIGINT) AS r
+              FROM t JOIN pi1 ON t.event_type = pi1.node GROUP BY 1
+            ), pi3 AS (
+              SELECT t.next_type AS node,
+                CAST(SUM((pi2.r * t.n) // t.from_total) AS BIGINT) AS r
+              FROM t JOIN pi2 ON t.event_type = pi2.node GROUP BY 1
+            )
+            SELECT node AS event_type, r AS pi_scaled,
+              CAST(r AS DOUBLE) / $PiScale.0 AS pi
+            FROM pi3"""),
+    "Markov stationary distribution: fixed-round integer power iteration [sequence]")
+
+  /** Holdout horizon of q201's temporal split, in days before the
+    * corpus watermark.
+    */
+  private val EvalHoldoutDays = 7
+
+  /** q201: next-event prediction evaluation under a TEMPORAL split —
+    * train the argmax transition model on pairs completing before the
+    * split day, score top-1 accuracy on pairs completing after. The
+    * sequence-model baseline eval every session-prediction project
+    * starts from; the time split (never random) is what makes it
+    * honest — the model can only use the past.
+    *
+    * Scale: ONE corpus pass — the split flag joins the pair key, so a
+    * single (from, next, is_train) aggregate (map-side combined to
+    * ≤2·|types|² rows after one user exchange; the split day rides in
+    * as a 1-row broadcast) serves BOTH the train fold and the eval
+    * fold as filters over the checkpointed tiny frame (two consumers
+    * of the same corpus lineage would otherwise replan the window
+    * scan twice — measured 4 scans → 0 visible). The model pick is a
+    * row_number over the tiny train frame; ties break on next_type
+    * asc (total order, bit-identical pick cross-engine).
+    *
+    * Exactness: counts are integers; top1_acc is one long/long
+    * division. From-states unseen in training evaluate with a NULL
+    * prediction and zero hits, never dropped.
+    */
+  private val q201 = QueryDef(
+    (s, d) => {
+      val ev = load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val ref = ev.agg(
+        date_sub(max(col("ts")).cast("date"), EvalHoldoutDays)
+          .cast("timestamp").as("split_ts"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val agg = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .crossJoin(broadcast(ref))
+        .groupBy(col("event_type"), col("next_type"),
+          (col("next_ts") < col("split_ts")).as("is_train"))
+        .agg(lcountAll.as("n"))
+        .localCheckpoint()
+      val train = agg.filter(col("is_train"))
+        .select(col("event_type"), col("next_type"),
+          col("n").as("n_train"))
+      val byFrom = Window.partitionBy(col("event_type"))
+      val model = train
+        .withColumn("n_train_pairs", sum(col("n_train")).over(byFrom))
+        .withColumn("rk", row_number().over(
+          byFrom.orderBy(col("n_train").desc, col("next_type").asc)))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("next_type").as("pred_next"),
+          col("n_train_pairs"))
+      agg.filter(!col("is_train"))
+        .select(col("event_type"), col("next_type"),
+          col("n").as("n_pairs"))
+        .join(model, Seq("event_type"), "left")
+        .groupBy(col("event_type"))
+        .agg(
+          first(col("pred_next")).as("pred_next"),
+          coalesce(first(col("n_train_pairs")), lit(0L)).as("n_train_pairs"),
+          sum(col("n_pairs")).as("n_test_pairs"),
+          sum(when(col("next_type") === col("pred_next"), col("n_pairs"))
+            .otherwise(0L)).as("n_hits"))
+        .withColumn("top1_acc",
+          col("n_hits").cast("double") / col("n_test_pairs").cast("double"))
+    },
+    Some(s"""WITH ref AS (
+              SELECT CAST(CAST(max(ts) AS DATE) - $EvalHoldoutDays
+                AS TIMESTAMP) AS split_ts
+              FROM events
+            ), seq AS (
+              SELECT event_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC) AS next_type,
+                LEAD(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC) AS next_ts
+              FROM events
+            ), train AS (
+              SELECT event_type, next_type,
+                CAST(count(*) AS BIGINT) AS n_train
+              FROM seq, ref
+              WHERE next_type IS NOT NULL AND next_ts < split_ts
+              GROUP BY 1, 2
+            ), model AS (
+              SELECT event_type, next_type AS pred_next,
+                CAST(SUM(n_train) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS n_train_pairs,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY n_train DESC, next_type ASC) AS rk
+              FROM train
+            ), test AS (
+              SELECT event_type, next_type,
+                CAST(count(*) AS BIGINT) AS n_pairs
+              FROM seq, ref
+              WHERE next_type IS NOT NULL AND next_ts >= split_ts
+              GROUP BY 1, 2
+            )
+            SELECT t.event_type,
+              any_value(m.pred_next) AS pred_next,
+              COALESCE(any_value(m.n_train_pairs), 0) AS n_train_pairs,
+              CAST(SUM(t.n_pairs) AS BIGINT) AS n_test_pairs,
+              CAST(SUM(CASE WHEN t.next_type = m.pred_next
+                THEN t.n_pairs ELSE 0 END) AS BIGINT) AS n_hits,
+              CAST(SUM(CASE WHEN t.next_type = m.pred_next
+                THEN t.n_pairs ELSE 0 END) AS DOUBLE) /
+                CAST(SUM(t.n_pairs) AS DOUBLE) AS top1_acc
+            FROM test t
+            LEFT JOIN (SELECT * FROM model WHERE rk = 1) m
+              ON t.event_type = m.event_type
+            GROUP BY 1"""),
+    "next-event eval: temporal split, argmax transition model, top-1 accuracy [sequence]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q117_event_transitions" -> q117,
     "q118_time_decay" -> q118,
-    "q138_event_paths" -> q138)
+    "q138_event_paths" -> q138,
+    "q200_markov_stationary" -> q200,
+    "q201_next_event_eval" -> q201)
 }

@@ -432,10 +432,111 @@ object Stats {
                    CAST(r.n_x * r.n_y AS DOUBLE))) < 1e-12"""),
     "categorical mutual information: joint counts + marginal windows, ln tolerance oracle [stats]")
 
+  /** Exposure window of q202's observational design, in days from the
+    * corpus start; activity strata cap. */
+  private val IpwExposureDays = 7
+  private val IpwStrataCap = 4
+
+  /** q202: stratified / inverse-propensity-weighted uplift readout —
+    * the OBSERVATIONAL counterpart to q142's randomized CUPED. Users
+    * are "treated" if they clicked during the first exposure week;
+    * outcome is any later purchase; confounding by activity is
+    * adjusted by stratifying on the week-1 event count (bucketed by
+    * fives and capped, so strata are bounded and populated). Within a stratum the propensity is the exact
+    * rational n_t/n, and the per-stratum uplift rate_t − rate_c IS the
+    * IPW contribution for that cell — the output keeps the per-stratum
+    * rows (with their integer evidence) rather than folding a corpus-
+    * wide float sum, per the q156 leave-the-sum-to-the-reader rule.
+    *
+    * Scale: the window boundary is a 1-row broadcast; ONE user-keyed
+    * aggregate (map-side combined) builds exposure, treatment and
+    * outcome per user in the same pass; the stratum fold collapses to
+    * ≤[[IpwStrataCap]] rows. Nothing after the first exchange is
+    * corpus-sized.
+    *
+    * Exactness: all evidence is integer counts; rates are single
+    * long/long divisions and the uplift one subtraction (fixed IEEE
+    * chain, direct oracle). Degenerate cells (no treated or no control
+    * users) emit NULL via the q163 integer guard.
+    */
+  private val q202 = QueryDef(
+    (s, d) => {
+      val ev = load(s, d, "events")
+      val ref = ev.agg(
+        date_add(min(col("ts")).cast("date"), IpwExposureDays)
+          .cast("timestamp").as("w1_end"))
+      val users = ev.crossJoin(broadcast(ref))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < col("w1_end"), 1L).otherwise(0L)).as("n_w1"),
+          max(when(col("ts") < col("w1_end") &&
+            col("event_type") === "click", 1L).otherwise(0L)).as("treated"),
+          max(when(col("ts") >= col("w1_end") &&
+            col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchased"))
+        .filter(col("n_w1") > 0L)
+        .withColumn("stratum",
+          least(expr("n_w1 div 5"), lit(IpwStrataCap.toLong)))
+      users.groupBy(col("stratum"))
+        .agg(
+          graft.common.Exact.lcountAll.as("n_users"),
+          sum(col("treated")).as("n_treated"),
+          sum(lit(1L) - col("treated")).as("n_control"),
+          sum(col("treated") * col("purchased")).as("y_treated"),
+          sum((lit(1L) - col("treated")) * col("purchased")).as("y_control"))
+        .withColumn("rate_treated",
+          when(col("n_treated") === 0L, lit(null))
+            .otherwise(col("y_treated").cast("double") /
+              col("n_treated").cast("double")))
+        .withColumn("rate_control",
+          when(col("n_control") === 0L, lit(null))
+            .otherwise(col("y_control").cast("double") /
+              col("n_control").cast("double")))
+        .withColumn("uplift", col("rate_treated") - col("rate_control"))
+    },
+    Some(s"""WITH ref AS (
+              SELECT CAST(CAST(min(ts) AS DATE) + $IpwExposureDays
+                AS TIMESTAMP) AS w1_end
+              FROM events
+            ), users AS (
+              SELECT user_id,
+                SUM(CASE WHEN ts < w1_end THEN 1 ELSE 0 END) AS n_w1,
+                MAX(CASE WHEN ts < w1_end AND event_type = 'click'
+                  THEN 1 ELSE 0 END) AS treated,
+                MAX(CASE WHEN ts >= w1_end AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS purchased
+              FROM events, ref GROUP BY 1
+            ), strat AS (
+              SELECT LEAST(n_w1 // 5, $IpwStrataCap) AS stratum, treated,
+                purchased
+              FROM users WHERE n_w1 > 0
+            )
+            SELECT CAST(stratum AS BIGINT) AS stratum,
+              CAST(count(*) AS BIGINT) AS n_users,
+              CAST(SUM(treated) AS BIGINT) AS n_treated,
+              CAST(SUM(1 - treated) AS BIGINT) AS n_control,
+              CAST(SUM(treated * purchased) AS BIGINT) AS y_treated,
+              CAST(SUM((1 - treated) * purchased) AS BIGINT) AS y_control,
+              CASE WHEN SUM(treated) = 0 THEN NULL
+                ELSE CAST(SUM(treated * purchased) AS DOUBLE) /
+                  CAST(SUM(treated) AS DOUBLE) END AS rate_treated,
+              CASE WHEN SUM(1 - treated) = 0 THEN NULL
+                ELSE CAST(SUM((1 - treated) * purchased) AS DOUBLE) /
+                  CAST(SUM(1 - treated) AS DOUBLE) END AS rate_control,
+              (CASE WHEN SUM(treated) = 0 THEN NULL
+                ELSE CAST(SUM(treated * purchased) AS DOUBLE) /
+                  CAST(SUM(treated) AS DOUBLE) END) -
+              (CASE WHEN SUM(1 - treated) = 0 THEN NULL
+                ELSE CAST(SUM((1 - treated) * purchased) AS DOUBLE) /
+                  CAST(SUM(1 - treated) AS DOUBLE) END) AS uplift
+            FROM strat GROUP BY 1"""),
+    "stratified IPW uplift: exposure-week treatment, integer evidence, guarded rates [stats]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
     "q143_exact_corr" -> q143,
     "q160_two_proportion" -> q160,
     "q163_ols_by_group" -> q163,
-    "q168_categorical_mi" -> q168)
+    "q168_categorical_mi" -> q168,
+    "q202_ipw_uplift" -> q202)
 }

@@ -559,4 +559,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q199 must scan each candidate table exactly once:\n$plan")
     assert(shuffles("q199_fd_audit") <= 10)
   }
+
+  test("stationary distribution (q200): iterations run on the checkpointed matrix, not the corpus") {
+    // the |types|²-row transition matrix localCheckpoints (q192's
+    // lineage cut) — without it the 3 unrolled iterations replan the
+    // whole corpus pair generation each round. Visible plan: tiny
+    // joins/folds only, ZERO parquet scans.
+    val plan = SparkEntry.queries("q200_markov_stationary")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).isEmpty,
+      s"q200 iterations must not replan the corpus:\n$plan")
+    assert(shuffles("q200_markov_stationary") <= 5)
+  }
+
+  test("next-event eval (q201): ONE corpus pass serves both the train and eval folds") {
+    // train/test both filter the checkpointed (from, next, is_train)
+    // aggregate — two consumers of the raw pair lineage would replan
+    // the window scan twice (measured: 4 scans before the rework).
+    val plan = SparkEntry.queries("q201_next_event_eval")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).isEmpty,
+      s"q201 folds must consume the checkpointed pair aggregate:\n$plan")
+    assert(shuffles("q201_next_event_eval") <= 2)
+  }
+
+  test("IPW uplift (q202): one user fold builds exposure+treatment+outcome in the same pass") {
+    val plan = SparkEntry.queries("q202_ipw_uplift")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 2,
+      s"q202 is one corpus scan + the 1-row boundary scan:\n$plan")
+    assert(shuffles("q202_ipw_uplift") == 2)
+  }
+
+  test("compaction plan (q203): one size-census fold; binning rides the calendar-bounded frame") {
+    val plan = SparkEntry.queries("q203_compaction_plan")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+    assert(shuffles("q203_compaction_plan") <= 2)
+  }
 }
