@@ -291,38 +291,52 @@ object Lakehouse {
     * the percentile scan is a window over each group's bucket rows
     * (bounded by the value range / bucket width, never the corpus).
     */
+  /** One batch's histogram partial: (group, bucket, cnt) — the
+    * mergeable quantile state (fold by addition). Shared by q198 and
+    * the streaming twin (`streaming.QuantileStream`).
+    */
+  private[graft] def quantilePartial(batch: DataFrame): DataFrame =
+    batch.groupBy(col("l_returnflag"),
+      (graft.common.Exact.cents(col("l_extendedprice")) / QBucketCents)
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Derive per-group P50/90/99 from folded histogram state — integer
+    * arithmetic (ceil via (q·n + 99) div 100), reported as the bucket's
+    * inclusive upper bound in cents.
+    */
+  private[graft] def quantileRead(hist: DataFrame): DataFrame = {
+    val byGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+    val cumW = byGrp.orderBy(col("bucket").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val n = sum("cnt").over(byGrp)
+    val withCum = hist
+      .withColumn("cum", sum("cnt").over(cumW))
+      .withColumn("n_rows", n)
+    def kOf(pct: Int) = (lit(pct.toLong) * col("n_rows") + 99L) / 100L
+    def pAt(pct: Int) =
+      min(when(col("cum") >= kOf(pct).cast("long"), col("bucket")))
+    withCum.groupBy(col("l_returnflag"))
+      .agg(max("n_rows").as("n_rows"),
+        graft.common.Exact.lcountAll.as("n_buckets"),
+        ((pAt(50) + 1L) * QBucketCents).as("p50_cents"),
+        ((pAt(90) + 1L) * QBucketCents).as("p90_cents"),
+        ((pAt(99) + 1L) * QBucketCents).as("p99_cents"))
+  }
+
   private val q198 = QueryDef(
     (s, d) => {
-      def partial(batch: DataFrame): DataFrame =
-        batch.groupBy(col("l_returnflag"),
-          (graft.common.Exact.cents(col("l_extendedprice")) / QBucketCents)
-            .cast("long").as("bucket"))
-          .agg(count(lit(1)).as("cnt"))
       def merge(a: DataFrame, b: DataFrame): DataFrame =
         a.unionByName(b).groupBy(col("l_returnflag"), col("bucket"))
           .agg(sum("cnt").as("cnt"))
       val li = load(s, d, "lineitem")
       val hist = (0 until 4)
-        .map(i => partial(li.filter(pmod(col("l_orderkey"), lit(4)) === i)))
+        .map(i => quantilePartial(
+          li.filter(pmod(col("l_orderkey"), lit(4)) === i)))
         .reduce(merge)
-      val byGrp = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag"))
-      val cumW = byGrp.orderBy(col("bucket").asc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val n = sum("cnt").over(byGrp)
-      val withCum = hist
-        .withColumn("cum", sum("cnt").over(cumW))
-        .withColumn("n_rows", n)
-      def kOf(pct: Int) = (lit(pct.toLong) * col("n_rows") + 99L) / 100L
-      def pAt(pct: Int) =
-        min(when(col("cum") >= kOf(pct).cast("long"), col("bucket")))
-      withCum.groupBy(col("l_returnflag"))
-        .agg(max("n_rows").as("n_rows"),
-          graft.common.Exact.lcountAll.as("n_buckets"),
-          ((pAt(50) + 1L) * QBucketCents).as("p50_cents"),
-          ((pAt(90) + 1L) * QBucketCents).as("p90_cents"),
-          ((pAt(99) + 1L) * QBucketCents).as("p99_cents"))
+      quantileRead(hist)
     },
     Some(s"""WITH h AS (
               SELECT l_returnflag,
