@@ -589,6 +589,89 @@ object Events {
             FROM agg"""),
     "deadline-windowed funnel: per-step time limits + exact latencies [events]")
 
+  /** Bot screen thresholds: a session is machine-like when it has at
+    * least [[BotMinEvents]] events AND its average inter-event gap is
+    * under 2 s — both checks kept as integer comparisons
+    * (duration < 2·(n−1)) so the flag is bit-identical cross-engine.
+    */
+  private val BotMinEvents = 20L
+
+  /** q206: behavioral bot screen over the session frame — per user,
+    * how many of their sessions look machine-generated (high event
+    * count at sub-human inter-event cadence) and what share of their
+    * event volume those sessions carry. The abuse/automation filter a
+    * clickstream corpus runs BEFORE the data feeds ranking or
+    * training — bot traffic is the classic silent poisoner of
+    * engagement features and behavioral-embedding corpora (q204's
+    * pairs, q117's transitions).
+    *
+    * Scale: rides q42's session fold — ONE user_id exchange builds
+    * sessions (lag + running sum, streaming window state), the flag is
+    * per-row map work over the session frame, and the user rollup
+    * reuses the SAME user partitioning, so no second data-sized
+    * exchange exists. Emits every user (zero bot sessions included):
+    * the screen's consumer joins it as a feature, and absence-vs-zero
+    * ambiguity is exactly what a quality gate must not have.
+    *
+    * Exactness: counts are i64; the one division is of identical
+    * longs (IEEE-exact both engines).
+    */
+  private val q206 = QueryDef(
+    (s, d) => {
+      val flagged = sessions(s, d)
+        .withColumn("dur_s",
+          unix_timestamp(col("session_end")) -
+            unix_timestamp(col("session_start")))
+        .withColumn("is_bot",
+          col("n_events") >= BotMinEvents &&
+            col("dur_s") < (col("n_events") - 1L) * 2L)
+      flagged.groupBy(col("user_id"))
+        .agg(
+          lcountAll.as("n_sessions"),
+          sum(when(col("is_bot"), 1L).otherwise(0L)).as("n_bot_sessions"),
+          sum(col("n_events")).as("n_events_total"),
+          sum(when(col("is_bot"), col("n_events")).otherwise(0L))
+            .as("n_events_bot"))
+        .withColumn("bot_event_share",
+          col("n_events_bot").cast("double") /
+            col("n_events_total").cast("double"))
+    },
+    Some(s"""WITH marked AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), sess AS (
+              SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM marked
+            ), per_sess AS (
+              SELECT user_id, session_seq,
+                MIN(ts) AS s0, MAX(ts) AS s1,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM sess GROUP BY 1, 2
+            ), flagged AS (
+              SELECT user_id, n_events,
+                CASE WHEN n_events >= $BotMinEvents
+                       AND date_diff('second', s0, s1) < (n_events - 1) * 2
+                     THEN 1 ELSE 0 END AS is_bot
+              FROM per_sess
+            )
+            SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_sessions,
+              CAST(SUM(is_bot) AS BIGINT) AS n_bot_sessions,
+              CAST(SUM(n_events) AS BIGINT) AS n_events_total,
+              CAST(SUM(CASE WHEN is_bot = 1 THEN n_events ELSE 0 END)
+                AS BIGINT) AS n_events_bot,
+              CAST(SUM(CASE WHEN is_bot = 1 THEN n_events ELSE 0 END)
+                  AS DOUBLE) / CAST(SUM(n_events) AS DOUBLE)
+                AS bot_event_share
+            FROM flagged GROUP BY 1"""),
+    "session bot screen: cadence flag on the q42 fold, one user exchange [events]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q41_events_hourly" -> q41,
     "q127_sliding_window" -> q127,
@@ -601,5 +684,6 @@ object Events {
     "q78_event_streaks" -> q78,
     "q80_date_spine" -> q80,
     "q184_browse_abandonment" -> q184,
-    "q188_retention_curve" -> q188)
+    "q188_retention_curve" -> q188,
+    "q206_bot_sessions" -> q206)
 }

@@ -148,7 +148,68 @@ object Layout {
             FROM binned GROUP BY 1"""),
     "compaction bin-packing plan: date-ordered first-fit, integer size census [layout]")
 
+  /** Heavy keys surfaced by the skew profile. */
+  private val SkewTopK = 20
+
+  /** q207: join-key skew profile over `events.user_id` — the key every
+    * per-user operator in this engine shuffles on. Emits the TopK
+    * heaviest keys with their row share and the salt factor
+    * (ceil(cnt/avg)) a skew-mitigation pass (operators.SkewJoin /
+    * q124's salting) would replicate the build side by — the planning
+    * evidence BEFORE a 100-TB shuffle keels over on one hot key,
+    * where q124 is the mitigation and AQE skew-join the runtime
+    * backstop.
+    *
+    * Scale: the key census is one map-side-combined fold; the TopK cut
+    * is `orderBy.limit` → TakeOrderedAndProject (per-partition heaps +
+    * driver merge of K rows, NEVER a global sort — the q14 contract);
+    * the census stats ride onto the 20-row frame as a 1-row broadcast.
+    *
+    * Exactness: pure i64 (counts, ppm shares, div ratios); avg ≥ 1 by
+    * construction (every censused key has ≥ 1 row), so no zero-divide
+    * guard is needed.
+    */
+  private val q207 = QueryDef(
+    (s, d) => {
+      val counts = load(s, d, "events")
+        .groupBy(col("user_id").as("key"))
+        .agg(graft.common.Exact.lcountAll.as("cnt"))
+      val stats = counts.agg(
+        sum(col("cnt")).as("total_rows"),
+        graft.common.Exact.lcountAll.as("n_keys"))
+      counts.orderBy(col("cnt").desc, col("key").asc).limit(SkewTopK)
+        .crossJoin(broadcast(stats))
+        .withColumn("avg_per_key", expr("total_rows div n_keys"))
+        .select(col("key"), col("cnt"), col("total_rows"), col("n_keys"),
+          col("avg_per_key"),
+          expr("(cnt * 1000000) div total_rows").as("share_ppm"),
+          expr("cnt div avg_per_key").as("skew_x"),
+          expr("(cnt + avg_per_key - 1) div avg_per_key").as("salt_factor"))
+    },
+    Some(s"""WITH c AS (
+              SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1
+            ), st AS (
+              SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+                CAST(count(*) AS BIGINT) AS n_keys
+              FROM c
+            ), top AS (
+              SELECT key, cnt FROM c
+              ORDER BY cnt DESC, key ASC LIMIT $SkewTopK
+            )
+            SELECT t.key, t.cnt, st.total_rows, st.n_keys,
+              CAST(st.total_rows // st.n_keys AS BIGINT) AS avg_per_key,
+              CAST((t.cnt * 1000000) // st.total_rows AS BIGINT)
+                AS share_ppm,
+              CAST(t.cnt // (st.total_rows // st.n_keys) AS BIGINT)
+                AS skew_x,
+              CAST((t.cnt + st.total_rows // st.n_keys - 1) //
+                (st.total_rows // st.n_keys) AS BIGINT) AS salt_factor
+            FROM top t, st"""),
+    "join-key skew profile: census fold, TakeOrdered cut, salt factors [layout]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q95_zorder_key" -> q95,
-    "q203_compaction_plan" -> q203)
+    "q203_compaction_plan" -> q203,
+    "q207_skew_profile" -> q207)
 }

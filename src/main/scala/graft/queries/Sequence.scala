@@ -376,10 +376,71 @@ object Sequence {
             GROUP BY 1"""),
     "next-event eval: temporal split, argmax transition model, top-1 accuracy [sequence]")
 
+  /** Skip-gram context radius (positions ahead) and the integer weight
+    * scale: a pair at distance k contributes `WeightScale div k` — the
+    * word2vec-style 1/k distance discount, kept in scaled integers so
+    * the weighted count folds exactly in any partial-aggregate order.
+    */
+  private val SkipWindow = 3
+  private val WeightScale = 1000000L
+
+  /** q204: skip-gram co-occurrence pairs over per-user event sequences —
+    * the (center, context) count table embedding trainers consume
+    * (word2vec/item2vec on behavioral data), generalizing q117's
+    * adjacent-only transitions to a ±K context with distance weighting.
+    *
+    * Scale: NO per-user array materialization and NO self-join — the K
+    * context positions come from K `lead()` columns over ONE user_id
+    * exchange (Spark evaluates all leads in a single window pass with
+    * O(K) buffered rows per user, regardless of history length), the
+    * in-row array/explode fans each event to ≤K pairs, and the pair
+    * aggregate map-side combines down to ≤|types|² rows before its
+    * exchange. The rank-distance self-join alternative shuffles the
+    * fact table twice; this shape pays the one exchange any per-user
+    * operator pays.
+    *
+    * Exactness: counts and `div`-scaled weights are pure i64.
+    */
+  private val q204 = QueryDef(
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val contexts = array((1 to SkipWindow).map(k =>
+        struct(lead(col("event_type"), k).over(byUser).as("b"),
+          lit(k.toLong).as("dist"))): _*)
+      load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("ctx", contexts)
+        .select(col("event_type").as("a"), explode(col("ctx")).as("p"))
+        .filter(col("p.b").isNotNull)
+        .groupBy(col("a"), col("p.b").as("b"))
+        .agg(lcountAll.as("n_pairs"),
+          sum(expr(s"$WeightScale div p.dist")).as("w_scaled"))
+    },
+    Some(s"""WITH seq AS (
+              SELECT event_type AS a,
+                LEAD(event_type, 1) OVER w AS b1,
+                LEAD(event_type, 2) OVER w AS b2,
+                LEAD(event_type, 3) OVER w AS b3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), flat AS (
+              SELECT a, b1 AS b, 1 AS dist FROM seq WHERE b1 IS NOT NULL
+              UNION ALL
+              SELECT a, b2, 2 FROM seq WHERE b2 IS NOT NULL
+              UNION ALL
+              SELECT a, b3, 3 FROM seq WHERE b3 IS NOT NULL
+            )
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(SUM($WeightScale // dist) AS BIGINT) AS w_scaled
+            FROM flat GROUP BY 1, 2"""),
+    "skip-gram pairs: K leads over one user exchange, integer 1/k weights [sequence]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q117_event_transitions" -> q117,
     "q118_time_decay" -> q118,
     "q138_event_paths" -> q138,
     "q200_markov_stationary" -> q200,
-    "q201_next_event_eval" -> q201)
+    "q201_next_event_eval" -> q201,
+    "q204_skipgram_pairs" -> q204)
 }

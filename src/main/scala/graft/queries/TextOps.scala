@@ -482,6 +482,100 @@ object TextOps {
             FROM t GROUP BY 1"""),
     "inverted index: exact df + capped sorted posting heads [text-analysis]")
 
+  /** Pairs below this document count carry no PMI signal and are the
+    * bulk of the pair space — cutting them inside the aggregate bounds
+    * the output (the q119 MinSupport discipline).
+    */
+  private val PmiMinPairs = 3L
+
+  /** q205: pointwise mutual information over the distinctive-term
+    * pairs — PMI = ln(P(a,b)/(P(a)P(b))) on document-level presence,
+    * the association score collocation extraction / phrase mining
+    * reads where q83's raw count conflates "common together" with
+    * "common everywhere".
+    *
+    * Scale: the pair source is q83's — each doc contributes C(5,2)
+    * pairs by construction, one doc-keyed self-join on 5-row groups.
+    * The marginal df frame is vocabulary-proportional, so its two
+    * join-backs are UNHINTED (AQE broadcasts while it fits —
+    * BroadcastLintSpec's invariant); only the 1-row doc total is a
+    * forced broadcast.
+    *
+    * Float parity: the one ln() is transcendental, so the oracle is
+    * the derived-contract kind — but driven from the full recomputed
+    * row set (ref LEFT JOIN emitted), so a MISSING Spark row surfaces
+    * as an oracle row with a sentinel pmi (count mismatch), not a
+    * silently smaller mirror; integer evidence must match bit-exactly
+    * and pmi within 1e-9.
+    */
+  private val q205 = QueryDef(
+    (s, d) => {
+      val t = distinctiveTerms(s, d).select("doc_id", "term")
+      val pairs = t.as("a").join(t.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= PmiMinPairs)
+      val dfm = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nd = t.agg(countDistinct(col("doc_id")).cast("long").as("n_docs"))
+      pairs
+        .join(dfm.select(col("term").as("term_a"), col("df").as("df_a")),
+          "term_a")
+        .join(dfm.select(col("term").as("term_b"), col("df").as("df_b")),
+          "term_b")
+        .crossJoin(broadcast(nd))
+        .withColumn("pmi",
+          log((col("n_pair") * col("n_docs")).cast("double") /
+            (col("df_a") * col("df_b")).cast("double")))
+        .select("term_a", "term_b", "n_pair", "df_a", "df_b", "n_docs",
+          "pmi")
+    },
+    Some(s"""WITH terms AS (
+              SELECT doc_id, unnest($WordsSql) AS term FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), top5 AS (
+              SELECT doc_id, term
+              FROM (SELECT tf.doc_id, tf.term,
+                      ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                        ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rn
+                    FROM tf JOIN dfq USING (term))
+              WHERE rn <= 5
+            ), pr AS (
+              SELECT a.term AS term_a, b.term AS term_b,
+                CAST(count(*) AS BIGINT) AS n_pair
+              FROM top5 a JOIN top5 b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2 HAVING count(*) >= $PmiMinPairs
+            ), mg AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM top5 GROUP BY 1
+            ), nd AS (
+              SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM top5
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q205_term_pmi/*.parquet')
+            )
+            SELECT p.term_a, p.term_b, p.n_pair,
+              da.df AS df_a, db.df AS df_b, nd.n_docs,
+              CASE WHEN abs(e.pmi -
+                  ln(CAST(p.n_pair * nd.n_docs AS DOUBLE) /
+                     CAST(da.df * db.df AS DOUBLE))) < 1e-9
+                THEN e.pmi ELSE -999.0 END AS pmi
+            FROM pr p
+            JOIN mg da ON p.term_a = da.term
+            JOIN mg db ON p.term_b = db.term
+            CROSS JOIN nd
+            LEFT JOIN emitted e ON e.term_a = p.term_a
+              AND e.term_b = p.term_b AND e.n_pair = p.n_pair
+              AND e.df_a = da.df AND e.df_b = db.df
+              AND e.n_docs = nd.n_docs"""),
+    "term-pair PMI: doc-presence marginals, ref-driven tolerance oracle [text-analysis]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q30_text_tokens" -> q30,
     "q31_text_quality" -> q31,
@@ -493,5 +587,6 @@ object TextOps {
     "q70_repetition" -> q70,
     "q83_term_cooccurrence" -> q83,
     "q110_char_entropy" -> q110,
-    "q113_inverted_index" -> q113)
+    "q113_inverted_index" -> q113,
+    "q205_term_pmi" -> q205)
 }

@@ -597,4 +597,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).size == 1)
     assert(shuffles("q203_compaction_plan") <= 2)
   }
+
+  test("skip-gram pairs (q204): K leads share one user exchange; pairs combine map-side") {
+    // exchange 1 orders each user's history for the window (all K
+    // leads evaluate in that single pass); exchange 2 moves the
+    // already-combined ≤|types|² pair partials — a rank-distance
+    // self-join would shuffle the corpus twice instead
+    assert(shuffles("q204_skipgram_pairs") == 2)
+  }
+
+  test("bot screen (q206): the user rollup reuses the session window's partitioning") {
+    // sessionization's user_id exchange is the ONLY shuffle — the
+    // per-user aggregate sits on the same partitioning, so adding the
+    // screen to q42's fold costs zero additional data movement
+    assert(shuffles("q206_bot_sessions") == 1)
+  }
+
+  test("skew profile (q207): TakeOrdered cut, never a global sort") {
+    val plan = SparkEntry.queries("q207_skew_profile")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q207's top-K must be a per-partition heap merge:\n$plan")
+    assert(shuffles("q207_skew_profile") <= 2)
+  }
 }
