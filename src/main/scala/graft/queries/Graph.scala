@@ -247,7 +247,186 @@ object Graph {
             FROM deg d LEFT JOIN pn ON d.x = pn.node"""),
     "oriented triangle count + clustering coefficient per part [graph]")
 
+  /** k-core threshold and the fixed peel-round count (the q140/q200
+    * fixed-iteration discipline: unbounded peeling converges but its
+    * round count is data-dependent, which a cross-engine oracle can't
+    * mirror; R rounds of peeling is a defined, bit-checkable semantics
+    * and in practice within a round or two of the fixpoint).
+    */
+  private val CoreK = 3
+  private val PeelRounds = 3
+
+  /** q208: k-core peel over the co-purchase graph — iteratively drop
+    * nodes with fewer than K surviving neighbors, R rounds, and report
+    * each node that still holds an edge with its original and residual
+    * degree. The dense-substructure filter behind "which items sit in
+    * a tightly co-bought cluster" (recommendation candidate pruning)
+    * and the standard preprocessing cut before community detection.
+    *
+    * Scale: each round is a map-side-combined degree fold plus two
+    * hash joins against a |V|-row survivor list, and the round's
+    * shrinking edge frame MATERIALIZES (localCheckpoint) before the
+    * next — the Pregel superstep discipline. Without the cut, each
+    * round references its predecessor three times (degree fold + two
+    * join sides), so the unrolled lineage grows ~3^R and the executed
+    * plan re-derives the base edges dozens of times (measured: 112
+    * embedded scans → 0; GraphX materializes supersteps for exactly
+    * this reason). The base frame is the memoized cached edge list
+    * shared by all four graph queries.
+    *
+    * Exactness: membership and degrees are pure integer set algebra.
+    */
+  private val q208 = QueryDef(
+    (s, d) => {
+      val base = degreeEdges(s, d)
+      var e = base.select(col("u"), col("v"))
+      for (_ <- 1 to PeelRounds) {
+        val survivors = e.groupBy(col("u")).agg(lcountAll.as("deg"))
+          .filter(col("deg") >= CoreK)
+          .select(col("u"))
+        e = e.join(survivors, "u")
+          .join(survivors.select(col("u").as("v")), "v")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+      }
+      val deg0 = base.groupBy(col("u")).agg(first(col("deg")).as("deg0"))
+      e.groupBy(col("u")).agg(lcountAll.as("deg_core"))
+        .join(deg0, "u")
+        .select(col("u").as("part"), col("deg0"), col("deg_core"))
+    },
+    Some(s"""WITH i AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+              SELECT a.l_partkey AS u, b.l_partkey AS v
+              FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= $MinSupport
+            ), e0 AS (
+              SELECT u, v FROM pairs
+              UNION ALL SELECT v AS u, u AS v FROM pairs
+            ), d0 AS (
+              SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY 1
+            ), s1 AS (
+              SELECT u FROM d0 WHERE deg >= $CoreK
+            ), e1 AS (
+              SELECT e.u, e.v FROM e0 e
+              JOIN s1 a ON e.u = a.u JOIN s1 b ON e.v = b.u
+            ), s2 AS (
+              SELECT u FROM (SELECT u, count(*) AS deg FROM e1 GROUP BY 1)
+              WHERE deg >= $CoreK
+            ), e2 AS (
+              SELECT e.u, e.v FROM e1 e
+              JOIN s2 a ON e.u = a.u JOIN s2 b ON e.v = b.u
+            ), s3 AS (
+              SELECT u FROM (SELECT u, count(*) AS deg FROM e2 GROUP BY 1)
+              WHERE deg >= $CoreK
+            ), e3 AS (
+              SELECT e.u, e.v FROM e2 e
+              JOIN s3 a ON e.u = a.u JOIN s3 b ON e.v = b.u
+            )
+            SELECT e3.u AS part, d0.deg AS deg0,
+              CAST(count(*) AS BIGINT) AS deg_core
+            FROM e3 JOIN d0 ON e3.u = d0.u
+            GROUP BY 1, 2"""),
+    "k-core peel: fixed rounds over the memoized edge frame [graph]")
+
+  /** q210: degree assortativity of the co-purchase graph — the Pearson
+    * correlation of endpoint degrees over the directed edge list (each
+    * undirected edge counted both ways, the standard convention). One
+    * number that says whether hub items co-sell with hubs (r > 0,
+    * rich-club catalog) or with the long tail (r < 0) — which decides
+    * whether q124-style salting or q157's degree orientation is the
+    * binding concern at scale.
+    *
+    * Scale: one |E| join attaches the destination degree to the
+    * memoized edge frame, then a single map-side-combined 6-moment
+    * fold to ONE row. Products stay i64 up to deg²·|E| ~ 2^63; the
+    * cross-moment combination happens in DECIMAL(38,0) (the q176
+    * discipline).
+    *
+    * Float parity: r needs sqrt, so the oracle is ref-driven derived:
+    * the six integer moments must match bit-exactly, zero-variance
+    * degenerates to NULL on the EXACT decimal guard (the q163
+    * lesson), and r is admitted within 1e-12.
+    */
+  private val q210 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val ed = degreeEdges(s, d)
+      val degv = ed.groupBy(col("u")).agg(first(col("deg")).as("dv"))
+        .withColumnRenamed("u", "v")
+      val m = ed.join(degv, "v")
+        .select(col("deg").as("x"), col("dv").as("y"))
+        .agg(
+          lcountAll.as("m"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val num = col("m").cast(dec) * col("sxy").cast(dec) -
+        col("sx").cast(dec) * col("sy").cast(dec)
+      val denx = col("m").cast(dec) * col("sxx").cast(dec) -
+        col("sx").cast(dec) * col("sx").cast(dec)
+      val deny = col("m").cast(dec) * col("syy").cast(dec) -
+        col("sy").cast(dec) * col("sy").cast(dec)
+      m.select(col("m"), col("sx"), col("sy"), col("sxx"), col("syy"),
+        col("sxy"),
+        when(denx === lit(0).cast(dec) || deny === lit(0).cast(dec),
+          lit(null).cast("double"))
+          .otherwise(num.cast("double") /
+            sqrt(denx.cast("double") * deny.cast("double"))).as("r"))
+    },
+    Some(s"""WITH i AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+              SELECT a.l_partkey AS u, b.l_partkey AS v
+              FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= $MinSupport
+            ), e AS (
+              SELECT u, v FROM pairs
+              UNION ALL SELECT v AS u, u AS v FROM pairs
+            ), dg AS (
+              SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+            ), xy AS (
+              SELECT du.deg AS x, dv.deg AS y
+              FROM e JOIN dg du ON e.u = du.u JOIN dg dv ON e.v = dv.u
+            ), ref AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                CAST(SUM(x) AS BIGINT) AS sx,
+                CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx,
+                CAST(SUM(y * y) AS BIGINT) AS syy,
+                CAST(SUM(x * y) AS BIGINT) AS sxy,
+                CAST(count(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y) -
+                  SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT)) AS num,
+                CAST(count(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x) -
+                  SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)) AS denx,
+                CAST(count(*) AS HUGEINT) * SUM(CAST(y AS HUGEINT) * y) -
+                  SUM(CAST(y AS HUGEINT)) * SUM(CAST(y AS HUGEINT)) AS deny
+              FROM xy
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${QueryDef.OutDirToken}/q210_degree_assortativity/*.parquet')
+            )
+            SELECT r.m, r.sx, r.sy, r.sxx, r.syy, r.sxy,
+              CASE
+                WHEN r.denx = 0 OR r.deny = 0 THEN
+                  CASE WHEN e.r IS NULL THEN NULL ELSE -999.0 END
+                WHEN abs(e.r - CAST(r.num AS DOUBLE) /
+                    sqrt(CAST(r.denx AS DOUBLE) * CAST(r.deny AS DOUBLE)))
+                  < 1e-12 THEN e.r
+                ELSE -999.0 END AS r
+            FROM ref r
+            LEFT JOIN emitted e ON e.m = r.m AND e.sx = r.sx
+              AND e.sy = r.sy AND e.sxx = r.sxx AND e.syy = r.syy
+              AND e.sxy = r.sxy"""),
+    "degree assortativity: exact 6-moment fold, ref-driven sqrt tolerance [graph]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q140_pagerank" -> q140,
-    "q157_triangles" -> q157)
+    "q157_triangles" -> q157,
+    "q208_kcore" -> q208,
+    "q210_degree_assortativity" -> q210)
 }

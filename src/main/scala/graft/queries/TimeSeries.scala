@@ -455,11 +455,93 @@ object TimeSeries {
             FROM j"""),
     "seasonal-naive backtest: calendar t-7 join, integer errors, marginal MAE [time-series]")
 
+  /** q209: CUSUM changepoint scan over daily order revenue — for each
+    * day i, S_i = n·prefix_i − i·total (the cumulative deviation from
+    * the all-period mean, cleared of division by scaling through n),
+    * peaking at the most likely level-shift location; the monitoring
+    * primitive behind "did revenue structurally move, and when".
+    *
+    * Scale: the corpus pays ONE day-keyed fold (map-side combined to
+    * |days| rows, then localCheckpoint — three consumers of the fold
+    * must not become three corpus scans); everything after rides
+    * calendar-bounded frames (the q203 precedent for an unpartitioned
+    * window), including the peak scan as two stacked full-frame
+    * window passes. Integer bounds: n·prefix ≤ |days|·total_cents —
+    * i64-safe to ~10¹⁴ cents of corpus revenue per ~3.6k-day history;
+    * past that the scaled terms switch to DECIMAL(38,0) (the q142
+    * discipline).
+    *
+    * Exactness: pure i64 (cents, indexes, scaled deviations); the
+    * peak flag is an exact integer argmax with earliest-day tiebreak.
+    */
+  private val q209 = QueryDef(
+    (s, d) => {
+      val daily = load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
+          .as("day_cents"))
+        .localCheckpoint()
+      val stats = daily.agg(
+        graft.common.Exact.lcountAll.as("n_days"),
+        sum(col("day_cents")).as("total_cents"))
+      val w = Window.orderBy(col("day").asc)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      daily.crossJoin(broadcast(stats))
+        .withColumn("day_idx", row_number().over(w).cast("long"))
+        .withColumn("prefix_cents", sum(col("day_cents")).over(cum))
+        .withColumn("s_scaled",
+          col("n_days") * col("prefix_cents") -
+            col("day_idx") * col("total_cents"))
+        .withColumn("mxabs", max(abs(col("s_scaled"))).over(full))
+        .withColumn("peak_day",
+          min(when(abs(col("s_scaled")) === col("mxabs"), col("day")))
+            .over(full))
+        .select(col("day"), col("day_cents"), col("day_idx"),
+          col("prefix_cents"), col("s_scaled"),
+          (abs(col("s_scaled")) === col("mxabs") &&
+            col("day") === col("peak_day")).as("is_peak"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS day_cents
+              FROM orders GROUP BY 1
+            ), st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_days,
+                CAST(SUM(day_cents) AS BIGINT) AS total_cents
+              FROM daily
+            ), c AS (
+              SELECT day, day_cents,
+                CAST(ROW_NUMBER() OVER (ORDER BY day ASC) AS BIGINT)
+                  AS day_idx,
+                CAST(SUM(day_cents) OVER (ORDER BY day ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix_cents,
+                n_days, total_cents
+              FROM daily, st
+            ), sc AS (
+              SELECT day, day_cents, day_idx, prefix_cents,
+                n_days * prefix_cents - day_idx * total_cents AS s_scaled
+              FROM c
+            ), m AS (
+              SELECT MAX(ABS(s_scaled)) AS mxabs FROM sc
+            ), p AS (
+              SELECT MIN(day) AS peak_day FROM sc, m
+              WHERE ABS(s_scaled) = mxabs
+            )
+            SELECT day, day_cents, day_idx, prefix_cents,
+              CAST(s_scaled AS BIGINT) AS s_scaled,
+              (ABS(s_scaled) = m.mxabs AND day = p.peak_day) AS is_peak
+            FROM sc, m, p"""),
+    "CUSUM changepoint: scaled integer deviations, exact argmax flag [time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
     "q165_ewma_daily" -> q165,
     "q169_seasonal_decomp" -> q169,
     "q179_rolling_corr" -> q179,
-    "q189_seasonal_naive" -> q189)
+    "q189_seasonal_naive" -> q189,
+    "q209_cusum_changepoint" -> q209)
 }
