@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
   * and the minimum is reported — first execution pays one-time codegen /
   * JIT / file-listing costs that say nothing about the plan's quality;
   * min-of-2 measures steady state while keeping the run short.
+  *
+  * The two repeats are NON-ADJACENT: the whole registry runs as pass 1,
+  * then again as pass 2, and the per-query min is taken across passes.
+  * Adjacent repeats share a contamination window — a transient competitor
+  * that lands on the box inflates both executions of the same query and
+  * the min preserves the inflation (the round-10 recording carried three
+  * 4–7x-inflated rows that way). Separated by the full registry (~40 s at
+  * sf0.1), the same competitor must persist across both passes to survive
+  * the min.
   */
 object Bench {
   /** 1-minute system load average (−1.0 where the JVM can't read it). */
@@ -16,20 +25,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Machine-contamination self-identification: three rounds running,
-    // the recorded bench total was polluted by concurrent load and had
-    // to be forensically discounted against bench_history. Record the
-    // wall clock and the host's 1-minute loadavg at start AND end so any
-    // reader can judge the run's trustworthiness from the JSON alone —
-    // and flag the run "hot" when the start load exceeds half the
-    // benched core count (the level at which per-query times visibly
-    // inflate on this box).
+    // Machine-contamination self-identification, two detectors:
+    //  1. loadavg at start — catches a busy box at launch; recorded in
+    //     the JSON (start AND end) so a reader can judge trust from the
+    //     line alone. Misses a competitor that ARRIVES mid-run (round-10
+    //     false negative: hot_run=false with 4-7x inflated rows).
+    //  2. calibration probe — a fixed ~50 ms all-core Spark job timed at
+    //     start, between the passes, and at end; identical work, so any
+    //     probe >2x the fastest probe means the machine's effective
+    //     capacity CHANGED during the run, which is exactly the case the
+    //     loadavg gate cannot see.
     val startedAt = java.time.Instant.now()
     val loadStart = loadAvg()
-    val hot = loadStart > 0.5 * cpus.toDouble
-    if (hot) System.err.println(
-      s"[bench] WARNING: 1-min loadavg $loadStart > 0.5x$cpus cores at " +
-        "start - times below include machine contention; prefer a quiet rerun")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,27 +44,49 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probe() // warm the probe's codegen/JIT so probe 1 measures the machine
+    val probeStart = probe()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.registry.map { case (name, q) =>
-      // a failed query reports -1, never a flattering time-to-throw; the
-      // exception rides along in the JSON's `errors` map so a red row is
-      // self-diagnosing from BENCH_rN.json alone (stderr is discarded by
-      // the driver's tail-capture)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            errors(name) = s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            return -1.0
-        }
-        (System.nanoTime() - t0) / 1e9
+    // a failed query reports -1, never a flattering time-to-throw; the
+    // exception rides along in the JSON's `errors` map so a red row is
+    // self-diagnosing from BENCH_rN.json alone (stderr is discarded by
+    // the driver's tail-capture)
+    def once(name: String, q: QueryDef): Double = {
+      val t0 = System.nanoTime()
+      try { q.fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          return -1.0
       }
-      val a = once()
-      val t = if (a < 0) a else math.min(a, once())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val byName = SparkEntry.registry.toMap
+    val pass1 = SparkEntry.registry.map { case (name, q) =>
+      name -> once(name, q)
+    }
+    val probeMid = probe()
+    val results = pass1.map { case (name, a) =>
+      val t =
+        if (a < 0) a // errored in pass 1: don't pay a second failure
+        else math.min(a, once(name, byName(name)))
       name -> t
     }
+    val probeEnd = probe()
+    val probes = Seq(probeStart, probeMid, probeEnd)
+    val probeRatio = probes.max / probes.min
+    val hot = loadStart > 0.5 * cpus.toDouble || probeRatio > 2.0
+    if (hot) System.err.println(
+      s"[bench] WARNING: run is contaminated (loadavg_start=$loadStart, " +
+        s"probe ratio=$probeRatio over $probes) - times include machine " +
+        "contention; prefer a quiet rerun")
     // Key order: queries first, summary fields LAST. The harness that
     // collects this output keeps only the final ~2000 characters; with 80
     // queries the map alone is longer than that, so the headline total must
@@ -74,6 +103,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val env = s""""started_at":${jstr(startedAt.toString)},""" +
       s""""load_avg_start":${f(loadStart)},"load_avg_end":${f(loadAvg())},""" +
+      s""""probe_secs":[${probes.map(f).mkString(",")}],""" +
+      s""""probe_ratio":${f(probeRatio)},""" +
       s""""bench_cores":$cpus,"hot_run":$hot"""
     val line =
       s"""{"queries":$qs,"errors":$errJson,$env,"sf":"$sfDir","metric":"total","value":${f(total)},"unit":"sec"}"""

@@ -339,3 +339,58 @@ object ScoreMain {
     }
   }
 }
+
+/** `--table <root> --feed <root> --keys k1[,k2...] --compare c1[,c2...]
+  * --checkpoint <dir>` — change-feed publication as an operational
+  * stage: drain every unpublished commit of the table into the feed
+  * (Trigger.AvailableNow catch-up-and-exit, the CorpusMain `--stream`
+  * shape). Re-running with the same checkpoint publishes only what
+  * landed since — including any commit whose record was still in
+  * flight during the previous drain (the `_PUBLISHED` reconciliation
+  * in `streaming.ChangeFeedStream`).
+  */
+object FeedMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val feedRoot = required(a, "feed")
+    graft.streaming.ChangeFeedStream.publishAvailable(spark,
+      required(a, "table"), feedRoot,
+      required(a, "keys").split(",").toSeq,
+      required(a, "compare").split(",").toSeq,
+      required(a, "checkpoint"))
+    val pairs = graft.streaming.ChangeFeedStream.publishedPairs(feedRoot)
+    val rows =
+      if (pairs.isEmpty) 0L
+      else graft.streaming.ChangeFeedStream.readFeed(spark, feedRoot).count()
+    println(s"[feed] transitions=${pairs.size} rows=$rows")
+  }
+}
+
+/** `--src <dir of landing base-table files> --state <tableRoot>
+  * --checkpoint <dir>` — streaming quantile-MV maintenance as an
+  * operational stage: drain unprocessed base files into the
+  * additively-mergeable histogram state log, then print the served
+  * percentiles (≤|groups| rows — bounded output by construction).
+  * The file-source schema comes from the landed files themselves
+  * (one footer read, no data scan).
+  */
+object QuantileMvMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val state = required(a, "state")
+    graft.streaming.QuantileStream.refreshAvailable(spark,
+      required(a, "src"),
+      spark.read.parquet(required(a, "src")).schema,
+      state, required(a, "checkpoint"))
+    val served = graft.streaming.QuantileStream.readQuantiles(spark, state)
+      .orderBy("l_returnflag").collect()
+    served.foreach { r =>
+      println(s"[quantile_mv] group=${r.getAs[String]("l_returnflag")} " +
+        s"n=${r.getAs[Long]("n_rows")} p50=${r.getAs[Long]("p50_cents")} " +
+        s"p90=${r.getAs[Long]("p90_cents")} p99=${r.getAs[Long]("p99_cents")}")
+    }
+    println(s"[quantile_mv] groups=${served.length}")
+  }
+}

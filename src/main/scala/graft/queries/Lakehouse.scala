@@ -315,9 +315,13 @@ object Lakehouse {
     val withCum = hist
       .withColumn("cum", sum("cnt").over(cumW))
       .withColumn("n_rows", n)
-    def kOf(pct: Int) = (lit(pct.toLong) * col("n_rows") + 99L) / 100L
+    // `div` (not `/`): Spark long '/' is double division, whose
+    // cast-to-long truncation only matches the oracle's integer `//`
+    // while pct*n_rows+99 < 2^53; integer floor division matches at
+    // any scale
+    def kOf(pct: Int) = expr(s"($pct * n_rows + 99) div 100")
     def pAt(pct: Int) =
-      min(when(col("cum") >= kOf(pct).cast("long"), col("bucket")))
+      min(when(col("cum") >= kOf(pct), col("bucket")))
     withCum.groupBy(col("l_returnflag"))
       .agg(max("n_rows").as("n_rows"),
         graft.common.Exact.lcountAll.as("n_buckets"),

@@ -451,7 +451,8 @@ object Stats {
     * Scale: the window boundary is a 1-row broadcast; ONE user-keyed
     * aggregate (map-side combined) builds exposure, treatment and
     * outcome per user in the same pass; the stratum fold collapses to
-    * ≤[[IpwStrataCap]] rows. Nothing after the first exchange is
+    * ≤[[IpwStrataCap]]+1 rows (`least(n div 5, cap)` yields strata
+    * 0..cap inclusive). Nothing after the first exchange is
     * corpus-sized.
     *
     * Exactness: all evidence is integer counts; rates are single

@@ -30,6 +30,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * diff is against its predecessor in the COMMITTED sequence, so the
   * concatenated feed reproduces every intermediate state transition —
   * not just the endpoint diff.
+  *
+  * A batch's manifest announcements are a TRIGGER, not the work list:
+  * each batch publishes `committedVersions` minus the feed's
+  * `_PUBLISHED` sidecar (one "from,to" line per published transition,
+  * appended AFTER the rows merge — a crash between merge and append
+  * republishes once and the keyed upsert absorbs it). So a commit whose
+  * `_COMMITTED` record lands after the grace window is published by a
+  * LATER batch instead of dropped, and when a late commit w lands after
+  * its successor v was already published as (u, v), the chain is
+  * repaired: the stale skip-level rows for v are deleted and v is
+  * re-published as (w, v), keeping the concatenated feed's
+  * every-intermediate-transition contract intact. Both derivations are
+  * metadata-only — O(|commits|) sidecar lines, never a feed-data scan.
   */
 object ChangeFeedStream {
 
@@ -57,9 +70,35 @@ object ChangeFeedStream {
       }
       .start()
 
-  /** Publish every commit the batch's manifest files announce —
-    * idempotent under replay. Package-visible so the spec can replay
-    * it directly.
+  /** The published-transition sidecar: one "from,to" line per
+    * transition the feed holds, appended after the rows merge. Reading
+    * it is the metadata-only answer to "what has been published?" —
+    * O(|commits|) lines, never a feed-data scan.
+    */
+  private def publishedLog(feedRoot: String): java.nio.file.Path =
+    java.nio.file.Paths.get(feedRoot, "_PUBLISHED")
+
+  private[graft] def publishedPairs(feedRoot: String): Set[(Long, Long)] = {
+    val p = publishedLog(feedRoot)
+    if (!java.nio.file.Files.exists(p)) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(p))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val Array(f, t) = line.split(","); (f.toLong, t.toLong)
+      }.toSet
+  }
+
+  private def recordPublished(feedRoot: String, from: Long, to: Long): Unit =
+    java.nio.file.Files.writeString(publishedLog(feedRoot), s"$from,$to\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+
+  /** Publish every committed-but-unpublished transition — the batch's
+    * announcements only trigger the reconciliation; the work list is
+    * `committedVersions` minus the `_PUBLISHED` sidecar, so a commit
+    * whose record landed after an earlier batch's grace window is
+    * published now instead of never. Idempotent under replay.
+    * Package-visible so the spec can replay it directly.
     */
   private[graft] def applyBatch(spark: SparkSession, batch: DataFrame,
       tableRoot: String, feedRoot: String, keys: Seq[String],
@@ -75,21 +114,27 @@ object ChangeFeedStream {
     val t = ParquetTable(spark, tableRoot)
     // A manifest lands (atomic move) momentarily BEFORE its commit
     // record; re-check briefly so a healthy writer's in-flight commit is
-    // published rather than skipped. A version still uncommitted after
-    // the grace window is a crashed writer's orphan — permanently
-    // invisible to readers and correctly skipped here too.
+    // published in THIS batch. A version still uncommitted after the
+    // grace window is left for a later batch (a slow-but-healthy writer)
+    // or never committed at all (a crashed writer's orphan — permanently
+    // invisible to readers and correctly never published).
     def committed(): Set[Long] = t.committedVersions
     var seen = committed()
     var tries = 0
     while (tries < 5 && !versions.forall(seen.contains)) {
       Thread.sleep(100L); seen = committed(); tries += 1
     }
-    val publishable = versions.filter(seen.contains)
-    if (publishable.isEmpty) return
     val allCommitted = seen.toSeq.sorted
+    val already = publishedPairs(feedRoot)
+    val publishedTo = already.map(_._2)
+    // the work list: every committed version the feed has never
+    // published — this batch's announcements, plus any late commit an
+    // earlier batch's grace window missed
+    val newVs = allCommitted.filterNot(publishedTo.contains)
+    if (newVs.isEmpty) return
     val feed = ParquetTable(spark, feedRoot)
-    publishable.foreach { v =>
-      val prev = allCommitted.takeWhile(_ < v).lastOption
+
+    def publish(prev: Option[Long], v: Long, replaceStale: Boolean): Unit = {
       val diff = prev match {
         case Some(p) => t.changesBetween(p, v, keys, compare)
         case None =>
@@ -107,7 +152,27 @@ object ChangeFeedStream {
         .select((Seq("from_version", "to_version") ++ keys ++ valueCols)
           .map(col): _*)
       if (!feed.exists) feed.overwrite(rows)
-      else feed.merge(rows, keys = Seq("from_version", "to_version") ++ keys)
+      else {
+        // chain repair: drop a stale skip-level transition's rows for
+        // this to_version before the corrected (prev, v) rows land
+        if (replaceStale) feed.delete(col("to_version") === v)
+        feed.merge(rows, keys = Seq("from_version", "to_version") ++ keys)
+      }
+      recordPublished(feedRoot, prev.getOrElse(GenesisFrom), v)
+    }
+
+    newVs.foreach { v =>
+      val prev = allCommitted.takeWhile(_ < v).lastOption
+      publish(prev, v, replaceStale = false)
+      // if this is a LATE commit, its committed successor may already be
+      // published against an older predecessor (a skip-level transition
+      // recorded while v's commit record was in flight); re-diff the
+      // successor against v so the concatenated feed again walks every
+      // intermediate transition
+      allCommitted.find(_ > v).foreach { s =>
+        val stale = already.exists { case (f, tt) => tt == s && f < v }
+        if (stale && !newVs.contains(s)) publish(Some(v), s, replaceStale = true)
+      }
     }
   }
 

@@ -73,6 +73,53 @@ class ChangeFeedStreamSpec extends AnyFunSuite with SparkSpec {
       rowSet(t.changesBetween(v3, v4, Seq("id"), Seq("price"))))
   }
 
+  test("a late commit is published by a later batch and the chain repaired") {
+    import spark.implicits._
+    val tableRoot = tmp("cf_late_table")
+    val feedRoot = tmp("cf_late_feed")
+    val t = ParquetTable(spark, tableRoot)
+    val v1 = t.overwrite((1L to 10L).map(i => (i, i.toDouble)).toDF("id", "price"))
+    val v2 = t.merge(Seq((3L, 30.0), (11L, 11.0)).toDF("id", "price"), Seq("id"))
+    val v3 = t.merge(Seq((5L, 50.0)).toDF("id", "price"), Seq("id"))
+
+    // simulate v2's _COMMITTED record still in flight when the batch
+    // fires: hide its log line (v3 stays committed via the pointer)
+    val log = java.nio.file.Paths.get(tableRoot, "_COMMITTED")
+    val lines = new String(Files.readAllBytes(log))
+      .split("\n").filter(_.nonEmpty)
+    Files.writeString(log,
+      lines.filterNot(_.trim == v2.toString).mkString("", "\n", "\n"))
+
+    val manifests = spark.read.text(s"$tableRoot/m")
+    ChangeFeedStream.applyBatch(spark, manifests, tableRoot, feedRoot,
+      Seq("id"), Seq("price"))
+    val pairs1 = rowSet(ChangeFeedStream.readFeed(spark, feedRoot)
+      .select("from_version", "to_version").distinct())
+    // the grace window expired with v2 unresolved: the feed holds the
+    // skip-level transition, NOT a silent hole followed by v3-on-v2
+    assert(pairs1 == Set(s"[${ChangeFeedStream.GenesisFrom},$v1]", s"[$v1,$v3]"))
+
+    // the record lands (slow writer, not a crash) — a later batch,
+    // here a replay of the same announcements, must publish v2 AND
+    // re-diff v3 against it so the chain walks every transition
+    Files.writeString(log, s"$v2\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    ChangeFeedStream.applyBatch(spark, manifests, tableRoot, feedRoot,
+      Seq("id"), Seq("price"))
+    val feed = ChangeFeedStream.readFeed(spark, feedRoot)
+    val pairs2 = rowSet(feed.select("from_version", "to_version").distinct())
+    assert(pairs2 == Set(s"[${ChangeFeedStream.GenesisFrom},$v1]",
+      s"[$v1,$v2]", s"[$v2,$v3]"),
+      "stale skip-level rows must be replaced, late commit published")
+    Seq(v1 -> v2, v2 -> v3).foreach { case (p, v) =>
+      val streamed = feed.filter(col("to_version") === v)
+        .drop("from_version", "to_version")
+      assert(rowSet(streamed) ==
+        rowSet(t.changesBetween(p, v, Seq("id"), Seq("price"))),
+        s"transition $p -> $v diverges from batch changesBetween")
+    }
+  }
+
   test("replaying a manifest batch is absorbed (exactly-once effect)") {
     import spark.implicits._
     val tableRoot = tmp("cf_replay_table")

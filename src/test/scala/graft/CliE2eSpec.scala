@@ -246,6 +246,75 @@ class CliE2eSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("change feed drains through the CLI across separate JVM stages") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("cli_feed").toString
+    val tableRoot = s"$base/table"
+    val feedRoot = s"$base/feed"
+    val ckpt = s"$base/ckpt"
+    val t = graft.tables.ParquetTable(spark, tableRoot)
+    val v1 = t.overwrite((1L to 20L).map(i => (i, i.toDouble)).toDF("id", "price"))
+    val v2 = t.merge(Seq((3L, 33.0), (21L, 21.0)).toDF("id", "price"), Seq("id"))
+
+    val out1 = stage("graft.pipeline.cli.FeedMain",
+      "table" -> tableRoot, "feed" -> feedRoot,
+      "keys" -> "id", "compare" -> "price", "checkpoint" -> ckpt)
+    assert(out1.contains("[feed] transitions=2"),
+      out1.linesIterator.filter(_.contains("[feed]")).mkString)
+
+    // a commit after the drain publishes incrementally on the next run
+    val v3 = t.delete(col("id") <= 2L).get
+    val out2 = stage("graft.pipeline.cli.FeedMain",
+      "table" -> tableRoot, "feed" -> feedRoot,
+      "keys" -> "id", "compare" -> "price", "checkpoint" -> ckpt)
+    assert(out2.contains("[feed] transitions=3"),
+      out2.linesIterator.filter(_.contains("[feed]")).mkString)
+
+    // the CLI-built feed equals batch changesBetween transition by
+    // transition (read back in THIS JVM — all state lives in the tables)
+    val feed = graft.streaming.ChangeFeedStream.readFeed(spark, feedRoot)
+    Seq(v1 -> v2, v2 -> v3).foreach { case (p, v) =>
+      val streamed = feed.filter(col("to_version") === v)
+        .drop("from_version", "to_version").collect().map(_.toString).toSet
+      val batch = t.changesBetween(p, v, Seq("id"), Seq("price"))
+        .collect().map(_.toString).toSet
+      assert(streamed == batch, s"transition $p -> $v diverges")
+    }
+  }
+
+  test("quantile MV maintains through the CLI and serves q198's integer readout") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("cli_qmv").toString
+    val src = s"$base/incoming"
+    val state = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    def land(seed: Int): Unit =
+      (1 to 200).map { i =>
+        (if ((seed + i) % 3 == 0) "A" else "R", (seed * 31 + i * 7).toDouble / 4)
+      }.toDF("l_returnflag", "l_extendedprice")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    land(1)
+    val out1 = stage("graft.pipeline.cli.QuantileMvMain",
+      "src" -> src, "state" -> state, "checkpoint" -> ckpt)
+    assert(out1.contains("[quantile_mv] groups=2"),
+      out1.linesIterator.filter(_.contains("[quantile_mv]")).mkString)
+
+    // a second landing folds into the same state via the checkpoint
+    land(2)
+    stage("graft.pipeline.cli.QuantileMvMain",
+      "src" -> src, "state" -> state, "checkpoint" -> ckpt)
+
+    // served percentiles equal a one-shot recompute over ALL landed rows
+    // (exact integer state: fold order cannot change the answer)
+    val served = graft.streaming.QuantileStream.readQuantiles(spark, state)
+      .collect().map(_.toString).toSet
+    val oneShot = graft.queries.Lakehouse.quantileRead(
+      graft.queries.Lakehouse.quantilePartial(spark.read.parquet(src)))
+      .collect().map(_.toString).toSet
+    assert(served == oneShot)
+  }
+
   test("a failing stage process exits nonzero and logs a failed event") {
     val lake = s"${Files.createTempDirectory("cli_fail")}/lake"
     // silver against an empty warehouse: no bronze table to read

@@ -2,6 +2,7 @@ package graft
 
 import graft.common.{BoundedFrameMemo, Memos}
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Session-memo lifecycle: memos that pin cluster state must be
   * bounded (LRU-evict + release on overflow) and centrally clearable
@@ -40,12 +41,26 @@ class MemoEvictionSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("Memos.clearAll unpersists the graph frames pinned across two corpora") {
+    // the second corpus is a SIBLING of the configured one (any other
+    // sf* dir next to Sf) so the suite doesn't hardcode a machine path;
+    // cancel (not fail) where the fixture tree has only one scale
+    val sfPath = java.nio.file.Paths.get(Sf)
+    val sibling = Option(sfPath.getParent)
+      .map(java.nio.file.Files.list(_))
+      .toSeq.flatMap { s =>
+        try s.iterator().asScala.toSeq finally s.close()
+      }
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("sf") && p != sfPath)
+      .sortBy(_.getFileName.toString)
+      .headOption
+      .getOrElse(cancel(s"no sibling sf* corpus next to $Sf"))
     val sc = spark.sparkContext
     Memos.clearAll() // drop anything earlier suites pinned through memos
     val before = sc.getPersistentRDDs.size
     // two corpora → two pinned degree-edge frames (within the memo cap)
     SparkEntry.queries("q140_pagerank")(spark, Sf).count()
-    SparkEntry.queries("q140_pagerank")(spark, "/root/testdata/sf0.01").count()
+    SparkEntry.queries("q140_pagerank")(spark, sibling.toString).count()
     val during = sc.getPersistentRDDs.size
     assert(during >= before + 2,
       s"expected a pinned edge frame per corpus (before=$before during=$during)")
