@@ -1,0 +1,325 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.common.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Navigable-graph ANN over the `embeddings` table — the third
+  * industry-standard index family next to the trained-IVF/PQ
+  * quantizers (q54/q87) and hyperplane LSH (q39): an NSW/HNSW-style
+  * k-NN GRAPH searched by beam walk, expressed Spark-first.
+  *
+  * Index build (NN-Descent, Dong et al. WWW'11, with a mixed seed):
+  *   1. Initial candidates are the union of a LOCAL family (successor
+  *      chains inside the persisted LSH buckets) and a DIVERSITY
+  *      family (successor chains around a deterministic hash ring) —
+  *      NN-Descent needs both: locality to start near the answer,
+  *      long-range links to escape the seed's cliques. Both families
+  *      are per-bucket SORTED ADJACENCY, not a bucket cross-product:
+  *      a hot bucket of s vectors contributes O(s·C) pairs, never
+  *      O(s²) — the property that keeps the build alive when a 100 TB
+  *      corpus hashes unevenly.
+  *   2. A fixed number of NN-Descent rounds refine: each node offers
+  *      its neighbors to its neighbors (edges ⋈ edges on the shared
+  *      endpoint — the "a friend of my friend is likely my friend"
+  *      step of Dong et al., WWW'11), candidates are re-scored with
+  *      the exact codegen cosine, and each node keeps its best M.
+  *      Every round materializes with `localCheckpoint` (the q208
+  *      Pregel-superstep discipline — the unrolled lineage would
+  *      re-derive the base edges ~3^R times otherwise).
+  *   3. Edges persist through the IndexStore lifecycle (kind
+  *      `nsw_index`) pinned to a scheme version. Deliberately NO delta
+  *      path: a k-NN graph's edges are GLOBAL state — one new vector
+  *      can change its neighbors' neighbor lists — so any corpus
+  *      change invalidates and rebuilds; the HNSW incremental insert
+  *      (search for the new vector, link, prune) is the documented
+  *      upgrade path, unlike LSH/IVF whose per-vector assignments
+  *      append independently.
+  *
+  * Search (q211): greedy beam walk. Entry points are a bounded,
+  * deterministic id-cut sample; each hop expands the per-query beam
+  * along stored edges, re-scores with the exact cosine, and keeps the
+  * best B per query. Every hop's frontier is O(|queries|·B·M) rows
+  * REGARDLESS of corpus size — the stored edge table is the only
+  * corpus-proportional frame, and it joins by key. This is the
+  * navigable-graph promise at scale: per-query work bounded by
+  * (hops × beam × degree), not by the corpus.
+  *
+  * Oracles: q211 carries the family's pair-level derived oracle (every
+  * emitted score re-derived from the embeddings, ranks re-derived from
+  * the re-computed scores); q212 is the q123-shape recall audit
+  * against the exact baseline with a macro-recall FLOOR baked into the
+  * oracle — if the walk's recall drops below the floor, the oracle
+  * returns zero rows and the driver compare fails on rowcount.
+  */
+object GraphAnn {
+
+  /** Neighbors kept per node in the k-NN graph (directed; the stored
+    * adjacency is the symmetrized ≤2M-degree form).
+    */
+  private val M = 16
+
+  /** NN-Descent refinement rounds (fixed — each is a full
+    * neighbor-of-neighbor exchange over the SYMMETRIZED graph).
+    * Measured on the sf0.1 corpus (simulated round-by-round before the
+    * Spark build was written): the fraction of true top-10 neighbors
+    * present as edges goes ~0.06 (seed) → ~0.80 by round 5; fewer
+    * rounds strand the walk in a disconnected neighborhood and
+    * recall@10 collapses (0.44 at R=2 during development).
+    */
+  private val DescentRounds = 5
+
+  /** Per-bucket successor fan-out seeding the graph — applied to BOTH
+    * seed families (LSH buckets and the hash ring below).
+    */
+  private val InitSuccessors = 3
+
+  /** Long-range seed: nodes bucketed by pmod(xxhash64(id), HashRing),
+    * chained in hash order. A pure-LSH seed is assortative — all-local
+    * cliques aligned with the hash buckets — and NN-Descent then
+    * explores only within cliques (measured: LSH-only seed converged
+    * to 0.32 true-top10 coverage after 5 rounds; mixing in the random
+    * ring, 0.80). The ring is the diversity NN-Descent's random init
+    * normally provides, made deterministic.
+    */
+  private val HashRing = 64
+
+  /** Beam width per query during the walk (≥ the served k=10). */
+  private val Beam = 32
+
+  /** Walk depth. With beam B and symmetrized degree ≤2M each hop
+    * explores ≤ B·2M candidates; 4 hops reach ~4 edge-lengths from
+    * the entry sample. Measured recall@10 at sf0.1: 0.91 (B=32, H=4)
+    * vs 0.705 (B=16, H=3).
+    */
+  private val Hops = 4
+
+  /** Entry points: vec_id ≡ 0 (mod stride) under a literal id cap —
+    * deterministic and BOUNDED (≤ cap/stride rows) no matter the
+    * corpus size, so the entry scoring never becomes a scan.
+    */
+  private val EntryStride = 64
+  private val EntryCap = 4096
+
+  /** Macro-average recall@10 the q212 oracle enforces. Measured ~0.9+
+    * at the test scales; the floor is the regression tripwire, not the
+    * expectation.
+    */
+  private[queries] val RecallFloor = 0.70
+
+  /** Scheme pin for the stored graph: bump to invalidate every stored
+    * edge table when the build algorithm changes.
+    */
+  private val GraphScheme =
+    s"nsw:lsh+ring$HashRing-C$InitSuccessors:M${M}xR$DescentRounds:sym:v3"
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+
+  /** Exact-cosine re-score of candidate id pairs: embeddings join back
+    * by key ONLY for survivors-in-play — candidate generation travels
+    * as id pairs (q62's rule: an edge frame carrying vectors would
+    * store the corpus M times over).
+    */
+  private def scorePairs(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame =
+    pairs
+      .join(emb(s, d).select(col("vec_id").as("u"), col("embedding").as("eu")),
+        "u")
+      .join(emb(s, d).select(col("vec_id").as("v"), col("embedding").as("ev")),
+        "v")
+      .select(col("u"), col("v"),
+        Similarity.fastCosine(s)(col("eu"), col("ev")).as("score"))
+
+  private def topM(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("v").asc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= M).drop("rn")
+  }
+
+  /** Successor chaining within a bucketing: each node pairs with its
+    * next `InitSuccessors` peers in (bucket, order) — O(rows·C) pairs
+    * no matter how uneven the buckets, never a bucket cross-product.
+    */
+  private def chain(bucketed: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("bkt"))
+      .orderBy(col("ord").asc, col("vec_id").asc)
+    (1 to InitSuccessors).map { i =>
+      bucketed.select(col("vec_id").as("u"),
+        lead(col("vec_id"), i).over(w).as("v"))
+    }.reduce(_.unionByName(_)).filter(col("v").isNotNull)
+  }
+
+  /** One full NN-Descent build — the SYMMETRIZED adjacency
+    * (u, v, score), degree ≤ 2M per node.
+    */
+  private def buildGraphEdges(s: SparkSession, d: String): DataFrame = {
+    // seed = LSH locality ∪ hash-ring diversity (see HashRing scaladoc)
+    val lsh = Similarity.resolveLshIndex(s, d) // (vec_id, bkt), persisted
+    val local = chain(lsh.select(col("vec_id"), col("bkt"),
+      col("vec_id").as("ord")))
+    val ring = chain(emb(s, d).select(col("vec_id"),
+      pmod(xxhash64(col("vec_id")), lit(HashRing)).as("bkt"),
+      xxhash64(col("vec_id"), lit(1)).as("ord")))
+    val succ = local.unionByName(ring)
+    val init = succ
+      .unionByName(succ.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    var edges = topM(scorePairs(s, d, init)).localCheckpoint()
+    for (_ <- 1 to DescentRounds) {
+      // symmetrize (a reverse edge reuses the already-computed score),
+      // exchange neighbors-of-neighbors over the symmetrized graph,
+      // and pay the cosine ONLY for pairs not already scored — the
+      // known frame carries its scores through the round
+      val known = edges
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v"),
+          col("score")))
+        .groupBy(col("u"), col("v")).agg(max(col("score")).as("score"))
+        .localCheckpoint()
+      val nn = known.select(col("u"), col("v").as("mid"))
+        .join(known.select(col("u").as("mid"), col("v").as("w")), "mid")
+        .select(col("u"), col("w").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .join(known.select(col("u"), col("v")), Seq("u", "v"), "left_anti")
+      edges = topM(known.unionByName(scorePairs(s, d, nn)))
+        .localCheckpoint()
+    }
+    // store the symmetrized form: the walk then expands a frontier
+    // with ONE keyed join instead of two, at ≤2x the (tiny) edge rows
+    edges
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v"),
+        col("score")))
+      .groupBy(col("u"), col("v")).agg(max(col("score")).as("score"))
+  }
+
+  /** In-JVM full graph builds this session — lets the spec prove the
+    * persisted index serves repeat executions without rebuilding.
+    */
+  private[graft] val graphBuildCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def resolveGraphIndex(s: SparkSession,
+      d: String): DataFrame = {
+    import graft.tables.IndexStore
+    val kind = "nsw_index"
+    val meta = Similarity.embeddingsFileMeta(s, d)
+    def rebuild(): DataFrame = {
+      graphBuildCount.incrementAndGet()
+      val edges = buildGraphEdges(s, d)
+      try {
+        val t = IndexStore.corpusIndexTable(s, kind, d)
+        t.overwrite(edges)
+        IndexStore.commitCorpusIndexState(kind, d, GraphScheme, meta)
+        t.read
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[index-store] nsw publish skipped: $e")
+          edges
+      }
+    }
+    IndexStore.resolveCorpusIndex(s, kind, d, meta) match {
+      case IndexStore.CorpusIndexHit(GraphScheme) =>
+        IndexStore.corpusIndexTable(s, kind, d).read
+      // any corpus change (delta included) rebuilds: see scaladoc — a
+      // k-NN graph is global state, per-vector appends don't compose
+      case _ => rebuild()
+    }
+  }
+
+  /** q211: graph-walk ANN top-10 for the fixed query set (vec_id < 20,
+    * the q38/q39/q54 contract) over the persisted NSW edge table.
+    */
+  private val q211 = QueryDef(
+    (s, d) => {
+      val e = emb(s, d)
+      val edges = resolveGraphIndex(s, d).select(col("u"), col("v"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val entries = e.filter(
+          col("vec_id") % EntryStride === 0 && col("vec_id") < EntryCap)
+        .select(col("vec_id").as("cand"))
+      val wQ = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand").asc)
+      def rescore(cands: DataFrame): DataFrame =
+        cands
+          .join(e.select(col("vec_id").as("cand"), col("embedding").as("cv")),
+            "cand")
+          .join(broadcast(q), "query_id")
+          .select(col("query_id"), col("cand"),
+            Similarity.fastCosine(s)(col("qv"), col("cv")).as("score"))
+      var frontier = rescore(
+          q.select(col("query_id")).crossJoin(broadcast(entries)))
+        .withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") <= Beam)
+        .select(col("query_id"), col("cand"), col("score"))
+        .localCheckpoint()
+      for (_ <- 1 to Hops) {
+        val expanded = frontier.select(col("query_id"), col("cand").as("u"))
+          .join(edges, "u")
+          .select(col("query_id"), col("v").as("cand"))
+          .unionByName(frontier.select(col("query_id"), col("cand")))
+          .distinct()
+        frontier = rescore(expanded)
+          .withColumn("rn", row_number().over(wQ))
+          .filter(col("rn") <= Beam)
+          .select(col("query_id"), col("cand"), col("score"))
+          .localCheckpoint()
+      }
+      frontier.filter(col("cand") =!= col("query_id"))
+        .withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("cand").as("vec_id"),
+          col("score"), col("rn").cast("int").as("rn"))
+    },
+    Some(Similarity.emittedTopKOracle("q211_ann_graph")),
+    "graph-walk (NSW) ANN top-10 from a persisted NN-Descent k-NN graph: " +
+      "pair-level derived oracle [similarity]")
+
+  /** q212: recall@10 of the graph walk against the exact baseline —
+    * the q123 audit shape for the NSW family, with the macro-recall
+    * floor enforced BY the oracle (below the floor the oracle emits
+    * zero rows and the driver compare fails on rowcount).
+    */
+  private val q212 = QueryDef(
+    (s, d) => {
+      val exact = Similarity.exactTopK(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val approx = q211.fn(s, d)
+        .select(col("query_id").as("aqid"), col("vec_id").as("avid"))
+      exact.join(approx,
+          col("query_id") === col("aqid") && col("vec_id") === col("avid"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(graft.common.Exact.lcountAll.as("n_exact"),
+          graft.common.Exact.lcount(col("avid")).as("n_hits"))
+        .withColumn("recall", col("n_hits") / col("n_exact"))
+    },
+    Some(s"""WITH ex AS (
+              SELECT query_id, vec_id FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q38_ann_bruteforce/*.parquet')
+            ), ap AS (
+              SELECT query_id, vec_id FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q211_ann_graph/*.parquet')
+            ), j AS (
+              SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(a.vec_id) AS BIGINT) AS n_hits
+              FROM ex e LEFT JOIN ap a
+                ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+              GROUP BY 1
+            )
+            SELECT query_id, n_exact, n_hits,
+              n_hits / n_exact AS recall
+            FROM j
+            WHERE (SELECT CAST(SUM(n_hits) AS DOUBLE) / SUM(n_exact)
+                   FROM j) >= $RecallFloor"""),
+    "NSW recall@10 audit vs exact baseline with an oracle-enforced " +
+      "macro-recall floor [similarity]")
+
+  def all: Seq[(String, QueryDef)] = Seq(
+    "q211_ann_graph" -> q211,
+    "q212_graph_recall" -> q212)
+}

@@ -20,5 +20,6 @@ object Registry {
       VocabOps.all ++ EmbeddingStats.all ++ Scd.all ++ Graph.all ++
       Stats.all ++ TimeSeries.all ++ Winsorize.all ++ Contrastive.all ++
       Audit.all ++ MlEval.all ++ Bootstrap.all ++ Drift.all ++
-      Survival.all ++ Rfm.all ++ Cohorts.all ++ Concentration.all
+      Survival.all ++ Rfm.all ++ Cohorts.all ++ Concentration.all ++
+      GraphAnn.all
 }

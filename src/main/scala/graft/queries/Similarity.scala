@@ -1331,6 +1331,12 @@ object Similarity {
             FROM j"""),
     "IVF recall@10 audit vs exact baseline: derived oracle over emitted lists [similarity]")
 
+  /** The exact top-k baseline (q38), exposed for the other ANN
+    * families' recall audits (q123 here, q212 in GraphAnn).
+    */
+  private[queries] def exactTopK(s: SparkSession, d: String): DataFrame =
+    q38.fn(s, d)
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
     "q39_ann_lsh" -> q39,
