@@ -156,8 +156,28 @@ object TextOps {
     * join, and a bounded per-doc top-k — at 100 TB the only wide ops are
     * two keyed aggregations and one join on the term.
     */
-  /** q63's frame (also the bounded pair source for q83). */
-  private def distinctiveTerms(s: SparkSession, d: String): DataFrame = {
+  /** q63's frame (also the bounded pair source for q83 and q205) is
+    * MEMOIZED per corpus, the Graph edge-frame discipline: three
+    * registry queries rebuild the identical two-exchange frame
+    * otherwise (bench pays it six times per run at min-of-2). The
+    * pinned frame is ≤5 rows per document of (long, term, 3 ints) —
+    * over an order of magnitude below the token stream it derives
+    * from — cached at the default MEMORY_AND_DISK (spills, never
+    * OOMs), LRU-bounded at [[TermsMemoCap]] corpora, and released
+    * through the session-memo registry like every other pin.
+    */
+  private val TermsMemoCap = 2
+  private val termsMemo = new graft.common.BoundedFrameMemo[DataFrame](
+    TermsMemoCap, _.unpersist())
+  graft.common.Memos.register("textops.terms")(() => termsMemo.clear())
+
+  private def distinctiveTerms(s: SparkSession, d: String): DataFrame =
+    termsMemo.getOrElseUpdate(d) {
+      distinctiveTermsUncached(s, d).cache()
+    }
+
+  private def distinctiveTermsUncached(s: SparkSession,
+      d: String): DataFrame = {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docs = load(s, d, "documents")

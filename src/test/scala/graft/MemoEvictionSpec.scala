@@ -56,17 +56,26 @@ class MemoEvictionSpec extends AnyFunSuite with SparkSpec {
       .headOption
       .getOrElse(cancel(s"no sibling sf* corpus next to $Sf"))
     val sc = spark.sparkContext
+    // count only CACHE pins: fixed-point queries leave localCheckpoint
+    // RDDs behind that the context cleaner collects nondeterministically
+    // — they are not memo state and would make raw counts flaky
+    // (isLocallyCheckpointed is private[spark] to scalac but public in
+    // bytecode — reflection reaches it)
+    val isLocalCkpt =
+      classOf[org.apache.spark.rdd.RDD[_]].getMethod("isLocallyCheckpointed")
+    def pinned(): Int = sc.getPersistentRDDs.values
+      .count(r => !isLocalCkpt.invoke(r).asInstanceOf[Boolean])
     Memos.clearAll() // drop anything earlier suites pinned through memos
-    val before = sc.getPersistentRDDs.size
+    val before = pinned()
     // two corpora → two pinned degree-edge frames (within the memo cap)
     SparkEntry.queries("q140_pagerank")(spark, Sf).count()
     SparkEntry.queries("q140_pagerank")(spark, sibling.toString).count()
-    val during = sc.getPersistentRDDs.size
+    val during = pinned()
     assert(during >= before + 2,
       s"expected a pinned edge frame per corpus (before=$before during=$during)")
     assert(Memos.registered.contains("graph.frames"))
     Memos.clearAll()
-    assert(sc.getPersistentRDDs.size <= during - 2,
+    assert(pinned() <= during - 2,
       "clearAll must unpersist the graph session frames")
     // and the memo rebuilds on demand afterwards
     assert(SparkEntry.queries("q140_pagerank")(spark, Sf).count() > 0)
