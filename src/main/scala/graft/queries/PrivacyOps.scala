@@ -125,7 +125,74 @@ object PrivacyOps {
             FROM m"""),
     "k-anonymity audit: QI equivalence-class size distribution + k_min [privacy]")
 
+  /** l-diversity threshold of the q213 audit: an equivalence class
+    * whose sensitive attribute takes fewer than this many distinct
+    * values discloses the attribute even when k-anonymity holds.
+    */
+  private val LDiv = 3L
+
+  /** q213: l-diversity audit — the attribute-disclosure complement of
+    * q195's k-anonymity (Machanavajjhala et al., ICDE'06): a class of
+    * 50 rows is 50-anonymous, but if all 50 share one market segment,
+    * membership alone discloses the segment. Quasi-identifiers here
+    * are (nation, $1000 balance band); the SENSITIVE attribute is the
+    * market segment (deliberately moved out of q195's QI triple into
+    * the protected role). Per class: size, distinct-l, the dominant
+    * segment's share (the homogeneity-attack success rate), and the
+    * l < $LDiv violation flag; `l_min` rides along as the headline.
+    *
+    * Scale: two nested keyed aggregates — the (QI, segment) fold
+    * touches the corpus once map-side-combined; everything after runs
+    * on the |classes·segments| frame. Integer evidence throughout;
+    * the share is one long/long double division (q195's discipline —
+    * entropy-l-diversity would add a transcendental for no audit
+    * value).
+    */
+  private val q213 = QueryDef(
+    (s, d) => {
+      val cells = load(s, d, "customer")
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("acctbal_band"),
+          col("c_mktsegment"))
+        .agg(graft.common.Exact.lcountAll.as("n_seg"))
+      val all = org.apache.spark.sql.expressions.Window.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      cells.groupBy(col("c_nationkey"), col("acctbal_band"))
+        .agg(sum(col("n_seg")).as("class_size"),
+          graft.common.Exact.lcountAll.as("l_distinct"),
+          max(col("n_seg")).as("top_seg_rows"))
+        .withColumn("l_min", min(col("l_distinct")).over(all))
+        .select(col("c_nationkey"), col("acctbal_band"),
+          col("class_size"), col("l_distinct"),
+          (col("l_distinct") < LDiv).as("violates_l"),
+          (col("top_seg_rows").cast("double") /
+            col("class_size").cast("double")).as("top_seg_share"),
+          col("l_min"))
+    },
+    Some(s"""WITH cells AS (
+              SELECT c_nationkey,
+                CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+                c_mktsegment, CAST(count(*) AS BIGINT) AS n_seg
+              FROM customer GROUP BY 1, 2, 3
+            ), cls AS (
+              SELECT c_nationkey, acctbal_band,
+                CAST(SUM(n_seg) AS BIGINT) AS class_size,
+                CAST(count(*) AS BIGINT) AS l_distinct,
+                CAST(MAX(n_seg) AS BIGINT) AS top_seg_rows
+              FROM cells GROUP BY 1, 2
+            )
+            SELECT c_nationkey, acctbal_band, class_size, l_distinct,
+              l_distinct < $LDiv AS violates_l,
+              CAST(top_seg_rows AS DOUBLE) / CAST(class_size AS DOUBLE)
+                AS top_seg_share,
+              CAST(MIN(l_distinct) OVER () AS BIGINT) AS l_min
+            FROM cls"""),
+    "l-diversity audit: sensitive-attribute distinctness per QI class " +
+      "+ homogeneity share [privacy]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q129_pii_export" -> q129,
-    "q195_k_anonymity" -> q195)
+    "q195_k_anonymity" -> q195,
+    "q213_l_diversity" -> q213)
 }

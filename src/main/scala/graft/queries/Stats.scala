@@ -533,11 +533,208 @@ object Stats {
             FROM strat GROUP BY 1"""),
     "stratified IPW uplift: exposure-week treatment, integer evidence, guarded rates [stats]")
 
+  /** q214: exact Spearman rank correlation between a customer's
+    * account balance and their lifetime spend — the monotone-
+    * association readout q143's Pearson misses (Pearson sees only
+    * LINEAR association; a feature screen over heavy-tailed monetary
+    * columns wants the rank statistic).
+    *
+    * Ranks come from TWO scalable global orders (q100/q152's
+    * `Curation.globalOrder`: range-repartition + per-partition offset
+    * assignment — no one-partition window anywhere), each made total
+    * by the custkey tiebreak: q152's deterministic-variant tie policy,
+    * identical in both engines. Because each rank column is then a
+    * permutation of 0..n−1, Spearman reduces EXACTLY to
+    * 1 − 6·Σd²/(n·(n²−1)) — integer evidence end to end, one double
+    * division at the very edge.
+    *
+    * Overflow: Σd² and n·(n²−1) reach ~n³ — past BIGINT at n ≳ 2M
+    * with d ~ n. Both sides accumulate in 128-bit integers (Spark
+    * DECIMAL(38,0), DuckDB HUGEINT), exact to n ~ 10¹². The final
+    * rho is nearest-double of those exact integers on both engines,
+    * so parity is bitwise.
+    *
+    * Scale: one orders fold (map-side combined), an inner key join
+    * with customer, two globalOrder passes over the joined |customers|
+    * frame, one scalar aggregate. Customers with no orders are
+    * excluded by the inner join (spend undefined, documented).
+    */
+  private val q214 = QueryDef(
+    (s, d) => {
+      val spend = load(s, d, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
+          .as("spend_cents"))
+      val both = load(s, d, "customer")
+        .select(col("c_custkey"),
+          graft.common.Exact.cents(col("c_acctbal")).as("bal_cents"))
+        .join(spend, "c_custkey")
+      val rx = Curation.globalOrder(both,
+          Seq(col("bal_cents").asc, col("c_custkey").asc))
+        .select(col("c_custkey"), col("position").as("rank_bal"))
+      val ry = Curation.globalOrder(both,
+          Seq(col("spend_cents").asc, col("c_custkey").asc))
+        .select(col("c_custkey"), col("position").as("rank_spend"))
+      rx.join(ry, "c_custkey")
+        .agg(graft.common.Exact.lcountAll.as("n"),
+          sum(((col("rank_bal") - col("rank_spend")).cast("decimal(38,0)") *
+            (col("rank_bal") - col("rank_spend")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")).as("d2_sum"))
+        .select(col("n"), col("d2_sum").cast("decimal(38,0)").as("d2_sum"),
+          (lit(1.0) - (lit(6.0) * col("d2_sum").cast("double")) /
+            (col("n").cast("decimal(38,0)") *
+              (col("n").cast("decimal(38,0)") *
+                col("n").cast("decimal(38,0)") - 1))
+              .cast("double")).as("rho"))
+    },
+    Some(s"""WITH spend AS (
+              SELECT o_custkey AS c_custkey,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS spend_cents
+              FROM orders GROUP BY 1
+            ), both_m AS (
+              SELECT c.c_custkey,
+                ${graft.common.Exact.centsSql("c_acctbal")} AS bal_cents,
+                s.spend_cents
+              FROM customer c JOIN spend s USING (c_custkey)
+            ), ranked AS (
+              SELECT c_custkey,
+                ROW_NUMBER() OVER (ORDER BY bal_cents ASC, c_custkey ASC)
+                  - 1 AS rank_bal,
+                ROW_NUMBER() OVER (ORDER BY spend_cents ASC, c_custkey ASC)
+                  - 1 AS rank_spend
+              FROM both_m
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(rank_bal - rank_spend AS HUGEINT)
+                * CAST(rank_bal - rank_spend AS HUGEINT))
+                AS DECIMAL(38,0)) AS d2_sum,
+              1.0 - (6.0 * CAST(SUM(CAST(rank_bal - rank_spend AS HUGEINT)
+                  * CAST(rank_bal - rank_spend AS HUGEINT)) AS DOUBLE)) /
+                CAST(CAST(count(*) AS HUGEINT)
+                  * (CAST(count(*) AS HUGEINT) * CAST(count(*) AS HUGEINT)
+                    - 1) AS DOUBLE) AS rho
+            FROM ranked"""),
+    "exact Spearman rho: two scalable global rank passes, 128-bit " +
+      "integer moments [stats]")
+
+  /** q217's temporal split boundary and target coverage percent. */
+  private val ConformalSplit = "1999-01-01"
+  private val ConformalPct = 90L
+
+  /** q217: split-conformal prediction-interval coverage audit (Vovk's
+    * split/inductive conformal, the distribution-free finite-sample
+    * guarantee): a point model fit on the calibration era predicts
+    * order value; the conformal radius q̂ is the ⌈(n+1)·$ConformalPct%⌉
+    * smallest absolute residual on calibration; the audit reports,
+    * per order priority, what fraction of FUTURE orders the interval
+    * pred ± q̂ actually covers — the marginal-coverage promise checked
+    * segment by segment (conditional coverage is where conformal
+    * breaks, which is exactly what this table surfaces).
+    *
+    * Determinism: the split is temporal (q201's never-random
+    * discipline) at $ConformalSplit; the "model" is the calibration
+    * per-priority floor-mean in integer cents (5-value bounded
+    * domain); residuals, q̂, and the rank k are exact integers —
+    * k = ⌈(n+1)·pct/100⌉ clamped to n, computed as
+    * ((n+1)·pct + 99) div 100 on both engines.
+    *
+    * Scale: the q̂ rank-select rides `Curation.globalOrder` (range
+    * repartition + per-partition offsets — never a one-partition
+    * window); n_cal and q̂ attach as 1-row broadcasts; the model frame
+    * is bounded-domain (≤5 rows). One pass over calibration for the
+    * model, one ordered pass for q̂, one pass over test for coverage.
+    */
+  private val q217 = QueryDef(
+    (s, d) => {
+      val o = load(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        graft.common.Exact.cents(col("o_totalprice")).as("cents"),
+        (col("o_orderdate") < lit(ConformalSplit).cast("timestamp"))
+          .as("is_cal"))
+      val cal = o.filter(col("is_cal"))
+      val model = cal.groupBy(col("o_orderpriority"))
+        .agg(sum(col("cents")).as("sum_c"),
+          graft.common.Exact.lcountAll.as("n_c"))
+        .select(col("o_orderpriority"),
+          expr("sum_c div n_c").as("pred"))
+      val scores = cal.join(broadcast(model), "o_orderpriority")
+        .select(col("o_orderkey"),
+          abs(col("cents") - col("pred")).as("score"))
+      val nCal = scores.agg(graft.common.Exact.lcountAll.as("n_cal"))
+      val qhat = Curation.globalOrder(scores,
+          Seq(col("score").asc, col("o_orderkey").asc))
+        .crossJoin(broadcast(nCal))
+        .withColumn("k_rank",
+          least(expr(s"((n_cal + 1L) * $ConformalPct + 99L) div 100L"),
+            col("n_cal")))
+        .filter(col("position") === col("k_rank") - 1L)
+        // scalar-agg fold of the single matching row: makes the 1-row
+        // bound SYNTACTIC so the broadcast lint can prove it
+        .agg(max(col("score")).as("qhat_cents"),
+          max(col("n_cal")).as("n_cal"), max(col("k_rank")).as("k_rank"))
+      o.filter(!col("is_cal"))
+        .join(broadcast(model), "o_orderpriority")
+        .crossJoin(broadcast(qhat))
+        .groupBy(col("o_orderpriority"), col("qhat_cents"),
+          col("n_cal"), col("k_rank"))
+        .agg(graft.common.Exact.lcountAll.as("n_test"),
+          sum(when(abs(col("cents") - col("pred")) <= col("qhat_cents"),
+            1L).otherwise(0L)).cast("long").as("n_covered"))
+        .select(col("o_orderpriority"), col("n_test"), col("n_covered"),
+          (col("n_covered").cast("double") / col("n_test").cast("double"))
+            .as("coverage"),
+          col("qhat_cents"), col("n_cal"), col("k_rank"))
+    },
+    Some(s"""WITH o AS (
+              SELECT o_orderkey, o_orderpriority,
+                ${graft.common.Exact.centsSql("o_totalprice")} AS cents,
+                (o_orderdate < TIMESTAMP '$ConformalSplit') AS is_cal
+              FROM orders
+            ), model AS (
+              SELECT o_orderpriority,
+                CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred
+              FROM o WHERE is_cal GROUP BY 1
+            ), scores AS (
+              SELECT o.o_orderkey, ABS(cents - pred) AS score
+              FROM o JOIN model USING (o_orderpriority) WHERE is_cal
+            ), nc AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM scores
+            ), kk AS (
+              SELECT n_cal,
+                LEAST(((n_cal + 1) * $ConformalPct + 99) // 100, n_cal)
+                  AS k_rank
+              FROM nc
+            ), ranked AS (
+              SELECT score, ROW_NUMBER() OVER (
+                ORDER BY score ASC, o_orderkey ASC) AS rn
+              FROM scores
+            ), q AS (
+              SELECT CAST(score AS BIGINT) AS qhat_cents, n_cal,
+                CAST(k_rank AS BIGINT) AS k_rank
+              FROM ranked, kk WHERE rn = k_rank
+            )
+            SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_test,
+              CAST(SUM(CASE WHEN ABS(cents - pred) <= qhat_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+              CAST(SUM(CASE WHEN ABS(cents - pred) <= qhat_cents
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS coverage,
+              qhat_cents, n_cal, k_rank
+            FROM o JOIN model USING (o_orderpriority)
+            CROSS JOIN q
+            WHERE NOT is_cal
+            GROUP BY 1, 5, 6, 7"""),
+    "split-conformal coverage audit: temporal split, exact integer " +
+      "radius via scalable rank-select [stats]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
     "q143_exact_corr" -> q143,
     "q160_two_proportion" -> q160,
     "q163_ols_by_group" -> q163,
     "q168_categorical_mi" -> q168,
-    "q202_ipw_uplift" -> q202)
+    "q202_ipw_uplift" -> q202,
+    "q214_spearman" -> q214,
+    "q217_conformal_coverage" -> q217)
 }

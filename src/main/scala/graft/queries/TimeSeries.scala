@@ -536,6 +536,127 @@ object TimeSeries {
             FROM sc, m, p"""),
     "CUSUM changepoint: scaled integer deviations, exact argmax flag [time-series]")
 
+  /** Maximum autocorrelation lag (days) q216 reports. */
+  private val MaxLag = 7
+
+  /** q216: exact autocorrelation function of daily revenue at lags
+    * 1..$MaxLag days — the seasonality readout behind q169's fixed
+    * day-of-week decomposition and q189's lag-7 naive forecast: the
+    * ACF says WHICH lag carries the signal instead of assuming 7.
+    *
+    * The series is the zero-filled calendar spine (a missing day is a
+    * real 0-revenue observation, q144's convention), so lags are
+    * calendar days, not row offsets. The estimator is the standard
+    * fixed-mean ACF r_ℓ = Σ(x_t−x̄)(x_{t+ℓ}−x̄) / Σ(x_t−x̄)², cleared
+    * of the rational mean by n²: with S = Σx,
+    *   num_ℓ·n² = n²·Σ x_t·x_{t+ℓ} − n·S·(Σhead + Σtail) + (n−ℓ)·S²
+    *   den·n²   = n²·Σx² − n·S²
+    * — all integers, so both engines agree bitwise; r_ℓ is one double
+    * division at the edge. Accumulators are 128-bit (DECIMAL(38,0) /
+    * HUGEINT): exact while n²·Σx² < 10³⁸, i.e. daily totals to ~10¹⁴
+    * cents on a ~10-year spine; past that, rescale the unit (q214's
+    * discipline).
+    *
+    * Scale: the corpus pays ONE date-keyed fold (map-side combined);
+    * the spine, the lag self-join (|days|·$MaxLag rows), and the
+    * scalar attach all run on the calendar-bounded daily frame —
+    * checkpointed once so the fold isn't re-derived per lag.
+    */
+  private val q216 = QueryDef(
+    (s, d) => {
+      val daily = load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
+          .as("day_cents"))
+        .localCheckpoint()
+      val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("day_cents"), lit(0L)).as("x"))
+        .localCheckpoint()
+      val stats = spine.agg(
+        graft.common.Exact.lcountAll.as("n_days"),
+        sum(col("x")).as("s_total"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sx2"))
+      val lagged = spine
+        .withColumn("lag", explode(sequence(lit(1L), lit(MaxLag.toLong))))
+      val pairs = lagged.as("a").join(spine.as("b"),
+          col("b.day") === date_add(col("a.day"), col("lag").cast("int")))
+        .select(col("lag"), col("a.x").as("xa"), col("b.x").as("xb"))
+      val nD = col("n_days").cast("decimal(38,0)")
+      val sT = col("s_total").cast("decimal(38,0)")
+      pairs.groupBy(col("lag"))
+        .agg(graft.common.Exact.lcountAll.as("n_pairs"),
+          sum(col("xa").cast("decimal(38,0)") * col("xb")).as("cross_sum"),
+          sum(col("xa")).as("head_sum"),
+          sum(col("xb")).as("tail_sum"))
+        .crossJoin(broadcast(stats))
+        .select(col("lag"), col("n_pairs"),
+          (nD * nD * col("cross_sum") -
+            nD * sT * (col("head_sum") + col("tail_sum")).cast("decimal(38,0)") +
+            col("n_pairs").cast("decimal(38,0)") * sT * sT)
+            .cast("decimal(38,0)").as("num_scaled"),
+          (nD * nD * col("sx2") - nD * sT * sT)
+            .cast("decimal(38,0)").as("den_scaled"))
+        .select(col("lag"), col("n_pairs"), col("num_scaled"),
+          col("den_scaled"),
+          when(col("den_scaled") === lit(0).cast("decimal(38,0)"), lit(null))
+            .otherwise(col("num_scaled").cast("double") /
+              col("den_scaled").cast("double")).as("acf"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS day_cents
+              FROM orders GROUP BY 1
+            ), b AS (
+              SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+            ), spine AS (
+              SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+              FROM b
+            ), x AS (
+              SELECT s.day, COALESCE(day_cents, 0) AS x
+              FROM spine s LEFT JOIN daily ON s.day = daily.day
+            ), st AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n_days,
+                CAST(SUM(x) AS HUGEINT) AS s_total,
+                SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2
+              FROM x
+            ), lags AS (
+              SELECT CAST(l AS BIGINT) AS lag
+              FROM generate_series(1, $MaxLag) t(l)
+            ), pairs AS (
+              SELECT l.lag, a.x AS xa, b2.x AS xb
+              FROM x a CROSS JOIN lags l
+              JOIN x b2 ON date_diff('day', a.day, b2.day) = l.lag
+            ), g AS (
+              SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                SUM(CAST(xa AS HUGEINT) * CAST(xb AS HUGEINT)) AS cross_sum,
+                CAST(SUM(xa) AS HUGEINT) AS head_sum,
+                CAST(SUM(xb) AS HUGEINT) AS tail_sum
+              FROM pairs GROUP BY 1
+            ), sc AS (
+              SELECT lag, n_pairs,
+                n_days * n_days * cross_sum
+                  - n_days * s_total * (head_sum + tail_sum)
+                  + CAST(n_pairs AS HUGEINT) * s_total * s_total
+                  AS num_scaled,
+                n_days * n_days * sx2 - n_days * s_total * s_total
+                  AS den_scaled
+              FROM g, st
+            )
+            SELECT lag, n_pairs,
+              CAST(num_scaled AS DECIMAL(38,0)) AS num_scaled,
+              CAST(den_scaled AS DECIMAL(38,0)) AS den_scaled,
+              CASE WHEN den_scaled = 0 THEN NULL
+                ELSE CAST(num_scaled AS DOUBLE) / CAST(den_scaled AS DOUBLE)
+              END AS acf
+            FROM sc"""),
+    "exact daily-revenue ACF at lags 1..7: n2-scaled integer moments " +
+      "on the calendar spine [time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
@@ -543,5 +664,6 @@ object TimeSeries {
     "q169_seasonal_decomp" -> q169,
     "q179_rolling_corr" -> q179,
     "q189_seasonal_naive" -> q189,
-    "q209_cusum_changepoint" -> q209)
+    "q209_cusum_changepoint" -> q209,
+    "q216_revenue_acf" -> q216)
 }

@@ -38,6 +38,18 @@ class QuerySurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("README's registry count matches the registry (doc-lint)") {
+    // the README is the first thing a reader checks against
+    // CORRECTNESS_rN.json; a stale count there misreports the surface
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")))
+    val claimed = "(\\d+)-query registry".r
+      .findFirstMatchIn(readme).map(_.group(1).toInt)
+    assert(claimed.contains(SparkEntry.registry.size),
+      s"README claims ${claimed.getOrElse(-1)} queries, registry has " +
+        s"${SparkEntry.registry.size} — update the README module table")
+  }
+
   test("every registered query executes and is non-empty at sf0.001") {
     SparkEntry.registry.foreach { case (name, q) =>
       val n = q.fn(spark, Sf).count()
