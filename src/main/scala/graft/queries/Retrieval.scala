@@ -239,7 +239,91 @@ object Retrieval {
     },
     "hybrid RRF fusion of lexical + dense rankers: exact full-row oracle [retrieval]")
 
+  /** Phrase queries for q219 — the bounded user-query side, like
+    * [[QueryTerms]].
+    */
+  private[graft] val Phrases =
+    Seq("table scan", "hash join", "merge sort")
+
+  /** q219: exact positional phrase search — the query-side twin of
+    * q113's positional inverted index: for each two-word phrase, every
+    * document containing the words ADJACENT in order, with the exact
+    * occurrence count and first hit position. BM25 (q115) treats a
+    * query as a bag of words; decontamination and quote-detection need
+    * the phrase form (a doc containing "table" and "scan" separately
+    * is not a leak of "table scan").
+    *
+    * Scale: the corpus pays ONE narrow (doc_id, words) scan and one
+    * posexplode whose output is filtered to the phrase VOCABULARY
+    * before any exchange — the shuffle carries only postings of the
+    * handful of query words, never the corpus. Adjacency is an
+    * equi-join on (doc_id, pos+1) over those bounded postings (never
+    * an inequality join), and the per-(phrase, doc) rollup rides the
+    * same doc-keyed locality. The phrase table is a LocalRelation.
+    *
+    * Exactness: positions, counts, and the first-position min are pure
+    * integers — the oracle compares hash-exact.
+    */
+  private val q219 = QueryDef(
+    (s, d) => {
+      val phrases = {
+        import s.implicits._
+        Phrases.map { p =>
+          val Array(w1, w2) = p.split(" "); (p, w1, w2)
+        }.toDF("phrase", "w1", "w2")
+      }
+      val vocab = Phrases.flatMap(_.split(" ")).distinct
+      val postings = load(s, d, "documents")
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .filter(col("col").isin(vocab: _*))
+        .select(col("doc_id"), (col("pos") + 1L).as("pos"),
+          col("col").as("term"))
+      val first = postings.as("a")
+        .join(broadcast(phrases), col("a.term") === col("w1"))
+      first
+        .join(postings.as("b"),
+          col("b.doc_id") === col("a.doc_id") &&
+            col("b.pos") === col("a.pos") + 1L &&
+            col("b.term") === col("w2"))
+        .groupBy(col("phrase"), col("a.doc_id").as("doc_id"))
+        .agg(graft.common.Exact.lcountAll.as("n_matches"),
+          min(col("a.pos")).cast("long").as("first_pos"))
+    },
+    Some {
+      val WordsSql =
+        "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+      val vocab = Phrases.flatMap(_.split(" ")).distinct
+        .map(t => s"'$t'").mkString(", ")
+      val phraseRows = Phrases.map { p =>
+        val Array(w1, w2) = p.split(" ")
+        s"('$p', '$w1', '$w2')"
+      }.mkString(", ")
+      s"""WITH w AS (
+            SELECT doc_id, $WordsSql AS w FROM documents
+          ), toks AS (
+            SELECT doc_id,
+              unnest(generate_series(1, len(w))) AS pos, w
+            FROM w
+          ), postings AS (
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos, w[pos] AS term
+            FROM toks WHERE w[pos] IN ($vocab)
+          ), phrases(phrase, w1, w2) AS (
+            VALUES $phraseRows
+          )
+          SELECT p.phrase, a.doc_id,
+            CAST(count(*) AS BIGINT) AS n_matches,
+            CAST(MIN(a.pos) AS BIGINT) AS first_pos
+          FROM postings a
+          JOIN phrases p ON a.term = p.w1
+          JOIN postings b ON b.doc_id = a.doc_id
+            AND b.pos = a.pos + 1 AND b.term = p.w2
+          GROUP BY 1, 2"""
+    },
+    "exact positional phrase search: vocabulary-filtered postings, " +
+      "adjacency equi-join [retrieval]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q115_bm25_topk" -> q115,
-    "q122_hybrid_rrf" -> q122)
+    "q122_hybrid_rrf" -> q122,
+    "q219_phrase_search" -> q219)
 }

@@ -728,6 +728,79 @@ object Stats {
     "split-conformal coverage audit: temporal split, exact integer " +
       "radius via scalable rank-select [stats]")
 
+  /** q218's z for the Wilson bound: 1.96 (95% two-sided). */
+  private val WilsonZ = 1.96
+
+  /** q218: rank brands by the Wilson-score LOWER bound of their
+    * return rate — the "how not to sort by average rating" fix: a
+    * brand with 2 returns out of 3 lineitems must not outrank one
+    * with 300 of 1000, so the sort key is the uncertainty-penalized
+    * lower confidence bound, not the raw rate.
+    *
+    * Exactness: the evidence (n, returns) is integer and hash-exact.
+    * The bound itself needs sqrt; both engines compute the SAME
+    * expression tree over the same integer evidence in IEEE-754
+    * doubles (+, −, ×, ÷, sqrt are all correctly rounded), so the
+    * doubles compare bitwise — the q143/q160 discipline, no tolerance
+    * contract needed. The final rank is re-derived from the emitted
+    * bound with brand as tiebreak (total order).
+    *
+    * Scale: one fact-side fold to |brands| rows (25-value bounded
+    * domain) behind the lineitem→part key join — the part side is
+    * deliberately UNHINTED (corpus-proportional dimension; q149
+    * rule). The ranking window runs on the bounded brand frame.
+    */
+  private val q218 = QueryDef(
+    (s, d) => {
+      val z = lit(WilsonZ)
+      val ev = load(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_returnflag"))
+        .join(load(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(graft.common.Exact.lcountAll.as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .cast("long").as("returns"))
+      val p = col("returns").cast("double") / col("n").cast("double")
+      val nD = col("n").cast("double")
+      val lower = (p + z * z / (lit(2.0) * nD) -
+        z * sqrt((p * (lit(1.0) - p) + z * z / (lit(4.0) * nD)) / nD)) /
+        (lit(1.0) + z * z / nD)
+      ev.withColumn("wilson_lower", lower)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("wilson_lower").desc, col("p_brand").asc))
+          .cast("long"))
+        .select(col("p_brand"), col("n"), col("returns"),
+          p.as("rate"), col("wilson_lower"), col("rnk"))
+    },
+    Some(s"""WITH ev AS (
+              SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS returns
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1
+            ), calc AS (
+              SELECT p_brand, n, returns,
+                CAST(returns AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+                (CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
+                  + $WilsonZ * $WilsonZ / (2.0 * CAST(n AS DOUBLE))
+                  - $WilsonZ * sqrt(
+                      (CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
+                        * (1.0 - CAST(returns AS DOUBLE) / CAST(n AS DOUBLE))
+                        + $WilsonZ * $WilsonZ / (4.0 * CAST(n AS DOUBLE)))
+                      / CAST(n AS DOUBLE)))
+                / (1.0 + $WilsonZ * $WilsonZ / CAST(n AS DOUBLE))
+                  AS wilson_lower
+              FROM ev
+            )
+            SELECT p_brand, n, returns, rate, wilson_lower,
+              CAST(ROW_NUMBER() OVER (
+                ORDER BY wilson_lower DESC, p_brand ASC) AS BIGINT) AS rnk
+            FROM calc"""),
+    "Wilson lower-bound brand ranking: integer evidence, IEEE-exact " +
+      "bound, re-derived rank [stats,ranking]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
     "q143_exact_corr" -> q143,
@@ -736,5 +809,6 @@ object Stats {
     "q168_categorical_mi" -> q168,
     "q202_ipw_uplift" -> q202,
     "q214_spearman" -> q214,
-    "q217_conformal_coverage" -> q217)
+    "q217_conformal_coverage" -> q217,
+    "q218_wilson_ranking" -> q218)
 }

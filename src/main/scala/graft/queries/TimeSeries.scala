@@ -657,6 +657,89 @@ object TimeSeries {
     "exact daily-revenue ACF at lags 1..7: n2-scaled integer moments " +
       "on the calendar spine [time-series]")
 
+  /** q220: Mann-Kendall trend test on daily revenue — the
+    * distribution-free "is there a monotone trend" companion to
+    * q209's CUSUM (which finds WHERE the level shifted) and q216's
+    * ACF (which finds periodicity): S = Σ_{i<j} sign(x_j − x_i) over
+    * all ordered day pairs, with the tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (t = tie-group
+    * sizes) and the continuity-corrected z.
+    *
+    * Exactness: S, the tie correction, and 18·Var(S) are pure
+    * integers (hash-exact); z needs one sqrt over integer-derived
+    * doubles, which IEEE round-trips bitwise on both engines (q218 /
+    * q143 discipline). Continuity correction: z = (S−1)/σ for S>0,
+    * (S+1)/σ for S<0, 0 for S=0 — integer branches, shared σ.
+    *
+    * Scale: the corpus pays ONE date-keyed fold (shared shape with
+    * q209/q216); the O(|days|²) pair self-join (~3M rows on a 10-year
+    * spine) and the tie census run entirely on the checkpointed
+    * CALENDAR-BOUNDED daily frame — at 100 TB the pair count is
+    * unchanged because the calendar is.
+    */
+  private val q220 = QueryDef(
+    (s, d) => {
+      val daily = load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
+          .as("x"))
+        .localCheckpoint()
+      val sStat = daily.as("a").join(daily.as("b"),
+          col("a.day") < col("b.day"))
+        .agg(sum(signum(
+          (col("b.x") - col("a.x")).cast("double")).cast("long"))
+          .as("s_stat"))
+      val ties = daily.groupBy(col("x"))
+        .agg(graft.common.Exact.lcountAll.as("t"))
+        .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("tie_term"))
+      val base = daily.agg(graft.common.Exact.lcountAll.as("n_days"))
+      sStat.crossJoin(broadcast(base)).crossJoin(broadcast(ties))
+        .withColumn("var18",
+          col("n_days") * (col("n_days") - 1L) *
+            (lit(2L) * col("n_days") + 5L) - col("tie_term"))
+        .select(col("n_days"), col("s_stat"), col("var18"),
+          when(col("s_stat") > 0L,
+            (col("s_stat") - 1L).cast("double") /
+              sqrt(col("var18").cast("double") / lit(18.0)))
+          .when(col("s_stat") < 0L,
+            (col("s_stat") + 1L).cast("double") /
+              sqrt(col("var18").cast("double") / lit(18.0)))
+          .otherwise(lit(0.0)).as("z"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS x
+              FROM orders GROUP BY 1
+            ), sgn AS (
+              SELECT CAST(SUM(sign(b.x - a.x)) AS BIGINT) AS s_stat
+              FROM daily a JOIN daily b ON a.day < b.day
+            ), ties AS (
+              SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                AS tie_term
+              FROM (SELECT x, CAST(count(*) AS BIGINT) AS t
+                    FROM daily GROUP BY 1)
+            ), base AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+            ), v AS (
+              SELECT n_days, s_stat,
+                n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                  AS var18
+              FROM sgn, ties, base
+            )
+            SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+              CASE WHEN s_stat > 0 THEN
+                  CAST(s_stat - 1 AS DOUBLE)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                WHEN s_stat < 0 THEN
+                  CAST(s_stat + 1 AS DOUBLE)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z
+            FROM v"""),
+    "Mann-Kendall monotone-trend test: integer S + tie-corrected " +
+      "variance on the calendar-bounded frame [time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
@@ -665,5 +748,6 @@ object TimeSeries {
     "q179_rolling_corr" -> q179,
     "q189_seasonal_naive" -> q189,
     "q209_cusum_changepoint" -> q209,
-    "q216_revenue_acf" -> q216)
+    "q216_revenue_acf" -> q216,
+    "q220_mann_kendall" -> q220)
 }
