@@ -182,6 +182,88 @@ object Advanced {
             GROUP BY 1, 2"""),
     "fulfillment lead-time quartiles per priority: histogram-positional, exact [quantiles]")
 
+  /** Trim fraction denominator for q224: k = n div 10 rows cut from
+    * EACH side (a 10% symmetric trim — the robust-mean convention).
+    */
+  private val TrimDen = 10L
+
+  /** q224: exact 10%-trimmed mean of order totals per priority — the
+    * robust center a pricing dashboard quotes when a handful of mega-
+    * orders would drag the plain mean (the q120 median/MAD family's
+    * "mean that survives outliers" sibling). Cut the k = n div 10
+    * smallest and largest cents per group, average what's left.
+    *
+    * Scale: rides q81/q178's histogram-positional engine — the heavy
+    * shuffle ends at a (priority, cents) count frame (the cents DOMAIN
+    * is price-bounded, not corpus-proportional), and the kept mass is
+    * rank-interval OVERLAP arithmetic on the cumulative histogram:
+    * each value row keeps max(0, min(cum, n−k) − max(cum−c, k)) of its
+    * multiplicity. No per-row rank window ever touches the corpus —
+    * the per-group ROW_NUMBER formulation would hand one task a whole
+    * priority class at 100 TB.
+    *
+    * Exactness: counts, cumulative ranks, overlap takes, and the kept
+    * cents sum are pure integers (DECIMAL(38,0) for the sum); the
+    * trimmed mean is the single terminal double division.
+    */
+  private lazy val q224 = QueryDef(
+    (s, d) => {
+      val byGrp = Window.partitionBy(col("grp"))
+      val hist = load(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          cents(col("o_totalprice")).as("v"))
+        .groupBy(col("grp"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      hist
+        .withColumn("cum", sum(col("c")).over(byGrp.orderBy(col("v"))))
+        .withColumn("n", sum(col("c")).over(byGrp))
+        .withColumn("k", expr(s"n div $TrimDen"))
+        .withColumn("take",
+          greatest(least(col("cum"), col("n") - col("k")) -
+            greatest(col("cum") - col("c"), col("k")), lit(0L)))
+        .filter(col("take") > 0L)
+        .groupBy(col("grp"))
+        .agg(max(col("n")).as("n_rows"), max(col("k")).as("k_trim"),
+          sum(col("take").cast("decimal(38,0)") * col("v"))
+            .cast("decimal(38,0)").as("kept_cents"),
+          sum(col("take")).as("n_kept"))
+        .select(col("grp").as("o_orderpriority"),
+          col("n_rows"), col("k_trim"), col("kept_cents"),
+          col("n_kept"),
+          (col("kept_cents").cast("double") /
+            col("n_kept").cast("double")).as("trimmed_mean_cents"))
+    },
+    Some(s"""WITH g AS (
+              SELECT o_orderpriority AS grp,
+                ${centsSql("o_totalprice")} AS v
+              FROM orders
+            ), h AS (
+              SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+              FROM g GROUP BY 1, 2
+            ), w AS (
+              SELECT grp, v, c,
+                CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v)
+                  AS BIGINT) AS cum,
+                CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+              FROM h
+            ), t AS (
+              SELECT grp, v, c, cum, n, n // $TrimDen AS k,
+                GREATEST(LEAST(cum, n - n // $TrimDen)
+                  - GREATEST(cum - c, n // $TrimDen), 0) AS take
+              FROM w
+            )
+            SELECT grp AS o_orderpriority,
+              CAST(MAX(n) AS BIGINT) AS n_rows,
+              CAST(MAX(k) AS BIGINT) AS k_trim,
+              CAST(SUM(CAST(take AS HUGEINT) * v) AS DECIMAL(38,0))
+                AS kept_cents,
+              CAST(SUM(take) AS BIGINT) AS n_kept,
+              CAST(SUM(CAST(take AS HUGEINT) * v) AS DOUBLE)
+                / CAST(SUM(take) AS DOUBLE) AS trimmed_mean_cents
+            FROM t WHERE take > 0 GROUP BY 1"""),
+    "exact symmetric trimmed mean per group: rank-interval overlap " +
+      "on the cumulative value histogram [quantiles]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q47_scalar_subquery" -> q47,
     "q48_pivot" -> q48,
@@ -191,7 +273,8 @@ object Advanced {
     "q77_grouping_sets" -> q77,
     "q79_unpivot" -> q79,
     "q81_exact_quantiles" -> q81,
-    "q178_leadtime_quartiles" -> q178)
+    "q178_leadtime_quartiles" -> q178,
+    "q224_trimmed_mean" -> q224)
 
   /** Exact grouped quantiles by POSITION (lower median / quartiles at
     * ranks floor((n+1)·q)): unlike percentile_cont there is no

@@ -436,11 +436,73 @@ object Sequence {
             FROM flat GROUP BY 1, 2"""),
     "skip-gram pairs: K leads over one user exchange, integer 1/k weights [sequence]")
 
+  /** q225: top-20 behavioral trigrams by user support — sequential
+    * pattern mining (the PrefixSpan "frequent length-3 sequences with
+    * contiguous gap" special case) extending q117's bigram transition
+    * matrix and q204's unordered skip-gram pairs to ORDERED 3-step
+    * paths: "viewed → carted → purchased happens in N sessions" is the
+    * shape merchandising and onboarding funnels are mined from.
+    * Support = distinct users exhibiting the trigram (the pattern-
+    * mining convention — a bot repeating one loop shouldn't dominate),
+    * reported next to raw occurrence counts.
+    *
+    * Scale: the corpus pays the ONE user_id window exchange every
+    * per-user operator pays (two `lead()`s evaluate in a single window
+    * pass); the support fold is two-stage — (e1,e2,e3,user) first,
+    * which map-side combines within a user's history, then the
+    * ≤|types|³-keyed rollup — so no countDistinct expand ever sees raw
+    * rows. The cut is ORDER BY + LIMIT → TakeOrderedAndProject under a
+    * total tie-break, never a global sort.
+    *
+    * Exactness: pure integer counts, deterministic total-order cut —
+    * hash-exact oracle.
+    */
+  private val q225 = QueryDef(
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(byUser))
+        .withColumn("e3", lead(col("e1"), 2).over(byUser))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"), col("user_id"))
+        .agg(lcountAll.as("n_u"))
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(sum(col("n_u")).cast("long").as("n_occurrences"),
+          lcountAll.as("n_users"))
+        .orderBy(col("n_users").desc, col("n_occurrences").desc,
+          col("e1").asc, col("e2").asc, col("e3").asc)
+        .limit(20)
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, event_type AS e1,
+                LEAD(event_type, 1) OVER w AS e2,
+                LEAD(event_type, 2) OVER w AS e3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), per_user AS (
+              SELECT e1, e2, e3, user_id,
+                CAST(count(*) AS BIGINT) AS n_u
+              FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT e1, e2, e3,
+              CAST(SUM(n_u) AS BIGINT) AS n_occurrences,
+              CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM per_user GROUP BY 1, 2, 3
+            ORDER BY n_users DESC, n_occurrences DESC, e1, e2, e3
+            LIMIT 20"""),
+    "top-20 ordered event trigrams by distinct-user support: two-stage " +
+      "fold, TakeOrderedAndProject cut [sequence-mining]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q117_event_transitions" -> q117,
     "q118_time_decay" -> q118,
     "q138_event_paths" -> q138,
     "q200_markov_stationary" -> q200,
     "q201_next_event_eval" -> q201,
-    "q204_skipgram_pairs" -> q204)
+    "q204_skipgram_pairs" -> q204,
+    "q225_event_trigrams" -> q225)
 }

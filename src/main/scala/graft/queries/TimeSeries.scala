@@ -740,6 +740,83 @@ object TimeSeries {
     "Mann-Kendall monotone-trend test: integer S + tie-corrected " +
       "variance on the calendar-bounded frame [time-series]")
 
+  /** q221: Theil–Sen slope of daily revenue — the robust trend
+    * MAGNITUDE companion to q220's Mann-Kendall trend TEST (q220 says
+    * "is there a monotone trend", this says "how many cents/day"): the
+    * median of all pairwise slopes (x_j − x_i)/(day_j − day_i) over
+    * ordered day pairs, immune to outlier days that wreck an OLS fit.
+    *
+    * Exactness: each slope is ONE IEEE division of integer-derived
+    * doubles (exact cents difference / exact day difference), so both
+    * engines materialize the identical double multiset; the median is
+    * positional selection over that multiset (rank arithmetic is
+    * integer `div`; equal doubles make tie order irrelevant) and the
+    * even-n midpoint is one fixed (a+b)/2 chain — hash-exact, no
+    * tolerance contract.
+    *
+    * Scale: rides q220's frame exactly — one date-keyed corpus fold,
+    * then the O(|days|²) pair join and the median's single-partition
+    * rank window run on the checkpointed CALENDAR-BOUNDED daily frame
+    * (~3M pairs on a 10-year spine, invariant to corpus size). The
+    * window sort is local below an Exchange SinglePartition of a
+    * bounded frame, not a corpus sort.
+    */
+  private val q221 = QueryDef(
+    (s, d) => {
+      val daily = load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
+          .as("x"))
+        .localCheckpoint()
+      val slopes = daily.as("a").join(daily.as("b"),
+          col("a.day") < col("b.day"))
+        .select(((col("b.x") - col("a.x")).cast("double") /
+          datediff(col("b.day"), col("a.day")).cast("double"))
+          .as("slope"))
+      val w = Window.orderBy(col("slope").asc)
+      // n_pairs = C(n_days, 2) from the daily frame directly — no
+      // second evaluation of the pair join just to count it
+      val nPairs = daily
+        .agg(graft.common.Exact.lcountAll.as("n_days"))
+        .select(expr("(n_days * (n_days - 1)) div 2").as("n_pairs"))
+      val ranked = slopes
+        .withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(nPairs))
+      ranked
+        .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
+          col("rn") === expr("(n_pairs + 2) div 2"))
+        .groupBy(col("n_pairs"))
+        .agg(((min(when(col("rn") === expr("(n_pairs + 1) div 2"),
+            col("slope"))) +
+          min(when(col("rn") === expr("(n_pairs + 2) div 2"),
+            col("slope")))) / lit(2.0)).as("sen_slope"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS x
+              FROM orders GROUP BY 1
+            ), slopes AS (
+              SELECT CAST(b.x - a.x AS DOUBLE)
+                  / CAST(date_diff('day', a.day, b.day) AS DOUBLE)
+                  AS slope
+              FROM daily a JOIN daily b ON a.day < b.day
+            ), r AS (
+              SELECT slope,
+                ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+                CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+              FROM slopes
+            )
+            SELECT n_pairs,
+              (MIN(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope END)
+               + MIN(CASE WHEN rn = (n_pairs + 2) // 2 THEN slope END))
+                / 2.0 AS sen_slope
+            FROM r
+            WHERE rn IN ((n_pairs + 1) // 2, (n_pairs + 2) // 2)
+            GROUP BY 1"""),
+    "Theil-Sen robust trend slope: median pairwise slope on the " +
+      "calendar-bounded frame [time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
@@ -749,5 +826,6 @@ object TimeSeries {
     "q189_seasonal_naive" -> q189,
     "q209_cusum_changepoint" -> q209,
     "q216_revenue_acf" -> q216,
-    "q220_mann_kendall" -> q220)
+    "q220_mann_kendall" -> q220,
+    "q221_theil_sen" -> q221)
 }

@@ -50,6 +50,20 @@ class QuerySurfaceSpec extends AnyFunSuite with SparkSpec {
         s"${SparkEntry.registry.size} — update the README module table")
   }
 
+  test("q215 conserves credit: per-purchase ppm sums to exactly 1e6") {
+    // the U-shape weights are integer ppm with the division remainder
+    // assigned to the last touch — conservation is the contract that
+    // makes per-channel rollups of the credit column trustworthy
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q215_ushape_attribution")(spark, Sf)
+    val bad = df.groupBy("purchase_id")
+      .agg(sum("ppm").as("s"), max("n_touches").as("n"),
+        count(lit(1)).as("rows"))
+      .filter(col("s") =!= 1000000L || col("rows") =!= col("n"))
+      .count()
+    assert(bad == 0L, s"$bad purchases violate ppm conservation")
+  }
+
   test("every registered query executes and is non-empty at sf0.001") {
     SparkEntry.registry.foreach { case (name, q) =>
       val n = q.fn(spark, Sf).count()
