@@ -465,6 +465,81 @@ object Curation {
             FROM orders GROUP BY 1"""),
     "group k-fold CV assignment: leakage-free by construction [training-export]")
 
+  /** Total training-sample budget q228 apportions across sources. */
+  private val SampleBudget = 1000000L
+
+  /** q228: largest-remainder (Hamilton) apportionment of a fixed
+    * training-sample budget across corpus sources — the EXACT-integer
+    * allocation step downstream of q116's temperature weights: given
+    * "draw [[SampleBudget]] examples proportional to source size",
+    * floor quotas leave budget − Σfloor slots unassigned, and Hamilton
+    * assigns each leftover slot to the largest fractional remainders
+    * (ties broken by source name). The output allocation sums to
+    * EXACTLY the budget — the conservation property that makes per-
+    * source sampling plans composable (a round-to-nearest scheme can
+    * over- or under-shoot by |sources|/2 slots).
+    *
+    * Scale: one source-keyed corpus count fold ends the corpus-
+    * proportional work; quotas, remainders, and the remainder-rank
+    * window all run on the |sources|-frame (source is a bounded
+    * catalog domain), with the 1-row total riding a broadcast attach.
+    * budget·n_docs stays in i64 while n_docs < 9.2e12 (budget 1e6);
+    * beyond that the fold would move to DECIMAL(38,0) — documented
+    * rather than paid, since a source catalog is bounded far below it.
+    *
+    * Exactness: pure integer `div`/`%` arithmetic plus one share
+    * division — hash-exact oracle.
+    */
+  private val q228 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = load(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(graft.common.Exact.lcountAll.as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+      val allRows = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      counts.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($SampleBudget * n_docs) div n_total"))
+        .withColumn("rem", expr(s"($SampleBudget * n_docs) % n_total"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source").asc)))
+        .withColumn("n_leftover",
+          lit(SampleBudget) - sum(col("base")).over(allRows))
+        .select(col("source"), col("n_docs"), col("base"), col("rem"),
+          (col("rk") <= col("n_leftover")).cast("long").as("extra"),
+          (col("base") + (col("rk") <= col("n_leftover")).cast("long"))
+            .as("alloc"),
+          (col("n_docs").cast("double") / col("n_total").cast("double"))
+            .as("doc_share"))
+    },
+    Some(s"""WITH c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1
+            ), t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+            q AS (
+              SELECT source, n_docs,
+                ($SampleBudget * n_docs) // n_total AS base,
+                ($SampleBudget * n_docs) % n_total AS rem,
+                CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
+                  AS doc_share
+              FROM c, t
+            ), r AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                  AS rk,
+                $SampleBudget - SUM(base) OVER () AS n_leftover
+              FROM q
+            )
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(base AS BIGINT) AS base, CAST(rem AS BIGINT) AS rem,
+              CAST(rk <= n_leftover AS BIGINT) AS extra,
+              CAST(base + CAST(rk <= n_leftover AS BIGINT) AS BIGINT)
+                AS alloc,
+              doc_share
+            FROM r"""),
+    "largest-remainder sample-budget apportionment: exact integer " +
+      "conservation [training-export]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q100_epoch_shuffle" -> q100,
     "q101_stratified_exact_k" -> q101,
@@ -473,5 +548,6 @@ object Curation {
     "q111_weighted_sample" -> q111,
     "q112_quantile_norm" -> q112,
     "q116_temperature_mix" -> q116,
-    "q125_group_kfold" -> q125)
+    "q125_group_kfold" -> q125,
+    "q228_sample_apportionment" -> q228)
 }

@@ -191,8 +191,138 @@ object PrivacyOps {
     "l-diversity audit: sensitive-attribute distinctness per QI class " +
       "+ homogeneity share [privacy]")
 
+  /** t-closeness threshold of the q229 audit (Li et al., ICDE'07 use
+    * 0.15–0.2 as the illustrative release bar).
+    */
+  private val TClose = 0.2
+
+  /** q229: t-closeness audit — the distribution-disclosure member of
+    * the release triad (q195 k-anonymity: classes big enough; q213
+    * l-diversity: sensitive values varied enough; this: each class's
+    * sensitive DISTRIBUTION close enough to the global one — a class
+    * can be 50-anonymous and 3-diverse yet still reveal "balances here
+    * skew high"). Quasi-identifiers are (nation, segment); the
+    * sensitive attribute is the ORDERED $1000 balance band, so the
+    * distance is the ordered-attribute Earth-Mover's Distance of Li et
+    * al.: EMD = Σ_k |Σ_{i≤k}(p_i − q_i)| / (m−1) over the m global
+    * band levels in value order.
+    *
+    * Scale: one (QI, band) corpus fold map-side combines everything;
+    * the class × band grid is |nations·segments| × |bands| — both
+    * factors value-domain-bounded (bands are floor(balance/1000) of a
+    * model-bounded balance range), so the broadcast of the band
+    * marginal and the per-class prefix windows are bounded work at any
+    * corpus size.
+    *
+    * Exactness: the prefix difference is folded as the exact integer
+    * numerator c_cum·N − C_cum·n_g over the common denominator n_g·N
+    * (operands cast to DECIMAL(38,0) BEFORE the products so a 100 TB
+    * corpus cannot overflow i64); the EMD is ONE terminal division of
+    * that exact numerator sum by n_g·N·(m−1) — hash-exact, and the
+    * violation flag compares identical doubles.
+    */
+  private val q229 = QueryDef(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val cells = load(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+        .agg(graft.common.Exact.lcountAll.as("c"))
+      val global = cells.groupBy(col("band"))
+        .agg(sum(col("c")).as("gc"))
+        .withColumn("n_total", sum(col("gc")).over(w.rowsBetween(
+          w.unboundedPreceding, w.unboundedFollowing)))
+        .withColumn("m_bands", count(lit(1)).over(w.rowsBetween(
+          w.unboundedPreceding, w.unboundedFollowing)))
+      val classes = cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(sum(col("c")).as("class_size"))
+      val byClass = w.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      val grid = classes.crossJoin(broadcast(global))
+        .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("c_cum",
+          sum(col("c")).over(byClass.orderBy(col("band").asc)))
+        .withColumn("gc_cum",
+          sum(col("gc")).over(byClass.orderBy(col("band").asc)))
+        .withColumn("pref_num",
+          abs(col("c_cum").cast("decimal(38,0)") *
+              col("n_total").cast("decimal(38,0)") -
+            col("gc_cum").cast("decimal(38,0)") *
+              col("class_size").cast("decimal(38,0)")))
+      grid.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(max(col("class_size")).as("class_size"),
+          max(col("m_bands")).as("m_bands"),
+          max(col("n_total")).as("n_total"),
+          sum(col("pref_num")).cast("decimal(38,0)").as("emd_num"))
+        .withColumn("emd",
+          col("emd_num").cast("double") /
+            (col("class_size").cast("double") *
+              col("n_total").cast("double") *
+              (col("m_bands") - 1L).cast("double")))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("class_size"), col("m_bands"), col("emd_num"), col("emd"),
+          (col("emd") > TClose).as("violates_t"),
+          max(col("emd")).over(w.rowsBetween(
+            w.unboundedPreceding, w.unboundedFollowing)).as("t_max"))
+    },
+    Some(s"""WITH cells AS (
+              SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+                CAST(count(*) AS BIGINT) AS c
+              FROM customer GROUP BY 1, 2, 3
+            ), gmarg AS (
+              SELECT band, CAST(SUM(c) AS BIGINT) AS gc,
+                CAST(SUM(SUM(c)) OVER () AS BIGINT) AS n_total,
+                CAST(COUNT(*) OVER () AS BIGINT) AS m_bands
+              FROM cells GROUP BY 1
+            ), cls AS (
+              SELECT c_nationkey, c_mktsegment,
+                CAST(SUM(c) AS BIGINT) AS class_size
+              FROM cells GROUP BY 1, 2
+            ), grid AS (
+              SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
+                g.band, g.gc, g.n_total, g.m_bands,
+                COALESCE(ce.c, 0) AS c
+              FROM cls cl CROSS JOIN gmarg g
+              LEFT JOIN cells ce ON ce.c_nationkey = cl.c_nationkey
+                AND ce.c_mktsegment = cl.c_mktsegment
+                AND ce.band = g.band
+            ), pref AS (
+              SELECT c_nationkey, c_mktsegment, class_size, m_bands,
+                n_total,
+                abs(CAST(SUM(c) OVER cw AS HUGEINT) * n_total
+                  - CAST(SUM(gc) OVER cw AS HUGEINT) * class_size)
+                  AS pref_num
+              FROM grid
+              WINDOW cw AS (PARTITION BY c_nationkey, c_mktsegment
+                ORDER BY band ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), agg AS (
+              SELECT c_nationkey, c_mktsegment,
+                CAST(MAX(class_size) AS BIGINT) AS class_size,
+                CAST(MAX(m_bands) AS BIGINT) AS m_bands,
+                CAST(MAX(n_total) AS BIGINT) AS n_total,
+                CAST(SUM(pref_num) AS DECIMAL(38,0)) AS emd_num
+              FROM pref GROUP BY 1, 2
+            )
+            SELECT c_nationkey, c_mktsegment, class_size, m_bands,
+              emd_num,
+              CAST(emd_num AS DOUBLE) /
+                (CAST(class_size AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 * CAST(m_bands - 1 AS DOUBLE)) AS emd,
+              CAST(emd_num AS DOUBLE) /
+                (CAST(class_size AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 * CAST(m_bands - 1 AS DOUBLE)) > $TClose AS violates_t,
+              MAX(CAST(emd_num AS DOUBLE) /
+                (CAST(class_size AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 * CAST(m_bands - 1 AS DOUBLE))) OVER () AS t_max
+            FROM agg"""),
+    "t-closeness audit: ordered-band EMD per QI class vs the global " +
+      "distribution, exact integer numerators [privacy]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q129_pii_export" -> q129,
     "q195_k_anonymity" -> q195,
-    "q213_l_diversity" -> q213)
+    "q213_l_diversity" -> q213,
+    "q229_t_closeness" -> q229)
 }

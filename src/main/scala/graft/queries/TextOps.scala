@@ -596,6 +596,82 @@ object TextOps {
               AND e.n_docs = nd.n_docs"""),
     "term-pair PMI: doc-presence marginals, ref-driven tolerance oracle [text-analysis]")
 
+  /** q226: Flesch reading-ease scoring — the classic readability
+    * quality signal (Flesch 1948: 206.835 − 1.015·words/sentences −
+    * 84.6·syllables/words) a corpus-curation pass uses beside q31's
+    * ratio screens and q70's repetition screens: template spam and
+    * keyword-stuffed boilerplate land far outside the natural-prose
+    * band. Sentences are maximal `[.!?]+` runs in the RAW text (min 1
+    * so fragments stay finite); syllables use the standard vowel-group
+    * heuristic — per word, max(1, number of maximal `[aeiouy]+` runs) —
+    * summed with an ORDERED array fold so no float ever enters the
+    * count. The grade band is the published score-range bucketing.
+    *
+    * Scale: a pure narrow projection — zero shuffle, the regex counts
+    * and the `aggregate` fold are per-row Catalyst expressions inside
+    * whole-stage codegen; at 100 TB this is scan-bound map work.
+    *
+    * Exactness: words/sentences/syllables are exact integers; the
+    * score is one fixed IEEE chain (two divisions, two multiplies, two
+    * subtractions) over those integers — identical in both engines, so
+    * the oracle compares hash-exact, and the band flag's boundary
+    * comparisons see identical doubles.
+    */
+  private val q226 = QueryDef(
+    (s, d) => {
+      val w = words(col("text"))
+      val nWords = size(w).cast("long")
+      val nSent = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+        lit(1)).cast("long")
+      val nSyll = aggregate(
+        transform(w, x =>
+          greatest(size(regexp_extract_all(x, lit("[aeiouy]+"), lit(0))),
+            lit(1)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val flesch = lit(206.835) -
+        lit(1.015) * (nWords.cast("double") / nSent.cast("double")) -
+        lit(84.6) * (nSyll.cast("double") / nWords.cast("double"))
+      load(s, d, "documents").select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        nSent.as("n_sentences"),
+        nSyll.as("n_syllables"),
+        flesch.as("flesch"),
+        when(flesch >= 90.0, "very_easy")
+          .when(flesch >= 70.0, "easy")
+          .when(flesch >= 50.0, "medium")
+          .when(flesch >= 30.0, "hard")
+          .otherwise("very_hard").as("grade_band"))
+    },
+    Some(s"""WITH m AS (
+              SELECT doc_id,
+                CAST(len($WordsSql) AS BIGINT) AS n_words,
+                CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+                CAST(list_sum(list_transform($WordsSql,
+                  w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+                  AS BIGINT) AS n_syllables
+              FROM documents
+            ), f AS (
+              SELECT doc_id, n_words, n_sentences, n_syllables,
+                206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE)
+                            / CAST(n_words AS DOUBLE)) AS flesch
+              FROM m
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+              CASE WHEN flesch >= 90.0 THEN 'very_easy'
+                   WHEN flesch >= 70.0 THEN 'easy'
+                   WHEN flesch >= 50.0 THEN 'medium'
+                   WHEN flesch >= 30.0 THEN 'hard'
+                   ELSE 'very_hard' END AS grade_band
+            FROM f"""),
+    "Flesch reading-ease: vowel-group syllables, sentence runs, " +
+      "published grade bands [text-analysis]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q30_text_tokens" -> q30,
     "q31_text_quality" -> q31,
@@ -608,5 +684,6 @@ object TextOps {
     "q83_term_cooccurrence" -> q83,
     "q110_char_entropy" -> q110,
     "q113_inverted_index" -> q113,
-    "q205_term_pmi" -> q205)
+    "q205_term_pmi" -> q205,
+    "q226_flesch_readability" -> q226)
 }

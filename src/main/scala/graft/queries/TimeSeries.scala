@@ -817,6 +817,118 @@ object TimeSeries {
     "Theil-Sen robust trend slope: median pairwise slope on the " +
       "calendar-bounded frame [time-series]")
 
+  /** Trend-smoothing factor of q227's Holt recursion (β; the level
+    * factor reuses q165's [[Alpha]]).
+    */
+  private val HoltBeta = 0.1
+
+  /** q227: Holt's linear (double-exponential) smoothing of the daily
+    * event volume with a one-step-ahead forecast backtest — the
+    * trend-aware upgrade of q165's EWMA (EWMA assumes a level; Holt
+    * carries level l and trend b: l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, forecast f_t = l_{t−1}+b_{t−1}),
+    * initialized l_1 = x_1, b_1 = 0. Unlike EWMA there is NO
+    * prefix-sum closed form (the level/trend recursions are coupled),
+    * so this is computed as an ORDERED ARRAY FOLD: the calendar-bounded
+    * daily series collects into one array row (sorted by day index) and
+    * a single `aggregate` higher-order function runs the recursion,
+    * emitting (level, trend, forecast) per day, exploded back to rows.
+    *
+    * Scale: the corpus pays one day-keyed count fold; the collected
+    * array is the CALENDAR-BOUNDED spine (30 rows here, ~2.4k on a
+    * 7-year spine — invariant to corpus size), so the single-row fold
+    * is bounded work by the q164/q165 spine argument.
+    *
+    * Exactness: day counts are exact integers; the recursion is a
+    * fixed sequence of IEEE +,−,× over them, evaluated in the SAME
+    * order by the fold here and the oracle's recursive CTE (each op is
+    * correctly rounded and neither engine fuses across operators), so
+    * the whole cascade — and the abs forecast errors — compare
+    * hash-exact with no tolerance contract.
+    */
+  private val q227 = QueryDef(
+    (s, d) => {
+      val daily = load(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = s.range(1).select(explode(sequence(
+        to_date(lit(DayFrom)), to_date(lit(DayTo)))).as("day"))
+      val grid = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"),
+          (datediff(col("day"), to_date(lit(DayFrom))) + 1).cast("int")
+            .as("day_idx"))
+      def x(v: org.apache.spark.sql.Column) = v.getField("n_events").cast("double")
+      def lNew(a: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(v.getField("day_idx") === 1, x(v))
+          .otherwise(lit(Alpha) * x(v) +
+            lit(1.0 - Alpha) * (a.getField("l") + a.getField("b")))
+      def bNew(a: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(v.getField("day_idx") === 1, lit(0.0))
+          .otherwise(lit(HoltBeta) * (lNew(a, v) - a.getField("l")) +
+            lit(1.0 - HoltBeta) * a.getField("b"))
+      def fc(a: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(v.getField("day_idx") === 1, lit(null).cast("double"))
+          .otherwise(a.getField("l") + a.getField("b"))
+      val zero = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+        expr("cast(array() as array<struct<" +
+          "day:date,n_events:bigint,level:double,trend:double," +
+          "forecast:double>>)").as("out"))
+      val folded = aggregate(
+        col("xs"), zero,
+        (a, v) => struct(
+          lNew(a, v).as("l"), bNew(a, v).as("b"),
+          concat(a.getField("out"), array(struct(
+            v.getField("day").as("day"),
+            v.getField("n_events").as("n_events"),
+            lNew(a, v).as("level"), bNew(a, v).as("trend"),
+            fc(a, v).as("forecast")))).as("out")),
+        a => a.getField("out"))
+      grid
+        .agg(sort_array(collect_list(
+          struct(col("day_idx"), col("day"), col("n_events")))).as("xs"))
+        .select(explode(folded).as("r"))
+        .select(col("r.day").as("day"), col("r.n_events").as("n_events"),
+          col("r.level").as("level"), col("r.trend").as("trend"),
+          col("r.forecast").as("forecast"),
+          abs(col("r.n_events").cast("double") - col("r.forecast"))
+            .as("abs_err"))
+    },
+    Some(s"""WITH RECURSIVE daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), spine AS (
+              SELECT CAST(g.gs AS DATE) AS day FROM
+                (SELECT unnest(generate_series(DATE '$DayFrom',
+                  DATE '$DayTo', INTERVAL 1 DAY)) AS gs) g
+            ), grid AS (
+              SELECT s.day, COALESCE(d.n, 0) AS n_events,
+                CAST(date_diff('day', DATE '$DayFrom', s.day) + 1
+                  AS INTEGER) AS day_idx
+              FROM spine s LEFT JOIN daily d ON s.day = d.day
+            ), rec AS (
+              SELECT day_idx, CAST(n_events AS DOUBLE) AS l,
+                CAST(0.0 AS DOUBLE) AS b
+              FROM grid WHERE day_idx = 1
+              UNION ALL
+              SELECT g.day_idx,
+                CAST($Alpha AS DOUBLE) * CAST(g.n_events AS DOUBLE)
+                  + CAST(${1.0 - Alpha} AS DOUBLE) * (r.l + r.b),
+                CAST($HoltBeta AS DOUBLE) *
+                  ((CAST($Alpha AS DOUBLE) * CAST(g.n_events AS DOUBLE)
+                    + CAST(${1.0 - Alpha} AS DOUBLE) * (r.l + r.b)) - r.l)
+                  + CAST(${1.0 - HoltBeta} AS DOUBLE) * r.b
+              FROM rec r JOIN grid g ON g.day_idx = r.day_idx + 1
+            )
+            SELECT g.day, g.n_events, r.l AS level, r.b AS trend,
+              p.l + p.b AS forecast,
+              abs(CAST(g.n_events AS DOUBLE) - (p.l + p.b)) AS abs_err
+            FROM grid g
+            JOIN rec r ON r.day_idx = g.day_idx
+            LEFT JOIN rec p ON p.day_idx = g.day_idx - 1"""),
+    "Holt double-exponential smoothing + one-step backtest: ordered " +
+      "array fold on the calendar-bounded spine [time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
@@ -827,5 +939,6 @@ object TimeSeries {
     "q209_cusum_changepoint" -> q209,
     "q216_revenue_acf" -> q216,
     "q220_mann_kendall" -> q220,
-    "q221_theil_sen" -> q221)
+    "q221_theil_sen" -> q221,
+    "q227_holt_forecast" -> q227)
 }

@@ -45,7 +45,8 @@ class BroadcastLintSpec extends AnyFunSuite with SparkSpec {
     "label", "clabel", // class-label vocabulary (embeddings supervision)
     "dim", // embedding dimension index (fixed vector width)
     "o_orderstatus", "o_orderpriority", "c_mktsegment", // enum columns
-    "bucket_id", "stage", "bin") // fixed literal grids
+    "bucket_id", "stage", "bin", // fixed literal grids
+    "band") // $1000 balance bands: floor of a model-bounded value range
 
   /** Identifier columns: a `id < K` literal cut selects at most K rows
     * at any corpus scale (the probe/anchor-set construction idiom).

@@ -64,6 +64,16 @@ class QuerySurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0L, s"$bad purchases violate ppm conservation")
   }
 
+  test("q228 conserves the sample budget: allocations sum to exactly 1e6") {
+    // largest-remainder apportionment's whole point is exact integer
+    // conservation — a drifted total means the sampling plans downstream
+    // over- or under-draw
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q228_sample_apportionment")(spark, Sf)
+    val total = df.agg(sum("alloc")).head.getLong(0)
+    assert(total == 1000000L, s"allocations sum to $total, not 1e6")
+  }
+
   test("every registered query executes and is non-empty at sf0.001") {
     SparkEntry.registry.foreach { case (name, q) =>
       val n = q.fn(spark, Sf).count()
