@@ -497,6 +497,114 @@ object Sequence {
     "top-20 ordered event trigrams by distinct-user support: two-stage " +
       "fold, TakeOrderedAndProject cut [sequence-mining]")
 
+  /** q233: entropy rate of the event-type Markov chain — "how
+    * predictable is the next user action": per from-state, the Shannon
+    * entropy of its outgoing transition row H_i = −Σ_j p_ij·ln p_ij
+    * (0 = deterministic next step, ln|types| = uniform), and the chain
+    * entropy rate H = Σ_i w_i·H_i under the empirical visit weights
+    * w_i = from_total_i / Σ (the plug-in estimator; q200's stationary
+    * π converges to the same weights for an ergodic chain). The
+    * behavioral-predictability readout that separates "browse→cart→
+    * buy" funnels from bot-like uniform wandering, beside q181's
+    * per-user mix entropy (which ignores ORDER — this is the
+    * conditional, sequence-aware complement).
+    *
+    * Scale: the corpus pays q117's ONE user window exchange into
+    * ≤|types|² pair counts; both entropy folds are WINDOWED ordered
+    * sums over that bounded frame (per-state ordered by next_type; the
+    * chain fold ordered by state — the unpartitioned window is over
+    * |types| rows, q203's bounded-frame justification), so the float
+    * accumulation order is pinned and the result partition-invariant.
+    *
+    * Exactness: counts are exact integers joined bit-exact by the
+    * derived oracle; p·ln p terms carry the repo-wide ln contract —
+    * the oracle recomputes from the same integer evidence and admits
+    * h_state / entropy_rate within 1e-9.
+    */
+  private val q233 = QueryDef(
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(lcountAll.as("n"))
+      val byFrom = Window.partitionBy(col("event_type"))
+      val stateFold = byFrom.orderBy(col("next_type").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val states = pairs
+        .withColumn("from_total", sum(col("n")).over(byFrom))
+        .withColumn("n_out", count(lit(1)).over(byFrom).cast("long"))
+        .withColumn("p",
+          col("n").cast("double") / col("from_total").cast("double"))
+        .withColumn("h_run", sum(-col("p") * log(col("p"))).over(stateFold))
+        .withColumn("rn", row_number().over(
+          byFrom.orderBy(col("next_type").desc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("from_total"), col("n_out"),
+          col("h_run").as("h_state"))
+      val total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val chainFold = Window.orderBy(col("event_type").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      states
+        .withColumn("w_share",
+          col("from_total").cast("double") /
+            sum(col("from_total")).over(total).cast("double"))
+        .withColumn("hr_run",
+          sum(col("w_share") * col("h_state")).over(chainFold))
+        // every w·H term is >= 0, so the ordered running sum is
+        // nondecreasing and its max IS the completed fold
+        .withColumn("entropy_rate", max(col("hr_run")).over(total))
+        .select(col("event_type"), col("from_total"), col("n_out"),
+          col("h_state"), col("w_share"), col("entropy_rate"))
+    },
+    Some(s"""WITH seq AS (
+              SELECT event_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC) AS next_type
+              FROM events
+            ), pairs AS (
+              SELECT event_type, next_type,
+                CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+            ), st AS (
+              SELECT event_type,
+                CAST(SUM(n) AS BIGINT) AS from_total,
+                CAST(COUNT(*) AS BIGINT) AS n_out,
+                SUM(-(CAST(n AS DOUBLE) / ft)
+                    * ln(CAST(n AS DOUBLE) / ft)) AS h_state
+              FROM (SELECT event_type, next_type, n,
+                      CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+                        AS ft
+                    FROM pairs)
+              GROUP BY event_type
+            ), sh AS (
+              SELECT event_type, from_total, n_out, h_state,
+                CAST(from_total AS DOUBLE)
+                  / CAST(SUM(from_total) OVER () AS DOUBLE) AS w_share
+              FROM st
+            ), ref AS (
+              SELECT event_type, from_total, n_out, h_state, w_share,
+                SUM(w_share * h_state) OVER () AS entropy_rate
+              FROM sh
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q233_markov_entropy/*.parquet')
+            )
+            SELECT e.event_type, e.from_total, e.n_out, e.h_state,
+              e.w_share, e.entropy_rate
+            FROM emitted e JOIN ref r ON e.event_type = r.event_type
+              AND e.from_total = r.from_total AND e.n_out = r.n_out
+            WHERE abs(e.h_state - r.h_state) < 1e-9
+              AND abs(e.w_share - r.w_share) < 1e-9
+              AND abs(e.entropy_rate - r.entropy_rate) < 1e-9"""),
+    "Markov entropy rate: ordered ln folds on the bounded transition " +
+      "matrix, derived oracle [sequence]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q117_event_transitions" -> q117,
     "q118_time_decay" -> q118,
@@ -504,5 +612,6 @@ object Sequence {
     "q200_markov_stationary" -> q200,
     "q201_next_event_eval" -> q201,
     "q204_skipgram_pairs" -> q204,
-    "q225_event_trigrams" -> q225)
+    "q225_event_trigrams" -> q225,
+    "q233_markov_entropy" -> q233)
 }

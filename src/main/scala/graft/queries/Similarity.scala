@@ -1337,6 +1337,87 @@ object Similarity {
   private[queries] def exactTopK(s: SparkSession, d: String): DataFrame =
     q38.fn(s, d)
 
+  /** q230: per-query NDCG@10 of the IVF lists — the POSITION-AWARE
+    * companion to q123's recall (recall says "8 of the true top-10
+    * surfaced"; NDCG says "and they surfaced near the top, where the
+    * user of a retrieval API actually looks"): binary relevance (the
+    * approx item is in the exact top-10), gain discounted by
+    * 1/log2(rank+1) at the approx list's OWN rank, normalized by the
+    * ideal DCG over min(10, n_exact) positions.
+    *
+    * Scale: both inputs are the already-built top-k lists — 10 rows
+    * per query by construction — so the audit is O(queries·k) joins
+    * and folds regardless of corpus size (the q123 argument).
+    *
+    * Exactness: hits and ranks are exact integers joined bit-exact;
+    * DCG/IDCG involve log2, so the derived oracle recomputes them in
+    * DuckDB from the ENGINE'S OWN emitted q38/q54 lists and admits
+    * each within 1e-9 (the q167 tolerance-contract discipline; the
+    * ordered fold pins Spark's summation order so the engine side is
+    * itself run-stable).
+    */
+  private val q230 = QueryDef(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val exact = q38.fn(s, d)
+        .select(col("query_id").as("eqid"), col("vec_id").as("evid"))
+      val approx = q54.fn(s, d)
+        .select(col("query_id"), col("vec_id"), col("rn"))
+      val perQuery = w.partitionBy(col("query_id"))
+      // ordered fold: the float sum accumulates in rank order, so the
+      // engine-side DCG is partition-invariant (q181 discipline)
+      val ordered = perQuery.orderBy(col("rn").asc)
+        .rowsBetween(w.unboundedPreceding, w.currentRow)
+      approx
+        .join(exact, col("query_id") === col("eqid") &&
+          col("vec_id") === col("evid"), "left")
+        .withColumn("rel", when(col("evid").isNotNull, 1L).otherwise(0L))
+        .withColumn("dcg_run",
+          sum(col("rel").cast("double") /
+            log2(col("rn").cast("double") + 1.0)).over(ordered))
+        .withColumn("idcg_run",
+          sum(lit(1.0) / log2(col("rn").cast("double") + 1.0))
+            .over(ordered))
+        .withColumn("n_hits", sum(col("rel")).over(perQuery))
+        .withColumn("last", row_number().over(
+          perQuery.orderBy(col("rn").desc)))
+        .filter(col("last") === 1)
+        .select(col("query_id"), col("n_hits"),
+          col("dcg_run").as("dcg"), col("idcg_run").as("idcg"),
+          (col("dcg_run") / col("idcg_run")).as("ndcg"))
+    },
+    Some(s"""WITH ex AS (
+              SELECT query_id, vec_id FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q38_ann_bruteforce/*.parquet')
+            ), ap AS (
+              SELECT query_id, vec_id, rn FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q54_ann_ivf/*.parquet')
+            ), j AS (
+              SELECT a.query_id,
+                CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS rel,
+                a.rn
+              FROM ap a LEFT JOIN ex e
+                ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+            ), ref AS (
+              SELECT query_id,
+                CAST(SUM(rel) AS BIGINT) AS n_hits,
+                SUM(CAST(rel AS DOUBLE) / log2(CAST(rn AS DOUBLE) + 1.0))
+                  AS dcg,
+                SUM(1.0 / log2(CAST(rn AS DOUBLE) + 1.0)) AS idcg
+              FROM j GROUP BY 1
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q230_ann_ndcg/*.parquet')
+            )
+            SELECT e.query_id, e.n_hits, e.dcg, e.idcg, e.ndcg
+            FROM emitted e JOIN ref r ON e.query_id = r.query_id
+              AND e.n_hits = r.n_hits
+            WHERE abs(e.dcg - r.dcg) < 1e-9
+              AND abs(e.idcg - r.idcg) < 1e-9
+              AND abs(e.ndcg - r.dcg / r.idcg) < 1e-9"""),
+    "IVF NDCG@10 audit vs exact baseline: position-aware derived " +
+      "oracle over emitted lists [similarity]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
     "q39_ann_lsh" -> q39,
@@ -1346,5 +1427,6 @@ object Similarity {
     "q68_embedding_quantize" -> q68,
     "q91_index_health" -> q91,
     "q92_lsh_health" -> q92,
-    "q123_ann_recall" -> q123)
+    "q123_ann_recall" -> q123,
+    "q230_ann_ndcg" -> q230)
 }

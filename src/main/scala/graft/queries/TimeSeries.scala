@@ -929,6 +929,246 @@ object TimeSeries {
     "Holt double-exponential smoothing + one-step backtest: ordered " +
       "array fold on the calendar-bounded spine [time-series]")
 
+  /** q231: Kendall's tau-b between daily order count and daily revenue
+    * — completing the correlation family (q143 Pearson measures linear
+    * association, q214 Spearman monotone-by-ranks, tau-b monotone by
+    * CONCORDANT PAIRS with explicit tie correction — the estimator of
+    * choice when tied days are common, and the pairwise machinery is
+    * q220's Mann-Kendall applied to two observed series instead of
+    * series-vs-time). Reports the full integer pair census (concordant,
+    * discordant, x-ties, y-ties) beside the coefficient, so the reader
+    * can audit the denominator.
+    *
+    * Scale: one date-keyed corpus fold, then the O(|days|²) pair join
+    * runs on the checkpointed CALENDAR-BOUNDED daily frame (q220's
+    * argument — pair count invariant to corpus size).
+    *
+    * Exactness: every census count is an exact integer; tau-b is
+    * S / sqrt((n0−n1)·(n0−n2)) — two subtractions, one product, one
+    * sqrt, one division over integer-derived doubles, the identical
+    * IEEE chain in both engines (q218's sqrt rule) → hash-exact.
+    */
+  private val q231 = QueryDef(
+    (s, d) => {
+      val daily = load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(graft.common.Exact.lcountAll.as("nx"),
+          sum(graft.common.Exact.cents(col("o_totalprice"))).as("y"))
+        .localCheckpoint()
+      val census = daily.as("a").join(daily.as("b"),
+          col("a.day") < col("b.day"))
+        .select(
+          (signum((col("b.nx") - col("a.nx")).cast("double")) *
+            signum((col("b.y") - col("a.y")).cast("double")))
+            .cast("long").as("sg"),
+          (col("a.nx") === col("b.nx")).cast("long").as("tx"),
+          (col("a.y") === col("b.y")).cast("long").as("ty"))
+        .agg(graft.common.Exact.lcountAll.as("n_pairs"),
+          sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("n_concordant"),
+          sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("n_discordant"),
+          sum(col("tx")).as("ties_x"), sum(col("ty")).as("ties_y"))
+      val base = daily.agg(graft.common.Exact.lcountAll.as("n_days"))
+      census.crossJoin(broadcast(base))
+        .withColumn("s_stat", col("n_concordant") - col("n_discordant"))
+        .select(col("n_days"), col("n_pairs"), col("n_concordant"),
+          col("n_discordant"), col("ties_x"), col("ties_y"),
+          col("s_stat"),
+          (col("s_stat").cast("double") /
+            sqrt((col("n_pairs") - col("ties_x")).cast("double") *
+              (col("n_pairs") - col("ties_y")).cast("double")))
+            .as("tau_b"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS nx,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS y
+              FROM orders GROUP BY 1
+            ), pairs AS (
+              SELECT CAST(sign(b.nx - a.nx) * sign(b.y - a.y) AS BIGINT)
+                  AS sg,
+                CAST(a.nx = b.nx AS BIGINT) AS tx,
+                CAST(a.y = b.y AS BIGINT) AS ty
+              FROM daily a JOIN daily b ON a.day < b.day
+            ), census AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_concordant,
+                CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_discordant,
+                CAST(SUM(tx) AS BIGINT) AS ties_x,
+                CAST(SUM(ty) AS BIGINT) AS ties_y
+              FROM pairs
+            ), base AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+            )
+            SELECT n_days, n_pairs, n_concordant, n_discordant,
+              ties_x, ties_y,
+              n_concordant - n_discordant AS s_stat,
+              CAST(n_concordant - n_discordant AS DOUBLE) /
+                sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+                     * CAST(n_pairs - ties_y AS DOUBLE)) AS tau_b
+            FROM census, base"""),
+    "Kendall tau-b with integer pair census: bounded pair join, " +
+      "hash-exact [time-series]")
+
+  /** Lag range (±days) of q232's cross-correlation scan. */
+  private val CcfMaxLag = 7
+
+  /** q232: exact cross-correlation function between daily BOOKED
+    * revenue (orders) and daily SHIPPED quantity (lineitem) at lags
+    * −$CcfMaxLag..+$CcfMaxLag — q216's ACF generalized to TWO series
+    * from TWO fact tables: the lead-lag readout ("orders booked today
+    * move shipments how many days later?") a supply-chain planner reads
+    * before fitting any transfer model. Positive lag correlates today's
+    * bookings with shipments ℓ days LATER.
+    *
+    * Both series live on the JOINT zero-filled calendar spine (q144's
+    * convention), with full-series means/variances (the standard CCF
+    * estimator): r_ℓ = [n²·Σx_t y_{t+ℓ} − n·S_x·T_y(ℓ) − n·S_y·T_x(ℓ)
+    * + n_ℓ·S_x·S_y] / (n · √(n·Σx²−S_x²) · √(n·Σy²−S_y²)) — the
+    * numerator cleared of rational means by n² exactly as q216 does.
+    *
+    * Scale: each corpus pays ONE date-keyed fold; the spine, the ±lag
+    * join (|days|·(2·$CcfMaxLag+1) rows), and the scalar attach run on
+    * the checkpointed calendar-bounded frame. Accumulators are
+    * DECIMAL(38,0) — exact to the q216-documented bound.
+    *
+    * Exactness: num/A/B are exact integers joined bit-exact by the
+    * derived oracle. The terminal chain num / (n·√A·√B) is pinned-
+    * association IEEE, but once the integer operands exceed 2^53 the
+    * 128-bit→double CONVERSION itself diverges by 1 ulp between
+    * engines (the JVM's decimal→double is correctly rounded; the
+    * oracle engine's hugeint→double composes upper·2⁶⁴+lower in
+    * doubles — double rounding), observed at sf0.1 as a 3.5e-18 ccf
+    * difference. ccf therefore carries a 1e-12 derived-oracle
+    * contract; every integer column still compares hash-exact.
+    */
+  private val q232 = QueryDef(
+    (s, d) => {
+      val dx = load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(graft.common.Exact.cents(col("o_totalprice"))).as("v"))
+      val dy = load(s, d, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(col("l_quantity").cast("long")).as("v"))
+      val bounds = dx.select(col("day"))
+        .union(dy.select(col("day")))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(dx.withColumnRenamed("v", "xv"), Seq("day"), "left")
+        .join(dy.withColumnRenamed("v", "yv"), Seq("day"), "left")
+        .select(col("day"), coalesce(col("xv"), lit(0L)).as("x"),
+          coalesce(col("yv"), lit(0L)).as("y"))
+        .localCheckpoint()
+      val stats = spine.agg(
+        graft.common.Exact.lcountAll.as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      val lagged = spine.withColumn("lag",
+        explode(sequence(lit(-CcfMaxLag.toLong), lit(CcfMaxLag.toLong))))
+      val pairs = lagged.as("a").join(spine.as("b"),
+          col("b.day") === date_add(col("a.day"), col("lag").cast("int")))
+        .select(col("lag"), col("a.x").as("xa"), col("b.y").as("yb"))
+      val nD = col("n_days").cast("decimal(38,0)")
+      val sX = col("sx").cast("decimal(38,0)")
+      val sY = col("sy").cast("decimal(38,0)")
+      pairs.groupBy(col("lag"))
+        .agg(graft.common.Exact.lcountAll.as("n_pairs"),
+          sum(col("xa").cast("decimal(38,0)") * col("yb")).as("sxy"),
+          sum(col("xa")).as("head_x"), sum(col("yb")).as("tail_y"))
+        .crossJoin(broadcast(stats))
+        .select(col("lag"), col("n_pairs"),
+          (nD * nD * col("sxy") -
+            nD * sX * col("tail_y").cast("decimal(38,0)") -
+            nD * sY * col("head_x").cast("decimal(38,0)") +
+            col("n_pairs").cast("decimal(38,0)") * sX * sY)
+            .cast("decimal(38,0)").as("num_scaled"),
+          (nD * col("sxx") - sX * sX).cast("decimal(38,0)").as("var_x"),
+          (nD * col("syy") - sY * sY).cast("decimal(38,0)").as("var_y"),
+          col("n_days"))
+        .select(col("lag"), col("n_pairs"), col("num_scaled"),
+          col("var_x"), col("var_y"),
+          when(col("var_x") === lit(0).cast("decimal(38,0)") ||
+              col("var_y") === lit(0).cast("decimal(38,0)"), lit(null))
+            .otherwise(col("num_scaled").cast("double") /
+              (col("n_days").cast("double") *
+                sqrt(col("var_x").cast("double")) *
+                sqrt(col("var_y").cast("double")))).as("ccf"))
+    },
+    Some(s"""WITH dx AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS v
+              FROM orders GROUP BY 1
+            ), dy AS (
+              SELECT CAST(l_shipdate AS DATE) AS day,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+              FROM lineitem GROUP BY 1
+            ), b AS (
+              SELECT MIN(day) AS d0, MAX(day) AS d1 FROM
+                (SELECT day FROM dx UNION ALL SELECT day FROM dy)
+            ), spine AS (
+              SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+              FROM b
+            ), xy AS (
+              SELECT s.day, COALESCE(dx.v, 0) AS x, COALESCE(dy.v, 0) AS y
+              FROM spine s LEFT JOIN dx ON s.day = dx.day
+              LEFT JOIN dy ON s.day = dy.day
+            ), st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_days,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+              FROM xy
+            ), lags AS (
+              SELECT unnest(generate_series(-$CcfMaxLag, $CcfMaxLag, 1))
+                AS lag
+            ), pr AS (
+              SELECT l.lag, a.x AS xa, b2.y AS yb
+              FROM xy a CROSS JOIN lags l
+              JOIN xy b2 ON b2.day = a.day + CAST(l.lag AS INTEGER)
+            ), agg AS (
+              SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(CAST(xa AS HUGEINT) * yb) AS HUGEINT) AS sxy,
+                CAST(SUM(xa) AS BIGINT) AS head_x,
+                CAST(SUM(yb) AS BIGINT) AS tail_y
+              FROM pr GROUP BY 1
+            ), ref AS (
+              SELECT CAST(a.lag AS BIGINT) AS lag, a.n_pairs,
+                CAST(CAST(st.n_days AS HUGEINT) * st.n_days * a.sxy
+                  - CAST(st.n_days AS HUGEINT) * st.sx * a.tail_y
+                  - CAST(st.n_days AS HUGEINT) * st.sy * a.head_x
+                  + CAST(a.n_pairs AS HUGEINT) * st.sx * st.sy
+                  AS DECIMAL(38,0)) AS num_scaled,
+                CAST(CAST(st.n_days AS HUGEINT) * st.sxx
+                  - CAST(st.sx AS HUGEINT) * st.sx AS DECIMAL(38,0))
+                  AS var_x,
+                CAST(CAST(st.n_days AS HUGEINT) * st.syy
+                  - CAST(st.sy AS HUGEINT) * st.sy AS DECIMAL(38,0))
+                  AS var_y,
+                CAST(st.n_days AS DOUBLE) AS nd
+              FROM agg a, st
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q232_ship_ccf/*.parquet')
+            )
+            SELECT e.lag, e.n_pairs, e.num_scaled, e.var_x, e.var_y,
+              e.ccf
+            FROM emitted e JOIN ref r ON e.lag = r.lag
+              AND e.n_pairs = r.n_pairs
+              AND e.num_scaled = r.num_scaled
+              AND e.var_x = r.var_x AND e.var_y = r.var_y
+            WHERE (e.ccf IS NULL AND (r.var_x = 0 OR r.var_y = 0))
+               OR abs(e.ccf - CAST(r.num_scaled AS DOUBLE)
+                    / (r.nd * sqrt(CAST(r.var_x AS DOUBLE))
+                       * sqrt(CAST(r.var_y AS DOUBLE)))) < 1e-12"""),
+    "two-table cross-correlation at ±7-day lags: bit-exact integer " +
+      "moments, 1e-12 derived-oracle ccf [time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
@@ -940,5 +1180,7 @@ object TimeSeries {
     "q216_revenue_acf" -> q216,
     "q220_mann_kendall" -> q220,
     "q221_theil_sen" -> q221,
-    "q227_holt_forecast" -> q227)
+    "q227_holt_forecast" -> q227,
+    "q231_kendall_tau" -> q231,
+    "q232_ship_ccf" -> q232)
 }
