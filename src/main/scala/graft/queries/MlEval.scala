@@ -288,9 +288,128 @@ object MlEval {
             FROM t"""),
     "calibration bins + binned Brier decomposition terms [ml-eval]")
 
+  /** q234: isotonic-regression calibration of the q191 score bins —
+    * the model-free monotone calibrator (PAVA) every scoring pipeline
+    * reaches for when q191's table shows non-monotone bin rates: the
+    * isotonic fit is the closest nondecreasing sequence to the
+    * observed rates under bin weights. Computed by the CLOSED FORM
+    * iso(t) = max_{i≤t} min_{j≥t} rate(i..j) (the max-min of weighted
+    * interval means — equivalent to pool-adjacent-violators but
+    * expressible as bounded joins instead of a sequential pooling
+    * loop, which no engine-portable fold could replay cascading
+    * merges of).
+    *
+    * Bins are the ASCENDING-score deciles off q151's scalable global
+    * order (position·10 div n — never NTILE, never a one-task global
+    * sort), not q191's saturating spend link: on this corpus the link
+    * collapses every user into its top bin, which would make the fit a
+    * 1-point no-op; deciles are populated by construction, so the
+    * isotonic pooling has violations to repair.
+    *
+    * Scale: ONE user-keyed corpus fold, one range-partitioned rank,
+    * then everything runs on the 10-row bin frame; the interval grid
+    * (≤55 rows) and the t-expansion (≤220 rows) are bin-domain-bounded
+    * joins, broadcast-hinted: unhinted, the planner degrades the
+    * non-equi joins to CartesianProduct (the checkpointed frames are
+    * LogicalRDDs whose stats it will not trust for a broadcast), and
+    * the lint cannot structurally prove a LogicalRDD bounded — so
+    * q234 carries a named documented-cap justification there (the
+    * hinted frames are the 10-row decile grid and its <=55-row
+    * interval expansion, fixed by the literal decile count).
+    *
+    * Exactness: interval counts are exact integers from prefix sums;
+    * each interval mean is ONE double division (identical in both
+    * engines), and min/max selection over identical double multisets
+    * is order-free → hash-exact, no tolerance contract.
+    */
+  private val q234 = QueryDef(
+    (s, d) => {
+      val byBin = Window.orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pu = perUser(s, d)
+      val n = pu.count()
+      val bins = Curation.globalOrder(
+          pu, Seq(col("score").asc, col("user_id").asc))
+        .groupBy(expr(s"(position * 10) div ${n}L").cast("long")
+          .as("bin"))
+        .agg(lcountAll.as("n_users"), sum("label").as("n_pos"))
+        .withColumn("cum_n", sum(col("n_users")).over(byBin))
+        .withColumn("cum_p", sum(col("n_pos")).over(byBin))
+        .localCheckpoint()
+      val lo = bins.select(col("bin").as("i"),
+        (col("cum_n") - col("n_users")).as("pre_n"),
+        (col("cum_p") - col("n_pos")).as("pre_p"))
+      val hi = bins.select(col("bin").as("j"),
+        col("cum_n").as("hi_n"), col("cum_p").as("hi_p"))
+      val intervals = lo.join(broadcast(hi), col("i") <= col("j"))
+        .select(col("i"), col("j"),
+          ((col("hi_p") - col("pre_p")).cast("double") /
+            (col("hi_n") - col("pre_n")).cast("double")).as("int_rate"))
+      val iso = intervals
+        .join(broadcast(bins.select(col("bin").as("t"))),
+          col("i") <= col("t") && col("t") <= col("j"))
+        .groupBy(col("t"), col("i"))
+        .agg(min(col("int_rate")).as("min_j"))
+        .groupBy(col("t"))
+        .agg(max(col("min_j")).as("iso_rate"))
+      bins.join(broadcast(iso), col("bin") === col("t"))
+        .select(col("bin"), col("n_users"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n_users").cast("double"))
+            .as("obs_rate"),
+          col("iso_rate"),
+          (col("iso_rate") =!=
+            (col("n_pos").cast("double") / col("n_users").cast("double")))
+            .as("pooled"))
+    },
+    Some(s"""WITH pu AS ($PerUserSql),
+            o AS (
+              SELECT label,
+                ROW_NUMBER() OVER (ORDER BY score ASC, user_id ASC) - 1
+                  AS position,
+                COUNT(*) OVER () AS n
+              FROM pu
+            ), b AS (
+              SELECT CAST((position * 10) // n AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(SUM(label) AS BIGINT) AS n_pos
+              FROM o GROUP BY 1
+            ), c AS (
+              SELECT bin, n_users, n_pos,
+                CAST(SUM(n_users) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_n,
+                CAST(SUM(n_pos) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_p
+              FROM b
+            ), iv AS (
+              SELECT lo.bin AS i, hi.bin AS j,
+                CAST(hi.cum_p - (lo.cum_p - lo.n_pos) AS DOUBLE)
+                  / CAST(hi.cum_n - (lo.cum_n - lo.n_users) AS DOUBLE)
+                  AS int_rate
+              FROM c lo JOIN c hi ON lo.bin <= hi.bin
+            ), iso AS (
+              SELECT t, MAX(min_j) AS iso_rate FROM (
+                SELECT tb.bin AS t, iv.i, MIN(iv.int_rate) AS min_j
+                FROM iv JOIN c tb ON iv.i <= tb.bin AND tb.bin <= iv.j
+                GROUP BY 1, 2
+              ) GROUP BY 1
+            )
+            SELECT c.bin, c.n_users, c.n_pos,
+              CAST(c.n_pos AS DOUBLE) / CAST(c.n_users AS DOUBLE)
+                AS obs_rate,
+              iso.iso_rate,
+              iso.iso_rate <>
+                (CAST(c.n_pos AS DOUBLE) / CAST(c.n_users AS DOUBLE))
+                AS pooled
+            FROM c JOIN iso ON c.bin = iso.t"""),
+    "isotonic (PAVA) calibration by bounded max-min interval means: " +
+      "hash-exact [ml-eval]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q151_gains_table" -> q151,
     "q152_exact_auc" -> q152,
     "q154_ks_statistic" -> q154,
-    "q191_calibration_bins" -> q191)
+    "q191_calibration_bins" -> q191,
+    "q234_isotonic_calibration" -> q234)
 }

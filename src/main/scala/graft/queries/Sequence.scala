@@ -605,6 +605,74 @@ object Sequence {
     "Markov entropy rate: ordered ln folds on the bounded transition " +
       "matrix, derived oracle [sequence]")
 
+  /** q235: dwell-time quartiles per event transition — for each
+    * (from → to) step, the exact positional quartiles of the seconds a
+    * user lingers before taking it ("view→cart in 40s median,
+    * view→error in 2s" — the latency readout that separates deliberate
+    * navigation from rage-clicking and bot loops, the TIME complement
+    * of q117's transition COUNTS).
+    *
+    * Scale: the corpus pays q117's ONE user window exchange (gap and
+    * next-type come from the same window pass); the quartiles ride
+    * q81's histogram-positional engine — the heavy shuffle ends at the
+    * (transition, gap) count frame (|types|²·|distinct gaps|, far
+    * below row count), and NO per-row rank window ever touches the
+    * corpus (the per-group ROW_NUMBER formulation hands one task a
+    * whole transition class at 100 TB).
+    *
+    * Exactness: gaps are integer seconds; positional selection (rank
+    * arithmetic in integers, the value AT the rank) returns actual
+    * data values — hash-exact.
+    */
+  private val q235 = QueryDef(
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gaps = load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .select(
+          concat(col("event_type"), lit(">"), col("next_type"))
+            .as("transition"),
+          (unix_timestamp(col("next_ts")) - unix_timestamp(col("ts")))
+            .cast("long").as("gap_s"))
+      Advanced.positionalQuartiles(gaps, "transition", "gap_s")
+    },
+    Some("""WITH seq AS (
+              SELECT event_type,
+                LEAD(event_type) OVER w AS next_type,
+                CAST(date_diff('second', ts, LEAD(ts) OVER w) AS BIGINT)
+                  AS gap_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC)
+            ), g AS (
+              SELECT event_type || '>' || next_type AS transition, gap_s
+              FROM seq WHERE next_type IS NOT NULL
+            ), r AS (
+              SELECT transition, gap_s,
+                ROW_NUMBER() OVER (PARTITION BY transition
+                  ORDER BY gap_s) AS rn,
+                COUNT(*) OVER (PARTITION BY transition) AS n
+              FROM g
+            )
+            SELECT transition, CAST(n AS BIGINT) AS n_rows,
+              CAST(min(CASE WHEN rn = greatest((n+1)*1//4, 1)
+                THEN gap_s END) AS DOUBLE) AS p25,
+              CAST(min(CASE WHEN rn = greatest((n+1)*2//4, 1)
+                THEN gap_s END) AS DOUBLE) AS median,
+              CAST(min(CASE WHEN rn = greatest((n+1)*3//4, 1)
+                THEN gap_s END) AS DOUBLE) AS p75
+            FROM r
+            WHERE rn IN (greatest((n+1)*1//4, 1), greatest((n+1)*2//4, 1),
+                         greatest((n+1)*3//4, 1))
+            GROUP BY 1, 2"""),
+    "dwell-time quartiles per transition: histogram-positional on the " +
+      "shared user exchange [sequence]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q117_event_transitions" -> q117,
     "q118_time_decay" -> q118,
@@ -613,5 +681,6 @@ object Sequence {
     "q201_next_event_eval" -> q201,
     "q204_skipgram_pairs" -> q204,
     "q225_event_trigrams" -> q225,
-    "q233_markov_entropy" -> q233)
+    "q233_markov_entropy" -> q233,
+    "q235_dwell_quartiles" -> q235)
 }

@@ -66,7 +66,9 @@ class BroadcastLintSpec extends AnyFunSuite with SparkSpec {
     "q37_dedup_simhash" ->
       "SimHash candidate pairs: 16-bit chunk blocking + hamming<=3 cut before the hint; pair frame is the bounded survivor set",
     "q69_decontamination" ->
-      "benchmark gram set: grams of the fixed benchmark corpus slice, corpus-independent by construction")
+      "benchmark gram set: grams of the fixed benchmark corpus slice, corpus-independent by construction",
+    "q234_isotonic_calibration" ->
+      "PAVA interval grid: every hinted frame derives from the localCheckpointed 10-row decile aggregate (fixed literal decile count) — <=10-row bin/t frames, <=55-row interval frame at any corpus size")
 
   private def refsBounded(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     e.references.nonEmpty && e.references.forall(r => BoundedDomainCols(r.name))
