@@ -260,9 +260,102 @@ object EmbeddingStats {
             GROUP BY 1"""),
     "one integer Lloyd step: broadcast E-step, coordinate M-step, L1 movement [embedding]")
 
+  /** q237: simplified-silhouette audit per label — for every vector,
+    * a = distance to its OWN label centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1,1]; per label:
+    * the mean silhouette and the count of NEGATIVE silhouettes
+    * (vectors sitting closer to a foreign class — the individual
+    * "this label looks wrong" flags q89 hunts pairwise). The standard
+    * cluster-cohesion readout next to q137's hard-assignment purity,
+    * in the simplified (centroid-distance) form — the full silhouette
+    * needs all-pairs distances, which is exactly what a 100 TB plan
+    * must never do.
+    *
+    * Scale: q137's plan shape — centroids broadcast (label is a
+    * lint-recognized bounded domain), the distance pass is a
+    * zero-shuffle map over |labels| integer folds per vector, then ONE
+    * label-keyed aggregate.
+    *
+    * Exactness: squared distances are exact integers in milli-space;
+    * a, b, and every s are identical IEEE doubles in both engines
+    * (sqrt of exact integers + one fixed chain), so n_negative is
+    * bit-stable; the per-label MEAN of corpus-many doubles is the one
+    * order-dependent value, so the derived oracle re-derives it and
+    * admits 1e-9 (summing in its own order) while every count joins
+    * bit-exact.
+    */
+  private val q237 = QueryDef(
+    (s, d) => {
+      val cent = centroidsMilli(s, d)
+        .groupBy("clabel")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cm")))),
+          _.getField("cm")).as("cent"))
+      val quant = load(s, d, "embeddings").select(
+        col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"), qmilli(_)).as("q"))
+      val d2 = quant.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          aggregate(
+            zip_with(col("q"), col("cent"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"))
+      val sil = d2.groupBy(col("vec_id"), col("label"))
+        .agg(
+          min(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+          min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+        .select(col("label"),
+          ((sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+            greatest(sqrt(col("a2").cast("double")),
+              sqrt(col("b2").cast("double")))).as("s"))
+      sil.groupBy(col("label"))
+        .agg(graft.common.Exact.lcountAll.as("n_vecs"),
+          sum(when(col("s") < 0.0, 1L).otherwise(0L)).cast("long")
+            .as("n_negative"),
+          avg(col("s")).as("mean_sil"))
+    },
+    Some(s"""WITH q AS ($CoordsSql),
+            c AS (
+              SELECT label AS clabel, dim,
+                CAST(floor(CAST(SUM(qv) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS cm
+              FROM q GROUP BY 1, 2
+            ), dist AS (
+              SELECT q.vec_id, q.label, c.clabel,
+                CAST(SUM((q.qv - c.cm) * (q.qv - c.cm)) AS BIGINT) AS d2
+              FROM q JOIN c ON q.dim = c.dim
+              GROUP BY 1, 2, 3
+            ), ab AS (
+              SELECT vec_id, label,
+                MIN(CASE WHEN clabel = label THEN d2 END) AS a2,
+                MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+              FROM dist GROUP BY 1, 2
+            ), sil AS (
+              SELECT label,
+                (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                  / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                             sqrt(CAST(b2 AS DOUBLE))) AS s
+              FROM ab
+            ), ref AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(SUM(CASE WHEN s < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_negative,
+                AVG(s) AS mean_sil
+              FROM sil GROUP BY 1
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q237_silhouette/*.parquet')
+            )
+            SELECT e.label, e.n_vecs, e.n_negative, e.mean_sil
+            FROM emitted e JOIN ref r ON e.label = r.label
+              AND e.n_vecs = r.n_vecs AND e.n_negative = r.n_negative
+            WHERE abs(e.mean_sil - r.mean_sil) < 1e-9"""),
+    "simplified-silhouette cohesion audit: broadcast centroids, exact " +
+      "integer distances, 1e-9 mean contract [embedding]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q135_embedding_extremes" -> q135,
     "q136_label_centroids" -> q136,
     "q137_centroid_purity" -> q137,
-    "q141_kmeans_step" -> q141)
+    "q141_kmeans_step" -> q141,
+    "q237_silhouette" -> q237)
 }

@@ -801,6 +801,134 @@ object Stats {
     "Wilson lower-bound brand ranking: integer evidence, IEEE-exact " +
       "bound, re-derived rank [stats,ranking]")
 
+  /** q236: grouped TWO-regressor OLS — price on (quantity, discount)
+    * per return flag, closing the gap between q163's single-regressor
+    * fit and "real" multi-feature regression: the 2×2 normal equations
+    * solve in closed form by Cramer's rule over centered second
+    * moments, so no iterative solver and no per-group rescan. Per
+    * group: both slopes, the intercept, and R².
+    *
+    * Scale: ONE map-side-combined grouped aggregate computes all nine
+    * raw moments in a single corpus pass; the Cramer assembly runs on
+    * the |groups| frame. Raw moments fold in DECIMAL(38,0) (the q163
+    * bound); the CENTERED products (n·s11−sx1², the determinant) are
+    * assembled in DOUBLE — at 100 TB the determinant of decimal-exact
+    * centered sums exceeds 10³⁸, so the float assembly is the honest
+    * path and the contract below prices it in.
+    *
+    * Exactness: the nine moments are exact integers the oracle
+    * re-derives bit-identically; betas/intercept/R² are float chains
+    * whose operand CONVERSIONS can diverge by 1 ulp once moments pass
+    * 2^53 (the q232 hugeint→double finding), so the derived oracle
+    * joins (grp, n_rows) and admits each coefficient within a 1e-9
+    * relative tolerance. Degenerate groups (singular normal matrix,
+    * exact-zero determinant test on doubles both engines share) emit
+    * NULL.
+    */
+  private val q236 = QueryDef(
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val li = load(s, d, "lineitem").select(
+        col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("x1"),
+        graft.common.Exact.cents(col("l_discount")).as("x2"),
+        graft.common.Exact.cents(col("l_extendedprice")).as("y"))
+      val m = li.groupBy(col("grp")).agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x1").cast(dec)).as("sx1"),
+        sum(col("x2").cast(dec)).as("sx2"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x1") * col("x1")).cast(dec)).as("s11"),
+        sum((col("x2").cast(dec) * col("x2").cast(dec))).as("s22"),
+        sum((col("x1").cast(dec) * col("x2").cast(dec))).as("s12"),
+        sum((col("x1").cast(dec) * col("y").cast(dec))).as("s1y"),
+        sum((col("x2").cast(dec) * col("y").cast(dec))).as("s2y"),
+        sum((col("y").cast(dec) * col("y").cast(dec))).as("syy"))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      val nD = d2(col("n"))
+      val cS11 = nD * d2(col("s11")) - d2(col("sx1")) * d2(col("sx1"))
+      val cS22 = nD * d2(col("s22")) - d2(col("sx2")) * d2(col("sx2"))
+      val cS12 = nD * d2(col("s12")) - d2(col("sx1")) * d2(col("sx2"))
+      val cS1y = nD * d2(col("s1y")) - d2(col("sx1")) * d2(col("sy"))
+      val cS2y = nD * d2(col("s2y")) - d2(col("sx2")) * d2(col("sy"))
+      val cSyy = nD * d2(col("syy")) - d2(col("sy")) * d2(col("sy"))
+      val det = cS11 * cS22 - cS12 * cS12
+      val b1 = (cS1y * cS22 - cS2y * cS12) / det
+      val b2 = (cS2y * cS11 - cS1y * cS12) / det
+      val nullD = lit(null).cast("double")
+      m.select(col("grp"), col("n").cast("long").as("n_rows"),
+        when(det === 0.0, nullD).otherwise(b1).as("beta_qty"),
+        when(det === 0.0, nullD).otherwise(b2).as("beta_disc"),
+        when(det === 0.0, nullD).otherwise(
+          (d2(col("sy")) - b1 * d2(col("sx1")) - b2 * d2(col("sx2"))) / nD)
+          .as("intercept"),
+        when(det === 0.0 || cSyy === 0.0, nullD)
+          .otherwise((b1 * cS1y + b2 * cS2y) / cSyy).as("r2"))
+    },
+    Some(s"""WITH li AS (
+              SELECT l_returnflag AS grp,
+                CAST(l_quantity AS BIGINT) AS x1,
+                ${graft.common.Exact.centsSql("l_discount")} AS x2,
+                ${graft.common.Exact.centsSql("l_extendedprice")} AS y
+              FROM lineitem
+            ), m AS (
+              SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(CAST(SUM(x1) AS HUGEINT) AS DOUBLE) AS sx1,
+                CAST(CAST(SUM(x2) AS HUGEINT) AS DOUBLE) AS sx2,
+                CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+                CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+                CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+                CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+                CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+                CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+              FROM li GROUP BY 1
+            ), c AS (
+              SELECT grp, n_rows,
+                n * s11 - sx1 * sx1 AS cs11,
+                n * s22 - sx2 * sx2 AS cs22,
+                n * s12 - sx1 * sx2 AS cs12,
+                n * s1y - sx1 * sy AS cs1y,
+                n * s2y - sx2 * sy AS cs2y,
+                n * syy - sy * sy AS csyy,
+                n, sx1, sx2, sy
+              FROM m
+            ), ref AS (
+              SELECT grp, n_rows,
+                (cs1y * cs22 - cs2y * cs12)
+                  / (cs11 * cs22 - cs12 * cs12) AS beta_qty,
+                (cs2y * cs11 - cs1y * cs12)
+                  / (cs11 * cs22 - cs12 * cs12) AS beta_disc,
+                (sy - ((cs1y * cs22 - cs2y * cs12)
+                        / (cs11 * cs22 - cs12 * cs12)) * sx1
+                    - ((cs2y * cs11 - cs1y * cs12)
+                        / (cs11 * cs22 - cs12 * cs12)) * sx2) / n
+                  AS intercept,
+                (((cs1y * cs22 - cs2y * cs12)
+                   / (cs11 * cs22 - cs12 * cs12)) * cs1y
+                 + ((cs2y * cs11 - cs1y * cs12)
+                    / (cs11 * cs22 - cs12 * cs12)) * cs2y) / csyy AS r2
+              FROM c
+              WHERE cs11 * cs22 - cs12 * cs12 <> 0 AND csyy <> 0
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q236_multi_ols/*.parquet')
+            )
+            SELECT e.grp, e.n_rows, e.beta_qty, e.beta_disc,
+              e.intercept, e.r2
+            FROM emitted e JOIN ref r ON e.grp = r.grp
+              AND e.n_rows = r.n_rows
+            WHERE abs(e.beta_qty - r.beta_qty)
+                    < 1e-9 * greatest(abs(r.beta_qty), 1.0)
+              AND abs(e.beta_disc - r.beta_disc)
+                    < 1e-9 * greatest(abs(r.beta_disc), 1.0)
+              AND abs(e.intercept - r.intercept)
+                    < 1e-9 * greatest(abs(r.intercept), 1.0)
+              AND abs(e.r2 - r.r2) < 1e-9"""),
+    "grouped two-regressor OLS by Cramer closed form: exact moments, " +
+      "relative-tolerance coefficients [stats]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
     "q143_exact_corr" -> q143,
@@ -810,5 +938,6 @@ object Stats {
     "q202_ipw_uplift" -> q202,
     "q214_spearman" -> q214,
     "q217_conformal_coverage" -> q217,
-    "q218_wilson_ranking" -> q218)
+    "q218_wilson_ranking" -> q218,
+    "q236_multi_ols" -> q236)
 }
