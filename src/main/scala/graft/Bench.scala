@@ -42,6 +42,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the whole-stage-codegen cache defaults to 100 entries; with a
+      // 234-query registry run as two NON-ADJACENT passes (the round-11
+      // contamination fix), the default thrashes completely and pass 2
+      // recompiles every stage — measured as a uniform ~+0.15 s on every
+      // query (74.8 s -> 98.5 s on the shared set). Static conf, so it
+      // must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def probeOnce(): Double = {
