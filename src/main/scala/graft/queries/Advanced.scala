@@ -264,6 +264,71 @@ object Advanced {
     "exact symmetric trimmed mean per group: rank-interval overlap " +
       "on the cumulative value histogram [quantiles]")
 
+  /** q238: dispersion index (variance-to-mean ratio) of per-order line
+    * counts by priority — the "is arrival Poisson or bursty" screen a
+    * capacity planner runs before sizing anything on a mean: D = 1 is
+    * Poisson, D > 1 over-dispersed (bursty baskets), D < 1 regular.
+    * Computed as the exact rational D = (n·Σk² − (Σk)²) / (n·Σk) with
+    * the integer numerator/denominator emitted as auditable evidence.
+    *
+    * Scale: one orderkey-keyed fold builds per-order line counts (the
+    * lineitem shuffle every per-order operator pays), an UNHINTED key
+    * join attaches priority (orders is fact-grain — the q149 rule),
+    * then one map-side-combined aggregate to the 5-row priority frame.
+    * Moments fold in DECIMAL(38,0): n·Σk² overflows i64 on a fact
+    * table (q163's bound).
+    *
+    * Exactness: numerator and denominator are exact integers; D and
+    * the mean are single terminal divisions — hash-exact.
+    */
+  private lazy val q238 = QueryDef(
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val perOrder = load(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("k"))
+      val withPrio = perOrder.join(
+        load(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      val m = withPrio.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("k").cast(dec)).as("sk"),
+          sum((col("k") * col("k")).cast(dec)).as("skk"))
+      m.select(col("o_orderpriority"),
+          col("n").cast("long").as("n_orders"),
+          (col("n") * col("skk") - col("sk") * col("sk"))
+            .cast("decimal(38,0)").as("disp_num"),
+          (col("n") * col("sk")).cast("decimal(38,0)").as("disp_den"),
+          (col("sk").cast("double") / col("n").cast("double"))
+            .as("mean_lines"))
+        .withColumn("dispersion",
+          col("disp_num").cast("double") / col("disp_den").cast("double"))
+    },
+    Some("""WITH po AS (
+              SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+              FROM lineitem GROUP BY 1
+            ), j AS (
+              SELECT o.o_orderpriority, po.k
+              FROM po JOIN orders o ON po.l_orderkey = o.o_orderkey
+            ), m AS (
+              SELECT o_orderpriority,
+                CAST(count(*) AS HUGEINT) AS n,
+                CAST(SUM(k) AS HUGEINT) AS sk,
+                SUM(CAST(k AS HUGEINT) * k) AS skk
+              FROM j GROUP BY 1
+            )
+            SELECT o_orderpriority,
+              CAST(n AS BIGINT) AS n_orders,
+              CAST(n * skk - sk * sk AS DECIMAL(38,0)) AS disp_num,
+              CAST(n * sk AS DECIMAL(38,0)) AS disp_den,
+              CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) AS mean_lines,
+              CAST(n * skk - sk * sk AS DOUBLE)
+                / CAST(n * sk AS DOUBLE) AS dispersion
+            FROM m"""),
+    "dispersion index of per-order line counts: exact rational " +
+      "variance-to-mean per priority [profiling]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q47_scalar_subquery" -> q47,
     "q48_pivot" -> q48,
@@ -274,7 +339,8 @@ object Advanced {
     "q79_unpivot" -> q79,
     "q81_exact_quantiles" -> q81,
     "q178_leadtime_quartiles" -> q178,
-    "q224_trimmed_mean" -> q224)
+    "q224_trimmed_mean" -> q224,
+    "q238_dispersion_index" -> q238)
 
   /** Exact grouped quantiles by POSITION (lower median / quartiles at
     * ranks floor((n+1)·q)): unlike percentile_cont there is no

@@ -165,8 +165,98 @@ object Provenance {
             FROM s, t"""),
     "leave-one-source-out ablation: no per-source rescan, exact arithmetic [provenance]")
 
+  /** q239: per-source language-mix divergence — the Jensen–Shannon
+    * divergence between each source's language distribution and the
+    * corpus-wide one, the "is this source feeding the mix something
+    * different" screen that ranks sources for q116's mixing and flags
+    * a crawl whose language profile silently shifted (q114's
+    * chi-square watches TERMS over time; this watches LANGUAGES over
+    * sources). JSD = ½·KL(p‖m) + ½·KL(q‖m) with m = (p+q)/2 — 0 =
+    * identical mix, ln 2 = disjoint languages.
+    *
+    * Scale: ONE (source, lang) corpus fold; the source×lang grid
+    * (both catalog-bounded domains), the marginals, and the ordered
+    * fold all run on that bounded frame.
+    *
+    * Exactness: counts are exact integers the oracle re-derives
+    * bit-identically; the KL terms carry the repo-wide ln contract —
+    * the engine side accumulates in an ORDERED window fold (q181
+    * discipline) and the derived oracle admits jsd within 1e-9 on
+    * bit-exact (source, n_docs) evidence.
+    */
+  private val q239 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = load(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val langs = cells.groupBy(col("lang")).agg(sum(col("c")).as("gc"))
+      val srcs = cells.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
+      val tot = langs.agg(sum(col("gc")).as("n_total"))
+      val grid = srcs.crossJoin(broadcast(langs.crossJoin(broadcast(tot))))
+        .join(cells, Seq("source", "lang"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val p = col("c").cast("double") / col("n_docs").cast("double")
+      val q = col("gc").cast("double") / col("n_total").cast("double")
+      val m = (p + q) / lit(2.0)
+      val term =
+        when(col("c") > 0L, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+          lit(0.5) * q * log(q / m)
+      val fold = Window.partitionBy(col("source"))
+        .orderBy(col("lang").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("jsd_run", sum(term).over(fold))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("lang").desc)))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("n_docs"), col("jsd_run").as("jsd"))
+    },
+    Some(s"""WITH cells AS (
+              SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2
+            ), lg AS (
+              SELECT lang, CAST(SUM(c) AS BIGINT) AS gc FROM cells
+              GROUP BY 1
+            ), sr AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM cells
+              GROUP BY 1
+            ), t AS (SELECT CAST(SUM(gc) AS BIGINT) AS n_total FROM lg),
+            grid AS (
+              SELECT sr.source, sr.n_docs, lg.lang, lg.gc, t.n_total,
+                COALESCE(ce.c, 0) AS c
+              FROM sr CROSS JOIN lg CROSS JOIN t
+              LEFT JOIN cells ce
+                ON ce.source = sr.source AND ce.lang = lg.lang
+            ), ref AS (
+              SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+                SUM(
+                  CASE WHEN c > 0 THEN
+                    0.5 * (CAST(c AS DOUBLE) / n_docs)
+                      * ln((CAST(c AS DOUBLE) / n_docs)
+                          / (((CAST(c AS DOUBLE) / n_docs)
+                              + (CAST(gc AS DOUBLE) / n_total)) / 2.0))
+                  ELSE 0.0 END
+                  + 0.5 * (CAST(gc AS DOUBLE) / n_total)
+                    * ln((CAST(gc AS DOUBLE) / n_total)
+                        / (((CAST(c AS DOUBLE) / n_docs)
+                            + (CAST(gc AS DOUBLE) / n_total)) / 2.0)))
+                  AS jsd
+              FROM grid GROUP BY source
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q239_source_lang_jsd/*.parquet')
+            )
+            SELECT e.source, e.n_docs, e.jsd
+            FROM emitted e JOIN ref r ON e.source = r.source
+              AND e.n_docs = r.n_docs
+            WHERE abs(e.jsd - r.jsd) < 1e-9"""),
+    "per-source language-mix Jensen-Shannon divergence vs the corpus: " +
+      "bounded grid, ordered ln fold [provenance]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q84_source_quality" -> q84,
     "q85_cross_source_dups" -> q85,
-    "q126_source_ablation" -> q126)
+    "q126_source_ablation" -> q126,
+    "q239_source_lang_jsd" -> q239)
 }
