@@ -99,7 +99,14 @@ object Bench {
     }
     val probeEnd = probe()
     val probes = Seq(probeStart, probeMid, probeEnd)
-    val probeRatio = probes.max / probes.min
+    // contamination = the machine's capacity DEGRADED while we ran, so
+    // only a LATER probe exceeding the best probe counts. max/min over
+    // all three false-flags pure warmup (start probe is reliably the
+    // slowest even after 10 off-the-clock iterations — measured
+    // 0.14/0.07/0.05 monotone-decreasing on a provably idle box): a
+    // monotone-decreasing probe sequence is a warming JVM, not a
+    // competitor. A busy-at-START box is the loadavg gate's job.
+    val probeRatio = math.max(probeMid, probeEnd) / probes.min
     val hot = loadStart > 0.5 * cpus.toDouble || probeRatio > 2.0
     if (hot) System.err.println(
       s"[bench] WARNING: run is contaminated (loadavg_start=$loadStart, " +
