@@ -322,8 +322,112 @@ object Retrieval {
     "exact positional phrase search: vocabulary-filtered postings, " +
       "adjacency equi-join [retrieval]")
 
+  /** Dirichlet-smoothing pseudo-count of q240's query-likelihood
+    * scorer (μ = 2000, the standard Zhai–Lafferty setting).
+    */
+  private val Mu = 2000.0
+
+  /** q240: Dirichlet-smoothed query-likelihood retrieval — the second
+    * classic probabilistic ranker beside q115's BM25 (Zhai & Lafferty
+    * 2001: rank docs by ln((tf + μ·p_c(w)) / (dl + μ)), where p_c is
+    * the term's collection-frequency share). Running BOTH standard
+    * scorers over the same posting machinery is what lets a retrieval
+    * quality audit (q122's fusion, q230's NDCG) compare ranker
+    * families instead of trusting one.
+    *
+    * Scale: identical plan discipline to q115 — one narrow scan, the
+    * explode FILTERED to the probe terms before any exchange, cf as a
+    * sum-over-term window riding the SAME term exchange the top-k
+    * pays (never a second corpus pass), and the (total_tokens) scalar
+    * broadcast. WindowGroupLimit caps the ranked rows per term.
+    *
+    * Oracle: integer evidence (tf, dl, cf) joins bit-exact; the ln
+    * score recomputes under the 1e-9 contract; the rank is re-derived
+    * from the EMITTED scores and per-term completeness pinned at
+    * least(k, df) surviving rows (q115's full oracle idiom).
+    */
+  private val q240 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = load(s, d, "documents")
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+      val stats = docs.agg(sum("dl").cast("long").as("total_tokens"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+        .filter(col("term").isin(QueryTerms: _*))
+        .groupBy("term", "doc_id", "dl")
+        .agg(count(lit(1)).as("tf"))
+      val scored = tf
+        .withColumn("cf", sum(col("tf")).over(
+          Window.partitionBy("term")).cast("long"))
+        .crossJoin(broadcast(stats))
+        .withColumn("score",
+          log((col("tf").cast("double") +
+            lit(Mu) * (col("cf").cast("double") /
+              col("total_tokens").cast("double"))) /
+            (col("dl").cast("double") + lit(Mu))))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("term")
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= TopK)
+        .select("term", "doc_id", "tf", "dl", "cf", "score", "rnk")
+    },
+    Some {
+      val WordsSql =
+        "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH emitted AS (
+            SELECT * FROM read_parquet(
+              '${graft.QueryDef.OutDirToken}/q240_dirichlet_ql/*.parquet')
+          ), dl AS (
+            SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS dl
+            FROM documents
+          ), stats AS (
+            SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl
+          ), t AS (
+            SELECT doc_id, unnest($WordsSql) AS term FROM documents
+          ), tf AS (
+            SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM t WHERE term IN ($terms) GROUP BY 1, 2
+          ), cfx AS (
+            SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+              CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1
+          ), calc AS (
+            SELECT tf.term, tf.doc_id, tf.tf, dl.dl, cfx.cf, cfx.df,
+              ln((CAST(tf.tf AS DOUBLE) +
+                  $Mu * (CAST(cfx.cf AS DOUBLE)
+                         / CAST(stats.total_tokens AS DOUBLE)))
+                 / (CAST(dl.dl AS DOUBLE) + $Mu)) AS score
+            FROM tf
+            JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN cfx ON tf.term = cfx.term, stats
+          ), chk AS (
+            SELECT e.term, e.doc_id, e.tf, e.dl, e.cf, e.score, e.rnk,
+              c.df
+            FROM emitted e
+            JOIN calc c ON e.term = c.term AND e.doc_id = c.doc_id
+              AND e.tf = c.tf AND e.dl = c.dl AND e.cf = c.cf
+            WHERE abs(e.score - c.score) < 1e-9
+          ), cnt AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS c FROM chk GROUP BY 1
+          ), rr AS (
+            SELECT chk.*, cnt.c,
+              ROW_NUMBER() OVER (PARTITION BY chk.term
+                ORDER BY chk.score DESC, chk.doc_id) AS rn
+            FROM chk JOIN cnt ON chk.term = cnt.term
+          )
+          SELECT term, doc_id, tf, dl, cf, score, rnk
+          FROM rr WHERE rnk = rn AND c = least($TopK, df)"""
+    },
+    "Dirichlet query-likelihood top-k: q115's posting discipline, " +
+      "tolerance+rank oracle [retrieval]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q115_bm25_topk" -> q115,
     "q122_hybrid_rrf" -> q122,
-    "q219_phrase_search" -> q219)
+    "q219_phrase_search" -> q219,
+    "q240_dirichlet_ql" -> q240)
 }
