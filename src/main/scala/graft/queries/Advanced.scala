@@ -203,8 +203,13 @@ object Advanced {
     * priority class at 100 TB.
     *
     * Exactness: counts, cumulative ranks, overlap takes, and the kept
-    * cents sum are pure integers (DECIMAL(38,0) for the sum); the
-    * trimmed mean is the single terminal double division.
+    * cents sum are pure integers; the trimmed mean is the single
+    * terminal double division. The sum ACCUMULATES in DECIMAL(38,0)
+    * but is EMITTED as BIGINT — per-priority kept cents are bounded by
+    * that priority's total revenue (~4.5e17 cents at a 100 TB corpus,
+    * comfortably under 2^63), and the driver's hash canonicalization
+    * handles BIGINT but not DECIMAL (the q89 surface rule, enforced by
+    * QuerySurfaceSpec's type whitelist).
     */
   private lazy val q224 = QueryDef(
     (s, d) => {
@@ -225,7 +230,7 @@ object Advanced {
         .groupBy(col("grp"))
         .agg(max(col("n")).as("n_rows"), max(col("k")).as("k_trim"),
           sum(col("take").cast("decimal(38,0)") * col("v"))
-            .cast("decimal(38,0)").as("kept_cents"),
+            .cast("long").as("kept_cents"),
           sum(col("take")).as("n_kept"))
         .select(col("grp").as("o_orderpriority"),
           col("n_rows"), col("k_trim"), col("kept_cents"),
@@ -255,7 +260,7 @@ object Advanced {
             SELECT grp AS o_orderpriority,
               CAST(MAX(n) AS BIGINT) AS n_rows,
               CAST(MAX(k) AS BIGINT) AS k_trim,
-              CAST(SUM(CAST(take AS HUGEINT) * v) AS DECIMAL(38,0))
+              CAST(SUM(CAST(take AS HUGEINT) * v) AS BIGINT)
                 AS kept_cents,
               CAST(SUM(take) AS BIGINT) AS n_kept,
               CAST(SUM(CAST(take AS HUGEINT) * v) AS DOUBLE)
@@ -275,8 +280,12 @@ object Advanced {
     * lineitem shuffle every per-order operator pays), an UNHINTED key
     * join attaches priority (orders is fact-grain — the q149 rule),
     * then one map-side-combined aggregate to the 5-row priority frame.
-    * Moments fold in DECIMAL(38,0): n·Σk² overflows i64 on a fact
-    * table (q163's bound).
+    * Moments fold in DECIMAL(38,0): n·Σk² ≈ 49·n² overflows i64 on a
+    * fact table (q163's bound — ~4e22 at a 100 TB corpus's 3e10 orders
+    * per priority), so the evidence columns are EMITTED as canonical
+    * decimal STRINGs (the q89 surface rule: the driver's hash
+    * canonicalization handles STRING/BIGINT, not DECIMAL; BIGINT would
+    * silently overflow exactly at the scale this engine targets).
     *
     * Exactness: numerator and denominator are exact integers; D and
     * the mean are single terminal divisions — hash-exact.
@@ -298,12 +307,16 @@ object Advanced {
       m.select(col("o_orderpriority"),
           col("n").cast("long").as("n_orders"),
           (col("n") * col("skk") - col("sk") * col("sk"))
-            .cast("decimal(38,0)").as("disp_num"),
-          (col("n") * col("sk")).cast("decimal(38,0)").as("disp_den"),
+            .cast("decimal(38,0)").as("num_d"),
+          (col("n") * col("sk")).cast("decimal(38,0)").as("den_d"),
           (col("sk").cast("double") / col("n").cast("double"))
             .as("mean_lines"))
-        .withColumn("dispersion",
-          col("disp_num").cast("double") / col("disp_den").cast("double"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("num_d").cast("string").as("disp_num"),
+          col("den_d").cast("string").as("disp_den"),
+          col("mean_lines"),
+          (col("num_d").cast("double") / col("den_d").cast("double"))
+            .as("dispersion"))
     },
     Some("""WITH po AS (
               SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
@@ -320,8 +333,8 @@ object Advanced {
             )
             SELECT o_orderpriority,
               CAST(n AS BIGINT) AS n_orders,
-              CAST(n * skk - sk * sk AS DECIMAL(38,0)) AS disp_num,
-              CAST(n * sk AS DECIMAL(38,0)) AS disp_den,
+              CAST(n * skk - sk * sk AS VARCHAR) AS disp_num,
+              CAST(n * sk AS VARCHAR) AS disp_den,
               CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) AS mean_lines,
               CAST(n * skk - sk * sk AS DOUBLE)
                 / CAST(n * sk AS DOUBLE) AS dispersion

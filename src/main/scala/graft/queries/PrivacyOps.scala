@@ -219,7 +219,12 @@ object PrivacyOps {
     * (operands cast to DECIMAL(38,0) BEFORE the products so a 100 TB
     * corpus cannot overflow i64); the EMD is ONE terminal division of
     * that exact numerator sum by n_g·N·(m−1) — hash-exact, and the
-    * violation flag compares identical doubles.
+    * violation flag compares identical doubles. The numerator is
+    * EMITTED as a canonical decimal STRING (the q89 surface rule —
+    * the driver's hash canonicalization handles STRING, not DECIMAL):
+    * its bound m·n_g·N reaches ~2e19 > 2^63 at a 100 TB corpus
+    * (n_g ≈ 1.2e8 per (nation, segment) class, N ≈ 1.5e10, m = 11
+    * bands), so BIGINT would overflow exactly at the target scale.
     */
   private val q229 = QueryDef(
     (s, d) => {
@@ -260,7 +265,8 @@ object PrivacyOps {
               col("n_total").cast("double") *
               (col("m_bands") - 1L).cast("double")))
         .select(col("c_nationkey"), col("c_mktsegment"),
-          col("class_size"), col("m_bands"), col("emd_num"), col("emd"),
+          col("class_size"), col("m_bands"),
+          col("emd_num").cast("string").as("emd_num"), col("emd"),
           (col("emd") > TClose).as("violates_t"),
           max(col("emd")).over(w.rowsBetween(
             w.unboundedPreceding, w.unboundedFollowing)).as("t_max"))
@@ -302,11 +308,11 @@ object PrivacyOps {
                 CAST(MAX(class_size) AS BIGINT) AS class_size,
                 CAST(MAX(m_bands) AS BIGINT) AS m_bands,
                 CAST(MAX(n_total) AS BIGINT) AS n_total,
-                CAST(SUM(pref_num) AS DECIMAL(38,0)) AS emd_num
+                SUM(pref_num) AS emd_num
               FROM pref GROUP BY 1, 2
             )
             SELECT c_nationkey, c_mktsegment, class_size, m_bands,
-              emd_num,
+              CAST(emd_num AS VARCHAR) AS emd_num,
               CAST(emd_num AS DOUBLE) /
                 (CAST(class_size AS DOUBLE) * CAST(n_total AS DOUBLE)
                  * CAST(m_bands - 1 AS DOUBLE)) AS emd,

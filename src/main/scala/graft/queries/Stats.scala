@@ -552,7 +552,10 @@ object Stats {
     * with d ~ n. Both sides accumulate in 128-bit integers (Spark
     * DECIMAL(38,0), DuckDB HUGEINT), exact to n ~ 10¹². The final
     * rho is nearest-double of those exact integers on both engines,
-    * so parity is bitwise.
+    * so parity is bitwise. The Σd² evidence is EMITTED as a canonical
+    * decimal STRING (the q89 surface rule: the driver's hash
+    * canonicalization handles STRING, not DECIMAL, and BIGINT cannot
+    * hold a genuinely 128-bit moment).
     *
     * Scale: one orders fold (map-side combined), an inner key join
     * with customer, two globalOrder passes over the joined |customers|
@@ -580,7 +583,7 @@ object Stats {
           sum(((col("rank_bal") - col("rank_spend")).cast("decimal(38,0)") *
             (col("rank_bal") - col("rank_spend")).cast("decimal(38,0)"))
             .cast("decimal(38,0)")).as("d2_sum"))
-        .select(col("n"), col("d2_sum").cast("decimal(38,0)").as("d2_sum"),
+        .select(col("n"), col("d2_sum").cast("string").as("d2_sum"),
           (lit(1.0) - (lit(6.0) * col("d2_sum").cast("double")) /
             (col("n").cast("decimal(38,0)") *
               (col("n").cast("decimal(38,0)") *
@@ -608,7 +611,7 @@ object Stats {
             SELECT CAST(count(*) AS BIGINT) AS n,
               CAST(SUM(CAST(rank_bal - rank_spend AS HUGEINT)
                 * CAST(rank_bal - rank_spend AS HUGEINT))
-                AS DECIMAL(38,0)) AS d2_sum,
+                AS VARCHAR) AS d2_sum,
               1.0 - (6.0 * CAST(SUM(CAST(rank_bal - rank_spend AS HUGEINT)
                   * CAST(rank_bal - rank_spend AS HUGEINT)) AS DOUBLE)) /
                 CAST(CAST(count(*) AS HUGEINT)

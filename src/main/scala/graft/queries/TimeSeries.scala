@@ -555,7 +555,9 @@ object TimeSeries {
     * division at the edge. Accumulators are 128-bit (DECIMAL(38,0) /
     * HUGEINT): exact while n²·Σx² < 10³⁸, i.e. daily totals to ~10¹⁴
     * cents on a ~10-year spine; past that, rescale the unit (q214's
-    * discipline).
+    * discipline). The n²-scaled evidence is EMITTED as canonical
+    * decimal STRINGs (the q89 surface rule — driver hashing handles
+    * STRING, not DECIMAL, and these moments genuinely exceed i64).
     *
     * Scale: the corpus pays ONE date-keyed fold (map-side combined);
     * the spine, the lag self-join (|days|·$MaxLag rows), and the
@@ -599,8 +601,9 @@ object TimeSeries {
             .cast("decimal(38,0)").as("num_scaled"),
           (nD * nD * col("sx2") - nD * sT * sT)
             .cast("decimal(38,0)").as("den_scaled"))
-        .select(col("lag"), col("n_pairs"), col("num_scaled"),
-          col("den_scaled"),
+        .select(col("lag"), col("n_pairs"),
+          col("num_scaled").cast("string").as("num_scaled"),
+          col("den_scaled").cast("string").as("den_scaled"),
           when(col("den_scaled") === lit(0).cast("decimal(38,0)"), lit(null))
             .otherwise(col("num_scaled").cast("double") /
               col("den_scaled").cast("double")).as("acf"))
@@ -648,8 +651,8 @@ object TimeSeries {
               FROM g, st
             )
             SELECT lag, n_pairs,
-              CAST(num_scaled AS DECIMAL(38,0)) AS num_scaled,
-              CAST(den_scaled AS DECIMAL(38,0)) AS den_scaled,
+              CAST(num_scaled AS VARCHAR) AS num_scaled,
+              CAST(den_scaled AS VARCHAR) AS den_scaled,
               CASE WHEN den_scaled = 0 THEN NULL
                 ELSE CAST(num_scaled AS DOUBLE) / CAST(den_scaled AS DOUBLE)
               END AS acf
@@ -1032,7 +1035,9 @@ object TimeSeries {
     * Scale: each corpus pays ONE date-keyed fold; the spine, the ±lag
     * join (|days|·(2·$CcfMaxLag+1) rows), and the scalar attach run on
     * the checkpointed calendar-bounded frame. Accumulators are
-    * DECIMAL(38,0) — exact to the q216-documented bound.
+    * DECIMAL(38,0) — exact to the q216-documented bound — and the
+    * integer evidence is EMITTED as canonical decimal STRINGs (the
+    * q89 surface rule; these n²-scaled moments exceed i64).
     *
     * Exactness: num/A/B are exact integers joined bit-exact by the
     * derived oracle. The terminal chain num / (n·√A·√B) is pinned-
@@ -1089,8 +1094,10 @@ object TimeSeries {
           (nD * col("sxx") - sX * sX).cast("decimal(38,0)").as("var_x"),
           (nD * col("syy") - sY * sY).cast("decimal(38,0)").as("var_y"),
           col("n_days"))
-        .select(col("lag"), col("n_pairs"), col("num_scaled"),
-          col("var_x"), col("var_y"),
+        .select(col("lag"), col("n_pairs"),
+          col("num_scaled").cast("string").as("num_scaled"),
+          col("var_x").cast("string").as("var_x"),
+          col("var_y").cast("string").as("var_y"),
           when(col("var_x") === lit(0).cast("decimal(38,0)") ||
               col("var_y") === lit(0).cast("decimal(38,0)"), lit(null))
             .otherwise(col("num_scaled").cast("double") /
@@ -1139,17 +1146,15 @@ object TimeSeries {
               FROM pr GROUP BY 1
             ), ref AS (
               SELECT CAST(a.lag AS BIGINT) AS lag, a.n_pairs,
-                CAST(CAST(st.n_days AS HUGEINT) * st.n_days * a.sxy
+                CAST(st.n_days AS HUGEINT) * st.n_days * a.sxy
                   - CAST(st.n_days AS HUGEINT) * st.sx * a.tail_y
                   - CAST(st.n_days AS HUGEINT) * st.sy * a.head_x
                   + CAST(a.n_pairs AS HUGEINT) * st.sx * st.sy
-                  AS DECIMAL(38,0)) AS num_scaled,
-                CAST(CAST(st.n_days AS HUGEINT) * st.sxx
-                  - CAST(st.sx AS HUGEINT) * st.sx AS DECIMAL(38,0))
-                  AS var_x,
-                CAST(CAST(st.n_days AS HUGEINT) * st.syy
-                  - CAST(st.sy AS HUGEINT) * st.sy AS DECIMAL(38,0))
-                  AS var_y,
+                  AS num_scaled,
+                CAST(st.n_days AS HUGEINT) * st.sxx
+                  - CAST(st.sx AS HUGEINT) * st.sx AS var_x,
+                CAST(st.n_days AS HUGEINT) * st.syy
+                  - CAST(st.sy AS HUGEINT) * st.sy AS var_y,
                 CAST(st.n_days AS DOUBLE) AS nd
               FROM agg a, st
             ), emitted AS (
@@ -1160,8 +1165,9 @@ object TimeSeries {
               e.ccf
             FROM emitted e JOIN ref r ON e.lag = r.lag
               AND e.n_pairs = r.n_pairs
-              AND e.num_scaled = r.num_scaled
-              AND e.var_x = r.var_x AND e.var_y = r.var_y
+              AND e.num_scaled = CAST(r.num_scaled AS VARCHAR)
+              AND e.var_x = CAST(r.var_x AS VARCHAR)
+              AND e.var_y = CAST(r.var_y AS VARCHAR)
             WHERE (e.ccf IS NULL AND (r.var_x = 0 OR r.var_y = 0))
                OR abs(e.ccf - CAST(r.num_scaled AS DOUBLE)
                     / (r.nd * sqrt(CAST(r.var_x AS DOUBLE))

@@ -74,6 +74,32 @@ class QuerySurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(total == 1000000L, s"allocations sum to $total, not 1e6")
   }
 
+  test("hash-surface type whitelist: no DECIMAL or ARRAY column escapes") {
+    // the driver's canonical row-hash mishandles DecimalType (round 11:
+    // the six DECIMAL(38,0)-emitting queries were exactly the red set —
+    // values cell-exact, hash red) and ArrayType (the q89 precedent,
+    // COVERAGE.md). 128-bit integer evidence must reach the emitted
+    // schema as a canonical decimal STRING (or BIGINT when the query's
+    // overflow analysis bounds it under 2^63); arrays as sorted
+    // comma-joined strings. This walks every registered query's schema
+    // recursively so a reintroduction fails the build, not the round.
+    import org.apache.spark.sql.types._
+    def banned(dt: DataType): Boolean = dt match {
+      case _: DecimalType | _: ArrayType => true
+      case s: StructType => s.fields.exists(f => banned(f.dataType))
+      case m: MapType => banned(m.keyType) || banned(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.registry.flatMap { case (name, q) =>
+      q.fn(spark, Sf).schema.fields.collect {
+        case f if banned(f.dataType) =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"driver-unhashable column types emitted: ${offenders.mkString(", ")}")
+  }
+
   test("every registered query executes and is non-empty at sf0.001") {
     SparkEntry.registry.foreach { case (name, q) =>
       val n = q.fn(spark, Sf).count()
