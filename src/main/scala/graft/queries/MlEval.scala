@@ -326,7 +326,11 @@ object MlEval {
     (s, d) => {
       val byBin = Window.orderBy(col("bin").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val pu = perUser(s, d)
+      // ONE corpus fold: the per-user frame materializes here and both
+      // the decile-denominator count and the global rank read the
+      // checkpointed blocks — the uncheckpointed form paid the fold
+      // twice (once for count(), once inside globalOrder)
+      val pu = perUser(s, d).localCheckpoint()
       val n = pu.count()
       val bins = Curation.globalOrder(
           pu, Seq(col("score").asc, col("user_id").asc))

@@ -46,11 +46,26 @@ class GraphAnnSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("macro recall@10 clears the oracle floor with margin at sf0.001") {
+    // MACRO = per-query recalls averaged equally — the statistic the
+    // q212 oracle floor enforces (AVG(n_hits/n_exact), not SUM/SUM)
     val r = SparkEntry.queries("q212_graph_recall")(spark, Sf)
-      .agg((sum("n_hits").cast("double") / sum("n_exact")).as("recall"))
+      .agg(avg(col("n_hits").cast("double") / col("n_exact"))
+        .as("recall"))
       .collect()(0).getDouble(0)
     // measured 1.0 / 0.995 / 0.965 at sf0.001/0.01/0.1; the spec floor
     // sits above the oracle's 0.70 tripwire but below measurement noise
     assert(r >= 0.9, s"macro recall $r under 0.9 at sf0.001")
+  }
+
+  test("q212 consumes q211's memoized walk instead of re-walking") {
+    graft.common.Memos.clearAll()
+    val before = graft.queries.GraphAnn.walkCount.get()
+    SparkEntry.queries("q211_ann_graph")(spark, Sf).count()
+    SparkEntry.queries("q212_graph_recall")(spark, Sf).count()
+    SparkEntry.queries("q212_graph_recall")(spark, Sf).count()
+    val after = graft.queries.GraphAnn.walkCount.get()
+    assert(after == before + 1,
+      s"expected exactly one beam walk across q211+q212 executions, " +
+        s"got ${after - before}")
   }
 }
