@@ -826,7 +826,9 @@ object Stats {
     * joins (grp, n_rows) and admits each coefficient within a 1e-9
     * relative tolerance. Degenerate groups (singular normal matrix,
     * exact-zero determinant test on doubles both engines share) emit
-    * NULL.
+    * NULL — and the oracle ADMITS them with a matching NULL branch per
+    * coefficient rather than dropping the row, so a corpus containing
+    * a singular group still verifies.
     */
   private val q236 = QueryDef(
     (s, d) => {
@@ -898,22 +900,33 @@ object Stats {
                 n, sx1, sx2, sy
               FROM m
             ), ref AS (
+              -- degenerate groups are ADMITTED, not dropped: the engine
+              -- emits them with NULL coefficients (singular normal
+              -- matrix, or zero total variance for R2), so the oracle
+              -- must carry them through with the same NULL contract or
+              -- a corpus containing one diverges on row count even
+              -- though both engines behaved correctly
               SELECT grp, n_rows,
-                (cs1y * cs22 - cs2y * cs12)
-                  / (cs11 * cs22 - cs12 * cs12) AS beta_qty,
-                (cs2y * cs11 - cs1y * cs12)
-                  / (cs11 * cs22 - cs12 * cs12) AS beta_disc,
-                (sy - ((cs1y * cs22 - cs2y * cs12)
-                        / (cs11 * cs22 - cs12 * cs12)) * sx1
-                    - ((cs2y * cs11 - cs1y * cs12)
-                        / (cs11 * cs22 - cs12 * cs12)) * sx2) / n
-                  AS intercept,
-                (((cs1y * cs22 - cs2y * cs12)
-                   / (cs11 * cs22 - cs12 * cs12)) * cs1y
-                 + ((cs2y * cs11 - cs1y * cs12)
-                    / (cs11 * cs22 - cs12 * cs12)) * cs2y) / csyy AS r2
+                cs11 * cs22 - cs12 * cs12 AS det, csyy,
+                CASE WHEN cs11 * cs22 - cs12 * cs12 <> 0 THEN
+                  (cs1y * cs22 - cs2y * cs12)
+                    / (cs11 * cs22 - cs12 * cs12) END AS beta_qty,
+                CASE WHEN cs11 * cs22 - cs12 * cs12 <> 0 THEN
+                  (cs2y * cs11 - cs1y * cs12)
+                    / (cs11 * cs22 - cs12 * cs12) END AS beta_disc,
+                CASE WHEN cs11 * cs22 - cs12 * cs12 <> 0 THEN
+                  (sy - ((cs1y * cs22 - cs2y * cs12)
+                          / (cs11 * cs22 - cs12 * cs12)) * sx1
+                      - ((cs2y * cs11 - cs1y * cs12)
+                          / (cs11 * cs22 - cs12 * cs12)) * sx2) / n
+                  END AS intercept,
+                CASE WHEN cs11 * cs22 - cs12 * cs12 <> 0 AND csyy <> 0 THEN
+                  (((cs1y * cs22 - cs2y * cs12)
+                     / (cs11 * cs22 - cs12 * cs12)) * cs1y
+                   + ((cs2y * cs11 - cs1y * cs12)
+                      / (cs11 * cs22 - cs12 * cs12)) * cs2y) / csyy
+                  END AS r2
               FROM c
-              WHERE cs11 * cs22 - cs12 * cs12 <> 0 AND csyy <> 0
             ), emitted AS (
               SELECT * FROM read_parquet(
                 '${graft.QueryDef.OutDirToken}/q236_multi_ols/*.parquet')
@@ -922,13 +935,17 @@ object Stats {
               e.intercept, e.r2
             FROM emitted e JOIN ref r ON e.grp = r.grp
               AND e.n_rows = r.n_rows
-            WHERE abs(e.beta_qty - r.beta_qty)
-                    < 1e-9 * greatest(abs(r.beta_qty), 1.0)
-              AND abs(e.beta_disc - r.beta_disc)
-                    < 1e-9 * greatest(abs(r.beta_disc), 1.0)
-              AND abs(e.intercept - r.intercept)
-                    < 1e-9 * greatest(abs(r.intercept), 1.0)
-              AND abs(e.r2 - r.r2) < 1e-9"""),
+            WHERE ((e.beta_qty IS NULL AND r.det = 0)
+                OR abs(e.beta_qty - r.beta_qty)
+                    < 1e-9 * greatest(abs(r.beta_qty), 1.0))
+              AND ((e.beta_disc IS NULL AND r.det = 0)
+                OR abs(e.beta_disc - r.beta_disc)
+                    < 1e-9 * greatest(abs(r.beta_disc), 1.0))
+              AND ((e.intercept IS NULL AND r.det = 0)
+                OR abs(e.intercept - r.intercept)
+                    < 1e-9 * greatest(abs(r.intercept), 1.0))
+              AND ((e.r2 IS NULL AND (r.det = 0 OR r.csyy = 0))
+                OR abs(e.r2 - r.r2) < 1e-9)"""),
     "grouped two-regressor OLS by Cramer closed form: exact moments, " +
       "relative-tolerance coefficients [stats]")
 

@@ -32,17 +32,31 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * not just the endpoint diff.
   *
   * A batch's manifest announcements are a TRIGGER, not the work list:
-  * each batch publishes `committedVersions` minus the feed's
+  * each reconciliation publishes `committedVersions` minus the feed's
   * `_PUBLISHED` sidecar (one "from,to" line per published transition,
   * appended AFTER the rows merge — a crash between merge and append
   * republishes once and the keyed upsert absorbs it). So a commit whose
   * `_COMMITTED` record lands after the grace window is published by a
-  * LATER batch instead of dropped, and when a late commit w lands after
-  * its successor v was already published as (u, v), the chain is
-  * repaired: the stale skip-level rows for v are deleted and v is
-  * re-published as (w, v), keeping the concatenated feed's
+  * LATER reconciliation instead of dropped, and when a late commit w
+  * lands after its successor v was already published as (u, v), the
+  * chain is repaired: the stale skip-level rows for v are deleted and v
+  * is re-published as (w, v), keeping the concatenated feed's
   * every-intermediate-transition contract intact. Both derivations are
   * metadata-only — O(|commits|) sidecar lines, never a feed-data scan.
+  *
+  * Repairs are derived from a standing INVARIANT, not from this
+  * reconciliation's announcements: a published version whose recorded
+  * predecessor is no longer its immediate committed predecessor needs
+  * (re-)repair. That makes the delete+merge repair crash-idempotent —
+  * a crash between the delete and the merge leaves the invariant
+  * violated (the corrected pair is still unrecorded), so the NEXT
+  * reconciliation retries the whole repair; deriving repairs from
+  * "versions published this batch" would never retry, because the late
+  * commit's own publication was already recorded before the crash.
+  * And because the work list never depends on the announcements, a
+  * reconciliation fired with NO new manifests (an empty micro-batch,
+  * or the direct post-drain call in [[publishAvailable]]) still
+  * publishes any commit whose record landed after the last drain.
   */
 object ChangeFeedStream {
 
@@ -93,24 +107,34 @@ object ChangeFeedStream {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
 
-  /** Publish every committed-but-unpublished transition — the batch's
-    * announcements only trigger the reconciliation; the work list is
-    * `committedVersions` minus the `_PUBLISHED` sidecar, so a commit
-    * whose record landed after an earlier batch's grace window is
-    * published now instead of never. Idempotent under replay.
-    * Package-visible so the spec can replay it directly.
+  /** Parse a micro-batch's manifest announcements and reconcile. The
+    * batch's PAYLOAD is irrelevant — the manifest FILE NAMES are the
+    * commit announcements (bounded: one row per manifest line, one
+    * file name per commit). Package-visible so the spec can replay it
+    * directly.
     */
   private[graft] def applyBatch(spark: SparkSession, batch: DataFrame,
       tableRoot: String, feedRoot: String, keys: Seq[String],
       compare: Seq[String]): Unit = {
-    // the batch's PAYLOAD is irrelevant — the manifest FILE NAMES are
-    // the commit announcements (bounded: one row per manifest line, one
-    // file name per commit)
-    val versions = batch.select(input_file_name().as("f")).distinct()
+    val announced = batch.select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0))
       .collect { case ManifestRe(v) => v.toLong }
       .sorted
-    if (versions.isEmpty) return
+    reconcile(spark, tableRoot, feedRoot, keys, compare, announced)
+  }
+
+  /** Publish every committed-but-unpublished transition and re-run any
+    * incomplete chain repair — announcements only bound the grace-window
+    * wait; the work list is derived entirely from `committedVersions`
+    * against the `_PUBLISHED` sidecar, so a commit whose record landed
+    * after an earlier drain (with no new manifests to fire a batch) is
+    * published by any later invocation, and an interrupted delete+merge
+    * repair retries until its corrected pair is recorded. Idempotent
+    * under replay.
+    */
+  private[graft] def reconcile(spark: SparkSession, tableRoot: String,
+      feedRoot: String, keys: Seq[String], compare: Seq[String],
+      announced: Seq[Long] = Nil): Unit = {
     val t = ParquetTable(spark, tableRoot)
     // A manifest lands (atomic move) momentarily BEFORE its commit
     // record; re-check briefly so a healthy writer's in-flight commit is
@@ -121,17 +145,27 @@ object ChangeFeedStream {
     def committed(): Set[Long] = t.committedVersions
     var seen = committed()
     var tries = 0
-    while (tries < 5 && !versions.forall(seen.contains)) {
+    while (tries < 5 && !announced.forall(seen.contains)) {
       Thread.sleep(100L); seen = committed(); tries += 1
     }
     val allCommitted = seen.toSeq.sorted
     val already = publishedPairs(feedRoot)
     val publishedTo = already.map(_._2)
-    // the work list: every committed version the feed has never
-    // published — this batch's announcements, plus any late commit an
-    // earlier batch's grace window missed
+    def predOf(v: Long): Option[Long] = allCommitted.takeWhile(_ < v).lastOption
+    // the publish list: every committed version the feed has never
+    // published — new commits, plus any late commit an earlier
+    // reconciliation's grace window missed
     val newVs = allCommitted.filterNot(publishedTo.contains)
-    if (newVs.isEmpty) return
+    // the repair list, from the standing invariant (see object doc): a
+    // published version whose IMMEDIATE committed predecessor's pair is
+    // unrecorded either straddles a late commit (stale skip-level rows)
+    // or had its repair interrupted between delete and merge — both
+    // retry here until the corrected pair lands in the sidecar
+    val repairs = allCommitted.filter { s =>
+      publishedTo.contains(s) &&
+        !already.contains((predOf(s).getOrElse(GenesisFrom), s))
+    }
+    if (newVs.isEmpty && repairs.isEmpty) return
     val feed = ParquetTable(spark, feedRoot)
 
     def publish(prev: Option[Long], v: Long, replaceStale: Boolean): Unit = {
@@ -161,28 +195,24 @@ object ChangeFeedStream {
       recordPublished(feedRoot, prev.getOrElse(GenesisFrom), v)
     }
 
-    newVs.foreach { v =>
-      val prev = allCommitted.takeWhile(_ < v).lastOption
-      publish(prev, v, replaceStale = false)
-      // if this is a LATE commit, its committed successor may already be
-      // published against an older predecessor (a skip-level transition
-      // recorded while v's commit record was in flight); re-diff the
-      // successor against v so the concatenated feed again walks every
-      // intermediate transition
-      allCommitted.find(_ > v).foreach { s =>
-        val stale = already.exists { case (f, tt) => tt == s && f < v }
-        if (stale && !newVs.contains(s)) publish(Some(v), s, replaceStale = true)
-      }
-    }
+    newVs.foreach { v => publish(predOf(v), v, replaceStale = false) }
+    repairs.foreach { s => publish(predOf(s), s, replaceStale = true) }
   }
 
-  /** Drain all unpublished commits (Trigger.AvailableNow), then return. */
+  /** Drain all unpublished commits (Trigger.AvailableNow), then return.
+    * After the drain, one direct reconciliation runs regardless of
+    * whether any batch fired: a late commit whose record landed after
+    * the previous drain produces NO new manifest file, so no micro-batch
+    * would ever announce it — the post-drain pass publishes it (and
+    * retries any interrupted repair) from the commit log alone.
+    */
   def publishAvailable(spark: SparkSession, tableRoot: String,
       feedRoot: String, keys: Seq[String], compare: Seq[String],
       checkpointDir: String): Unit = {
     val q = start(spark, tableRoot, feedRoot, keys, compare, checkpointDir,
       Trigger.AvailableNow())
     q.awaitTermination()
+    reconcile(spark, tableRoot, feedRoot, keys, compare)
   }
 
   /** The served feed: every published state transition, readable by

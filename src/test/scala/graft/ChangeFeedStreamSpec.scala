@@ -120,6 +120,79 @@ class ChangeFeedStreamSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("an interrupted chain repair retries until the corrected pair is recorded") {
+    import spark.implicits._
+    val tableRoot = tmp("cf_crash_table")
+    val feedRoot = tmp("cf_crash_feed")
+    val t = ParquetTable(spark, tableRoot)
+    val v1 = t.overwrite((1L to 10L).map(i => (i, i.toDouble)).toDF("id", "price"))
+    val v2 = t.merge(Seq((3L, 30.0)).toDF("id", "price"), Seq("id"))
+    val v3 = t.merge(Seq((5L, 50.0)).toDF("id", "price"), Seq("id"))
+    val log = java.nio.file.Paths.get(tableRoot, "_COMMITTED")
+    val lines = new String(Files.readAllBytes(log)).split("\n").filter(_.nonEmpty)
+    Files.writeString(log,
+      lines.filterNot(_.trim == v2.toString).mkString("", "\n", "\n"))
+    val manifests = spark.read.text(s"$tableRoot/m")
+    ChangeFeedStream.applyBatch(spark, manifests, tableRoot, feedRoot,
+      Seq("id"), Seq("price"))
+    Files.writeString(log, s"$v2\n", java.nio.file.StandardOpenOption.APPEND)
+    ChangeFeedStream.applyBatch(spark, manifests, tableRoot, feedRoot,
+      Seq("id"), Seq("price"))
+
+    // simulate a crash BETWEEN the repair's delete and its merge: v3's
+    // corrected rows are gone from the feed and the corrected (v2, v3)
+    // pair was never recorded — only the stale (v1, v3) line remains.
+    // Deriving repairs from "published this batch" would never retry
+    // (v2's own publication is already recorded, so the work list is
+    // empty); the standing invariant must retry it.
+    val pub = java.nio.file.Paths.get(feedRoot, "_PUBLISHED")
+    val pubLines = new String(Files.readAllBytes(pub)).split("\n")
+      .filter(_.nonEmpty)
+    Files.writeString(pub,
+      pubLines.filterNot(_.trim == s"$v2,$v3").mkString("", "\n", "\n"))
+    ParquetTable(spark, feedRoot).delete(col("to_version") === v3)
+
+    ChangeFeedStream.applyBatch(spark, manifests, tableRoot, feedRoot,
+      Seq("id"), Seq("price"))
+    val feed = ChangeFeedStream.readFeed(spark, feedRoot)
+    assert(rowSet(feed.select("from_version", "to_version").distinct())
+      .contains(s"[$v2,$v3]"), "interrupted repair never retried")
+    assert(rowSet(feed.filter(col("to_version") === v3)
+        .drop("from_version", "to_version")) ==
+      rowSet(t.changesBetween(v2, v3, Seq("id"), Seq("price"))),
+      "v3's transition rows were lost to the interrupted repair")
+    assert(ChangeFeedStream.publishedPairs(feedRoot).contains((v2, v3)))
+  }
+
+  test("a late record with no new manifests is published by the post-drain reconcile") {
+    import spark.implicits._
+    val tableRoot = tmp("cf_nodrain_table")
+    val feedRoot = tmp("cf_nodrain_feed")
+    val ckpt = tmp("cf_nodrain_ckpt")
+    val t = ParquetTable(spark, tableRoot)
+    val v1 = t.overwrite((1L to 6L).map(i => (i, i.toDouble)).toDF("id", "price"))
+    val v2 = t.merge(Seq((2L, 20.0)).toDF("id", "price"), Seq("id"))
+    val v3 = t.merge(Seq((4L, 40.0)).toDF("id", "price"), Seq("id"))
+    val log = java.nio.file.Paths.get(tableRoot, "_COMMITTED")
+    val lines = new String(Files.readAllBytes(log)).split("\n").filter(_.nonEmpty)
+    Files.writeString(log,
+      lines.filterNot(_.trim == v2.toString).mkString("", "\n", "\n"))
+    // first drain consumes ALL manifest files; v2 unresolved -> skip-level
+    ChangeFeedStream.publishAvailable(spark, tableRoot, feedRoot,
+      Seq("id"), Seq("price"), ckpt)
+    // v2's record lands AFTER the drain. No commit follows, so no new
+    // manifest file exists: a second drain fires zero micro-batches and
+    // only the direct post-drain reconciliation can publish v2
+    Files.writeString(log, s"$v2\n", java.nio.file.StandardOpenOption.APPEND)
+    ChangeFeedStream.publishAvailable(spark, tableRoot, feedRoot,
+      Seq("id"), Seq("price"), ckpt)
+    val pairs = rowSet(ChangeFeedStream.readFeed(spark, feedRoot)
+      .select("from_version", "to_version").distinct())
+    assert(pairs == Set(s"[${ChangeFeedStream.GenesisFrom},$v1]",
+      s"[$v1,$v2]", s"[$v2,$v3]"),
+      s"late commit stayed unpublished without a new manifest: $pairs")
+  }
+
   test("replaying a manifest batch is absorbed (exactly-once effect)") {
     import spark.implicits._
     val tableRoot = tmp("cf_replay_table")
