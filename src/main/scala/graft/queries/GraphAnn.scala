@@ -30,13 +30,14 @@ import org.apache.spark.sql.functions._
   *      Pregel-superstep discipline — the unrolled lineage would
   *      re-derive the base edges ~3^R times otherwise).
   *   3. Edges persist through the IndexStore lifecycle (kind
-  *      `nsw_index`) pinned to a scheme version. Deliberately NO delta
-  *      path: a k-NN graph's edges are GLOBAL state — one new vector
-  *      can change its neighbors' neighbor lists — so any corpus
-  *      change invalidates and rebuilds; the HNSW incremental insert
-  *      (search for the new vector, link, prune) is the documented
-  *      upgrade path, unlike LSH/IVF whose per-vector assignments
-  *      append independently.
+  *      `nsw_index`) pinned to a scheme version. Appended embedding
+  *      files take the HNSW-style incremental INSERT (Malkov &
+  *      Yashunin, TPAMI'18: search → link → prune) instead of a
+  *      rebuild — see [[insertBatch]]/[[pruneOverflow]]; a rewritten
+  *      or removed file still invalidates the whole graph (its edges
+  *      are global state), and a batch larger than [[InsertCap]]
+  *      falls back to the NN-Descent rebuild, which produces a better
+  *      graph than bulk-chained inserts for the same order of work.
   *
   * Search (q211): greedy beam walk. Entry points are a bounded,
   * deterministic id-cut sample; each hop expands the per-query beam
@@ -112,7 +113,7 @@ object GraphAnn {
   /** Scheme pin for the stored graph: bump to invalidate every stored
     * edge table when the build algorithm changes.
     */
-  private val GraphScheme =
+  private[graft] val GraphScheme =
     s"nsw:lsh+ring$HashRing-C$InitSuccessors:M${M}xR$DescentRounds:sym:v3"
 
   private def emb(s: SparkSession, d: String): DataFrame =
@@ -202,6 +203,82 @@ object GraphAnn {
   private[graft] val graphBuildCount =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Incremental (search-link-prune) insert batches this session — the
+    * spec's witness that an appended file takes the delta path, never a
+    * rebuild.
+    */
+  private[graft] val graphInsertCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Bulk-ingest ceiling for the incremental path (rows per delta
+    * batch): past it the NN-Descent rebuild both costs the same order
+    * of work AND yields a better-navigable graph than chaining that
+    * many inserts against an ever-staler neighborhood structure, so
+    * the resolution falls back to rebuild. Overridable for tests.
+    */
+  private def insertCap: Long =
+    sys.props.get("graft.nsw.insert.cap").map(_.toLong).getOrElse(65536L)
+
+  /** HNSW-style insert, the SEARCH + LINK steps: each new vector beam-
+    * walks the STANDING graph for its M best neighbors (exact-cosine
+    * re-scored — the same walk the serve path runs, so insert cost is
+    * O(batch · hops · beam · degree) regardless of corpus size), then
+    * the new edges land SYMMETRIC through one keyed merge. Replay-safe:
+    * the per-file witness probe upstream skips files already linked,
+    * and the merge upserts identical rows onto themselves.
+    */
+  private def insertBatch(s: SparkSession, d: String,
+      t: graft.tables.ParquetTable, toAppend: Seq[String]): Unit = {
+    val fresh = s.read.parquet(toAppend: _*)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val standing = t.read.select(col("u"), col("v"))
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand").asc)
+    val out = beamSearch(s, d, fresh, standing)
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= M)
+      .select(col("query_id").as("u"), col("cand").as("v"), col("score"))
+    val linked = out
+      .unionByName(out.select(col("v").as("u"), col("u").as("v"),
+        col("score")))
+      .groupBy(col("u"), col("v")).agg(max(col("score")).as("score"))
+      .localCheckpoint() // batch-bounded (≤ 2·batch·M rows); materialized
+                         // so the merge never re-walks mid-write
+    t.merge(linked, keys = Seq("u", "v"))
+  }
+
+  /** The insert's PRUNE step, derived from table state so an
+    * interrupted insert retries to the same place: every node whose
+    * adjacency this batch touched (the new nodes and their link
+    * targets) is cut back to its best 2M edges, and each dropped edge's
+    * mirror goes with it, preserving the stored form's symmetry and
+    * degree bound. The overflow set is batch-bounded (a node gains at
+    * most the batch's M links), so the dropped pairs collect
+    * driver-side under the same cap that gates the insert itself.
+    */
+  private def pruneOverflow(s: SparkSession, d: String,
+      t: graft.tables.ParquetTable, newFiles: Seq[String]): Unit = {
+    val newIds = s.read.parquet(newFiles: _*)
+      .select(col("vec_id").as("u")).distinct().localCheckpoint()
+    val touched = t.read.join(broadcast(newIds), "u")
+    val affected = touched.select(col("u"))
+      .unionByName(touched.select(col("v").as("u")))
+      .distinct().localCheckpoint() // ≤ batch·(M+1) node ids
+    val wU = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("v").asc)
+    val dropped = t.read.join(broadcast(affected), "u")
+      .withColumn("rn", row_number().over(wU))
+      .filter(col("rn") > 2 * M)
+      .select(col("u"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (dropped.nonEmpty) {
+      val pairs = (dropped ++ dropped.map(_.swap)).distinct
+        .map { case (u, v) => s"$u:$v" }
+      t.delete(concat_ws(":", col("u"), col("v")).isin(pairs: _*))
+      ()
+    }
+  }
+
   private[graft] def resolveGraphIndex(s: SparkSession,
       d: String): DataFrame = {
     import graft.tables.IndexStore
@@ -224,8 +301,33 @@ object GraphAnn {
     IndexStore.resolveCorpusIndex(s, kind, d, meta) match {
       case IndexStore.CorpusIndexHit(GraphScheme) =>
         IndexStore.corpusIndexTable(s, kind, d).read
-      // any corpus change (delta included) rebuilds: see scaladoc — a
-      // k-NN graph is global state, per-vector appends don't compose
+      case IndexStore.CorpusIndexDelta(GraphScheme, newFiles) =>
+        try {
+          val batchRows = s.read.parquet(newFiles: _*).count()
+          if (batchRows > insertCap) rebuild() // bulk backfill: see cap doc
+          else {
+            val t = IndexStore.corpusIndexTable(s, kind, d)
+            val toAppend =
+              IndexStore.filesNeedingAppend(s, t, newFiles, probeCol = "u")
+            if (toAppend.nonEmpty) {
+              graphInsertCount.incrementAndGet()
+              insertBatch(s, d, t, toAppend)
+            }
+            // prune runs even on a witness-skipped replay: it re-derives
+            // from table state, healing a crash between merge and delete
+            pruneOverflow(s, d, t, newFiles)
+            IndexStore.commitCorpusIndexState(kind, d, GraphScheme, meta)
+            t.read
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[index-store] nsw delta insert failed, rebuilding: $e")
+            rebuild()
+        }
+      // rewritten/removed files, scheme change, or no standing index: a
+      // k-NN graph's edges are global state, so anything but a pure
+      // append invalidates and rebuilds
       case _ => rebuild()
     }
   }
@@ -262,11 +364,18 @@ object GraphAnn {
   /** q211: graph-walk ANN top-10 for the fixed query set (vec_id < 20,
     * the q38/q39/q54 contract) over the persisted NSW edge table.
     */
-  private def walkTopKUncached(s: SparkSession, d: String): DataFrame = {
+  /** Greedy beam walk over `edges` for an arbitrary BOUNDED query frame
+    * (query_id, qv) — shared by the q211 serve path (the fixed literal
+    * query set) and the incremental insert's SEARCH step (a micro-batch
+    * of new vectors). Returns the final beam (query_id, cand, score),
+    * self-matches excluded; every hop's frontier is O(|queries|·B·M)
+    * rows regardless of corpus size. The query frame is broadcast into
+    * each re-score — literal-bounded for q211, micro-batch-bounded (and
+    * [[InsertCap]]-capped) for the insert.
+    */
+  private def beamSearch(s: SparkSession, d: String, q: DataFrame,
+      edges: DataFrame): DataFrame = {
       val e = emb(s, d)
-      val edges = resolveGraphIndex(s, d).select(col("u"), col("v"))
-      val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val entries = e.filter(
           col("vec_id") % EntryStride === 0 && col("vec_id") < EntryCap)
         .select(col("vec_id").as("cand"))
@@ -298,6 +407,15 @@ object GraphAnn {
           .localCheckpoint()
       }
       frontier.filter(col("cand") =!= col("query_id"))
+  }
+
+  private def walkTopKUncached(s: SparkSession, d: String): DataFrame = {
+      val edges = resolveGraphIndex(s, d).select(col("u"), col("v"))
+      val q = emb(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val wQ = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand").asc)
+      beamSearch(s, d, q, edges)
         .withColumn("rn", row_number().over(wQ))
         .filter(col("rn") <= 10)
         .select(col("query_id"), col("cand").as("vec_id"),

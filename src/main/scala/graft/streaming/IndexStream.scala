@@ -7,10 +7,12 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructType}
 /** Continuous ANN index maintenance: embedding part files landing under
   * a dataset's embeddings table stream through the SAME delta path as
   * the nightly `IndexMain` cron (`Similarity.resolveIvfIndex`,
-  * `IvfPq.resolvePqIndex`, `Similarity.resolveLshIndex`) — each
-  * micro-batch extends the three standing corpus indexes with just the
-  * newly landed files, encoded under the PINNED quantizers, so the
-  * vector search surface (q54/q62/q87 and the LSH family) serves fresh
+  * `IvfPq.resolvePqIndex`, `Similarity.resolveLshIndex`,
+  * `GraphAnn.resolveGraphIndex`) — each micro-batch extends the four
+  * standing corpus indexes with just the newly landed files — encoded
+  * under the PINNED quantizers for IVF/PQ/LSH, search-link-prune
+  * inserted into the NSW graph — so the vector search surface
+  * (q54/q62/q87, the LSH family, and the q211 graph walk) serves fresh
   * data within a trigger interval of arrival instead of a day behind.
   *
   * Why this shape at 100 TB: the index resolution already reads NO
@@ -37,9 +39,9 @@ object IndexStream {
     .add("vec_id", LongType)
     .add("embedding", ArrayType(FloatType))
 
-  /** Standing row counts of the three indexes after one refresh. */
+  /** Standing row counts of the four indexes after one refresh. */
   final case class RefreshResult(batchId: Long, ivfRows: Long,
-      pqRows: Long, lshRows: Long)
+      pqRows: Long, lshRows: Long, nswEdges: Long)
 
   /** A running maintenance query plus the per-batch refresh reports
     * (empty wake-ups excluded).
@@ -69,7 +71,9 @@ object IndexStream {
           val (_, ivf) = graft.queries.Similarity.resolveIvfIndex(spark, d)
           val (_, _, pq) = graft.queries.IvfPq.resolvePqIndex(spark, d)
           val lsh = graft.queries.Similarity.resolveLshIndex(spark, d)
-          val r = RefreshResult(batchId, ivf.count(), pq.count(), lsh.count())
+          val nsw = graft.queries.GraphAnn.resolveGraphIndex(spark, d)
+          val r = RefreshResult(batchId, ivf.count(), pq.count(),
+            lsh.count(), nsw.count())
           buf.synchronized { buf += r; () }
         }
         ()

@@ -361,10 +361,14 @@ object IndexStore {
     * file. Empty files carry no witness and need no append — sidecar
     * coverage alone records them. Sound because a batch's rows commit
     * atomically through the table layer: a file's first row present ⟺
-    * all its rows present.
+    * all its rows present. `probeCol` names the index table's column
+    * carrying the witnessed id ("vec_id" for the row-per-vector
+    * indexes; "u" for the NSW edge table, where an inserted vector
+    * witnesses as the source endpoint of its linked edges).
     */
   private[graft] def filesNeedingAppend(spark: SparkSession,
-      t: ParquetTable, newFiles: Seq[String]): Seq[String] = {
+      t: ParquetTable, newFiles: Seq[String],
+      probeCol: String = "vec_id"): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name, min}
     if (newFiles.isEmpty) return Nil
     // one aggregate job collects every file's witness (its min vec_id)
@@ -382,8 +386,8 @@ object IndexStore {
     if (witnesses.isEmpty || !t.exists) witnesses.map(_._1)
     else {
       val present = t.read
-        .filter(col("vec_id").isin(witnesses.map(_._2): _*))
-        .select(col("vec_id")).distinct().collect()
+        .filter(col(probeCol).isin(witnesses.map(_._2): _*))
+        .select(col(probeCol)).distinct().collect()
         .map(_.getLong(0)).toSet
       witnesses.collect { case (f, w) if !present.contains(w) => f }
     }

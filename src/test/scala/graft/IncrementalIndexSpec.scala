@@ -337,6 +337,68 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nsw graph: appended files insert via search-link-prune, never a rebuild") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.GraphAnn
+    val dir = java.nio.file.Files.createTempDirectory("incr_nsw").toString
+    writeBatch(dir, 0 until 48, seed = 16, "overwrite")
+    val meta0 = Similarity.embeddingsFileMeta(spark, dir)
+    GraphAnn.resolveGraphIndex(spark, dir).count()
+    val buildsAfterBase = GraphAnn.graphBuildCount.get()
+
+    writeBatch(dir, 48 until 64, seed = 16, "append")
+    graft.common.Memos.clearAll() // drop the walk/index session memos
+    val insertsBefore = GraphAnn.graphInsertCount.get()
+    val grown = GraphAnn.resolveGraphIndex(spark, dir)
+    assert(GraphAnn.graphBuildCount.get() == buildsAfterBase,
+      "an appended batch must take the insert path, never a full rebuild")
+    assert(GraphAnn.graphInsertCount.get() == insertsBefore + 1)
+
+    // every new vector is linked into the graph…
+    val sources = grown.select("u").distinct().collect()
+      .map(_.getLong(0)).toSet
+    (48L until 64L).foreach(id =>
+      assert(sources.contains(id), s"new vector $id has no edges"))
+    // …and the stored form's invariants survive the insert: symmetric
+    // adjacency, degree bounded by 2M (the prune step's contract)
+    val edges = grown.select(col("u"), col("v"))
+    val asym = edges
+      .join(edges.select(col("v").as("u"), col("u").as("v")),
+        Seq("u", "v"), "left_anti").count()
+    assert(asym == 0, s"$asym directed edges lack their reverse after insert")
+    val maxDeg = edges.groupBy("u").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxDeg <= 32L, s"degree $maxDeg exceeds the 2M bound after insert")
+
+    // the serve contract holds on the GROWN corpus: macro recall@10 of
+    // the walk vs the exact baseline clears the q212 oracle floor
+    val recall = SparkEntry.queries("q212_graph_recall")(spark, dir)
+      .agg(avg(col("n_hits").cast("double") / col("n_exact")))
+      .collect()(0).getDouble(0)
+    assert(recall >= 0.70, s"grown-corpus macro recall $recall under the floor")
+
+    // crash window: insert committed, sidecar not — the replay's
+    // witness probe must skip the already-linked files (no duplicate
+    // edges, no second insert) and the state-derived prune re-runs
+    val edgeCount = grown.count()
+    graft.tables.IndexStore.commitCorpusIndexState("nsw_index", dir,
+      GraphAnn.GraphScheme, meta0)
+    graft.common.Memos.clearAll()
+    val healed = GraphAnn.resolveGraphIndex(spark, dir)
+    assert(GraphAnn.graphBuildCount.get() == buildsAfterBase &&
+      GraphAnn.graphInsertCount.get() == insertsBefore + 1,
+      "replay must neither rebuild nor re-insert witnessed files")
+    assert(healed.count() == edgeCount,
+      "replay changed the edge set — the witness probe double-applied")
+
+    // a rewritten file still invalidates the whole graph (global state)
+    writeBatch(dir, 0 until 64, seed = 17, "overwrite")
+    graft.common.Memos.clearAll()
+    GraphAnn.resolveGraphIndex(spark, dir).count()
+    assert(GraphAnn.graphBuildCount.get() == buildsAfterBase + 1,
+      "a rewritten corpus must rebuild, never serve stale edges")
+  }
+
   test("vacuumStores drops stale store keys and retains fresh ones") {
     val d1 = java.nio.file.Files.createTempDirectory("incr_gc1").toString
     val d2 = java.nio.file.Files.createTempDirectory("incr_gc2").toString
