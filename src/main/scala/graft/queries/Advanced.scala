@@ -342,6 +342,67 @@ object Advanced {
     "dispersion index of per-order line counts: exact rational " +
       "variance-to-mean per priority [profiling]")
 
+  /** q247: WEIGHTED quartiles — per return flag, the line-value quartiles
+    * of the shipped UNITS, not of the lines ("half the units we ship
+    * sit on order lines worth ≤ median"). The mass-weighted sibling of
+    * q81/q178's positional quartiles, and the exact form of the
+    * token-weighted length percentiles a training-data mix report
+    * quotes (cost sits with tokens, not documents — a doc-weighted
+    * median is dominated by cheap short docs).
+    *
+    * Semantics: lower weighted quantile — the smallest value v whose
+    * cumulative weight reaches q·W (computed as 4·cumw ≥ k·W in
+    * integers, no division). An actual data value, no interpolation.
+    *
+    * Scale: exactly the q81 histogram discipline — the corpus folds
+    * map-side to a (mode, value-cents) weight histogram (price-domain-
+    * bounded, corpus-invariant), the cumulative weight runs over each
+    * group's distinct values, and the quartile pick is a min-when fold.
+    * No per-row rank window touches the corpus; weights sum in i64
+    * (Σ quantity ≤ 50·|lineitem| — 3e12 at a 100 TB corpus, safe).
+    */
+  private lazy val q247 = QueryDef(
+    (s, d) => {
+      val byMode = Window.partitionBy(col("mode"))
+      val hist = load(s, d, "lineitem")
+        .select(col("l_returnflag").as("mode"),
+          cents(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("mode"), col("v"))
+        .agg(sum(col("w")).as("wv"))
+      val cum = hist
+        .withColumn("cumw", sum(col("wv")).over(byMode.orderBy(col("v"))))
+        .withColumn("wtot", sum(col("wv")).over(byMode))
+      def at(k: Int) =
+        min(when(col("cumw") * 4 >= col("wtot") * k, col("v")))
+      cum.groupBy(col("mode"), col("wtot").as("w_total"))
+        .agg(at(1).as("wp25"), at(2).as("wp50"), at(3).as("wp75"))
+        .select(col("mode").as("l_returnflag"), col("w_total"),
+          col("wp25"), col("wp50"), col("wp75"))
+    },
+    Some(s"""WITH h AS (
+              SELECT l_returnflag AS mode,
+                ${centsSql("l_extendedprice")} AS v,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+              FROM lineitem GROUP BY 1, 2
+            ), c AS (
+              SELECT mode, v, wv,
+                CAST(SUM(wv) OVER (PARTITION BY mode ORDER BY v)
+                  AS BIGINT) AS cumw,
+                CAST(SUM(wv) OVER (PARTITION BY mode) AS BIGINT) AS wtot
+              FROM h
+            )
+            SELECT mode AS l_returnflag, wtot AS w_total,
+              CAST(min(CASE WHEN cumw * 4 >= wtot * 1 THEN v END)
+                AS BIGINT) AS wp25,
+              CAST(min(CASE WHEN cumw * 4 >= wtot * 2 THEN v END)
+                AS BIGINT) AS wp50,
+              CAST(min(CASE WHEN cumw * 4 >= wtot * 3 THEN v END)
+                AS BIGINT) AS wp75
+            FROM c GROUP BY 1, 2"""),
+    "quantity-weighted line-value quartiles per return flag: exact " +
+      "histogram cumulative-weight picks [quantiles]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q47_scalar_subquery" -> q47,
     "q48_pivot" -> q48,
@@ -353,7 +414,8 @@ object Advanced {
     "q81_exact_quantiles" -> q81,
     "q178_leadtime_quartiles" -> q178,
     "q224_trimmed_mean" -> q224,
-    "q238_dispersion_index" -> q238)
+    "q238_dispersion_index" -> q238,
+    "q247_weighted_quartiles" -> q247)
 
   /** Exact grouped quantiles by POSITION (lower median / quartiles at
     * ranks floor((n+1)·q)): unlike percentile_cont there is no

@@ -33,6 +33,14 @@ object Curation {
     * would produce the same permutation. Shift-then-multiply makes each
     * seed a genuinely different total order (CurationSpec pins it).
     */
+  /** The hash modulus, exposed for estimators that need the key range
+    * (q241's KMV distinct estimate scales the k-th minimum by P). The
+    * multiplier A is coprime to the prime P, so the keyed hash is a
+    * BIJECTION on [0, P) — k-min order statistics over it behave as a
+    * uniform random permutation, which is exactly the KMV assumption.
+    */
+  private[graft] def hashMod: Long = P
+
   private[graft] def shuffleKeyWith(id: org.apache.spark.sql.Column, seed: Long) =
     ((id % P + seed % P) % P) * A % P
 

@@ -585,9 +585,102 @@ object Dedup {
             FROM ngr LEFT JOIN sh ON ngr.doc_id = sh.doc_id"""),
     "benchmark decontamination: 5-gram overlap audit [dedup,text-analysis]")
 
+  /** q248's containment threshold, compared as 10·shared ≥ 9·|inner|
+    * in integers (no float in the decision).
+    */
+  private val ContainNum = 9L
+  private val ContainDen = 10L
+
+  /** q248: shingle CONTAINMENT dedup — pairs where ≥90% of the smaller
+    * document's 5-gram set appears in the larger one (Broder's
+    * containment coefficient C(A,B) = |A∩B|/|A|). The asymmetric
+    * complement of q35's Jaccard: a snippet quoted inside a long page
+    * scores near-zero Jaccard (the union is huge) but containment ~1 —
+    * which is exactly the subset/quote duplication a crawl-corpus
+    * pipeline must catch AFTER Jaccard dedup has removed the
+    * same-length near-twins. Emits the directed pair (inner ⊆ outer,
+    * inner = fewer distinct grams, ties by doc_id), both gram counts,
+    * the shared count, and the exact coefficient.
+    *
+    * Scale: q35's exact machinery with the OPPOSITE length policy —
+    * the df-capped gram self-join bounds per-gram fan-out at cap²/2
+    * (the skew guard), but there is NO length-ratio prune: containment
+    * pairs are precisely the unbalanced ones a Jaccard prune throws
+    * away. The verify step computes |A∩B| on the full per-doc gram
+    * sets (narrow shingling pass, no doc_id shuffle), so the cap
+    * affects candidate recall only, never an emitted value.
+    *
+    * Exactness: gram counts and the intersection are integers; the
+    * threshold is an integer cross-multiplication; the coefficient is
+    * the single terminal double division.
+    */
+  private val q248 = QueryDef(
+    (s, d) => {
+      val sets = docGramSetsFrom(s, load(s, d, "documents"))
+      val g = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+      val ga = g.withColumn("df",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .filter(col("df") <= DefaultMaxGramDf)
+      val candidates = ga.as("a")
+        .join(ga.as("b"), col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      candidates
+        .join(sets.select(col("doc_id").as("d1"),
+          col("hs").as("hs1"), col("ng").as("n1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"),
+          col("hs").as("hs2"), col("ng").as("n2")), "d2")
+        .select(
+          when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
+            .as("inner_doc"),
+          when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1"))
+            .as("outer_doc"),
+          least(col("n1"), col("n2")).cast("long").as("n_inner"),
+          greatest(col("n1"), col("n2")).cast("long").as("n_outer"),
+          size(array_intersect(col("hs1"), col("hs2"))).cast("long")
+            .as("shared"))
+        .filter(col("shared") * ContainDen >= col("n_inner") * ContainNum)
+        .select(col("inner_doc"), col("outer_doc"), col("n_inner"),
+          col("n_outer"), col("shared"),
+          (col("shared").cast("double") / col("n_inner").cast("double"))
+            .as("containment"))
+    },
+    Some(s"""WITH g AS (
+              SELECT doc_id, unnest($GramsSql) AS gram FROM documents
+            ), n AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+              FROM g GROUP BY 1
+            ), pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2,
+                CAST(count(*) AS BIGINT) AS shared
+              FROM g a JOIN g b ON a.gram = b.gram
+                AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), dir AS (
+              SELECT
+                CASE WHEN n1.ng <= n2.ng THEN d1 ELSE d2 END AS inner_doc,
+                CASE WHEN n1.ng <= n2.ng THEN d2 ELSE d1 END AS outer_doc,
+                LEAST(n1.ng, n2.ng) AS n_inner,
+                GREATEST(n1.ng, n2.ng) AS n_outer,
+                shared
+              FROM pairs
+              JOIN n n1 ON pairs.d1 = n1.doc_id
+              JOIN n n2 ON pairs.d2 = n2.doc_id
+            )
+            SELECT inner_doc, outer_doc, n_inner, n_outer, shared,
+              CAST(shared AS DOUBLE) / CAST(n_inner AS DOUBLE)
+                AS containment
+            FROM dir
+            WHERE shared * $ContainDen >= n_inner * $ContainNum"""),
+    "directed shingle-containment dedup (C >= 0.9): df-capped " +
+      "candidates, exact set verify, integer threshold [dedup]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q34_dedup_exact" -> q34,
     "q35_dedup_ngram_jaccard" -> q35,
+    "q248_containment_dedup" -> q248,
     "q36_dedup_minhash_lsh" -> q36,
     "q37_dedup_simhash" -> q37,
     "q66_dedup_incremental" -> q66,

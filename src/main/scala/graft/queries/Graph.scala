@@ -424,9 +424,142 @@ object Graph {
               AND e.sxy = r.sxy"""),
     "degree assortativity: exact 6-moment fold, ref-driven sqrt tolerance [graph]")
 
+  /** q242's landmark count (one bit of a 64-bit mask each), hop
+    * budget, and seed-selection hash seed.
+    */
+  private val BfsSeeds = 64
+  private val BfsHops = 4
+  private val BfsSeedHashSeed = 313131L
+
+  /** q242: landmark multi-source BFS — the per-radius neighborhood
+    * function N(seed, r) = |{v : dist(seed, v) ≤ r}| for 64 hash-chosen
+    * landmark items over the co-purchase graph, radii 1..4. The
+    * distance-distribution / effective-diameter probe (the HyperANF
+    * question) answered EXACTLY for a landmark panel: 64 simultaneous
+    * BFS frontiers cost ONE long column, because each node carries a
+    * 64-bit reachability mask (bit i = "landmark i reaches me") and a
+    * BFS superstep for all 64 sources is a single edge join + bit_or
+    * fold — the Pregel rendering of HyperANF with exact bitmasks in
+    * place of HLL registers (the full-graph estimate version would
+    * swap the mask for a register array; the plumbing is identical).
+    *
+    * Scale: per round, ranks-style edge join (hash exchange on the
+    * source key against the CACHED degree-annotated edge frame) +
+    * map-side-combined bit_or into the destination, then
+    * localCheckpoint — the q208 superstep discipline, so round r+1
+    * scans materialized blocks instead of replanning r rounds of
+    * lineage. Fixed 4 rounds unroll into 4 bounded jobs; the landmark
+    * panel is CONSTANT-width (64 bits) however large the graph, so
+    * state is one i64 per node — 8 GB per billion nodes, flat across
+    * rounds. Seed choice is the bijective keyed hash (order
+    * statistics of a permutation — an unbiased panel, reproducible).
+    *
+    * Exactness: masks, popcount folds, and counts are pure integer
+    * ops — every emitted cell is engine-exact; the oracle recomputes
+    * the same radii by unrolled seed×node BFS joins (64·|V| rows per
+    * level, bounded).
+    */
+  private val q242 = QueryDef(
+    (s, d) => {
+      val ed = degreeEdges(s, d)
+      val nodes = ed.groupBy(col("u")).agg(first(col("deg")).as("deg"))
+        .select(col("u").as("node"))
+      val seeds = nodes
+        .select(col("node"),
+          Curation.shuffleKeyWith(col("node"), BfsSeedHashSeed).as("h"))
+        .orderBy(col("h")).limit(BfsSeeds)
+        .withColumn("seed_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("h"))).cast("long"))
+        .select(col("node"), col("seed_rank"))
+      var masked = nodes
+        .join(broadcast(seeds), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(
+            expr("shiftleft(cast(1 as bigint), cast(seed_rank - 1 as int))"),
+            lit(0L)).as("mask"))
+        .localCheckpoint()
+      val perRadius = (1 to BfsHops).map { r =>
+        val prop = ed.select(col("u"), col("v"))
+          .join(masked.withColumnRenamed("node", "u"), "u")
+          .filter(col("mask") =!= 0L)
+          .groupBy(col("v").as("node"))
+          .agg(expr("bit_or(mask)").as("pm"))
+        masked = masked.join(prop, Seq("node"), "left")
+          .select(col("node"),
+            expr("mask | coalesce(pm, 0L)").as("mask"))
+          .localCheckpoint()
+        val sums = (1 to BfsSeeds).map { i =>
+          sum(expr(s"shiftright(mask, ${i - 1}) & 1")).as(s"c_$i")
+        }
+        val stackArgs = (1 to BfsSeeds)
+          .map(i => s"${i}L, c_$i").mkString(", ")
+        masked.agg(sums.head, sums.tail: _*)
+          .select(expr(s"stack($BfsSeeds, $stackArgs) AS (seed_rank, n_reached)"))
+          .select(lit(r.toLong).as("radius"), col("seed_rank"),
+            col("n_reached"))
+      }
+      perRadius.reduce(_ unionByName _)
+        .join(broadcast(seeds), "seed_rank")
+        .select(col("radius"), col("seed_rank"),
+          col("node").as("seed_part"), col("n_reached"))
+    },
+    Some {
+      val hSql = Curation.shuffleKeySqlWith("u", BfsSeedHashSeed)
+      s"""WITH i AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          ), pairs AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= $MinSupport
+          ), e AS (
+            SELECT u, v FROM pairs
+            UNION ALL SELECT v AS u, u AS v FROM pairs
+          ), n AS (
+            SELECT DISTINCT u FROM e
+          ), seeds AS (
+            SELECT u AS node,
+              CAST(ROW_NUMBER() OVER (ORDER BY $hSql) AS BIGINT)
+                AS seed_rank
+            FROM n ORDER BY $hSql LIMIT $BfsSeeds
+          ), d0 AS (
+            SELECT seed_rank, node FROM seeds
+          ), d1 AS (
+            SELECT seed_rank, node FROM d0
+            UNION
+            SELECT d0.seed_rank, e.v AS node FROM d0 JOIN e ON d0.node = e.u
+          ), d2 AS (
+            SELECT seed_rank, node FROM d1
+            UNION
+            SELECT d1.seed_rank, e.v AS node FROM d1 JOIN e ON d1.node = e.u
+          ), d3 AS (
+            SELECT seed_rank, node FROM d2
+            UNION
+            SELECT d2.seed_rank, e.v AS node FROM d2 JOIN e ON d2.node = e.u
+          ), d4 AS (
+            SELECT seed_rank, node FROM d3
+            UNION
+            SELECT d3.seed_rank, e.v AS node FROM d3 JOIN e ON d3.node = e.u
+          ), lv AS (
+            SELECT 1 AS radius, seed_rank, node FROM d1
+            UNION ALL SELECT 2, seed_rank, node FROM d2
+            UNION ALL SELECT 3, seed_rank, node FROM d3
+            UNION ALL SELECT 4, seed_rank, node FROM d4
+          )
+          SELECT CAST(l.radius AS BIGINT) AS radius, l.seed_rank,
+            s.node AS seed_part,
+            CAST(count(*) AS BIGINT) AS n_reached
+          FROM lv l JOIN seeds s USING (seed_rank)
+          GROUP BY 1, 2, 3"""
+    },
+    "landmark multi-source BFS neighborhood function: 64 frontiers in " +
+      "one bitmask column, 4 supersteps, exact per-radius reach [graph]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q140_pagerank" -> q140,
     "q157_triangles" -> q157,
     "q208_kcore" -> q208,
-    "q210_degree_assortativity" -> q210)
+    "q210_degree_assortativity" -> q210,
+    "q242_landmark_bfs" -> q242)
 }

@@ -410,10 +410,174 @@ object MlEval {
     "isotonic (PAVA) calibration by bounded max-min interval means: " +
       "hash-exact [ml-eval]")
 
+  /** q249's temporal feature/label split (pre-period activity predicts
+    * post-period conversion) and the conversion gate in exact cents.
+    */
+  private val StumpMid = "2024-01-16 00:00:00"
+  private val StumpConvCents = 10000L
+
+  /** q249: histogram-based decision-stump induction — find the single
+    * best threshold split "x ≤ t" of pre-period activity predicting
+    * post-period high-value conversion, by exact weighted Gini. This
+    * is THE distributed-training split-finding kernel: XGBoost/
+    * LightGBM's per-feature histogram pass is exactly this shape
+    * (fold the corpus to per-bin (count, positives), scan cumulative
+    * sums, argmin impurity), and one stump is boosting round zero.
+    *
+    * Scale: one user-keyed fold (map-side combined) builds the
+    * feature/label frame; one fold to the x-histogram (domain-bounded:
+    * distinct per-user event counts, corpus-invariant); cumulative
+    * (n, positives) ride `PrefixSum.runningSums` — never a one-task
+    * rank window. The argmin runs on the bounded candidate frame.
+    *
+    * Exactness: the split decision NEVER touches a float. Minimizing
+    * weighted Gini ⟺ maximizing M(t) = A_l/n_l + A_r/n_r with
+    * A = pos² + neg², so "b beats a" is the integer cross-product
+    * num_b·den_a > num_a·den_b (num = A_l·n_r + A_r·n_l,
+    * den = n_l·n_r) — DECIMAL(38,0)/HUGEINT products ~N⁵, exact to
+    * N ≈ 3·10⁷ users; past that the same plan compares per-decile
+    * bins (the XGBoost approx-split convention; documented, not
+    * silent). The winner is the unique row no rival beats (ties break
+    * to the smaller t); Gini values are terminal fixed doubles.
+    */
+  private val q249 = QueryDef(
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val perUser = load(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < lit(StumpMid).cast("timestamp"), 1L)
+            .otherwise(0L)).as("x"),
+          max(when(col("ts") >= lit(StumpMid).cast("timestamp") &&
+            col("event_type") === "purchase" &&
+            cents(col("value")) >= StumpConvCents, 1L).otherwise(0L))
+            .as("y"))
+      val hist = perUser.groupBy(col("x"))
+        .agg(lcountAll.as("n_x"), sum(col("y")).as("pos_x"))
+      val cum = graft.operators.PrefixSum.runningSums(
+        hist, Seq(col("x")), Seq("n_x", "pos_x"))
+      val tot = hist.agg(sum(col("n_x")).as("n_tot"),
+        sum(col("pos_x")).as("pos_tot"))
+      val cand = cum.crossJoin(broadcast(tot))
+        .filter(col("n_x_cum") < col("n_tot"))
+        .select(col("x").as("t"),
+          col("n_x_cum").as("n_l"), col("pos_x_cum").as("pos_l"),
+          (col("n_tot") - col("n_x_cum")).as("n_r"),
+          (col("pos_tot") - col("pos_x_cum")).as("pos_r"),
+          col("n_tot"), col("pos_tot"))
+        .withColumn("a_l",
+          col("pos_l").cast(dec38) * col("pos_l").cast(dec38) +
+            (col("n_l") - col("pos_l")).cast(dec38) *
+            (col("n_l") - col("pos_l")).cast(dec38))
+        .withColumn("a_r",
+          col("pos_r").cast(dec38) * col("pos_r").cast(dec38) +
+            (col("n_r") - col("pos_r")).cast(dec38) *
+            (col("n_r") - col("pos_r")).cast(dec38))
+        .withColumn("m_num",
+          col("a_l") * col("n_r").cast(dec38) +
+            col("a_r") * col("n_l").cast(dec38))
+        .withColumn("m_den",
+          col("n_l").cast(dec38) * col("n_r").cast(dec38))
+        .localCheckpoint()
+      val best = cand.as("a").join(broadcast(cand.as("b")),
+          col("b.m_num") * col("a.m_den") > col("a.m_num") * col("b.m_den") ||
+            (col("b.m_num") * col("a.m_den") ===
+              col("a.m_num") * col("b.m_den") && col("b.t") < col("a.t")),
+          "left_anti")
+      val gl = lit(1.0) -
+        (col("pos_l").cast("double") / col("n_l").cast("double")) *
+          (col("pos_l").cast("double") / col("n_l").cast("double")) -
+        ((col("n_l") - col("pos_l")).cast("double") /
+          col("n_l").cast("double")) *
+          ((col("n_l") - col("pos_l")).cast("double") /
+            col("n_l").cast("double"))
+      val gr = lit(1.0) -
+        (col("pos_r").cast("double") / col("n_r").cast("double")) *
+          (col("pos_r").cast("double") / col("n_r").cast("double")) -
+        ((col("n_r") - col("pos_r")).cast("double") /
+          col("n_r").cast("double")) *
+          ((col("n_r") - col("pos_r")).cast("double") /
+            col("n_r").cast("double"))
+      best.select(col("t").as("split_x"),
+        col("n_l"), col("pos_l"), col("n_r"), col("pos_r"),
+        gl.as("gini_left"), gr.as("gini_right"),
+        ((col("n_l").cast("double") * gl + col("n_r").cast("double") * gr) /
+          col("n_tot").cast("double")).as("weighted_gini"))
+    },
+    Some(s"""WITH pu AS (
+              SELECT user_id,
+                CAST(SUM(CASE WHEN ts < TIMESTAMP '$StumpMid'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                CAST(MAX(CASE WHEN ts >= TIMESTAMP '$StumpMid'
+                  AND event_type = 'purchase'
+                  AND ${centsSql("value")} >= $StumpConvCents
+                  THEN 1 ELSE 0 END) AS BIGINT) AS y
+              FROM events GROUP BY 1
+            ), h AS (
+              SELECT x, CAST(count(*) AS BIGINT) AS n_x,
+                CAST(SUM(y) AS BIGINT) AS pos_x
+              FROM pu GROUP BY 1
+            ), c AS (
+              SELECT x, n_x, pos_x,
+                CAST(SUM(n_x) OVER (ORDER BY x) AS BIGINT) AS n_l,
+                CAST(SUM(pos_x) OVER (ORDER BY x) AS BIGINT) AS pos_l
+              FROM h
+            ), tot AS (
+              SELECT CAST(SUM(n_x) AS BIGINT) AS n_tot,
+                CAST(SUM(pos_x) AS BIGINT) AS pos_tot
+              FROM h
+            ), cand AS (
+              SELECT x AS t, n_l, pos_l,
+                n_tot - n_l AS n_r, pos_tot - pos_l AS pos_r,
+                n_tot, pos_tot,
+                CAST(pos_l AS HUGEINT) * pos_l
+                  + CAST(n_l - pos_l AS HUGEINT) * (n_l - pos_l) AS a_l,
+                CAST(pos_tot - pos_l AS HUGEINT) * (pos_tot - pos_l)
+                  + CAST((n_tot - n_l) - (pos_tot - pos_l) AS HUGEINT)
+                    * ((n_tot - n_l) - (pos_tot - pos_l)) AS a_r
+              FROM c, tot WHERE n_l < n_tot
+            ), m AS (
+              SELECT *, a_l * (n_tot - n_l) + a_r * n_l AS m_num,
+                CAST(n_l AS HUGEINT) * (n_tot - n_l) AS m_den
+              FROM cand
+            ), best AS (
+              SELECT * FROM m a WHERE NOT EXISTS (
+                SELECT 1 FROM m b
+                WHERE b.m_num * a.m_den > a.m_num * b.m_den
+                  OR (b.m_num * a.m_den = a.m_num * b.m_den
+                      AND b.t < a.t))
+            )
+            SELECT t AS split_x, n_l, pos_l, n_r, pos_r,
+              1.0 - (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                  * (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                - (CAST(n_l - pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                  * (CAST(n_l - pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                AS gini_left,
+              1.0 - (CAST(pos_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                  * (CAST(pos_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                - (CAST(n_r - pos_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                  * (CAST(n_r - pos_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                AS gini_right,
+              (CAST(n_l AS DOUBLE) * (1.0
+                  - (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                    * (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                  - (CAST(n_l - pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                    * (CAST(n_l - pos_l AS DOUBLE) / CAST(n_l AS DOUBLE)))
+                + CAST(n_r AS DOUBLE) * (1.0
+                  - (CAST(pos_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                    * (CAST(pos_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                  - (CAST(n_r - pos_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                    * (CAST(n_r - pos_r AS DOUBLE) / CAST(n_r AS DOUBLE))))
+                / CAST(n_tot AS DOUBLE) AS weighted_gini
+            FROM best"""),
+    "decision-stump split finding by exact weighted Gini: histogram " +
+      "fold + prefix sums, integer cross-product argmin [ml-eval]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q151_gains_table" -> q151,
     "q152_exact_auc" -> q152,
     "q154_ks_statistic" -> q154,
     "q191_calibration_bins" -> q191,
-    "q234_isotonic_calibration" -> q234)
+    "q234_isotonic_calibration" -> q234,
+    "q249_stump_split" -> q249)
 }

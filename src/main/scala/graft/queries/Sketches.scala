@@ -415,9 +415,134 @@ object Sketches {
                     <= $HllInterErr * r.exact_union"""),
     "audience overlap: HLL union + inclusion-exclusion intersection, audited [sketch]")
 
+  /** q241's sketch size and hash seed. */
+  private val KmvK = 64
+  private val KmvSeed = 424242L
+
+  /** q241: KMV (k-minimum-values) distinct sketch per order priority +
+    * the merged union sketch — the third cardinality estimator beside
+    * exact count-distinct and HLL (q107/q194), and the one whose ENTIRE
+    * surface is exactly oracle-checkable: the keyed congruential hash
+    * is a bijection on [0, P) (A coprime to prime P), so the k smallest
+    * hash values per group are deterministic integers BOTH engines
+    * compute identically, and the estimate (k−1)·P/h₍ₖ₎ is one fixed
+    * double expression over them. No error-bound-style derived oracle
+    * needed — unlike HLL, whose register layout is engine-internal.
+    *
+    * Union without rescanning: the k smallest hashes of A ∪ B are
+    * always contained in (k-mins of A) ∪ (k-mins of B) — KMV sketches
+    * MERGE by keeping the k smallest of the concatenation, the
+    * property that makes per-partition/per-source sketches foldable in
+    * a training-data catalog (per-source distinct-doc sketches roll up
+    * to corpus cardinality without a second corpus pass).
+    *
+    * Scale: one distinct fold (map-side combined) dedups (group, key);
+    * the per-group k-mins come from the bounded-heap TopKAgg — every
+    * input partition reduces to ≤k rows per group BEFORE the exchange
+    * (q180's contract; a per-group ORDER BY would sort a whole
+    * priority class in one task at 100 TB). Everything downstream of
+    * the heap is ≤ 5·k + 6 rows. Exact counts ride the same folds to
+    * audit the estimates (rel_err is evidence, not a pass gate — the
+    * VALUES are what the oracle checks, exactly).
+    */
+  private val q241 = QueryDef(
+    (s, d) => {
+      val kth = graft.functions.TopK.topk(KmvK)
+      val p = Curation.hashMod
+      val dg = load(s, d, "orders")
+        .select(col("o_orderpriority").as("scope"), col("o_custkey"))
+        .distinct()
+        .select(col("scope"),
+          Curation.shuffleKeyWith(col("o_custkey"), KmvSeed).as("h"))
+      // ONE heap fold serves both the per-group rows and the union
+      // merge (localCheckpoint: the ≤5-row sketch frame materializes
+      // instead of re-running the corpus fold per consumer)
+      val tops = dg.groupBy(col("scope"))
+        .agg(lcountAll.as("n_exact"),
+          kth(-col("h"), col("h"), lit(0.0)).as("top"))
+        .localCheckpoint()
+      val perGrp = tops
+        .select(col("scope"), col("n_exact"),
+          size(col("top")).cast("long").as("n_mins"),
+          element_at(col("top"), size(col("top")))
+            .getField("id").as("kth_hash"))
+      val allMins = tops
+        .select(explode(col("top")).as("r"))
+        .select(col("r.id").as("h"))
+        .distinct()
+        .orderBy(col("h"))
+        .limit(KmvK)
+      val unionSketch = allMins.agg(lcountAll.as("n_mins"),
+        max(col("h")).as("kth_hash"))
+      val unionExact = load(s, d, "orders")
+        .select(col("o_custkey")).distinct()
+        .agg(lcountAll.as("n_exact"))
+      val unionRow = unionExact.crossJoin(broadcast(unionSketch))
+        .select(lit("__union__").as("scope"), col("n_exact"),
+          col("n_mins"), col("kth_hash"))
+      perGrp.unionByName(unionRow)
+        .withColumn("est",
+          when(col("n_mins") < KmvK, col("n_mins").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) * lit(p.toDouble) /
+              col("kth_hash").cast("double")))
+        .withColumn("rel_err",
+          (col("est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"))
+    },
+    Some {
+      val hSql = Curation.shuffleKeySqlWith("o_custkey", KmvSeed)
+      val p = Curation.hashMod
+      s"""WITH dg AS (
+            SELECT DISTINCT o_orderpriority AS scope, o_custkey
+            FROM orders
+          ), hh AS (
+            SELECT scope, $hSql AS h FROM dg
+          ), r AS (
+            SELECT scope, h,
+              ROW_NUMBER() OVER (PARTITION BY scope ORDER BY h) AS rn,
+              COUNT(*) OVER (PARTITION BY scope) AS n
+            FROM hh
+          ), pg AS (
+            SELECT scope, CAST(max(n) AS BIGINT) AS n_exact,
+              CAST(LEAST(max(n), $KmvK) AS BIGINT) AS n_mins,
+              CAST(max(CASE WHEN rn = LEAST(n, $KmvK) THEN h END)
+                AS BIGINT) AS kth_hash
+            FROM r WHERE rn <= $KmvK GROUP BY 1
+          ), du AS (
+            SELECT DISTINCT o_custkey FROM orders
+          ), hu AS (
+            SELECT $hSql AS h FROM du
+          ), ru AS (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+              COUNT(*) OVER () AS n
+            FROM hu
+          ), pu AS (
+            SELECT '__union__' AS scope, CAST(max(n) AS BIGINT) AS n_exact,
+              CAST(LEAST(max(n), $KmvK) AS BIGINT) AS n_mins,
+              CAST(max(CASE WHEN rn = LEAST(n, $KmvK) THEN h END)
+                AS BIGINT) AS kth_hash
+            FROM ru WHERE rn <= $KmvK
+          ), both_s AS (
+            SELECT * FROM pg UNION ALL SELECT * FROM pu
+          )
+          SELECT scope, n_exact, n_mins, kth_hash,
+            CASE WHEN n_mins < $KmvK THEN CAST(n_mins AS DOUBLE)
+              ELSE ${(KmvK - 1).toDouble} * ${p.toDouble}
+                / CAST(kth_hash AS DOUBLE) END AS est,
+            (CASE WHEN n_mins < $KmvK THEN CAST(n_mins AS DOUBLE)
+              ELSE ${(KmvK - 1).toDouble} * ${p.toDouble}
+                / CAST(kth_hash AS DOUBLE) END
+              - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+              AS rel_err
+          FROM both_s"""
+    },
+    "KMV k-minimum-values distinct sketch per priority + exact merged " +
+      "union — bijective hash, fully value-checkable estimates [sketch]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q103_cms_heavy_hitters" -> q103,
     "q104_mg_topk" -> q104,
+    "q241_kmv_distinct" -> q241,
     "q107_hll_distinct" -> q107,
     "q108_bloom_join" -> q108,
     "q170_sliding_hll" -> q170,

@@ -949,6 +949,309 @@ object Stats {
     "grouped two-regressor OLS by Cramer closed form: exact moments, " +
       "relative-tolerance coefficients [stats]")
 
+  /** The five TPC-H order priorities, pinned in canonical order. q243
+    * pivots its per-group rank sums into ONE wide row through this
+    * list so the cross-group double summation inside H has ONE fixed
+    * association order — a plain SUM over a 5-row frame would make H
+    * partial-order-dependent and break the bitwise oracle contract.
+    */
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** q243: Kruskal-Wallis H test — "do the five order priorities draw
+    * their order values from the same distribution?" The rank-based
+    * one-way ANOVA: the omnibus sibling of q214's Spearman (two rank
+    * columns) and q154's KS (two samples), covering the k-sample case
+    * a curation dashboard needs before pairwise drill-downs.
+    *
+    * Ranks are MIDRANKS (average rank over ties), computed without any
+    * per-row rank window: the corpus folds to a (priority, cents)
+    * histogram, the histogram folds to a per-value frame, and the
+    * global cumulative count comes from `PrefixSum.runningSums`
+    * (range-repartition scan — never a one-partition window). The
+    * midrank of value v is cum_lt(v) + (t_v+1)/2; kept doubled
+    * (2·midrank = 2·cum_lt + t_v + 1) so every per-group rank sum is
+    * an INTEGER. The heavy shuffles all end at domain-bounded frames:
+    * distinct order-total cents are price-bounded (~10⁷ values),
+    * corpus-invariant.
+    *
+    * Exactness: rank sums accumulate in DECIMAL(38,0) (2·R_g ≤ 2N²,
+    * 128-bit-safe to n ~ 10¹⁸) and EMIT as canonical strings (the
+    * q214 surface rule); the tie term Σ(t³−t) ≤ N³ likewise. H is then
+    * a FIXED double expression — the five group contributions combine
+    * in the pinned [[Priorities]] order on both engines, so even the
+    * cross-group float sum is bit-identical, and the tie-corrected
+    * H' = H / (1 − ΣT/(N³−N)) inherits that.
+    */
+  private val q243 = QueryDef(
+    (s, d) => {
+      val gh = load(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          graft.common.Exact.cents(col("o_totalprice")).as("v"))
+        .groupBy(col("grp"), col("v"))
+        .agg(graft.common.Exact.lcountAll.as("c"))
+      val vh = gh.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      val cum = graft.operators.PrefixSum.runningSums(
+        vh, Seq(col("v")), Seq("t"))
+      val perGrp = gh.join(cum, "v")
+        .groupBy(col("grp"))
+        .agg(sum(col("c")).as("n_g"),
+          sum(col("c").cast(DecimalType(38, 0)) *
+            (lit(2L) * (col("t_cum") - col("t")) + col("t") + lit(1L))
+              .cast(DecimalType(38, 0))).as("two_r"))
+      val ties = cum.agg(
+        sum(col("t")).as("n_total"),
+        sum(col("t").cast(DecimalType(38, 0)) *
+          col("t").cast(DecimalType(38, 0)) *
+          col("t").cast(DecimalType(38, 0)) -
+          col("t").cast(DecimalType(38, 0))).as("tie_term"))
+      // pivot the 5 groups into one row in the PINNED priority order
+      val pivotCols = Priorities.zipWithIndex.map { case (p, i) =>
+        sum(when(col("grp") === p, col("n_g"))).as(s"n_${i + 1}")
+      } ++ Priorities.zipWithIndex.map { case (p, i) =>
+        sum(when(col("grp") === p, col("two_r"))).as(s"tr_${i + 1}")
+      }
+      val wide = perGrp.agg(pivotCols.head, pivotCols.tail: _*)
+      val contrib = (1 to 5).map { i =>
+        // n_g · r̄_g² = (2R_g)² / (4·n_g), associated left-to-right
+        (col(s"tr_$i").cast("double") * col(s"tr_$i").cast("double")) /
+          (lit(4.0) * col(s"n_$i").cast("double"))
+      }.reduceLeft(_ + _)
+      wide.crossJoin(broadcast(ties))
+        .withColumn("nd", col("n_total").cast("double"))
+        .withColumn("h",
+          lit(12.0) / (col("nd") * (col("nd") + lit(1.0))) * contrib -
+            lit(3.0) * (col("nd") + lit(1.0)))
+        .withColumn("tie_frac",
+          col("tie_term").cast("double") /
+            (col("n_total").cast(DecimalType(38, 0)) *
+              col("n_total").cast(DecimalType(38, 0)) *
+              col("n_total").cast(DecimalType(38, 0)) -
+              col("n_total").cast(DecimalType(38, 0))).cast("double"))
+        .select(
+          (Seq(col("n_total"),
+            col("tie_term").cast("string").as("tie_term"),
+            col("h"),
+            (col("h") / (lit(1.0) - col("tie_frac"))).as("h_tie_corrected")) ++
+            (1 to 5).map(i => col(s"n_$i")) ++
+            (1 to 5).map(i => col(s"tr_$i").cast("string").as(s"tr_$i"))): _*)
+    },
+    Some {
+      val pivotN = Priorities.zipWithIndex.map { case (p, i) =>
+        s"CAST(SUM(CASE WHEN grp = '$p' THEN n_g END) AS BIGINT) AS n_${i + 1}"
+      }.mkString(", ")
+      val pivotTr = Priorities.zipWithIndex.map { case (p, i) =>
+        s"SUM(CASE WHEN grp = '$p' THEN two_r END) AS tr_${i + 1}"
+      }.mkString(", ")
+      val contribSql = (1 to 5).map { i =>
+        s"(CAST(tr_$i AS DOUBLE) * CAST(tr_$i AS DOUBLE)) / (4.0 * CAST(n_$i AS DOUBLE))"
+      }.reduceLeft((a, b) => s"($a + $b)")
+      s"""WITH g AS (
+            SELECT o_orderpriority AS grp,
+              ${graft.common.Exact.centsSql("o_totalprice")} AS v
+            FROM orders
+          ), gh AS (
+            SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+            FROM g GROUP BY 1, 2
+          ), vh AS (
+            SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM gh GROUP BY 1
+          ), cum AS (
+            SELECT v, t,
+              CAST(SUM(t) OVER (ORDER BY v) AS BIGINT) AS t_cum
+            FROM vh
+          ), pg AS (
+            SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g,
+              SUM(CAST(c AS HUGEINT) *
+                (2 * (t_cum - t) + t + 1)) AS two_r
+            FROM gh JOIN cum USING (v) GROUP BY 1
+          ), ties AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n_total,
+              SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
+            FROM cum
+          ), wide AS (
+            SELECT $pivotN, $pivotTr FROM pg
+          )
+          SELECT n_total, CAST(tie_term AS VARCHAR) AS tie_term,
+            12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+              * $contribSql
+              - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h,
+            (12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+              * $contribSql
+              - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+              / (1.0 - CAST(tie_term AS DOUBLE) /
+                  CAST(CAST(n_total AS HUGEINT) * n_total * n_total
+                    - n_total AS DOUBLE)) AS h_tie_corrected,
+            ${(1 to 5).map(i => s"n_$i").mkString(", ")},
+            ${(1 to 5).map(i => s"CAST(tr_$i AS VARCHAR) AS tr_$i").mkString(", ")}
+          FROM wide, ties"""
+    },
+    "Kruskal-Wallis H across order priorities: scalable midranks via " +
+      "histogram prefix sums, 128-bit rank sums, pinned-order H [stats]")
+
+  /** q244's test family: per-nation share of high-value orders
+    * (≥ $150k) vs the rest of the corpus, and the BH step-up level.
+    */
+  private val BhHighCents = 15000000L
+  private val BhAlphaNum = 5L // α = 5/100
+
+  /** q244: Benjamini-Hochberg FDR over a per-nation family of
+    * two-proportion tests — the multiple-comparisons layer q160 needs
+    * the moment the dashboard fans one test out into 25: without it,
+    * 25 tests at α=0.05 expect ~1.25 false "significant nations" per
+    * refresh. Each nation's high-value order rate tests against the
+    * REST of the corpus (the standard one-vs-rest screen); BH then
+    * finds k* = max{i : p(i) ≤ i·α/m} and rejects the k* smallest
+    * p-values, controlling the expected false-discovery fraction at α
+    * (BH 1995 — valid here since one-vs-rest z's are positively
+    * regression dependent).
+    *
+    * Scale: one orders×customer key join folds to 25 nation rows
+    * map-side; the corpus totals attach as a 1-row broadcast; the BH
+    * rank/threshold windows run on the 25-row frame (nation count is
+    * DOMAIN-bounded — 25 today, ~200 ever). Nothing after the first
+    * fold is corpus-sized.
+    *
+    * Determinism: the BH ORDER comes from the exact-integer z² ordering
+    * key od = (x_g·n_r − x_r·n_g)²·N / (n_g·n_r·X·(N−X)) — cast-to-
+    * double of exact i64/128 integers through ×/÷ only (correctly-
+    * rounded IEEE, so the order is bit-identical cross-engine; no erf
+    * in the sort key, and exact count ties break by nation). p itself
+    * needs erfc (Abramowitz-Stegun 7.1.26 — max abs error 1.5e-7,
+    * fine for a 0.002-granular threshold), whose exp() is NOT
+    * guaranteed identical across libms, so the oracle is the q232
+    * derived pattern: integer evidence joins exactly, p/z/od compare
+    * at 1e-9, and the reject decision must match the oracle's own
+    * recomputation outside a ±1e-9 threshold grace band.
+    */
+  private val q244 = QueryDef(
+    (s, d) => {
+      val perNation = load(s, d, "orders")
+        .join(load(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(graft.common.Exact.lcountAll.as("n_g"),
+          sum(when(graft.common.Exact.cents(col("o_totalprice")) >=
+            BhHighCents, 1L).otherwise(0L)).as("x_g"))
+        .join(broadcast(load(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+      val tot = perNation.agg(sum(col("n_g")).as("n_tot"),
+        sum(col("x_g")).as("x_tot"), graft.common.Exact.lcountAll.as("m"))
+      val base = perNation.crossJoin(broadcast(tot))
+        .withColumn("n_r", col("n_tot") - col("n_g"))
+        .withColumn("x_r", col("x_tot") - col("x_g"))
+        // z² as a fixed double expression over exact integers (×,÷ only)
+        .withColumn("od",
+          (col("x_g") * col("n_r") - col("x_r") * col("n_g")).cast("double") *
+            (col("x_g") * col("n_r") - col("x_r") * col("n_g")).cast("double") *
+            col("n_tot").cast("double") /
+            (col("n_g").cast("double") * col("n_r").cast("double") *
+              col("x_tot").cast("double") *
+              (col("n_tot") - col("x_tot")).cast("double")))
+        .withColumn("z",
+          (col("x_g").cast("double") / col("n_g").cast("double") -
+            col("x_r").cast("double") / col("n_r").cast("double")) /
+            sqrt(col("x_tot").cast("double") / col("n_tot").cast("double") *
+              (lit(1.0) - col("x_tot").cast("double") /
+                col("n_tot").cast("double")) *
+              (lit(1.0) / col("n_g").cast("double") +
+                lit(1.0) / col("n_r").cast("double"))))
+      // two-sided p via A&S 7.1.26 erfc on |z|/√2
+      val az = abs(col("z")) / sqrt(lit(2.0))
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * az)
+      val poly = t * (lit(0.254829592) +
+        t * (lit(-0.284496736) +
+          t * (lit(1.421413741) +
+            t * (lit(-1.453152027) + t * lit(1.061405429)))))
+      val withP = base.withColumn("p", poly * exp(-az * az))
+      val ranked = withP.withColumn("rk",
+        row_number().over(Window.orderBy(col("od").desc, col("n_name"))))
+        .withColumn("bh_level",
+          col("rk").cast("double") * lit(BhAlphaNum.toDouble) /
+            (col("m").cast("double") * lit(100.0)))
+      val kstar = ranked.agg(
+        max(when(col("p") <= col("bh_level"), col("rk"))).as("k_star"))
+      ranked.crossJoin(broadcast(kstar))
+        .select(col("n_name").as("nation"), col("n_g"), col("x_g"),
+          col("od"), col("z"), col("p"), col("rk").cast("long").as("rk"),
+          col("bh_level"),
+          (col("k_star").isNotNull && col("rk") <= col("k_star"))
+            .as("rejected"))
+    },
+    Some(s"""WITH pn AS (
+              SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_g,
+                CAST(SUM(CASE WHEN
+                  ${graft.common.Exact.centsSql("o_totalprice")}
+                    >= $BhHighCents THEN 1 ELSE 0 END) AS BIGINT) AS x_g
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1
+            ), named AS (
+              SELECT n.n_name, pn.n_g, pn.x_g
+              FROM pn JOIN nation n ON pn.c_nationkey = n.n_nationkey
+            ), tot AS (
+              SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+                CAST(SUM(x_g) AS BIGINT) AS x_tot,
+                CAST(count(*) AS BIGINT) AS m
+              FROM named
+            ), base AS (
+              SELECT n_name, n_g, x_g, n_tot, x_tot, m,
+                n_tot - n_g AS n_r, x_tot - x_g AS x_r,
+                CAST(x_g * (n_tot - n_g) - (x_tot - x_g) * n_g AS DOUBLE) *
+                  CAST(x_g * (n_tot - n_g) - (x_tot - x_g) * n_g AS DOUBLE) *
+                  CAST(n_tot AS DOUBLE) /
+                  (CAST(n_g AS DOUBLE) * CAST(n_tot - n_g AS DOUBLE) *
+                    CAST(x_tot AS DOUBLE) * CAST(n_tot - x_tot AS DOUBLE))
+                  AS od,
+                (CAST(x_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                  - CAST(x_tot - x_g AS DOUBLE) / CAST(n_tot - n_g AS DOUBLE))
+                  / sqrt(CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)
+                    * (1.0 - CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                    * (1.0 / CAST(n_g AS DOUBLE)
+                      + 1.0 / CAST(n_tot - n_g AS DOUBLE))) AS z
+              FROM named, tot
+            ), withp AS (
+              SELECT *,
+                (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) * (0.254829592
+                  + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) * (-0.284496736
+                  + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) * (1.421413741
+                  + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) * (-1.453152027
+                  + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) * 1.061405429))))
+                  * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))) AS p
+              FROM base
+            ), ranked AS (
+              SELECT *,
+                CAST(ROW_NUMBER() OVER (ORDER BY od DESC, n_name)
+                  AS BIGINT) AS rk,
+                CAST(ROW_NUMBER() OVER (ORDER BY od DESC, n_name) AS DOUBLE)
+                  * ${BhAlphaNum.toDouble} / (CAST(m AS DOUBLE) * 100.0)
+                  AS bh_level
+              FROM withp
+            ), ks AS (
+              SELECT MAX(CASE WHEN p <= bh_level THEN rk END) AS k_star
+              FROM ranked
+            ), ref AS (
+              SELECT r.n_name AS nation, r.n_g, r.x_g, r.od, r.z, r.p,
+                r.rk, r.bh_level,
+                (ks.k_star IS NOT NULL AND r.rk <= ks.k_star) AS rejected
+              FROM ranked r, ks
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q244_bh_fdr/*.parquet')
+            )
+            SELECT e.nation, e.n_g, e.x_g, e.od, e.z, e.p, e.rk,
+              e.bh_level, e.rejected
+            FROM emitted e JOIN ref r ON e.nation = r.nation
+              AND e.n_g = r.n_g AND e.x_g = r.x_g AND e.rk = r.rk
+            WHERE abs(e.od - r.od) <= 1e-9 * greatest(abs(r.od), 1.0)
+              AND abs(e.z - r.z) <= 1e-9 * greatest(abs(r.z), 1.0)
+              AND abs(e.p - r.p) <= 1e-9
+              AND abs(e.bh_level - r.bh_level) <= 1e-12
+              AND (e.rejected = r.rejected
+                OR abs(r.p - r.bh_level) < 1e-9)"""),
+    "Benjamini-Hochberg FDR over per-nation two-proportion tests: " +
+      "exact-integer BH order, A&S erfc p-values, derived oracle [stats]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
     "q143_exact_corr" -> q143,
@@ -959,5 +1262,7 @@ object Stats {
     "q214_spearman" -> q214,
     "q217_conformal_coverage" -> q217,
     "q218_wilson_ranking" -> q218,
-    "q236_multi_ols" -> q236)
+    "q236_multi_ols" -> q236,
+    "q243_kruskal_wallis" -> q243,
+    "q244_bh_fdr" -> q244)
 }

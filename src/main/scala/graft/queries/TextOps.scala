@@ -672,10 +672,140 @@ object TextOps {
     "Flesch reading-ease: vowel-group syllables, sentence runs, " +
       "published grade bands [text-analysis]")
 
+  /** q246: Cohen's kappa between the corpus's DECLARED language labels
+    * and q32's marker-profile PREDICTION — chance-corrected inter-
+    * labeler agreement, the number a labeling pipeline quotes instead
+    * of raw accuracy (a majority-class predictor on a skewed corpus
+    * scores high accuracy but κ ≈ 0). Treats metadata and model as two
+    * raters over the same items; κ = (p_o − p_e)/(1 − p_e).
+    *
+    * Scale: one narrow map pass scores every document locally (the q32
+    * expressions), then the corpus folds to the 5-class marginal
+    * frame map-side; everything after is arithmetic on ≤5 rows.
+    *
+    * Exactness: κ reduces to (N·D − S)/(N² − S) with D = Σ diagonal
+    * and S = Σ_l rowₗ·colₗ — all integers. The cross terms reach N²,
+    * past i64 at a 10¹⁰-doc corpus, so both engines accumulate them in
+    * 128-bit (DECIMAL(38,0)/HUGEINT) and EMIT canonical strings (the
+    * q214 surface rule); κ/p_o/p_e are fixed double expressions over
+    * those exact integers. Per-language marginals ride along as plain
+    * BIGINT evidence.
+    */
+  private val q246 = QueryDef(
+    (s, d) => {
+      val docs = load(s, d, "documents")
+      val w = words(col("text"))
+      val c = LangMarkers.map { case (lang, markers) =>
+        lang -> countIn(w, markers)
+      }.toMap
+      val pred =
+        when(c("en") >= c("es") && c("en") >= c("de") && c("en") >= c("fr"),
+          "en")
+          .when(c("es") >= c("de") && c("es") >= c("fr"), "es")
+          .when(c("de") >= c("fr"), "de")
+          .otherwise("fr")
+      // the LABEL DOMAIN is declared ∪ predictable: the corpus declares
+      // a 'zh' class the 4-marker predictor can never emit — kappa must
+      // see that whole row of the confusion matrix as disagreement
+      // rather than silently dropping those documents
+      val langs = LangMarkers.map(_._1) :+ "zh"
+      val marginals = docs
+        .select(col("lang").as("declared"), pred.as("predicted"))
+        .select(explode(array(langs.map { l =>
+          struct(lit(l).as("lang"),
+            when(col("declared") === l, 1L).otherwise(0L).as("nd"),
+            when(col("predicted") === l, 1L).otherwise(0L).as("np"),
+            when(col("declared") === l && col("predicted") === l, 1L)
+              .otherwise(0L).as("na"))
+        }: _*)).as("m"))
+        .groupBy(col("m.lang").as("lang"))
+        .agg(sum(col("m.nd")).as("n_declared"),
+          sum(col("m.np")).as("n_predicted"),
+          sum(col("m.na")).as("n_agree"))
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val tot = marginals.agg(
+        sum(col("n_declared")).as("n_total"),
+        sum(col("n_agree")).as("d_agree"),
+        sum(col("n_declared").cast(dec38) * col("n_predicted").cast(dec38))
+          .as("s_cross"))
+      marginals.crossJoin(broadcast(tot))
+        .withColumn("nd_num",
+          col("n_total").cast(dec38) * col("d_agree").cast(dec38) -
+            col("s_cross"))
+        .withColumn("nn_den",
+          col("n_total").cast(dec38) * col("n_total").cast(dec38) -
+            col("s_cross"))
+        .select(col("lang"), col("n_declared"), col("n_predicted"),
+          col("n_agree"), col("n_total"), col("d_agree"),
+          col("s_cross").cast("string").as("s_cross"),
+          col("nd_num").cast("string").as("kappa_num"),
+          col("nn_den").cast("string").as("kappa_den"),
+          (col("d_agree").cast("double") / col("n_total").cast("double"))
+            .as("p_observed"),
+          (col("s_cross").cast("double") /
+            (col("n_total").cast(dec38) * col("n_total").cast(dec38))
+              .cast("double")).as("p_expected"),
+          (col("nd_num").cast("double") / col("nn_den").cast("double"))
+            .as("kappa"))
+    },
+    Some {
+      val score = LangMarkers.map { case (lang, markers) =>
+        val set = markers.map(m => s"'$m'").mkString(",")
+        lang -> s"len(list_filter($WordsSql, x -> x IN ($set)))"
+      }.toMap
+      val predSql =
+        s"""CASE WHEN ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("de")} AND ${score("en")} >= ${score("fr")} THEN 'en'
+              WHEN ${score("es")} >= ${score("de")} AND ${score("es")} >= ${score("fr")} THEN 'es'
+              WHEN ${score("de")} >= ${score("fr")} THEN 'de'
+              ELSE 'fr' END"""
+      s"""WITH scored AS (
+            SELECT lang AS declared, $predSql AS predicted
+            FROM documents
+          ), langs AS (
+            SELECT unnest(['en','es','de','fr','zh']) AS lang
+          ), marg AS (
+            SELECT l.lang,
+              CAST(SUM(CASE WHEN s.declared = l.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_declared,
+              CAST(SUM(CASE WHEN s.predicted = l.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_predicted,
+              CAST(SUM(CASE WHEN s.declared = l.lang
+                AND s.predicted = l.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree
+            FROM langs l CROSS JOIN scored s
+            GROUP BY 1
+          ), tot AS (
+            SELECT CAST(SUM(n_declared) AS BIGINT) AS n_total,
+              CAST(SUM(n_agree) AS BIGINT) AS d_agree,
+              SUM(CAST(n_declared AS HUGEINT) * n_predicted) AS s_cross
+            FROM marg
+          )
+          SELECT m.lang, m.n_declared, m.n_predicted, m.n_agree,
+            t.n_total, t.d_agree,
+            CAST(t.s_cross AS VARCHAR) AS s_cross,
+            CAST(CAST(t.n_total AS HUGEINT) * t.d_agree - t.s_cross
+              AS VARCHAR) AS kappa_num,
+            CAST(CAST(t.n_total AS HUGEINT) * t.n_total - t.s_cross
+              AS VARCHAR) AS kappa_den,
+            CAST(t.d_agree AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+              AS p_observed,
+            CAST(t.s_cross AS DOUBLE) /
+              CAST(CAST(t.n_total AS HUGEINT) * t.n_total AS DOUBLE)
+              AS p_expected,
+            CAST(CAST(t.n_total AS HUGEINT) * t.d_agree - t.s_cross
+                AS DOUBLE) /
+              CAST(CAST(t.n_total AS HUGEINT) * t.n_total - t.s_cross
+                AS DOUBLE) AS kappa
+          FROM marg m, tot t"""
+    },
+    "Cohen's kappa between declared and predicted language: integer " +
+      "confusion marginals, 128-bit cross terms [text-analysis]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q30_text_tokens" -> q30,
     "q31_text_quality" -> q31,
     "q32_text_langid" -> q32,
+    "q246_labeler_kappa" -> q246,
     "q33_text_fingerprint" -> q33,
     "q63_tfidf_terms" -> q63,
     "q64_corpus_ngrams" -> q64,

@@ -1175,9 +1175,110 @@ object TimeSeries {
     "two-table cross-correlation at ±7-day lags: bit-exact integer " +
       "moments, 1e-12 derived-oracle ccf [time-series]")
 
+  /** q245's window half-width (±7 days) and the outlier gate: a point
+    * is flagged when |x − med| > 3·1.4826·MAD, compared as INTEGERS
+    * (|x−med|·10000 > 44478·MAD) so the decision is engine-exact —
+    * 1.4826 is the Gaussian-consistency constant that makes MAD a σ
+    * estimate.
+    */
+  private val HampelHalf = 7
+  private val HampelGateNum = 44478L // ⌊3·1.4826·10000⌉
+
+  /** q245: Hampel filter over the daily-revenue series — the rolling
+    * median/MAD outlier detector (Pearson's robust sibling of the
+    * q102/q187 z-score screens: a single spike inflates a rolling
+    * MEAN AND its σ, masking itself; the median/MAD version doesn't
+    * break until half the window is bad). Flags days whose revenue
+    * sits more than 3 robust-σ from the ±7-day rolling median.
+    *
+    * Scale: the corpus folds once to the daily frame (calendar-
+    * bounded, corpus-invariant). The rolling windows are EQUI-joins:
+    * each day explodes into its 15 (offset → center) claims and the
+    * join runs on the center date — a hash join on a bounded frame,
+    * never a non-equi BNLJ and never a per-row window sort. Medians
+    * of ≤15-value lists are local array picks. A second identical
+    * pass computes the MAD around each center's median.
+    *
+    * Exactness: revenue is integer cents; both medians are LOWER
+    * medians (element (n+1) div 2 of the sorted window — an actual
+    * data value, no interpolation arithmetic), and the flag compares
+    * scaled integers — every emitted cell is engine-exact, no doubles
+    * anywhere.
+    */
+  private lazy val q245 = QueryDef(
+    (s, d) => {
+      val daily = load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
+          .as("r_cents"))
+      val offsets = sequence(lit(-HampelHalf), lit(HampelHalf))
+      val claims = daily
+        .select(col("day"), col("r_cents"), explode(offsets).as("off"))
+        .select(date_add(col("day"), col("off")).as("center"),
+          col("r_cents").as("v"))
+      val med = claims.groupBy(col("center"))
+        .agg(sort_array(collect_list(col("v"))).as("vs"),
+          count(lit(1)).as("nw"))
+        .select(col("center"),
+          element_at(col("vs"), ((col("nw") + 1) / 2).cast("int"))
+            .as("med_cents"),
+          col("nw"))
+      val devClaims = claims.join(med, "center")
+        .select(col("center"), abs(col("v") - col("med_cents")).as("dv"))
+      val mad = devClaims.groupBy(col("center"))
+        .agg(sort_array(collect_list(col("dv"))).as("dvs"),
+          count(lit(1)).as("nw2"))
+        .select(col("center"),
+          element_at(col("dvs"), ((col("nw2") + 1) / 2).cast("int"))
+            .as("mad_cents"))
+      daily.join(med.select(col("center").as("day"), col("med_cents"),
+          col("nw").as("n_window")), "day")
+        .join(mad.select(col("center").as("day"), col("mad_cents")), "day")
+        .select(col("day"), col("r_cents"), col("n_window"),
+          col("med_cents"), col("mad_cents"),
+          (abs(col("r_cents") - col("med_cents")) * lit(10000L) >
+            lit(HampelGateNum) * col("mad_cents")).as("is_outlier"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS r_cents
+              FROM orders GROUP BY 1
+            ), claims AS (
+              SELECT CAST(day + CAST(o.off AS INTEGER) AS DATE) AS center,
+                r_cents AS v
+              FROM daily CROSS JOIN (
+                SELECT unnest(generate_series(-$HampelHalf, $HampelHalf, 1))
+                  AS off) o
+            ), med AS (
+              SELECT center,
+                list_sort(list(v))[CAST((count(*) + 1) // 2 AS INTEGER)]
+                  AS med_cents,
+                CAST(count(*) AS BIGINT) AS nw
+              FROM claims GROUP BY 1
+            ), dev AS (
+              SELECT c.center, abs(c.v - m.med_cents) AS dv
+              FROM claims c JOIN med m USING (center)
+            ), mad AS (
+              SELECT center,
+                list_sort(list(dv))[CAST((count(*) + 1) // 2 AS INTEGER)]
+                  AS mad_cents
+              FROM dev GROUP BY 1
+            )
+            SELECT d.day, d.r_cents, m.nw AS n_window,
+              m.med_cents, a.mad_cents,
+              abs(d.r_cents - m.med_cents) * 10000
+                > $HampelGateNum * a.mad_cents AS is_outlier
+            FROM daily d
+            JOIN med m ON d.day = m.center
+            JOIN mad a ON d.day = a.center"""),
+    "Hampel filter on daily revenue: rolling lower median/MAD via " +
+      "exploded equi-joins, integer outlier gate [time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
+    "q245_hampel_filter" -> q245,
     "q165_ewma_daily" -> q165,
     "q169_seasonal_decomp" -> q169,
     "q179_rolling_corr" -> q179,

@@ -68,7 +68,9 @@ class BroadcastLintSpec extends AnyFunSuite with SparkSpec {
     "q69_decontamination" ->
       "benchmark gram set: grams of the fixed benchmark corpus slice, corpus-independent by construction",
     "q234_isotonic_calibration" ->
-      "PAVA interval grid: every hinted frame derives from the localCheckpointed 10-row decile aggregate (fixed literal decile count) — <=10-row bin/t frames, <=55-row interval frame at any corpus size")
+      "PAVA interval grid: every hinted frame derives from the localCheckpointed 10-row decile aggregate (fixed literal decile count) — <=10-row bin/t frames, <=55-row interval frame at any corpus size",
+    "q249_stump_split" ->
+      "stump argmin rival side: the localCheckpointed candidate frame has one row per DISTINCT per-user pre-period event count — an activity-domain-bounded histogram (corpus growth adds users, not new per-user count values), the same domain argument as the q224/q81 value histograms")
 
   private def refsBounded(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     e.references.nonEmpty && e.references.forall(r => BoundedDomainCols(r.name))

@@ -62,4 +62,31 @@ class LabelQualitySpec extends AnyFunSuite with SparkSpec {
     assert(noise.count() == spark.read
       .parquet(s"$Sf/embeddings.parquet").count())
   }
+
+  test("q246 kappa: marginals conserve, kappa identity holds from the integer evidence") {
+    val rows = SparkEntry.queries("q246_labeler_kappa")(spark, Sf).collect()
+    assert(rows.length == 5) // en/es/de/fr + the never-predicted zh
+    val n = rows.head.getAs[Long]("n_total")
+    val d = rows.head.getAs[Long]("d_agree")
+    assert(rows.map(_.getAs[Long]("n_declared")).sum == n)
+    assert(rows.map(_.getAs[Long]("n_predicted")).sum == n)
+    assert(rows.map(_.getAs[Long]("n_agree")).sum == d)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_agree") <=
+        math.min(r.getAs[Long]("n_declared"), r.getAs[Long]("n_predicted")))
+    }
+    // κ = (N·D − S)/(N² − S) recomputed from the emitted marginals
+    val s = rows.map(r => BigInt(r.getAs[Long]("n_declared")) *
+      BigInt(r.getAs[Long]("n_predicted"))).sum
+    assert(BigInt(rows.head.getAs[String]("s_cross")) == s)
+    val num = BigInt(n) * BigInt(d) - s
+    val den = BigInt(n) * BigInt(n) - s
+    assert(BigInt(rows.head.getAs[String]("kappa_num")) == num)
+    assert(BigInt(rows.head.getAs[String]("kappa_den")) == den)
+    val kappa = rows.head.getAs[Double]("kappa")
+    assert(kappa <= 1.0 && kappa >= -1.0)
+    assert(math.abs(kappa - num.toDouble / den.toDouble) < 1e-12)
+    // all four rows carry the same shared statistics
+    assert(rows.map(_.getAs[Double]("kappa")).distinct.length == 1)
+  }
 }

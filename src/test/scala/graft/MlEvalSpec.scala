@@ -75,4 +75,45 @@ class MlEvalSpec extends AnyFunSuite with SparkSpec {
     assert(ks == best._1 && ksScore == best._2)
     assert(ks > 0.0 && ks <= 1.0)
   }
+
+  test("q249 stump: the emitted split minimizes weighted Gini over every candidate") {
+    val rows = run("q249_stump_split").collect()
+    assert(rows.length == 1, "argmin must be unique")
+    val r = rows.head
+    val (nL, posL, nR, posR) = (r.getAs[Long]("n_l"), r.getAs[Long]("pos_l"),
+      r.getAs[Long]("n_r"), r.getAs[Long]("pos_r"))
+    def gini(pos: Long, n: Long): Double = {
+      val p = pos.toDouble / n
+      val q = (n - pos).toDouble / n
+      1.0 - p * p - q * q
+    }
+    assert(r.getAs[Double]("gini_left") == gini(posL, nL))
+    assert(r.getAs[Double]("gini_right") == gini(posR, nR))
+    // local recomputation of the full candidate sweep
+    val mid = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val pu = graft.common.Tables.load(spark, Sf, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < lit(mid), 1L).otherwise(0L)).as("x"),
+        max(when(col("ts") >= lit(mid) && col("event_type") === "purchase" &&
+          graft.common.Exact.cents(col("value")) >= 10000L, 1L)
+          .otherwise(0L)).as("y"))
+      .collect().map(u => (u.getLong(1), u.getLong(2)))
+    val n = pu.length.toLong
+    val pos = pu.map(_._2).sum
+    val cands = pu.map(_._1).distinct.sorted.dropRight(1)
+    val costs = cands.map { t =>
+      val (l, rr) = pu.partition(_._1 <= t)
+      val (nl, pl) = (l.length.toLong, l.map(_._2).sum)
+      val (nr, pr) = (rr.length.toLong, rr.map(_._2).sum)
+      t -> (nl * gini(pl, nl) + nr * gini(pr, nr)) / n
+    }
+    val bestCost = costs.map(_._2).min
+    assert(nL + nR == n && posL + posR == pos)
+    val emitted = r.getAs[Double]("weighted_gini")
+    assert(math.abs(emitted - bestCost) < 1e-12,
+      s"emitted $emitted vs local best $bestCost")
+    // no candidate strictly beats the emitted split
+    assert(costs.forall(_._2 >= bestCost - 1e-15))
+  }
 }

@@ -76,4 +76,26 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getBoolean(4), s"window at $d out of bound: $r")
     }
   }
+
+  test("q241 KMV: union sketch dominates, estimates track exact counts") {
+    val rows = run("q241_kmv_distinct").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 6) // 5 priorities + the merged union
+    val (grps, union) = rows.partition(_._1 != "__union__")
+    assert(union.length == 1)
+    val u = union.head
+    grps.foreach { case (g, nExact, nMins, kth, est, relErr) =>
+      assert(nMins == math.min(64L, nExact), s"$g sketch size")
+      // the union's k-th min can only be ≤ any group's (more values
+      // compete for the k slots)
+      assert(u._4 <= kth, s"union kth ${u._4} > $g kth $kth")
+      assert(u._2 >= nExact, s"union exact below group $g")
+      // KMV with k=64 has σ ≈ 13%; 0.5 is a 4σ sanity bound, and the
+      // VALUE-level check is the DuckDB oracle, not this
+      assert(math.abs(relErr) < 0.5, s"$g rel_err $relErr")
+      assert(est > 0.0)
+    }
+    assert(math.abs(u._6) < 0.5, s"union rel_err ${u._6}")
+  }
 }

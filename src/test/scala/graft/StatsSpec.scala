@@ -87,4 +87,45 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
     assert(r.getDouble(6) == z)
   }
+
+  test("q243 Kruskal-Wallis: rank sums conserve N(N+1) and ties only shrink the denominator") {
+    val r = run("q243_kruskal_wallis").head()
+    val n = r.getAs[Long]("n_total")
+    assert(n == graft.common.Tables.load(spark, Sf, "orders").count())
+    // midranks are a partition of ranks 1..N: Σ_g 2·R_g = 2·(N(N+1)/2)
+    val twoRSum = (1 to 5)
+      .map(i => BigInt(r.getAs[String](s"tr_$i"))).sum
+    assert(twoRSum == BigInt(n) * (BigInt(n) + 1),
+      s"rank-sum conservation broke: $twoRSum vs ${BigInt(n) * (BigInt(n) + 1)}")
+    val h = r.getAs[Double]("h")
+    val hT = r.getAs[Double]("h_tie_corrected")
+    assert(h >= 0.0)
+    // the tie correction divides by (1 − ΣT/(N³−N)) ∈ (0, 1]
+    assert(hT >= h)
+    // group sizes partition the corpus
+    assert((1 to 5).map(i => r.getAs[Long](s"n_$i")).sum == n)
+  }
+
+  test("q244 BH-FDR: od IS z², rejections are a rank prefix, p in [0,1]") {
+    val rows = run("q244_bh_fdr").collect()
+    assert(rows.length == 25) // one per nation
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      val od = r.getAs[Double]("od")
+      // the exact-integer ordering key is algebraically z²
+      assert(math.abs(od - z * z) <= 1e-9 * math.max(od, 1.0),
+        s"od=$od vs z²=${z * z}")
+      val p = r.getAs[Double]("p")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // BH rejects exactly the k* smallest p-values: the rejected set is
+    // a prefix of the rank order
+    val byRank = rows.sortBy(_.getAs[Long]("rk"))
+    val firstKeep = byRank.indexWhere(!_.getAs[Boolean]("rejected"))
+    if (firstKeep >= 0)
+      assert(byRank.drop(firstKeep).forall(!_.getAs[Boolean]("rejected")),
+        "rejected set is not a rank prefix")
+    // ranks are a permutation of 1..25
+    assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to 25L))
+  }
 }

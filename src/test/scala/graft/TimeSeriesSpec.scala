@@ -54,4 +54,28 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
         col("volume_cents") =!= col("high_cents"))).count() == 0)
     df.unpersist()
   }
+
+  test("q245 Hampel: medians match a local window recomputation and the gate is exact") {
+    val daily = graft.common.Tables.load(spark, Sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(graft.common.Exact.cents(col("o_totalprice"))).as("r"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .toMap
+    def lowerMedian(xs: Seq[Long]): Long =
+      xs.sorted.apply((xs.length + 1) / 2 - 1)
+    val rows = run("q245_hampel_filter").collect()
+    assert(rows.length == daily.size) // one row per observed day
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate.toEpochDay
+      val win = (d - 7 to d + 7).flatMap(daily.get)
+      assert(r.getLong(2) == win.length, s"n_window at $d")
+      val med = lowerMedian(win)
+      assert(r.getLong(3) == med, s"median at $d")
+      val mad = lowerMedian(win.map(v => math.abs(v - med)))
+      assert(r.getLong(4) == mad, s"MAD at $d")
+      val flagged = math.abs(daily(d) - med) * 10000L > 44478L * mad
+      assert(r.getBoolean(5) == flagged, s"flag at $d")
+    }
+  }
 }
