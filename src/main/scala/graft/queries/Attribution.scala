@@ -163,7 +163,198 @@ object Attribution {
     "U-shaped multi-touch attribution: integer ppm credit, conserved " +
       "per purchase [events,temporal-join]")
 
+  /** q251's value scale (micro-units), fixed round count, and the
+    * channel vocabulary (every non-purchase event type). Fixed rounds +
+    * integer div is the q140/q200 discipline: the semantics is "reach
+    * conversion within R hops", defined identically in both engines —
+    * a converged float solve is partial-order-dependent and
+    * un-hash-comparable.
+    */
+  private val MkScale = 1000000L
+  private val MkRounds = 8
+  private val MkChannels = Seq("click", "error", "signup", "view")
+
+  /** q251: Markov removal-effect attribution — the data-driven
+    * multi-touch model beside last-touch (q97) and position-based
+    * U-shape (q215): build the first-order journey chain
+    * START → channels → {CONV, NULL}, score each channel by how much
+    * the chain's START→CONV probability drops when every transition
+    * into that channel is redirected to NULL (Anderl et al.'s removal
+    * effect), and normalize the drops into attribution shares.
+    *
+    * Journey semantics: per user, events order by (ts, event_id) and
+    * truncate at the FIRST purchase (→ CONV); a journey with no
+    * purchase ends in NULL. One corpus exchange (the user window)
+    * builds the transition counts; everything after runs on the
+    * ≤ 6×6-state matrix × 5 chains (base + one removal per channel),
+    * localCheckpointed so the statically-unrolled value iteration
+    * replans nothing (q200's cut).
+    *
+    * Exactness: probabilities stay COUNTS — the R-round value
+    * iteration computes v'(s) = (Σ_t c_st·val(t)) div c_s in scaled
+    * integers (bounds: c·S ≤ 10¹⁸ at a 10¹²-transition corpus), the
+    * removal effect is the terminal double (v_base−v_x)/v_base, and
+    * the SHARE denominator is the exact integer k·v_base − Σv_x, so
+    * no cross-channel float summation order exists at all.
+    */
+  private val q251 = QueryDef(
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val ev = load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(byUser))
+        .withColumn("nxt", lead(col("event_type"), 1).over(byUser))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase", col("rn")))
+            .over(Window.partitionBy(col("user_id"))))
+      val starts = ev.filter(col("rn") === 1)
+        .select(lit("START").as("src"),
+          when(col("event_type") === "purchase", "CONV")
+            .otherwise(col("event_type")).as("dst"))
+      val steps = ev.filter(col("event_type") =!= "purchase" &&
+          (col("fp").isNull || col("rn") < col("fp")))
+        .select(col("event_type").as("src"),
+          when(col("nxt").isNull, "NULL")
+            .when(col("nxt") === "purchase", "CONV")
+            .otherwise(col("nxt")).as("dst"))
+      val trans = starts.unionByName(steps)
+        .groupBy(col("src"), col("dst"))
+        .agg(graft.common.Exact.lcountAll.as("c"))
+      val chainNames = "base" +: MkChannels.map("no_" + _)
+      val chained = trans
+        .withColumn("chain", explode(array(chainNames.map(lit): _*)))
+        .filter(concat(lit("no_"), col("src")) =!= col("chain"))
+        .withColumn("dst",
+          when(concat(lit("no_"), col("dst")) === col("chain"), "NULL")
+            .otherwise(col("dst")))
+        .groupBy(col("chain"), col("src"), col("dst"))
+        .agg(sum(col("c")).as("c"))
+        .withColumn("ct", sum(col("c"))
+          .over(Window.partitionBy(col("chain"), col("src"))))
+        .localCheckpoint()
+      var v = chained.select(col("chain"), col("src").as("node"))
+        .distinct().withColumn("v", lit(0L))
+      for (_ <- 1 to MkRounds) {
+        v = chained
+          .join(v.select(col("chain"), col("node").as("dst"),
+            col("v")), Seq("chain", "dst"), "left")
+          .withColumn("tv",
+            when(col("dst") === "CONV", lit(MkScale))
+              .when(col("dst") === "NULL", lit(0L))
+              .otherwise(coalesce(col("v"), lit(0L))))
+          .groupBy(col("chain"), col("src"), col("ct"))
+          .agg(sum(col("c") * col("tv")).as("cv"))
+          .select(col("chain"), col("src").as("node"),
+            expr("cv div ct").as("v"))
+      }
+      // the 5-row START-value frame has three consumers (base, removals,
+      // the share denominator) — materialize it once or each replays
+      // the full 8-round iteration lineage
+      val vStart = v.filter(col("node") === "START")
+        .select(col("chain"), col("v"))
+        .localCheckpoint()
+      val base = vStart.filter(col("chain") === "base")
+        .select(col("v").as("v_base"))
+      val rem = vStart.filter(col("chain") =!= "base")
+        .select(expr("substring(chain, 4)").as("channel"),
+          col("v").as("v_removed"))
+      val sumRem = rem.agg(sum(col("v_removed")).as("sum_removed"),
+        graft.common.Exact.lcountAll.as("k"))
+      rem.crossJoin(broadcast(base)).crossJoin(broadcast(sumRem))
+        .select(col("channel"), col("v_base"), col("v_removed"),
+          ((col("v_base") - col("v_removed")).cast("double") /
+            col("v_base").cast("double")).as("removal_effect"),
+          when(col("k") * col("v_base") - col("sum_removed") === 0L,
+            lit(null).cast("double"))
+            .otherwise((col("v_base") - col("v_removed")).cast("double") /
+              (col("k") * col("v_base") - col("sum_removed"))
+                .cast("double")).as("share"))
+    },
+    Some {
+      val chainList = ("base" +: MkChannels.map("no_" + _))
+        .map(c => s"'$c'").mkString(", ")
+      val rounds = (1 to MkRounds).map { r =>
+        val prev = if (r == 1) "v0" else s"v${r - 1}"
+        s"""v$r AS (
+              SELECT ch.chain, ch.src AS node,
+                CAST(SUM(ch.c * (CASE WHEN ch.dst = 'CONV' THEN $MkScale
+                  WHEN ch.dst = 'NULL' THEN 0
+                  ELSE COALESCE(p.v, 0) END)) // ch.ct AS BIGINT) AS v
+              FROM ch LEFT JOIN $prev p
+                ON p.chain = ch.chain AND p.node = ch.dst
+              GROUP BY 1, 2, ch.ct
+            )"""
+      }.mkString(", ")
+      s"""WITH seq AS (
+            SELECT user_id, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC) AS rn,
+              LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC) AS nxt,
+              MIN(CASE WHEN event_type = 'purchase' THEN rn_i END)
+                OVER (PARTITION BY user_id) AS fp
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS rn_i FROM events)
+          ), tr AS (
+            SELECT 'START' AS src,
+              CASE WHEN event_type = 'purchase' THEN 'CONV'
+                ELSE event_type END AS dst
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT event_type AS src,
+              CASE WHEN nxt IS NULL THEN 'NULL'
+                WHEN nxt = 'purchase' THEN 'CONV'
+                ELSE nxt END AS dst
+            FROM seq
+            WHERE event_type <> 'purchase' AND (fp IS NULL OR rn < fp)
+          ), tc AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+            FROM tr GROUP BY 1, 2
+          ), ch0 AS (
+            SELECT ch.chain, tc.src,
+              CASE WHEN 'no_' || tc.dst = ch.chain THEN 'NULL'
+                ELSE tc.dst END AS dst,
+              tc.c
+            FROM tc CROSS JOIN (SELECT unnest([$chainList]) AS chain) ch
+            WHERE 'no_' || tc.src <> ch.chain
+          ), ch1 AS (
+            SELECT chain, src, dst, CAST(SUM(c) AS BIGINT) AS c
+            FROM ch0 GROUP BY 1, 2, 3
+          ), ch AS (
+            SELECT chain, src, dst, c,
+              CAST(SUM(c) OVER (PARTITION BY chain, src) AS BIGINT) AS ct
+            FROM ch1
+          ), v0 AS (
+            SELECT DISTINCT chain, src AS node, CAST(0 AS BIGINT) AS v
+            FROM ch
+          ), $rounds, vstart AS (
+            SELECT chain, v FROM v$MkRounds WHERE node = 'START'
+          ), b AS (
+            SELECT v AS v_base FROM vstart WHERE chain = 'base'
+          ), rem AS (
+            SELECT substring(chain, 4) AS channel, v AS v_removed
+            FROM vstart WHERE chain <> 'base'
+          ), sr AS (
+            SELECT CAST(SUM(v_removed) AS BIGINT) AS sum_removed,
+              CAST(count(*) AS BIGINT) AS k
+            FROM rem
+          )
+          SELECT r.channel, b.v_base, r.v_removed,
+            CAST(b.v_base - r.v_removed AS DOUBLE)
+              / CAST(b.v_base AS DOUBLE) AS removal_effect,
+            CASE WHEN sr.k * b.v_base - sr.sum_removed = 0 THEN NULL
+              ELSE CAST(b.v_base - r.v_removed AS DOUBLE)
+                / CAST(sr.k * b.v_base - sr.sum_removed AS DOUBLE)
+              END AS share
+          FROM rem r, b, sr"""
+    },
+    "Markov removal-effect attribution: integer value iteration over " +
+      "the journey chain, exact-integer share denominator [attribution]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q97_conversion_attribution" -> q97,
-    "q215_ushape_attribution" -> q215)
+    "q215_ushape_attribution" -> q215,
+    "q251_markov_attribution" -> q251)
 }

@@ -452,8 +452,12 @@ object MlEval {
             col("event_type") === "purchase" &&
             cents(col("value")) >= StumpConvCents, 1L).otherwise(0L))
             .as("y"))
+      // the histogram feeds the prefix sum AND the totals fold —
+      // materialize the domain-bounded frame once, or the totals
+      // branch replays the two corpus aggregations
       val hist = perUser.groupBy(col("x"))
         .agg(lcountAll.as("n_x"), sum(col("y")).as("pos_x"))
+        .localCheckpoint()
       val cum = graft.operators.PrefixSum.runningSums(
         hist, Seq(col("x")), Seq("n_x", "pos_x"))
       val tot = hist.agg(sum(col("n_x")).as("n_tot"),

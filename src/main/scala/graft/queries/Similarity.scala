@@ -1418,8 +1418,183 @@ object Similarity {
     "IVF NDCG@10 audit vs exact baseline: position-aware derived " +
       "oracle over emitted lists [similarity]")
 
+  /** q250's pool depth, output depth, and the relevance/diversity
+    * trade-off λ (score = λ·rel − (1−λ)·max-sim-to-selected).
+    */
+  private val MmrPoolK = 50
+  private val MmrOutK = 10
+  private val MmrLambda = 0.7
+
+  /** q250: MMR (maximal marginal relevance) diversified top-10 — the
+    * re-ranking layer every retrieval-for-training pipeline puts over
+    * a raw similarity top-k, because the 10 nearest neighbors of a
+    * query are usually 10 near-copies of the SAME document: MMR picks
+    * greedily by λ·relevance − (1−λ)·max-similarity-to-already-picked
+    * (Carbonell-Goldstein), trading a little relevance for coverage.
+    *
+    * Scale split: the CORPUS-scale stage is candidate generation —
+    * q38's broadcast-probe codegen cosine scan with a per-query top-50
+    * cut (the same partial-rank discipline; swap in the IVF/NSW index
+    * for the scan at larger corpora, the re-rank is agnostic). The
+    * greedy re-rank then runs per query INSIDE one `flatMapGroups`
+    * task over its literal-bounded 50-candidate pool (50 vectors ≈
+    * 13 KB) — iterative selection is inherently sequential per query,
+    * so the right distribution is "one bounded local loop per query
+    * key", never 10 distributed supersteps over 1000-row frames.
+    *
+    * Determinism/oracle: relevance scores come from the native codegen
+    * cosine; the in-loop candidate-candidate similarities use the
+    * IDENTICAL sequential-double formula, so every emitted double is a
+    * fixed IEEE sequence DuckDB reproduces bit-for-bit. The oracle is
+    * derived (the q123 pattern, upgraded to GREEDY optimality): it
+    * recomputes the pool, re-derives each step's max-sim from the
+    * emitted prefix, and re-selects each step's argmax over the
+    * not-yet-picked pool — an emitted row that is not the true greedy
+    * pick at its rank fails the join and the row count.
+    */
+  private val q250 = QueryDef(
+    (s, d) => {
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val pool = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          fastCosine(s)(col("qv"), col("embedding")).as("score"),
+          col("embedding"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= MmrPoolK)
+        .select(col("query_id"), col("vec_id"), col("score"),
+          col("embedding"))
+      val lam = MmrLambda
+      val outK = MmrOutK
+      pool.as[(Long, Long, Double, Seq[Float])]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          // the same sequential-double cosine as the codegen expression
+          def cos(a: Seq[Float], b: Seq[Float]): Double = {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            val n = a.length
+            while (i < n) {
+              val x = a(i).toDouble; val y = b(i).toDouble
+              dot += x * y; na += x * x; nb += y * y; i += 1
+            }
+            dot / (math.sqrt(na) * math.sqrt(nb))
+          }
+          val cands = it.toArray.sortBy(c => (-c._3, c._2))
+          // max-sim to the EMPTY selection is 0 (step 1 is pure
+          // relevance); from step 2 on it is the TRUE max — which can
+          // be NEGATIVE for anti-correlated vectors, and clamping it
+          // at 0 would under-reward genuinely diverse picks
+          val maxSim = Array.fill(cands.length)(Double.NegativeInfinity)
+          def ms(i: Int): Double =
+            if (maxSim(i).isNegInfinity) 0.0 else maxSim(i)
+          val picked = Array.fill(cands.length)(false)
+          val out = Vector.newBuilder[(Long, Long, Int, Double, Double, Double)]
+          var step = 1
+          while (step <= math.min(outK, cands.length)) {
+            var best = -1
+            var bestScore = Double.NegativeInfinity
+            var i = 0
+            while (i < cands.length) {
+              if (!picked(i)) {
+                val m = lam * cands(i)._3 - (1.0 - lam) * ms(i)
+                // ties break on vec_id — the oracle's (m DESC, vec_id)
+                // order, NOT the pool's relevance order
+                if (m > bestScore ||
+                  (m == bestScore && cands(i)._2 < cands(best)._2)) {
+                  bestScore = m; best = i
+                }
+              }
+              i += 1
+            }
+            picked(best) = true
+            out += ((qid, cands(best)._2, step, cands(best)._3,
+              ms(best), bestScore))
+            var j = 0
+            while (j < cands.length) {
+              if (!picked(j)) {
+                val sim = cos(cands(j)._4, cands(best)._4)
+                if (sim > maxSim(j)) maxSim(j) = sim
+              }
+              j += 1
+            }
+            step += 1
+          }
+          out.result().iterator
+        }
+        .toDF("query_id", "vec_id", "pick_rank", "relevance",
+          "max_sim_selected", "mmr_score")
+        .select(col("query_id"), col("vec_id"),
+          col("pick_rank").cast("int").as("pick_rank"),
+          col("relevance"), col("max_sim_selected"), col("mmr_score"))
+    },
+    Some(s"""WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id < 20
+            ), scored AS (
+              SELECT query_id, vec_id, score, embedding
+              FROM (
+                SELECT q.query_id, e.vec_id,
+                  ${cosineSql("q.qv", "e.embedding")} AS score,
+                  e.embedding,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY ${cosineSql("q.qv", "e.embedding")} DESC,
+                      e.vec_id ASC) AS rn
+                FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+              WHERE rn <= $MmrPoolK
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q250_mmr_diversify/*.parquet')
+            ), sel_sims AS (
+              -- candidate-in-pool x emitted-pick similarity grid
+              SELECT c.query_id, c.vec_id AS cand, e.pick_rank,
+                ${cosineSql("c.embedding", "p.embedding")} AS sim
+              FROM scored c
+              JOIN emitted e ON e.query_id = c.query_id
+              JOIN embeddings p ON p.vec_id = e.vec_id
+            ), steps AS (
+              SELECT unnest(generate_series(1, $MmrOutK, 1)) AS i
+            ), ms AS (
+              -- each pool candidate's max-sim to the picks BEFORE step i
+              SELECT c.query_id, c.vec_id, c.score, st.i,
+                COALESCE(MAX(CASE WHEN ss.pick_rank < st.i
+                  THEN ss.sim END), 0.0) AS maxsim
+              FROM scored c CROSS JOIN steps st
+              LEFT JOIN sel_sims ss ON ss.query_id = c.query_id
+                AND ss.cand = c.vec_id
+              GROUP BY 1, 2, 3, 4
+            ), avail AS (
+              SELECT query_id, vec_id, score, i, maxsim,
+                $MmrLambda * score - ${1.0 - MmrLambda} * maxsim AS m
+              FROM ms a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM emitted e
+                WHERE e.query_id = a.query_id AND e.vec_id = a.vec_id
+                  AND e.pick_rank < a.i)
+            ), best AS (
+              SELECT query_id, vec_id, score, i, maxsim, m
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id, i
+                      ORDER BY m DESC, vec_id ASC) AS rn
+                    FROM avail)
+              WHERE rn = 1
+            )
+            SELECT e.query_id, e.vec_id,
+              CAST(e.pick_rank AS INTEGER) AS pick_rank,
+              b.score AS relevance, b.maxsim AS max_sim_selected,
+              b.m AS mmr_score
+            FROM emitted e
+            JOIN best b ON b.query_id = e.query_id AND b.i = e.pick_rank
+              AND b.vec_id = e.vec_id"""),
+    "MMR-diversified top-10 over a top-50 cosine pool: greedy " +
+      "re-rank per query key, derived greedy-optimality oracle [similarity]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
+    "q250_mmr_diversify" -> q250,
     "q39_ann_lsh" -> q39,
     "q40_dedup_embedding" -> q40,
     "q54_ann_ivf" -> q54,

@@ -985,11 +985,15 @@ object Stats {
     */
   private val q243 = QueryDef(
     (s, d) => {
+      // the histogram feeds BOTH the per-value frame and the per-group
+      // fold — materialize it once (domain-bounded rows) or each
+      // consumer replays the corpus groupBy
       val gh = load(s, d, "orders")
         .select(col("o_orderpriority").as("grp"),
           graft.common.Exact.cents(col("o_totalprice")).as("v"))
         .groupBy(col("grp"), col("v"))
         .agg(graft.common.Exact.lcountAll.as("c"))
+        .localCheckpoint()
       val vh = gh.groupBy(col("v")).agg(sum(col("c")).as("t"))
       val cum = graft.operators.PrefixSum.runningSums(
         vh, Seq(col("v")), Seq("t"))
@@ -1136,6 +1140,10 @@ object Stats {
         .join(broadcast(load(s, d, "nation")
           .select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
+        // the 25-row frame feeds the totals fold AND the per-nation
+        // tests — materialize once, or both replay the orders×customer
+        // join
+        .localCheckpoint()
       val tot = perNation.agg(sum(col("n_g")).as("n_tot"),
         sum(col("x_g")).as("x_tot"), graft.common.Exact.lcountAll.as("m"))
       val base = perNation.crossJoin(broadcast(tot))
@@ -1252,6 +1260,116 @@ object Stats {
     "Benjamini-Hochberg FDR over per-nation two-proportion tests: " +
       "exact-integer BH order, A&S erfc p-values, derived oracle [stats]")
 
+  /** q252's high-value gate (same $150k line as q244, read per ORDER
+    * rather than per nation).
+    */
+  private val CaHighCents = 15000000L
+
+  /** q252: Cochran-Armitage trend test — "does the high-value-order
+    * RATE rise or fall monotonically across the five priority levels?"
+    * The ordered-alternative complement of q156's chi-square (which
+    * spends its power on ANY deviation) and q243's Kruskal-Wallis
+    * (unordered k-sample): when the alternative is a dose-response
+    * trend, CA concentrates all power on it. Scores w = 1..5 come from
+    * the priority prefix digit (the natural ordering the column
+    * encodes).
+    *
+    * Statistic (standard, no continuity correction):
+    * z² = N·(N·Σwx − X·Σwn)² / (X·(N−X)·(N·Σw²n − (Σwn)²)), signed z
+    * by the numerator. Every moment is an integer fold over the 5-row
+    * priority frame; cross terms reach ~5N² (past i64 at a 10¹⁰-order
+    * corpus), so both engines accumulate them 128-bit and EMIT
+    * canonical strings; z²/z are terminal fixed double expressions.
+    * NULL when the variance is zero (all orders high-value or none, or
+    * a single populated level).
+    *
+    * Scale: one orders fold to (priority, n, x) — map-side combined;
+    * the moment fold and the scalar attach run on ≤5 rows.
+    */
+  private val q252 = QueryDef(
+    (s, d) => {
+      val dec38 = DecimalType(38, 0)
+      val perGrp = load(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.common.Exact.lcountAll.as("n_g"),
+          sum(when(graft.common.Exact.cents(col("o_totalprice")) >=
+            CaHighCents, 1L).otherwise(0L)).as("x_g"))
+        .withColumn("w",
+          substring(col("o_orderpriority"), 1, 1).cast("long"))
+        // the 5-row frame feeds the moment fold AND the emit join —
+        // materialize once (the q244 cut)
+        .localCheckpoint()
+      val m = perGrp.agg(
+        sum(col("n_g")).as("n_tot"), sum(col("x_g")).as("x_tot"),
+        sum(col("w") * col("x_g")).as("swx"),
+        sum(col("w") * col("n_g")).as("swn"),
+        sum(col("w") * col("w") * col("n_g")).as("sw2n"))
+      val scal = m.select(col("n_tot"), col("x_tot"),
+        (col("n_tot").cast(dec38) * col("swx").cast(dec38) -
+          col("x_tot").cast(dec38) * col("swn").cast(dec38)).as("num"),
+        (col("x_tot").cast(dec38) *
+          (col("n_tot") - col("x_tot")).cast(dec38) *
+          (col("n_tot").cast(dec38) * col("sw2n").cast(dec38) -
+            col("swn").cast(dec38) * col("swn").cast(dec38))).as("den"))
+        .withColumn("k1", lit(1))
+      perGrp.withColumn("k1", lit(1)).join(scal, "k1")
+        .select(col("o_orderpriority"), col("w"), col("n_g"), col("x_g"),
+          col("n_tot"), col("x_tot"),
+          col("num").cast("string").as("trend_num"),
+          col("den").cast("string").as("var_den"),
+          when(col("den") === lit(0).cast(DecimalType(38, 0)),
+            lit(null).cast("double"))
+            .otherwise(col("n_tot").cast("double") *
+              col("num").cast("double") * col("num").cast("double") /
+              col("den").cast("double")).as("z2"),
+          when(col("den") === lit(0).cast(DecimalType(38, 0)),
+            lit(null).cast("double"))
+            .otherwise(signum(col("num").cast("double")) *
+              sqrt(col("n_tot").cast("double") *
+                col("num").cast("double") * col("num").cast("double") /
+                col("den").cast("double"))).as("z"))
+    },
+    Some(s"""WITH pg AS (
+              SELECT o_orderpriority,
+                CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w,
+                CAST(count(*) AS BIGINT) AS n_g,
+                CAST(SUM(CASE WHEN
+                  ${graft.common.Exact.centsSql("o_totalprice")}
+                    >= $CaHighCents THEN 1 ELSE 0 END) AS BIGINT) AS x_g
+              FROM orders GROUP BY 1
+            ), m AS (
+              SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+                CAST(SUM(x_g) AS BIGINT) AS x_tot,
+                CAST(SUM(w * x_g) AS BIGINT) AS swx,
+                CAST(SUM(w * n_g) AS BIGINT) AS swn,
+                CAST(SUM(w * w * n_g) AS BIGINT) AS sw2n
+              FROM pg
+            ), scal AS (
+              SELECT n_tot, x_tot,
+                CAST(n_tot AS HUGEINT) * swx
+                  - CAST(x_tot AS HUGEINT) * swn AS num,
+                CAST(x_tot AS HUGEINT) * (n_tot - x_tot) *
+                  (CAST(n_tot AS HUGEINT) * sw2n
+                    - CAST(swn AS HUGEINT) * swn) AS den
+              FROM m
+            )
+            SELECT pg.o_orderpriority, pg.w, pg.n_g, pg.x_g,
+              s.n_tot, s.x_tot,
+              CAST(s.num AS VARCHAR) AS trend_num,
+              CAST(s.den AS VARCHAR) AS var_den,
+              CASE WHEN s.den = 0 THEN NULL
+                ELSE CAST(s.n_tot AS DOUBLE) * CAST(s.num AS DOUBLE)
+                  * CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE)
+                END AS z2,
+              CASE WHEN s.den = 0 THEN NULL
+                ELSE sign(CAST(s.num AS DOUBLE))
+                  * sqrt(CAST(s.n_tot AS DOUBLE) * CAST(s.num AS DOUBLE)
+                    * CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE))
+                END AS z
+            FROM pg, scal s"""),
+    "Cochran-Armitage trend test across ordered priorities: exact " +
+      "integer moments, 128-bit cross terms, signed z [stats]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
     "q143_exact_corr" -> q143,
@@ -1264,5 +1382,6 @@ object Stats {
     "q218_wilson_ranking" -> q218,
     "q236_multi_ols" -> q236,
     "q243_kruskal_wallis" -> q243,
-    "q244_bh_fdr" -> q244)
+    "q244_bh_fdr" -> q244,
+    "q252_ca_trend" -> q252)
 }

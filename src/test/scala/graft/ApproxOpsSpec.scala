@@ -293,4 +293,36 @@ class ApproxOpsSpec extends AnyFunSuite with SparkSpec {
     val b = SparkEntry.queries("q39_ann_lsh")(spark, Sf).collect().toSet
     assert(a == b)
   }
+
+  test("q250 MMR: greedy invariants hold and rank-1 is the relevance argmax") {
+    val rows = SparkEntry.queries("q250_mmr_diversify")(spark, Sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 20L).toSet)
+    // q38's per-query top hit is MMR's first pick (max-sim to the empty
+    // selection is 0, so step 1 is pure relevance)
+    val top1 = SparkEntry.queries("q38_ann_bruteforce")(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (q, rs) =>
+      val ordered = rs.sortBy(_.getInt(2))
+      assert(ordered.map(_.getInt(2)).toSeq == (1 to 10))
+      assert(ordered.head.getLong(1) == top1(q), s"query $q first pick")
+      assert(ordered.head.getDouble(4) == 0.0)
+      // the MMR identity per row, and picked items are distinct
+      ordered.foreach { r =>
+        // (1.0 - 0.7) on purpose: that double is NOT the literal 0.3,
+        // and the engine computes the weight as 1 − λ
+        assert(r.getDouble(5) ==
+          0.7 * r.getDouble(3) - (1.0 - 0.7) * r.getDouble(4))
+      }
+      assert(ordered.map(_.getLong(1)).distinct.length == 10)
+      // the chosen MMR score can only fall as the selection grows
+      val ms = ordered.map(_.getDouble(5))
+      assert(ms.zip(ms.tail).forall { case (a, b) => b <= a },
+        s"query $q MMR sequence not non-increasing: ${ms.toSeq}")
+      // diversification actually engages: later picks carry positive
+      // similarity to the selected set on this corpus
+      assert(ordered.tail.exists(_.getDouble(4) > 0.0))
+    }
+  }
 }

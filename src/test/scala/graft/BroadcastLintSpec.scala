@@ -70,7 +70,9 @@ class BroadcastLintSpec extends AnyFunSuite with SparkSpec {
     "q234_isotonic_calibration" ->
       "PAVA interval grid: every hinted frame derives from the localCheckpointed 10-row decile aggregate (fixed literal decile count) — <=10-row bin/t frames, <=55-row interval frame at any corpus size",
     "q249_stump_split" ->
-      "stump argmin rival side: the localCheckpointed candidate frame has one row per DISTINCT per-user pre-period event count — an activity-domain-bounded histogram (corpus growth adds users, not new per-user count values), the same domain argument as the q224/q81 value histograms")
+      "stump argmin rival side: the localCheckpointed candidate frame has one row per DISTINCT per-user pre-period event count — an activity-domain-bounded histogram (corpus growth adds users, not new per-user count values), the same domain argument as the q224/q81 value histograms",
+    "q251_markov_attribution" ->
+      "chain scalar attach: both hinted frames derive from the localCheckpointed START-value frame — exactly one row per chain, 5 chains (base + one per channel of a lint-recognized bounded event vocabulary) at any corpus size")
 
   private def refsBounded(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     e.references.nonEmpty && e.references.forall(r => BoundedDomainCols(r.name))

@@ -128,4 +128,31 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     // ranks are a permutation of 1..25
     assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to 25L))
   }
+
+  test("q252 Cochran-Armitage: moments conserve and z rebuilds from the integer evidence") {
+    val rows = run("q252_ca_trend").collect()
+    assert(rows.length == 5)
+    val n = rows.head.getAs[Long]("n_tot")
+    val x = rows.head.getAs[Long]("x_tot")
+    assert(rows.map(_.getAs[Long]("n_g")).sum == n)
+    assert(rows.map(_.getAs[Long]("x_g")).sum == x)
+    // scores are the priority prefix digits 1..5
+    assert(rows.map(_.getAs[Long]("w")).sorted.toSeq == (1L to 5L))
+    // rebuild the statistic from the emitted integer moments
+    val swx = rows.map(r => r.getAs[Long]("w") * r.getAs[Long]("x_g")).sum
+    val swn = rows.map(r => r.getAs[Long]("w") * r.getAs[Long]("n_g")).sum
+    val sw2n = rows.map(r =>
+      r.getAs[Long]("w") * r.getAs[Long]("w") * r.getAs[Long]("n_g")).sum
+    val num = BigInt(n) * BigInt(swx) - BigInt(x) * BigInt(swn)
+    val den = BigInt(x) * BigInt(n - x) *
+      (BigInt(n) * BigInt(sw2n) - BigInt(swn) * BigInt(swn))
+    assert(BigInt(rows.head.getAs[String]("trend_num")) == num)
+    assert(BigInt(rows.head.getAs[String]("var_den")) == den)
+    val z2 = rows.head.getAs[Double]("z2")
+    val z = rows.head.getAs[Double]("z")
+    assert(math.abs(z2 - n.toDouble * num.toDouble * num.toDouble /
+      den.toDouble) < 1e-12 * math.max(z2, 1.0))
+    assert(math.signum(z) == num.signum.toDouble || num == 0)
+    assert(math.abs(z * z - z2) < 1e-9)
+  }
 }
