@@ -394,3 +394,29 @@ object QuantileMvMain {
     println(s"[quantile_mv] groups=${served.length}")
   }
 }
+
+/** CLI stage for the streaming KMV distinct-sketch MV: drain landed
+  * orders files into the k-min state log (AvailableNow), then print
+  * the served per-scope + union sketch. Re-running with nothing new
+  * landed is a no-op drain and reprints the same sketch.
+  */
+object KmvMvMain {
+  import StageMains._
+  def main(args: Array[String]): Unit = withSession { spark =>
+    val a = parseArgs(args)
+    val state = required(a, "state")
+    graft.streaming.KmvStream.refreshAvailable(spark,
+      required(a, "src"),
+      spark.read.parquet(required(a, "src")).schema,
+      state, required(a, "checkpoint"))
+    val served = graft.streaming.KmvStream.readSketch(spark, state)
+      .orderBy("scope").collect()
+    served.foreach { r =>
+      println(s"[kmv_mv] scope=${r.getAs[String]("scope")} " +
+        s"n_mins=${r.getAs[Long]("n_mins")} " +
+        s"kth=${r.getAs[Long]("kth_hash")} " +
+        s"est=${r.getAs[Double]("est")}")
+    }
+    println(s"[kmv_mv] scopes=${served.length}")
+  }
+}

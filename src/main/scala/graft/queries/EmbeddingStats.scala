@@ -352,10 +352,209 @@ object EmbeddingStats {
     "simplified-silhouette cohesion audit: broadcast centroids, exact " +
       "integer distances, 1e-9 mean contract [embedding]")
 
+  /** q253's fixed-point scales and round count: components quantize at
+    * Q (4 decimal places — the cents convention applied to unit-norm-
+    * ish embedding space), the iterated vector carries VS scaled
+    * units, and the power iteration runs a FIXED 6 rounds (the
+    * q140/q200/q251 discipline — a convergence loop has data-dependent
+    * round counts no cross-engine oracle can mirror).
+    */
+  private val PcaQ = 10000L
+  private val PcaVScale = 1000000L
+  private val PcaRounds = 6
+
+  /** q253: exact-covariance PCA power iteration — the dominant
+    * principal direction of the embedding cloud, with every cross-row
+    * moment an INTEGER. The corpus-scale stage is the classic
+    * distributed gram computation: each partition accumulates its own
+    * dim×dim i64 product matrix in a local loop (a manual map-side
+    * combine — emitting one row per (row, i, j) through a shuffle
+    * would move 4096× the corpus), and the ≤4096·|partitions| partials
+    * fold by key. Centering is exact via the q143 identity lifted to
+    * matrix form: Gc = n·Σqqᵀ − (Σq)(Σq)ᵀ, so no float mean ever
+    * touches the data. The 6-round iteration then runs on the
+    * localCheckpointed 4096-row matrix: w = Gc·v, rescaled to VS by
+    * v' = sign(w)·(|w|·VS div max|w|) — the abs-before-div keeps the
+    * integer division semantics identical across engines (Spark `div`
+    * truncates toward zero, DuckDB `//` floors; they agree only on
+    * non-negatives).
+    *
+    * Output: one row per dimension with the scaled eigenvector
+    * component (an exact integer) plus the shared Rayleigh quotient
+    * λ = vᵀGc·v / vᵀv and its share of total variance λ·(vᵀv)⁻¹·...
+    * — emitted as var_share = (vᵀGc·v)/(vᵀv·trace Gc), the fraction
+    * of (quantized, n-scaled) variance the direction explains.
+    * 128-bit evidence emits as canonical strings (the q214 rule).
+    *
+    * Bounds: |q| ≤ Q·max|x|; gram entries ≤ n·(Q·max|x|)²; centered
+    * entries ≤ n²·(Q·max|x|)² — DECIMAL(38,0) carries n to ~10¹²;
+    * w ≤ dim·|Gc|·VS stays under 10³⁸ for the same range.
+    */
+  private val q253 = QueryDef(
+    (s, d) => {
+      import s.implicits._
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val vecs = load(s, d, "embeddings")
+        .select(col("embedding")).as[Array[Float]]
+      // per-partition local gram + component-sum accumulation
+      val partials = vecs.mapPartitions { it =>
+        var dim = -1
+        var gram: Array[Long] = null
+        var sums: Array[Long] = null
+        var qr: Array[Long] = null
+        var n = 0L
+        it.foreach { v =>
+          if (dim < 0) {
+            dim = v.length
+            gram = new Array[Long](dim * dim)
+            sums = new Array[Long](dim)
+            qr = new Array[Long](dim)
+          }
+          n += 1
+          var i = 0
+          while (i < dim) {
+            qr(i) = math.floor(v(i).toDouble * PcaQ + 0.5).toLong
+            sums(i) += qr(i)
+            i += 1
+          }
+          i = 0
+          while (i < dim) {
+            var j = 0
+            while (j < dim) {
+              gram(i * dim + j) += qr(i) * qr(j)
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (dim < 0) Iterator.empty
+        else {
+          val g = for (i <- 0 until dim; j <- 0 until dim)
+            yield (i, j, gram(i * dim + j), if (j == 0) sums(i) else 0L,
+              if (i == 0 && j == 0) n else 0L)
+          g.iterator
+        }
+      }.toDF("i", "j", "g", "s_i", "nn")
+      val folded = partials.groupBy(col("i"), col("j"))
+        .agg(sum(col("g")).as("g"), sum(col("s_i")).as("s_part"),
+          sum(col("nn")).as("n_part"))
+        .localCheckpoint()
+      val sums = folded.filter(col("j") === 0)
+        .select(col("i"), col("s_part").as("s"))
+      val nRow = folded.agg(sum(col("n_part")).as("n"))
+      // exact centered gram: Gc(i,j) = n·G(i,j) − S_i·S_j
+      val gc = folded.select(col("i"), col("j"), col("g"))
+        .join(sums.select(col("i"), col("s").as("si")), "i")
+        .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
+        .crossJoin(broadcast(nRow))
+        .select(col("i"), col("j"),
+          (col("n").cast(dec38) * col("g").cast(dec38) -
+            col("si").cast(dec38) * col("sj").cast(dec38)).as("gc"))
+        .localCheckpoint()
+      var v = gc.select(col("j")).distinct()
+        .select(col("j").as("node"), lit(PcaVScale).cast(dec38).as("v"))
+      for (_ <- 1 to PcaRounds) {
+        val w = gc.join(v.withColumnRenamed("node", "j"), "j")
+          .groupBy(col("i"))
+          .agg(sum(col("gc") * col("v")).as("w"))
+        val m = w.agg(max(abs(col("w"))).as("mx"))
+        v = w.crossJoin(broadcast(m))
+          .select(col("i").as("node"),
+            (when(col("w") < 0, lit(-1)).otherwise(lit(1)).cast(dec38) *
+              expr(s"(abs(w) * ${PcaVScale}L) div mx").cast(dec38))
+              .as("v"))
+      }
+      val vDone = v.localCheckpoint()
+      val ray = gc
+        .join(vDone.select(col("node").as("i"), col("v").as("vi")), "i")
+        .join(vDone.select(col("node").as("j"), col("v").as("vj")), "j")
+        .agg(sum(col("vi") * col("gc") * col("vj")).as("vgv"))
+      val vv = vDone.agg(sum(col("v") * col("v")).as("vv"))
+      val tr = gc.filter(col("i") === col("j"))
+        .agg(sum(col("gc")).as("trace"))
+      vDone
+        .crossJoin(broadcast(ray)).crossJoin(broadcast(vv))
+        .crossJoin(broadcast(tr))
+        .select(col("node").cast("long").as("dim"),
+          col("v").cast("long").as("v_scaled"),
+          col("vgv").cast("string").as("vgv"),
+          col("vv").cast("string").as("vtv"),
+          col("trace").cast("string").as("trace_gc"),
+          (col("vgv").cast("double") / col("vv").cast("double"))
+            .as("rayleigh"),
+          (col("vgv").cast("double") /
+            (col("vv").cast("double") * col("trace").cast("double")))
+            .as("var_share"))
+    },
+    Some {
+      val rounds = (1 to PcaRounds).map { r =>
+        val prev = if (r == 1) "v0" else s"v${r - 1}"
+        s"""w$r AS (
+              SELECT gc.i AS node, SUM(gc.gc * p.v) AS w
+              FROM gc JOIN $prev p ON p.node = gc.j
+              GROUP BY 1
+            ), m$r AS (
+              SELECT MAX(abs(w)) AS mx FROM w$r
+            ), v$r AS (
+              SELECT node,
+                (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                  * ((abs(w) * $PcaVScale) // mx) AS v
+              FROM w$r, m$r
+            )"""
+      }.mkString(", ")
+      s"""WITH qv AS (
+            SELECT vec_id, i - 1 AS i,
+              CAST(floor(CAST(embedding[i] AS DOUBLE) * $PcaQ + 0.5)
+                AS BIGINT) AS q
+            FROM embeddings,
+              UNNEST(generate_series(1, len(embedding))) AS t(i)
+          ), g AS (
+            SELECT a.i, b.i AS j,
+              CAST(SUM(a.q * b.q) AS BIGINT) AS g
+            FROM qv a JOIN qv b ON a.vec_id = b.vec_id
+            GROUP BY 1, 2
+          ), sums AS (
+            SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM qv GROUP BY 1
+          ), nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+          ), gc AS (
+            SELECT g.i, g.j,
+              CAST(nn.n AS HUGEINT) * g.g
+                - CAST(si.s AS HUGEINT) * sj.s AS gc
+            FROM g JOIN sums si ON si.i = g.i
+            JOIN sums sj ON sj.i = g.j
+            CROSS JOIN nn
+          ), v0 AS (
+            SELECT DISTINCT j AS node, CAST($PcaVScale AS HUGEINT) AS v
+            FROM gc
+          ), $rounds, ray AS (
+            SELECT SUM(vi.v * gc.gc * vj.v) AS vgv
+            FROM gc JOIN v$PcaRounds vi ON vi.node = gc.i
+            JOIN v$PcaRounds vj ON vj.node = gc.j
+          ), vv AS (
+            SELECT SUM(v * v) AS vv FROM v$PcaRounds
+          ), tr AS (
+            SELECT SUM(gc) AS trace FROM gc WHERE i = j
+          )
+          SELECT CAST(f.node AS BIGINT) AS dim,
+            CAST(f.v AS BIGINT) AS v_scaled,
+            CAST(r.vgv AS VARCHAR) AS vgv,
+            CAST(x.vv AS VARCHAR) AS vtv,
+            CAST(t.trace AS VARCHAR) AS trace_gc,
+            CAST(r.vgv AS DOUBLE) / CAST(x.vv AS DOUBLE) AS rayleigh,
+            CAST(r.vgv AS DOUBLE)
+              / (CAST(x.vv AS DOUBLE) * CAST(t.trace AS DOUBLE))
+              AS var_share
+          FROM v$PcaRounds f, ray r, vv x, tr t"""
+    },
+    "exact-covariance PCA power iteration: per-partition gram " +
+      "accumulation, integer centering, fixed sign-safe rounds [embedding]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q135_embedding_extremes" -> q135,
     "q136_label_centroids" -> q136,
     "q137_centroid_purity" -> q137,
     "q141_kmeans_step" -> q141,
-    "q237_silhouette" -> q237)
+    "q237_silhouette" -> q237,
+    "q253_pca_power" -> q253)
 }

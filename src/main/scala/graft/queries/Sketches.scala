@@ -415,9 +415,45 @@ object Sketches {
                     <= $HllInterErr * r.exact_union"""),
     "audience overlap: HLL union + inclusion-exclusion intersection, audited [sketch]")
 
-  /** q241's sketch size and hash seed. */
-  private val KmvK = 64
-  private val KmvSeed = 424242L
+  /** q241's sketch size and hash seed (shared with the streaming
+    * maintenance twin, KmvStream — parity requires the identical hash
+    * and k).
+    */
+  private[graft] val KmvK = 64
+  private[graft] val KmvSeed = 424242L
+
+  /** Per-scope KMV partial over an orders-schema frame: one row per
+    * distinct buyer hash among the scope's k smallest, plus the exact
+    * distinct count as audit evidence. The bounded-heap TopKAgg makes
+    * the fold partial-aggregation-shaped: every input partition
+    * reduces to ≤k rows per scope BEFORE the exchange. Shared by q241
+    * (whole-table) and KmvStream (per micro-batch — KMV partials
+    * MERGE: the k smallest of a union are always contained in the
+    * union of per-side k-mins).
+    */
+  private[graft] def kmvTops(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val kth = graft.functions.TopK.topk(KmvK)
+    orders
+      .select(col("o_orderpriority").as("scope"), col("o_custkey"))
+      .distinct()
+      .select(col("scope"),
+        Curation.shuffleKeyWith(col("o_custkey"), KmvSeed).as("h"))
+      .groupBy(col("scope"))
+      .agg(lcountAll.as("n_exact"),
+        kth(-col("h"), col("h"), lit(0.0)).as("top"))
+  }
+
+  /** The KMV estimator (k−1)·P/h₍ₖ₎, or the exact count when the
+    * sketch holds fewer than k values (it IS the value set then).
+    * One fixed double expression — shared so the streaming serve is
+    * bit-identical to q241.
+    */
+  private[graft] def kmvEstimate(nMins: org.apache.spark.sql.Column,
+      kth: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nMins < KmvK, nMins.cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(Curation.hashMod.toDouble) /
+        kth.cast("double"))
 
   /** q241: KMV (k-minimum-values) distinct sketch per order priority +
     * the merged union sketch — the third cardinality estimator beside
@@ -447,20 +483,10 @@ object Sketches {
     */
   private val q241 = QueryDef(
     (s, d) => {
-      val kth = graft.functions.TopK.topk(KmvK)
-      val p = Curation.hashMod
-      val dg = load(s, d, "orders")
-        .select(col("o_orderpriority").as("scope"), col("o_custkey"))
-        .distinct()
-        .select(col("scope"),
-          Curation.shuffleKeyWith(col("o_custkey"), KmvSeed).as("h"))
       // ONE heap fold serves both the per-group rows and the union
       // merge (localCheckpoint: the ≤5-row sketch frame materializes
       // instead of re-running the corpus fold per consumer)
-      val tops = dg.groupBy(col("scope"))
-        .agg(lcountAll.as("n_exact"),
-          kth(-col("h"), col("h"), lit(0.0)).as("top"))
-        .localCheckpoint()
+      val tops = kmvTops(load(s, d, "orders")).localCheckpoint()
       val perGrp = tops
         .select(col("scope"), col("n_exact"),
           size(col("top")).cast("long").as("n_mins"),
@@ -481,10 +507,7 @@ object Sketches {
         .select(lit("__union__").as("scope"), col("n_exact"),
           col("n_mins"), col("kth_hash"))
       perGrp.unionByName(unionRow)
-        .withColumn("est",
-          when(col("n_mins") < KmvK, col("n_mins").cast("double"))
-            .otherwise(lit((KmvK - 1).toDouble) * lit(p.toDouble) /
-              col("kth_hash").cast("double")))
+        .withColumn("est", kmvEstimate(col("n_mins"), col("kth_hash")))
         .withColumn("rel_err",
           (col("est") - col("n_exact").cast("double")) /
             col("n_exact").cast("double"))

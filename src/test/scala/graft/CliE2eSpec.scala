@@ -315,6 +315,42 @@ class CliE2eSpec extends AnyFunSuite with SparkSpec {
     assert(served == oneShot)
   }
 
+  test("KMV sketch MV maintains through the CLI and serves q241's sketch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("cli_kmv").toString
+    val src = s"$base/incoming"
+    val state = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    def land(seed: Int): Unit =
+      (1 to 300).map { i =>
+        (if ((seed + i) % 2 == 0) "1-URGENT" else "5-LOW",
+          (seed * 97L + i * 13L) % 180L)
+      }.toDF("o_orderpriority", "o_custkey")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    land(1)
+    val out1 = stage("graft.pipeline.cli.KmvMvMain",
+      "src" -> src, "state" -> state, "checkpoint" -> ckpt)
+    assert(out1.contains("[kmv_mv] scopes=3"), // 2 scopes + __union__
+      out1.linesIterator.filter(_.contains("[kmv_mv]")).mkString)
+
+    // a second landing folds into the same state via the checkpoint
+    land(2)
+    stage("graft.pipeline.cli.KmvMvMain",
+      "src" -> src, "state" -> state, "checkpoint" -> ckpt)
+
+    // the served sketch equals the one-shot k-min fold over ALL landed
+    // rows (the KMV merge law; integer state, fold-order-free)
+    val served = graft.streaming.KmvStream.readSketch(spark, state)
+      .collect().map(_.toString).toSet
+    val oneTable = Files.createTempDirectory("cli_kmv_one").toString
+    graft.streaming.KmvStream.applyBatch(spark,
+      spark.read.parquet(src), batchId = 0L, tableRoot = oneTable)
+    val oneShot = graft.streaming.KmvStream.readSketch(spark, oneTable)
+      .collect().map(_.toString).toSet
+    assert(served == oneShot)
+  }
+
   test("a failing stage process exits nonzero and logs a failed event") {
     val lake = s"${Files.createTempDirectory("cli_fail")}/lake"
     // silver against an empty warehouse: no bronze table to read
