@@ -372,12 +372,15 @@ object EmbeddingStats {
     * would move 4096× the corpus), and the ≤4096·|partitions| partials
     * fold by key. Centering is exact via the q143 identity lifted to
     * matrix form: Gc = n·Σqqᵀ − (Σq)(Σq)ᵀ, so no float mean ever
-    * touches the data. The 6-round iteration then runs on the
-    * localCheckpointed 4096-row matrix: w = Gc·v, rescaled to VS by
-    * v' = sign(w)·(|w|·VS div max|w|) — the abs-before-div keeps the
-    * integer division semantics identical across engines (Spark `div`
-    * truncates toward zero, DuckDB `//` floors; they agree only on
-    * non-negatives).
+    * touches the data. The folded matrix is dim²-BOUNDED and
+    * corpus-invariant, so the 6-round iteration runs ON THE DRIVER in
+    * BigInt (the PrefixSum/IVF-probe bounded-collect class — the
+    * distributed rendering costs ~20 scheduler round-trips over
+    * 64-row frames for microseconds of arithmetic): w = Gc·v,
+    * rescaled to VS by v' = sign(w)·(|w|·VS div max|w|) — the
+    * abs-before-div keeps the integer division identical across
+    * engines (BigInt `/` truncates toward zero, DuckDB `//` floors;
+    * they agree only on non-negatives).
     *
     * Output: one row per dimension with the scaled eigenvector
     * component (an exact integer) plus the shared Rayleigh quotient
@@ -393,7 +396,6 @@ object EmbeddingStats {
   private val q253 = QueryDef(
     (s, d) => {
       import s.implicits._
-      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val vecs = load(s, d, "embeddings")
         .select(col("embedding")).as[Array[Float]]
       // per-partition local gram + component-sum accumulation
@@ -438,53 +440,49 @@ object EmbeddingStats {
       val folded = partials.groupBy(col("i"), col("j"))
         .agg(sum(col("g")).as("g"), sum(col("s_i")).as("s_part"),
           sum(col("nn")).as("n_part"))
-        .localCheckpoint()
-      val sums = folded.filter(col("j") === 0)
-        .select(col("i"), col("s_part").as("s"))
-      val nRow = folded.agg(sum(col("n_part")).as("n"))
-      // exact centered gram: Gc(i,j) = n·G(i,j) − S_i·S_j
-      val gc = folded.select(col("i"), col("j"), col("g"))
-        .join(sums.select(col("i"), col("s").as("si")), "i")
-        .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
-        .crossJoin(broadcast(nRow))
-        .select(col("i"), col("j"),
-          (col("n").cast(dec38) * col("g").cast(dec38) -
-            col("si").cast(dec38) * col("sj").cast(dec38)).as("gc"))
-        .localCheckpoint()
-      var v = gc.select(col("j")).distinct()
-        .select(col("j").as("node"), lit(PcaVScale).cast(dec38).as("v"))
-      for (_ <- 1 to PcaRounds) {
-        val w = gc.join(v.withColumnRenamed("node", "j"), "j")
-          .groupBy(col("i"))
-          .agg(sum(col("gc") * col("v")).as("w"))
-        val m = w.agg(max(abs(col("w"))).as("mx"))
-        v = w.crossJoin(broadcast(m))
-          .select(col("i").as("node"),
-            (when(col("w") < 0, lit(-1)).otherwise(lit(1)).cast(dec38) *
-              expr(s"(abs(w) * ${PcaVScale}L) div mx").cast(dec38))
-              .as("v"))
+      // the matrix is dim²-BOUNDED (4096 rows for 64-dim embeddings),
+      // corpus-invariant — collect it and iterate ON THE DRIVER in
+      // BigInt: the distributed rendering of the 6 rounds is ~20
+      // scheduler round-trips over 64-row frames (measured 3.4 s of
+      // pure overhead at sf0.1), while the exact driver loop is
+      // microseconds. Bounded driver state, the PrefixSum/IVF-probe
+      // class; the corpus-scale work stays in the ONE gram pass above.
+      val rows = folded.collect()
+      val dim = rows.map(_.getInt(0)).max + 1
+      val g = Array.ofDim[Long](dim, dim)
+      val sums = new Array[Long](dim)
+      var n = 0L
+      rows.foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        g(i)(j) = r.getLong(2)
+        if (j == 0) sums(i) = r.getLong(3)
+        if (i == 0 && j == 0) n = r.getLong(4)
       }
-      val vDone = v.localCheckpoint()
-      val ray = gc
-        .join(vDone.select(col("node").as("i"), col("v").as("vi")), "i")
-        .join(vDone.select(col("node").as("j"), col("v").as("vj")), "j")
-        .agg(sum(col("vi") * col("gc") * col("vj")).as("vgv"))
-      val vv = vDone.agg(sum(col("v") * col("v")).as("vv"))
-      val tr = gc.filter(col("i") === col("j"))
-        .agg(sum(col("gc")).as("trace"))
-      vDone
-        .crossJoin(broadcast(ray)).crossJoin(broadcast(vv))
-        .crossJoin(broadcast(tr))
-        .select(col("node").cast("long").as("dim"),
-          col("v").cast("long").as("v_scaled"),
-          col("vgv").cast("string").as("vgv"),
-          col("vv").cast("string").as("vtv"),
-          col("trace").cast("string").as("trace_gc"),
-          (col("vgv").cast("double") / col("vv").cast("double"))
-            .as("rayleigh"),
-          (col("vgv").cast("double") /
-            (col("vv").cast("double") * col("trace").cast("double")))
-            .as("var_share"))
+      // exact centered gram: Gc(i,j) = n·G(i,j) − S_i·S_j
+      val gc = Array.tabulate(dim, dim)((i, j) =>
+        BigInt(n) * BigInt(g(i)(j)) - BigInt(sums(i)) * BigInt(sums(j)))
+      val vs = BigInt(PcaVScale)
+      var v = Array.fill(dim)(vs)
+      for (_ <- 1 to PcaRounds) {
+        val w = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => gc(i)(j) * v(j)).sum)
+        val mx = w.map(_.abs).max
+        // abs-first: BigInt / truncates toward zero, DuckDB // floors —
+        // identical only on non-negative numerators
+        v = w.map(x => ((x.abs * vs) / mx) * x.signum)
+      }
+      val vgv = (for (i <- 0 until dim; j <- 0 until dim)
+        yield v(i) * gc(i)(j) * v(j)).sum
+      val vtv = v.map(x => x * x).sum
+      val trace = (0 until dim).map(i => gc(i)(i)).sum
+      val out = (0 until dim).map { i =>
+        (i.toLong, v(i).toLong, vgv.toString, vtv.toString,
+          trace.toString,
+          vgv.toDouble / vtv.toDouble,
+          vgv.toDouble / (vtv.toDouble * trace.toDouble))
+      }
+      s.createDataFrame(out).toDF("dim", "v_scaled", "vgv", "vtv",
+        "trace_gc", "rayleigh", "var_share")
     },
     Some {
       val rounds = (1 to PcaRounds).map { r =>
