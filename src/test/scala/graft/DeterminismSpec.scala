@@ -106,7 +106,17 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // cohort normalization windows over the q74 build
     "q188_retention_curve",
     // calendar t-7 self-join and the marginal MAE window
-    "q189_seasonal_naive")
+    "q189_seasonal_naive",
+    // r12 additions: the KMV bounded-heap k-mins and the merged union
+    // must be merge-order-insensitive; the landmark BFS bit_or folds
+    // are commutative integer ops per superstep; Kruskal-Wallis rank
+    // sums ride the two-phase prefix sum (range partitions must not
+    // leak into midranks); the stump argmin compares integer cross
+    // products whose histogram can land in any partition layout; the
+    // PCA gram partials fold per-partition and must merge to the same
+    // matrix (and the driver iteration from it is then deterministic)
+    "q241_kmv_distinct", "q242_landmark_bfs", "q243_kruskal_wallis",
+    "q247_weighted_quartiles", "q249_stump_split", "q253_pca_power")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
