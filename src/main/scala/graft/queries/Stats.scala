@@ -1370,6 +1370,129 @@ object Stats {
     "Cochran-Armitage trend test across ordered priorities: exact " +
       "integer moments, 128-bit cross terms, signed z [stats]")
 
+  /** q254's exposure (top-priority orders) and outcome (the q244/q252
+    * $150k high-value line) for the per-nation 2×2 tables.
+    */
+  private val MhHighCents = 15000000L
+
+  /** q254: Mantel-Haenszel pooled odds ratio — "does URGENT priority
+    * associate with high-value orders, CONTROLLING for nation?" The
+    * stratified-confounding answer q160/q244's marginal tests can't
+    * give (a nation that is both priority-heavy and price-heavy
+    * induces a spurious marginal association — Simpson's classic).
+    * OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ) over the per-nation 2×2 tables.
+    *
+    * Scale: one orders×customer key join folds map-side to 25 stratum
+    * rows (checkpointed for its consumers); everything after is
+    * arithmetic on the domain-bounded frame.
+    *
+    * Exactness: the 2×2 cells are integers. The cross-stratum sums of
+    * aᵢdᵢ/nᵢ are DOUBLES — a plain SUM would be partial-order-
+    * dependent, so both engines fold them in the PINNED nation-name
+    * order via an ordered cumulative window (the q110/q239 fixed-order
+    * float-fold discipline) and read the last row; the quotient is
+    * then bit-identical. Per-stratum ORs ride along as evidence, NULL
+    * where a zero cell makes them undefined (MH itself tolerates zero
+    * cells — that is its point).
+    */
+  private val q254 = QueryDef(
+    (s, d) => {
+      val strata = load(s, d, "orders")
+        .join(load(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(load(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" &&
+            graft.common.Exact.cents(col("o_totalprice")) >= MhHighCents,
+            1L).otherwise(0L)).as("a"),
+          sum(when(col("o_orderpriority") === "1-URGENT" &&
+            graft.common.Exact.cents(col("o_totalprice")) < MhHighCents,
+            1L).otherwise(0L)).as("b"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            graft.common.Exact.cents(col("o_totalprice")) >= MhHighCents,
+            1L).otherwise(0L)).as("c"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            graft.common.Exact.cents(col("o_totalprice")) < MhHighCents,
+            1L).otherwise(0L)).as("d"))
+        .localCheckpoint()
+      val byNation = Window.orderBy(col("nation"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val folded = strata
+        .withColumn("n_i", col("a") + col("b") + col("c") + col("d"))
+        .withColumn("num_term",
+          col("a").cast("double") * col("d").cast("double") /
+            col("n_i").cast("double"))
+        .withColumn("den_term",
+          col("b").cast("double") * col("c").cast("double") /
+            col("n_i").cast("double"))
+        .withColumn("cum_num", sum(col("num_term")).over(byNation))
+        .withColumn("cum_den", sum(col("den_term")).over(byNation))
+      val mRow = strata.agg(graft.common.Exact.lcountAll.as("m"))
+      val mh = folded
+        .withColumn("rn", row_number().over(Window.orderBy(col("nation"))))
+        .crossJoin(broadcast(mRow))
+        .filter(col("rn") === col("m"))
+        .select(
+          when(col("cum_den") === 0.0, lit(null).cast("double"))
+            .otherwise(col("cum_num") / col("cum_den")).as("or_mh"))
+      folded.select(col("nation"), col("a"), col("b"), col("c"),
+          col("d"), col("n_i"),
+          when(col("b") * col("c") === 0L, lit(null).cast("double"))
+            .otherwise(col("a").cast("double") * col("d").cast("double") /
+              (col("b").cast("double") * col("c").cast("double")))
+            .as("or_stratum"))
+        .crossJoin(broadcast(mh))
+    },
+    Some(s"""WITH st AS (
+              SELECT n.n_name AS nation,
+                CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  AND ${graft.common.Exact.centsSql("o_totalprice")}
+                    >= $MhHighCents THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  AND ${graft.common.Exact.centsSql("o_totalprice")}
+                    < $MhHighCents THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                  AND ${graft.common.Exact.centsSql("o_totalprice")}
+                    >= $MhHighCents THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                  AND ${graft.common.Exact.centsSql("o_totalprice")}
+                    < $MhHighCents THEN 1 ELSE 0 END) AS BIGINT) AS d
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n ON c_nationkey = n_nationkey
+              GROUP BY 1
+            ), folded AS (
+              SELECT *, a + b + c + d AS n_i,
+                SUM(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                  / CAST(a + b + c + d AS DOUBLE))
+                  OVER (ORDER BY nation
+                    ROWS UNBOUNDED PRECEDING) AS cum_num,
+                SUM(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                  / CAST(a + b + c + d AS DOUBLE))
+                  OVER (ORDER BY nation
+                    ROWS UNBOUNDED PRECEDING) AS cum_den,
+                ROW_NUMBER() OVER (ORDER BY nation) AS rn,
+                COUNT(*) OVER () AS m
+              FROM st
+            ), mh AS (
+              SELECT CASE WHEN cum_den = 0 THEN NULL
+                ELSE cum_num / cum_den END AS or_mh
+              FROM folded WHERE rn = m
+            )
+            SELECT f.nation, f.a, f.b, f.c, f.d, f.n_i,
+              CASE WHEN f.b * f.c = 0 THEN NULL
+                ELSE CAST(f.a AS DOUBLE) * CAST(f.d AS DOUBLE)
+                  / (CAST(f.b AS DOUBLE) * CAST(f.c AS DOUBLE)) END
+                AS or_stratum,
+              mh.or_mh
+            FROM folded f, mh"""),
+    "Mantel-Haenszel pooled odds ratio across nation strata: integer " +
+      "2x2 cells, pinned-order float folds [stats]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
     "q143_exact_corr" -> q143,
@@ -1383,5 +1506,6 @@ object Stats {
     "q236_multi_ols" -> q236,
     "q243_kruskal_wallis" -> q243,
     "q244_bh_fdr" -> q244,
-    "q252_ca_trend" -> q252)
+    "q252_ca_trend" -> q252,
+    "q254_mh_odds_ratio" -> q254)
 }

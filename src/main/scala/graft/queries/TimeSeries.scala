@@ -1275,10 +1275,133 @@ object TimeSeries {
     "Hampel filter on daily revenue: rolling lower median/MAD via " +
       "exploded equi-joins, integer outlier gate [time-series]")
 
+  /** q255: binary-segmentation changepoint — the single split of the
+    * daily-revenue series that minimizes total within-segment variance
+    * (the first recursion step of the standard binseg detector; the
+    * least-squares complement of q164/q209's CUSUM threshold alarms,
+    * which need a known baseline — binseg FINDS the level shift).
+    *
+    * Exactness: the argmin never touches a float. Minimizing
+    * SSE_l + SSE_r ⟺ maximizing M(t) = S_l²/n_l + S_r²/n_r (ΣΣx² is
+    * split-invariant), so "b beats a" is the q249 integer
+    * cross-product tournament: num = S_l²·n_r + S_r²·n_l,
+    * den = n_l·n_r, b beats a ⟺ num_b·den_a > num_a·den_b, ties to
+    * the earlier date. Daily values quantize to exact integer DOLLARS
+    * (cents div 100) so Σx² fits i64 on the calendar-bounded frame
+    * (days ≤ ~2.4k forever; dollar squares Σ ≈ 10¹⁷ at sf1, and the
+    * 100 TB deployment moves the prefix columns to DECIMAL — same
+    * plan). Segment means and the SSE reduction are terminal fixed
+    * doubles over the integer evidence.
+    *
+    * Scale: one date fold (calendar-bounded), cumulative (n, S, S²)
+    * via `PrefixSum.runningSums` — no one-task rank window — and the
+    * ≤2.4k²-pair argmin runs on the checkpointed candidate frame
+    * (BroadcastLint cap entry: the frame is calendar-bounded).
+    */
+  private lazy val q255 = QueryDef(
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(graft.common.Exact.cents(col("o_totalprice")))
+          .cast("long")).as("rc"))
+        .select(col("day"), expr("rc div 100L").as("v"))
+        .withColumn("one", lit(1L))
+        .withColumn("v2", col("v") * col("v"))
+      val cum = graft.operators.PrefixSum.runningSums(
+        daily, Seq(col("day")), Seq("one", "v", "v2"))
+      val tot = daily.agg(sum(col("one")).as("m"), sum(col("v")).as("s"),
+        sum(col("v2")).as("s2"))
+      val cand = cum.crossJoin(broadcast(tot))
+        .filter(col("one_cum") < col("m"))
+        .select(col("day").as("t"),
+          col("one_cum").as("n_l"), col("v_cum").as("s_l"),
+          col("v2_cum").as("s2_l"),
+          (col("m") - col("one_cum")).as("n_r"),
+          (col("s") - col("v_cum")).as("s_r"),
+          (col("s2") - col("v2_cum")).as("s2_r"),
+          col("m"), col("s"), col("s2"))
+        .withColumn("m_num",
+          col("s_l").cast(dec38) * col("s_l").cast(dec38) *
+            col("n_r").cast(dec38) +
+            col("s_r").cast(dec38) * col("s_r").cast(dec38) *
+              col("n_l").cast(dec38))
+        .withColumn("m_den", col("n_l").cast(dec38) * col("n_r").cast(dec38))
+        .localCheckpoint()
+      val best = cand.as("a").join(broadcast(cand.as("b")),
+        col("b.m_num") * col("a.m_den") > col("a.m_num") * col("b.m_den") ||
+          (col("b.m_num") * col("a.m_den") ===
+            col("a.m_num") * col("b.m_den") && col("b.t") < col("a.t")),
+        "left_anti")
+      val sseL = col("s2_l").cast("double") -
+        col("s_l").cast("double") * col("s_l").cast("double") /
+          col("n_l").cast("double")
+      val sseR = col("s2_r").cast("double") -
+        col("s_r").cast("double") * col("s_r").cast("double") /
+          col("n_r").cast("double")
+      val sseT = col("s2").cast("double") -
+        col("s").cast("double") * col("s").cast("double") /
+          col("m").cast("double")
+      best.select(col("t").as("split_day"),
+        col("n_l"), col("n_r"), col("s_l"), col("s_r"),
+        (col("s_l").cast("double") / col("n_l").cast("double"))
+          .as("mean_left"),
+        (col("s_r").cast("double") / col("n_r").cast("double"))
+          .as("mean_right"),
+        (sseT - (sseL + sseR)).as("sse_reduction"))
+    },
+    Some(s"""WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) // 100 AS v
+              FROM orders GROUP BY 1
+            ), cum AS (
+              SELECT day AS t,
+                CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS n_l,
+                CAST(SUM(v) OVER (ORDER BY day) AS BIGINT) AS s_l,
+                CAST(SUM(v * v) OVER (ORDER BY day) AS BIGINT) AS s2_l
+              FROM daily
+            ), tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                CAST(SUM(v) AS BIGINT) AS s,
+                CAST(SUM(v * v) AS BIGINT) AS s2
+              FROM daily
+            ), cand AS (
+              SELECT t, n_l, s_l, s2_l,
+                m - n_l AS n_r, s - s_l AS s_r, s2 - s2_l AS s2_r,
+                m, s, s2,
+                CAST(s_l AS HUGEINT) * s_l * (m - n_l)
+                  + CAST(s - s_l AS HUGEINT) * (s - s_l) * n_l AS m_num,
+                CAST(n_l AS HUGEINT) * (m - n_l) AS m_den
+              FROM cum, tot WHERE n_l < m
+            ), best AS (
+              SELECT * FROM cand a WHERE NOT EXISTS (
+                SELECT 1 FROM cand b
+                WHERE b.m_num * a.m_den > a.m_num * b.m_den
+                  OR (b.m_num * a.m_den = a.m_num * b.m_den
+                      AND b.t < a.t))
+            )
+            SELECT t AS split_day, n_l, n_r, s_l, s_r,
+              CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE) AS mean_left,
+              CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE) AS mean_right,
+              (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(m AS DOUBLE))
+                - ((CAST(s2_l AS DOUBLE)
+                    - CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE)
+                      / CAST(n_l AS DOUBLE))
+                  + (CAST(s2_r AS DOUBLE)
+                    - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE)
+                      / CAST(n_r AS DOUBLE))) AS sse_reduction
+            FROM best"""),
+    "binary-segmentation changepoint on daily revenue: prefix-sum " +
+      "moments, integer cross-product argmin, exact dollar units " +
+      "[time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
     "q245_hampel_filter" -> q245,
+    "q255_binseg_changepoint" -> q255,
     "q165_ewma_daily" -> q165,
     "q169_seasonal_decomp" -> q169,
     "q179_rolling_corr" -> q179,

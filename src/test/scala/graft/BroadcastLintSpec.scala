@@ -72,7 +72,11 @@ class BroadcastLintSpec extends AnyFunSuite with SparkSpec {
     "q249_stump_split" ->
       "stump argmin rival side: the localCheckpointed candidate frame has one row per DISTINCT per-user pre-period event count — an activity-domain-bounded histogram (corpus growth adds users, not new per-user count values), the same domain argument as the q224/q81 value histograms",
     "q251_markov_attribution" ->
-      "chain scalar attach: both hinted frames derive from the localCheckpointed START-value frame — exactly one row per chain, 5 chains (base + one per channel of a lint-recognized bounded event vocabulary) at any corpus size")
+      "chain scalar attach: both hinted frames derive from the localCheckpointed START-value frame — exactly one row per chain, 5 chains (base + one per channel of a lint-recognized bounded event vocabulary) at any corpus size",
+    "q254_mh_odds_ratio" ->
+      "MH scalar attach: the hinted frames derive from the localCheckpointed 25-row nation-stratum frame (nation is a fixed-size table) — one scalar count and one 1-row ordered-fold result at any corpus size",
+    "q255_binseg_changepoint" ->
+      "binseg argmin rival side: the localCheckpointed candidate frame has one row per observed DAY — calendar-bounded (~2.4k rows for the generator's date range, never corpus-proportional), the q221 calendar-frame argument")
 
   private def refsBounded(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     e.references.nonEmpty && e.references.forall(r => BoundedDomainCols(r.name))

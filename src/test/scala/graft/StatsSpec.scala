@@ -155,4 +155,31 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.signum(z) == num.signum.toDouble || num == 0)
     assert(math.abs(z * z - z2) < 1e-9)
   }
+
+  test("q254 MH odds ratio matches the pinned-order local fold") {
+    val rows = run("q254_mh_odds_ratio").collect()
+    assert(rows.length == 25)
+    // cells partition each stratum; per-stratum OR rebuilds exactly
+    rows.foreach { r =>
+      val (a, b, c, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("c"), r.getAs[Long]("d"))
+      assert(r.getAs[Long]("n_i") == a + b + c + d)
+      if (b * c != 0)
+        assert(r.getAs[Double]("or_stratum") ==
+          a.toDouble * d.toDouble / (b.toDouble * c.toDouble))
+      else assert(r.isNullAt(r.fieldIndex("or_stratum")))
+    }
+    // the pooled OR equals a local fold in the SAME nation order
+    val sorted = rows.sortBy(_.getAs[String]("nation"))
+    var num = 0.0
+    var den = 0.0
+    sorted.foreach { r =>
+      val n = r.getAs[Long]("n_i").toDouble
+      num += r.getAs[Long]("a").toDouble * r.getAs[Long]("d").toDouble / n
+      den += r.getAs[Long]("b").toDouble * r.getAs[Long]("c").toDouble / n
+    }
+    val orMh = rows.head.getAs[Double]("or_mh")
+    assert(orMh == num / den, s"engine $orMh vs local ${num / den}")
+    assert(rows.map(_.getAs[Double]("or_mh")).distinct.length == 1)
+  }
 }

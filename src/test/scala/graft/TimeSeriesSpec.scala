@@ -78,4 +78,36 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getBoolean(5) == flagged, s"flag at $d")
     }
   }
+
+  test("q255 binseg split minimizes SSE over every candidate day") {
+    val daily = graft.common.Tables.load(spark, Sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(graft.common.Exact.cents(col("o_totalprice"))).as("rc"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1) / 100L))
+      .sortBy(_._1.toEpochDay)
+    val vs = daily.map(_._2)
+    def sse(xs: Seq[Long]): Double = {
+      val s = xs.sum.toDouble
+      xs.map(_.toDouble).map(x => x * x).sum - s * s / xs.length
+    }
+    val costs = (1 until vs.length).map { k =>
+      k -> (sse(vs.take(k)) + sse(vs.drop(k)))
+    }
+    val bestCost = costs.map(_._2).min
+    val r = SparkEntry.queries("q255_binseg_changepoint")(spark, Sf).head()
+    val k = r.getAs[Long]("n_l").toInt
+    assert(r.getAs[Long]("n_r") == vs.length - k)
+    assert(r.getDate(0).toLocalDate == daily(k - 1)._1,
+      "split day must be the k-th observed day")
+    assert(r.getAs[Long]("s_l") == vs.take(k).sum)
+    // the exact integer argmin lands on (one of) the float-cost minima
+    assert(math.abs((sse(vs.take(k)) + sse(vs.drop(k))) - bestCost) < 1e-6,
+      s"split at $k not optimal")
+    val reduction = sse(vs) - bestCost
+    assert(math.abs(r.getAs[Double]("sse_reduction") - reduction) <
+      1e-6 * math.max(reduction, 1.0))
+    assert(r.getAs[Double]("mean_left") ==
+      vs.take(k).sum.toDouble / k)
+  }
 }
