@@ -608,7 +608,13 @@ object Dedup {
     * pairs are precisely the unbalanced ones a Jaccard prune throws
     * away. The verify step computes |A∩B| on the full per-doc gram
     * sets (narrow shingling pass, no doc_id shuffle), so the cap
-    * affects candidate recall only, never an emitted value.
+    * affects candidate recall only, never an emitted value. The cap
+    * is part of the CONTRACT and the oracle mirrors it — a candidate
+    * pair must share ≥1 sub-cap gram, so a snippet whose every gram
+    * is corpus-wide boilerplate (df > cap) is out of scope BY DESIGN
+    * on both sides (q35's exact-dup fallback does not cover that
+    * class here, so leaving the cap engine-only would diverge from
+    * the oracle the day such a snippet appears).
     *
     * Exactness: gram counts and the intersection are integers; the
     * threshold is an integer cross-multiplication; the coefficient is
@@ -652,11 +658,25 @@ object Dedup {
             ), n AS (
               SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
               FROM g GROUP BY 1
+            ), capped AS (
+              -- the df cap is part of the CONTRACT, mirrored here:
+              -- candidates must share at least one sub-cap gram, so
+              -- pure-boilerplate containment (every shared gram in
+              -- > $DefaultMaxGramDf docs) is out of scope by design
+              -- on BOTH sides, not silently missed by one
+              SELECT doc_id, gram FROM g
+              WHERE gram IN (SELECT gram FROM g GROUP BY gram
+                             HAVING count(*) <= $DefaultMaxGramDf)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              FROM capped a JOIN capped b ON a.gram = b.gram
+                AND a.doc_id < b.doc_id
             ), pairs AS (
               SELECT a.doc_id AS d1, b.doc_id AS d2,
                 CAST(count(*) AS BIGINT) AS shared
               FROM g a JOIN g b ON a.gram = b.gram
                 AND a.doc_id < b.doc_id
+              JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id
               GROUP BY 1, 2
             ), dir AS (
               SELECT

@@ -389,9 +389,13 @@ object EmbeddingStats {
     * of (quantized, n-scaled) variance the direction explains.
     * 128-bit evidence emits as canonical strings (the q214 rule).
     *
-    * Bounds: |q| ≤ Q·max|x|; gram entries ≤ n·(Q·max|x|)²; centered
-    * entries ≤ n²·(Q·max|x|)² — DECIMAL(38,0) carries n to ~10¹²;
-    * w ≤ dim·|Gc|·VS stays under 10³⁸ for the same range.
+    * Bounds: |q| ≤ Q·max|x|; the distributed gram fold is i64 —
+    * entries reach n·(Q·max|x|)², which for unit-scale embeddings
+    * (|x| ≲ 1, Q = 10⁴) holds to n ≈ 9·10¹⁰ vectors; past that the
+    * deployment lowers Q (Q = 10³ buys 100×) or moves the partial
+    * fold to DECIMAL, same plan. The centered matrix and the
+    * iteration run in driver BigInt — unbounded; DuckDB mirrors in
+    * HUGEINT (~1.7e38, same 10¹⁰-vector envelope at Q = 10⁴).
     */
   private val q253 = QueryDef(
     (s, d) => {

@@ -252,9 +252,18 @@ object GraphAnn {
     * adjacency this batch touched (the new nodes and their link
     * targets) is cut back to its best 2M edges, and each dropped edge's
     * mirror goes with it, preserving the stored form's symmetry and
-    * degree bound. The overflow set is batch-bounded (a node gains at
-    * most the batch's M links), so the dropped pairs collect
-    * driver-side under the same cap that gates the insert itself.
+    * degree bound. EXCEPT: an edge that is its mirror endpoint's
+    * SINGLE BEST edge is undroppable — without that guard, an outlier
+    * vector whose M link targets are all degree-saturated hubs would
+    * lose every edge to mirror deletion (each (hub, n) ranks past 2M
+    * on the hub) and become permanently unreachable by the walk, with
+    * the committed state hiding the damage. The guard pins min-degree
+    * ≥ 1 for every linked node; a hub may retain a few protected
+    * extras past 2M (bounded by how many partners chose it as their
+    * best — the standard HNSW keep-pruned-connections slack). The
+    * overflow set is batch-bounded (a node gains at most the batch's
+    * M links), so the dropped pairs collect driver-side under the same
+    * cap that gates the insert itself.
     */
   private def pruneOverflow(s: SparkSession, d: String,
       t: graft.tables.ParquetTable, newFiles: Seq[String]): Unit = {
@@ -266,10 +275,22 @@ object GraphAnn {
       .distinct().localCheckpoint() // ≤ batch·(M+1) node ids
     val wU = Window.partitionBy(col("u"))
       .orderBy(col("score").desc, col("v").asc)
-    val dropped = t.read.join(broadcast(affected), "u")
+    val cand = t.read.join(broadcast(affected), "u")
       .withColumn("rn", row_number().over(wU))
       .filter(col("rn") > 2 * M)
       .select(col("u"), col("v"))
+      .localCheckpoint() // batch-bounded overflow candidates
+    // each candidate's mirror endpoint's best partner — dropping
+    // (u, v) also deletes (v, u), which must not be v's last/best edge
+    val mirrorNodes = cand.select(col("v").as("n"))
+      .distinct().localCheckpoint()
+    val best = t.read
+      .join(broadcast(mirrorNodes), col("u") === col("n"))
+      .withColumn("rn", row_number().over(wU))
+      .filter(col("rn") === 1)
+      .select(col("u").as("bv"), col("v").as("bu"))
+    val dropped = cand.join(broadcast(best),
+        col("v") === col("bv") && col("u") === col("bu"), "left_anti")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (dropped.nonEmpty) {
       val pairs = (dropped ++ dropped.map(_.swap)).distinct

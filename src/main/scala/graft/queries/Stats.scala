@@ -1092,11 +1092,14 @@ object Stats {
     "Kruskal-Wallis H across order priorities: scalable midranks via " +
       "histogram prefix sums, 128-bit rank sums, pinned-order H [stats]")
 
-  /** q244's test family: per-nation share of high-value orders
-    * (≥ $150k) vs the rest of the corpus, and the BH step-up level.
+  /** The $150k high-value order line shared by the q244/q252/q254
+    * test family — ONE constant so the three tests can never silently
+    * gate on different values.
     */
-  private val BhHighCents = 15000000L
-  private val BhAlphaNum = 5L // α = 5/100
+  private val HighValueCents = 15000000L
+
+  /** q244's BH step-up level (α = 5/100). */
+  private val BhAlphaNum = 5L
 
   /** q244: Benjamini-Hochberg FDR over a per-nation family of
     * two-proportion tests — the multiple-comparisons layer q160 needs
@@ -1136,7 +1139,7 @@ object Stats {
         .groupBy(col("c_nationkey"))
         .agg(graft.common.Exact.lcountAll.as("n_g"),
           sum(when(graft.common.Exact.cents(col("o_totalprice")) >=
-            BhHighCents, 1L).otherwise(0L)).as("x_g"))
+            HighValueCents, 1L).otherwise(0L)).as("x_g"))
         .join(broadcast(load(s, d, "nation")
           .select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
@@ -1149,10 +1152,18 @@ object Stats {
       val base = perNation.crossJoin(broadcast(tot))
         .withColumn("n_r", col("n_tot") - col("n_g"))
         .withColumn("x_r", col("x_tot") - col("x_g"))
-        // z² as a fixed double expression over exact integers (×,÷ only)
+        // z² as a fixed double expression over exact integers (×,÷ only);
+        // the cross terms reach ~N² — 128-bit like q252's, then the
+        // deterministic cast to double
         .withColumn("od",
-          (col("x_g") * col("n_r") - col("x_r") * col("n_g")).cast("double") *
-            (col("x_g") * col("n_r") - col("x_r") * col("n_g")).cast("double") *
+          (col("x_g").cast(DecimalType(38, 0)) *
+            col("n_r").cast(DecimalType(38, 0)) -
+            col("x_r").cast(DecimalType(38, 0)) *
+            col("n_g").cast(DecimalType(38, 0))).cast("double") *
+            (col("x_g").cast(DecimalType(38, 0)) *
+              col("n_r").cast(DecimalType(38, 0)) -
+              col("x_r").cast(DecimalType(38, 0)) *
+              col("n_g").cast(DecimalType(38, 0))).cast("double") *
             col("n_tot").cast("double") /
             (col("n_g").cast("double") * col("n_r").cast("double") *
               col("x_tot").cast("double") *
@@ -1191,7 +1202,7 @@ object Stats {
               SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_g,
                 CAST(SUM(CASE WHEN
                   ${graft.common.Exact.centsSql("o_totalprice")}
-                    >= $BhHighCents THEN 1 ELSE 0 END) AS BIGINT) AS x_g
+                    >= $HighValueCents THEN 1 ELSE 0 END) AS BIGINT) AS x_g
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY 1
             ), named AS (
@@ -1205,8 +1216,10 @@ object Stats {
             ), base AS (
               SELECT n_name, n_g, x_g, n_tot, x_tot, m,
                 n_tot - n_g AS n_r, x_tot - x_g AS x_r,
-                CAST(x_g * (n_tot - n_g) - (x_tot - x_g) * n_g AS DOUBLE) *
-                  CAST(x_g * (n_tot - n_g) - (x_tot - x_g) * n_g AS DOUBLE) *
+                CAST(CAST(x_g AS HUGEINT) * (n_tot - n_g)
+                    - CAST(x_tot - x_g AS HUGEINT) * n_g AS DOUBLE) *
+                  CAST(CAST(x_g AS HUGEINT) * (n_tot - n_g)
+                    - CAST(x_tot - x_g AS HUGEINT) * n_g AS DOUBLE) *
                   CAST(n_tot AS DOUBLE) /
                   (CAST(n_g AS DOUBLE) * CAST(n_tot - n_g AS DOUBLE) *
                     CAST(x_tot AS DOUBLE) * CAST(n_tot - x_tot AS DOUBLE))
@@ -1260,10 +1273,6 @@ object Stats {
     "Benjamini-Hochberg FDR over per-nation two-proportion tests: " +
       "exact-integer BH order, A&S erfc p-values, derived oracle [stats]")
 
-  /** q252's high-value gate (same $150k line as q244, read per ORDER
-    * rather than per nation).
-    */
-  private val CaHighCents = 15000000L
 
   /** q252: Cochran-Armitage trend test — "does the high-value-order
     * RATE rise or fall monotonically across the five priority levels?"
@@ -1293,7 +1302,7 @@ object Stats {
         .groupBy(col("o_orderpriority"))
         .agg(graft.common.Exact.lcountAll.as("n_g"),
           sum(when(graft.common.Exact.cents(col("o_totalprice")) >=
-            CaHighCents, 1L).otherwise(0L)).as("x_g"))
+            HighValueCents, 1L).otherwise(0L)).as("x_g"))
         .withColumn("w",
           substring(col("o_orderpriority"), 1, 1).cast("long"))
         // the 5-row frame feeds the moment fold AND the emit join —
@@ -1335,7 +1344,7 @@ object Stats {
                 CAST(count(*) AS BIGINT) AS n_g,
                 CAST(SUM(CASE WHEN
                   ${graft.common.Exact.centsSql("o_totalprice")}
-                    >= $CaHighCents THEN 1 ELSE 0 END) AS BIGINT) AS x_g
+                    >= $HighValueCents THEN 1 ELSE 0 END) AS BIGINT) AS x_g
               FROM orders GROUP BY 1
             ), m AS (
               SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
@@ -1370,10 +1379,6 @@ object Stats {
     "Cochran-Armitage trend test across ordered priorities: exact " +
       "integer moments, 128-bit cross terms, signed z [stats]")
 
-  /** q254's exposure (top-priority orders) and outcome (the q244/q252
-    * $150k high-value line) for the per-nation 2×2 tables.
-    */
-  private val MhHighCents = 15000000L
 
   /** q254: Mantel-Haenszel pooled odds ratio — "does URGENT priority
     * associate with high-value orders, CONTROLLING for nation?" The
@@ -1407,16 +1412,16 @@ object Stats {
         .groupBy(col("n_name").as("nation"))
         .agg(
           sum(when(col("o_orderpriority") === "1-URGENT" &&
-            graft.common.Exact.cents(col("o_totalprice")) >= MhHighCents,
+            graft.common.Exact.cents(col("o_totalprice")) >= HighValueCents,
             1L).otherwise(0L)).as("a"),
           sum(when(col("o_orderpriority") === "1-URGENT" &&
-            graft.common.Exact.cents(col("o_totalprice")) < MhHighCents,
+            graft.common.Exact.cents(col("o_totalprice")) < HighValueCents,
             1L).otherwise(0L)).as("b"),
           sum(when(col("o_orderpriority") =!= "1-URGENT" &&
-            graft.common.Exact.cents(col("o_totalprice")) >= MhHighCents,
+            graft.common.Exact.cents(col("o_totalprice")) >= HighValueCents,
             1L).otherwise(0L)).as("c"),
           sum(when(col("o_orderpriority") =!= "1-URGENT" &&
-            graft.common.Exact.cents(col("o_totalprice")) < MhHighCents,
+            graft.common.Exact.cents(col("o_totalprice")) < HighValueCents,
             1L).otherwise(0L)).as("d"))
         .localCheckpoint()
       val byNation = Window.orderBy(col("nation"))
@@ -1451,16 +1456,16 @@ object Stats {
               SELECT n.n_name AS nation,
                 CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
                   AND ${graft.common.Exact.centsSql("o_totalprice")}
-                    >= $MhHighCents THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                    >= $HighValueCents THEN 1 ELSE 0 END) AS BIGINT) AS a,
                 CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
                   AND ${graft.common.Exact.centsSql("o_totalprice")}
-                    < $MhHighCents THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                    < $HighValueCents THEN 1 ELSE 0 END) AS BIGINT) AS b,
                 CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
                   AND ${graft.common.Exact.centsSql("o_totalprice")}
-                    >= $MhHighCents THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                    >= $HighValueCents THEN 1 ELSE 0 END) AS BIGINT) AS c,
                 CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
                   AND ${graft.common.Exact.centsSql("o_totalprice")}
-                    < $MhHighCents THEN 1 ELSE 0 END) AS BIGINT) AS d
+                    < $HighValueCents THEN 1 ELSE 0 END) AS BIGINT) AS d
               FROM orders
               JOIN customer ON o_custkey = c_custkey
               JOIN nation n ON c_nationkey = n_nationkey

@@ -1207,15 +1207,21 @@ object TimeSeries {
     */
   private lazy val q245 = QueryDef(
     (s, d) => {
+      // the daily fold has FIVE consumers downstream (both window
+      // joins read `claims` twice, plus the final join) — materialize
+      // the calendar-bounded frames once or each replays the corpus
+      // aggregation (the q244/q249 cut)
       val daily = load(s, d, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
           .as("r_cents"))
+        .localCheckpoint()
       val offsets = sequence(lit(-HampelHalf), lit(HampelHalf))
       val claims = daily
         .select(col("day"), col("r_cents"), explode(offsets).as("off"))
         .select(date_add(col("day"), col("off")).as("center"),
           col("r_cents").as("v"))
+        .localCheckpoint()
       val med = claims.groupBy(col("center"))
         .agg(sort_array(collect_list(col("v"))).as("vs"),
           count(lit(1)).as("nw"))
@@ -1301,6 +1307,8 @@ object TimeSeries {
   private lazy val q255 = QueryDef(
     (s, d) => {
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      // the daily fold feeds the prefix sum AND the totals fold —
+      // materialize the calendar-bounded frame once (the q249 cut)
       val daily = load(s, d, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg((sum(graft.common.Exact.cents(col("o_totalprice")))
@@ -1308,6 +1316,7 @@ object TimeSeries {
         .select(col("day"), expr("rc div 100L").as("v"))
         .withColumn("one", lit(1L))
         .withColumn("v2", col("v") * col("v"))
+        .localCheckpoint()
       val cum = graft.operators.PrefixSum.runningSums(
         daily, Seq(col("day")), Seq("one", "v", "v2"))
       val tot = daily.agg(sum(col("one")).as("m"), sum(col("v")).as("s"),

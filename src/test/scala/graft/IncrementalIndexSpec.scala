@@ -391,8 +391,33 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
     assert(healed.count() == edgeCount,
       "replay changed the edge set — the witness probe double-applied")
 
+    // an OUTLIER batch (vectors pointing away from the corpus pattern)
+    // must also come out linked: the prune protects each mirror
+    // endpoint's best edge, so even if every link target ranks the
+    // newcomer past its 2M bound, the newcomer keeps its best edge
+    // (min-degree >= 1) instead of being silently orphaned
+    {
+      import spark.implicits._
+      (64 until 67).map { i =>
+        (i.toLong, Array.tabulate(64)(j =>
+          if (j == i % 64) 100.0f else -((i * 13 + j) % 7).toFloat))
+      }.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    }
+    graft.common.Memos.clearAll()
+    val grown2 = GraphAnn.resolveGraphIndex(spark, dir)
+    val sources2 = grown2.select("u").distinct().collect()
+      .map(_.getLong(0)).toSet
+    (64L until 67L).foreach(id =>
+      assert(sources2.contains(id), s"outlier $id orphaned by the prune"))
+    val edges2 = grown2.select(col("u"), col("v"))
+    assert(edges2
+      .join(edges2.select(col("v").as("u"), col("u").as("v")),
+        Seq("u", "v"), "left_anti").count() == 0,
+      "adjacency must stay symmetric after the protected prune")
+
     // a rewritten file still invalidates the whole graph (global state)
-    writeBatch(dir, 0 until 64, seed = 17, "overwrite")
+    writeBatch(dir, 0 until 67, seed = 17, "overwrite")
     graft.common.Memos.clearAll()
     GraphAnn.resolveGraphIndex(spark, dir).count()
     assert(GraphAnn.graphBuildCount.get() == buildsAfterBase + 1,
