@@ -86,17 +86,42 @@ object Bench {
     // paying the full registry); the driver never sets it
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Pass-state diagnostics (stderr, never the JSON line): GC time,
+    // heap, pinned-RDD block count/bytes. Lets a drift investigation
+    // see in ONE run whether per-pass overhead accumulates (pass 2
+    // uniformly slower than pass 1 = in-process pressure, not plan).
+    def diag(tag: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val gcs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      val gcMs = gcs.map(_.getCollectionTime).sum
+      val gcN = gcs.map(_.getCollectionCount).sum
+      val heap = java.lang.management.ManagementFactory
+        .getMemoryMXBean.getHeapMemoryUsage
+      val pinned = spark.sparkContext.getPersistentRDDs
+      System.err.println(f"[bench-diag] $tag: gc=${gcN}x/${gcMs}ms " +
+        f"heap=${heap.getUsed / (1 << 20)}MB/${heap.getMax / (1 << 20)}MB " +
+        f"pinnedRdds=${pinned.size}")
+    }
     val byName = SparkEntry.registry.toMap
+    diag("pre-pass1")
+    val tPass1 = System.nanoTime()
     val pass1 = SparkEntry.registry
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, q) => name -> once(name, q) }
+    System.err.println(f"[bench-diag] pass1 wall=${(System.nanoTime() - tPass1) / 1e9}%.1fs " +
+      f"sum=${pass1.map(_._2).filter(_ >= 0).sum}%.1fs")
+    diag("post-pass1")
     val probeMid = probe()
+    val tPass2 = System.nanoTime()
     val results = pass1.map { case (name, a) =>
       val t =
         if (a < 0) a // errored in pass 1: don't pay a second failure
         else math.min(a, once(name, byName(name)))
       name -> t
     }
+    System.err.println(f"[bench-diag] pass2 wall=${(System.nanoTime() - tPass2) / 1e9}%.1fs")
+    diag("post-pass2")
     val probeEnd = probe()
     val probes = Seq(probeStart, probeMid, probeEnd)
     // contamination = the machine's capacity DEGRADED while we ran, so

@@ -452,7 +452,10 @@ object EmbeddingStats {
       // microseconds. Bounded driver state, the PrefixSum/IVF-probe
       // class; the corpus-scale work stays in the ONE gram pass above.
       val rows = folded.collect()
-      val dim = rows.map(_.getInt(0)).max + 1
+      // empty embeddings table → empty gram collect; degrade to the
+      // empty output frame (dim = 0 skips every loop below) instead of
+      // throwing on max of an empty array
+      val dim = if (rows.isEmpty) 0 else rows.map(_.getInt(0)).max + 1
       val g = Array.ofDim[Long](dim, dim)
       val sums = new Array[Long](dim)
       var n = 0L
@@ -467,7 +470,7 @@ object EmbeddingStats {
         BigInt(n) * BigInt(g(i)(j)) - BigInt(sums(i)) * BigInt(sums(j)))
       val vs = BigInt(PcaVScale)
       var v = Array.fill(dim)(vs)
-      for (_ <- 1 to PcaRounds) {
+      for (_ <- 1 to (if (dim > 0) PcaRounds else 0)) {
         val w = Array.tabulate(dim)(i =>
           (0 until dim).map(j => gc(i)(j) * v(j)).sum)
         val mx = w.map(_.abs).max

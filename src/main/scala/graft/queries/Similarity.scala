@@ -1510,6 +1510,12 @@ object Similarity {
               }
               i += 1
             }
+            // every remaining score NaN (possible only via a zero-norm
+            // embedding making cosine 0/0) leaves best = -1 — stop the
+            // greedy rather than index with it
+            if (best < 0) {
+              step = cands.length + 1
+            } else {
             picked(best) = true
             out += ((qid, cands(best)._2, step, cands(best)._3,
               ms(best), bestScore))
@@ -1522,6 +1528,7 @@ object Similarity {
               j += 1
             }
             step += 1
+            }
           }
           out.result().iterator
         }

@@ -1256,6 +1256,14 @@ object Stats {
                 r.rk, r.bh_level,
                 (ks.k_star IS NOT NULL AND r.rk <= ks.k_star) AS rejected
               FROM ranked r, ks
+            ), fam AS (
+              -- k* is FAMILY-global: any nation whose p straddles its
+              -- own bh_level within libm exp() jitter can shift k* and
+              -- flip `rejected` on rows whose own margin is large, so
+              -- the reject-grace must be family-wide, not per-row
+              SELECT MAX(CASE WHEN abs(p - bh_level) < 1e-9
+                THEN 1 ELSE 0 END) AS unstable
+              FROM ranked
             ), emitted AS (
               SELECT * FROM read_parquet(
                 '${graft.QueryDef.OutDirToken}/q244_bh_fdr/*.parquet')
@@ -1264,12 +1272,13 @@ object Stats {
               e.bh_level, e.rejected
             FROM emitted e JOIN ref r ON e.nation = r.nation
               AND e.n_g = r.n_g AND e.x_g = r.x_g AND e.rk = r.rk
+            CROSS JOIN fam
             WHERE abs(e.od - r.od) <= 1e-9 * greatest(abs(r.od), 1.0)
               AND abs(e.z - r.z) <= 1e-9 * greatest(abs(r.z), 1.0)
               AND abs(e.p - r.p) <= 1e-9
               AND abs(e.bh_level - r.bh_level) <= 1e-12
               AND (e.rejected = r.rejected
-                OR abs(r.p - r.bh_level) < 1e-9)"""),
+                OR fam.unstable = 1)"""),
     "Benjamini-Hochberg FDR over per-nation two-proportion tests: " +
       "exact-integer BH order, A&S erfc p-values, derived oracle [stats]")
 

@@ -65,9 +65,8 @@ object KmvStream {
           .select(col("scope"), explode(col("top")).as("r"))
           .select(col("scope"), col("r.id").as("h"))
           .withColumn("batch_key", lit(batchId))
-        val t = ParquetTable(spark, tableRoot)
-        if (!t.exists) t.overwrite(partial)
-        else t.merge(partial, keys = StateKeys)
+        // merge already overwrites when the table has no version yet
+        ParquetTable(spark, tableRoot).merge(partial, keys = StateKeys)
       }
     } finally { persisted.unpersist(blocking = false); () }
   }
