@@ -743,6 +743,82 @@ object TimeSeries {
     "Mann-Kendall monotone-trend test: integer S + tie-corrected " +
       "variance on the calendar-bounded frame [time-series]")
 
+  /** Spine-size cap for q221's driver-side median path: at 4096 days
+    * (an 11-year daily spine) the slope multiset is C(4096,2) ≈ 8.4M
+    * doubles = 67 MB — comfortably a bounded driver array; one step
+    * past it the distributed globalOrder path takes over.
+    */
+  private[graft] val SenDriverSpineCap = 4096L
+
+  /** Exact Theil-Sen (n_pairs, sen_slope) of a (day DATE, x BIGINT)
+    * frame — the two-path selection shape q221's scaladoc documents:
+    * spine ≤ cap collects and computes the exact median on the driver;
+    * larger spines run the pair join cluster-side with a
+    * range-partitioned global order instead of a one-partition rank
+    * window. Package-visible so TimeSeriesSpec can pin the two paths'
+    * equality by forcing the cap.
+    */
+  private[graft] def senSlope(s: org.apache.spark.sql.SparkSession,
+      daily: org.apache.spark.sql.DataFrame,
+      driverSpineCap: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // bounded collect: the calendar spine — one corpus fold, collected
+    // once (a 300-year daily spine is 110k tiny rows); the path choice
+    // below is about the O(spine²) slope ARRAY, not this collect
+    val rows = daily
+      .select(datediff(col("day"), lit("1970-01-01").cast("date"))
+        .as("d"), col("x"))
+      .collect()
+    val nDays = rows.length.toLong
+    val nPairs = nDays * (nDays - 1) / 2
+    if (nPairs == 0L) {
+      s.range(0).select(col("id").as("n_pairs"), lit(0.0).as("sen_slope"))
+    } else if (nDays <= driverSpineCap) {
+      // the O(spine²) slope array + positional median run in primitive
+      // doubles on the driver — the q253/q227 bounded-driver-compute
+      // class
+      val ds = rows.map(_.getInt(0))
+      val xs = rows.map(_.getLong(1))
+      val slopes = new Array[Double](nPairs.toInt)
+      var p = 0
+      var i = 0
+      while (i < ds.length) {
+        var j = 0
+        while (j < ds.length) {
+          // identical IEEE expression to the distributed path/oracle:
+          // (later x - earlier x) / (later day - earlier day)
+          if (ds(j) > ds(i)) {
+            slopes(p) = (xs(j) - xs(i)).toDouble / (ds(j) - ds(i)).toDouble
+            p += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(slopes)
+      val v1 = slopes(((nPairs + 1) / 2).toInt - 1)
+      val v2 = slopes(((nPairs + 2) / 2).toInt - 1)
+      Seq((nPairs, (v1 + v2) / 2.0)).toDF("n_pairs", "sen_slope")
+    } else {
+      val dd = daily.localCheckpoint()
+      val slopes = dd.as("a").join(dd.as("b"),
+          col("a.day") < col("b.day"))
+        .select(((col("b.x") - col("a.x")).cast("double") /
+          datediff(col("b.day"), col("a.day")).cast("double"))
+          .as("slope"))
+      // ties among equal slope doubles permute only equal values, so
+      // the positional pick is well-defined without a tiebreaker
+      Curation.globalOrder(slopes, Seq(col("slope")))
+        .filter(col("position") === (nPairs + 1) / 2 - 1 ||
+          col("position") === (nPairs + 2) / 2 - 1)
+        .groupBy(lit(nPairs).as("n_pairs"))
+        .agg(((min(when(col("position") === (nPairs + 1) / 2 - 1,
+            col("slope"))) +
+          min(when(col("position") === (nPairs + 2) / 2 - 1,
+            col("slope")))) / lit(2.0)).as("sen_slope"))
+    }
+  }
+
   /** q221: Theil–Sen slope of daily revenue — the robust trend
     * MAGNITUDE companion to q220's Mann-Kendall trend TEST (q220 says
     * "is there a monotone trend", this says "how many cents/day"): the
@@ -757,12 +833,31 @@ object TimeSeries {
     * even-n midpoint is one fixed (a+b)/2 chain — hash-exact, no
     * tolerance contract.
     *
-    * Scale: rides q220's frame exactly — one date-keyed corpus fold,
-    * then the O(|days|²) pair join and the median's single-partition
-    * rank window run on the checkpointed CALENDAR-BOUNDED daily frame
-    * (~3M pairs on a 10-year spine, invariant to corpus size). The
-    * window sort is local below an Exchange SinglePartition of a
-    * bounded frame, not a corpus sort.
+    * Scale: the corpus pays ONE date-keyed fold to the CALENDAR-
+    * BOUNDED daily frame (2.4k rows on the 10-year test spine,
+    * invariant to corpus size) — everything after is spine-sized, not
+    * corpus-sized. Round 13 profiled the old rendering (distributed
+    * O(days²) pair join + Exchange SinglePartition rank window over
+    * the ~3M-slope frame) at 2.6-3.1 s, ~90% of it the one-partition
+    * sort plus scheduler/shuffle overhead moving a frame that fits in
+    * one array — the exact q253 situation ("the distributed rendering
+    * measured 3.4 s of pure scheduler overhead"). So, like q253's
+    * dim²-bounded gram and q227's spine-array fold, the daily frame
+    * COLLECTS (≤ [[SenDriverSpineCap]] rows — bounded by the
+    * calendar, documented driver-collect class) and the O(spine²)
+    * slope multiset + exact positional median compute in a primitive
+    * double array on the driver: ~8.4M slopes / 67 MB at the 4096-day
+    * cap, Arrays.sort + two picks, milliseconds against the old plan's
+    * seconds. Each slope is the same ONE IEEE division both the old
+    * plan and the oracle evaluate, and java.util.Arrays.sort(double[])
+    * is a total order on the same multiset, so the selected values are
+    * bit-identical. Past the cap (a >11-year spine) the DISTRIBUTED
+    * path takes over: the pair join runs cluster-side and the median
+    * positions come from [[Curation.globalOrder]] (range-repartitioned
+    * sort + per-partition offsets — no one-partition window at any
+    * size; ties across duplicate slope doubles permute only EQUAL
+    * values, so positional selection is unaffected). Both paths are
+    * exact; TimeSeriesSpec pins their equality on the test corpus.
     */
   private val q221 = QueryDef(
     (s, d) => {
@@ -770,29 +865,7 @@ object TimeSeries {
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
           .as("x"))
-        .localCheckpoint()
-      val slopes = daily.as("a").join(daily.as("b"),
-          col("a.day") < col("b.day"))
-        .select(((col("b.x") - col("a.x")).cast("double") /
-          datediff(col("b.day"), col("a.day")).cast("double"))
-          .as("slope"))
-      val w = Window.orderBy(col("slope").asc)
-      // n_pairs = C(n_days, 2) from the daily frame directly — no
-      // second evaluation of the pair join just to count it
-      val nPairs = daily
-        .agg(graft.common.Exact.lcountAll.as("n_days"))
-        .select(expr("(n_days * (n_days - 1)) div 2").as("n_pairs"))
-      val ranked = slopes
-        .withColumn("rn", row_number().over(w))
-        .crossJoin(broadcast(nPairs))
-      ranked
-        .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
-          col("rn") === expr("(n_pairs + 2) div 2"))
-        .groupBy(col("n_pairs"))
-        .agg(((min(when(col("rn") === expr("(n_pairs + 1) div 2"),
-            col("slope"))) +
-          min(when(col("rn") === expr("(n_pairs + 2) div 2"),
-            col("slope")))) / lit(2.0)).as("sen_slope"))
+      senSlope(s, daily, SenDriverSpineCap)
     },
     Some(s"""WITH daily AS (
               SELECT CAST(o_orderdate AS DATE) AS day,

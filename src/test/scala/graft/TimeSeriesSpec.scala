@@ -55,6 +55,34 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     df.unpersist()
   }
 
+  test("q221 Theil-Sen: driver path matches a local recompute and the distributed path exactly") {
+    val daily = graft.common.Tables.load(spark, Sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(graft.common.Exact.cents(col("o_totalprice"))).as("x"))
+    // independent local recomputation of the pair-slope median
+    val rows = daily
+      .select(datediff(col("day"), lit("1970-01-01").cast("date")), col("x"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val slopes = (for {
+      (di, xi) <- rows; (dj, xj) <- rows; if dj > di
+    } yield (xj - xi).toDouble / (dj - di).toDouble).sorted
+    val n = slopes.length.toLong
+    val expected =
+      (slopes(((n + 1) / 2).toInt - 1) + slopes(((n + 2) / 2).toInt - 1)) / 2.0
+    val got = run("q221_theil_sen").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == n)
+    assert(got(0).getDouble(1) == expected, "driver path must be the exact median")
+    // the distributed globalOrder path (cap forced below the spine)
+    // must produce the BIT-IDENTICAL result
+    val dist = graft.queries.TimeSeries
+      .senSlope(spark, daily, driverSpineCap = 1L).collect()
+    assert(dist.length == 1)
+    assert(dist(0).getLong(0) == n)
+    assert(dist(0).getDouble(1) == expected,
+      "distributed path must equal the driver path bitwise")
+  }
+
   test("q245 Hampel: medians match a local window recomputation and the gate is exact") {
     val daily = graft.common.Tables.load(spark, Sf, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
