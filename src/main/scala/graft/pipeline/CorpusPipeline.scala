@@ -30,8 +30,8 @@ object CorpusPipeline {
 
   final case class Summary(
       nInput: Long, nAfterQuality: Long, nAfterDedup: Long,
-      nAfterDecontam: Long, nChunks: Long, nPacks: Long,
-      packedTokens: Long)
+      nAfterNearDup: Long, nAfterDecontam: Long, nChunks: Long,
+      nPacks: Long, packedTokens: Long)
 
   /** What an incremental run did, plus the TOTAL corpus [[Summary]]
     * after it — bit-identical to what a full rebuild over the union
@@ -42,7 +42,7 @@ object CorpusPipeline {
     */
   final case class IncrementalResult(
       summary: Summary, nBatch: Long, nBatchQuality: Long,
-      nNewDocs: Long, repackedGroups: Seq[Long],
+      nNewDocs: Long, nNearDup: Long, repackedGroups: Seq[Long],
       skipped: Boolean = false)
 
   /** Sidecar key prefix of the streaming ingest ledger: one flat entry
@@ -64,6 +64,34 @@ object CorpusPipeline {
     val w = words(col("text"))
     size(w) >= MinWords &&
       (size(array_distinct(w)).cast("double") / size(w)) >= MinDistinctRatio
+  }
+
+  /** Near-dup survivor selection under the ONLINE greedy contract
+    * (see [[Dedup.greedyNearDupDrops]]): verified >= 0.8 MinHash-LSH
+    * pairs over `docs`, walked greedily by id; returns the surviving
+    * frame. The verified-pair collect is BOUNDED by the corpus's true
+    * near-dup mass (exact-verify emits only real >= 0.8 pairs; the
+    * band buckets bound candidate fan-out — the q36 argument), the
+    * same edge list q59's clustering materializes.
+    */
+  private[graft] def nearDupSurvivors(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val pairs = Dedup.lshNearDupPairsOf(s, docs)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    dropById(s, docs, Dedup.greedyNearDupDrops(pairs))
+  }
+
+  /** Anti-join `docs` against a driver-side drop set (bounded — the
+    * near-dup victims). An `isin` literal list would inline the whole
+    * set into the plan; the anti-join keeps it a broadcast relation.
+    */
+  private def dropById(s: SparkSession, docs: DataFrame,
+      drops: Set[Long]): DataFrame = {
+    import s.implicits._
+    if (drops.isEmpty) docs
+    else docs.join(
+      broadcast(drops.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
   }
 
   /** Quality floor + exact dedup in one plan (q56's composition). */
@@ -135,11 +163,26 @@ object CorpusPipeline {
     val nDedup = cleaned.count()
 
     // the standing corpus hash index (content_hash → surviving doc_id):
-    // what runIncremental classifies the next batch against
+    // what runIncremental classifies the next batch against. Built from
+    // the EXACT-dedup survivors (pre-near-dup) deliberately: a later
+    // verbatim copy of a near-dup-dropped doc must still classify as
+    // dup_of_corpus, exactly as a full rebuild's min-id rule would
+    // drop it at the exact stage
     cleaned
       .select(sha2(norm(col("text")), 256).as("content_hash"),
         col("doc_id"))
       .write.mode("overwrite").parquet(s"$outDir/hash_index")
+
+    // near-dup stage (greedy-by-id MinHash-LSH) + its standing index:
+    // the band/gram signatures of every near-dup SURVIVOR (benchmark
+    // docs included — they participate in the greedy walk, so the
+    // incremental path must see them as potential droppers), which is
+    // all an appended batch needs to near-dup against the corpus
+    // without re-shingling a single corpus row
+    val nearKept = nearDupSurvivors(spark, cleaned).localCheckpoint()
+    val nNearDup = nearKept.count()
+    Dedup.bandSetsFrom(spark, nearKept)
+      .write.mode("overwrite").parquet(s"$outDir/lsh_index")
 
     // the benchmark gram set is the second standing artifact: tiny
     // (distinct 5-gram hashes of the benchmark slice), and the ONLY
@@ -151,7 +194,7 @@ object CorpusPipeline {
       .write.mode("overwrite").parquet(s"$outDir/bench_grams")
 
     val training = decontaminateWithGrams(spark,
-      spark.read.parquet(s"$outDir/bench_grams"), cleaned, isBench)
+      spark.read.parquet(s"$outDir/bench_grams"), nearKept, isBench)
 
     val chunks = TextOps.chunkDocs(spark, training)
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
@@ -168,7 +211,7 @@ object CorpusPipeline {
           .as("n_packs"),
         sum(col("n_tokens")).as("tok"))
       .collect()(0)
-    val summary = Summary(nInput, nQuality, nDedup, nDecontam,
+    val summary = Summary(nInput, nQuality, nDedup, nNearDup, nDecontam,
       nChunks, packStats.getLong(0), packStats.getLong(1))
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
@@ -191,6 +234,7 @@ object CorpusPipeline {
         "n_input" -> summary.nInput,
         "n_after_quality" -> summary.nAfterQuality,
         "n_after_dedup" -> summary.nAfterDedup,
+        "n_after_neardup" -> summary.nAfterNearDup,
         "n_after_decontam" -> summary.nAfterDecontam,
         "n_chunks" -> summary.nChunks,
         "n_packs" -> summary.nPacks,
@@ -277,9 +321,11 @@ object CorpusPipeline {
     if (batchId.isDefined && committed.exists(_ >= batchId.get)) {
       val standing = Summary(
         prevN("n_input"), prevN("n_after_quality"),
-        prevN("n_after_dedup"), prevN("n_after_decontam"),
+        prevN("n_after_dedup"), prevN("n_after_neardup"),
+        prevN("n_after_decontam"),
         prevN("n_chunks"), prevN("n_packs"), prevN("packed_tokens"))
-      return IncrementalResult(standing, 0L, 0L, 0L, Nil, skipped = true)
+      return IncrementalResult(standing, 0L, 0L, 0L, 0L, Nil,
+        skipped = true)
     }
 
     require(batchDocs.filter(isBench).limit(1).count() == 0,
@@ -307,11 +353,64 @@ object CorpusPipeline {
       .filter(col("status") === "new")
       .select("doc_id", "content_hash")
     val newDocs = cleanedBatch.join(newHashes.select("doc_id"), "doc_id")
+      // three consumers (count, signature pass, survivor anti-join)
+      .localCheckpoint()
     val nNewDocs = newDocs.count()
+
+    // 2b: near-dup the exact survivors against the STANDING corpus —
+    // batch-sized signature pass only (Dedup.shingledDocCount pins that
+    // no corpus text is re-shingled); candidates come from one band
+    // join in which the BATCH side broadcasts and the persisted index
+    // streams (at scale: one index scan per batch, ~1% of corpus bytes,
+    // prunable further by bucketing the index on band_hash) — never a
+    // corpus x corpus pair join. Standing ids precede batch ids
+    // (append-only precondition), so standing-vs-batch pairs are
+    // already (d1 < d2) and the greedy walk sees the standing doc as
+    // the potential dropper, exactly as a full rebuild would.
+    val batchSig = graft.queries.Dedup.bandSetsFrom(spark, newDocs)
+      .localCheckpoint()
+    val batchBuckets = batchSig
+      .select(col("doc_id"), posexplode(col("bands")))
+      .toDF("doc_id", "band_id", "band_hash")
+    val standing = spark.read.parquet(s"$outDir/lsh_index")
+    val vsStanding = standing
+      .select(col("doc_id"), posexplode(col("bands")))
+      .toDF("doc_id", "band_id", "band_hash").as("x")
+      .join(broadcast(batchBuckets.as("y")),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val inBatch = batchBuckets.as("x")
+      .join(batchBuckets.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val standingSets = standing.select(col("doc_id"), col("hs"), col("ng"))
+    val batchSets = batchSig.select(col("doc_id"), col("hs"), col("ng"))
+    // bounded collect: the batch's verified near-dup edges (true >= 0.8
+    // pairs only — the nearDupSurvivors bound, batch-sized here)
+    val nearPairs = graft.queries.Dedup
+      .verifyCandidates(standingSets, batchSets, vsStanding)
+      .unionByName(graft.queries.Dedup
+        .verifyCandidates(batchSets, batchSets, inBatch))
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nearNew = dropById(spark, newDocs,
+      graft.queries.Dedup.greedyNearDupDrops(nearPairs))
+      .localCheckpoint()
+    val nNearNew = nearNew.count()
+    // the batch survivors' signatures join the standing index
+    // (idempotent, batch-keyed file)
+    idempotentIngestWrite(spark,
+      graft.queries.Dedup.bandSetsFrom(spark, nearNew),
+      s"$outDir/lsh_index", minBatch)
 
     // 3: decontaminate against the persisted benchmark gram set
     val training = decontaminateWithGrams(spark,
-      spark.read.parquet(s"$outDir/bench_grams"), newDocs, isBench)
+      spark.read.parquet(s"$outDir/bench_grams"), nearNew, isBench)
 
     // 4: append chunks (idempotent, batch-keyed file name), repack only
     // the touched groups
@@ -350,6 +449,7 @@ object CorpusPipeline {
       prevN("n_input") + nBatch,
       prevN("n_after_quality") + nBatchQuality,
       prevN("n_after_dedup") + nNewDocs,
+      prevN("n_after_neardup") + nNearNew,
       packStats.getLong(2), packStats.getLong(3),
       packStats.getLong(0), packStats.getLong(1))
     val maxBatch = batchDocs.agg(max(col("doc_id"))).collect()(0).getLong(0)
@@ -358,7 +458,8 @@ object CorpusPipeline {
       case _ => prevLedger
     }
     writeStats(outDir, summary, math.max(maxOld, maxBatch), ledger)
-    IncrementalResult(summary, nBatch, nBatchQuality, nNewDocs, affected)
+    IncrementalResult(summary, nBatch, nBatchQuality, nNewDocs,
+      nNearNew, affected)
   }
 
   /** Idempotent ingest append: the batch's rows land as ONE parquet

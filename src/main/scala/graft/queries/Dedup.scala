@@ -216,6 +216,14 @@ object Dedup {
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows
 
+  /** Documents actually shingled by [[bandSetsFrom]] — the scan-counter
+    * test hook IncrementalCorpusSpec uses to prove an appended batch
+    * near-dups against the standing corpus WITHOUT re-shingling corpus
+    * text (valid in local mode, where executor threads share the JVM).
+    */
+  private[graft] val shingledDocCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Per-doc LSH band hashes AND the gram-hash set, from ONE narrow
     * typed pass — shingling, the 64 minhash "permutations", and the 16
     * band hashes are all local loops over the document row (the old
@@ -226,11 +234,12 @@ object Dedup {
     * avalanche, overflow-safe in plain JVM arithmetic), and each band
     * hash chains its 4 row minima through the same mixer.
     */
-  private def bandSetsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def bandSetsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
+          shingledDocCount.incrementAndGet()
           val hs = shingleHashes(text)
           if (hs.isEmpty) Iterator.empty
           else {
@@ -272,12 +281,19 @@ object Dedup {
     * and the exact-verify step keeps only true >= 0.8 pairs (miss
     * probability (1-s⁴)¹⁶ ≈ 2e-4 at s = 0.8, ~0 at the planted ~0.99).
     */
-  private[graft] def lshNearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshNearDupPairs(s: SparkSession, d: String): DataFrame =
+    lshNearDupPairsOf(s, load(s, d, "documents"))
+
+  /** The q36 pipeline against an arbitrary (doc_id, text) frame —
+    * shared by the registry query and the corpus pipeline's near-dup
+    * stage (which runs it on the exact-dedup survivors).
+    */
+  private[graft] def lshNearDupPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
       // the signature pass is a narrow map (no shuffle at all) — its two
       // consumers (band buckets, verification sets) each re-run the
       // shingling loop, which is cheaper than pinning a session-lifetime
       // cache for a lazily-returned frame
-      val sig = bandSetsFrom(s, load(s, d, "documents"))
+      val sig = bandSetsFrom(s, docs)
       val buckets = sig.select(col("doc_id"), posexplode(col("bands")))
         .toDF("doc_id", "band_id", "band_hash")
       val candidates = buckets.as("x")
@@ -287,17 +303,28 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      // exact-Jaccard verification on the hash sets: the CANDIDATE side
-      // is the tiny one, so it is what broadcasts — the per-doc gram
-      // sets (O(corpus) rows with array payloads) stream through narrow
-      // broadcast joins and are never shuffled or broadcast themselves.
-      // After the first join the intermediate is still candidate-sized
-      // (now carrying hs1), so it broadcasts into the second join too.
       val sets = sig.select(col("doc_id"), col("hs"), col("ng"))
-      val withS1 = sets.select(col("doc_id").as("d1"),
+      verifyCandidates(sets, sets, candidates)
+  }
+
+  /** Exact-Jaccard verification of candidate (d1, d2) pairs whose two
+    * sides' gram sets may come from DIFFERENT frames (d1 from
+    * `aSets`, d2 from `bSets`; both (doc_id, hs, ng)) — the asymmetric
+    * form the incremental corpus path needs (d1 = standing index rows,
+    * d2 = batch signatures). The CANDIDATE side is the tiny one, so it
+    * is what broadcasts — the per-doc gram sets (O(corpus) rows with
+    * array payloads) stream through narrow broadcast joins and are
+    * never shuffled or broadcast themselves. After the first join the
+    * intermediate is still candidate-sized (now carrying hs1), so it
+    * broadcasts into the second join too. Emits only true >= 0.8
+    * pairs with their exact Jaccard.
+    */
+  private[graft] def verifyCandidates(aSets: DataFrame, bSets: DataFrame,
+      candidates: DataFrame): DataFrame = {
+      val withS1 = aSets.select(col("doc_id").as("d1"),
           col("hs").as("hs1"), col("ng").as("n1"))
         .join(broadcast(candidates), "d1")
-      sets.select(col("doc_id").as("d2"),
+      bSets.select(col("doc_id").as("d2"),
           col("hs").as("hs2"), col("ng").as("n2"))
         .join(broadcast(withS1), "d2")
         .select(col("d1"), col("d2"),
@@ -307,6 +334,28 @@ object Dedup {
           (col("shared").cast("double") /
             (col("n1") + col("n2") - col("shared"))).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Greedy-by-id near-dup survivor selection over verified pairs
+    * (d1 < d2): walk the pairs in victim-id order; d2 drops iff d1 is
+    * still kept when its pair is reached. Because d1 < d2 always, every
+    * d1's own status is settled before any pair naming d2 arrives, so
+    * one sorted pass suffices. This is the ONLINE dedup contract — a
+    * doc drops iff it near-dups an earlier KEPT doc — which is the
+    * contract an append-only incremental corpus can maintain exactly:
+    * connected-component keep-min semantics would let a LATE bridging
+    * doc retroactively merge two standing clusters (and retract an
+    * already-published survivor), which no online pipeline can honor.
+    * Full rebuild and incremental ingest both apply this rule, which is
+    * why IncrementalCorpusSpec can demand bit parity between them.
+    */
+  private[graft] def greedyNearDupDrops(
+      pairs: Array[(Long, Long)]): Set[Long] = {
+    val dropped = scala.collection.mutable.HashSet.empty[Long]
+    pairs.sortBy(_._2).foreach { case (a, b) =>
+      if (!dropped.contains(a)) dropped += b
+    }
+    dropped.toSet
   }
 
   /** q36's oracle is q35's: the LSH route verifies every candidate at

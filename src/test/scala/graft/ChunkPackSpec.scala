@@ -156,4 +156,47 @@ class ChunkPackSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("q256/q257: token-true packs count in q98's BPE tokens and match a local next-fit") {
+    import graft.queries.Packing.{GroupSize, TokenPackBudget}
+    val rows = SparkEntry.queries("q256_token_packing")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // n_tokens per doc IS q98's n_bpe_tokens — the learned-token count,
+    // not the word proxy
+    val q98 = SparkEntry.queries("q98_bpe_tokenize")(spark, Sf)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == q98.size, "one pack row per tokenized doc")
+    rows.foreach { case (g, _, id, n) =>
+      assert(g == id / GroupSize)
+      assert(n == q98(id), s"doc $id n_tokens $n != q98 ${q98(id)}")
+    }
+    // pack_seq matches a local next-fit replay over (doc order, q98 counts)
+    rows.groupBy(_._1).foreach { case (g, docs) =>
+      var acc = 0L
+      var pack = 0
+      var first = true
+      docs.sortBy(_._3).foreach { case (_, seq, id, n) =>
+        if (first) { acc = n; first = false }
+        else if (acc + n > TokenPackBudget) { pack += 1; acc = n }
+        else acc += n
+        assert(seq == pack, s"group $g doc $id pack_seq $seq != $pack")
+      }
+    }
+    // q257 aggregates q256 exactly
+    val eff = SparkEntry.queries("q257_token_packing_efficiency")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val local = rows.groupBy(t => (t._1, t._2)).map { case (k, ds) =>
+      k -> (ds.length.toLong, ds.map(_._4).sum)
+    }
+    assert(eff.keySet == local.keySet)
+    local.foreach { case (k, (nd, tok)) =>
+      val (en, et, ef) = eff(k)
+      assert(en == nd && et == tok)
+      assert(ef == tok.toDouble / TokenPackBudget.toDouble)
+    }
+  }
 }

@@ -31,7 +31,7 @@ class IncrementalCorpusSpec extends AnyFunSuite with SparkSpec {
     (0L until 120L).map(i =>
       i -> (if (i == 30L) "short doc under the floor" else txt(i)))
 
-  // batch: append-only ids 121..128, all in pack group 2 — which the
+  // batch: append-only ids 121..131, all in pack group 2 — which the
   // base corpus (ids 100..119) already occupies, so the repack must
   // merge old and new chunks of a MIXED group
   private val batchDocs: Seq[(Long, String)] = Seq(
@@ -39,10 +39,13 @@ class IncrementalCorpusSpec extends AnyFunSuite with SparkSpec {
     122L -> txt(900), // new; survives
     123L -> txt(900), // in-batch duplicate of 122 → dropped
     124L -> txt(50), // verbatim copy of BENCH doc 50 → dup_of_corpus
-    125L -> (txt(50) + " extra tail words here"), // shares bench grams → decontaminated
+    125L -> (txt(50) + " extra tail words here"), // NEAR-dup of bench doc 50 (J = 21/25 = 0.84) → near-dup drop
     126L -> "tiny five word doc", // quality reject
     127L -> txt(901), // new; survives
-    128L -> txt(902)) // new; survives
+    128L -> txt(902), // new; survives
+    129L -> (txt(20) + " tailone tailtwo"), // NEAR-dup of STANDING doc 20 (J = 21/23 ≈ 0.91) → near-dup drop
+    130L -> txt(903), // new; survives (and drops 131)
+    131L -> (txt(903) + " tailthree")) // in-batch NEAR-dup of 130 (J = 21/22 ≈ 0.95) → near-dup drop
 
   test("incremental run = full rebuild, processing only the batch") {
     import spark.implicits._
@@ -55,25 +58,40 @@ class IncrementalCorpusSpec extends AnyFunSuite with SparkSpec {
 
     CorpusPipeline.run(spark, baseDir, outInc)
     val batch: DataFrame = batchDocs.toDF("doc_id", "text")
+    // scan counter: the incremental near-dup stage must shingle ONLY
+    // batch-derived rows, never the standing corpus
+    val shingledBefore = graft.queries.Dedup.shingledDocCount.get()
     val res = CorpusPipeline.runIncremental(spark, outInc, batch)
+    val shingledDelta = graft.queries.Dedup.shingledDocCount.get() - shingledBefore
     val full = CorpusPipeline.run(spark, fullDir, outFull)
 
     // the TOTAL summary after the incremental run equals the rebuild's
     assert(res.summary == full)
 
-    // and so do the materialized outputs, row for row
+    // and so do the materialized outputs, row for row — including the
+    // standing LSH index the NEXT batch will near-dup against
     assert(rowsOf(s"$outInc/packed") == rowsOf(s"$outFull/packed"))
     assert(rowsOf(s"$outInc/chunks") == rowsOf(s"$outFull/chunks"))
     assert(rowsOf(s"$outInc/hash_index") == rowsOf(s"$outFull/hash_index"))
+    assert(rowsOf(s"$outInc/lsh_index") == rowsOf(s"$outFull/lsh_index"))
 
-    // only the batch was processed: 8 docs in, 6 past quality (126 and
-    // the in-batch dup's SECOND copy still count toward quality — the
-    // floor drops only 126), 4 genuinely new after the index join
-    // (122, 125, 127, 128), and exactly pack group 2 repacked
-    assert(res.nBatch == 8)
-    assert(res.nBatchQuality == 7)
-    assert(res.nNewDocs == 4)
+    // only the batch was processed: 11 docs in, 10 past quality (the
+    // floor drops only 126), 7 genuinely new after the exact index join
+    // (122, 125, 127, 128, 129, 130, 131), 4 past near-dup (122, 127,
+    // 128, 130 — 125 near-dups bench doc 50, 129 near-dups standing
+    // doc 20, 131 near-dups its in-batch sibling 130), and exactly
+    // pack group 2 repacked
+    assert(res.nBatch == 11)
+    assert(res.nBatchQuality == 10)
+    assert(res.nNewDocs == 7)
+    assert(res.nNearDup == 4)
     assert(res.repackedGroups == Seq(2L))
+
+    // the near-dup stage shingled batch docs only: the exact survivors
+    // once for the signature pass + the near-dup survivors once for the
+    // index append — nowhere near the 119-doc standing corpus
+    assert(shingledDelta == res.nNewDocs + res.nNearDup,
+      s"expected batch-only shingling, got $shingledDelta")
   }
 
   test("refuses a batch that extends the benchmark slice") {
