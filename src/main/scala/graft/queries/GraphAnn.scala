@@ -39,14 +39,21 @@ import org.apache.spark.sql.functions._
   *      falls back to the NN-Descent rebuild, which produces a better
   *      graph than bulk-chained inserts for the same order of work.
   *
-  * Search (q211): greedy beam walk. Entry points are a bounded,
-  * deterministic id-cut sample; each hop expands the per-query beam
-  * along stored edges, re-scores with the exact cosine, and keeps the
-  * best B per query. Every hop's frontier is O(|queries|·B·M) rows
-  * REGARDLESS of corpus size — the stored edge table is the only
-  * corpus-proportional frame, and it joins by key. This is the
-  * navigable-graph promise at scale: per-query work bounded by
-  * (hops × beam × degree), not by the corpus.
+  * Search (q211): HNSW layer descent + beam walk (round 13 — before
+  * that, a flat 4-hop walk from an id-cut sample, whose hop count to
+  * reach a target grows with graph diameter at billion-node scale).
+  * The graph is LAYERED: layer l holds the deterministic 4^-l level
+  * subset ([[levelCol]]) with its own navigable adjacency. Entry
+  * points are ALL top-layer nodes (~[[TopTarget]], bounded by the
+  * geometric draw); the walk descends the sparse upper layers at a
+  * narrow greedy width — constant hops per layer because geometric
+  * sizes keep each layer's diameter constant — and runs the full beam
+  * only at layer 0. Hop budget: UpperHops·L + Hops with
+  * L = ceil(log4(n/TopTarget)) — O(log n), the HNSW promise
+  * (GraphAnnSpec emits the layer histogram as evidence). Every hop's
+  * frontier is O(|queries|·B·M) rows REGARDLESS of corpus size — the
+  * stored edge table is the only corpus-proportional frame, and it
+  * joins by key.
   *
   * Oracles: q211 carries the family's pair-level derived oracle (every
   * emitted score re-derived from the embeddings, ranks re-derived from
@@ -110,11 +117,79 @@ object GraphAnn {
     */
   private[queries] val RecallFloor = 0.70
 
+  // ---- HNSW layering (round 13) ----
+  // The single-layer walk's fixed 4 hops from id-cut entry points is
+  // fine while graph diameter is small, but hop count to REACH a
+  // query's neighborhood grows with diameter at billion-node scale.
+  // True HNSW fixes it with geometric levels: layer l holds the
+  // P(level >= l) = 4^-l subset of nodes with its own navigable graph;
+  // search enters at the (bounded) top layer, descends greedily
+  // through the sparse upper layers — each a constant number of hops,
+  // because each layer's diameter is constant when layer sizes shrink
+  // geometrically — and runs the full beam only at layer 0. Hop
+  // budget: UpperHops·L + Hops with L = ceil(log4(n/TopTarget)) —
+  // O(log n), the HNSW promise (GraphAnnSpec emits the layer
+  // histogram as evidence of the geometric sizes).
+
+  /** Target occupancy of the TOP layer — the walk's entry set is every
+    * top-layer node, so this bounds entry scoring exactly like the old
+    * EntryCap/EntryStride cut did.
+    */
+  private val TopTarget = 64L
+
+  /** Hard cap on levels (4^8 ≈ 65k shrink covers any corpus that fits
+    * a cluster; beyond it TopTarget just grows a little).
+    */
+  private val MaxLevelCap = 8
+
+  /** NN-Descent rounds for the UPPER layers: they exist for routing,
+    * not recall — 2 rounds over a geometric subset is plenty, and the
+    * total upper-layer build work is a geometric series ≈ 1/3 of the
+    * base layer's.
+    */
+  private val UpperRounds = 2
+
+  /** Frontier width through the upper layers (HNSW uses width 1; a
+    * small beam is sturdier against a routing dead-end for the same
+    * asymptotics).
+    */
+  private val GreedyWidth = 8
+
+  /** Hops per upper layer — constant, because geometric layer sizes
+    * keep each layer's diameter constant.
+    */
+  private val UpperHops = 2
+
+  /** Deterministic HNSW level of a vector id: the count of trailing
+    * base-4 zero digits of a seeded hash, capped — P(level >= l) =
+    * 4^-l, the geometric draw HNSW makes from mL = 1/ln(M), rendered
+    * as a PURE FUNCTION of the id. Every path (build, insert, walk,
+    * spec) recomputes it identically, so the stored graph never
+    * carries a level column per node — only the per-edge `layer`.
+    */
+  private[graft] def levelCol(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (1 to MaxLevelCap).foldLeft(lit(0)) { (acc, l) =>
+      when(pmod(xxhash64(id, lit(41)), lit(1L << (2 * l))) === 0, lit(l))
+        .otherwise(acc)
+    }
+
+  /** Layer count for an n-vector corpus: enough levels that the top
+    * layer holds ~[[TopTarget]] nodes, never less than 1 (so the
+    * layered machinery is always exercised) and never more than
+    * [[MaxLevelCap]].
+    */
+  private[graft] def levelsFor(n: Long): Int =
+    math.min(MaxLevelCap, math.max(1,
+      math.ceil(math.log(math.max(n, 1L).toDouble / TopTarget) /
+        math.log(4.0)).toInt))
+
   /** Scheme pin for the stored graph: bump to invalidate every stored
     * edge table when the build algorithm changes.
     */
   private[graft] val GraphScheme =
-    s"nsw:lsh+ring$HashRing-C$InitSuccessors:M${M}xR$DescentRounds:sym:v3"
+    s"nsw:lsh+ring$HashRing-C$InitSuccessors:M${M}xR$DescentRounds" +
+      s":sym:hnsw4^-l-top$TopTarget-R$UpperRounds:v4"
 
   private def emb(s: SparkSession, d: String): DataFrame =
     load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -154,15 +229,22 @@ object GraphAnn {
     }.reduce(_.unionByName(_)).filter(col("v").isNotNull)
   }
 
-  /** One full NN-Descent build — the SYMMETRIZED adjacency
-    * (u, v, score), degree ≤ 2M per node.
+  /** One NN-Descent pass over `nodes` (None = the whole corpus): the
+    * SYMMETRIZED adjacency (u, v, score), degree ≤ 2M per node within
+    * the subset. Upper HNSW layers pass their geometric subset and a
+    * smaller round count.
     */
-  private def buildGraphEdges(s: SparkSession, d: String): DataFrame = {
-    // seed = LSH locality ∪ hash-ring diversity (see HashRing scaladoc)
-    val lsh = Similarity.resolveLshIndex(s, d) // (vec_id, bkt), persisted
+  private def descentEdges(s: SparkSession, d: String,
+      nodes: Option[DataFrame], rounds: Int): DataFrame = {
+    // seed = LSH locality ∪ hash-ring diversity (see HashRing scaladoc),
+    // both restricted to the subset when one is given
+    val lshAll = Similarity.resolveLshIndex(s, d) // (vec_id, bkt), persisted
+    val lsh = nodes.fold(lshAll)(ns =>
+      lshAll.join(ns.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    val ringBase = nodes.fold(emb(s, d).select(col("vec_id")))(identity)
     val local = chain(lsh.select(col("vec_id"), col("bkt"),
       col("vec_id").as("ord")))
-    val ring = chain(emb(s, d).select(col("vec_id"),
+    val ring = chain(ringBase.select(col("vec_id"),
       pmod(xxhash64(col("vec_id")), lit(HashRing)).as("bkt"),
       xxhash64(col("vec_id"), lit(1)).as("ord")))
     val succ = local.unionByName(ring)
@@ -170,7 +252,7 @@ object GraphAnn {
       .unionByName(succ.select(col("v").as("u"), col("u").as("v")))
       .distinct()
     var edges = topM(scorePairs(s, d, init)).localCheckpoint()
-    for (_ <- 1 to DescentRounds) {
+    for (_ <- 1 to rounds) {
       // symmetrize (a reverse edge reuses the already-computed score),
       // exchange neighbors-of-neighbors over the symmetrized graph,
       // and pay the cosine ONLY for pairs not already scored — the
@@ -195,6 +277,26 @@ object GraphAnn {
       .unionByName(edges.select(col("v").as("u"), col("u").as("v"),
         col("score")))
       .groupBy(col("u"), col("v")).agg(max(col("score")).as("score"))
+  }
+
+  /** The full layered build: layer 0 is the usual NN-Descent graph over
+    * the corpus; each layer l in 1..L re-runs a shorter descent over
+    * the 4^-l level subset ([[levelCol]]), so upper-layer work is a
+    * geometric series on top of the base. Emits (u, v, score, layer).
+    */
+  private def buildGraphEdges(s: SparkSession, d: String): DataFrame = {
+    val n = emb(s, d).count()
+    val maxL = levelsFor(n)
+    val base = descentEdges(s, d, None, DescentRounds)
+      .withColumn("layer", lit(0))
+    val uppers = (1 to maxL).map { l =>
+      val subset = emb(s, d)
+        .filter(levelCol(col("vec_id")) >= l)
+        .select(col("vec_id"))
+      descentEdges(s, d, Some(subset), UpperRounds)
+        .withColumn("layer", lit(l))
+    }
+    (base +: uppers).reduce(_.unionByName(_))
   }
 
   /** In-JVM full graph builds this session — lets the spec prove the
@@ -231,20 +333,38 @@ object GraphAnn {
       t: graft.tables.ParquetTable, toAppend: Seq[String]): Unit = {
     val fresh = s.read.parquet(toAppend: _*)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val standing = t.read.select(col("u"), col("v"))
-    val wQ = Window.partitionBy(col("query_id"))
+    val standing = t.read.select(col("u"), col("v"), col("layer"))
+    // a standing-graph insert links UP TO the graph's existing top
+    // layer (state-derived; raising the top is a rebuild concern — the
+    // level draw is a pure id function, so a later rebuild assigns the
+    // same node its same level and only then materializes the higher
+    // layer)
+    val maxL = standing.agg(coalesce(max(col("layer")), lit(0)))
+      .collect()(0).getInt(0)
+    val beam = beamSearch(s, d, fresh, standing)
+    // per-layer LINK: the new node joins every layer up to its own
+    // level; layer-l neighbors are the best beam candidates whose own
+    // level reaches l (levelCol is a pure id function — no lookup)
+    val wQL = Window.partitionBy(col("query_id"), col("layer"))
       .orderBy(col("score").desc, col("cand").asc)
-    val out = beamSearch(s, d, fresh, standing)
-      .withColumn("rn", row_number().over(wQ))
+    val out = beam
+      .withColumn("layer",
+        explode(sequence(lit(0), least(levelCol(col("query_id")),
+          lit(maxL)))))
+      .filter(levelCol(col("cand")) >= col("layer"))
+      .withColumn("rn", row_number().over(wQL))
       .filter(col("rn") <= M)
-      .select(col("query_id").as("u"), col("cand").as("v"), col("score"))
+      .select(col("query_id").as("u"), col("cand").as("v"), col("score"),
+        col("layer"))
     val linked = out
       .unionByName(out.select(col("v").as("u"), col("u").as("v"),
-        col("score")))
-      .groupBy(col("u"), col("v")).agg(max(col("score")).as("score"))
-      .localCheckpoint() // batch-bounded (≤ 2·batch·M rows); materialized
-                         // so the merge never re-walks mid-write
-    t.merge(linked, keys = Seq("u", "v"))
+        col("score"), col("layer")))
+      .groupBy(col("u"), col("v"), col("layer"))
+      .agg(max(col("score")).as("score"))
+      .localCheckpoint() // batch-bounded (≤ 2·batch·M·(L+1) rows);
+                         // materialized so the merge never re-walks
+                         // mid-write
+    t.merge(linked, keys = Seq("u", "v", "layer"))
   }
 
   /** The insert's PRUNE step, derived from table state so an
@@ -272,30 +392,36 @@ object GraphAnn {
     val touched = t.read.join(broadcast(newIds), "u")
     val affected = touched.select(col("u"))
       .unionByName(touched.select(col("v").as("u")))
-      .distinct().localCheckpoint() // ≤ batch·(M+1) node ids
-    val wU = Window.partitionBy(col("u"))
+      .distinct().localCheckpoint() // ≤ batch·(M·(L+1)+1) node ids
+    // degree bound and mirror protection are PER LAYER — each layer is
+    // its own navigable graph with its own 2M contract
+    val wU = Window.partitionBy(col("u"), col("layer"))
       .orderBy(col("score").desc, col("v").asc)
     val cand = t.read.join(broadcast(affected), "u")
       .withColumn("rn", row_number().over(wU))
       .filter(col("rn") > 2 * M)
-      .select(col("u"), col("v"))
+      .select(col("u"), col("v"), col("layer"))
       .localCheckpoint() // batch-bounded overflow candidates
-    // each candidate's mirror endpoint's best partner — dropping
-    // (u, v) also deletes (v, u), which must not be v's last/best edge
-    val mirrorNodes = cand.select(col("v").as("n"))
+    // each candidate's mirror endpoint's best partner AT THAT LAYER —
+    // dropping (u, v, l) also deletes (v, u, l), which must not be v's
+    // last/best layer-l edge
+    val mirrorNodes = cand.select(col("v").as("n"), col("layer").as("nl"))
       .distinct().localCheckpoint()
     val best = t.read
-      .join(broadcast(mirrorNodes), col("u") === col("n"))
+      .join(broadcast(mirrorNodes),
+        col("u") === col("n") && col("layer") === col("nl"))
       .withColumn("rn", row_number().over(wU))
       .filter(col("rn") === 1)
-      .select(col("u").as("bv"), col("v").as("bu"))
+      .select(col("u").as("bv"), col("v").as("bu"), col("layer").as("bl"))
     val dropped = cand.join(broadcast(best),
-        col("v") === col("bv") && col("u") === col("bu"), "left_anti")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+        col("v") === col("bv") && col("u") === col("bu") &&
+          col("layer") === col("bl"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     if (dropped.nonEmpty) {
-      val pairs = (dropped ++ dropped.map(_.swap)).distinct
-        .map { case (u, v) => s"$u:$v" }
-      t.delete(concat_ws(":", col("u"), col("v")).isin(pairs: _*))
+      val keys = (dropped ++ dropped.map(x => (x._2, x._1, x._3))).distinct
+        .map { case (u, v, l) => s"$u:$v:$l" }
+      t.delete(concat_ws(":", col("u"), col("v"), col("layer"))
+        .isin(keys: _*))
       ()
     }
   }
@@ -397,9 +523,20 @@ object GraphAnn {
   private def beamSearch(s: SparkSession, d: String, q: DataFrame,
       edges: DataFrame): DataFrame = {
       val e = emb(s, d)
-      val entries = e.filter(
-          col("vec_id") % EntryStride === 0 && col("vec_id") < EntryCap)
-        .select(col("vec_id").as("cand"))
+      // state-derived layer count (replay-safe: whatever the stored
+      // graph carries is what the walk descends)
+      val maxL = edges.agg(coalesce(max(col("layer")), lit(0)))
+        .collect()(0).getInt(0)
+      // entry set: every TOP-layer node — bounded at ~TopTarget by the
+      // geometric level draw, exactly the role the old id-cut sample
+      // played, but now the entries are the nodes HNSW routes from
+      val entries =
+        if (maxL == 0)
+          e.filter(col("vec_id") % EntryStride === 0 &&
+              col("vec_id") < EntryCap)
+            .select(col("vec_id").as("cand"))
+        else edges.filter(col("layer") === maxL)
+          .select(col("u").as("cand")).distinct()
       val wQ = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cand").asc)
       def rescore(cands: DataFrame): DataFrame =
@@ -409,29 +546,36 @@ object GraphAnn {
           .join(broadcast(q), "query_id")
           .select(col("query_id"), col("cand"),
             Similarity.fastCosine(s)(col("qv"), col("cv")).as("score"))
-      var frontier = rescore(
-          q.select(col("query_id")).crossJoin(broadcast(entries)))
+      def keepTop(f: DataFrame, k: Int): DataFrame = f
         .withColumn("rn", row_number().over(wQ))
-        .filter(col("rn") <= Beam)
+        .filter(col("rn") <= k)
         .select(col("query_id"), col("cand"), col("score"))
-        .localCheckpoint()
-      for (_ <- 1 to Hops) {
-        val expanded = frontier.select(col("query_id"), col("cand").as("u"))
-          .join(edges, "u")
+      def hop(f: DataFrame, layer: Int, k: Int): DataFrame = {
+        val expanded = f.select(col("query_id"), col("cand").as("u"))
+          .join(edges.filter(col("layer") === layer)
+            .select(col("u"), col("v")), "u")
           .select(col("query_id"), col("v").as("cand"))
-          .unionByName(frontier.select(col("query_id"), col("cand")))
+          .unionByName(f.select(col("query_id"), col("cand")))
           .distinct()
-        frontier = rescore(expanded)
-          .withColumn("rn", row_number().over(wQ))
-          .filter(col("rn") <= Beam)
-          .select(col("query_id"), col("cand"), col("score"))
-          .localCheckpoint()
+        keepTop(rescore(expanded), k).localCheckpoint()
       }
+      var frontier = keepTop(rescore(
+          q.select(col("query_id")).crossJoin(broadcast(entries))),
+          if (maxL == 0) Beam else GreedyWidth)
+        .localCheckpoint()
+      // descend the sparse upper layers at greedy width — constant
+      // hops per layer, O(log n) layers
+      for (l <- maxL to 1 by -1; _ <- 1 to UpperHops)
+        frontier = hop(frontier, l, GreedyWidth)
+      // full beam only at layer 0
+      for (_ <- 1 to Hops)
+        frontier = hop(frontier, 0, Beam)
       frontier.filter(col("cand") =!= col("query_id"))
   }
 
   private def walkTopKUncached(s: SparkSession, d: String): DataFrame = {
-      val edges = resolveGraphIndex(s, d).select(col("u"), col("v"))
+      val edges = resolveGraphIndex(s, d)
+        .select(col("u"), col("v"), col("layer"))
       val q = emb(s, d).filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val wQ = Window.partitionBy(col("query_id"))

@@ -22,17 +22,45 @@ class GraphAnnSpec extends AnyFunSuite with SparkSpec {
       r.getAs[Int]("hi") == 10 && r.getAs[Long]("d") == 10L))
   }
 
-  test("stored adjacency is symmetric with bounded degree") {
+  test("stored adjacency is symmetric with bounded degree, per layer") {
     val edges = graft.queries.GraphAnn.resolveGraphIndex(spark, Sf)
-      .select(col("u"), col("v"))
+      .select(col("u"), col("v"), col("layer"))
     val asym = edges
-      .join(edges.select(col("v").as("u"), col("u").as("v")),
-        Seq("u", "v"), "left_anti")
+      .join(edges.select(col("v").as("u"), col("u").as("v"), col("layer")),
+        Seq("u", "v", "layer"), "left_anti")
       .count()
     assert(asym == 0, s"$asym directed edges lack their reverse")
-    val maxDeg = edges.groupBy("u").count()
+    // each layer is its own navigable graph with its own 2M contract
+    val maxDeg = edges.groupBy("u", "layer").count()
       .agg(max("count")).collect()(0).getLong(0)
-    assert(maxDeg <= 32L, s"degree $maxDeg exceeds the 2M bound")
+    assert(maxDeg <= 32L, s"per-layer degree $maxDeg exceeds the 2M bound")
+  }
+
+  test("HNSW layers: geometric sizes, nested membership, O(log n) hop budget evidence") {
+    import graft.queries.GraphAnn
+    val edges = GraphAnn.resolveGraphIndex(spark, Sf)
+    // the layer histogram — the walk's hop budget is
+    // UpperHops * maxLayer + Hops, O(log n) because the node counts
+    // below shrink geometrically (expected 4x per layer)
+    val hist = edges.groupBy("layer")
+      .agg(countDistinct(col("u")).as("nodes"))
+      .orderBy("layer").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(hist.nonEmpty && hist.head._1 == 0)
+    assert(hist.last._1 >= 1, "the layered build must materialize >= 1 upper layer")
+    info(s"layer histogram: ${hist.map { case (l, n) => s"L$l=$n" }.mkString(" ")}")
+    // sizes shrink monotonically up the stack (geometric in expectation)
+    hist.sliding(2).foreach {
+      case Array((_, lo), (_, hi)) =>
+        assert(hi <= lo, s"layer sizes must shrink upward: $lo -> $hi")
+      case _ =>
+    }
+    // membership is NESTED: a node with a layer-l edge has level >= l
+    // (levelCol is a pure id function — recomputable anywhere)
+    val misplaced = edges
+      .filter(GraphAnn.levelCol(col("u")) < col("layer"))
+      .count()
+    assert(misplaced == 0, s"$misplaced edges sit above their node's level")
   }
 
   test("persisted graph serves repeat executions without a rebuild") {

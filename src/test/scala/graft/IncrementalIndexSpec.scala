@@ -360,13 +360,13 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
     (48L until 64L).foreach(id =>
       assert(sources.contains(id), s"new vector $id has no edges"))
     // …and the stored form's invariants survive the insert: symmetric
-    // adjacency, degree bounded by 2M (the prune step's contract)
-    val edges = grown.select(col("u"), col("v"))
+    // adjacency and a 2M degree bound PER LAYER (the prune contract)
+    val edges = grown.select(col("u"), col("v"), col("layer"))
     val asym = edges
-      .join(edges.select(col("v").as("u"), col("u").as("v")),
-        Seq("u", "v"), "left_anti").count()
+      .join(edges.select(col("v").as("u"), col("u").as("v"), col("layer")),
+        Seq("u", "v", "layer"), "left_anti").count()
     assert(asym == 0, s"$asym directed edges lack their reverse after insert")
-    val maxDeg = edges.groupBy("u").count()
+    val maxDeg = edges.groupBy("u", "layer").count()
       .agg(max("count")).collect()(0).getLong(0)
     assert(maxDeg <= 32L, s"degree $maxDeg exceeds the 2M bound after insert")
 
@@ -410,10 +410,10 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
       .map(_.getLong(0)).toSet
     (64L until 67L).foreach(id =>
       assert(sources2.contains(id), s"outlier $id orphaned by the prune"))
-    val edges2 = grown2.select(col("u"), col("v"))
+    val edges2 = grown2.select(col("u"), col("v"), col("layer"))
     assert(edges2
-      .join(edges2.select(col("v").as("u"), col("u").as("v")),
-        Seq("u", "v"), "left_anti").count() == 0,
+      .join(edges2.select(col("v").as("u"), col("u").as("v"), col("layer")),
+        Seq("u", "v", "layer"), "left_anti").count() == 0,
       "adjacency must stay symmetric after the protected prune")
 
     // a rewritten file still invalidates the whole graph (global state)
