@@ -562,10 +562,137 @@ object Sketches {
     "KMV k-minimum-values distinct sketch per priority + exact merged " +
       "union — bijective hash, fully value-checkable estimates [sketch]")
 
+  /** q258: the KMV CATALOG rollup — q241's merge law shaped as the
+    * per-source cardinality catalog a training-data pipeline reads:
+    * "how many content-distinct documents per (source, lang) cell, per
+    * source, per language, and corpus-wide" — where every rollup level
+    * above the cell comes from MERGING the cell sketches (the k
+    * smallest of a union are contained in the union of per-side
+    * k-mins), never from re-sketching the corpus. That is the whole
+    * point of a sketch catalog: per-source sketches are computed once
+    * at ingest and fold upward for free.
+    *
+    * Distinct grain: a 60-bit CONTENT key (hex prefix of sha256 over
+    * the normalized text — both engines parse the same 15 hex chars,
+    * so the key pipeline is cross-engine exact) through the q241 keyed
+    * bijective hash, making dedup-aware "distinct documents" the
+    * counted unit rather than raw rows.
+    *
+    * Scale: ONE corpus fold builds the cell sketches (bounded-heap
+    * TopKAgg — ≤k rows per cell pre-exchange); all three rollup levels
+    * fold the ≤|cells|·k exploded sketch rows. The n_exact audit
+    * columns pay one direct distinct fold per level (the q241 audit
+    * discipline — evidence beside the estimates, not part of the
+    * sketch path).
+    *
+    * Oracle: fully value-exact like q241 — the merge law guarantees
+    * the merged k-mins EQUAL the k smallest over each level's distinct
+    * key set, which is what DuckDB recomputes directly.
+    */
+  private val q258 = QueryDef(
+    (s, d) => {
+      val kth = graft.functions.TopK.topk(KmvK)
+      val key = conv(substring(
+        sha2(Text.norm(col("text")), 256), 1, 15), 16, 10).cast("long")
+      def cells = load(s, d, "documents")
+        .select(col("source"), col("lang"),
+          Curation.shuffleKeyWith(key, KmvSeed).as("h"))
+        .distinct()
+      val cellTops = cells.groupBy(col("source"), col("lang"))
+        .agg(lcountAll.as("n_exact"),
+          kth(-col("h"), col("h"), lit(0.0)).as("top"))
+        .localCheckpoint()
+      // the catalog's merge currency: every cell's k-min set, exploded
+      // once (≤ |cells|·k rows) and reused by all three rollup levels
+      val exploded = cellTops
+        .select(col("source"), col("lang"), explode(col("top")).as("r"))
+        .select(col("source"), col("lang"), col("r.id").as("h"))
+        .localCheckpoint()
+      def sketchCols(top: org.apache.spark.sql.Column) = Seq(
+        size(top).cast("long").as("n_mins"),
+        element_at(top, size(top)).getField("id").as("kth_hash"))
+      def rollup(level: String, src: org.apache.spark.sql.Column,
+          lng: org.apache.spark.sql.Column) = {
+        val merged = exploded
+          .select(src.as("source"), lng.as("lang"), col("h"))
+          .distinct() // the same content key may arrive from two cells
+          .groupBy(col("source"), col("lang"))
+          .agg(kth(-col("h"), col("h"), lit(0.0)).as("top"))
+        val exact = cells
+          .select(src.as("source"), lng.as("lang"), col("h"))
+          .distinct()
+          .groupBy(col("source"), col("lang"))
+          .agg(lcountAll.as("n_exact"))
+        merged
+          .select(Seq(lit(level).as("level"), col("source"), col("lang"))
+            ++ sketchCols(col("top")): _*)
+          .join(exact, Seq("source", "lang"))
+      }
+      val cellRows = cellTops.select(
+        Seq(lit("cell").as("level"), col("source"), col("lang"))
+          ++ sketchCols(col("top")) :+ col("n_exact"): _*)
+      cellRows
+        .unionByName(rollup("source", col("source"), lit("__all__")))
+        .unionByName(rollup("lang", lit("__all__"), col("lang")))
+        .unionByName(rollup("corpus", lit("__all__"), lit("__all__")))
+        .withColumn("est", kmvEstimate(col("n_mins"), col("kth_hash")))
+        .withColumn("rel_err",
+          (col("est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"))
+    },
+    Some {
+      val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+      val keySql = s"CAST('0x' || substr(sha256($normSql), 1, 15) AS BIGINT)"
+      val p = Curation.hashMod
+      val hSql = Curation.shuffleKeySqlWith(s"($keySql)", KmvSeed)
+      // DuckDB mirrors each level directly over the distinct key set;
+      // the merge law makes that equal Spark's sketch-merge values
+      def block(name: String, src: String, lng: String) =
+        s"""d_$name AS (
+              SELECT DISTINCT $src AS source, $lng AS lang, h FROM dg
+            ), r_$name AS (
+              SELECT source, lang, h,
+                ROW_NUMBER() OVER (PARTITION BY source, lang
+                  ORDER BY h) AS rn,
+                COUNT(*) OVER (PARTITION BY source, lang) AS n
+              FROM d_$name
+            ), p_$name AS (
+              SELECT '$name' AS level, source, lang,
+                CAST(max(n) AS BIGINT) AS n_exact,
+                CAST(LEAST(max(n), $KmvK) AS BIGINT) AS n_mins,
+                CAST(max(CASE WHEN rn = LEAST(n, $KmvK) THEN h END)
+                  AS BIGINT) AS kth_hash
+              FROM r_$name WHERE rn <= $KmvK GROUP BY 2, 3
+            )"""
+      s"""WITH dg AS (
+            SELECT DISTINCT source, lang, $hSql AS h FROM documents
+          ), ${block("cell", "source", "lang")},
+          ${block("source", "source", "'__all__'")},
+          ${block("lang", "'__all__'", "lang")},
+          ${block("corpus", "'__all__'", "'__all__'")},
+          u AS (
+            SELECT * FROM p_cell UNION ALL SELECT * FROM p_source
+            UNION ALL SELECT * FROM p_lang UNION ALL SELECT * FROM p_corpus
+          )
+          SELECT level, source, lang, n_exact, n_mins, kth_hash,
+            CASE WHEN n_mins < $KmvK THEN CAST(n_mins AS DOUBLE)
+              ELSE ${(KmvK - 1).toDouble} * ${p.toDouble}
+                / CAST(kth_hash AS DOUBLE) END AS est,
+            (CASE WHEN n_mins < $KmvK THEN CAST(n_mins AS DOUBLE)
+              ELSE ${(KmvK - 1).toDouble} * ${p.toDouble}
+                / CAST(kth_hash AS DOUBLE) END
+              - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+              AS rel_err
+          FROM u"""
+    },
+    "KMV catalog rollup over documents: content-distinct sketches per " +
+      "(source, lang) cell, merged upward to source/lang/corpus [sketch]")
+
   val all: Seq[(String, QueryDef)] = Seq(
     "q103_cms_heavy_hitters" -> q103,
     "q104_mg_topk" -> q104,
     "q241_kmv_distinct" -> q241,
+    "q258_kmv_catalog" -> q258,
     "q107_hll_distinct" -> q107,
     "q108_bloom_join" -> q108,
     "q170_sliding_hll" -> q170,

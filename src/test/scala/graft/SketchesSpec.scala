@@ -98,4 +98,45 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     }
     assert(math.abs(u._6) < 0.5, s"union rel_err ${u._6}")
   }
+
+  test("q258 KMV catalog: rollup sketches obey the merge law against a local recompute") {
+    // emitted column order: level, source, lang, n_mins, kth_hash, n_exact
+    val rows = run("q258_kmv_catalog").collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(5), r.getLong(3), r.getLong(4))))
+      .toMap
+    // independent local recompute of every level's k-mins from the
+    // distinct content-key sets
+    val docs = graft.common.Tables.load(spark, Sf, "documents")
+      .select(col("source"), col("lang"),
+        expr("cast(conv(substring(sha2(" +
+          "regexp_replace(lower(trim(text)), '\\\\s+', ' '), 256)" +
+          ", 1, 15), 16, 10) as long)").as("k"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val P = 1000000007L
+    val A = 2654435761L
+    val seed = 424242L
+    def h(k: Long) = ((k % P + seed % P) % P) * A % P
+    val keyed = docs.map { case (s0, l0, k) => (s0, l0, h(k)) }.distinct
+    def expect(level: String, grp: ((String, String, Long)) => (String, String)): Unit =
+      keyed.map(t => grp(t) -> t._3).groupBy(_._1).foreach {
+        case ((s0, l0), ms) =>
+          val hs = ms.map(_._2).distinct.sorted
+          val mins = hs.take(64)
+          val (nExact, nMins, kth) = rows((level, s0, l0))
+          assert(nExact == hs.length.toLong, s"$level/$s0/$l0 n_exact")
+          assert(nMins == mins.length.toLong, s"$level/$s0/$l0 n_mins")
+          assert(kth == mins.last, s"$level/$s0/$l0 kth_hash")
+      }
+    expect("cell", t => (t._1, t._2))
+    expect("source", t => (t._1, "__all__"))
+    expect("lang", t => ("__all__", t._2))
+    expect("corpus", _ => ("__all__", "__all__"))
+    // row count: cells + sources + langs + 1
+    val nCells = keyed.map(t => (t._1, t._2)).distinct.size
+    val nSrc = keyed.map(_._1).distinct.size
+    val nLng = keyed.map(_._2).distinct.size
+    assert(rows.size == nCells + nSrc + nLng + 1)
+  }
 }
