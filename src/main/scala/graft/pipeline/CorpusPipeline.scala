@@ -179,6 +179,11 @@ object CorpusPipeline {
     // incremental path must see them as potential droppers), which is
     // all an appended batch needs to near-dup against the corpus
     // without re-shingling a single corpus row
+    // three consumers below (count, index signatures, decontaminate);
+    // localCheckpoint spills MEMORY_AND_DISK, so this is the in-session
+    // stand-in for what a 100 TB run does anyway — materialize the
+    // survivor frame (as this pipeline already does for chunks/packed)
+    // instead of re-running the quality+dedup+near-dup plan per reader
     val nearKept = nearDupSurvivors(spark, cleaned).localCheckpoint()
     val nNearDup = nearKept.count()
     Dedup.bandSetsFrom(spark, nearKept)

@@ -419,7 +419,69 @@ object BpeVocab {
     "per-doc BPE segmentation under the corpus-trained merges " +
       "[text-analysis,tokenizer]")
 
+  /** q259: tokenizer FERTILITY by language — tokens-per-word and
+    * chars-per-token of the corpus-trained BPE, per declared language.
+    * The standard multilingual-tokenizer fairness audit: a tokenizer
+    * trained on a skewed mix segments under-represented languages into
+    * more, shorter tokens (higher fertility), which inflates their
+    * effective sequence length and training cost; this is the catalog
+    * row that decides whether the q94 vocabulary needs rebalancing
+    * (via q116's temperature mixing) before a training run.
+    *
+    * Scale: rides the memoized q98 tokenization (one encode map over
+    * the corpus, already paid by q98 in-session); the fold is one
+    * lang-keyed aggregation of exact integer counts, map-side
+    * combined to ≤|langs| rows. Fertility and chars-per-token are
+    * terminal single divisions of exact integers — bit-identical
+    * cross-engine.
+    *
+    * Oracle: derived — DuckDB re-derives the per-lang integer sums
+    * from q98's EMITTED tokenization (whose own oracle pinned the
+    * spell-the-document and accounting invariants) joined to the
+    * documents table for the language column, then applies the same
+    * fixed divisions.
+    */
+  private val q259 = QueryDef(
+    (s, d) => {
+      val toks = tokenize(s, d)
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          col("n_chars_norm"))
+      load(s, d, "documents").select(col("doc_id"), col("lang"))
+        .join(toks, "doc_id")
+        .groupBy(col("lang"))
+        .agg(graft.common.Exact.lcountAll.as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_tokens"),
+          sum(col("n_chars_norm")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens"), col("n_chars"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, n_words, n_bpe_tokens, n_chars_norm
+              FROM read_parquet(
+                '${QueryDef.OutDirToken}/q98_bpe_tokenize/*.parquet')
+            ), j AS (
+              SELECT d.lang, t.n_words, t.n_bpe_tokens, t.n_chars_norm
+              FROM documents d JOIN t USING (doc_id)
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_words) AS BIGINT) AS n_words,
+              CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens,
+              CAST(sum(n_chars_norm) AS BIGINT) AS n_chars,
+              CAST(sum(n_bpe_tokens) AS DOUBLE)
+                / CAST(sum(n_words) AS DOUBLE) AS fertility,
+              CAST(sum(n_chars_norm) AS DOUBLE)
+                / CAST(sum(n_bpe_tokens) AS DOUBLE) AS chars_per_token
+            FROM j GROUP BY 1"""),
+    "BPE tokenizer fertility by language: tokens/word + chars/token " +
+      "from the emitted q98 tokenization [text-analysis,tokenizer]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q94_bpe_merges" -> q94,
-    "q98_bpe_tokenize" -> q98)
+    "q98_bpe_tokenize" -> q98,
+    "q259_tokenizer_fertility" -> q259)
 }

@@ -44,12 +44,18 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
     val r1 = CorpusStream.ingestAvailable(spark, srcDir, out, ckpt)
     assert(r1.map(_.nBatch).sum == 3 && r1.map(_.nNewDocs).sum == 1)
 
-    // batch 2 lands later; the restarted stream must process ONLY it
-    val batch2 = Seq(130L -> txt(501), 131L -> txt(502))
+    // batch 2 lands later; the restarted stream must process ONLY it —
+    // and its NEAR-dup of standing doc 20 (not a verbatim copy, so the
+    // exact index passes it) must drop through the streamed near-dup
+    // stage against the persisted LSH index
+    val batch2 = Seq(130L -> txt(501), 131L -> txt(502),
+      132L -> (txt(20) + " tailone tailtwo"))
     writeDocs(srcDir, batch2)
     val r2 = CorpusStream.ingestAvailable(spark, srcDir, out, ckpt)
-    assert(r2.map(_.nBatch).sum == 2 && r2.map(_.nNewDocs).sum == 2,
+    assert(r2.map(_.nBatch).sum == 3 && r2.map(_.nNewDocs).sum == 3,
       s"restart must fold only the new file: $r2")
+    assert(r2.map(_.nNearDup).sum == 2,
+      s"the streamed near-dup stage must drop doc 132: $r2")
 
     // nothing new: the checkpoint skips everything
     val r3 = CorpusStream.ingestAvailable(spark, srcDir, out, ckpt)
@@ -62,6 +68,7 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
     assert(rowsOf(s"$out/packed") == rowsOf(s"$outFull/packed"))
     assert(rowsOf(s"$out/chunks") == rowsOf(s"$outFull/chunks"))
     assert(rowsOf(s"$out/hash_index") == rowsOf(s"$outFull/hash_index"))
+    assert(rowsOf(s"$out/lsh_index") == rowsOf(s"$outFull/lsh_index"))
   }
 
   test("long-lived processing-time trigger: multi-batch fold, stop, restart-no-refold") {
