@@ -281,13 +281,35 @@ object BpeVocab {
     */
   private[graft] val SegMark = '\u001f'
 
+  /** The tokenized corpus frame, MEMOIZED per (corpus dir, content
+    * fingerprint, session) — FOUR registry queries consume the
+    * identical frame (q98 apply, q256/q257 token-true packing, q259
+    * fertility), so without the memo the bench pays the full per-doc
+    * encode map eight times per run at min-of-2. The pinned frame is
+    * corpus-sized, so it follows the termsMemo discipline exactly:
+    * cached at the default MEMORY_AND_DISK (spills, never OOMs),
+    * LRU-bounded at 2 corpora via [[graft.common.BoundedFrameMemo]],
+    * fingerprint-keyed (a rewritten corpus keys a fresh entry and the
+    * stale one LRU-evicts), and released through the session-memo
+    * registry with every other pin.
+    */
+  private val tokenizedMemo =
+    new graft.common.BoundedFrameMemo[DataFrame](2, _.unpersist())
+  graft.common.Memos.register("bpe.tokenized")(() => tokenizedMemo.clear())
+
+  private[graft] def tokenize(s: SparkSession, d: String): DataFrame =
+    tokenizedMemo.getOrElseUpdate(
+      s"$d#${documentsFingerprint(s, d)}#${System.identityHashCode(s)}") {
+      tokenizeUncached(s, d).cache()
+    }
+
   /** Per-doc BPE tokenization under the corpus-trained merges: the
     * apply half of the train/apply pair. Emits the marked segmentation
     * (tokens separated by [[SegMark]] inside a word, words by spaces,
     * the end-of-word symbol rendered invisibly) so the oracle can
     * verify the segmentation SPELLS the document exactly.
     */
-  private[graft] def tokenize(s: SparkSession, d: String): DataFrame = {
+  private def tokenizeUncached(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ranks = trainedMerges(s, d)
       .map(m => (m.lhs, m.rhs) -> m.merge_rank).toMap
