@@ -198,18 +198,21 @@ object CorpusMain {
             required(a, "stream"), out, required(a, "checkpoint"))
           println(s"[corpus] mode=stream batches=${rs.size} " +
             s"docs=${rs.map(_.nBatch).sum} new=${rs.map(_.nNewDocs).sum} " +
+            s"neardup_kept=${rs.map(_.nNearDup).sum} " +
             s"packs=${rs.lastOption.fold(-1L)(_.summary.nPacks)}")
         case "incremental" =>
           val r = graft.pipeline.CorpusPipeline.runIncremental(
             spark, out, spark.read.parquet(a("incremental")))
           println(s"[corpus] mode=incremental batch=${r.nBatch} " +
-            s"new=${r.nNewDocs} repacked_groups=${r.repackedGroups.size} " +
+            s"new=${r.nNewDocs} neardup_kept=${r.nNearDup} " +
+            s"repacked_groups=${r.repackedGroups.size} " +
             s"packs=${r.summary.nPacks} tokens=${r.summary.packedTokens}")
         case _ =>
           val s = graft.pipeline.CorpusPipeline.run(spark,
             required(a, "sf_dir"), out)
           println(s"[corpus] mode=full input=${s.nInput} " +
-            s"training=${s.nAfterDecontam} chunks=${s.nChunks} " +
+            s"neardup=${s.nAfterNearDup} training=${s.nAfterDecontam} " +
+            s"chunks=${s.nChunks} " +
             s"packs=${s.nPacks} tokens=${s.packedTokens}")
       }
     }
