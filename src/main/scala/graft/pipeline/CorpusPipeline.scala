@@ -372,6 +372,10 @@ object CorpusPipeline {
     // (append-only precondition), so standing-vs-batch pairs are
     // already (d1 < d2) and the greedy walk sees the standing doc as
     // the potential dropper, exactly as a full rebuild would.
+    require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/lsh_index")),
+      "standing corpus has no lsh_index (built before the near-dup " +
+        "stage existed) — run a full rebuild to materialize it")
     val batchSig = graft.queries.Dedup.bandSetsFrom(spark, newDocs)
       .localCheckpoint()
     val batchBuckets = batchSig

@@ -116,7 +116,16 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // PCA gram partials fold per-partition and must merge to the same
     // matrix (and the driver iteration from it is then deterministic)
     "q241_kmv_distinct", "q242_landmark_bfs", "q243_kruskal_wallis",
-    "q247_weighted_quartiles", "q249_stump_split", "q253_pca_power")
+    "q247_weighted_quartiles", "q249_stump_split", "q253_pca_power",
+    // r13 additions: the rewritten Theil-Sen median (driver array path
+    // must match regardless of how the daily fold partitioned); the
+    // token-true packs' secondary-sort next-fit must not leak
+    // partition layout into pack_seq; the KMV catalog's merged rollup
+    // sketches are bounded-heap merges at every level; the fertility
+    // fold is exact integer sums
+    "q221_theil_sen", "q256_token_packing",
+    "q257_token_packing_efficiency", "q258_kmv_catalog",
+    "q259_tokenizer_fertility")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
