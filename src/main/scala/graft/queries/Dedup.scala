@@ -746,10 +746,147 @@ object Dedup {
     "directed shingle-containment dedup (C >= 0.9): df-capped " +
       "candidates, exact set verify, integer threshold [dedup]")
 
+  /** q260's near-dup cosine threshold (q40/q62's 0.95 contract) and
+    * the per-cluster successor fan-out of the chained candidate scan.
+    */
+  private val SemTheta = 0.95
+  private val SemChain = 3
+
+  /** q260: SemDeDup — semantic dedup by cluster-then-neighbor-scan
+    * (Abbas et al. 2023): embeddings assign to their nearest integer
+    * centroid (q137's E-step, broadcast centroids, exact integer d2),
+    * and WITHIN each cluster a vector is a duplicate iff one of its
+    * [[SemChain]] successors in the centroid-similarity order is
+    * ≥ [[SemTheta]] cosine-similar. The keep side of each adjacent
+    * duplicate run is its least-centroid-similar member — the paper's
+    * keep-farthest-from-centroid rule, which preserves the cluster's
+    * diversity rather than its mode. Every row EMITS its most-similar
+    * chained successor and that cosine (nn_succ/nn_cos) — the audit
+    * columns a curator tunes θ against (this corpus's embeddings top
+    * out at cosine ~0.6, so at the family's 0.95 contract everything
+    * is kept and the oracle's teeth are the per-row nn values, not
+    * the flag).
+    *
+    * Scale: the all-pairs-within-cluster scan of the paper is
+    * corpus²/k — dead at 100 TB with bounded k. This is the engine's
+    * standard SORTED-ADJACENCY rendering (the GraphAnn seed/chain and
+    * q35 df-cap discipline): near-dups of a cluster sit adjacent in
+    * the centroid-cosine order, so comparing each member with C
+    * successors is O(rows·C) pair work after one cluster-keyed
+    * exchange — and the candidate contract (successors in a pinned
+    * deterministic order) is exactly SQL-mirrorable, so the oracle
+    * re-derives every emitted row instead of trusting the engine.
+    *
+    * Determinism: assignment d2 is exact-integer (ties to the lower
+    * label); c_cos and the pair cosines are the family's fixed
+    * sequential double expression (bit-identical cross-engine — the
+    * q38 ordering discipline), with vec_id tie-breaks.
+    */
+  private val q260 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cent = EmbeddingStats.centroidsMilli(s, d)
+        .groupBy("clabel")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cm")))),
+          _.getField("cm")).as("cent"))
+      val vecs = load(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+        .withColumn("q", transform(col("e"), EmbeddingStats.qmilli(_)))
+      val d2 = vecs.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("e"), col("clabel"),
+          transform(col("cent"), _.cast("double")).as("cd"),
+          aggregate(
+            zip_with(col("q"), col("cent"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"))
+      val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+      val assigned = d2.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("clabel"),
+          Similarity.cosine(col("e"), col("cd")).as("c_cos"))
+      val wC = Window.partitionBy("clabel")
+        .orderBy(col("c_cos").desc, col("vec_id").asc)
+      val leads = (1 to SemChain).foldLeft(assigned) { (f, i) =>
+        f.withColumn(s"nv$i", lead(col("vec_id"), i).over(wC))
+          .withColumn(s"ne$i", lead(col("e"), i).over(wC))
+      }
+      val cs = (1 to SemChain).map(i =>
+        Similarity.cosine(col("e"), col(s"ne$i")))
+      // the MOST-similar chained successor is always emitted (the audit
+      // column a curator reads even when nothing crosses θ); both
+      // engines skip nulls in greatest() and break exact-cosine ties by
+      // the same fixed case order
+      val bestCos = greatest(cs: _*)
+      val bestSucc = coalesce((1 to SemChain).map(i =>
+        when(cs(i - 1) === bestCos, col(s"nv$i"))): _*)
+      leads.select(col("vec_id"), col("clabel").cast("long").as("cluster"),
+          col("c_cos"), bestSucc.as("nn_succ"), bestCos.as("nn_cos"),
+          coalesce(bestCos < SemTheta, lit(true)).as("kept"))
+    },
+    Some {
+      val theta = SemTheta
+      s"""WITH q AS (${EmbeddingStats.CoordsSql}),
+          c AS (
+            SELECT label AS clabel, dim,
+              CAST(floor(CAST(SUM(qv) AS DOUBLE) /
+                CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS cm
+            FROM q GROUP BY 1, 2
+          ), cl AS (
+            SELECT clabel, list(cm ORDER BY dim) AS cent FROM c GROUP BY 1
+          ), dist AS (
+            SELECT q.vec_id, c.clabel,
+              CAST(SUM((q.qv - c.cm) * (q.qv - c.cm)) AS BIGINT) AS d2
+            FROM q JOIN c ON q.dim = c.dim GROUP BY 1, 2
+          ), best AS (
+            SELECT vec_id, clabel, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+            FROM dist
+          ), a AS (
+            SELECT b.vec_id, b.clabel, e.embedding,
+              ${Similarity.cosineSql("e.embedding", "cl.cent")} AS c_cos
+            FROM best b
+            JOIN embeddings e USING (vec_id)
+            JOIN cl ON cl.clabel = b.clabel
+            WHERE b.rn = 1
+          ), w AS (
+            SELECT vec_id, clabel, c_cos, embedding,
+              lead(vec_id, 1) OVER win AS nv1,
+              lead(embedding, 1) OVER win AS ne1,
+              lead(vec_id, 2) OVER win AS nv2,
+              lead(embedding, 2) OVER win AS ne2,
+              lead(vec_id, 3) OVER win AS nv3,
+              lead(embedding, 3) OVER win AS ne3
+            FROM a
+            WINDOW win AS (PARTITION BY clabel
+              ORDER BY c_cos DESC, vec_id ASC)
+          ), x AS (
+            SELECT vec_id, CAST(clabel AS BIGINT) AS cluster, c_cos,
+              nv1, nv2, nv3,
+              ${Similarity.cosineSql("embedding", "ne1")} AS cs1,
+              ${Similarity.cosineSql("embedding", "ne2")} AS cs2,
+              ${Similarity.cosineSql("embedding", "ne3")} AS cs3
+            FROM w
+          ), y AS (
+            SELECT vec_id, cluster, c_cos,
+              greatest(cs1, cs2, cs3) AS nn_cos,
+              CASE WHEN cs1 = greatest(cs1, cs2, cs3) THEN nv1
+                   WHEN cs2 = greatest(cs1, cs2, cs3) THEN nv2
+                   WHEN cs3 = greatest(cs1, cs2, cs3) THEN nv3
+              END AS nn_succ
+            FROM x
+          )
+          SELECT vec_id, cluster, c_cos, nn_succ, nn_cos,
+            COALESCE(nn_cos < $theta, TRUE) AS kept
+          FROM y"""
+    },
+    "SemDeDup: nearest-centroid clusters + chained-successor cosine " +
+      s"dedup at 0.95, keep-farthest-from-centroid [dedup,embedding]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q34_dedup_exact" -> q34,
     "q35_dedup_ngram_jaccard" -> q35,
     "q248_containment_dedup" -> q248,
+    "q260_semdedup" -> q260,
     "q36_dedup_minhash_lsh" -> q36,
     "q37_dedup_simhash" -> q37,
     "q66_dedup_incremental" -> q66,

@@ -27,7 +27,7 @@ object EmbeddingStats {
     */
   private val Scale = 1000.0
 
-  private def qmilli(x: Column): Column =
+  private[queries] def qmilli(x: Column): Column =
     floor(x * Scale + 0.5).cast("long")
 
   /** q135: per-vector extreme-value audit — the largest |coordinate|,
@@ -81,7 +81,7 @@ object EmbeddingStats {
     * cm = ⌊sum_q/n⌉, one double division + floor on exact integers, so
     * both engines round to the identical integer centroid.
     */
-  private def centroidsMilli(s: SparkSession, d: String): DataFrame =
+  private[queries] def centroidsMilli(s: SparkSession, d: String): DataFrame =
     coords(s, d)
       .groupBy(col("label").as("clabel"), col("dim"))
       .agg(count(lit(1)).as("n"), sum("qv").as("sum_q"))
@@ -89,7 +89,7 @@ object EmbeddingStats {
         floor(col("sum_q").cast("double") / col("n").cast("double") + 0.5)
           .cast("long").as("cm"))
 
-  private val CoordsSql =
+  private[queries] val CoordsSql =
     """SELECT vec_id, label, dim - 1 AS dim,
          CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000.0 + 0.5)
            AS BIGINT) AS qv

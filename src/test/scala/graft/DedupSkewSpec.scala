@@ -174,4 +174,47 @@ class DedupSkewSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ok.values.toSet == Set(1L))
   }
+  test("q260 SemDeDup: chained-successor audit matches a full local recompute") {
+    val rows = SparkEntry.queries("q260_semdedup")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5)))
+    val nVecs = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    assert(rows.length.toLong == nVecs, "every vector classified once")
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // local recompute: per cluster, order by (c_cos desc, vec_id asc),
+    // each row's nn is the most-similar of its <= 3 successors
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val ordered = members.sortBy(t => (-t._3, t._1))
+      ordered.zipWithIndex.foreach { case ((id, _, _, nnSucc, nnCos, kept), i) =>
+        val succs = ordered.slice(i + 1, i + 4).map(_._1)
+        if (succs.isEmpty) {
+          assert(nnSucc.isEmpty && nnCos.isEmpty && kept,
+            s"cluster tail $id must have no witness and stay kept")
+        } else {
+          val scored = succs.map(sid => sid -> cos(emb(id), emb(sid)))
+          val bestCos = scored.map(_._2).max
+          // ties break by the fixed successor order (first match)
+          val bestId = scored.find(_._2 == bestCos).get._1
+          assert(nnCos.contains(bestCos),
+            s"$id nn_cos ${nnCos} != recomputed $bestCos")
+          assert(nnSucc.contains(bestId),
+            s"$id nn_succ ${nnSucc} != recomputed $bestId")
+          assert(kept == (bestCos < 0.95), s"$id kept flag vs theta")
+        }
+      }
+      assert(cluster >= 0)
+    }
+  }
+
 }

@@ -125,7 +125,10 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // fold is exact integer sums
     "q221_theil_sen", "q256_token_packing",
     "q257_token_packing_efficiency", "q258_kmv_catalog",
-    "q259_tokenizer_fertility")
+    "q259_tokenizer_fertility",
+    // SemDeDup: integer centroid assignment + per-cluster successor
+    // windows must not leak partition layout into the nn columns
+    "q260_semdedup")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
