@@ -81,4 +81,31 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+  test("property: greedy near-dup drops match the sequential online definition") {
+    // the ONLINE contract: walk ids ascending; a doc drops iff it pairs
+    // with an already-KEPT smaller id. greedyNearDupDrops computes it
+    // in one victim-sorted pass; this property replays the definition
+    // literally on random pair graphs and demands set equality.
+    val genPairs = Gen.listOfN(60,
+      for {
+        a <- Gen.choose(0L, 19L)
+        b <- Gen.choose(0L, 19L)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    (1 to 50).foreach { i =>
+      val pairs = genPairs(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(Nil).distinct
+      val got = graft.queries.Dedup.greedyNearDupDrops(pairs.toArray)
+      // sequential reference: process ids in order
+      val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val byVictim = pairs.groupBy(_._2)
+      val dropped = scala.collection.mutable.HashSet.empty[Long]
+      ids.foreach { id =>
+        if (byVictim.getOrElse(id, Nil).exists(p => !dropped.contains(p._1)))
+          dropped += id
+      }
+      assert(got == dropped.toSet, s"seed $i: $got != $dropped for $pairs")
+    }
+  }
+
 }
