@@ -43,7 +43,7 @@ object CorpusPipeline {
   final case class IncrementalResult(
       summary: Summary, nBatch: Long, nBatchQuality: Long,
       nNewDocs: Long, nNearDup: Long, repackedGroups: Seq[Long],
-      skipped: Boolean = false)
+      skipped: Boolean = false, nContainmentPairs: Long = 0L)
 
   /** Sidecar key prefix of the streaming ingest ledger: one flat entry
     * per checkpoint (`ingest_last_batch:<checkpoint>` → last committed
@@ -152,7 +152,8 @@ object CorpusPipeline {
     * `chunks` + `packed` parquet and `corpus_stats.json` under outDir.
     * Benchmark slice: doc_id ≡ 0 mod 50 (q69's convention).
     */
-  def run(spark: SparkSession, sfDir: String, outDir: String): Summary = {
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      containCap: Long = graft.queries.Dedup.DefaultMaxGramDf): Summary = {
     val docs = graft.common.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val nInput = docs.count()
@@ -189,6 +190,21 @@ object CorpusPipeline {
     Dedup.bandSetsFrom(spark, nearKept)
       .write.mode("overwrite").parquet(s"$outDir/lsh_index")
 
+    // the standing CONTAINMENT audit (q248's directed subset/quote
+    // contract over the near-dup survivors) plus the two artifacts its
+    // incremental maintenance needs: the pair table itself and the
+    // over-cap (boilerplate) gram set. Both derive from the
+    // just-written lsh_index, so the stored gram sets are reused and
+    // not a single survivor is re-shingled
+    val survivorSets = spark.read.parquet(s"$outDir/lsh_index")
+      .select(col("doc_id"), col("hs"), col("ng"))
+    Dedup.containmentPairsOfSets(survivorSets, containCap)
+      .write.mode("overwrite").parquet(s"$outDir/containment_pairs")
+    Dedup.overCapGrams(survivorSets, containCap)
+      .write.mode("overwrite").parquet(s"$outDir/overcap_grams")
+    val nContainment =
+      spark.read.parquet(s"$outDir/containment_pairs").count()
+
     // the benchmark gram set is the second standing artifact: tiny
     // (distinct 5-gram hashes of the benchmark slice), and the ONLY
     // thing an incremental run would otherwise have to rescan the
@@ -221,7 +237,8 @@ object CorpusPipeline {
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     writeStats(outDir, summary,
-      docs.agg(max(col("doc_id"))).collect()(0).getLong(0))
+      docs.agg(max(col("doc_id"))).collect()(0).getLong(0),
+      containCap, nContainment)
     summary
   }
 
@@ -232,7 +249,8 @@ object CorpusPipeline {
     * either fully committed (stats + ledger agree) or fully replayable.
     */
   private def writeStats(outDir: String, summary: Summary,
-      maxDocId: Long, ledger: Map[String, Long] = Map.empty): Unit =
+      maxDocId: Long, containCap: Long, nContainmentPairs: Long,
+      ledger: Map[String, Long] = Map.empty): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/corpus_stats.json"),
       JsonIO.render(Map(
@@ -247,7 +265,13 @@ object CorpusPipeline {
         "max_doc_id" -> maxDocId,
         "chunk_len" -> TextOps.ChunkLen,
         "chunk_stride" -> TextOps.ChunkStride,
-        "pack_budget" -> Packing.PackBudget) ++
+        "pack_budget" -> Packing.PackBudget,
+        // the cap is part of the containment CONTRACT (q248): the
+        // incremental path must generate candidates under the SAME cap
+        // the standing pair table was built with, so it rides in the
+        // sidecar rather than being re-defaulted per run
+        "containment_df_cap" -> containCap,
+        "n_containment_pairs" -> nContainmentPairs) ++
         ledger.map { case (k, v) => (LedgerPrefix + k) -> (v: Any) }))
 
   /** Incremental run: process ONLY a new batch of documents against an
@@ -330,7 +354,10 @@ object CorpusPipeline {
         prevN("n_after_decontam"),
         prevN("n_chunks"), prevN("n_packs"), prevN("packed_tokens"))
       return IncrementalResult(standing, 0L, 0L, 0L, 0L, Nil,
-        skipped = true)
+        skipped = true,
+        nContainmentPairs =
+          prev.get("n_containment_pairs")
+            .fold(0L)(_.asInstanceOf[Double].toLong))
     }
 
     require(batchDocs.filter(isBench).limit(1).count() == 0,
@@ -348,8 +375,12 @@ object CorpusPipeline {
 
     // 1-2: clean the batch, then drop everything the standing index
     // already holds (classifier joins one batch-sized frame against the
-    // aggregated index — never corpus rows)
+    // aggregated index — never corpus rows). The <= maxOld filter pins
+    // "standing" to the COMMITTED corpus: on a crash replay the batch's
+    // own ingest file is already in the directory, and without the
+    // filter the batch would classify as dup_of_corpus against itself
     val idx = spark.read.parquet(s"$outDir/hash_index")
+      .filter(col("doc_id") <= maxOld)
     val cleanedBatch = cleanDocs(batchDocs)
     val hashedBatch = cleanedBatch.select(col("doc_id"),
       sha2(norm(col("text")), 256).as("content_hash"))
@@ -376,12 +407,26 @@ object CorpusPipeline {
         java.nio.file.Paths.get(s"$outDir/lsh_index")),
       "standing corpus has no lsh_index (built before the near-dup " +
         "stage existed) — run a full rebuild to materialize it")
+    require(prev.contains("containment_df_cap") &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$outDir/containment_pairs")) &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$outDir/overcap_grams")),
+      "standing corpus has no containment artifacts (built before the " +
+        "containment audit existed) — run a full rebuild to " +
+        "materialize them")
+    val containCap = prevN("containment_df_cap")
     val batchSig = graft.queries.Dedup.bandSetsFrom(spark, newDocs)
       .localCheckpoint()
     val batchBuckets = batchSig
       .select(col("doc_id"), posexplode(col("bands")))
       .toDF("doc_id", "band_id", "band_hash")
+    // same <= maxOld pin as the hash index: a crash replay must not see
+    // the batch's own leftover signatures as "standing" (they would
+    // near-dup the batch against itself — and the vs-standing pair
+    // orientation relies on standing ids preceding batch ids)
     val standing = spark.read.parquet(s"$outDir/lsh_index")
+      .filter(col("doc_id") <= maxOld)
     val vsStanding = standing
       .select(col("doc_id"), posexplode(col("bands")))
       .toDF("doc_id", "band_id", "band_hash").as("x")
@@ -416,6 +461,28 @@ object CorpusPipeline {
     idempotentIngestWrite(spark,
       graft.queries.Dedup.bandSetsFrom(spark, nearNew),
       s"$outDir/lsh_index", minBatch)
+
+    // 2c: CONTAINMENT audit maintenance under the CAP-STABLE contract:
+    // after every batch, `containment_pairs` must equal a fresh q248
+    // run over the survivor union with gram dfs computed on the FINAL
+    // corpus. Dfs only grow under append-only ingest, so two
+    // obligations per batch:
+    //  (a) new candidates come only from grams under the cap in the
+    //      POST-batch state — one standing-index scan restricted to the
+    //      batch's grams (broadcast semi-join), never a corpus x corpus
+    //      join, and zero re-shingling (the stored gram sets are the
+    //      verify input);
+    //  (b) standing pairs whose EVERY shared gram crossed the cap this
+    //      batch are retracted (the tombstone pass): once all of a
+    //      pair's witnesses are boilerplate, the pair is out of scope
+    //      by the q248 contract on both engine and oracle sides.
+    // Retraction is final — two fixed docs' shared gram set never
+    // changes and dfs never shrink — which is why this greedy
+    // maintenance reproduces the rebuild exactly (the alternative,
+    // insertion-time dfs, would make the pair set depend on batch
+    // order; see PLANS.md round-13 close).
+    val nContainment = maintainContainment(spark, outDir, maxOld,
+      minBatch, containCap)
 
     // 3: decontaminate against the persisted benchmark gram set
     val training = decontaminateWithGrams(spark,
@@ -466,9 +533,131 @@ object CorpusPipeline {
       case (Some(k), Some(b)) => prevLedger + (k -> b)
       case _ => prevLedger
     }
-    writeStats(outDir, summary, math.max(maxOld, maxBatch), ledger)
+    writeStats(outDir, summary, math.max(maxOld, maxBatch), containCap,
+      nContainment, ledger)
     IncrementalResult(summary, nBatch, nBatchQuality, nNewDocs,
-      nNearNew, affected)
+      nNearNew, affected, nContainmentPairs = nContainment)
+  }
+
+  /** The containment-audit maintenance pass of [[runIncremental]] (see
+    * the 2c comment there for the cap-stable contract). Standing side =
+    * lsh_index rows with doc_id <= `maxOld` (replay-safe: a crashed
+    * attempt's own ingest file is already in the index directory);
+    * batch side = the batch's just-committed ingest file read back, so
+    * nothing is re-shingled. Returns the pair count after the swap.
+    *
+    * Replay idempotence: every input below is a deterministic function
+    * of (standing rows <= maxOld, the batch file), EXCEPT `oldPairs`,
+    * which after a post-swap crash already contains the batch's pairs
+    * minus the retractions. That fixed point is preserved: batch pairs
+    * were generated via an under-cap witness so the tombstone never
+    * retracts them, re-retracting already-removed rows is a no-op, and
+    * the final distinct() collapses the re-unioned batch pairs.
+    */
+  private def maintainContainment(spark: SparkSession, outDir: String,
+      maxOld: Long, minBatch: Long, cap: Long): Long = {
+    val allSets = spark.read.parquet(s"$outDir/lsh_index")
+      .select(col("doc_id"), col("hs"), col("ng"))
+    val standingSets = allSets.filter(col("doc_id") <= maxOld)
+    val batchSets = spark.read.parquet(
+        s"$outDir/lsh_index/ingest-$minBatch.parquet")
+      .select(col("doc_id"), col("hs"), col("ng"))
+
+    // gram dfs, batch grams only: batch postings are batch-sized; the
+    // standing postings come from ONE index scan semi-joined (broadcast)
+    // to the batch's gram set — never a corpus-wide gram aggregate
+    val batchPost = batchSets
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val batchDf = batchPost.groupBy("h").agg(count(lit(1)).as("bdf"))
+    // two consumers (df aggregate, candidate join) — checkpoint so the
+    // index scan runs once
+    val standPost = standingSets
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(batchDf.select("h")), "h")
+      .localCheckpoint()
+    val standDf = standPost.groupBy("h").agg(count(lit(1)).as("sdf"))
+    // three consumers (under-cap filter twice, crossing set)
+    val gramState = batchDf.join(standDf, Seq("h"), "left")
+      .select(col("h"), col("bdf"), coalesce(col("sdf"), lit(0L)).as("sdf"))
+      .withColumn("ndf", col("bdf") + col("sdf"))
+      .localCheckpoint()
+    val underCap = gramState.filter(col("ndf") <= cap).select("h")
+
+    // (a) new candidates via grams under the POST-batch cap: standing
+    // ids precede batch ids (append-only), so vs-standing pairs are
+    // already (d1 < d2)
+    val bp = batchPost.join(broadcast(underCap), "h")
+    val vsStand = standPost.as("x")
+      .join(broadcast(bp).as("y"), col("x.h") === col("y.h"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val inBatch = bp.as("x")
+      .join(bp.as("y"), col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val newPairs = Dedup
+      .containmentVerifyAsym(standingSets, batchSets, vsStand)
+      .unionByName(
+        Dedup.containmentVerifyAsym(batchSets, batchSets, inBatch))
+
+    // (b) tombstone: grams crossing the cap this batch — bounded by the
+    // batch's distinct gram count, so the collect is batch-sized (the
+    // near-dup pair-collect class)
+    val crossArr = gramState
+      .filter(col("ndf") > cap && col("sdf") <= cap)
+      .select("h").collect().map(_.getLong(0))
+    val oldPairs = spark.read.parquet(s"$outDir/containment_pairs")
+    val keptOld =
+      if (crossArr.isEmpty) oldPairs
+      else {
+        val crossLit = array(crossArr.toSeq.map(lit(_)): _*)
+        // affected = old pairs whose SHARED gram set touches a crossing
+        // gram (any other pair's witnesses did not change category);
+        // the pair table is small (true >= 0.9 pairs), so it broadcasts
+        // through the set joins — verifyCandidates discipline
+        val withInner = allSets
+          .select(col("doc_id").as("inner_doc"), col("hs").as("hs1"))
+          .join(broadcast(oldPairs), "inner_doc")
+        val affected = allSets
+          .select(col("doc_id").as("outer_doc"), col("hs").as("hs2"))
+          .join(broadcast(withInner), "outer_doc")
+          .withColumn("sh", array_intersect(col("hs1"), col("hs2")))
+          .filter(arrays_overlap(col("sh"), crossLit))
+          .select("inner_doc", "outer_doc", "sh")
+          .localCheckpoint()
+        // a pair stays iff >= 1 shared gram remains under the cap in
+        // the NEW state: overcap_new = standing overcap ∪ crossing
+        val overcapNew = spark.read.parquet(s"$outDir/overcap_grams")
+          .select("h")
+          .unionByName(gramState
+            .filter(col("ndf") > cap && col("sdf") <= cap).select("h"))
+        val stillValid = affected
+          .select(col("inner_doc"), col("outer_doc"),
+            explode(col("sh")).as("h"))
+          .join(overcapNew, Seq("h"), "left_anti")
+          .select("inner_doc", "outer_doc").distinct()
+        val retracted = affected.select("inner_doc", "outer_doc")
+          .join(stillValid, Seq("inner_doc", "outer_doc"), "left_anti")
+        oldPairs.join(broadcast(retracted),
+          Seq("inner_doc", "outer_doc"), "left_anti")
+      }
+
+    // stage-then-swap (the plan reads the live pair table); distinct()
+    // collapses a replayed batch's re-unioned pairs
+    keptOld.unionByName(newPairs).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$outDir/containment_pairs_staging")
+    swapDirs(spark, s"$outDir/containment_pairs_staging",
+      s"$outDir/containment_pairs")
+    // the crossing grams join the standing overcap set (idempotent,
+    // batch-keyed file; skipped when nothing crossed)
+    if (crossArr.nonEmpty) {
+      import spark.implicits._
+      idempotentIngestWrite(spark, crossArr.toSeq.toDF("h"),
+        s"$outDir/overcap_grams", minBatch)
+    }
+    spark.read.parquet(s"$outDir/containment_pairs").count()
   }
 
   /** Idempotent ingest append: the batch's rows land as ONE parquet

@@ -199,12 +199,14 @@ object CorpusMain {
           println(s"[corpus] mode=stream batches=${rs.size} " +
             s"docs=${rs.map(_.nBatch).sum} new=${rs.map(_.nNewDocs).sum} " +
             s"neardup_kept=${rs.map(_.nNearDup).sum} " +
+            s"containment_pairs=${rs.lastOption.fold(-1L)(_.nContainmentPairs)} " +
             s"packs=${rs.lastOption.fold(-1L)(_.summary.nPacks)}")
         case "incremental" =>
           val r = graft.pipeline.CorpusPipeline.runIncremental(
             spark, out, spark.read.parquet(a("incremental")))
           println(s"[corpus] mode=incremental batch=${r.nBatch} " +
             s"new=${r.nNewDocs} neardup_kept=${r.nNearDup} " +
+            s"containment_pairs=${r.nContainmentPairs} " +
             s"repacked_groups=${r.repackedGroups.size} " +
             s"packs=${r.summary.nPacks} tokens=${r.summary.packedTokens}")
         case _ =>

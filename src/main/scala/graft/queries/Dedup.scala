@@ -669,39 +669,93 @@ object Dedup {
     * threshold is an integer cross-multiplication; the coefficient is
     * the single terminal double division.
     */
-  private val q248 = QueryDef(
-    (s, d) => {
-      val sets = docGramSetsFrom(s, load(s, d, "documents"))
-      val g = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-      val ga = g.withColumn("df",
-          count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("h")))
-        .filter(col("df") <= DefaultMaxGramDf)
-      val candidates = ga.as("a")
-        .join(ga.as("b"), col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+  /** The directed emission + integer threshold shared by every
+    * containment path — input rows carry `d1 < d2`, both full gram
+    * sets (`hs1`/`hs2`) and counts (`n1`/`n2`). Direction is by gram
+    * count (inner = fewer distinct grams, ties to the lower doc_id via
+    * the `<=` on counts with d1 < d2); the threshold is the integer
+    * cross-multiplication; the coefficient is the terminal division.
+    */
+  private def containmentEmit(joined: DataFrame): DataFrame =
+    joined
+      .select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
+          .as("inner_doc"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1"))
+          .as("outer_doc"),
+        least(col("n1"), col("n2")).cast("long").as("n_inner"),
+        greatest(col("n1"), col("n2")).cast("long").as("n_outer"),
+        size(array_intersect(col("hs1"), col("hs2"))).cast("long")
+          .as("shared"))
+      .filter(col("shared") * ContainDen >= col("n_inner") * ContainNum)
+      .select(col("inner_doc"), col("outer_doc"), col("n_inner"),
+        col("n_outer"), col("shared"),
+        (col("shared").cast("double") / col("n_inner").cast("double"))
+          .as("containment"))
+
+  /** q248's machinery over an EXPLICIT per-doc gram-set frame
+    * (doc_id, hs, ng): df-capped gram self-join for candidates, exact
+    * full-set verify, [[containmentEmit]] contract. The registry query
+    * feeds it raw documents; the corpus pipeline feeds it the near-dup
+    * survivors' persisted `lsh_index` rows, so the standing
+    * containment audit reuses the stored gram sets and re-shingles
+    * nothing. See q248's scaladoc for the cap-as-contract argument.
+    */
+  private[graft] def containmentPairsOfSets(sets: DataFrame,
+      maxGramDf: Long): DataFrame = {
+    val g = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val ga = g.withColumn("df",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("df") <= maxGramDf)
+    val candidates = ga.as("a")
+      .join(ga.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    containmentEmit(
       candidates
         .join(sets.select(col("doc_id").as("d1"),
           col("hs").as("hs1"), col("ng").as("n1")), "d1")
         .join(sets.select(col("doc_id").as("d2"),
-          col("hs").as("hs2"), col("ng").as("n2")), "d2")
-        .select(
-          when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
-            .as("inner_doc"),
-          when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1"))
-            .as("outer_doc"),
-          least(col("n1"), col("n2")).cast("long").as("n_inner"),
-          greatest(col("n1"), col("n2")).cast("long").as("n_outer"),
-          size(array_intersect(col("hs1"), col("hs2"))).cast("long")
-            .as("shared"))
-        .filter(col("shared") * ContainDen >= col("n_inner") * ContainNum)
-        .select(col("inner_doc"), col("outer_doc"), col("n_inner"),
-          col("n_outer"), col("shared"),
-          (col("shared").cast("double") / col("n_inner").cast("double"))
-            .as("containment"))
-    },
+          col("hs").as("hs2"), col("ng").as("n2")), "d2"))
+  }
+
+  /** Containment verify for candidate pairs whose two sides come from
+    * DIFFERENT set frames (d1 from `aSets`, d2 from `bSets`) — the
+    * incremental corpus form, where d1 is a standing survivor and d2 a
+    * batch survivor (append-only ids guarantee d1 < d2). Broadcast
+    * discipline = [[verifyCandidates]]: the candidate side broadcasts
+    * through two narrow joins, the per-doc gram sets stream and are
+    * never shuffled. Emission contract identical to q248's.
+    */
+  private[graft] def containmentVerifyAsym(aSets: DataFrame,
+      bSets: DataFrame, candidates: DataFrame): DataFrame = {
+    val withA = aSets.select(col("doc_id").as("d1"),
+        col("hs").as("hs1"), col("ng").as("n1"))
+      .join(broadcast(candidates), "d1")
+    containmentEmit(
+      bSets.select(col("doc_id").as("d2"),
+          col("hs").as("hs2"), col("ng").as("n2"))
+        .join(broadcast(withA), "d2"))
+  }
+
+  /** Grams whose document frequency over `sets` exceeds the cap — the
+    * standing BOILERPLATE set the incremental tombstone pass checks
+    * pair validity against (a pair stays emitted iff at least one of
+    * its shared grams is NOT in this set). Small by construction:
+    * only corpus-wide boilerplate crosses a df cap.
+    */
+  private[graft] def overCapGrams(sets: DataFrame,
+      maxGramDf: Long): DataFrame =
+    sets.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxGramDf)
+      .select("h")
+
+  private val q248 = QueryDef(
+    (s, d) => containmentPairsOfSets(
+      docGramSetsFrom(s, load(s, d, "documents")), DefaultMaxGramDf),
     Some(s"""WITH g AS (
               SELECT doc_id, unnest($GramsSql) AS gram FROM documents
             ), n AS (
