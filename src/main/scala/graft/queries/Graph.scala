@@ -556,7 +556,71 @@ object Graph {
     "landmark multi-source BFS neighborhood function: 64 frontiers in " +
       "one bitmask column, 4 supersteps, exact per-radius reach [graph]")
 
+  /** q261: HITS authority scores over the bipartite customer→part
+    * order graph — "which parts do the broadest buyers concentrate
+    * on?" One full hub/authority update from the uniform start
+    * (Kleinberg's power iteration, unrolled): auth⁰ = 1, so
+    * hub¹(c) = Σ_{p ∈ N(c)} 1 = outdeg is replaced by the real first
+    * step hub¹(c) = Σ_{p ∈ N(c)} indeg(p), and
+    * auth²(p) = Σ_{c ∈ N(p)} hub¹(c). Unnormalized by design: the
+    * per-step L2 normalization is a positive scalar, so the RANKING —
+    * the thing HITS exists to produce — is identical, and dropping it
+    * keeps every value an exact integer (a float normalization would
+    * be partial-order-dependent and not hash-comparable). q140's
+    * PageRank answers the flow-centrality question on the co-purchase
+    * projection; this answers the mutual-reinforcement one on the raw
+    * bipartite graph without materializing the quadratic projection.
+    *
+    * Scale: the Pregel shape — distinct (c, p) edges (one exchange),
+    * then each half-step is a keyed join + map-side-combined
+    * aggregate; the edge frame is checkpointed once for its three
+    * consumers. Envelope: indeg fits i64 everywhere; hub¹ ≤
+    * outdeg·max(indeg) ≤ ~10¹⁵ at a 10⁹-customer corpus (i64-safe,
+    * documented); auth² crosses i64 at that extreme, so BOTH engines
+    * fold it 128-bit and emit the canonical decimal string.
+    */
+  private val q261 = QueryDef(
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      // three consumers (indeg, the two propagation joins)
+      val e = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c"))
+        .join(load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey").as("p")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("c"), col("p")).distinct()
+        .localCheckpoint()
+      val indeg = e.groupBy(col("p")).agg(lcountAll.as("indeg"))
+      val hub1 = e.join(indeg, "p")
+        .groupBy(col("c")).agg(sum(col("indeg")).as("h1"))
+      e.join(hub1, "c")
+        .groupBy(col("p"))
+        .agg(sum(col("h1").cast(dec38)).as("a2"))
+        .join(indeg, "p")
+        .select(col("p").as("part"), col("indeg"),
+          col("a2").cast("string").as("auth2"))
+    },
+    Some("""WITH e AS (
+              SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            ), indeg AS (
+              SELECT p, CAST(count(*) AS BIGINT) AS indeg
+              FROM e GROUP BY 1
+            ), hub1 AS (
+              SELECT e.c, CAST(SUM(indeg.indeg) AS BIGINT) AS h1
+              FROM e JOIN indeg ON e.p = indeg.p GROUP BY 1
+            ), a2 AS (
+              SELECT e.p, SUM(CAST(hub1.h1 AS HUGEINT)) AS a2
+              FROM e JOIN hub1 ON e.c = hub1.c GROUP BY 1
+            )
+            SELECT a2.p AS part, indeg.indeg,
+              CAST(a2.a2 AS VARCHAR) AS auth2
+            FROM a2 JOIN indeg ON a2.p = indeg.p"""),
+    "HITS authority after one full hub/auth update on the bipartite " +
+      "order graph: exact integer propagation, 128-bit emission [graph]")
+
   def all: Seq[(String, QueryDef)] = Seq(
+    "q261_hits_authority" -> q261,
     "q140_pagerank" -> q140,
     "q157_triangles" -> q157,
     "q208_kcore" -> q208,

@@ -1507,6 +1507,345 @@ object Stats {
     "Mantel-Haenszel pooled odds ratio across nation strata: integer " +
       "2x2 cells, pinned-order float folds [stats]")
 
+  /** q262: Welch's unequal-variance t-test — "do RETURNED lineitems
+    * (l_returnflag = 'R') ship in different quantities than delivered
+    * ones ('N')?" The two-sample mean comparison q160 gives for
+    * proportions, here for a measured quantity, WITHOUT the equal-
+    * variance assumption (the pooled-variance t is wrong whenever group
+    * spreads differ — Welch is the default the major stats packages
+    * moved to).
+    *
+    * Exactness: quantities are integral, so n, Σx, Σx² per group are
+    * exact BIGINT from ONE map-side-combined fold (conditional sums —
+    * no per-group frame, no fold-order dependence: every emitted double
+    * is a fixed expression over the six scalars, bit-identical across
+    * engines). t and the Welch–Satterthwaite df are terminal double
+    * chains; NULL when either group is degenerate (n < 2) or both
+    * variances vanish.
+    *
+    * Scale: one lineitem scan, one 1-row aggregate. i64 envelope:
+    * n·Σx² ≤ 2500·n² — sound past 10⁹ rows per group; beyond that the
+    * q252 decimal-evidence discipline applies.
+    */
+  private val q262 = QueryDef(
+    (s, d) => {
+      val q = col("l_quantity").cast("long")
+      val isR = col("l_returnflag") === "R"
+      val m = load(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("R", "N"))
+        .agg(
+          sum(when(isR, 1L).otherwise(0L)).as("n1"),
+          sum(when(isR, q).otherwise(0L)).as("sx1"),
+          sum(when(isR, q * q).otherwise(0L)).as("sxx1"),
+          sum(when(!isR, 1L).otherwise(0L)).as("n2"),
+          sum(when(!isR, q).otherwise(0L)).as("sx2"),
+          sum(when(!isR, q * q).otherwise(0L)).as("sxx2"))
+      def mean(i: Int) =
+        col(s"sx$i").cast("double") / col(s"n$i").cast("double")
+      def v(i: Int) =
+        (col(s"n$i") * col(s"sxx$i") - col(s"sx$i") * col(s"sx$i"))
+          .cast("double") /
+          (col(s"n$i").cast("double") * (col(s"n$i") - 1L).cast("double"))
+      def se(i: Int) = v(i) / col(s"n$i").cast("double")
+      val seSum = se(1) + se(2)
+      val ok = col("n1") >= 2L && col("n2") >= 2L
+      m.select(
+        col("n1"), col("n2"),
+        mean(1).as("mean1"), mean(2).as("mean2"),
+        when(ok, v(1)).as("var1"), when(ok, v(2)).as("var2"),
+        when(ok && seSum > 0.0,
+          (mean(1) - mean(2)) / sqrt(seSum)).as("t_welch"),
+        when(ok && seSum > 0.0,
+          (seSum * seSum) /
+            (se(1) * se(1) / (col("n1") - 1L).cast("double") +
+              se(2) * se(2) / (col("n2") - 1L).cast("double")))
+          .as("df_welch"))
+    },
+    Some("""WITH m AS (
+              SELECT
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS sx1,
+                CAST(SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sxx1,
+                CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+                CAST(SUM(CASE WHEN l_returnflag = 'N'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS sx2,
+                CAST(SUM(CASE WHEN l_returnflag = 'N'
+                  THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sxx2
+              FROM lineitem WHERE l_returnflag IN ('R', 'N')
+            ), e AS (
+              SELECT n1, n2,
+                CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+                CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+                CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1,
+                CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+                  / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS v2
+              FROM m
+            )
+            SELECT n1, n2, mean1, mean2,
+              CASE WHEN n1 >= 2 AND n2 >= 2 THEN v1 END AS var1,
+              CASE WHEN n1 >= 2 AND n2 >= 2 THEN v2 END AS var2,
+              CASE WHEN n1 >= 2 AND n2 >= 2
+                  AND v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) > 0
+                THEN (mean1 - mean2)
+                  / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+                END AS t_welch,
+              CASE WHEN n1 >= 2 AND n2 >= 2
+                  AND v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) > 0
+                THEN ((v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+                    * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)))
+                  / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                      / CAST(n1 - 1 AS DOUBLE)
+                    + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+                      / CAST(n2 - 1 AS DOUBLE))
+                END AS df_welch
+            FROM e"""),
+    "Welch unequal-variance t-test on quantities, returned vs " +
+      "delivered: exact integer moments, terminal doubles [stats]")
+
+  /** Friedman treatment count (the 5 order priorities). */
+  private val FriedmanK = 5L
+
+  /** q264: Friedman rank test — "does revenue RANK differently across
+    * the 5 order priorities, blocking by nation?" The non-parametric
+    * repeated-measures ANOVA: each complete block (a nation with all 5
+    * priority levels populated) ranks its 5 per-priority revenue
+    * totals; the statistic asks whether the rank sums diverge from the
+    * uniform n(k+1)/2. The blocked complement of q243's Kruskal-Wallis
+    * (which pools all rows and would confound nation effects).
+    *
+    * Exactness: cell values are integer cents, so within-block ranking
+    * is exact; ties take MIDRANKS carried as 2·midrank integers
+    * (min-rank + tie-count — both order-independent), the q243
+    * discipline. Rank sums and the centered square sum
+    * S2 = Σⱼ(2Rⱼ − n(k+1))² are integers; the classic statistic
+    * χ² = 12/(nk(k+1))·Σ(Rⱼ − n(k+1)/2)² = 3·S2/(nk(k+1)) is ONE
+    * terminal division. (No tie correction — ties between integer-cent
+    * totals are measure-zero and midranks keep the uncorrected form
+    * exact; the contract is documented on both sides.)
+    *
+    * Scale: one orders×customer key join folds map-side to ≤125
+    * (nation, priority) cells; every window after runs on that
+    * domain-bounded frame.
+    */
+  private val q264 = QueryDef(
+    (s, d) => {
+      val k = FriedmanK
+      val cells = load(s, d, "orders")
+        .join(load(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_orderpriority"))
+        .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
+          .as("cents"))
+      val byNation = Window.partitionBy("c_nationkey")
+      val complete = cells
+        .withColumn("kk", count(lit(1)).over(byNation))
+        .filter(col("kk") === k)
+      val midrank2 =
+        lit(2L) * rank().over(byNation.orderBy(col("cents"))) +
+          (count(lit(1)).over(
+            Window.partitionBy(col("c_nationkey"), col("cents"))) - 1L)
+      val rsums = complete
+        .withColumn("r2", midrank2)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("r2")).as("r2_sum"),
+          graft.common.Exact.lcountAll.as("n_blocks"))
+        // 5-row frame feeds the scalar fold AND the emit join
+        .localCheckpoint()
+      val scal = rsums.agg(
+        sum((col("r2_sum") - col("n_blocks") * (k + 1L)) *
+          (col("r2_sum") - col("n_blocks") * (k + 1L))).as("s2"),
+        max(col("n_blocks")).as("n"))
+        .withColumn("k1", lit(1))
+      rsums.withColumn("k1", lit(1)).join(broadcast(scal), "k1")
+        .select(col("o_orderpriority"), col("r2_sum"), col("n_blocks"),
+          (col("r2_sum").cast("double") /
+            (lit(2.0) * col("n").cast("double"))).as("mean_rank"),
+          when(col("n") > 0L,
+            lit(3.0) * col("s2").cast("double") /
+              (col("n").cast("double") * lit(k.toDouble) *
+                lit((k + 1L).toDouble))).as("chi2_friedman"))
+    },
+    Some(s"""WITH cells AS (
+              SELECT c.c_nationkey, o.o_orderpriority,
+                CAST(SUM(${graft.common.Exact.centsSql("o_totalprice")})
+                  AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2
+            ), complete AS (
+              SELECT * FROM (
+                SELECT c_nationkey, o_orderpriority, cents,
+                  count(*) OVER (PARTITION BY c_nationkey) AS kk
+                FROM cells)
+              WHERE kk = $FriedmanK
+            ), ranked AS (
+              SELECT o_orderpriority,
+                2 * rank() OVER (PARTITION BY c_nationkey ORDER BY cents)
+                  + (count(*) OVER (PARTITION BY c_nationkey, cents) - 1)
+                  AS r2
+              FROM complete
+            ), rs AS (
+              SELECT o_orderpriority,
+                CAST(SUM(r2) AS BIGINT) AS r2_sum,
+                CAST(count(*) AS BIGINT) AS n_blocks
+              FROM ranked GROUP BY 1
+            ), scal AS (
+              SELECT CAST(SUM((r2_sum - n_blocks * ${FriedmanK + 1L}) *
+                  (r2_sum - n_blocks * ${FriedmanK + 1L})) AS BIGINT)
+                  AS s2,
+                CAST(MAX(n_blocks) AS BIGINT) AS n
+              FROM rs
+            )
+            SELECT rs.o_orderpriority, rs.r2_sum, rs.n_blocks,
+              CAST(rs.r2_sum AS DOUBLE) / (2.0 * CAST(s.n AS DOUBLE))
+                AS mean_rank,
+              CASE WHEN s.n > 0 THEN
+                3.0 * CAST(s.s2 AS DOUBLE) /
+                  (CAST(s.n AS DOUBLE) * ${FriedmanK}.0
+                    * ${FriedmanK + 1L}.0)
+                END AS chi2_friedman
+            FROM rs, scal s"""),
+    "Friedman rank test across priorities, nation blocks: exact " +
+      "integer midranks, one terminal division [stats]")
+
+  /** q265: Brown-Forsythe variance-homogeneity test — "is quantity
+    * SPREAD the same across the three return-flag populations?" The
+    * robust Levene variant: one-way ANOVA on absolute deviations from
+    * each group's MEDIAN (median-centering keeps the test valid under
+    * skew, which mean-centered Levene is not). The diagnostic a reader
+    * of q262's t-test needs next: Welch tolerates unequal variances,
+    * but knowing WHETHER they differ is its own question.
+    *
+    * Exactness: quantities are small integers, so the group median
+    * comes from a ≤50-bin value histogram via integer cumulative-count
+    * selection (the q81/q247 discipline — no per-row rank window), kept
+    * in 2·median units so even-count midpoints stay integral;
+    * deviations z = |2q − med2| are integers, and F is invariant under
+    * the common ×2 scaling (numerator and denominator both scale by 4).
+    * The group moments (n, Σz, Σz²) land in ONE conditional-sum fold —
+    * three groups is a closed domain, so every emitted double is a
+    * fixed expression over nine scalars with NO fold-order dependence.
+    *
+    * Scale: two lineitem scans (histogram; deviation fold against the
+    * broadcast 3-row median frame) and arithmetic on one row. i64
+    * envelope: Σz² ≤ 10⁴·n — sound past 10¹⁴ rows.
+    */
+  private val q265 = QueryDef(
+    (s, d) => {
+      val li = load(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("q"))
+      val hist = li.groupBy(col("g"), col("q"))
+        .agg(graft.common.Exact.lcountAll.as("c"))
+      val wcum = Window.partitionBy("g").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("g")))
+        .localCheckpoint() // feeds both median picks
+      val lo = cum.filter(col("cum") * 2L >= col("n"))
+        .groupBy("g").agg(min(col("q")).as("lo"))
+      val hi = cum.filter(col("cum") * 2L >= col("n") + 1L)
+        .groupBy("g").agg(min(col("q")).as("hi"))
+      val med = lo.join(hi, "g")
+        .select(col("g"), (col("lo") + col("hi")).as("med2"))
+      val z = li.join(broadcast(med), "g")
+        .select(col("g"), col("med2"),
+          abs(col("q") * 2L - col("med2")).as("z2"))
+      def grp(flag: String, suffix: String) = Seq(
+        sum(when(col("g") === flag, 1L).otherwise(0L)).as(s"n_$suffix"),
+        sum(when(col("g") === flag, col("z2")).otherwise(0L))
+          .as(s"sz_$suffix"),
+        sum(when(col("g") === flag, col("z2") * col("z2")).otherwise(0L))
+          .as(s"zz_$suffix"),
+        max(when(col("g") === flag, col("med2"))).as(s"med2_$suffix"))
+      val aggs = grp("A", "a") ++ grp("N", "n") ++ grp("R", "r")
+      val m = z.agg(aggs.head, aggs.tail: _*)
+      def nD(x: String) = col(s"n_$x").cast("double")
+      def zbar(x: String) = col(s"sz_$x").cast("double") / nD(x)
+      val nTot = nD("a") + nD("n") + nD("r")
+      val zbarAll =
+        (col("sz_a") + col("sz_n") + col("sz_r")).cast("double") / nTot
+      def numTerm(x: String) =
+        nD(x) * (zbar(x) - zbarAll) * (zbar(x) - zbarAll)
+      def denTerm(x: String) =
+        col(s"zz_$x").cast("double") - col(s"sz_$x").cast("double") * zbar(x)
+      val num = numTerm("a") + numTerm("n") + numTerm("r")
+      val den = denTerm("a") + denTerm("n") + denTerm("r")
+      val ok = col("n_a") >= 2L && col("n_n") >= 2L && col("n_r") >= 2L
+      m.select(
+        col("n_a"), col("n_n"), col("n_r"),
+        col("med2_a"), col("med2_n"), col("med2_r"),
+        col("sz_a"), col("sz_n"), col("sz_r"),
+        col("zz_a"), col("zz_n"), col("zz_r"),
+        when(ok && den > 0.0,
+          ((nTot - 3.0) / 2.0) * num / den).as("f_bf"),
+        when(ok && den > 0.0, nTot - 3.0).as("df2"))
+    },
+    Some {
+      def grpSql(flag: String, x: String) =
+        s"""CAST(SUM(CASE WHEN g = '$flag' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_$x,
+            CAST(SUM(CASE WHEN g = '$flag' THEN z2 ELSE 0 END) AS BIGINT)
+              AS sz_$x,
+            CAST(SUM(CASE WHEN g = '$flag' THEN z2 * z2 ELSE 0 END)
+              AS BIGINT) AS zz_$x,
+            MAX(CASE WHEN g = '$flag' THEN med2 END) AS med2_$x"""
+      def zbarSql(x: String) = s"CAST(sz_$x AS DOUBLE) / CAST(n_$x AS DOUBLE)"
+      val nTot = "(CAST(n_a AS DOUBLE) + CAST(n_n AS DOUBLE) + CAST(n_r AS DOUBLE))"
+      val zbarAll = s"CAST(sz_a + sz_n + sz_r AS DOUBLE) / $nTot"
+      def numT(x: String) =
+        s"CAST(n_$x AS DOUBLE) * (${zbarSql(x)} - $zbarAll) * (${zbarSql(x)} - $zbarAll)"
+      def denT(x: String) =
+        s"(CAST(zz_$x AS DOUBLE) - CAST(sz_$x AS DOUBLE) * ${zbarSql(x)})"
+      val num = s"(${numT("a")} + ${numT("n")} + ${numT("r")})"
+      val den = s"(${denT("a")} + ${denT("n")} + ${denT("r")})"
+      val ok = s"n_a >= 2 AND n_n >= 2 AND n_r >= 2 AND $den > 0"
+      s"""WITH li AS (
+            SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem
+          ), hist AS (
+            SELECT g, q, CAST(count(*) AS BIGINT) AS c
+            FROM li GROUP BY 1, 2
+          ), cum AS (
+            SELECT g, q,
+              SUM(c) OVER (PARTITION BY g ORDER BY q) AS cum,
+              SUM(c) OVER (PARTITION BY g) AS n
+            FROM hist
+          ), med AS (
+            SELECT lo.g, lo.lo + hi.hi AS med2
+            FROM (SELECT g, MIN(q) AS lo FROM cum
+                  WHERE cum * 2 >= n GROUP BY g) lo
+            JOIN (SELECT g, MIN(q) AS hi FROM cum
+                  WHERE cum * 2 >= n + 1 GROUP BY g) hi
+            ON lo.g = hi.g
+          ), z AS (
+            SELECT li.g, med.med2, abs(li.q * 2 - med.med2) AS z2
+            FROM li JOIN med ON li.g = med.g
+          ), m AS (
+            SELECT ${grpSql("A", "a")}, ${grpSql("N", "n")},
+              ${grpSql("R", "r")}
+            FROM z
+          )
+          SELECT n_a, n_n, n_r, med2_a, med2_n, med2_r,
+            sz_a, sz_n, sz_r, zz_a, zz_n, zz_r,
+            CASE WHEN $ok THEN
+              (($nTot - 3.0) / 2.0) * $num / $den END AS f_bf,
+            CASE WHEN $ok THEN $nTot - 3.0 END AS df2
+          FROM m"""
+    },
+    "Brown-Forsythe variance homogeneity across return flags: " +
+      "histogram medians, integer deviation moments, terminal F [stats]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
     "q143_exact_corr" -> q143,
@@ -1521,5 +1860,8 @@ object Stats {
     "q243_kruskal_wallis" -> q243,
     "q244_bh_fdr" -> q244,
     "q252_ca_trend" -> q252,
-    "q254_mh_odds_ratio" -> q254)
+    "q254_mh_odds_ratio" -> q254,
+    "q262_welch_t" -> q262,
+    "q264_friedman" -> q264,
+    "q265_brown_forsythe" -> q265)
 }

@@ -801,7 +801,101 @@ object TextOps {
     "Cohen's kappa between declared and predicted language: integer " +
       "confusion marginals, 128-bit cross terms [text-analysis]")
 
+  /** q263's minimum en-marker hits for the simple rule classifier. */
+  private val EnRuleMinHits = 2
+
+  /** q263: McNemar's paired test — "is the marker-ARGMAX language
+    * classifier (q32) actually better than a dumb en-threshold rule,
+    * on the SAME documents?" Comparing two classifiers by their
+    * separate accuracies wastes the pairing; McNemar conditions on the
+    * discordant pairs only (b = argmax right & rule wrong, c = the
+    * reverse) — the standard paired readout a labeling pipeline runs
+    * before swapping classifiers. Task: is the document English
+    * (truth = declared lang); classifier A = q32's marker argmax;
+    * classifier B = "en iff ≥ [[EnRuleMinHits]] en-marker hits".
+    *
+    * Exactness: the 2×2 discordance cells are one conditional-sum
+    * integer fold over a narrow scoring pass (no per-group frame, no
+    * fold order); the statistic (b−c)²/(b+c) is a terminal double,
+    * NULL when the classifiers never disagree.
+    *
+    * Scale: one documents scan, one 1-row aggregate — a pure map job.
+    */
+  private val q263 = QueryDef(
+    (s, d) => {
+      val docs = load(s, d, "documents")
+      val w = words(col("text"))
+      val c = LangMarkers.map { case (lang, markers) =>
+        lang -> countIn(w, markers)
+      }.toMap
+      val predA =
+        (c("en") >= c("es") && c("en") >= c("de") && c("en") >= c("fr"))
+      val predB = c("en") >= EnRuleMinHits
+      val truth = col("lang") === "en"
+      val scored = docs.select(
+        (predA === truth).as("a_right"), (predB === truth).as("b_right"))
+      val m = scored.agg(
+        graft.common.Exact.lcountAll.as("n"),
+        sum(when(col("a_right") && col("b_right"), 1L).otherwise(0L))
+          .as("both_right"),
+        sum(when(!col("a_right") && !col("b_right"), 1L).otherwise(0L))
+          .as("both_wrong"),
+        sum(when(col("a_right") && !col("b_right"), 1L).otherwise(0L))
+          .as("b_disc"),
+        sum(when(!col("a_right") && col("b_right"), 1L).otherwise(0L))
+          .as("c_disc"))
+      m.select(col("n"), col("both_right"), col("both_wrong"),
+        col("b_disc"), col("c_disc"),
+        ((col("both_right") + col("b_disc")).cast("double") /
+          col("n").cast("double")).as("acc_argmax"),
+        ((col("both_right") + col("c_disc")).cast("double") /
+          col("n").cast("double")).as("acc_rule"),
+        when(col("b_disc") + col("c_disc") > 0L,
+          ((col("b_disc") - col("c_disc")) *
+            (col("b_disc") - col("c_disc"))).cast("double") /
+            (col("b_disc") + col("c_disc")).cast("double"))
+          .as("mcnemar_chi2"))
+    },
+    Some {
+      val score = LangMarkers.map { case (lang, markers) =>
+        val set = markers.map(m => s"'$m'").mkString(",")
+        lang -> s"len(list_filter($WordsSql, x -> x IN ($set)))"
+      }.toMap
+      val predA = s"(${score("en")} >= ${score("es")} AND " +
+        s"${score("en")} >= ${score("de")} AND " +
+        s"${score("en")} >= ${score("fr")})"
+      val predB = s"(${score("en")} >= $EnRuleMinHits)"
+      s"""WITH scored AS (
+            SELECT ($predA = (lang = 'en')) AS a_right,
+              ($predB = (lang = 'en')) AS b_right
+            FROM documents
+          ), m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN a_right AND b_right THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_right,
+              CAST(SUM(CASE WHEN NOT a_right AND NOT b_right
+                THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+              CAST(SUM(CASE WHEN a_right AND NOT b_right
+                THEN 1 ELSE 0 END) AS BIGINT) AS b_disc,
+              CAST(SUM(CASE WHEN NOT a_right AND b_right
+                THEN 1 ELSE 0 END) AS BIGINT) AS c_disc
+            FROM scored
+          )
+          SELECT n, both_right, both_wrong, b_disc, c_disc,
+            CAST(both_right + b_disc AS DOUBLE) / CAST(n AS DOUBLE)
+              AS acc_argmax,
+            CAST(both_right + c_disc AS DOUBLE) / CAST(n AS DOUBLE)
+              AS acc_rule,
+            CASE WHEN b_disc + c_disc > 0 THEN
+              CAST((b_disc - c_disc) * (b_disc - c_disc) AS DOUBLE)
+                / CAST(b_disc + c_disc AS DOUBLE) END AS mcnemar_chi2
+          FROM m"""
+    },
+    "McNemar paired classifier test: marker-argmax vs en-threshold " +
+      "rule on English ID, exact discordance cells [stats,text-analysis]")
+
   def all: Seq[(String, QueryDef)] = Seq(
+    "q263_mcnemar" -> q263,
     "q30_text_tokens" -> q30,
     "q31_text_quality" -> q31,
     "q32_text_langid" -> q32,

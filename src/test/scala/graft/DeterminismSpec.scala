@@ -128,7 +128,14 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q259_tokenizer_fertility",
     // SemDeDup: integer centroid assignment + per-cluster successor
     // windows must not leak partition layout into the nn columns
-    "q260_semdedup")
+    "q260_semdedup",
+    // r13 batch 2: HITS propagates integer sums through two keyed
+    // aggregates (the 128-bit a2 fold must merge identically under any
+    // layout); the three classical tests fold conditional integer
+    // moments / midranks whose partial aggregation order must not leak
+    // into the terminal doubles
+    "q261_hits_authority", "q262_welch_t", "q263_mcnemar",
+    "q264_friedman", "q265_brown_forsythe")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
