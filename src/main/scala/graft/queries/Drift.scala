@@ -137,33 +137,40 @@ object Drift {
     * Integer marginal products fit i64 to ~3·10⁹ rows per margin; the
     * DECIMAL(38,0) swap is the documented 100 TB escape hatch.
     */
+  /** The (segment × priority) χ² cell frame shared by q156 (per-cell
+    * emission) and q267 (the Cramér's V fold): exact integer marginals
+    * from one fold, per-cell expected/term as fixed IEEE chains.
+    */
+  private def chisqCells(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val base = load(s, d, "orders").join(
+      load(s, d, "customer"),
+      col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+    val cells = base.groupBy(col("segment"), col("priority"))
+      .agg(lcountAll.as("obs"))
+    val rowT = cells.groupBy(col("segment"))
+      .agg(sum("obs").as("row_tot"))
+    val colT = cells.groupBy(col("priority"))
+      .agg(sum("obs").as("col_tot"))
+    val n = cells.agg(sum("obs").as("n_rows"))
+    cells.join(rowT, "segment").join(colT, "priority")
+      .crossJoin(broadcast(n))
+      .withColumn("expected",
+        (col("row_tot") * col("col_tot")).cast("double") /
+          col("n_rows").cast("double"))
+      .withColumn("chi_term",
+        (col("obs").cast("double") - col("expected")) *
+          (col("obs").cast("double") - col("expected")) /
+          col("expected"))
+      .select(col("segment"), col("priority"), col("obs"),
+        col("row_tot"), col("col_tot"), col("n_rows"),
+        col("expected"), col("chi_term"))
+  }
+
   private val q156 = QueryDef(
-    (s, d) => {
-      val base = load(s, d, "orders").join(
-        load(s, d, "customer"),
-        col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment").as("segment"),
-          col("o_orderpriority").as("priority"))
-      val cells = base.groupBy(col("segment"), col("priority"))
-        .agg(lcountAll.as("obs"))
-      val rowT = cells.groupBy(col("segment"))
-        .agg(sum("obs").as("row_tot"))
-      val colT = cells.groupBy(col("priority"))
-        .agg(sum("obs").as("col_tot"))
-      val n = cells.agg(sum("obs").as("n_rows"))
-      cells.join(rowT, "segment").join(colT, "priority")
-        .crossJoin(broadcast(n))
-        .withColumn("expected",
-          (col("row_tot") * col("col_tot")).cast("double") /
-            col("n_rows").cast("double"))
-        .withColumn("chi_term",
-          (col("obs").cast("double") - col("expected")) *
-            (col("obs").cast("double") - col("expected")) /
-            col("expected"))
-        .select(col("segment"), col("priority"), col("obs"),
-          col("row_tot"), col("col_tot"), col("n_rows"),
-          col("expected"), col("chi_term"))
-    },
+    (s, d) => chisqCells(s, d),
     Some("""WITH base AS (
               SELECT c.c_mktsegment AS segment,
                 o.o_orderpriority AS priority
@@ -366,7 +373,190 @@ object Drift {
                 ln(r.pos_share / r.neg_share)) < 1e-9"""),
     "weight-of-evidence / IV over score quintiles: supervised PSI twin, ln tolerance oracle [drift]")
 
+  /** q267: Cramér's V — the EFFECT SIZE companion to q156's χ²
+    * screen on the same (market segment × order priority) table. χ²
+    * grows with n, so at corpus scale every association is
+    * "significant"; V = √(χ²/(n·min(r−1, c−1))) ∈ [0, 1] is the
+    * n-invariant strength number a drift dashboard actually
+    * thresholds on.
+    *
+    * Exactness: the cell terms are q156's fixed IEEE chains over exact
+    * integer marginals; the ONE cross-cell float fold runs as a
+    * cumulative window in the PINNED (segment, priority) order — the
+    * q254 fixed-order float-fold discipline — so χ² and V are
+    * bit-identical cross-engine. r, c, n are exact integers.
+    *
+    * Scale: q156's shape (one keyed fold to ≤25 cells, broadcast
+    * marginals); the ordered fold and the scalar attach run on the
+    * domain-bounded cell frame.
+    */
+  private val q267 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // two consumers (the ordered fold, the dims aggregate) — the
+      // ≤25-row cell frame materializes once instead of re-running the
+      // corpus fold per branch
+      val cells = chisqCells(s, d).localCheckpoint()
+      val wRun = Window.orderBy(col("segment"), col("priority"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val chi2 = cells
+        .withColumn("chi2_run", sum(col("chi_term")).over(wRun))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("segment").desc, col("priority").desc)))
+        .filter(col("rn") === 1)
+        .select(col("chi2_run").as("chi2"))
+      val dims = cells.agg(
+        max(col("n_rows")).as("n"),
+        count_distinct(col("segment")).as("r"),
+        count_distinct(col("priority")).as("c"))
+      dims.crossJoin(broadcast(chi2))
+        .select(col("n"), col("r"), col("c"), col("chi2"),
+          ((col("r") - 1L) * (col("c") - 1L)).as("dof"),
+          sqrt(col("chi2") /
+            (col("n").cast("double") *
+              least(col("r") - 1L, col("c") - 1L).cast("double")))
+            .as("cramers_v"))
+    },
+    Some("""WITH base AS (
+              SELECT c.c_mktsegment AS segment,
+                o.o_orderpriority AS priority
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ), cells AS (
+              SELECT segment, priority, CAST(count(*) AS BIGINT) AS obs
+              FROM base GROUP BY 1, 2
+            ), rt AS (
+              SELECT segment, CAST(SUM(obs) AS BIGINT) AS row_tot
+              FROM cells GROUP BY 1
+            ), ct AS (
+              SELECT priority, CAST(SUM(obs) AS BIGINT) AS col_tot
+              FROM cells GROUP BY 1
+            ), n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_rows FROM cells),
+            terms AS (
+              SELECT cells.segment, cells.priority, n_rows,
+                (CAST(obs AS DOUBLE) -
+                   CAST(row_tot * col_tot AS DOUBLE) / CAST(n_rows AS DOUBLE)) *
+                (CAST(obs AS DOUBLE) -
+                   CAST(row_tot * col_tot AS DOUBLE) / CAST(n_rows AS DOUBLE)) /
+                (CAST(row_tot * col_tot AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                  AS chi_term
+              FROM cells
+              JOIN rt ON cells.segment = rt.segment
+              JOIN ct ON cells.priority = ct.priority
+              CROSS JOIN n
+            ), folded AS (
+              SELECT
+                SUM(chi_term) OVER (ORDER BY segment, priority
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS chi2,
+                ROW_NUMBER() OVER (ORDER BY segment DESC, priority DESC)
+                  AS rn
+              FROM terms
+            ), dims AS (
+              SELECT CAST(MAX(n_rows) AS BIGINT) AS n,
+                CAST(count(DISTINCT segment) AS BIGINT) AS r,
+                CAST(count(DISTINCT priority) AS BIGINT) AS c
+              FROM terms
+            )
+            SELECT n, r, c, chi2,
+              (r - 1) * (c - 1) AS dof,
+              sqrt(chi2 / (CAST(n AS DOUBLE) *
+                CAST(least(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+            FROM dims, (SELECT chi2 FROM folded WHERE rn = 1)"""),
+    "Cramér's V association strength for segment × priority: pinned-" +
+      "order chi-square fold, n-invariant effect size [stats,drift]")
+
+  /** q266's two ship-year slices. */
+  private val WyA = 1996
+  private val WyB = 1997
+
+  /** q266: exact 1-D Wasserstein-1 (earth-mover) distance between two
+    * quantity distributions — "how far did the ship-1996 quantity mix
+    * move by 1997, in QUANTITY UNITS?" The metric drift readout PSI
+    * (q155) and KS (q154) cannot give: PSI is bin-relative and
+    * unitless, KS is the sup of the CDF gap; W1 = ∫|F_A − F_B| is the
+    * actual mass-transport cost, comparable across features and
+    * thresholds. On a discrete domain it is the exact sum
+    * Σ_v |F_A(v) − F_B(v)|·Δv over the merged value grid.
+    *
+    * Exactness: quantities live on a ≤50-value integer domain, so both
+    * CDFs are integer cumulative counts over one tiny histogram; the
+    * numerator Σ|cumA·n_B − cumB·n_A|·Δv is an exact BIGINT (common
+    * denominator n_A·n_B), and W1 is ONE terminal division. i64/2^53
+    * envelope: num ≤ 50·n_A·n_B — sound to ~10⁷ rows per slice for
+    * exact doubles and ~10⁹ for i64; past that the q252 decimal-
+    * evidence discipline applies (num as canonical string), and a
+    * continuous-valued variant swaps the 50-bin histogram for the
+    * cents-domain histogram walked by the q177 prefix-sum scan.
+    *
+    * Scale: ONE map-side-combined fold to the ≤50-row histogram; the
+    * cumulative windows and the final fold run on that domain-bounded
+    * frame. The corpus is scanned once.
+    */
+  private val q266 = QueryDef(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = load(s, d, "lineitem")
+        .filter(year(col("l_shipdate")).isin(WyA, WyB))
+        .select(col("l_quantity").cast("long").as("q"),
+          year(col("l_shipdate")).as("y"))
+      val hist = li.groupBy(col("q")).agg(
+        sum(when(col("y") === WyA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("y") === WyB, 1L).otherwise(0L)).as("cb"))
+      val wq = Window.orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val walked = hist
+        .withColumn("cuma", sum(col("ca")).over(wq))
+        .withColumn("cumb", sum(col("cb")).over(wq))
+        .withColumn("dv",
+          coalesce(lead(col("q"), 1).over(Window.orderBy(col("q"))) -
+            col("q"), lit(0L)))
+      val tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      walked
+        .withColumn("na", sum(col("ca")).over(tot))
+        .withColumn("nb", sum(col("cb")).over(tot))
+        .agg(
+          max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(abs(col("cuma") * col("nb") - col("cumb") * col("na")) *
+            col("dv")).as("w1_num"))
+        .select(col("n_a"), col("n_b"), col("w1_num"),
+          (col("w1_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .as("w1"))
+    },
+    Some(s"""WITH li AS (
+              SELECT CAST(l_quantity AS BIGINT) AS q,
+                year(l_shipdate) AS y
+              FROM lineitem WHERE year(l_shipdate) IN ($WyA, $WyB)
+            ), hist AS (
+              SELECT q,
+                CAST(SUM(CASE WHEN y = $WyA THEN 1 ELSE 0 END) AS BIGINT)
+                  AS ca,
+                CAST(SUM(CASE WHEN y = $WyB THEN 1 ELSE 0 END) AS BIGINT)
+                  AS cb
+              FROM li GROUP BY 1
+            ), walked AS (
+              SELECT q, ca, cb,
+                SUM(ca) OVER (ORDER BY q) AS cuma,
+                SUM(cb) OVER (ORDER BY q) AS cumb,
+                COALESCE(lead(q, 1) OVER (ORDER BY q) - q, 0) AS dv,
+                SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+              FROM hist
+            )
+            SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+              CAST(MAX(n_b) AS BIGINT) AS n_b,
+              CAST(SUM(abs(cuma * n_b - cumb * n_a) * dv) AS BIGINT)
+                AS w1_num,
+              CAST(SUM(abs(cuma * n_b - cumb * n_a) * dv) AS DOUBLE) /
+                (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE))
+                AS w1
+            FROM walked"""),
+    "exact Wasserstein-1 quantity-distribution drift between ship " +
+      "years: integer CDF gap walk on the value histogram [stats,drift]")
+
   def all: Seq[(String, QueryDef)] = Seq(
+    "q266_wasserstein_drift" -> q266,
+    "q267_cramers_v" -> q267,
     "q155_psi_drift" -> q155,
     "q156_chisq_cells" -> q156,
     "q164_cusum_changepoint" -> q164,

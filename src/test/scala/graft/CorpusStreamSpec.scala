@@ -32,8 +32,11 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
     val fullDir = java.nio.file.Files.createTempDirectory("cs_full").toString
     val outFull = java.nio.file.Files.createTempDirectory("cs_ofull").toString
 
-    // standing corpus: ids 0..99 (bench docs at 0/50 by the %50 rule)
-    val base = (0L until 100L).map(i => i -> txt(i))
+    // standing corpus: ids 0..99 (bench docs at 0/50 by the %50 rule);
+    // doc 99 is LONG so a later streamed snippet of it exercises the
+    // containment stage (high containment, sub-0.8 Jaccard)
+    val longText = (1 to 40).map(i => s"s99v$i").mkString(" ")
+    val base = (0L until 99L).map(i => i -> txt(i)) :+ (99L -> longText)
     writeDocs(s"$baseDir/documents.parquet", base)
     CorpusPipeline.run(spark, baseDir, out)
 
@@ -45,17 +48,22 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
     assert(r1.map(_.nBatch).sum == 3 && r1.map(_.nNewDocs).sum == 1)
 
     // batch 2 lands later; the restarted stream must process ONLY it —
-    // and its NEAR-dup of standing doc 20 (not a verbatim copy, so the
+    // its NEAR-dup of standing doc 20 (not a verbatim copy, so the
     // exact index passes it) must drop through the streamed near-dup
-    // stage against the persisted LSH index
+    // stage against the persisted LSH index, and its SNIPPET of
+    // standing doc 99 (containment 1.0, Jaccard 26/36 — survives
+    // near-dup) must land in the streamed containment audit
     val batch2 = Seq(130L -> txt(501), 131L -> txt(502),
-      132L -> (txt(20) + " tailone tailtwo"))
+      132L -> (txt(20) + " tailone tailtwo"),
+      133L -> (1 to 30).map(i => s"s99v$i").mkString(" "))
     writeDocs(srcDir, batch2)
     val r2 = CorpusStream.ingestAvailable(spark, srcDir, out, ckpt)
-    assert(r2.map(_.nBatch).sum == 3 && r2.map(_.nNewDocs).sum == 3,
+    assert(r2.map(_.nBatch).sum == 4 && r2.map(_.nNewDocs).sum == 4,
       s"restart must fold only the new file: $r2")
-    assert(r2.map(_.nNearDup).sum == 2,
+    assert(r2.map(_.nNearDup).sum == 3,
       s"the streamed near-dup stage must drop doc 132: $r2")
+    assert(r2.last.nContainmentPairs == 1,
+      s"the streamed containment stage must pair 133 inside 99: $r2")
 
     // nothing new: the checkpoint skips everything
     val r3 = CorpusStream.ingestAvailable(spark, srcDir, out, ckpt)
@@ -69,6 +77,9 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
     assert(rowsOf(s"$out/chunks") == rowsOf(s"$outFull/chunks"))
     assert(rowsOf(s"$out/hash_index") == rowsOf(s"$outFull/hash_index"))
     assert(rowsOf(s"$out/lsh_index") == rowsOf(s"$outFull/lsh_index"))
+    assert(rowsOf(s"$out/containment_pairs")
+      == rowsOf(s"$outFull/containment_pairs"))
+    assert(rowsOf(s"$out/overcap_grams") == rowsOf(s"$outFull/overcap_grams"))
   }
 
   test("long-lived processing-time trigger: multi-batch fold, stop, restart-no-refold") {
