@@ -1599,8 +1599,96 @@ object Similarity {
     "MMR-diversified top-10 over a top-50 cosine pool: greedy " +
       "re-rank per query key, derived greedy-optimality oracle [similarity]")
 
+  /** q268: per-query MRR (mean reciprocal rank) of the IVF lists —
+    * the FIRST-HIT companion completing the eval triad: recall@10
+    * (q123) counts overlap, NDCG@10 (q230) weights every position,
+    * MRR reads only where the first true neighbor lands — the metric
+    * for interfaces that surface one answer (dedup candidate review,
+    * top-1 retrieval augmentation). Emits each query's first-hit rank,
+    * its reciprocal, and the corpus MRR.
+    *
+    * Exactness: the first-hit rank is an exact integer (min emitted rn
+    * whose vec_id appears in the exact top-10); rr = 1/rank is one
+    * division, and the MRR fold runs in PINNED query_id order (q254
+    * discipline) — so unlike q230's tolerance bands, this derived
+    * oracle recomputes every value independently from the two emitted
+    * lists and compares EXACTLY. A query with no hit contributes
+    * rr = 0 (NULL rank) — the standard convention, and the reason MRR
+    * complements recall rather than repeating it.
+    *
+    * Scale: both inputs are per-query top-10 lists (query-count-
+    * bounded); the join, the min-rank fold, and the pinned MRR fold
+    * never touch corpus-sized frames (the q123/q230 argument).
+    */
+  private val q268 = QueryDef(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val exact = q38.fn(s, d)
+        .select(col("query_id").as("eqid"), col("vec_id").as("evid"))
+      val approx = q54.fn(s, d)
+        .select(col("query_id"), col("vec_id"), col("rn"))
+      // two consumers (emit join, MRR fold) of a query-count-bounded
+      // frame
+      val perQ = approx
+        .join(exact, col("query_id") === col("eqid") &&
+          col("vec_id") === col("evid"), "left")
+        .groupBy(col("query_id"))
+        .agg(min(when(col("evid").isNotNull, col("rn")))
+          .as("first_hit_rank"))
+        .withColumn("rr",
+          coalesce(lit(1.0) / col("first_hit_rank").cast("double"),
+            lit(0.0)))
+        .localCheckpoint()
+      val ordered = w.orderBy(col("query_id").asc)
+        .rowsBetween(w.unboundedPreceding, w.currentRow)
+      val mrr = perQ
+        .withColumn("rr_run", sum(col("rr")).over(ordered))
+        .withColumn("nq", count(lit(1)).over(
+          w.rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
+        .withColumn("last", row_number().over(
+          w.orderBy(col("query_id").desc)))
+        .filter(col("last") === 1)
+        .select((col("rr_run") / col("nq").cast("double")).as("mrr"))
+      perQ.crossJoin(broadcast(mrr))
+        .select(col("query_id"), col("first_hit_rank"), col("rr"),
+          col("mrr"))
+    },
+    Some(s"""WITH ex AS (
+              SELECT query_id, vec_id FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q38_ann_bruteforce/*.parquet')
+            ), ap AS (
+              SELECT query_id, vec_id, rn FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q54_ann_ivf/*.parquet')
+            ), perq AS (
+              SELECT a.query_id,
+                MIN(CASE WHEN e.vec_id IS NOT NULL THEN a.rn END)
+                  AS first_hit_rank
+              FROM ap a LEFT JOIN ex e
+                ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+              GROUP BY 1
+            ), rrq AS (
+              SELECT query_id, first_hit_rank,
+                COALESCE(1.0 / CAST(first_hit_rank AS DOUBLE), 0.0) AS rr
+              FROM perq
+            ), folded AS (
+              SELECT
+                SUM(rr) OVER (ORDER BY query_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS rr_run,
+                count(*) OVER () AS nq,
+                ROW_NUMBER() OVER (ORDER BY query_id DESC) AS last
+              FROM rrq
+            )
+            SELECT r.query_id, r.first_hit_rank, r.rr,
+              f.rr_run / CAST(f.nq AS DOUBLE) AS mrr
+            FROM rrq r
+            CROSS JOIN (SELECT rr_run, nq FROM folded WHERE last = 1) f"""),
+    "IVF MRR audit vs exact baseline: exact first-hit ranks, pinned-" +
+      "order reciprocal fold, fully exact derived oracle [similarity]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
+    "q268_ann_mrr" -> q268,
     "q250_mmr_diversify" -> q250,
     "q39_ann_lsh" -> q39,
     "q40_dedup_embedding" -> q40,

@@ -1846,6 +1846,195 @@ object Stats {
     "Brown-Forsythe variance homogeneity across return flags: " +
       "histogram medians, integer deviation moments, terminal F [stats]")
 
+  /** q269: Jonckheere-Terpstra ordered-alternative trend test — "do
+    * quantities shift MONOTONICALLY with order priority?" The ordered
+    * complement of the battery: q252's Cochran-Armitage needs a binary
+    * outcome, q243's Kruskal-Wallis ignores the group ordering; JT
+    * counts cross-group concordant pairs (x in a lower priority <
+    * x in a higher one, ties at half weight) and gains power exactly
+    * when the alternative is a monotone trend.
+    *
+    * Exactness: the pair census never enumerates pairs — per-(group,
+    * value) histogram counts (the domain is 5 priorities × ≤50
+    * quantities) give 2·JT = Σ_{g<h} Σ_v c_h(v)·(2·cum<_g(v) + c_g(v))
+    * as an exact BIGINT on a dense ≤250-cell grid. The null moments
+    * use the tie-corrected normal form (Lehmann): every Σ over groups
+    * or tie-values folds per-term DOUBLE contributions in a PINNED
+    * order (group digit / value — the q254 discipline; operands stay
+    * under 2^53 to ~10¹⁵ rows per group), so mean, variance, and z are
+    * bit-identical cross-engine. i64 envelope for 2JT: ≤ N², sound to
+    * N ≈ 3·10⁹; beyond that the q252 decimal-evidence discipline
+    * applies.
+    *
+    * Scale: one keyed lineitem×orders join folds map-side to the ≤250
+    * histogram; the dense grid (values × 5 broadcast groups), the
+    * cumulative windows, the 10-group-pair join, and both moment folds
+    * all run on domain-bounded frames.
+    */
+  private val q269 = QueryDef(
+    (s, d) => {
+      val li = load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+        .join(load(s, d, "orders")
+          .select(col("o_orderkey"),
+            substring(col("o_orderpriority"), 1, 1).cast("long").as("w")),
+          col("l_orderkey") === col("o_orderkey"))
+      val hist = li.groupBy(col("w"), col("q"))
+        .agg(graft.common.Exact.lcountAll.as("c"))
+        .localCheckpoint() // grid, group moments, tie moments
+      // dense grid so cum<_g is defined at every value in any group
+      val grid = hist.select("q").distinct()
+        .crossJoin(broadcast(hist.select("w").distinct()))
+        .join(hist, Seq("w", "q"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wcum = Window.partitionBy("w").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dense = grid
+        .withColumn("cumlt", sum(col("c")).over(wcum) - col("c"))
+        .localCheckpoint() // both sides of the pair join
+      val jt2 = dense.as("g")
+        .join(dense.as("h"), col("g.q") === col("h.q") &&
+          col("g.w") < col("h.w"))
+        .agg(sum(col("h.c") *
+          (lit(2L) * col("g.cumlt") + col("g.c"))).as("jt2"))
+      // pinned-order moment folds (contributions in double, operands
+      // exact under 2^53)
+      def foldScal(frame: org.apache.spark.sql.DataFrame, key: String,
+          cnt: String): org.apache.spark.sql.DataFrame = {
+        val x = col(cnt).cast("double")
+        val run = Window.orderBy(col(key))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        frame
+          .withColumn("n_run", sum(col(cnt)).over(run))
+          .withColumn("sq_run", sum(col(cnt) * col(cnt)).over(run))
+          .withColumn("s2_run",
+            sum(x * (x - 1.0) * (x * 2.0 + 5.0)).over(run))
+          .withColumn("s3_run", sum(x * (x - 1.0) * (x - 2.0)).over(run))
+          .withColumn("sp_run", sum(x * (x - 1.0)).over(run))
+          .withColumn("last",
+            row_number().over(Window.orderBy(col(key).desc)))
+          .filter(col("last") === 1)
+          .select(col("n_run"), col("sq_run"), col("s2_run"),
+            col("s3_run"), col("sp_run"))
+      }
+      val g = foldScal(hist.groupBy("w")
+          .agg(sum(col("c")).as("ng")), "w", "ng")
+        .toDF("n", "sum_ng2", "s2g", "s3g", "spg")
+      val t = foldScal(hist.groupBy("q")
+          .agg(sum(col("c")).as("tv")), "q", "tv")
+        .toDF("n2", "sum_tv2", "s2t", "s3t", "spt")
+      val nD = col("n").cast("double")
+      val varJt =
+        (nD * (nD - 1.0) * (nD * 2.0 + 5.0) - col("s2g") - col("s2t")) /
+          72.0 +
+          col("s3g") * col("s3t") /
+            (nD * 36.0 * (nD - 1.0) * (nD - 2.0)) +
+          col("spg") * col("spt") / (nD * 8.0 * (nD - 1.0))
+      val meanJt = (nD * nD - col("sum_ng2").cast("double")) / 4.0
+      jt2.crossJoin(broadcast(g)).crossJoin(broadcast(t))
+        .select(col("n"), col("jt2"), col("sum_ng2"),
+          meanJt.as("mean_jt"), varJt.as("var_jt"),
+          when(varJt > 0.0,
+            (col("jt2").cast("double") / 2.0 - meanJt) / sqrt(varJt))
+            .as("z"))
+    },
+    Some("""WITH li AS (
+              SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT)
+                  AS w,
+                CAST(l.l_quantity AS BIGINT) AS q
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+            ), hist AS (
+              SELECT w, q, CAST(count(*) AS BIGINT) AS c
+              FROM li GROUP BY 1, 2
+            ), grid AS (
+              SELECT ws.w, qs.q, COALESCE(hist.c, 0) AS c
+              FROM (SELECT DISTINCT q FROM hist) qs
+              CROSS JOIN (SELECT DISTINCT w FROM hist) ws
+              LEFT JOIN hist ON hist.w = ws.w AND hist.q = qs.q
+            ), dense AS (
+              SELECT w, q, c,
+                SUM(c) OVER (PARTITION BY w ORDER BY q) - c AS cumlt
+              FROM grid
+            ), jt AS (
+              SELECT CAST(SUM(h.c * (2 * g.cumlt + g.c)) AS BIGINT)
+                AS jt2
+              FROM dense g JOIN dense h
+                ON g.q = h.q AND g.w < h.w
+            ), gf AS (
+              SELECT
+                SUM(ng) OVER run AS n_run,
+                SUM(ng * ng) OVER run AS sq_run,
+                SUM(CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0)
+                  * (2.0 * CAST(ng AS DOUBLE) + 5.0)) OVER run AS s2_run,
+                SUM(CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0)
+                  * (CAST(ng AS DOUBLE) - 2.0)) OVER run AS s3_run,
+                SUM(CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0))
+                  OVER run AS sp_run,
+                ROW_NUMBER() OVER (ORDER BY w DESC) AS last
+              FROM (SELECT w, CAST(SUM(c) AS BIGINT) AS ng
+                    FROM hist GROUP BY 1)
+              WINDOW run AS (ORDER BY w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), g AS (
+              SELECT CAST(n_run AS BIGINT) AS n,
+                CAST(sq_run AS BIGINT) AS sum_ng2,
+                s2_run AS s2g, s3_run AS s3g, sp_run AS spg
+              FROM gf WHERE last = 1
+            ), tf AS (
+              SELECT
+                SUM(CAST(tv AS DOUBLE) * (CAST(tv AS DOUBLE) - 1.0)
+                  * (2.0 * CAST(tv AS DOUBLE) + 5.0)) OVER run AS s2_run,
+                SUM(CAST(tv AS DOUBLE) * (CAST(tv AS DOUBLE) - 1.0)
+                  * (CAST(tv AS DOUBLE) - 2.0)) OVER run AS s3_run,
+                SUM(CAST(tv AS DOUBLE) * (CAST(tv AS DOUBLE) - 1.0))
+                  OVER run AS sp_run,
+                ROW_NUMBER() OVER (ORDER BY q DESC) AS last
+              FROM (SELECT q, CAST(SUM(c) AS BIGINT) AS tv
+                    FROM hist GROUP BY 1)
+              WINDOW run AS (ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), t AS (
+              SELECT s2_run AS s2t, s3_run AS s3t, sp_run AS spt
+              FROM tf WHERE last = 1
+            )
+            SELECT g.n, jt.jt2, g.sum_ng2,
+              (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)
+                - CAST(g.sum_ng2 AS DOUBLE)) / 4.0 AS mean_jt,
+              (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0)
+                  * (2.0 * CAST(g.n AS DOUBLE) + 5.0) - g.s2g - t.s2t)
+                / 72.0
+                + g.s3g * t.s3t / (36.0 * CAST(g.n AS DOUBLE)
+                  * (CAST(g.n AS DOUBLE) - 1.0)
+                  * (CAST(g.n AS DOUBLE) - 2.0))
+                + g.spg * t.spt / (8.0 * CAST(g.n AS DOUBLE)
+                  * (CAST(g.n AS DOUBLE) - 1.0)) AS var_jt,
+              CASE WHEN
+                (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0)
+                  * (2.0 * CAST(g.n AS DOUBLE) + 5.0) - g.s2g - t.s2t)
+                / 72.0
+                + g.s3g * t.s3t / (36.0 * CAST(g.n AS DOUBLE)
+                  * (CAST(g.n AS DOUBLE) - 1.0)
+                  * (CAST(g.n AS DOUBLE) - 2.0))
+                + g.spg * t.spt / (8.0 * CAST(g.n AS DOUBLE)
+                  * (CAST(g.n AS DOUBLE) - 1.0)) > 0
+              THEN (CAST(jt.jt2 AS DOUBLE) / 2.0
+                - (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)
+                  - CAST(g.sum_ng2 AS DOUBLE)) / 4.0)
+                / sqrt(
+                (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0)
+                  * (2.0 * CAST(g.n AS DOUBLE) + 5.0) - g.s2g - t.s2t)
+                / 72.0
+                + g.s3g * t.s3t / (36.0 * CAST(g.n AS DOUBLE)
+                  * (CAST(g.n AS DOUBLE) - 1.0)
+                  * (CAST(g.n AS DOUBLE) - 2.0))
+                + g.spg * t.spt / (8.0 * CAST(g.n AS DOUBLE)
+                  * (CAST(g.n AS DOUBLE) - 1.0)))
+              END AS z
+            FROM jt, g, t"""),
+    "Jonckheere-Terpstra ordered trend on quantities across " +
+      "priorities: histogram pair census, tie-corrected moments [stats]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q142_cuped" -> q142,
     "q143_exact_corr" -> q143,
@@ -1863,5 +2052,6 @@ object Stats {
     "q254_mh_odds_ratio" -> q254,
     "q262_welch_t" -> q262,
     "q264_friedman" -> q264,
-    "q265_brown_forsythe" -> q265)
+    "q265_brown_forsythe" -> q265,
+    "q269_jonckheere" -> q269)
 }

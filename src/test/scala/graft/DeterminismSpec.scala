@@ -139,7 +139,14 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // the W1 CDF-gap walk is integer arithmetic on a domain-bounded
     // histogram; Cramér's V folds the χ² terms in a PINNED cell order
     // (an unpinned double fold would fail this)
-    "q266_wasserstein_drift", "q267_cramers_v")
+    "q266_wasserstein_drift", "q267_cramers_v",
+    // MRR's reciprocal fold and JT's tie-corrected moment folds are
+    // pinned-order; the JT pair census is integer arithmetic on the
+    // dense histogram grid
+    "q268_ann_mrr", "q269_jonckheere",
+    // log-rank: per-group risk sets from integer running sums over
+    // the calendar-bounded duration frame, fold windows ordered by t
+    "q270_logrank")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
