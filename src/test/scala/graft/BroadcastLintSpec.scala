@@ -45,6 +45,7 @@ class BroadcastLintSpec extends AnyFunSuite with SparkSpec {
     "label", "clabel", // class-label vocabulary (embeddings supervision)
     "dim", // embedding dimension index (fixed vector width)
     "o_orderstatus", "o_orderpriority", "c_mktsegment", // enum columns
+    "l_returnflag", // 3-value enum (A/N/R) fixed by the data model
     "bucket_id", "stage", "bin", // fixed literal grids
     "band") // $1000 balance bands: floor of a model-bounded value range
 
