@@ -1686,9 +1686,130 @@ object Similarity {
     "IVF MRR audit vs exact baseline: exact first-hit ranks, pinned-" +
       "order reciprocal fold, fully exact derived oracle [similarity]")
 
+  /** q271's persistence parameter and the iteratively-computed weight
+    * table p^(d−1) — materialized ONCE in Scala by repeated multiply
+    * and injected as identical literals into both engines (the
+    * shortest-roundtrip Double rendering reparses to the same bits),
+    * so no engine ever evaluates pow().
+    */
+  private val RboP = 0.9
+  private val RboDepth = 10
+  private val RboPowers: Array[Double] =
+    Array.iterate(1.0, RboDepth)(_ * RboP)
+  private val RboOneMinusP = 1.0 - RboP
+
+  /** q271: rank-biased overlap (Webber et al.) between the exact and
+    * IVF top-10 RANKINGS, truncated at depth 10 — the list-similarity
+    * readout the eval triad lacks: recall/NDCG/MRR all score the
+    * approximate list against binary relevance, while RBO compares the
+    * two rankings AS RANKINGS (top-weighted agreement at every depth),
+    * which is the right lens for "did the index change what users see"
+    * regression tests between index builds.
+    *
+    * RBO@k = (1−p)·Σ_{d≤k} (|E₁..d ∩ A₁..d|/d)·p^(d−1): each matched
+    * pair contributes to every depth ≥ max of its two ranks, so the
+    * per-depth overlap counts come from one explode of that integer —
+    * never a per-depth set intersection. Overlap counts are exact
+    * integers; the geometric weights are the shared literal table; the
+    * per-query fold is ≤10 pinned-order terms — so the derived oracle
+    * (the q268 pattern) recomputes every value from the two emitted
+    * lists and compares EXACTLY.
+    *
+    * Scale: both inputs are query-count-bounded top-10 lists; nothing
+    * here touches a corpus-sized frame (the q123/q230/q268 argument).
+    */
+  private val q271 = QueryDef(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val exact = q38.fn(s, d)
+        .select(col("query_id").as("eqid"), col("vec_id").as("evid"),
+          col("rn").as("rn_e"))
+      val approx = q54.fn(s, d)
+        .select(col("query_id"), col("vec_id"), col("rn"))
+      val powers = array(RboPowers.map(lit(_)): _*)
+      val terms = approx
+        .join(exact, col("query_id") === col("eqid") &&
+          col("vec_id") === col("evid"))
+        .select(col("query_id"),
+          greatest(col("rn"), col("rn_e")).as("m"))
+        .select(col("query_id"),
+          explode(sequence(col("m"), lit(RboDepth))).as("dd"))
+        .groupBy(col("query_id"), col("dd"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("term",
+          (col("cnt").cast("double") / col("dd").cast("double")) *
+            element_at(powers, col("dd").cast("int")))
+      val perQ = terms
+        .withColumn("sum_run", sum(col("term")).over(
+          w.partitionBy(col("query_id")).orderBy(col("dd").asc)
+            .rowsBetween(w.unboundedPreceding, w.currentRow)))
+        .withColumn("ov10", sum(col("cnt")).over(
+          w.partitionBy(col("query_id"))
+            .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
+        .withColumn("last", row_number().over(
+          w.partitionBy(col("query_id")).orderBy(col("dd").desc)))
+        .filter(col("last") === 1)
+        .select(col("query_id"), col("ov10"),
+          (lit(RboOneMinusP) * col("sum_run")).as("rbo"))
+      // zero-overlap queries still emit a row
+      approx.select(col("query_id")).distinct()
+        .join(perQ, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("ov10"), lit(0L)).as("n_overlap10"),
+          coalesce(col("rbo"), lit(0.0)).as("rbo_trunc"))
+    },
+    Some {
+      // each weight must be CAST AS DOUBLE: DuckDB types a bare decimal
+      // literal as DECIMAL, and decimal-typed term arithmetic rounds
+      // differently from the engine's double chain (measured 1-2 ulp)
+      val powersSql = RboPowers
+        .map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH ex AS (
+            SELECT query_id, vec_id, rn AS rn_e FROM read_parquet(
+              '${graft.QueryDef.OutDirToken}/q38_ann_bruteforce/*.parquet')
+          ), ap AS (
+            SELECT query_id, vec_id, rn FROM read_parquet(
+              '${graft.QueryDef.OutDirToken}/q54_ann_ivf/*.parquet')
+          ), pairs AS (
+            SELECT a.query_id, greatest(a.rn, e.rn_e) AS m
+            FROM ap a JOIN ex e
+              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+          ), depths AS (
+            SELECT query_id, unnest(generate_series(m, $RboDepth)) AS dd
+            FROM pairs
+          ), terms AS (
+            SELECT query_id, dd, CAST(count(*) AS BIGINT) AS cnt,
+              (CAST(count(*) AS DOUBLE) / CAST(dd AS DOUBLE))
+                * ($powersSql)[CAST(dd AS INTEGER)] AS term
+            FROM depths GROUP BY 1, 2
+          ), folded AS (
+            SELECT query_id,
+              SUM(term) OVER (PARTITION BY query_id ORDER BY dd ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS sum_run,
+              SUM(cnt) OVER (PARTITION BY query_id) AS ov10,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dd DESC)
+                AS last
+            FROM terms
+          ), perq AS (
+            SELECT query_id, CAST(ov10 AS BIGINT) AS ov10,
+              CAST($RboOneMinusP AS DOUBLE) * sum_run AS rbo
+            FROM folded WHERE last = 1
+          )
+          SELECT q.query_id,
+            COALESCE(p.ov10, 0) AS n_overlap10,
+            COALESCE(p.rbo, 0.0) AS rbo_trunc
+          FROM (SELECT DISTINCT query_id FROM ap) q
+          LEFT JOIN perq p USING (query_id)"""
+    },
+    "rank-biased overlap (p=0.9, depth 10) between exact and IVF " +
+      "rankings: shared literal weight table, exact derived oracle " +
+      "[similarity]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q38_ann_bruteforce" -> q38,
     "q268_ann_mrr" -> q268,
+    "q271_ann_rbo" -> q271,
     "q250_mmr_diversify" -> q250,
     "q39_ann_lsh" -> q39,
     "q40_dedup_embedding" -> q40,

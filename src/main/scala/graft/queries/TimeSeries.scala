@@ -1479,6 +1479,85 @@ object TimeSeries {
       "moments, integer cross-product argmin, exact dollar units " +
       "[time-series]")
 
+  /** q272: MASE (mean absolute scaled error, Hyndman-Koehler) for
+    * q227's Holt backtest — the SCALE-FREE forecast-quality number the
+    * raw abs_err column can't give: errors divide by the in-sample
+    * naive-1 MAE, so "MASE < 1 beats the naive forecast" reads the
+    * same across series of any magnitude, and forecasts for different
+    * metrics become comparable on one dashboard.
+    *
+    * Exactness: the naive MAE numerator Σ|yₜ − yₜ₋₁| is an exact
+    * integer (daily event counts); the Holt MAE folds q227's ≤30
+    * emitted abs_err doubles in pinned day order (under the streaming-
+    * fold threshold PLANS.md records); MASE is one terminal division —
+    * so the derived oracle (reading q227's emitted rows, the q256
+    * cross-read pattern) compares every column exactly.
+    *
+    * Scale: q227's calendar-bounded frame is the only input.
+    */
+  private val q272 = QueryDef(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val f = q227.fn(s, d)
+        .select(col("day"), col("n_events"), col("abs_err"))
+      val byDay = w.orderBy(col("day").asc)
+      val run = byDay.rowsBetween(w.unboundedPreceding, w.currentRow)
+      f
+        .withColumn("naive_err",
+          abs(col("n_events") - lag(col("n_events"), 1).over(byDay)))
+        .withColumn("holt_run",
+          sum(coalesce(col("abs_err"), lit(0.0))).over(run))
+        .withColumn("naive_run",
+          sum(col("naive_err")).over(run))
+        .withColumn("n_fc",
+          sum(when(col("abs_err").isNotNull, 1L).otherwise(0L)).over(run))
+        .withColumn("n_nv",
+          sum(when(col("naive_err").isNotNull, 1L).otherwise(0L))
+            .over(run))
+        .withColumn("last", row_number().over(w.orderBy(col("day").desc)))
+        .filter(col("last") === 1)
+        .select(col("n_fc").as("n_forecasts"),
+          (col("holt_run") / col("n_fc").cast("double")).as("mae_holt"),
+          (col("naive_run").cast("double") / col("n_nv").cast("double"))
+            .as("mae_naive"),
+          when(col("naive_run") > 0L,
+            (col("holt_run") / col("n_fc").cast("double")) /
+              (col("naive_run").cast("double") /
+                col("n_nv").cast("double"))).as("mase"))
+    },
+    Some(s"""WITH f AS (
+              SELECT day, n_events, abs_err FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q227_holt_forecast/*.parquet')
+            ), e AS (
+              SELECT day, abs_err,
+                abs(n_events - lag(n_events, 1) OVER (ORDER BY day ASC))
+                  AS naive_err
+              FROM f
+            ), folded AS (
+              SELECT
+                SUM(COALESCE(abs_err, 0.0)) OVER wr AS holt_run,
+                SUM(naive_err) OVER wr AS naive_run,
+                SUM(CASE WHEN abs_err IS NOT NULL THEN 1 ELSE 0 END)
+                  OVER wr AS n_fc,
+                SUM(CASE WHEN naive_err IS NOT NULL THEN 1 ELSE 0 END)
+                  OVER wr AS n_nv,
+                ROW_NUMBER() OVER (ORDER BY day DESC) AS last
+              FROM e
+              WINDOW wr AS (ORDER BY day ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT CAST(n_fc AS BIGINT) AS n_forecasts,
+              holt_run / CAST(n_fc AS DOUBLE) AS mae_holt,
+              CAST(naive_run AS DOUBLE) / CAST(n_nv AS DOUBLE)
+                AS mae_naive,
+              CASE WHEN naive_run > 0 THEN
+                (holt_run / CAST(n_fc AS DOUBLE))
+                  / (CAST(naive_run AS DOUBLE) / CAST(n_nv AS DOUBLE))
+                END AS mase
+            FROM folded WHERE last = 1"""),
+    "MASE for the Holt backtest: exact naive-1 scaling, pinned-order " +
+      "error folds, exact derived oracle [stats,time-series]")
+
   def all: Seq[(String, QueryDef)] = Seq(
     "q144_locf_panel" -> q144,
     "q145_ohlc_resample" -> q145,
@@ -1493,6 +1572,7 @@ object TimeSeries {
     "q220_mann_kendall" -> q220,
     "q221_theil_sen" -> q221,
     "q227_holt_forecast" -> q227,
+    "q272_mase" -> q272,
     "q231_kendall_tau" -> q231,
     "q232_ship_ccf" -> q232)
 }

@@ -146,7 +146,10 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q268_ann_mrr", "q269_jonckheere",
     // log-rank: per-group risk sets from integer running sums over
     // the calendar-bounded duration frame, fold windows ordered by t
-    "q270_logrank")
+    "q270_logrank",
+    // RBO's per-depth overlap counts + the ≤10-term pinned fold; MASE
+    // folds the backtest errors in pinned day order
+    "q271_ann_rbo", "q272_mase")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
