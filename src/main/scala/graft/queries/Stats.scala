@@ -1734,6 +1734,11 @@ object Stats {
     * The group moments (n, Σz, Σz²) land in ONE conditional-sum fold —
     * three groups is a closed domain, so every emitted double is a
     * fixed expression over nine scalars with NO fold-order dependence.
+    * The one terminal F still takes a 1e-12 derived-oracle band:
+    * DuckDB evaluates the zz − sz·z̄ multiply-subtract with a fused
+    * multiply-add (no intermediate rounding of the product), which
+    * can land 1 ulp off the JVM's strict chain — measured at sf0.1
+    * with every integer identical (PLANS.md round-13 close).
     *
     * Scale: two lineitem scans (histogram; deviation fold against the
     * broadcast 3-row median frame) and arithmetic on one row. i64
@@ -1838,13 +1843,34 @@ object Stats {
             SELECT ${grpSql("A", "a")}, ${grpSql("N", "n")},
               ${grpSql("R", "r")}
             FROM z
+          ), ref AS (
+            SELECT n_a, n_n, n_r, med2_a, med2_n, med2_r,
+              sz_a, sz_n, sz_r, zz_a, zz_n, zz_r,
+              CASE WHEN $ok THEN
+                (($nTot - 3.0) / 2.0) * $num / $den END AS f_bf,
+              CASE WHEN $ok THEN $nTot - 3.0 END AS df2
+            FROM m
+          ), emitted AS (
+            SELECT * FROM read_parquet(
+              '${graft.QueryDef.OutDirToken}/q265_brown_forsythe/*.parquet')
           )
-          SELECT n_a, n_n, n_r, med2_a, med2_n, med2_r,
-            sz_a, sz_n, sz_r, zz_a, zz_n, zz_r,
-            CASE WHEN $ok THEN
-              (($nTot - 3.0) / 2.0) * $num / $den END AS f_bf,
-            CASE WHEN $ok THEN $nTot - 3.0 END AS df2
-          FROM m"""
+          -- every integer moment and both medians join EXACTLY; only
+          -- f_bf takes a 1e-12 band: DuckDB evaluates the zz − sz·z̄
+          -- multiply-subtract with a fused multiply-add (no
+          -- intermediate rounding), which lands 1 ulp off the
+          -- JVM/strict-IEEE chain at some scales (measured at sf0.1;
+          -- PLANS.md round-13 close)
+          SELECT e.n_a, e.n_n, e.n_r, e.med2_a, e.med2_n, e.med2_r,
+            e.sz_a, e.sz_n, e.sz_r, e.zz_a, e.zz_n, e.zz_r,
+            e.f_bf, e.df2
+          FROM emitted e JOIN ref r
+            ON e.n_a = r.n_a AND e.n_n = r.n_n AND e.n_r = r.n_r
+            AND e.med2_a = r.med2_a AND e.med2_n = r.med2_n
+            AND e.med2_r = r.med2_r
+            AND e.sz_a = r.sz_a AND e.sz_n = r.sz_n AND e.sz_r = r.sz_r
+            AND e.zz_a = r.zz_a AND e.zz_n = r.zz_n AND e.zz_r = r.zz_r
+          WHERE abs(COALESCE(e.f_bf, 0) - COALESCE(r.f_bf, 0)) < 1e-12
+            AND COALESCE(e.df2, -1) = COALESCE(r.df2, -1)"""
     },
     "Brown-Forsythe variance homogeneity across return flags: " +
       "histogram medians, integer deviation moments, terminal F [stats]")
