@@ -1743,13 +1743,12 @@ object Similarity {
         .withColumn("sum_run", sum(col("term")).over(
           w.partitionBy(col("query_id")).orderBy(col("dd").asc)
             .rowsBetween(w.unboundedPreceding, w.currentRow)))
-        .withColumn("ov10", sum(col("cnt")).over(
-          w.partitionBy(col("query_id"))
-            .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
         .withColumn("last", row_number().over(
           w.partitionBy(col("query_id")).orderBy(col("dd").desc)))
         .filter(col("last") === 1)
-        .select(col("query_id"), col("ov10"),
+        // the last row is depth 10, where cnt = #pairs with max rank
+        // <= 10 = the full matched-pair count (overlap@10)
+        .select(col("query_id"), col("cnt").as("ov10"),
           (lit(RboOneMinusP) * col("sum_run")).as("rbo"))
       // zero-overlap queries still emit a row
       approx.select(col("query_id")).distinct()
@@ -1783,16 +1782,17 @@ object Similarity {
                 * ($powersSql)[CAST(dd AS INTEGER)] AS term
             FROM depths GROUP BY 1, 2
           ), folded AS (
-            SELECT query_id,
+            SELECT query_id, cnt,
               SUM(term) OVER (PARTITION BY query_id ORDER BY dd ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS sum_run,
-              SUM(cnt) OVER (PARTITION BY query_id) AS ov10,
               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dd DESC)
                 AS last
             FROM terms
           ), perq AS (
-            SELECT query_id, CAST(ov10 AS BIGINT) AS ov10,
+            -- the last row is depth 10: cnt there is the full
+            -- matched-pair count (overlap@10)
+            SELECT query_id, CAST(cnt AS BIGINT) AS ov10,
               CAST($RboOneMinusP AS DOUBLE) * sum_run AS rbo
             FROM folded WHERE last = 1
           )
