@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's window-certification logic (round-14 hardening).
+  *
+  * BENCH_r13.json recorded a 137 s total captured at loadavg 8.33 while
+  * probe_ratio read 1.0015 — the contention was active at launch and
+  * finished before the (edge-only) probe comparison could see it, so the
+  * trust signal silently failed and the recorded number hallucinated a
+  * 1.6x fleet-wide change for anyone diffing rounds. These specs pin the
+  * gate on exactly that incident plus the mid-run-arrival case the load
+  * gate cannot see, and prove the refusal path end to end on a real
+  * contended CPU (synthetic busy-loop).
+  */
+class BenchWindowSpec extends AnyFunSuite with SparkSpec {
+
+  // --- probeRatio -------------------------------------------------------
+
+  test("monotone-decreasing probes (warming JVM) do not flag") {
+    // measured on a provably idle box: 0.14/0.07/0.05 — the first probe
+    // is reliably slowest even after off-the-clock warmup
+    assert(math.abs(Bench.probeRatio(Seq(0.14, 0.07, 0.05)) - 1.0) < 1e-12)
+    val (clean, _) = Bench.windowVerdict(0.5, Seq(0.14, 0.07, 0.05), 2.0, 1.15)
+    assert(clean)
+  }
+
+  test("a slow MID-run probe flags even when the edges look clean") {
+    // competitor arrives after pass 1 starts and leaves before it ends:
+    // edge probes read fast, only an interleaved probe can see it
+    val probes = Seq(0.10, 0.07, 0.07, 0.21, 0.07, 0.07)
+    assert(Bench.probeRatio(probes) > 2.0)
+    val (clean, reasons) = Bench.windowVerdict(0.5, probes, 2.0, 1.15)
+    assert(!clean)
+    assert(reasons.exists(_.contains("probe_ratio")))
+  }
+
+  test("the r13 incident is refused by the load gate") {
+    // exact shape of the failure: flat probes (ratio 1.0015), busy box
+    // at launch (loadavg 8.33) — the old gate (load > 16) passed it
+    val probes = Seq(0.1940, 0.0927, 0.0929)
+    assert(Bench.probeRatio(probes) < 1.01)
+    val (clean, reasons) = Bench.windowVerdict(8.3306, probes, 2.0, 1.15)
+    assert(!clean)
+    assert(reasons.exists(_.contains("load_avg_start")))
+  }
+
+  test("unreadable loadavg (-1) is signal-absent, not dirty") {
+    val (clean, _) = Bench.windowVerdict(-1.0, Seq(0.1, 0.09, 0.09), 2.0, 1.15)
+    assert(clean)
+  }
+
+  test("fewer than two probes never divides by zero or flags") {
+    assert(Bench.probeRatio(Nil) === 1.0)
+    assert(Bench.probeRatio(Seq(0.1)) === 1.0)
+  }
+
+  // --- cleanMedians / rerunCandidates ------------------------------------
+
+  private def histLine(
+      qs: Map[String, Double],
+      probe: Double = 1.02,
+      hot: Boolean = false,
+      windowClean: Option[Boolean] = None): String = {
+    val qj = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val wc = windowClean.map(b => s""","window_clean":$b""").getOrElse("")
+    s"""{"ts":"2026-08-16T00:00:00Z","queries":$qj,"probe_ratio":$probe,"hot_run":$hot$wc}"""
+  }
+
+  test("cleanMedians ignores dirty, hot, refused, and few-query lines") {
+    val full = (1 to 250).map(i => s"q$i" -> 0.1).toMap
+    val lines = Seq(
+      histLine(full + ("q1" -> 0.10)),                          // clean
+      histLine(full + ("q1" -> 0.20)),                          // clean
+      histLine(full + ("q1" -> 0.30)),                          // clean
+      histLine(full + ("q1" -> 9.99), probe = 1.30),            // dirty probe
+      histLine(full + ("q1" -> 9.99), hot = true),              // hot flag
+      histLine(full + ("q1" -> 9.99), windowClean = Some(false)), // refused
+      histLine(Map("q1" -> 9.99)),                              // single-query probe run
+      "not json at all"                                          // corrupt line
+    )
+    val med = Bench.cleanMedians(lines, minQueries = 200)
+    assert(math.abs(med("q1") - 0.20) < 1e-12) // median of the three clean lines
+    assert(math.abs(med("q2") - 0.1) < 1e-12)
+  }
+
+  test("cleanMedians takes even-count medians as the midpoint") {
+    val full = (1 to 250).map(i => s"q$i" -> 1.0).toMap
+    val lines = Seq(histLine(full + ("q1" -> 0.1)), histLine(full + ("q1" -> 0.3)))
+    assert(math.abs(Bench.cleanMedians(lines, 200)("q1") - 0.2) < 1e-12)
+  }
+
+  test("rerunCandidates flags >1.5x-median queries, skips errors and unknowns") {
+    val med = Map("q1" -> 0.2, "q2" -> 0.2, "q3" -> 0.2)
+    val now = Seq(
+      "q1" -> 0.31,  // 1.55x -> flagged
+      "q2" -> 0.29,  // 1.45x -> not flagged
+      "q3" -> -1.0,  // errored -> never rerun
+      "q4" -> 99.0)  // no history -> no basis to flag
+    assert(Bench.rerunCandidates(now, med, 1.5, cap = 20) === Seq("q1"))
+  }
+
+  test("rerunCandidates honors the cap") {
+    val med = (1 to 30).map(i => s"q$i" -> 0.1).toMap
+    val now = (1 to 30).map(i => s"q$i" -> 1.0)
+    assert(Bench.rerunCandidates(now, med, 1.5, cap = 5).size === 5)
+  }
+
+  // --- end-to-end: the interleaved probe sees a real busy-loop ------------
+
+  test("synthetic busy-loop degrades the probe past the refusal threshold") {
+    // the same fixed all-core work Bench probes with, on the shared
+    // 4-thread test session; min-of-2 like the harness
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 4).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def probe(): Double = math.min(probeOnce(), probeOnce())
+    (1 to 6).foreach(_ => probeOnce()) // off-the-clock warmup, as in Bench
+    val quiet = probe()
+    // saturate every core the test JVM can see with spin loops
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (1 to Runtime.getRuntime.availableProcessors()).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) { x += 1; if (x == Long.MaxValue) x = 0 }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      val busy = probe()
+      val probes = Seq(quiet, busy)
+      val (clean, reasons) = Bench.windowVerdict(0.5, probes, 2.0, 1.15)
+      assert(Bench.probeRatio(probes) > 1.15,
+        s"busy probe $busy vs quiet $quiet should exceed the 1.15 gate")
+      assert(!clean && reasons.exists(_.contains("probe_ratio")))
+    } finally {
+      stop.set(true)
+      threads.foreach(_.join(2000))
+    }
+  }
+}
