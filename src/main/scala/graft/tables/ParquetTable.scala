@@ -46,9 +46,19 @@ import org.apache.spark.sql.functions.{col, count, count_distinct, input_file_na
   * Crash safety: data dirs and manifests are invisible until the
   * `_LATEST` pointer flips (rename is atomic on POSIX); re-runs are
   * idempotent because writers always target a fresh version number.
-  * Single-writer by design (the reference's pipeline stages are serial OS
-  * processes — SURVEY.md §3). Readers of `v=N` are never disturbed:
-  * manifests and data files are immutable (time travel via `readVersion`).
+  * Readers of `v=N` are never disturbed: manifests and data files are
+  * immutable (time travel via `readVersion`).
+  *
+  * Concurrency (round-14): writes are OPTIMISTIC, Delta's actual
+  * contract. A writer prepares against snapshot N and its publish is a
+  * compare-and-swap on the `_LATEST` pointer; losing the race means
+  * rebase (append: relink the already-written files onto the winner's
+  * manifest) or recompute-from-fresh-snapshot (merge/delete/replace),
+  * with a clean ConcurrentModificationException abort after bounded
+  * retries. Data dirs are reserved with an exclusive createDirectory so
+  * racing writers can never interleave files in one dir. The reference's
+  * pipeline stages are serial OS processes (SURVEY.md §3), so the serial
+  * path pays only a microsecond lock around the pointer flip.
   */
 final class ParquetTable(spark: SparkSession, root: String,
     statsColumns: Seq[String] = Nil) {
@@ -150,9 +160,12 @@ final class ParquetTable(spark: SparkSession, root: String,
 
   /** Write the manifest (temp + atomic move), flip `_LATEST`, then record
     * v in the committed log. `stats` ("dir/file" → stats JSON) rides as
-    * each line's optional third field.
+    * each line's optional third field. Callers hold the commit lock; the
+    * manifest move deliberately does NOT replace — version numbers are
+    * never reused, so a collision here is a protocol bug and must throw,
+    * not silently clobber a committed manifest.
     */
-  private def commit(v: Long, entries: Seq[Entry],
+  private def commitUnlocked(v: Long, entries: Seq[Entry],
       stats: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(manifestDir)
     val body = entries.flatMap { case (dir, files) =>
@@ -162,8 +175,7 @@ final class ParquetTable(spark: SparkSession, root: String,
     }.mkString("", "\n", "\n")
     val mTmp = manifestDir.resolve(s".v=$v.manifest.tmp")
     Files.writeString(mTmp, body)
-    Files.move(mTmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    Files.move(mTmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE)
     val tmp = Paths.get(root, s"._LATEST.tmp.$v")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
@@ -172,6 +184,100 @@ final class ParquetTable(spark: SparkSession, root: String,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
   }
+
+  // ---- optimistic concurrency (round-14; Delta's actual write contract) --
+  //
+  // The reference relies on Delta MERGE, whose real contract is optimistic
+  // conflict detection: a writer prepares against snapshot version N and
+  // its commit succeeds only if N is still current; otherwise it rebases
+  // (blind appends) or recomputes from the fresh snapshot (merge/delete)
+  // and retries, aborting cleanly after a bounded number of attempts.
+  // Here the compare-and-swap is: under a short-lived exclusive lock file,
+  // re-read `_LATEST` and publish only if it still names the base the
+  // writer prepared against. The lock guards ONLY the pointer-check +
+  // manifest/pointer/log writes (driver-side small I/O, microseconds) —
+  // data writes, discovery scans, and survivor computation all run
+  // outside it, so writer throughput is unaffected at any table size.
+
+  private def lockPath: Path = Paths.get(root, "_COMMIT.lock")
+
+  /** Acquire the commit lock (atomic create-new), run `f`, release. A
+    * lock older than 30 s is a crashed writer's leftover and is broken —
+    * the critical section is microseconds of local file I/O, so a live
+    * holder can never be that old. Waiting writers spin with a small
+    * sleep; a table wedged longer than `timeoutMs` throws rather than
+    * hanging the pipeline silently.
+    */
+  private def withCommitLock[T](timeoutMs: Long = 60000L)(f: => T): T = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var held = false
+    Files.createDirectories(Paths.get(root))
+    while (!held) {
+      try {
+        Files.write(lockPath, System.currentTimeMillis().toString.getBytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        held = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis() -
+              new String(Files.readAllBytes(lockPath)).trim.toLong
+            catch { case _: Exception => 0L } // vanished or torn: retry
+          if (age > 30000L) Files.deleteIfExists(lockPath) // stale breaker
+          else if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"table $root: commit lock held for over ${timeoutMs} ms")
+          else Thread.sleep(2)
+      }
+    }
+    try f finally Files.deleteIfExists(lockPath)
+  }
+
+  /** Compare-and-swap commit: publish `entries` as the next version only
+    * if `_LATEST` still names `base`; None = conflict (a concurrent
+    * writer committed first — the caller rebases or recomputes). The
+    * committed number is the data dir's reserved number unless a crashed
+    * writer's orphan manifest sits at or past it.
+    */
+  private def tryCommit(base: Option[Long], preferredV: Long,
+      entries: Seq[Entry], stats: Map[String, String]): Option[Long] =
+    withCommitLock() {
+      if (latestVersion != base) None
+      else {
+        val manifestRe = "v=(\\d+)\\.manifest".r
+        val maxManifest = Option(manifestDir.toFile.listFiles())
+          .map(_.toSeq.collect { f =>
+            f.getName match { case manifestRe(n) => n.toLong }
+          }).getOrElse(Nil).maxOption.getOrElse(0L)
+        val v = math.max(preferredV, maxManifest + 1L)
+        commitUnlocked(v, entries, stats)
+        Some(v)
+      }
+    }
+
+  /** Spec hook: runs immediately before each commit attempt (outside the
+    * lock). A two-writer spec injects a competing committed write here to
+    * force the conflict path deterministically.
+    */
+  private[graft] var onBeforePublish: () => Unit = () => ()
+
+  /** Conflicts detected (and survived) by the most recent public write —
+    * spec/observability aid.
+    */
+  @volatile private[graft] var lastConflicts: Int = 0
+
+  /** Retry budgets: a losing APPEND rebases by relinking already-written
+    * files (microseconds), so it can afford many attempts under a real
+    * convoy of writers; a losing MERGE/DELETE recomputes and rewrites
+    * data, so it aborts after a few. Losers back off with a small jitter
+    * so N racing writers don't re-collide in lockstep.
+    */
+  private val MaxAppendRetries = 20
+  private val MaxCommitRetries = 5
+
+  private def backoff(attempt: Int): Unit =
+    Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(1L, 5L + 10L * attempt))
 
   /** Next version = one past every version visible on disk (manifests AND
     * data dirs), not just past the pointer: a writer that crashed after
@@ -191,17 +297,43 @@ final class ParquetTable(spark: SparkSession, root: String,
       +: (numbers(manifestDir, manifestRe) ++ numbers(dataDir, dirRe))).max + 1L
   }
 
-  /** Write df's rows as version v's fresh data dir; returns its entry
-    * plus the per-file stats record for the declared stats columns.
+  /** Atomically reserve a fresh data dir: `createDirectory` is exclusive
+    * (fails if the dir exists), so two writers racing to the same number
+    * can never interleave files inside one dir — the loser bumps to the
+    * next free number. Orphan dirs from crashed writers are skipped the
+    * same way.
+    */
+  private def reserveDataDir(from: Long): Long = {
+    Files.createDirectories(dataDir)
+    var v = from
+    var done = false
+    while (!done) {
+      try {
+        Files.createDirectory(dataDir.resolve(dataDirName(v)))
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    v
+  }
+
+  /** Write df's rows into a freshly RESERVED data dir (returns the
+    * reserved number — normally `from`, bumped past collisions); plus
+    * the entry and the per-file stats record for the declared stats
+    * columns. The write mode is append because the reservation already
+    * created the (empty, exclusively ours) directory — Spark's
+    * errorifexists would refuse it.
     */
   private def writeData(df: DataFrame, partitionBy: Seq[String],
-      v: Long): (Entry, Map[String, String]) = {
+      from: Long): (Long, Entry, Map[String, String]) = {
+    val v = reserveDataDir(from)
     val dir = dataDirName(v)
     val abs = dataDir.resolve(dir)
-    val w = df.write.mode("errorifexists")
+    val w = df.write.mode("append")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(abs.toString)
-    (dir -> listParquet(abs), collectStats(abs, dir))
+    (v, dir -> listParquet(abs), collectStats(abs, dir))
   }
 
   /** One scan of the just-written data dir → per-file min/max of the
@@ -270,12 +402,25 @@ final class ParquetTable(spark: SparkSession, root: String,
     finally stream.close()
   }
 
-  /** First publish or full replace (reference S5/S7 semantics). */
+  /** First publish or full replace (reference S5/S7 semantics). Replace
+    * ignores the base snapshot by definition (last writer wins, like
+    * Delta overwrite under its default isolation for this pipeline's
+    * serial stages), but the publish itself still serializes under the
+    * commit lock so a racing writer can never tear the pointer.
+    */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
-    val v = nextVersion
-    val (entry, stats) = writeData(df, partitionBy, v)
-    commit(v, Seq(entry), stats)
-    v
+    val (v0, entry, stats) = writeData(df, partitionBy, nextVersion)
+    withCommitLock() {
+      val manifestRe = "v=(\\d+)\\.manifest".r
+      val maxManifest = Option(manifestDir.toFile.listFiles())
+        .map(_.toSeq.collect { f =>
+          f.getName match { case manifestRe(n) => n.toLong }
+        }).getOrElse(Nil).maxOption.getOrElse(0L)
+      val v = math.max(v0,
+        math.max(maxManifest + 1L, latestVersion.getOrElse(0L) + 1L))
+      commitUnlocked(v, Seq(entry), stats)
+      v
+    }
   }
 
   /** Append-only write (reference S3/S4: bronze evidence log, audit log).
@@ -284,20 +429,48 @@ final class ParquetTable(spark: SparkSession, root: String,
     * (`orders_to_bronze.py:276-282`). History is never re-read or
     * re-written, so an append-only evidence log costs linear total I/O
     * in rows ingested, not quadratic in batch count.
+    *
+    * Optimistic under concurrency: the batch's data dir is written ONCE;
+    * if the CAS finds another writer committed first, the append REBASES
+    * — the same already-written files are linked onto the new current
+    * manifest (blind appends never conflict semantically, exactly
+    * Delta's append-vs-append behavior) — and retries. Zero data rewrite
+    * on rebase.
     */
-  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
-    latestVersion match {
-      case None => overwrite(df, partitionBy)
-      case Some(cur) =>
-        val existing = readVersion(cur).columns.toSet
-        require(df.columns.toSet == existing,
-          s"append schema mismatch: table has ${existing.toSeq.sorted}, " +
-            s"batch has ${df.columns.sorted.toSeq}")
-        val v = nextVersion
-        val (entry, stats) = writeData(df, partitionBy, v)
-        commit(v, readManifest(cur) :+ entry, readStatsMap(cur) ++ stats)
-        v
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    lastConflicts = 0
+    def checkSchema(cur: Long): Unit = {
+      val existing = readVersion(cur).columns.toSet
+      require(df.columns.toSet == existing,
+        s"append schema mismatch: table has ${existing.toSeq.sorted}, " +
+          s"batch has ${df.columns.sorted.toSeq}")
     }
+    var base = latestVersion
+    base.foreach(checkSchema)
+    val (v0, entry, stats) = writeData(df, partitionBy, nextVersion)
+    var attempt = 0
+    while (true) {
+      onBeforePublish()
+      val (entries, allStats) = base match {
+        case None => (Seq(entry), stats)
+        case Some(cur) => (readManifest(cur) :+ entry, readStatsMap(cur) ++ stats)
+      }
+      tryCommit(base, v0, entries, allStats) match {
+        case Some(v) => return v
+        case None =>
+          lastConflicts += 1
+          attempt += 1
+          if (attempt >= MaxAppendRetries)
+            throw new java.util.ConcurrentModificationException(
+              s"table $root: append lost the commit race $attempt times " +
+                s"(base=$base, now=$latestVersion)")
+          backoff(attempt)
+          base = latestVersion
+          base.foreach(checkSchema) // the winner may have changed the schema
+      }
+    }
+    -1L // unreachable
+  }
 
   /** Retention: keep the last `keepLast` COMMITTED versions (always
     * including the current one); delete every other manifest — older
@@ -477,28 +650,42 @@ final class ParquetTable(spark: SparkSession, root: String,
     */
   private[graft] def replaceFiles(victims: Set[String],
       partitionBy: Seq[String] = Nil): Option[Long] = {
-    val cur = latestVersion.getOrElse(return None)
-    val entries = readManifest(cur)
-    val (victimEntries, keptEntries) = (
-      entries.map { case (d, fs) =>
-        d -> fs.filter(f => victims.contains(s"$d/$f"))
-      }.filter(_._2.nonEmpty),
-      entries.map { case (d, fs) =>
-        d -> fs.filterNot(f => victims.contains(s"$d/$f"))
-      }.filter(_._2.nonEmpty))
-    if (victimEntries.isEmpty) return None
-    val rows = readEntries(victimEntries)
-    val folded =
-      if (partitionBy.isEmpty) rows
-      else rows.repartition(partitionBy.map(col): _*)
-    val v = nextVersion
-    val (entry, newStats) = writeData(folded, partitionBy, v)
-    val keptFiles = keptEntries.flatMap { case (d, fs) =>
-      fs.map(f => s"$d/$f")
-    }.toSet
-    commit(v, keptEntries :+ entry,
-      readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap ++ newStats)
-    Some(v)
+    lastConflicts = 0
+    var attempt = 0
+    while (true) {
+      val cur = latestVersion.getOrElse(return None)
+      val entries = readManifest(cur)
+      val (victimEntries, keptEntries) = (
+        entries.map { case (d, fs) =>
+          d -> fs.filter(f => victims.contains(s"$d/$f"))
+        }.filter(_._2.nonEmpty),
+        entries.map { case (d, fs) =>
+          d -> fs.filterNot(f => victims.contains(s"$d/$f"))
+        }.filter(_._2.nonEmpty))
+      if (victimEntries.isEmpty) return None
+      val rows = readEntries(victimEntries)
+      val folded =
+        if (partitionBy.isEmpty) rows
+        else rows.repartition(partitionBy.map(col): _*)
+      val (v0, entry, newStats) = writeData(folded, partitionBy, nextVersion)
+      val keptFiles = keptEntries.flatMap { case (d, fs) =>
+        fs.map(f => s"$d/$f")
+      }.toSet
+      onBeforePublish()
+      tryCommit(Some(cur), v0, keptEntries :+ entry,
+        readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap
+          ++ newStats) match {
+        case Some(v) => return Some(v)
+        case None => // victim set may be stale — re-derive from the winner
+          lastConflicts += 1
+          attempt += 1
+          if (attempt >= MaxCommitRetries)
+            throw new java.util.ConcurrentModificationException(
+              s"table $root: replaceFiles lost the commit race $attempt times")
+          backoff(attempt)
+      }
+    }
+    None // unreachable
   }
 
   /** Keyed upsert — the reference's Delta MERGE
@@ -529,39 +716,64 @@ final class ParquetTable(spark: SparkSession, root: String,
       s"merge source has duplicate keys on ${keys.mkString(",")} " +
         s"(${dupStats.getLong(0)} rows, ${dupStats.getLong(1)} distinct) — " +
         "Delta MERGE parity: multiple source matches are an error")
-    latestVersion match {
-      case None => overwrite(source, partitionBy)
-      case Some(cur) =>
-        val entries = readManifest(cur)
-        val priorStats = readStatsMap(cur)
-        val srcKeys = source.select(keyCols: _*).distinct()
-        val candidates = pruneByStats(entries, priorStats, source, keys)
-        lastScanned = candidates.flatMap { case (dir, files) =>
-          files.map(f => s"$dir/$f")
-        }
-        val touched: Set[String] =
-          if (candidates.isEmpty) Set.empty
-          else readEntries(candidates)
-            .select(keyCols :+ input_file_name().as("__graft_file"): _*)
-            .join(srcKeys, keys, "left_semi")
-            .select("__graft_file").distinct()
-            .collect().map(r => baseName(r.getString(0))).toSet
-        val (touchedEntries, keptEntries) =
-          splitEntries(entries, touched)
-        val survivors =
-          if (touchedEntries.forall(_._2.isEmpty)) source
-          else readEntries(touchedEntries)
-            .join(srcKeys, keys, "left_anti")
-            .unionByName(source)
-        val v = nextVersion
-        val (entry, newStats) = writeData(survivors, partitionBy, v)
-        val keptFiles = keptEntries.flatMap { case (d, fs) =>
-          fs.map(f => s"$d/$f")
-        }.toSet
-        commit(v, keptEntries :+ entry,
-          priorStats.view.filterKeys(keptFiles.contains).toMap ++ newStats)
-        v
+    lastConflicts = 0
+    var attempt = 0
+    while (true) {
+      val outcome: Option[Long] = latestVersion match {
+        case None =>
+          // first publish still CASes against the empty table: two racing
+          // first-merges must not both win
+          val (v0, entry, stats) = writeData(source, partitionBy, nextVersion)
+          onBeforePublish()
+          tryCommit(None, v0, Seq(entry), stats)
+        case Some(cur) =>
+          val entries = readManifest(cur)
+          val priorStats = readStatsMap(cur)
+          val srcKeys = source.select(keyCols: _*).distinct()
+          val candidates = pruneByStats(entries, priorStats, source, keys)
+          lastScanned = candidates.flatMap { case (dir, files) =>
+            files.map(f => s"$dir/$f")
+          }
+          val touched: Set[String] =
+            if (candidates.isEmpty) Set.empty
+            else readEntries(candidates)
+              .select(keyCols :+ input_file_name().as("__graft_file"): _*)
+              .join(srcKeys, keys, "left_semi")
+              .select("__graft_file").distinct()
+              .collect().map(r => baseName(r.getString(0))).toSet
+          val (touchedEntries, keptEntries) =
+            splitEntries(entries, touched)
+          val survivors =
+            if (touchedEntries.forall(_._2.isEmpty)) source
+            else readEntries(touchedEntries)
+              .join(srcKeys, keys, "left_anti")
+              .unionByName(source)
+          val (v0, entry, newStats) = writeData(survivors, partitionBy, nextVersion)
+          val keptFiles = keptEntries.flatMap { case (d, fs) =>
+            fs.map(f => s"$d/$f")
+          }.toSet
+          onBeforePublish()
+          tryCommit(Some(cur), v0, keptEntries :+ entry,
+            priorStats.view.filterKeys(keptFiles.contains).toMap ++ newStats)
+      }
+      outcome match {
+        case Some(v) => return v
+        case None =>
+          // a concurrent commit may have rewritten files this merge
+          // decided to keep or touch, so the prepared survivors are
+          // stale — recompute everything from the fresh snapshot (the
+          // abandoned data dir is an orphan; vacuum reclaims it). This
+          // is Delta's merge-retry shape: correctness over reuse.
+          lastConflicts += 1
+          attempt += 1
+          if (attempt >= MaxCommitRetries)
+            throw new java.util.ConcurrentModificationException(
+              s"table $root: merge lost the commit race $attempt times " +
+                s"(now=$latestVersion)")
+          backoff(attempt)
+      }
     }
+    -1L // unreachable
   }
 
   @volatile private var lastScanned: Seq[String] = Nil
@@ -583,30 +795,41 @@ final class ParquetTable(spark: SparkSession, root: String,
     * no new version — when nothing matches.
     */
   def delete(condition: org.apache.spark.sql.Column,
-      partitionBy: Seq[String] = Nil): Option[Long] = latestVersion match {
-    case None => throw new IllegalStateException(s"table $root does not exist")
-    case Some(cur) =>
+      partitionBy: Seq[String] = Nil): Option[Long] = {
+    lastConflicts = 0
+    var attempt = 0
+    while (true) {
+      val cur = latestVersion.getOrElse(
+        throw new IllegalStateException(s"table $root does not exist"))
       val entries = readManifest(cur)
       val touched: Set[String] = readEntries(entries)
         .filter(condition)
         .select(input_file_name().as("__graft_file"))
         .distinct().collect().map(r => baseName(r.getString(0))).toSet
-      if (touched.isEmpty) None
-      else {
-        val (touchedEntries, keptEntries) = splitEntries(entries, touched)
-        val survivors = readEntries(touchedEntries)
-          .filter(!org.apache.spark.sql.functions.coalesce(
-            condition, lit(false)))
-        val v = nextVersion
-        val (entry, newStats) = writeData(survivors, partitionBy, v)
-        val keptFiles = keptEntries.flatMap { case (d, fs) =>
-          fs.map(f => s"$d/$f")
-        }.toSet
-        commit(v, keptEntries :+ entry,
-          readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap
-            ++ newStats)
-        Some(v)
+      if (touched.isEmpty) return None
+      val (touchedEntries, keptEntries) = splitEntries(entries, touched)
+      val survivors = readEntries(touchedEntries)
+        .filter(!org.apache.spark.sql.functions.coalesce(
+          condition, lit(false)))
+      val (v0, entry, newStats) = writeData(survivors, partitionBy, nextVersion)
+      val keptFiles = keptEntries.flatMap { case (d, fs) =>
+        fs.map(f => s"$d/$f")
+      }.toSet
+      onBeforePublish()
+      tryCommit(Some(cur), v0, keptEntries :+ entry,
+        readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap
+          ++ newStats) match {
+        case Some(v) => return Some(v)
+        case None => // stale survivors — recompute from the fresh snapshot
+          lastConflicts += 1
+          attempt += 1
+          if (attempt >= MaxCommitRetries)
+            throw new java.util.ConcurrentModificationException(
+              s"table $root: delete lost the commit race $attempt times")
+          backoff(attempt)
       }
+    }
+    None // unreachable
   }
 
   /** Change feed between two committed versions — Delta's CDF

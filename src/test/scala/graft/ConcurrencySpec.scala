@@ -1,0 +1,184 @@
+package graft
+
+import graft.tables.ParquetTable
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Optimistic concurrency for the versioned table layer (round-14):
+  * Delta's actual write contract is compare-and-swap against the snapshot
+  * the writer prepared on, with rebase (blind append) or
+  * recompute-and-retry (merge/delete) for the loser. These specs force
+  * the race deterministically via the `onBeforePublish` hook — a second
+  * writer commits in the window between the first writer's data write
+  * and its CAS — and also run a genuinely parallel many-writer append.
+  */
+class ConcurrencySpec extends AnyFunSuite with SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-conc").toString + "/t"
+
+  private def rows(t: ParquetTable): Map[Int, String] =
+    t.read.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  private def df(pairs: (Int, String)*): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  test("append loser detects the conflict and rebases: both batches land") {
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(1 -> "a")) // v1
+    // writer B sneaks its commit in between A's data write and A's CAS
+    var armed = true
+    t.onBeforePublish = () => {
+      if (armed) {
+        armed = false
+        val b = ParquetTable(spark, t.rootPath) // separate handle = separate writer
+        b.append(df(3 -> "c"))
+      }
+    }
+    try {
+      val v = t.append(df(2 -> "b")) // writer A: loses the race, rebases
+      assert(t.lastConflicts == 1, "A must have detected exactly one conflict")
+      assert(t.latestVersion.contains(v))
+      assert(rows(t) == Map(1 -> "a", 2 -> "b", 3 -> "c"),
+        "the rebase must keep BOTH writers' rows — no lost update")
+      // B committed a version too: history has base + B + A
+      assert(t.committedVersions.size == 3)
+    } finally t.onBeforePublish = () => ()
+  }
+
+  test("append rebase reuses its data files (no rewrite on retry)") {
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(1 -> "a"))
+    var aFilesAtPrepare: Set[String] = Set.empty
+    var armed = true
+    t.onBeforePublish = () => {
+      if (armed) {
+        armed = false
+        // snapshot which data dirs exist after A wrote but before A committed
+        aFilesAtPrepare = t.currentFiles.toSet
+        ParquetTable(spark, t.rootPath).append(df(3 -> "c"))
+      }
+    }
+    try {
+      t.append(df(2 -> "b"))
+      // A's committed manifest references a data dir written BEFORE the
+      // conflict (blind-append rebase relinks, never rewrites)
+      val afterDirs = t.currentFiles.filter(_.contains("/d/"))
+      assert(afterDirs.exists(f => !aFilesAtPrepare.contains(f)))
+      assert(rows(t) == Map(1 -> "a", 2 -> "b", 3 -> "c"))
+    } finally t.onBeforePublish = () => ()
+  }
+
+  test("merge loser recomputes from the winner's snapshot") {
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(1 -> "a", 2 -> "b"))
+    var armed = true
+    t.onBeforePublish = () => {
+      if (armed) {
+        armed = false
+        // winner updates key 2 while the loser's merge is mid-flight
+        ParquetTable(spark, t.rootPath).merge(df(2 -> "WINNER"), keys = Seq("k"))
+      }
+    }
+    try {
+      t.merge(df(1 -> "A", 3 -> "c"), keys = Seq("k"))
+      assert(t.lastConflicts == 1)
+      // both merges' effects visible: no lost update in either direction
+      assert(rows(t) == Map(1 -> "A", 2 -> "WINNER", 3 -> "c"))
+    } finally t.onBeforePublish = () => ()
+  }
+
+  test("delete loser recomputes; a concurrent append's rows survive") {
+    val t = ParquetTable(spark, tmp())
+    import org.apache.spark.sql.functions.col
+    t.overwrite(df(1 -> "drop", 2 -> "keep"))
+    var armed = true
+    t.onBeforePublish = () => {
+      if (armed) {
+        armed = false
+        ParquetTable(spark, t.rootPath).append(df(3 -> "drop"))
+      }
+    }
+    try {
+      t.delete(col("v") === "drop")
+      assert(t.lastConflicts == 1)
+      // the recompute ran against the appended snapshot, so row 3 —
+      // which matches the predicate and was committed BEFORE the delete
+      // finally won its CAS — is deleted too, serializably
+      assert(rows(t) == Map(2 -> "keep"))
+    } finally t.onBeforePublish = () => ()
+  }
+
+  test("writer aborts cleanly when it can never win") {
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(1 -> "a"))
+    var n = 0
+    t.onBeforePublish = () => {
+      n += 1
+      ParquetTable(spark, t.rootPath).append(df((100 + n) -> "noise"))
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        t.append(df(2 -> "b"))
+      }
+      assert(e.getMessage.contains("lost the commit race"))
+      // the aborted batch's rows must NOT be visible
+      assert(!rows(t).contains(2))
+    } finally t.onBeforePublish = () => ()
+  }
+
+  test("first publish races CAS too: exactly one writer creates v1 blind") {
+    val t = ParquetTable(spark, tmp())
+    var armed = true
+    t.onBeforePublish = () => {
+      if (armed) {
+        armed = false
+        ParquetTable(spark, t.rootPath).merge(df(9 -> "first"), keys = Seq("k"))
+      }
+    }
+    try {
+      t.merge(df(1 -> "second"), keys = Seq("k"))
+      assert(t.lastConflicts == 1)
+      assert(rows(t) == Map(9 -> "first", 1 -> "second"))
+    } finally t.onBeforePublish = () => ()
+  }
+
+  test("8 genuinely parallel appends all land; versions stay monotone") {
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(0 -> "base"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            ParquetTable(spark, t.rootPath).append(df(i -> s"w$i"))
+        })
+      }
+      val committed = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(committed.distinct.size == 8, "every writer got its own version")
+      assert(rows(t) == (0 to 8).map(i => i -> (if (i == 0) "base" else s"w$i")).toMap,
+        "all 8 concurrent appends visible — no lost update")
+      // pointer names the max committed version (monotone history)
+      assert(t.latestVersion.contains(t.committedVersions.max))
+      // time travel across the contended history still works
+      t.committedVersions.toSeq.sorted.zipWithIndex.foreach { case (v, i) =>
+        assert(t.readVersion(v).count() == i + 1)
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("a crashed writer's stale commit lock is broken, not waited out") {
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(1 -> "a"))
+    // plant a lock whose timestamp is 5 minutes old (crashed holder)
+    val lock = java.nio.file.Paths.get(t.rootPath, "_COMMIT.lock")
+    java.nio.file.Files.write(lock,
+      (System.currentTimeMillis() - 300000L).toString.getBytes)
+    val t0 = System.nanoTime()
+    t.append(df(2 -> "b")) // must break the stale lock and proceed
+    assert((System.nanoTime() - t0) / 1e9 < 20.0, "stale lock not broken promptly")
+    assert(rows(t) == Map(1 -> "a", 2 -> "b"))
+  }
+}
