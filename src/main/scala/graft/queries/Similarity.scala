@@ -70,7 +70,8 @@ object Similarity {
     * outside the oracle is RECALL (which pairs were nominated); that is
     * pinned against the exact baselines in ApproxOpsSpec / IvfPqSpec.
     */
-  private[queries] def emittedTopKOracle(name: String): String =
+  private[queries] def emittedTopKOracle(name: String,
+      candidateWhere: String = "TRUE"): String =
     s"""WITH emitted AS (
           SELECT query_id, vec_id
           FROM read_parquet('${graft.QueryDef.OutDirToken}/$name/*.parquet')
@@ -80,7 +81,8 @@ object Similarity {
           FROM emitted m
           JOIN embeddings e ON e.vec_id = m.vec_id
           JOIN embeddings q ON q.vec_id = m.query_id
-        )
+          WHERE ($candidateWhere)
+        )""" + s"""
         SELECT query_id, vec_id, score,
           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rn
@@ -806,13 +808,24 @@ object Similarity {
     import s.implicits._
     val nProbes = math.max(2, centroids.length / 8) // NearDupProbes rule
     val bc = s.sparkContext.broadcast(centroids)
-    vectors.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) =>
+    // `label` rides into the index row (round-14 filtered ANN): a
+    // query-time metadata predicate then lands directly on the pruned
+    // index scan as an ordinary parquet PushedFilter NEXT TO the cell
+    // PartitionFilter — no join against an allowed-id set, no second
+    // pass over the corpus. Any future filter column generalizes the
+    // same way: store it beside the vector, filter at the scan. A
+    // corpus without the column (synthetic spec fixtures) indexes a
+    // constant 0 so the layer stays generic.
+    val labelCol =
+      if (vectors.columns.contains("label")) col("label").cast("int")
+      else lit(0)
+    vectors.select(col("vec_id"), col("embedding"), labelCol.as("label"))
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, v, label) =>
         val ranked = rankedCells(bc.value, v)
-        (id, v, ranked.head, ranked.take(nProbes))
+        (id, v, label, ranked.head, ranked.take(nProbes))
       }
-      .toDF("vec_id", "embedding", "cell", "probes")
+      .toDF("vec_id", "embedding", "label", "cell", "probes")
   }
 
   private[graft] def cellAssignments(s: SparkSession, d: String,
@@ -829,14 +842,15 @@ object Similarity {
     */
   private def normalizedIvfRead(
       t: graft.tables.ParquetTable): DataFrame =
-    t.read.select(col("vec_id"), col("embedding"),
+    t.read.select(col("vec_id"), col("embedding"), col("label"),
       col("cell").cast("long").as("cell"), col("probes"))
 
   /** Sidecar format of the stored inverted file: v2 added the `probes`
-    * multi-cell column; v1 stores (no probes) resolve MISS and rebuild
-    * once rather than serving rows the near-dup path can't use.
+    * multi-cell column, v3 the `label` filter column (round-14 filtered
+    * ANN). Stores in an older format resolve MISS and rebuild once
+    * rather than serving rows the filtered probe can't use.
     */
-  private[graft] val IvfFormat = "v2-probes"
+  private[graft] val IvfFormat = "v3-attrs"
 
   /** The persisted INVERTED FILE — (vec_id, embedding, cell)
     * partitioned by cell in the table layer, the FAISS inverted-list
@@ -933,8 +947,11 @@ object Similarity {
               val t = IndexStore.corpusIndexTable(s, kind, d)
               val toAppend = IndexStore.filesNeedingAppend(s, t, newFiles)
               if (toAppend.nonEmpty) {
-                val fresh = s.read.parquet(toAppend: _*)
-                  .select(col("vec_id"), col("embedding"))
+                val freshRaw = s.read.parquet(toAppend: _*)
+                val fresh = freshRaw.select(
+                  col("vec_id") +: col("embedding") +:
+                    (if (freshRaw.columns.contains("label"))
+                      Seq(col("label")) else Nil): _*)
                 t.append(assignRows(s, fresh, cs), partitionBy = Seq("cell"))
               }
               IndexStore.commitCorpusIndexState(kind, d, qfp, meta, IvfFormat)
@@ -1000,6 +1017,106 @@ object Similarity {
     Some(emittedTopKOracle("q54_ann_ivf")), // pair-level derived oracle;
     // recall vs q38 measured in specs
     "IVF ANN top-10: 64 k-means cells, 16-probe [similarity]")
+
+  /** FILTERED ANN (round-14): q54's IVF probe under a metadata predicate
+    * — the retrieval-stack shape every real deployment runs
+    * (`lang = 'en' AND source = X` + top-k). Two design rules, both the
+    * 100 TB path:
+    *
+    *  1. The predicate is applied AT THE INDEX SCAN, never as a
+    *     post-filter on the top-k (a post-filter silently under-returns:
+    *     filtering 10 ranked rows at 10% selectivity leaves ~1). The
+    *     inverted file stores the filter column beside the vector
+    *     ([[assignRows]]), so the scan carries the cell `isin` as a
+    *     PartitionFilter and the predicate as an ordinary parquet
+    *     PushedFilter — no join against an allowed-id set, no second
+    *     corpus pass, ranking only ever sees qualifying rows.
+    *  2. ADAPTIVE OVER-FETCH: a sparse filter can leave a query with
+    *     fewer than k qualifying candidates in its nProbe cells. Queries
+    *     that come back short re-probe with DOUBLED nProbe (only the
+    *     deficient queries — satisfied ones never pay), until k results
+    *     or the probe set is the whole cell space, at which point the
+    *     result is exact-within-filter by construction. Bounded:
+    *     log2(NumCells/nProbe0) extra rounds, each a pruned scan.
+    */
+  private[graft] def ivfTopKFiltered(s: SparkSession, d: String,
+      centroids: Array[(Long, Array[Double], Double)],
+      pred: Column, k: Int = 10, nProbe0: Int = NProbe,
+      overFetch: Int = 3,
+      assignments: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val assigned = assignments.getOrElse(cellAssignments(s, d, centroids))
+    val qvecs = load(s, d, "embeddings").filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    def scoredCandidates(qs: Seq[(Long, Array[Float])], nProbe: Int): DataFrame = {
+      val probeRows = qs.flatMap { case (qid, v) =>
+        rankedCells(centroids, v).take(nProbe).map(c => (qid, v, c))
+      }
+      val probedCells = probeRows.map(_._3).distinct.sorted
+      val queries = probeRows.toDF("query_id", "qv", "probe_cell")
+      assigned.filter(col("cell").isin(probedCells: _*) && pred)
+        .join(broadcast(queries),
+          col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          fastCosine(s)(col("qv"), col("embedding")).as("score"))
+    }
+    def topK(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"),
+        col("score"), col("rn").cast("int").as("rn"))
+    var remaining: Seq[(Long, Array[Float])] = qvecs.toSeq
+    var nProbe = nProbe0
+    val finals = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    while (remaining.nonEmpty) {
+      val scored = scoredCandidates(remaining, nProbe)
+      if (nProbe >= centroids.length) {
+        finals += topK(scored) // whole cell space: exact within the filter
+        remaining = Nil
+      } else {
+        // Satisfaction is judged on CANDIDATE DEPTH, pre-truncation: a
+        // query whose probed cells hold only k qualifying rows would
+        // "fill" its top-k from a forced, weak tail (measured 0.53
+        // filtered recall with a done-at-k rule). Requiring overFetch*k
+        // qualifying candidates before trusting a probe set restores
+        // the unfiltered probe's recall profile — the filtered analogue
+        // of FAISS's over-fetch-then-rank rule. The check is one
+        // |queries|-row collect per round — driver-bounded by the fixed
+        // query-set size, never the corpus.
+        val counts = scored.groupBy("query_id").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val (done, notDone) = remaining.partition { case (qid, _) =>
+          counts.getOrElse(qid, 0L) >= k.toLong * overFetch
+        }
+        if (done.nonEmpty)
+          finals += topK(scored)
+            .filter(col("query_id").isin(done.map(_._1): _*))
+        remaining = notDone
+        nProbe = math.min(centroids.length, nProbe * 2)
+      }
+    }
+    finals.reduce(_.unionByName(_))
+  }
+
+  /** Filtered IVF ANN: label = 1 (~10% selectivity) pushed into the
+    * index scan, adaptive probe widening for under-filled queries.
+    */
+  private val q273 = QueryDef(
+    (s, d) => {
+      val (cs, idx) = resolveIvfIndex(s, d)
+      ivfTopKFiltered(s, d, cs, col("label") === 1, k = 10,
+        nProbe0 = NProbe, assignments = Some(idx))
+    },
+    // derived oracle restricted to the FILTERED universe: an emitted row
+    // whose vec_id has label != 1 vanishes from the verified frame and
+    // fails the hash compare, so filter violations are oracle-caught,
+    // not just spec-caught
+    Some(emittedTopKOracle("q273_ann_filtered", "e.label = 1")),
+    "filtered IVF ANN top-10: label=1 pushed to the index scan, " +
+      "adaptive probe widening [similarity]")
 
   /** Candidates-then-rerank exact-scored 1-NN — the default q40-shaped
     * operator at 100 TB. Candidate pairs come from two independent
@@ -1814,6 +1931,7 @@ object Similarity {
     "q39_ann_lsh" -> q39,
     "q40_dedup_embedding" -> q40,
     "q54_ann_ivf" -> q54,
+    "q273_ann_filtered" -> q273,
     "q62_dedup_embedding_ann" -> q62,
     "q68_embedding_quantize" -> q68,
     "q91_index_health" -> q91,

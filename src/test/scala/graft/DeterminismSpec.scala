@@ -149,7 +149,11 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q270_logrank",
     // RBO's per-depth overlap counts + the ≤10-term pinned fold; MASE
     // folds the backtest errors in pinned day order
-    "q271_ann_rbo", "q272_mase")
+    "q271_ann_rbo", "q272_mase",
+    // filtered ANN: the adaptive widening decision (over-fetch floor)
+    // counts candidates per query — partition count must not change
+    // which round serves a query, nor the pruned scan's row set
+    "q273_ann_filtered")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1,0 +1,113 @@
+package graft
+
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Filtered ANN (q273, round-14): a metadata predicate joined into the
+  * index probe — never post-filtered on the top-k — with adaptive probe
+  * widening so a sparse filter can't silently under-return. Recall is
+  * pinned against the exact FILTERED brute-force baseline (the filtered
+  * universe's own ground truth, not q38's unfiltered one).
+  */
+class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
+
+  private val K = 10
+
+  private def run() =
+    SparkEntry.queries("q273_ann_filtered")(spark, Sf)
+
+  /** Exact filtered top-K: brute-force cosine over ONLY label=1 rows. */
+  private def exactFiltered(): Map[Long, Set[Long]] = {
+    val e = graft.common.Tables.load(spark, Sf, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    e.filter(col("label") === 1)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosine(col("qv"), col("embedding")).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(1)).toSet
+      }
+  }
+
+  test("every returned row satisfies the filter (no leakage past the scan)") {
+    val e = graft.common.Tables.load(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val leaked = run().join(e, "vec_id").filter(col("label") =!= 1).count()
+    assert(leaked == 0L)
+  }
+
+  test("no silent under-return: every query fills to min(k, filtered universe)") {
+    val e = graft.common.Tables.load(spark, Sf, "embeddings")
+    val nFiltered = e.filter(col("label") === 1).count()
+    val selfFiltered = e.filter(col("label") === 1 && col("vec_id") < 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val counts = run().groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size == 20, "all 20 queries must answer")
+    counts.foreach { case (qid, n) =>
+      // a query that itself has label=1 can't be its own neighbor
+      val universe = nFiltered - (if (selfFiltered.contains(qid)) 1 else 0)
+      assert(n == math.min(K.toLong, universe),
+        s"query $qid returned $n of expected ${math.min(K.toLong, universe)} " +
+          s"(filtered universe $universe) — adaptive widening failed")
+    }
+  }
+
+  test("recall vs the exact FILTERED baseline") {
+    val exact = exactFiltered()
+    val approx = run().select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(1)).toSet
+      }
+    val recalls = exact.map { case (qid, ids) =>
+      approx.get(qid).map(a => (a & ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // at sf0.001 (47 label-1 rows in 500) most queries fall short of
+    // the 3k over-fetch floor at partial probes and widen to the full
+    // cell space (exact within the filter); a query whose probed cells
+    // are label-1-dense may finish early with >=30-candidate depth —
+    // that IS the approximate path, so the pin is a high band, not 1.0
+    // (measured 0.99 here vs 0.53 without the over-fetch floor)
+    assert(mean >= 0.9, s"mean filtered recall@$K = $mean")
+  }
+
+  test("over-fetch floor is what buys the recall (knob documented by measurement)") {
+    // with the floor disabled (overFetch=1: done at k candidates) a
+    // sparse filter serves weak tails from the first probe set that
+    // technically fills — measured 0.53 here vs 1.0 with the floor
+    val (cs, idx) = Similarity.resolveIvfIndex(spark, Sf)
+    val loose = Similarity.ivfTopKFiltered(spark, Sf, cs,
+      col("label") === 1, k = K, overFetch = 1, assignments = Some(idx))
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(1)).toSet
+      }
+    val exact = exactFiltered()
+    val recalls = exact.map { case (qid, ids) =>
+      loose.get(qid).map(a => (a & ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4 && mean < 0.999,
+      s"overFetch=1 recall $mean — expected the measured weak-tail band; " +
+        "if this reads 1.0 the floor test is no longer exercising widening")
+  }
+
+  test("the filter and the probed cells both reach the stored index scan") {
+    run().collect() // warm the store so the query serves the stored index
+    val plan = run().queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ (INSET|IN)".r
+      .findFirstIn(plan).nonEmpty,
+      s"probed cells must prune partitions at listing time:\n$plan")
+    assert("PushedFilters: \\[.*EqualTo\\(label,1\\)".r
+      .findFirstIn(plan).nonEmpty,
+      s"the label predicate must reach the parquet scan as a pushed filter:\n$plan")
+  }
+}
