@@ -426,10 +426,98 @@ object GraphAnn {
     }
   }
 
+  /** Threshold-triggered tombstone fold for the edge table, WITH the
+    * repair that keeps the min-degree guard ([[pruneOverflow]]'s
+    * contract: every linked node keeps >=1 edge per layer it lives on)
+    * true after deletion: removing a deleted node's incident edges can
+    * orphan a live partner whose only layer-l edge pointed at it.
+    * Repair links each orphan to its best CO-PARTNER (another live
+    * partner of the same deleted node at the same layer — the standard
+    * HNSW delete-repair, which patches the hole the deleted node
+    * leaves in its own neighborhood), falling back to the bounded
+    * entry-stride sample when the whole neighborhood died. Every frame
+    * here is tombstone-batch-bounded: partners <= |tombs|*2M rows,
+    * candidates <= partners^2 within one deleted node's adjacency,
+    * orphans <= partners — the fold never scans corpus-sized state
+    * beyond the file-granular delete itself. Best-effort like every
+    * maintenance path: on failure the tombstones stay live and the
+    * serve mask keeps hiding the nodes.
+    */
+  private def maybeFoldTombstonesWithRepair(s: SparkSession,
+      d: String): Unit = {
+    import graft.tables.IndexStore
+    val kind = "nsw_index"
+    try {
+      val ids = IndexStore.tombstoneIds(s, kind, d)
+      if (ids.length <= IndexStore.tombstoneFoldThreshold) return
+      val t = IndexStore.corpusIndexTable(s, kind, d)
+      if (!t.exists) return
+      val idSeq = ids.toSeq
+      val edges = t.read
+      val isTomb = (c: String) => col(c).isin(idSeq: _*)
+      // live partners of each deleted node, per layer
+      val partners = edges.filter(isTomb("u") && !isTomb("v"))
+        .select(col("u").as("t"), col("v").as("p"), col("layer"))
+        .localCheckpoint()
+      // (node, layer) pairs that still have an edge after the delete
+      val after = edges.filter(!isTomb("u") && !isTomb("v"))
+        .select(col("u"), col("layer")).distinct()
+      // orphans: live partners whose LAST layer-l edge was to a tomb
+      val orphans = partners.select(col("p").as("u"), col("layer"))
+        .distinct()
+        .join(after, Seq("u", "layer"), "left_anti").localCheckpoint()
+      val nOrphans = orphans.count()
+      val patch: Option[DataFrame] = if (nOrphans == 0) None else {
+        // co-partner candidates within each deleted node's neighborhood
+        val co = partners
+          .join(partners.select(col("t"), col("p").as("q"), col("layer")),
+            Seq("t", "layer"))
+          .filter(col("p") =!= col("q"))
+          .select(col("p").as("u"), col("q").as("v"), col("layer"))
+        // fallback: the bounded deterministic entry sample, for orphans
+        // whose whole neighborhood was deleted with them
+        val entrySample = emb(s, d)
+          .filter(col("vec_id") % EntryStride === 0 &&
+            col("vec_id") < EntryCap && !isTomb("vec_id"))
+          .select(col("vec_id").as("v"))
+        val fb = orphans.select(col("u"), col("layer"))
+          .crossJoin(broadcast(entrySample))
+          .filter(col("u") =!= col("v"))
+        val cand = co.join(orphans, Seq("u", "layer"), "left_semi")
+          .unionByName(fb).filter(!isTomb("v")).distinct()
+        val e = emb(s, d)
+        val scored = cand
+          .join(e.select(col("vec_id").as("u"), col("embedding").as("ue")),
+            "u")
+          .join(e.select(col("vec_id").as("v"), col("embedding").as("ve")),
+            "v")
+          .select(col("u"), col("v"), col("layer"),
+            Similarity.fastCosine(s)(col("ue"), col("ve")).as("score"))
+        val wO = Window.partitionBy(col("u"), col("layer"))
+          .orderBy(col("score").desc, col("v").asc)
+        val best = scored.withColumn("rn", row_number().over(wO))
+          .filter(col("rn") === 1).drop("rn")
+        Some(best
+          .unionByName(best.select(col("v").as("u"), col("u").as("v"),
+            col("layer"), col("score")))
+          .groupBy(col("u"), col("v"), col("layer"))
+          .agg(max(col("score")).as("score"))
+          .localCheckpoint()) // orphan-bounded; pinned across the delete
+      }
+      t.delete(isTomb("u") || isTomb("v"))
+      patch.foreach { pf => t.merge(pf, keys = Seq("u", "v", "layer")); () }
+      IndexStore.clearTombstones(kind, d)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[index-store] nsw tombstone fold skipped: $e")
+    }
+  }
+
   private[graft] def resolveGraphIndex(s: SparkSession,
       d: String): DataFrame = {
     import graft.tables.IndexStore
     val kind = "nsw_index"
+    maybeFoldTombstonesWithRepair(s, d)
     val meta = Similarity.embeddingsFileMeta(s, d)
     def rebuild(): DataFrame = {
       graphBuildCount.incrementAndGet()
@@ -499,7 +587,13 @@ object GraphAnn {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def walkTopK(s: SparkSession, d: String): DataFrame = {
-    val fp = Similarity.embeddingsFingerprint(s, d)
+    // the memo key carries the tombstone version: a new delete batch
+    // must invalidate the memoized RESULT frame (the walk's top-k could
+    // contain a just-dropped id), unlike the IVF/LSH paths where the
+    // mask applies outside the memo to a row-per-vector frame
+    val fp = Similarity.embeddingsFingerprint(s, d) + "|tombs=" +
+      graft.tables.IndexStore.tombstoneVersion(s, "nsw_index", d)
+        .getOrElse(-1L)
     walkMemo.compute(d, (_, cur) =>
       if (cur != null && cur._1 == fp && (cur._2.sparkSession eq s)) cur
       else {
@@ -580,7 +674,15 @@ object GraphAnn {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val wQ = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cand").asc)
-      beamSearch(s, d, q, edges)
+      // tombstone mask on the FINAL BEAM, before the top-k rank — the
+      // HNSW deleted-node discipline: dropped nodes stay in the stored
+      // graph as ROUTING waypoints until the threshold fold (removing
+      // them early would tear the walk's connectivity), but they are
+      // never returnable; masking the Beam(=32)-deep candidate set and
+      // THEN ranking k=10 keeps the result full, where masking an
+      // already-ranked top-k would silently under-return
+      graft.tables.IndexStore.maskTombstones(s, "nsw_index", d,
+          beamSearch(s, d, q, edges), cols = Seq("cand"))
         .withColumn("rn", row_number().over(wQ))
         .filter(col("rn") <= 10)
         .select(col("query_id"), col("cand").as("vec_id"),

@@ -90,6 +90,10 @@ object IvfPq {
   private[graft] def resolvePqIndex(s: SparkSession, d: String):
       (Array[(Long, Array[Double], Double)],
         Array[Array[Array[Double]]], DataFrame) = {
+    // tombstone fold before the memo check; mask outside the memo —
+    // see Similarity.resolveLshIndex for the rationale
+    graft.tables.IndexStore.maybeFoldTombstones(
+      s, "pq_index", d, Seq("vec_id"), Some("cell"))
     val meta = Similarity.embeddingsFileMeta(s, d)
     val fp = Similarity.fingerprintOf(d, meta)
     val ver = Similarity.indexVersion(s, "pq_index", d)
@@ -101,7 +105,8 @@ object IvfPq {
         val (cs, books, df) = resolvePqIndexUncached(s, d, meta, fp)
         (fp, Similarity.indexVersion(s, "pq_index", d), cs, books, df)
       })
-    (hit._3, hit._4, hit._5)
+    (hit._3, hit._4,
+      graft.tables.IndexStore.maskTombstones(s, "pq_index", d, hit._5))
   }
 
   private def resolvePqIndexUncached(s: SparkSession, d: String,

@@ -286,10 +286,15 @@ object Similarity {
     clearCentroidSessionCache())
 
   private[graft] def resolveLshIndex(s: SparkSession, d: String): DataFrame = {
+    // threshold-triggered tombstone fold runs BEFORE the memo check:
+    // a fold bumps the index version, so the memo re-resolves and the
+    // serve mask below shrinks back to the (now empty) live set
+    graft.tables.IndexStore.maybeFoldTombstones(
+      s, "lsh_index", d, Seq("vec_id"), Some("bkt"))
     val meta = embeddingsFileMeta(s, d)
     val fp = fingerprintOf(d, meta)
     val ver = indexVersion(s, "lsh_index", d)
-    lshServeCache.compute(d, (_, cur) =>
+    val served = lshServeCache.compute(d, (_, cur) =>
       if (cur != null && cur._1 == fp && cur._2 == ver &&
           (cur._3.sparkSession eq s)) cur
       else {
@@ -299,6 +304,10 @@ object Similarity {
         // compacted, and the memo must match what the next lookup sees
         (fp, indexVersion(s, "lsh_index", d), df)
       })._3
+    // mask OUTSIDE the memo: the memoized plan stays delete-agnostic
+    // and each call applies the CURRENT live set (a threshold-bounded
+    // literal InSet — no join, empty set = untouched plan)
+    graft.tables.IndexStore.maskTombstones(s, "lsh_index", d, served)
   }
 
   private def resolveLshIndexUncached(s: SparkSession, d: String,
@@ -896,6 +905,10 @@ object Similarity {
 
   private[graft] def resolveIvfIndex(s: SparkSession,
       d: String): (Array[(Long, Array[Double], Double)], DataFrame) = {
+    // tombstone fold before the memo check; mask outside the memo —
+    // see resolveLshIndex for the rationale
+    graft.tables.IndexStore.maybeFoldTombstones(
+      s, "ivf_index", d, Seq("vec_id"), Some("cell"))
     val meta = embeddingsFileMeta(s, d)
     val fp = fingerprintOf(d, meta)
     val ver = indexVersion(s, "ivf_index", d)
@@ -907,7 +920,8 @@ object Similarity {
         val (cs, df) = resolveIvfIndexUncached(s, d, meta, fp)
         (fp, indexVersion(s, "ivf_index", d), cs, df)
       })
-    (hit._3, hit._4)
+    (hit._3,
+      graft.tables.IndexStore.maskTombstones(s, "ivf_index", d, hit._4))
   }
 
   private def resolveIvfIndexUncached(s: SparkSession, d: String,

@@ -349,6 +349,146 @@ object IndexStore {
         None
     }
 
+  // ---------------------------------------------------------------
+  // Tombstones (round-14): corpus-curation DELETES without rebuild.
+  // Near-dup drops and takedowns are the common case at scale; before
+  // this, any removal forced a full index rebuild. A delete now
+  // appends the dropped vec_ids to a small versioned tombstone table
+  // beside the index; serve paths MASK tombstoned ids with a literal
+  // NOT-IN filter (the set is bounded by the fold threshold, so the
+  // filter is a codegen InSet, never a join); once the set outgrows
+  // the threshold it is FOLDED into the index — a file-granular
+  // copy-on-write delete through the table layer, exactly the merge
+  // machinery — and cleared. Build counters never move: a delete is
+  // never a rebuild.
+  //
+  // Failure posture is asymmetric by design: ADDING a tombstone and
+  // READING the live set propagate errors (a takedown that silently
+  // doesn't apply is a compliance bug, unlike the index cache, which
+  // degrades to recompute); the FOLD is best-effort maintenance —
+  // if it fails, the mask still hides every dropped row.
+
+  private def tombRoot(kind: String, d: String): String =
+    s"$root/$kind/${dirKey(kind, d)}.tombs"
+
+  private[graft] def tombstoneTable(spark: SparkSession, kind: String,
+      d: String): ParquetTable = ParquetTable(spark, tombRoot(kind, d))
+
+  private val TombSchema = new StructType().add("vec_id", LongType)
+
+  /** Driver-side memo of the live tombstone set, keyed by the
+    * tombstone table's version — one tiny collect per delete batch,
+    * not per query execution.
+    */
+  private val tombMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Option[Long], Array[Long])]()
+
+  /** Record dropped ids for (kind, dataset). Propagates failures. */
+  private[graft] def addTombstones(spark: SparkSession, kind: String,
+      d: String, ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    val rows = ids.distinct.sorted.map(id => Row(id))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), TombSchema)
+    val t = tombstoneTable(spark, kind, d)
+    if (t.exists) t.append(df) else t.overwrite(df)
+    tombMemo.remove(s"$kind|$d")
+    ()
+  }
+
+  /** The live (unfolded) tombstone set — bounded by the fold threshold
+    * plus one delete batch. Empty when no deletes were ever issued
+    * (the common case: one `exists` stat, no Spark work).
+    */
+  private[graft] def tombstoneIds(spark: SparkSession, kind: String,
+      d: String): Array[Long] = {
+    val t = tombstoneTable(spark, kind, d)
+    val ver = if (t.exists) t.latestVersion else None
+    if (ver.isEmpty) Array.empty[Long]
+    else tombMemo.compute(s"$kind|$d", (_, cur) =>
+      if (cur != null && cur._1 == ver) cur
+      else (ver, t.read.select("vec_id").distinct()
+        .collect().map(_.getLong(0)).sorted))._2
+  }
+
+  /** Tombstone table version — ride this in serve memo keys so a new
+    * delete batch invalidates memoized RESULTS (the graph walk memo).
+    */
+  private[graft] def tombstoneVersion(spark: SparkSession, kind: String,
+      d: String): Option[Long] = {
+    val t = tombstoneTable(spark, kind, d)
+    if (t.exists) t.latestVersion else None
+  }
+
+  /** Serve-time mask: drop rows whose `cols` carry a tombstoned id.
+    * A literal NOT-IN (InSet) per column — zero plan impact when the
+    * set is empty, codegen-stage-resident otherwise; never a join,
+    * because the live set is threshold-bounded by construction.
+    */
+  private[graft] def maskTombstones(spark: SparkSession, kind: String,
+      d: String, df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String] = Seq("vec_id")): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ids = tombstoneIds(spark, kind, d)
+    if (ids.isEmpty) df
+    else cols.foldLeft(df)((acc, c) =>
+      acc.filter(!col(c).isin(ids.toSeq: _*)))
+  }
+
+  /** Live tombstones past this many fold into the index physically
+    * (overridable for tests via `graft.index.tombstone.threshold`).
+    * 1024 keeps the serve-path InSet literal small while folding —
+    * which pays only the TOUCHED files' rewrite, the same
+    * copy-on-write discipline as merge — once per ~thousand drops.
+    */
+  private[graft] def tombstoneFoldThreshold: Int =
+    sys.props.get("graft.index.tombstone.threshold")
+      .map(_.toInt).getOrElse(1024)
+
+  /** Remove the tombstone table entirely (post-fold state). */
+  private[graft] def clearTombstones(kind: String, d: String): Unit = {
+    val p = java.nio.file.Paths.get(tombRoot(kind, d))
+    if (java.nio.file.Files.exists(p)) {
+      val stream = java.nio.file.Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally stream.close()
+    }
+    tombMemo.remove(s"$kind|$d")
+    ()
+  }
+
+  /** Fold the live tombstone set into the index once it exceeds the
+    * threshold: a predicate delete through the table layer (file-
+    * granular copy-on-write — only files holding a dropped row are
+    * rewritten), then the tombstone table is cleared. Best-effort:
+    * on any failure the tombstones stay live and the serve mask keeps
+    * hiding the rows. Returns the committed index version on fold.
+    */
+  private[graft] def maybeFoldTombstones(spark: SparkSession, kind: String,
+      d: String, probeCols: Seq[String],
+      partitionCol: Option[String]): Option[Long] =
+    try {
+      val ids = tombstoneIds(spark, kind, d)
+      if (ids.length <= tombstoneFoldThreshold) None
+      else {
+        val t = corpusIndexTable(spark, kind, d)
+        if (!t.exists) None
+        else {
+          import org.apache.spark.sql.functions.col
+          val cond = probeCols.map(c => col(c).isin(ids.toSeq: _*))
+            .reduce(_ || _)
+          val v = t.delete(cond, partitionBy = partitionCol.toSeq)
+          clearTombstones(kind, d)
+          v
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[index-store] $kind tombstone fold skipped: $e")
+        None
+    }
+
   /** Files among `newFiles` whose rows are NOT yet in the standing
     * table, decided by a PER-FILE witness probe: each file's first
     * `vec_id` is looked up in the index in one batched membership scan.
