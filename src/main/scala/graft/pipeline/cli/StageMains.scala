@@ -290,31 +290,91 @@ object IndexMain {
   *   `--vacuum <keepLast>`        drop data of superseded versions
   *   `--stats c1[,c2,...]`        declare stats columns so the rewrite
   *                                records per-file min/max (data skipping)
-  * Actions compose in fixed order (compact → cluster → vacuum), so one
-  * invocation can rewrite and then reclaim.
+  *   `--maintain <targetBytes>`   POLICY pass (round-14): run q203's
+  *                                bin-packing planner over the current
+  *                                manifest's file census and apply it —
+  *                                rewrite to the planned bin count when
+  *                                fragmented (clustered/z-ordered when
+  *                                `--cluster` names columns), then
+  *                                vacuum(`--retain`, default 2). The
+  *                                one-flag invocation a maintenance
+  *                                cron runs; exclusive of the manual
+  *                                actions above.
+  * Manual actions compose in fixed order (compact → cluster → vacuum),
+  * so one invocation can rewrite and then reclaim.
   */
 object TableMain {
   import StageMains._
+
+  /** The `--maintain <targetBytes>` policy pass: run q203's bin-packing
+    * planner (`Layout.packBins`) over the table's CURRENT file census —
+    * manifest paths + `Files.size`, zero data read — and apply it:
+    * rewrite to the planned file count when the layout is fragmented
+    * (more files than planned bins AND at least one small input), into
+    * a clustered / z-ordered layout when `--cluster` names columns;
+    * then reclaim superseded versions with `vacuum(--retain, default
+    * 2)`. A table already within policy is left untouched (no rewrite
+    * churn from a no-op maintenance cron). Returns lines a table
+    * service would log: the before/after file counts and the plan.
+    */
+  private[graft] def maintain(t: graft.tables.ParquetTable,
+      a: Map[String, String], target: Long): Unit = {
+    val files = t.currentFiles
+    val sizes = files.map { f =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      catch { case _: Exception => 0L }
+    }
+    val plan = graft.queries.Layout.packBins(sizes, target)
+    val nBins = plan.size
+    val nSmall = plan.map(_._4).sum
+    // fragmented = strictly more files than the plan needs; n_small is
+    // reported as evidence (q203's n_small_inputs) but not gated on —
+    // parquet's fixed per-file overhead keeps even 1-row files above a
+    // bytes-only smallness cut at test scale
+    if (files.size > nBins) {
+      val v = a.get("cluster").map(_.split(",").toSeq) match {
+        case Some(cs) if cs.size == 1 => t.compactClustered(nBins, cs)
+        case Some(cs) => t.compactZOrdered(nBins, cs)
+        case None => t.compact(nBins)
+      }
+      println(s"[table] maintain: packed ${files.size} files " +
+        s"($nSmall small) -> ${t.currentFiles.size} " +
+        s"(plan=$nBins bins) version=$v")
+    } else {
+      println(s"[table] maintain: layout within policy " +
+        s"(${files.size} files, plan=$nBins bins) - no rewrite")
+    }
+    val removed = t.vacuum(a.getOrElse("retain", "2").toInt)
+    println(s"[table] maintain: vacuumed versions=${removed.mkString(",")}")
+  }
+
   def main(args: Array[String]): Unit = withSession { spark =>
     val a = parseArgs(args)
     val stats = a.get("stats").map(_.split(",").toSeq).getOrElse(Nil)
     val t = graft.tables.ParquetTable(spark, required(a, "table"), stats)
-    a.get("compact").foreach { n =>
-      val v = t.compact(n.toInt)
-      println(s"[table] compacted version=$v files=${t.currentFiles.size}")
-    }
-    a.get("cluster").foreach { cols0 =>
-      val cols = cols0.split(",").toSeq
-      val n = a.getOrElse("target_files", "1").toInt
-      val v =
-        if (cols.size == 1) t.compactClustered(n, cols)
-        else t.compactZOrdered(n, cols)
-      println(s"[table] clustered version=$v by=${cols.mkString(",")} " +
-        s"files=${t.currentFiles.size}")
-    }
-    a.get("vacuum").foreach { k =>
-      val removed = t.vacuum(k.toInt)
-      println(s"[table] vacuumed versions=${removed.mkString(",")}")
+    if (a.contains("maintain")) {
+      // policy pass: --cluster is a layout HINT here, not a standalone
+      // action, and retention is part of the pass — the single-flag
+      // invocation a maintenance cron runs
+      maintain(t, a, a("maintain").toLong)
+    } else {
+      a.get("compact").foreach { n =>
+        val v = t.compact(n.toInt)
+        println(s"[table] compacted version=$v files=${t.currentFiles.size}")
+      }
+      a.get("cluster").foreach { cols0 =>
+        val cols = cols0.split(",").toSeq
+        val n = a.getOrElse("target_files", "1").toInt
+        val v =
+          if (cols.size == 1) t.compactClustered(n, cols)
+          else t.compactZOrdered(n, cols)
+        println(s"[table] clustered version=$v by=${cols.mkString(",")} " +
+          s"files=${t.currentFiles.size}")
+      }
+      a.get("vacuum").foreach { k =>
+        val removed = t.vacuum(k.toInt)
+        println(s"[table] vacuumed versions=${removed.mkString(",")}")
+      }
     }
   }
 }

@@ -82,6 +82,30 @@ object Layout {
   private val CompactTarget = 131072L
   private val RowOverhead = 64L
 
+  /** q203's first-fit consecutive bin packing as a pure function —
+    * exclusive-running-total div target over an ORDERED size census,
+    * returning one row per planned output file: (bin, n_inputs,
+    * bin_bytes, n_small_inputs) with "small" = under target/4, exactly
+    * the q203 row shape. Shared by the `--maintain` CLI pass
+    * (`TableMain`), which runs the same planner over a table's
+    * manifest file census (driver-side strings + sizes, zero data
+    * read) and applies the plan — so the planner the registry tests is
+    * the planner maintenance executes.
+    */
+  private[graft] def packBins(sizes: Seq[Long],
+      target: Long): Seq[(Long, Int, Long, Int)] = {
+    require(target > 0)
+    var cum = 0L
+    val binned = sizes.map { b =>
+      val bin = cum / target
+      cum += b
+      (bin, b)
+    }
+    binned.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, xs) =>
+      (bin, xs.size, xs.map(_._2).sum, xs.count(_._2 < target / 4))
+    }
+  }
+
   /** q203: compaction bin-packing plan — the OPTIMIZE/rewrite planner
     * every lakehouse table service runs. The per-day partitions of the
     * events table are size-censused (payload octets + fixed per-row

@@ -93,6 +93,76 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(t2.read.count() == 4096L)
   }
 
+  test("packBins mirrors q203's arithmetic: exclusive-cum div target") {
+    import graft.queries.Layout
+    // sizes 60,60,60 at target 100: cum_excl 0,60,120 -> bins 0,0,1
+    assert(Layout.packBins(Seq(60L, 60L, 60L), 100L) ==
+      Seq((0L, 2, 120L, 0), (1L, 1, 60L, 0)))
+    // "small" = under target/4 (q203's n_small_inputs)
+    assert(Layout.packBins(Seq(10L, 90L, 30L), 100L) ==
+      Seq((0L, 2, 100L, 1), (1L, 1, 30L, 0)))
+    // one oversized input still lands in exactly one bin
+    assert(Layout.packBins(Seq(500L), 100L) == Seq((0L, 1, 500L, 0)))
+    assert(Layout.packBins(Nil, 100L).isEmpty)
+  }
+
+  test("--maintain packs a merge-fragmented table back to plan and vacuums") {
+    import spark.implicits._
+    val root = s"${tmp()}/t"
+    val t = ParquetTable(spark, root)
+    t.overwrite((0 until 512).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4))
+    // merge churn: each keyed upsert rewrites touched files into a new
+    // small data dir — the fragmentation a table service repairs
+    (0 until 6).foreach { i =>
+      t.merge(Seq((i * 7, s"m$i")).toDF("k", "v"), keys = Seq("k"))
+    }
+    val fragmented = t.currentFiles.size
+    assert(fragmented > 4, s"expected churned layout, got $fragmented files")
+    val rowsBefore = t.read.orderBy("k").collect().toSeq
+    // plan target well above the table's total bytes -> 1 planned bin
+    graft.pipeline.cli.TableMain.main(Array(
+      "--table", root, "--maintain", (64L * 1024 * 1024).toString,
+      "--retain", "2"))
+    val t2 = ParquetTable(spark, root)
+    assert(t2.currentFiles.size == 1,
+      s"maintain should pack to the planned single bin, got ${t2.currentFiles.size}")
+    assert(t2.read.orderBy("k").collect().toSeq == rowsBefore)
+    // retention applied: only the newest versions survive the pass
+    assert(t2.committedVersions.size <= 2)
+    // a table already within policy is NOT rewritten (no maintenance churn)
+    val vBefore = t2.latestVersion
+    graft.pipeline.cli.TableMain.main(Array(
+      "--table", root, "--maintain", (64L * 1024 * 1024).toString))
+    assert(ParquetTable(spark, root).latestVersion == vBefore,
+      "no-op maintenance must not commit a new version")
+  }
+
+  test("--maintain with a cluster hint restores data skipping") {
+    import spark.implicits._
+    val root = s"${tmp()}/t"
+    val t = ParquetTable(spark, root, Seq("x", "y"))
+    t.overwrite((0 until 4096).map(i => (i % 64L, i / 64L, i.toLong))
+      .toDF("x", "y", "payload").repartition(16))
+    (0 until 5).foreach { i =>
+      t.merge(Seq((i.toLong, i.toLong, 9999L)).toDF("x", "y", "payload"),
+        keys = Seq("x", "y"))
+    }
+    // target sized so the plan lands on a multi-file layout
+    val total = t.currentFiles.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+    graft.pipeline.cli.TableMain.main(Array(
+      "--table", root, "--stats", "x,y",
+      "--maintain", math.max(1L, total / 16).toString,
+      "--cluster", "x,y", "--retain", "1"))
+    val t2 = ParquetTable(spark, root, Seq("x", "y"))
+    assert(t2.read.count() == 4096L)
+    t2.readBox(Seq(("x", 0L, 7L), ("y", 0L, 7L))).count()
+    // z-ordered rewrite: the small box prunes to a corner of the layout
+    assert(t2.lastBoxScannedFiles.size <= 3,
+      s"clustered maintain should restore pruning, scanned ${t2.lastBoxScannedFiles.size}")
+  }
+
   test("readBox on a statless table scans everything but stays exact") {
     import spark.implicits._
     val t = ParquetTable(spark, s"${tmp()}/t") // no statsColumns
