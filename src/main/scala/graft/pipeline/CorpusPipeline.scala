@@ -604,18 +604,23 @@ object CorpusPipeline {
     // (b) tombstone: grams crossing the cap this batch — bounded by the
     // batch's distinct gram count, so the collect is batch-sized (the
     // near-dup pair-collect class)
-    val crossArr = gramState
+    val crossing = gramState
       .filter(col("ndf") > cap && col("sdf") <= cap)
-      .select("h").collect().map(_.getLong(0))
+      .select("h").localCheckpoint() // batch-bounded rows
+    val crossArr = crossing.collect().map(_.getLong(0))
     val oldPairs = spark.read.parquet(s"$outDir/containment_pairs")
     val keptOld =
       if (crossArr.isEmpty) oldPairs
       else {
-        val crossLit = array(crossArr.toSeq.map(lit(_)): _*)
         // affected = old pairs whose SHARED gram set touches a crossing
         // gram (any other pair's witnesses did not change category);
         // the pair table is small (true >= 0.9 pairs), so it broadcasts
-        // through the set joins — verifyCandidates discipline
+        // through the set joins — verifyCandidates discipline. The
+        // crossing grams stay a DATAFRAME and the touch test is
+        // explode(sh) + broadcast semi-join on h — a literal-array
+        // arrays_overlap would build a CreateArray expression tree the
+        // size of the crossing set and evaluate O(|sh|x|crossing|) per
+        // row, risking codegen fallback on a cap-boundary-heavy batch
         val withInner = allSets
           .select(col("doc_id").as("inner_doc"), col("hs").as("hs1"))
           .join(broadcast(oldPairs), "inner_doc")
@@ -623,8 +628,11 @@ object CorpusPipeline {
           .select(col("doc_id").as("outer_doc"), col("hs").as("hs2"))
           .join(broadcast(withInner), "outer_doc")
           .withColumn("sh", array_intersect(col("hs1"), col("hs2")))
-          .filter(arrays_overlap(col("sh"), crossLit))
+          .withColumn("ch", explode(col("sh")))
+          .join(broadcast(crossing.withColumnRenamed("h", "ch")),
+            Seq("ch"), "left_semi")
           .select("inner_doc", "outer_doc", "sh")
+          .distinct()
           .localCheckpoint()
         // a pair stays iff >= 1 shared gram remains under the cap in
         // the NEW state: overcap_new = standing overcap ∪ crossing

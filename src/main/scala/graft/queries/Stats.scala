@@ -1526,6 +1526,14 @@ object Stats {
     * Scale: one lineitem scan, one 1-row aggregate. i64 envelope:
     * n·Σx² ≤ 2500·n² — sound past 10⁹ rows per group; beyond that the
     * q252 decimal-evidence discipline applies.
+    *
+    * FMA contingency (round-14 advice): t_welch/df_welch compare as
+    * exact doubles today because their chains avoid fusible
+    * multiply-subtract shapes at the tested scales; q265 in the same
+    * batch MEASURED a 1-ulp DuckDB FMA divergence on such chains. If a
+    * new scale ever trips this oracle, apply q265's derived-oracle
+    * 1e-12 band to the two terminal doubles — never loosen the integer
+    * evidence columns.
     */
   private val q262 = QueryDef(
     (s, d) => {

@@ -280,8 +280,8 @@ object Survival {
               AND abs(e.var_lr - r.var_lr) < 1e-9
               AND abs(COALESCE(e.chi2_logrank, 0)
                 - COALESCE(r.chi2_logrank, 0)) < 1e-9"""),
-    "log-rank test: BUILDING vs rest churn schedules, exact risk " +
-      "sets, pinned-order hypergeometric folds, no tolerance [stats]")
+    "log-rank test: BUILDING vs rest churn schedules, exact integer " +
+      "evidence, 1e-9 derived-oracle bands on the long float folds [stats]")
 
   def all: Seq[(String, QueryDef)] = Seq(
     "q159_km_survival" -> q159,
