@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-growth tripwire (round-14): measure the time exponent of five
+  * known-linear query families across the committed testdata decade
+  * (sf0.01 → sf0.1, 10× rows) and assert none has quietly gone
+  * super-linear. Exponent = ln(t₁₀/t₁)/ln(10); a linear query on a
+  * box with any fixed overhead reads < 1.0 (overhead amortizes), so
+  * the 1.3 bound is a genuine alarm threshold, not a snug fit —
+  * PLANS.md "growth" records the 1×-vs-10× measured values for the 10
+  * most expensive queries (via tools.ScaleUp / tools.GrowthProbe);
+  * this spec re-derives the protocol on every test run with no
+  * generated data.
+  *
+  * Protocol (from GrowthProbe's measured failure modes): warm BOTH
+  * scales off the clock (a base-only warmup read iteration-heavy
+  * queries as faster at 10×), then min-of-2 per scale with alternating
+  * order so residual warming biases both sides alike.
+  */
+class ScaleGrowthSpec extends AnyFunSuite with SparkSpec {
+
+  private val Base = "/root/testdata/sf0.01"
+  private val Big = "/root/testdata/sf0.1"
+
+  /** Scan/agg/join families whose plans are one-pass over the fact
+    * rows (no iteration count, no candidate blow-up) — the ones whose
+    * exponent a plan regression would move first.
+    */
+  private val LinearFamilies = Seq(
+    "q01_pruned_scan",      // filter+agg scan
+    "q34_dedup_exact",      // hash groupBy over normalized text
+    "q63_tfidf_terms",      // narrow TF pass + DF join + per-doc window
+    "q151_gains_table",     // global-order prefix sums (n log n)
+    "q161_rfm_segments")    // cube over the order history
+
+  test("known-linear families stay sub-~1.3 exponent across the decade") {
+    val byName = SparkEntry.registry.toMap
+    def once(name: String, d: String): Double = {
+      val t0 = System.nanoTime()
+      byName(name).fn(spark, d).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    LinearFamilies.foreach { n => once(n, Base); once(n, Big) } // warmup
+    val exponents = LinearFamilies.map { n =>
+      val b1 = once(n, Base); val s1 = once(n, Big)
+      val b2 = once(n, Base); val s2 = once(n, Big)
+      val e = math.log(math.min(s1, s2) / math.min(b1, b2)) / math.log(10.0)
+      n -> e
+    }
+    info(exponents.map { case (n, e) => f"$n=$e%.2f" }.mkString(" "))
+    exponents.foreach { case (n, e) =>
+      assert(e <= 1.3,
+        f"$n grew with exponent $e%.2f over a 10x decade — a plan " +
+          "change has gone super-linear (see PLANS.md growth section)")
+    }
+  }
+}
