@@ -591,7 +591,12 @@ object GraphAnn {
     // must invalidate the memoized RESULT frame (the walk's top-k could
     // contain a just-dropped id), unlike the IVF/LSH paths where the
     // mask applies outside the memo to a row-per-vector frame
-    val fp = Similarity.embeddingsFingerprint(s, d) + "|tombs=" +
+    // key carries the STORE ROOT too: a root switch (test fixtures,
+    // a re-pointed lakehouse) must not serve a frame walked over the
+    // other root's graph — fingerprint and tombstone version are both
+    // per-root state
+    val fp = Similarity.embeddingsFingerprint(s, d) + "|root=" +
+      graft.tables.IndexStore.root + "|tombs=" +
       graft.tables.IndexStore.tombstoneVersion(s, "nsw_index", d)
         .getOrElse(-1L)
     walkMemo.compute(d, (_, cur) =>

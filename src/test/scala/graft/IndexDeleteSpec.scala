@@ -23,8 +23,10 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSpec {
     savedRoot = sys.props.get("graft.index.root")
     sys.props("graft.index.root") =
       java.nio.file.Files.createTempDirectory("graft_del_index").toString
-    Similarity.clearCentroidSessionCache()
-    Similarity.clearServedIndexCaches()
+    // drop EVERY session memo (walk frames, served indexes, centroids):
+    // entries resolved under the previous store root must not leak into
+    // this suite's fresh root
+    graft.common.Memos.clearAll()
   }
 
   override def afterAll(): Unit = {
@@ -32,8 +34,7 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSpec {
       case Some(v) => sys.props("graft.index.root") = v
       case None => sys.props -= "graft.index.root"
     }
-    Similarity.clearCentroidSessionCache()
-    Similarity.clearServedIndexCaches()
+    graft.common.Memos.clearAll()
     super.afterAll()
   }
 
