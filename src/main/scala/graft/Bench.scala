@@ -27,8 +27,9 @@ import org.apache.spark.sql.SparkSession
   *     queries), not just at the edges — a competitor that arrives and
   *     leaves mid-pass is now visible as a slow mid-pass probe;
   *   - probe_ratio over the full interleaved sequence must be ≤
-  *     SPARK_GRAFT_BENCH_MAX_PROBE (default 1.15; clean windows measure
-  *     ≤ 1.07, contaminated ones 1.1+ with ~10%+ uniform inflation).
+  *     SPARK_GRAFT_BENCH_MAX_PROBE (default 1.5: quiet-box probe jitter
+  *     vs the robust baseline measures ≤ ~1.3; a competitor stealing
+  *     half the cores reads ≥ 2).
   * On violation the JSON line carries `window_clean:false` plus the
   * human-readable reasons, NOTHING is appended to bench_history.jsonl
   * (a contaminated number recorded as truth reads as a real regression
@@ -49,25 +50,33 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
 
   /** Contamination ratio over an interleaved probe sequence: the worst
-    * case of a probe exceeding the best capacity the machine had
-    * ALREADY demonstrated (running-min comparison). A still-warming JVM
-    * produces a monotone-decreasing sequence (measured 0.14/0.07/0.05
-    * on a provably idle box) — every probe beats the running min, so
-    * warming reads 1.0 — while a competitor arriving mid-run makes a
-    * later probe slower than an earlier one, which is physically
-    * impossible on a quiet box once the JVM is warm. Comparing tail.max
-    * to the global min instead would false-flag warmup itself (the
-    * second probe of a warming sequence sits ~1.4x above the eventual
-    * steady state). A busy-at-START box is the loadavg gate's job.
+    * case of a probe exceeding the capacity the machine had ALREADY
+    * demonstrated. Two robustness rules, both from measured false
+    * positives:
+    *  - the comparison is one-directional (later probe vs earlier
+    *    baseline): a still-warming JVM is monotone-decreasing
+    *    (measured 0.14/0.07/0.05 on a provably idle box) and reads
+    *    1.0, never a flag;
+    *  - the baseline is the THIRD-smallest prior probe, not the
+    *    running min: one lucky scheduling window (measured a 0.0497 s
+    *    probe in a series whose steady state was ~0.065 s) would
+    *    otherwise permanently lower the bar and make ordinary ±30%
+    *    probe jitter read as 1.48x "contamination" — which refused a
+    *    window whose per-query times were uniform. With fewer than 3
+    *    prior probes the min is all we have.
+    * Real contention is far outside the jitter band: a competitor
+    * stealing half the cores doubles the probe.
     */
   def probeRatio(probes: Seq[Double]): Double =
     if (probes.size < 2) 1.0
     else {
-      var minSoFar = probes.head
+      val seen = scala.collection.mutable.ArrayBuffer[Double](probes.head)
       var worst = 1.0
       probes.tail.foreach { p =>
-        worst = math.max(worst, p / minSoFar)
-        minSoFar = math.min(minSoFar, p)
+        val sorted = seen.sorted
+        val baseline = sorted(math.min(2, sorted.size - 1))
+        worst = math.max(worst, p / baseline)
+        seen += p
       }
       worst
     }
@@ -147,7 +156,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
-    val maxProbe = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PROBE", "1.15").toDouble
+    val maxProbe = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PROBE", "1.5").toDouble
     val startedAt = java.time.Instant.now()
     // Settle-before-gate: 1-minute loadavg decays slowly, so a launch
     // right after a heavy (finished) step reads high without any live

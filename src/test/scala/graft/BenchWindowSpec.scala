@@ -21,7 +21,7 @@ class BenchWindowSpec extends AnyFunSuite with SparkSpec {
     // measured on a provably idle box: 0.14/0.07/0.05 — the first probe
     // is reliably slowest even after off-the-clock warmup
     assert(math.abs(Bench.probeRatio(Seq(0.14, 0.07, 0.05)) - 1.0) < 1e-12)
-    val (clean, _) = Bench.windowVerdict(0.5, Seq(0.14, 0.07, 0.05), 2.0, 1.15)
+    val (clean, _) = Bench.windowVerdict(0.5, Seq(0.14, 0.07, 0.05), 2.0, 1.5)
     assert(clean)
   }
 
@@ -30,7 +30,7 @@ class BenchWindowSpec extends AnyFunSuite with SparkSpec {
     // edge probes read fast, only an interleaved probe can see it
     val probes = Seq(0.10, 0.07, 0.07, 0.21, 0.07, 0.07)
     assert(Bench.probeRatio(probes) > 2.0)
-    val (clean, reasons) = Bench.windowVerdict(0.5, probes, 2.0, 1.15)
+    val (clean, reasons) = Bench.windowVerdict(0.5, probes, 2.0, 1.5)
     assert(!clean)
     assert(reasons.exists(_.contains("probe_ratio")))
   }
@@ -40,13 +40,27 @@ class BenchWindowSpec extends AnyFunSuite with SparkSpec {
     // at launch (loadavg 8.33) — the old gate (load > 16) passed it
     val probes = Seq(0.1940, 0.0927, 0.0929)
     assert(Bench.probeRatio(probes) < 1.01)
-    val (clean, reasons) = Bench.windowVerdict(8.3306, probes, 2.0, 1.15)
+    val (clean, reasons) = Bench.windowVerdict(8.3306, probes, 2.0, 1.5)
     assert(!clean)
     assert(reasons.exists(_.contains("load_avg_start")))
   }
 
   test("unreadable loadavg (-1) is signal-absent, not dirty") {
-    val (clean, _) = Bench.windowVerdict(-1.0, Seq(0.1, 0.09, 0.09), 2.0, 1.15)
+    val (clean, _) = Bench.windowVerdict(-1.0, Seq(0.1, 0.09, 0.09), 2.0, 1.5)
+    assert(clean)
+  }
+
+  test("one lucky-fast probe must not poison the baseline (measured false positive)") {
+    // the r14 first recording attempt: steady ~0.065-0.09s probes with
+    // a single 0.0497s scheduling-luck dip; the old running-min bar
+    // then read an ordinary 0.0738s probe as 1.48x "contamination" and
+    // refused a window whose per-query times were uniform
+    val probes = Seq(0.2223, 0.1223, 0.0832, 0.0809, 0.0870, 0.0923,
+      0.0710, 0.0686, 0.0725, 0.0698, 0.0584, 0.0672, 0.0497, 0.0563,
+      0.0738, 0.0676, 0.0591)
+    assert(Bench.probeRatio(probes) < 1.5,
+      s"jitter band misread as contamination: ${Bench.probeRatio(probes)}")
+    val (clean, _) = Bench.windowVerdict(0.7, probes, 2.0, 1.5)
     assert(clean)
   }
 
@@ -131,9 +145,9 @@ class BenchWindowSpec extends AnyFunSuite with SparkSpec {
     try {
       val busy = probe()
       val probes = Seq(quiet, busy)
-      val (clean, reasons) = Bench.windowVerdict(0.5, probes, 2.0, 1.15)
-      assert(Bench.probeRatio(probes) > 1.15,
-        s"busy probe $busy vs quiet $quiet should exceed the 1.15 gate")
+      val (clean, reasons) = Bench.windowVerdict(0.5, probes, 2.0, 1.5)
+      assert(Bench.probeRatio(probes) > 1.5,
+        s"busy probe $busy vs quiet $quiet should exceed the 1.5 gate")
       assert(!clean && reasons.exists(_.contains("probe_ratio")))
     } finally {
       stop.set(true)
