@@ -50,33 +50,41 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
 
   /** Contamination ratio over an interleaved probe sequence: the worst
-    * case of a probe exceeding the capacity the machine had ALREADY
-    * demonstrated. Two robustness rules, both from measured false
-    * positives:
-    *  - the comparison is one-directional (later probe vs earlier
-    *    baseline): a still-warming JVM is monotone-decreasing
-    *    (measured 0.14/0.07/0.05 on a provably idle box) and reads
-    *    1.0, never a flag;
-    *  - the baseline is the THIRD-smallest prior probe, not the
-    *    running min: one lucky scheduling window (measured a 0.0497 s
-    *    probe in a series whose steady state was ~0.065 s) would
-    *    otherwise permanently lower the bar and make ordinary ±30%
-    *    probe jitter read as 1.48x "contamination" — which refused a
-    *    window whose per-query times were uniform. With fewer than 3
-    *    prior probes the min is all we have.
-    * Real contention is far outside the jitter band: a competitor
-    * stealing half the cores doubles the probe.
+    * SUSTAINED level shift against the capacity the machine had already
+    * demonstrated. Three robustness rules, each from a measured false
+    * positive on this box:
+    *  - one-directional (later probes vs earlier baseline): a warming
+    *    JVM is monotone-decreasing (measured 0.14/0.07/0.05 on a
+    *    provably idle box) and reads 1.0, never a flag;
+    *  - the baseline is the THIRD-smallest prior probe, not the running
+    *    min: one lucky scheduling window (a 0.0497 s probe in a
+    *    ~0.065 s steady series) would otherwise permanently lower the
+    *    bar and make ordinary ±30% jitter read as 1.48x;
+    *  - the tested value is the MEDIAN-OF-3 around each probe, not the
+    *    raw probe: pass 1 runs every query cold, and its codegen/GC
+    *    churn produces isolated 2x probe blips (measured 0.1841 between
+    *    0.1161 and 0.0762 mid-warmup) that the non-adjacent min-of-2
+    *    pass design absorbs by construction — only a competitor that
+    *    PERSISTS across neighboring probes (≥ ~2 probe gaps ≈ 48
+    *    queries) can corrupt a min-of-2 total, and that is exactly what
+    *    survives the smoothing. The final probe is smoothed with its
+    *    predecessor (min), since it has no successor; a tail competitor
+    *    spans the post-pass and final probes and still flags.
+    * Real contention is far outside the smoothed jitter band: a
+    * competitor stealing half the cores doubles consecutive probes.
     */
   def probeRatio(probes: Seq[Double]): Double =
-    if (probes.size < 2) 1.0
+    if (probes.size < 3) 1.0
     else {
-      val seen = scala.collection.mutable.ArrayBuffer[Double](probes.head)
       var worst = 1.0
-      probes.tail.foreach { p =>
-        val sorted = seen.sorted
-        val baseline = sorted(math.min(2, sorted.size - 1))
-        worst = math.max(worst, p / baseline)
-        seen += p
+      val n = probes.size
+      for (i <- 1 until n) {
+        val smoothed =
+          if (i == n - 1) math.min(probes(i), probes(i - 1))
+          else Seq(probes(i - 1), probes(i), probes(i + 1)).sorted.apply(1)
+        val prior = probes.take(i).sorted
+        val baseline = prior(math.min(2, prior.size - 1))
+        worst = math.max(worst, smoothed / baseline)
       }
       worst
     }

@@ -25,14 +25,27 @@ class BenchWindowSpec extends AnyFunSuite with SparkSpec {
     assert(clean)
   }
 
-  test("a slow MID-run probe flags even when the edges look clean") {
-    // competitor arrives after pass 1 starts and leaves before it ends:
-    // edge probes read fast, only an interleaved probe can see it
-    val probes = Seq(0.10, 0.07, 0.07, 0.21, 0.07, 0.07)
+  test("a SUSTAINED mid-run slowdown flags even when the edges look clean") {
+    // competitor arrives after pass 1 starts and persists across
+    // several probe gaps: edge probes read fast, only the interleaved
+    // series can see it
+    val probes = Seq(0.10, 0.07, 0.07, 0.21, 0.24, 0.22, 0.07, 0.07)
     assert(Bench.probeRatio(probes) > 2.0)
     val (clean, reasons) = Bench.windowVerdict(0.5, probes, 2.0, 1.5)
     assert(!clean)
     assert(reasons.exists(_.contains("probe_ratio")))
+  }
+
+  test("an ISOLATED single-probe blip is absorbed (min-of-2 covers it)") {
+    // one slow probe between fast neighbors = cold-pass codegen/GC
+    // churn (measured 0.1841 between 0.1161 and 0.0762 mid-warmup);
+    // a transient confined to one probe gap cannot corrupt the
+    // NON-ADJACENT min-of-2 totals, so refusing the window over it
+    // throws away a good recording
+    val probes = Seq(0.1678, 0.0992, 0.1437, 0.0875, 0.1160, 0.1161,
+      0.1841, 0.0762, 0.0674, 0.0783, 0.0668, 0.0879, 0.0736)
+    assert(Bench.probeRatio(probes) < 1.5,
+      s"isolated blip misread as contamination: ${Bench.probeRatio(probes)}")
   }
 
   test("the r13 incident is refused by the load gate") {
@@ -64,9 +77,10 @@ class BenchWindowSpec extends AnyFunSuite with SparkSpec {
     assert(clean)
   }
 
-  test("fewer than two probes never divides by zero or flags") {
+  test("fewer than three probes never divides by zero or flags") {
     assert(Bench.probeRatio(Nil) === 1.0)
     assert(Bench.probeRatio(Seq(0.1)) === 1.0)
+    assert(Bench.probeRatio(Seq(0.1, 0.5)) === 1.0)
   }
 
   // --- cleanMedians / rerunCandidates ------------------------------------
@@ -143,11 +157,14 @@ class BenchWindowSpec extends AnyFunSuite with SparkSpec {
       t.setDaemon(true); t.start(); t
     }
     try {
-      val busy = probe()
-      val probes = Seq(quiet, busy)
+      // SUSTAINED contention: two consecutive busy probes (the smoothed
+      // detector deliberately ignores a single-probe blip)
+      val busy1 = probe()
+      val busy2 = probe()
+      val probes = Seq(quiet, busy1, busy2)
       val (clean, reasons) = Bench.windowVerdict(0.5, probes, 2.0, 1.5)
       assert(Bench.probeRatio(probes) > 1.5,
-        s"busy probe $busy vs quiet $quiet should exceed the 1.5 gate")
+        s"busy probes $busy1/$busy2 vs quiet $quiet should exceed the 1.5 gate")
       assert(!clean && reasons.exists(_.contains("probe_ratio")))
     } finally {
       stop.set(true)
