@@ -290,6 +290,12 @@ object IndexMain {
   *   `--vacuum <keepLast>`        drop data of superseded versions
   *   `--stats c1[,c2,...]`        declare stats columns so the rewrite
   *                                records per-file min/max (data skipping)
+  *   `--append <parquetDir>`      O(batch) append of landed rows (CAS
+  *                                commit: a concurrent writer makes
+  *                                this rebase, never lose data)
+  *   `--partition_by c1[,c2,...]` with `--maintain`: rewrite THROUGH
+  *                                the table's k=v partition layout
+  *                                instead of flattening it
   *   `--maintain <targetBytes>`   POLICY pass (round-14): run q203's
   *                                bin-packing planner over the current
   *                                manifest's file census and apply it —
@@ -332,10 +338,18 @@ object TableMain {
     // parquet's fixed per-file overhead keeps even 1-row files above a
     // bytes-only smallness cut at test scale
     if (files.size > nBins) {
-      val v = a.get("cluster").map(_.split(",").toSeq) match {
-        case Some(cs) if cs.size == 1 => t.compactClustered(nBins, cs)
-        case Some(cs) => t.compactZOrdered(nBins, cs)
-        case None => t.compact(nBins)
+      val v = (a.get("cluster").map(_.split(",").toSeq),
+          a.get("partition_by").map(_.split(",").toSeq)) match {
+        case (Some(cs), _) if cs.size == 1 => t.compactClustered(nBins, cs)
+        case (Some(cs), _) => t.compactZOrdered(nBins, cs)
+        // a table living under a k=v partition layout must be rewritten
+        // THROUGH that layout — a plain compact() would flatten it and
+        // silently destroy partition pruning for every later reader
+        case (None, Some(pcols)) =>
+          import org.apache.spark.sql.functions.col
+          t.overwrite(t.read.repartition(nBins, pcols.map(col): _*),
+            partitionBy = pcols)
+        case (None, None) => t.compact(nBins)
       }
       println(s"[table] maintain: packed ${files.size} files " +
         s"($nSmall small) -> ${t.currentFiles.size} " +
@@ -352,6 +366,11 @@ object TableMain {
     val a = parseArgs(args)
     val stats = a.get("stats").map(_.split(",").toSeq).getOrElse(Nil)
     val t = graft.tables.ParquetTable(spark, required(a, "table"), stats)
+    a.get("append").foreach { dir =>
+      val v = t.append(spark.read.parquet(dir))
+      println(s"[table] appended version=$v rows=${t.read.count()} " +
+        s"conflicts=${t.lastConflicts}")
+    }
     if (a.contains("maintain")) {
       // policy pass: --cluster is a layout HINT here, not a standalone
       // action, and retention is part of the pass — the single-flag

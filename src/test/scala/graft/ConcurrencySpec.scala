@@ -169,6 +169,45 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("two OS processes append concurrently: the CAS protocol works across JVMs") {
+    // the thread-based races above share a JVM; the commit protocol's
+    // claims (exclusive lock file, atomic dir reservation, pointer CAS)
+    // are FILESYSTEM claims, so two separate JVM processes driving the
+    // same table root is the honest test — the reference's operational
+    // unit is one OS process per stage
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(0 -> "base"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-conc-batch")
+    df(1 -> "p1").write.parquet(s"$stage/b1")
+    df(2 -> "p2").write.parquet(s"$stage/b2")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def launch(batch: String): Process =
+      new ProcessBuilder(
+        (Seq("java") ++ addOpens ++ Seq("-Xmx3g",
+          "-cp", sys.props("java.class.path"),
+          "graft.pipeline.cli.TableMain",
+          "--table", t.rootPath, "--append", batch)): _*)
+        .redirectErrorStream(true).start()
+    val ps = Seq(launch(s"$stage/b1"), launch(s"$stage/b2"))
+    ps.foreach { p =>
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        "writer process did not finish")
+      assert(p.exitValue() == 0, s"writer failed:\n${out.takeRight(2000)}")
+    }
+    assert(rows(t) == Map(0 -> "base", 1 -> "p1", 2 -> "p2"),
+      "a cross-process append was lost")
+    assert(t.latestVersion.contains(t.committedVersions.max))
+  }
+
   test("a crashed writer's stale commit lock is broken, not waited out") {
     val t = ParquetTable(spark, tmp())
     t.overwrite(df(1 -> "a"))

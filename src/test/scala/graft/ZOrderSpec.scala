@@ -163,6 +163,33 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
       s"clustered maintain should restore pruning, scanned ${t2.lastBoxScannedFiles.size}")
   }
 
+  test("--maintain --partition_by rewrites THROUGH the k=v layout") {
+    import spark.implicits._
+    val root = s"${tmp()}/t"
+    val t = ParquetTable(spark, root)
+    t.overwrite((0 until 256).map(i => (i % 4, i, s"v$i"))
+      .toDF("p", "k", "v").repartition(8), partitionBy = Seq("p"))
+    (0 until 5).foreach { i =>
+      t.merge(Seq((i % 4, i * 13, s"m$i")).toDF("p", "k", "v"),
+        keys = Seq("k"), partitionBy = Seq("p"))
+    }
+    assert(t.currentFiles.exists(_.contains("/p=")))
+    graft.pipeline.cli.TableMain.main(Array(
+      "--table", root, "--maintain", (64L * 1024 * 1024).toString,
+      "--partition_by", "p", "--retain", "1"))
+    val t2 = ParquetTable(spark, root)
+    // the rewrite kept every file under the k=v partition dirs — a
+    // plain compact would flatten the layout and kill partition pruning
+    assert(t2.currentFiles.nonEmpty &&
+      t2.currentFiles.forall(_.contains("/p=")),
+      s"layout flattened: ${t2.currentFiles.take(3)}")
+    assert(t2.read.count() == 256) // merges updated existing keys
+    // partition pruning still works on the maintained layout
+    val plan = t2.read.filter(org.apache.spark.sql.functions.col("p") === 1)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*p#\\d+".r.findFirstIn(plan).nonEmpty, plan)
+  }
+
   test("readBox on a statless table scans everything but stays exact") {
     import spark.implicits._
     val t = ParquetTable(spark, s"${tmp()}/t") // no statsColumns
