@@ -251,6 +251,18 @@ object IndexMain {
     // a vacuum-only invocation needs no dataset; anything else does
     if (!a.contains("vacuum_stores") || a.contains("data")) {
       val d = required(a, "data")
+      // takedown: record dropped vec_ids against EVERY index of the
+      // dataset — probes mask them immediately (no rebuild), the
+      // threshold fold removes them physically later. Failures
+      // propagate: a takedown that silently doesn't apply is a
+      // compliance bug, so this runs BEFORE any serve/refresh action.
+      a.get("tombstone").foreach { ids =>
+        val parsed = ids.split(",").map(_.trim.toLong).toSeq
+        Seq("ivf_index", "pq_index", "lsh_index", "nsw_index").foreach {
+          kind => graft.tables.IndexStore.addTombstones(spark, kind, d, parsed)
+        }
+        println(s"[index] tombstoned ${parsed.size} ids across 4 index kinds")
+      }
       a.get("stream") match {
         case Some(ckpt) =>
           val rs = graft.streaming.IndexStream.maintainAvailable(spark, d, ckpt)

@@ -620,7 +620,7 @@ object GraphAnn {
     * [[InsertCap]]-capped) for the insert.
     */
   private def beamSearch(s: SparkSession, d: String, q: DataFrame,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame, beam: Int = Beam): DataFrame = {
       val e = emb(s, d)
       // state-derived layer count (replay-safe: whatever the stored
       // graph carries is what the walk descends)
@@ -660,7 +660,7 @@ object GraphAnn {
       }
       var frontier = keepTop(rescore(
           q.select(col("query_id")).crossJoin(broadcast(entries))),
-          if (maxL == 0) Beam else GreedyWidth)
+          if (maxL == 0) beam else GreedyWidth)
         .localCheckpoint()
       // descend the sparse upper layers at greedy width — constant
       // hops per layer, O(log n) layers
@@ -668,7 +668,7 @@ object GraphAnn {
         frontier = hop(frontier, l, GreedyWidth)
       // full beam only at layer 0
       for (_ <- 1 to Hops)
-        frontier = hop(frontier, 0, Beam)
+        frontier = hop(frontier, 0, beam)
       frontier.filter(col("cand") =!= col("query_id"))
   }
 
@@ -693,6 +693,102 @@ object GraphAnn {
         .select(col("query_id"), col("cand").as("vec_id"),
           col("score"), col("rn").cast("int").as("rn"))
   }
+
+  /** FILTERED graph ANN (round-14, the q273 contract on the NSW
+    * index): top-k among label=1 vectors only. The walk ROUTES over
+    * the full graph — restricting routing to matching nodes would
+    * fragment the navigable structure at selective filters, the known
+    * failure mode of filtered graph search — and the predicate applies
+    * to the FINAL beam (one metadata join against the column-pruned
+    * (vec_id, label) scan per round, never per hop). Queries whose
+    * beam holds fewer than k matching candidates re-walk with a
+    * DOUBLED beam (32→64→128 — the filtered-HNSW over-fetch rule);
+    * a query still short at the beam cap falls back to the EXACT
+    * filtered scan for itself alone, so the operator never silently
+    * under-returns: at 10% selectivity the 128-beam satisfies
+    * virtually all queries and the fallback is the bounded
+    * correctness backstop, not the serving path.
+    */
+  private[graft] def walkTopKFiltered(s: SparkSession, d: String,
+      k: Int = 10): DataFrame = {
+    import s.implicits._
+    val edges = resolveGraphIndex(s, d).select(col("u"), col("v"), col("layer"))
+    val e = graft.common.Tables.load(s, d, "embeddings")
+    val labels = e.select(col("vec_id").as("cand"), col("label"))
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand").asc)
+    def topK(f: DataFrame): DataFrame = f
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand").as("vec_id"),
+        col("score"), col("rn").cast("int").as("rn"))
+    val qvecs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    var remaining: Seq[(Long, Array[Float])] = qvecs.toSeq
+    val finals = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (beam <- Seq(Beam, 2 * Beam, 4 * Beam) if remaining.nonEmpty) {
+      val q = remaining.toDF("query_id", "qv")
+      val masked = graft.tables.IndexStore.maskTombstones(s, "nsw_index", d,
+        beamSearch(s, d, q, edges, beam), cols = Seq("cand"))
+      val matching = masked.join(labels, "cand").filter(col("label") === 1)
+        .select(col("query_id"), col("cand"), col("score"))
+        .localCheckpoint() // consumed twice: counts + emit
+      val counts = matching.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (done, notDone) = remaining.partition { case (qid, _) =>
+        counts.getOrElse(qid, 0L) >= k || beam == 4 * Beam
+      }
+      val satisfied = done.filter { case (qid, _) =>
+        counts.getOrElse(qid, 0L) >= k
+      }
+      if (satisfied.nonEmpty)
+        finals += topK(matching
+          .filter(col("query_id").isin(satisfied.map(_._1): _*)))
+      // beam-cap leftovers: exact filtered brute force for THESE
+      // queries only — bounded (|deficient| broadcast against the
+      // pushed-predicate label scan), the no-under-return backstop
+      val leftover = done.filterNot(satisfied.contains)
+      if (leftover.nonEmpty) {
+        val lq = leftover.toDF("query_id", "qv")
+        finals += topK(e.filter(col("label") === 1)
+          .join(broadcast(lq), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand"),
+            Similarity.fastCosine(s)(col("qv"), col("embedding"))
+              .as("score")))
+      }
+      remaining = notDone
+    }
+    finals.reduce(_.unionByName(_))
+  }
+
+  /** q274's memoized frame — q211's memo discipline (fingerprint +
+    * store root + tombstone version).
+    */
+  private val filteredWalkMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, DataFrame)]()
+  graft.common.Memos.register("graphann.filteredWalk")(() =>
+    filteredWalkMemo.clear())
+
+  private def walkTopKFilteredMemo(s: SparkSession, d: String): DataFrame = {
+    val fp = Similarity.embeddingsFingerprint(s, d) + "|root=" +
+      graft.tables.IndexStore.root + "|tombs=" +
+      graft.tables.IndexStore.tombstoneVersion(s, "nsw_index", d)
+        .getOrElse(-1L)
+    filteredWalkMemo.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == fp && (cur._2.sparkSession eq s)) cur
+      else (fp, walkTopKFiltered(s, d).localCheckpoint()))._2
+  }
+
+  private val q274 = QueryDef(
+    (s, d) => walkTopKFilteredMemo(s, d),
+    // derived oracle restricted to the filtered universe (the q273
+    // pattern): an emitted row with label != 1 vanishes from the
+    // verified frame and fails the hash compare
+    Some(Similarity.emittedTopKOracle("q274_ann_graph_filtered",
+      "e.label = 1")),
+    "filtered graph-walk ANN top-10: label=1 on the final beam, " +
+      "adaptive beam widening, exact backstop [similarity]")
 
   private val q211 = QueryDef(
     (s, d) => walkTopK(s, d),
@@ -747,5 +843,6 @@ object GraphAnn {
 
   def all: Seq[(String, QueryDef)] = Seq(
     "q211_ann_graph" -> q211,
-    "q212_graph_recall" -> q212)
+    "q212_graph_recall" -> q212,
+    "q274_ann_graph_filtered" -> q274)
 }

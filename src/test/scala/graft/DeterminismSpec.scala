@@ -153,7 +153,10 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // filtered ANN: the adaptive widening decision (over-fetch floor)
     // counts candidates per query — partition count must not change
     // which round serves a query, nor the pruned scan's row set
-    "q273_ann_filtered")
+    "q273_ann_filtered",
+    // graph-filtered: beam-widening decisions + the exact backstop cut
+    // must be partition-invariant end to end
+    "q274_ann_graph_filtered")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -100,6 +100,33 @@ class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
         "if this reads 1.0 the floor test is no longer exercising widening")
   }
 
+  // ---- q274: the same contract on the NSW graph index ----
+
+  test("q274 graph-filtered: purity, fill, and recall vs the exact filtered baseline") {
+    val df = SparkEntry.queries("q274_ann_graph_filtered")(spark, Sf)
+    val e = graft.common.Tables.load(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("label"))
+    assert(df.join(e, "vec_id").filter(col("label") =!= 1).count() == 0,
+      "filter leaked past the beam")
+    val counts = df.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size == 20 && counts.values.forall(_ == 10L),
+      s"under-returned despite the exact backstop: $counts")
+    val exact = exactFiltered()
+    val approx = df.select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(1)).toSet
+      }
+    val recalls = exact.map { case (qid, ids) =>
+      approx.get(qid).map(a => (a & ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // at sf0.001 (47 label-1 in 500) the 128-beam rarely holds 10
+    // matches, so most queries take the exact backstop — the pin is a
+    // high floor, not 1.0, for the beam-satisfied remainder
+    assert(mean >= 0.9, s"mean graph-filtered recall@$K = $mean")
+  }
+
   test("the filter and the probed cells both reach the stored index scan") {
     run().collect() // warm the store so the query serves the stored index
     val plan = run().queryExecution.executedPlan.toString

@@ -104,6 +104,19 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSpec {
     IndexStore.clearTombstones("nsw_index", Sf)
   }
 
+  test("IndexMain --tombstone is the takedown CLI: all four indexes mask at once") {
+    val drop = returned("q54_ann_ivf").map(_._2).distinct.take(2)
+    graft.pipeline.cli.IndexMain.main(Array(
+      "--data", Sf, "--tombstone", drop.mkString(",")))
+    Seq("q54_ann_ivf", "q39_ann_lsh", "q87_ann_ivfpq", "q211_ann_graph")
+      .foreach { q =>
+        assert(returned(q).forall { case (_, v) => !drop.contains(v) },
+          s"$q still serves a taken-down id")
+      }
+    Seq("ivf_index", "lsh_index", "pq_index", "nsw_index")
+      .foreach(IndexStore.clearTombstones(_, Sf))
+  }
+
   test("IVF fold: past the threshold the index physically drops the rows") {
     val drop = returned("q54_ann_ivf").map(_._2).distinct.take(3)
     val trainBefore = Similarity.kMeansTrainCount.get()
