@@ -300,6 +300,8 @@ object IndexMain {
   *                                2+ → z-ordered rewrite (Morton key);
   *                                file count via `--target_files N`
   *   `--vacuum <keepLast>`        drop data of superseded versions
+  *   `--vacuum_age_hours <N>`     vacuum retention window (default 168 =
+  *                                7 days, Delta's; 0 = unsafe override)
   *   `--stats c1[,c2,...]`        declare stats columns so the rewrite
   *                                records per-file min/max (data skipping)
   *   `--append <parquetDir>`      O(batch) append of landed rows (CAS
@@ -356,10 +358,12 @@ object TableMain {
         case (Some(cs), _) => t.compactZOrdered(nBins, cs)
         // a table living under a k=v partition layout must be rewritten
         // THROUGH that layout — a plain compact() would flatten it and
-        // silently destroy partition pruning for every later reader
+        // silently destroy partition pruning for every later reader.
+        // rewriteCurrent, not overwrite: a concurrent --append landing
+        // mid-rewrite makes this recompute, never lose the appended rows
         case (None, Some(pcols)) =>
           import org.apache.spark.sql.functions.col
-          t.overwrite(t.read.repartition(nBins, pcols.map(col): _*),
+          t.rewriteCurrent(_.repartition(nBins, pcols.map(col): _*),
             partitionBy = pcols)
         case (None, None) => t.compact(nBins)
       }
@@ -370,9 +374,19 @@ object TableMain {
       println(s"[table] maintain: layout within policy " +
         s"(${files.size} files, plan=$nBins bins) - no rewrite")
     }
-    val removed = t.vacuum(a.getOrElse("retain", "2").toInt)
+    val removed = t.vacuum(a.getOrElse("retain", "2").toInt,
+      olderThanMs = vacuumAgeMs(a))
     println(s"[table] maintain: vacuumed versions=${removed.mkString(",")}")
   }
+
+  /** `--vacuum_age_hours N` → retention window for vacuum; defaults to
+    * the table layer's 7-day safety window (a maintenance cron racing a
+    * live writer must never reclaim in-flight state). 0 is the explicit
+    * unsafe override for single-writer operation and tests.
+    */
+  private def vacuumAgeMs(a: Map[String, String]): Long =
+    a.get("vacuum_age_hours").map(_.toLong * 3600L * 1000L)
+      .getOrElse(graft.tables.ParquetTable.DefaultVacuumRetentionMs)
 
   def main(args: Array[String]): Unit = withSession { spark =>
     val a = parseArgs(args)
@@ -403,7 +417,7 @@ object TableMain {
           s"files=${t.currentFiles.size}")
       }
       a.get("vacuum").foreach { k =>
-        val removed = t.vacuum(k.toInt)
+        val removed = t.vacuum(k.toInt, olderThanMs = vacuumAgeMs(a))
         println(s"[table] vacuumed versions=${removed.mkString(",")}")
       }
     }

@@ -257,11 +257,15 @@ object IndexStore {
       val t = corpusIndexTable(spark, kind, d)
       if (!t.exists) None
       else {
-        val v = t.overwrite(
-          t.read.repartition(
-            org.apache.spark.sql.functions.col(partitionCol)),
+        // CAS rewrite, not overwrite: a delta-append landing mid-rewrite
+        // makes this recompute, never lose the appended cells (round-15)
+        val v = t.rewriteCurrent(
+          _.repartition(org.apache.spark.sql.functions.col(partitionCol)),
           partitionBy = Seq(partitionCol))
-        t.vacuum(vacuumKeep)
+        // zero retention is sanctioned here: an index is derived
+        // single-maintainer state (rebuildable), and compaction is
+        // exactly when superseded history piles up
+        t.vacuum(vacuumKeep, olderThanMs = 0L)
         Some(v)
       }
     } catch {
@@ -339,7 +343,9 @@ object IndexStore {
         if (victims.isEmpty) None
         else {
           val v = t.replaceFiles(victims, partitionBy = Seq(partitionCol))
-          if (v.nonEmpty) t.vacuum(1)
+          // zero retention: derived single-maintainer state (see
+          // compactCorpusIndex)
+          if (v.nonEmpty) t.vacuum(1, olderThanMs = 0L)
           v
         }
       }

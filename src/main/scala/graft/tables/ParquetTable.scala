@@ -114,13 +114,24 @@ final class ParquetTable(spark: SparkSession, root: String,
       throw new IllegalStateException(s"table $root does not exist")
     require(committedVersions.contains(v),
       s"version $v is not committed (committed=${committedVersions.toSeq.sorted})")
-    readEntries(readManifest(v))
+    val df = readEntries(readManifest(v))
+    // the manifest's recorded column list pins BOTH the column order and
+    // — for time travel — the version's own schema: a version written
+    // before a column was added reads WITHOUT it, even though the union
+    // over newer handles would surface it
+    manifestCols(v) match {
+      case Some(cs) => df.select(cs.map(col): _*)
+      case None => df // pre-round-15 manifest: schema = union of its files
+    }
   }
 
   /** One union branch per data dir so Spark's partition discovery (the
     * `k=v` path inference for `partitionBy` writes) gets a correct
     * basePath per branch; filters push into every branch, so partition
-    * pruning survives the union.
+    * pruning survives the union. `allowMissingColumns` is the read half
+    * of additive schema evolution (round-15): data dirs written before
+    * a column existed union in with nulls for it, exactly Delta's
+    * mergeSchema read semantics; for a non-evolved table it is a no-op.
     */
   private def readEntries(entries: Seq[Entry]): DataFrame = {
     val frames = entries.collect { case (dir, files) if files.nonEmpty =>
@@ -130,7 +141,7 @@ final class ParquetTable(spark: SparkSession, root: String,
     }
     if (frames.isEmpty)
       throw new IllegalStateException(s"table $root: version has no data files")
-    frames.reduce(_.unionByName(_))
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def readManifest(v: Long): Seq[Entry] = {
@@ -140,17 +151,37 @@ final class ParquetTable(spark: SparkSession, root: String,
 
   /** Manifest lines as (dir, file, statsJson?) — the third tab field is
     * the optional per-file column-range record; two-field lines (written
-    * before stats were declared) parse with no stats.
+    * before stats were declared) parse with no stats. Lines starting
+    * with `#` are headers (`#cols` records the version's column list),
+    * not file entries.
     */
   private def readManifestLines(
       v: Long): Seq[(String, String, Option[String])] =
     Files.readAllLines(manifestPath(v)).asScala.toSeq
-      .filter(_.nonEmpty).map { l =>
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
         l.split("\t", 3) match {
           case Array(dir, file) => (dir, file, None)
           case Array(dir, file, stats) => (dir, file, Some(stats))
         }
       }
+
+  /** The column list recorded in version v's `#cols` manifest header —
+    * the version's schema-of-record (names + order). None for manifests
+    * written before round-15; those fall back to the union of their
+    * files' schemas. Recording the schema in the manifest makes append's
+    * compatibility check free (no parquet footer read) and gives time
+    * travel an exact per-version schema under additive evolution.
+    */
+  private def manifestCols(v: Long): Option[Seq[String]] =
+    Files.readAllLines(manifestPath(v)).asScala
+      .find(_.startsWith("#cols\t"))
+      .map(_.split("\t").toSeq.drop(1))
+
+  /** Version v's column list: the manifest header when present, else one
+    * schema read over the version's files (pre-round-15 manifests).
+    */
+  private def tableColumns(v: Long): Seq[String] =
+    manifestCols(v).getOrElse(readEntries(readManifest(v)).columns.toSeq)
 
   /** "dir/file" → stats JSON for every file of version v that has stats. */
   private def readStatsMap(v: Long): Map[String, String] =
@@ -160,22 +191,41 @@ final class ParquetTable(spark: SparkSession, root: String,
 
   /** Write the manifest (temp + atomic move), flip `_LATEST`, then record
     * v in the committed log. `stats` ("dir/file" → stats JSON) rides as
-    * each line's optional third field. Callers hold the commit lock; the
-    * manifest move deliberately does NOT replace — version numbers are
-    * never reused, so a collision here is a protocol bug and must throw,
-    * not silently clobber a committed manifest.
+    * each line's optional third field; `cols` is recorded as the `#cols`
+    * header (the version's schema-of-record). Callers hold the commit
+    * lock; the manifest move deliberately does NOT replace — version
+    * numbers are never reused, so a collision here is a protocol bug and
+    * must throw, not silently clobber a committed manifest.
+    *
+    * `guard` re-runs the caller's commit precondition AFTER the manifest
+    * lands but BEFORE the pointer flips. Under a correctly-held lock it
+    * is redundant (tryCommit already checked it); its job is defense in
+    * depth for the pathological case where mutual exclusion was defeated
+    * (a live lock wrongly broken): a competing pointer flip in the
+    * manifest-write window is then detected and this commit backs out
+    * (manifest removed, false returned → ordinary conflict retry)
+    * instead of publishing a manifest that silently drops the
+    * competitor's committed rows.
     */
   private def commitUnlocked(v: Long, entries: Seq[Entry],
-      stats: Map[String, String] = Map.empty): Unit = {
+      stats: Map[String, String] = Map.empty,
+      cols: Seq[String] = Nil,
+      guard: () => Boolean = () => true): Boolean = {
     Files.createDirectories(manifestDir)
+    val header =
+      if (cols.isEmpty) "" else cols.mkString("#cols\t", "\t", "\n")
     val body = entries.flatMap { case (dir, files) =>
       files.map { f =>
         stats.get(s"$dir/$f").fold(s"$dir\t$f")(s => s"$dir\t$f\t$s")
       }
-    }.mkString("", "\n", "\n")
+    }.mkString(header, "\n", "\n")
     val mTmp = manifestDir.resolve(s".v=$v.manifest.tmp")
     Files.writeString(mTmp, body)
     Files.move(mTmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE)
+    if (!guard()) {
+      Files.deleteIfExists(manifestPath(v))
+      return false
+    }
     val tmp = Paths.get(root, s"._LATEST.tmp.$v")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
@@ -183,6 +233,7 @@ final class ParquetTable(spark: SparkSession, root: String,
     Files.writeString(committedLogPath, s"$v\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    true
   }
 
   // ---- optimistic concurrency (round-14; Delta's actual write contract) --
@@ -201,36 +252,113 @@ final class ParquetTable(spark: SparkSession, root: String,
 
   private def lockPath: Path = Paths.get(root, "_COMMIT.lock")
 
-  /** Acquire the commit lock (atomic create-new), run `f`, release. A
-    * lock older than 30 s is a crashed writer's leftover and is broken —
-    * the critical section is microseconds of local file I/O, so a live
-    * holder can never be that old. Waiting writers spin with a small
-    * sleep; a table wedged longer than `timeoutMs` throws rather than
-    * hanging the pipeline silently.
+  /** A lock this old is a crashed writer's leftover: the critical
+    * section is microseconds of local file I/O, so a live holder can
+    * never (short of a pathological pause) be this old.
     */
-  private def withCommitLock[T](timeoutMs: Long = 60000L)(f: => T): T = {
+  private val StaleLockMs = 30000L
+
+  /** Lock-wait budget; `private[graft] var` so specs can shrink it to
+    * assert that a LIVE (fresh) foreign lock is waited out and times out
+    * — never broken.
+    */
+  private[graft] var commitLockTimeoutMs: Long = 60000L
+
+  /** Lock content: creation millis + a per-acquisition random token, so
+    * both release and stale-break can verify they are removing exactly
+    * the lock instance they decided to remove (round-15; closes the
+    * read-then-delete TOCTOU where a breaker could delete a LIVE
+    * holder's freshly-created lock).
+    */
+  private def newLockStamp(): String =
+    s"${System.currentTimeMillis()}:${java.util.UUID.randomUUID()}"
+
+  private def stampAgeMs(content: String): Long =
+    try System.currentTimeMillis() - content.takeWhile(_ != ':').trim.toLong
+    catch { case _: Exception => 0L } // torn/foreign content: treat as fresh
+
+  /** Atomically remove the commit lock iff its content satisfies `pred`.
+    * The lock is first CLAIMED by an atomic rename to a caller-unique
+    * name — two removers can never both claim one lock instance, and a
+    * claim that loses the race simply fails its rename — then the claim
+    * is validated against `pred` read from the CLAIMED file (not from a
+    * racy earlier read). A claim that fails validation (a live lock
+    * created in the decide→rename window) is atomically restored.
+    * Returns true iff the lock was removed.
+    *
+    * The one unwinnable state: a failed-validation claim whose restore
+    * finds the lock path re-occupied (a third writer acquired in the
+    * microsecond claim window). The claimed live holder's lock cannot be
+    * given back; `throwOnUnrestorable` callers (the stale-breaker, which
+    * is about to write) abort loudly rather than run unlocked, while the
+    * release path — whose commit already finished — records the claim
+    * file as an inert tombstone and moves on.
+    */
+  private def removeLockIf(pred: String => Boolean,
+      throwOnUnrestorable: Boolean): Boolean = {
+    val claim = Paths.get(root,
+      s"._COMMIT.claim.${java.util.UUID.randomUUID()}")
+    try Files.move(lockPath, claim, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: Exception => return false } // lost the claim race
+    val content =
+      try new String(Files.readAllBytes(claim)).trim
+      catch { case _: Exception => "" }
+    if (pred(content)) { Files.deleteIfExists(claim); true }
+    else {
+      try {
+        Files.move(claim, lockPath, StandardCopyOption.ATOMIC_MOVE)
+        false
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (throwOnUnrestorable)
+            throw new IllegalStateException(
+              s"table $root: lock break claimed a live lock and could " +
+                "not restore it (a third writer acquired mid-claim); " +
+                "aborting rather than running unlocked")
+          false
+      }
+    }
+  }
+
+  /** Acquire the commit lock (atomic create-new of a token-stamped
+    * file), run `f`, release. Release is token-verified: only THIS
+    * acquisition's lock file is ever deleted, so a holder that was
+    * (wrongly or rightly) broken can never delete a successor's live
+    * lock. A lock older than [[StaleLockMs]] is a crashed writer's
+    * leftover and is broken via [[removeLockIf]] — claim by atomic
+    * rename, re-validate staleness from the claimed file, restore if it
+    * turned out live — so exactly one of N racing breakers wins and a
+    * live lock is never deleted. Waiting writers spin with a small
+    * sleep; a table wedged longer than [[commitLockTimeoutMs]] throws
+    * rather than hanging the pipeline silently.
+    */
+  private def withCommitLock[T](
+      timeoutMs: Long = commitLockTimeoutMs)(f: => T): T = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
+    val myStamp = newLockStamp()
     var held = false
     Files.createDirectories(Paths.get(root))
     while (!held) {
       try {
-        Files.write(lockPath, System.currentTimeMillis().toString.getBytes,
+        Files.write(lockPath, myStamp.getBytes,
           java.nio.file.StandardOpenOption.CREATE_NEW)
         held = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val age =
-            try System.currentTimeMillis() -
-              new String(Files.readAllBytes(lockPath)).trim.toLong
+            try stampAgeMs(new String(Files.readAllBytes(lockPath)).trim)
             catch { case _: Exception => 0L } // vanished or torn: retry
-          if (age > 30000L) Files.deleteIfExists(lockPath) // stale breaker
+          if (age > StaleLockMs)
+            removeLockIf(c => stampAgeMs(c) > StaleLockMs,
+              throwOnUnrestorable = true)
           else if (System.nanoTime() > deadline)
             throw new IllegalStateException(
               s"table $root: commit lock held for over ${timeoutMs} ms")
           else Thread.sleep(2)
       }
     }
-    try f finally Files.deleteIfExists(lockPath)
+    try f
+    finally removeLockIf(_ == myStamp, throwOnUnrestorable = false)
   }
 
   /** Compare-and-swap commit: publish `entries` as the next version only
@@ -240,7 +368,8 @@ final class ParquetTable(spark: SparkSession, root: String,
     * writer's orphan manifest sits at or past it.
     */
   private def tryCommit(base: Option[Long], preferredV: Long,
-      entries: Seq[Entry], stats: Map[String, String]): Option[Long] =
+      entries: Seq[Entry], stats: Map[String, String],
+      cols: Seq[String] = Nil): Option[Long] =
     withCommitLock() {
       if (latestVersion != base) None
       else {
@@ -250,8 +379,12 @@ final class ParquetTable(spark: SparkSession, root: String,
             f.getName match { case manifestRe(n) => n.toLong }
           }).getOrElse(Nil).maxOption.getOrElse(0L)
         val v = math.max(preferredV, maxManifest + 1L)
-        commitUnlocked(v, entries, stats)
-        Some(v)
+        // the guard re-verifies the CAS precondition between manifest
+        // write and pointer flip — a no-op under mutual exclusion,
+        // a lost-update stopper if a live lock was ever wrongly broken
+        if (commitUnlocked(v, entries, stats, cols,
+            guard = () => latestVersion == base)) Some(v)
+        else None
       }
     }
 
@@ -418,7 +551,7 @@ final class ParquetTable(spark: SparkSession, root: String,
         }).getOrElse(Nil).maxOption.getOrElse(0L)
       val v = math.max(v0,
         math.max(maxManifest + 1L, latestVersion.getOrElse(0L) + 1L))
-      commitUnlocked(v, Seq(entry), stats)
+      commitUnlocked(v, Seq(entry), stats, df.columns.toSeq)
       v
     }
   }
@@ -437,16 +570,34 @@ final class ParquetTable(spark: SparkSession, root: String,
     * Delta's append-vs-append behavior) — and retries. Zero data rewrite
     * on rebase.
     */
-  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+  /** With `mergeSchema` (Delta's `mergeSchema` append option, round-15
+    * additive evolution): the batch may carry NEW columns on top of
+    * every existing one; the committed version's `#cols` header becomes
+    * existing ++ new, old files ride by reference and read null for the
+    * new columns, and time travel keeps each version's own schema.
+    * Without it the column sets must match exactly (the pre-evolution
+    * contract). The schema check reads the manifest header — no data
+    * file is opened.
+    */
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil,
+      mergeSchema: Boolean = false): Long = {
     lastConflicts = 0
-    def checkSchema(cur: Long): Unit = {
-      val existing = readVersion(cur).columns.toSet
-      require(df.columns.toSet == existing,
-        s"append schema mismatch: table has ${existing.toSeq.sorted}, " +
-          s"batch has ${df.columns.sorted.toSeq}")
+    def checkSchema(cur: Long): Seq[String] = {
+      val existing = tableColumns(cur)
+      val batch = df.columns.toSeq
+      if (mergeSchema)
+        require(existing.toSet.subsetOf(batch.toSet),
+          s"append(mergeSchema) is additive: batch must carry every " +
+            s"existing column; table has ${existing.sorted}, " +
+            s"batch has ${batch.sorted}")
+      else
+        require(batch.toSet == existing.toSet,
+          s"append schema mismatch: table has ${existing.sorted}, " +
+            s"batch has ${batch.sorted}")
+      existing ++ batch.filterNot(existing.contains)
     }
     var base = latestVersion
-    base.foreach(checkSchema)
+    var cols = base.map(checkSchema).getOrElse(df.columns.toSeq)
     val (v0, entry, stats) = writeData(df, partitionBy, nextVersion)
     var attempt = 0
     while (true) {
@@ -455,7 +606,7 @@ final class ParquetTable(spark: SparkSession, root: String,
         case None => (Seq(entry), stats)
         case Some(cur) => (readManifest(cur) :+ entry, readStatsMap(cur) ++ stats)
       }
-      tryCommit(base, v0, entries, allStats) match {
+      tryCommit(base, v0, entries, allStats, cols) match {
         case Some(v) => return v
         case None =>
           lastConflicts += 1
@@ -466,7 +617,8 @@ final class ParquetTable(spark: SparkSession, root: String,
                 s"(base=$base, now=$latestVersion)")
           backoff(attempt)
           base = latestVersion
-          base.foreach(checkSchema) // the winner may have changed the schema
+          cols = base.map(checkSchema) // the winner may have evolved the schema
+            .getOrElse(df.columns.toSeq)
       }
     }
     -1L // unreachable
@@ -475,36 +627,78 @@ final class ParquetTable(spark: SparkSession, root: String,
   /** Retention: keep the last `keepLast` COMMITTED versions (always
     * including the current one); delete every other manifest — older
     * committed history AND uncommitted orphans — plus every data file no
-    * retained manifest references (deletion is at file granularity
+    * surviving manifest references (deletion is at file granularity
     * because a merge-pruned manifest may reference only part of an older
-    * data dir). The committed log is rewritten to the retained set via
-    * temp + atomic move. Returns the removed version numbers.
+    * data dir). Returns the removed version numbers.
+    *
+    * Round-15 safety (Delta VACUUM's rules, after the maintenance-cron
+    * race was flagged):
+    *  - Only manifests/files/dirs older than `olderThanMs` are ever
+    *    reclaimed (default 7 days, Delta's retention default). A
+    *    concurrent in-flight writer's state — a data dir written but not
+    *    yet committed, a manifest microseconds from its pointer flip —
+    *    is by construction YOUNG, so it can never be swept out from
+    *    under the writer. `olderThanMs = 0` is the explicit unsafe
+    *    override (Delta's retentionDurationCheck escape hatch) for
+    *    derived single-maintainer state and tests.
+    *  - Planning and the `_COMMITTED` rewrite run under the commit lock,
+    *    so a concurrent commit's log append can never be lost to the
+    *    read-modify-replace (commits serialize on the same lock). The
+    *    log keeps every version whose manifest survives — a young
+    *    superseded version stays committed and time-travel-readable
+    *    until it ages out.
+    *  - Physical deletion runs OUTSIDE the lock: every victim is
+    *    unreferenced by all surviving manifests and old, so no committed
+    *    reader or in-flight writer can reach it; holding the
+    *    microsecond-scale commit lock across bulk file I/O would stall
+    *    every writer for the vacuum's duration.
     */
-  def vacuum(keepLast: Int = 2): Seq[Long] = {
-    require(keepLast >= 1)
-    val latest = latestVersion.getOrElse(return Nil)
-    val retained = (committedVersions.toSeq.sorted.takeRight(keepLast)
-      :+ latest).toSet
+  def vacuum(keepLast: Int = 2,
+      olderThanMs: Long = ParquetTable.DefaultVacuumRetentionMs): Seq[Long] = {
+    require(keepLast >= 1 && olderThanMs >= 0L)
+    if (!exists) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def oldEnough(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: Exception => false } // vanished: not ours to reclaim
     val manifestRe = "v=(\\d+)\\.manifest".r
-    val manifestsOnDisk = Option(manifestDir.toFile.listFiles())
-      .map(_.toSeq.collect { f =>
-        f.getName match { case manifestRe(n) => n.toLong }
-      }).getOrElse(Nil)
-    val victims = manifestsOnDisk.filterNot(retained.contains).sorted
-    val referenced: Set[String] = retained
-      .filter(v => Files.exists(manifestPath(v)))
-      .flatMap(v => readManifest(v).flatMap { case (dir, files) =>
-        files.map(f => s"$dir/$f")
-      })
+    // plan + log rewrite under the lock (serializes with every commit)
+    val (victims, referenced) = withCommitLock() {
+      val latest = latestVersion.getOrElse(return Nil)
+      val retained = (committedVersions.toSeq.sorted.takeRight(keepLast)
+        :+ latest).toSet
+      val manifestsOnDisk = Option(manifestDir.toFile.listFiles())
+        .map(_.toSeq.collect { f =>
+          f.getName match { case manifestRe(n) => n.toLong }
+        }).getOrElse(Nil)
+      val victims = manifestsOnDisk.sorted
+        .filterNot(retained.contains)
+        .filter(v => oldEnough(manifestPath(v)))
+      val surviving = manifestsOnDisk.filterNot(victims.contains)
+      val referenced: Set[String] = surviving
+        .filter(v => Files.exists(manifestPath(v)))
+        .flatMap(v => readManifest(v).flatMap { case (dir, files) =>
+          files.map(f => s"$dir/$f")
+        }).toSet
+      val tmp = Paths.get(root, "._COMMITTED.tmp")
+      Files.writeString(tmp,
+        (committedVersions -- victims).toSeq.sorted
+          .map(v => s"$v\n").mkString)
+      Files.move(tmp, committedLogPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      (victims, referenced)
+    }
     victims.foreach(v => Files.deleteIfExists(manifestPath(v)))
-    // delete unreferenced data files, then any dirs left empty; collect
-    // the version numbers of fully-removed orphan data dirs for the report
+    // delete old unreferenced data files, then any OLD dirs left empty;
+    // a young data dir (an in-flight writer's, or just-committed) is
+    // skipped wholesale. Collect fully-removed orphan dirs' numbers.
     val dirRe = "v(\\d+)".r
     val removedDirs = Option(dataDir.toFile.listFiles()).map(_.toSeq
-      .filter(_.isDirectory).flatMap { d =>
+      .filter(d => d.isDirectory && oldEnough(d.toPath)).flatMap { d =>
         val dirName = d.getName
         listParquet(d.toPath)
           .filterNot(f => referenced.contains(s"$dirName/$f"))
+          .filter(f => oldEnough(d.toPath.resolve(f)))
           .foreach(f => Files.deleteIfExists(d.toPath.resolve(f)))
         // drop now-empty partition subdirs and the data dir itself
         def sweep(f: java.io.File): Boolean = {
@@ -523,12 +717,6 @@ final class ParquetTable(spark: SparkSession, root: String,
           case _ => None
         } else None
       }).getOrElse(Nil)
-    val tmp = Paths.get(root, "._COMMITTED.tmp")
-    Files.writeString(tmp,
-      committedVersions.intersect(retained).toSeq.sorted
-        .map(v => s"$v\n").mkString)
-    Files.move(tmp, committedLogPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
     (victims ++ removedDirs.filterNot(victims.contains)).distinct.sorted
   }
 
@@ -545,9 +733,44 @@ final class ParquetTable(spark: SparkSession, root: String,
     * shuffle would buy nothing.
     */
   def compact(targetFiles: Int = 1): Long =
-    overwrite(
-      if (targetFiles <= 1) read.coalesce(1)
-      else read.repartition(targetFiles), Nil)
+    rewriteCurrent(df =>
+      if (targetFiles <= 1) df.coalesce(1)
+      else df.repartition(targetFiles), Nil)
+
+  /** Row-preserving rewrite of the CURRENT version, committed with the
+    * same compare-and-swap as every other writer (round-15): the rewrite
+    * prepares against snapshot `cur` and publishes only if `cur` is
+    * still current, recomputing from the fresh snapshot on conflict. The
+    * compaction family MUST NOT publish through [[overwrite]] — its
+    * deliberate last-writer-wins would silently drop the rows of an
+    * append/merge that committed between the compaction's read and its
+    * publish (the maintenance-cron-races-ingest case). Genuine
+    * full-replace semantics remain overwrite's, and only overwrite's,
+    * contract.
+    */
+  private[graft] def rewriteCurrent(transform: DataFrame => DataFrame,
+      partitionBy: Seq[String] = Nil): Long = {
+    lastConflicts = 0
+    var attempt = 0
+    while (true) {
+      val cur = latestVersion.getOrElse(
+        throw new IllegalStateException(s"table $root does not exist"))
+      val (v0, entry, stats) =
+        writeData(transform(readVersion(cur)), partitionBy, nextVersion)
+      onBeforePublish()
+      tryCommit(Some(cur), v0, Seq(entry), stats, tableColumns(cur)) match {
+        case Some(v) => return v
+        case None => // a writer landed mid-rewrite: recompute on its snapshot
+          lastConflicts += 1
+          attempt += 1
+          if (attempt >= MaxCommitRetries)
+            throw new java.util.ConcurrentModificationException(
+              s"table $root: rewrite lost the commit race $attempt times")
+          backoff(attempt)
+      }
+    }
+    -1L // unreachable
+  }
 
   /** Clustered compaction: rewrite the current version range-partitioned
     * and sorted on `clusterBy` (Delta OPTIMIZE ZORDER's role for the
@@ -561,7 +784,7 @@ final class ParquetTable(spark: SparkSession, root: String,
   def compactClustered(targetFiles: Int, clusterBy: Seq[String]): Long = {
     require(targetFiles >= 1 && clusterBy.nonEmpty)
     val cols = clusterBy.map(col)
-    overwrite(read.repartitionByRange(targetFiles, cols: _*)
+    rewriteCurrent(_.repartitionByRange(targetFiles, cols: _*)
       .sortWithinPartitions(cols: _*), Nil)
   }
 
@@ -581,17 +804,18 @@ final class ParquetTable(spark: SparkSession, root: String,
   def compactZOrdered(targetFiles: Int, zCols: Seq[String],
       bits: Int = 8): Long = {
     require(targetFiles >= 1 && zCols.size >= 2)
-    val df = read
-    val aggs = zCols.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
-    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val (mins, maxs) = zCols.indices
-      .map(i => (r.getLong(2 * i), r.getLong(2 * i + 1))).unzip
-    val z = graft.operators.ZOrder.zkey(zCols.map(col), mins, maxs, bits)
-    overwrite(df.withColumn("__graft_z", z)
-      .repartitionByRange(targetFiles, col("__graft_z"))
-      .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z"), Nil)
+    rewriteCurrent({ df =>
+      val aggs = zCols.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val (mins, maxs) = zCols.indices
+        .map(i => (r.getLong(2 * i), r.getLong(2 * i + 1))).unzip
+      val z = graft.operators.ZOrder.zkey(zCols.map(col), mins, maxs, bits)
+      df.withColumn("__graft_z", z)
+        .repartitionByRange(targetFiles, col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z")
+    }, Nil)
   }
 
   /** Stats-pruned box scan — Delta data skipping on the READ path: files
@@ -674,7 +898,7 @@ final class ParquetTable(spark: SparkSession, root: String,
       onBeforePublish()
       tryCommit(Some(cur), v0, keptEntries :+ entry,
         readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap
-          ++ newStats) match {
+          ++ newStats, tableColumns(cur)) match {
         case Some(v) => return Some(v)
         case None => // victim set may be stale — re-derive from the winner
           lastConflicts += 1
@@ -707,7 +931,7 @@ final class ParquetTable(spark: SparkSession, root: String,
     *     0.1% of keys rewrites ~0.1% of the table, not 100%.
     */
   def merge(source: DataFrame, keys: Seq[String],
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
     val keyCols = keys.map(col)
     val dupStats = source.agg(
       count(lit(1)).as("n"),
@@ -725,8 +949,28 @@ final class ParquetTable(spark: SparkSession, root: String,
           // first-merges must not both win
           val (v0, entry, stats) = writeData(source, partitionBy, nextVersion)
           onBeforePublish()
-          tryCommit(None, v0, Seq(entry), stats)
+          tryCommit(None, v0, Seq(entry), stats, source.columns.toSeq)
         case Some(cur) =>
+          // additive evolution (Delta MERGE + mergeSchema): a source with
+          // NEW columns on top of every existing one upserts normally —
+          // untouched files ride by reference and read null for the new
+          // columns; surviving rows of touched files get null via the
+          // allowMissingColumns union
+          val existing = tableColumns(cur)
+          val cols =
+            if (!mergeSchema) {
+              require(source.columns.toSet == existing.toSet,
+                s"merge schema mismatch: table has ${existing.sorted}, " +
+                  s"source has ${source.columns.sorted.toSeq} " +
+                  "(pass mergeSchema=true for additive evolution)")
+              existing
+            } else {
+              require(existing.toSet.subsetOf(source.columns.toSet),
+                s"merge(mergeSchema) is additive: source must carry every " +
+                  s"existing column; table has ${existing.sorted}, " +
+                  s"source has ${source.columns.sorted.toSeq}")
+              existing ++ source.columns.filterNot(existing.contains)
+            }
           val entries = readManifest(cur)
           val priorStats = readStatsMap(cur)
           val srcKeys = source.select(keyCols: _*).distinct()
@@ -743,18 +987,25 @@ final class ParquetTable(spark: SparkSession, root: String,
               .collect().map(r => baseName(r.getString(0))).toSet
           val (touchedEntries, keptEntries) =
             splitEntries(entries, touched)
+          // allowMissingColumns unconditionally: once a table has
+          // evolved, a touched PRE-evolution file is narrower than the
+          // (already schema-checked) source even for a plain merge —
+          // its surviving rows genuinely read null for the newer
+          // columns. Schema compatibility is enforced by the explicit
+          // checks above, not by union analysis failure.
           val survivors =
             if (touchedEntries.forall(_._2.isEmpty)) source
             else readEntries(touchedEntries)
               .join(srcKeys, keys, "left_anti")
-              .unionByName(source)
+              .unionByName(source, allowMissingColumns = true)
           val (v0, entry, newStats) = writeData(survivors, partitionBy, nextVersion)
           val keptFiles = keptEntries.flatMap { case (d, fs) =>
             fs.map(f => s"$d/$f")
           }.toSet
           onBeforePublish()
           tryCommit(Some(cur), v0, keptEntries :+ entry,
-            priorStats.view.filterKeys(keptFiles.contains).toMap ++ newStats)
+            priorStats.view.filterKeys(keptFiles.contains).toMap ++ newStats,
+            cols)
       }
       outcome match {
         case Some(v) => return v
@@ -818,7 +1069,7 @@ final class ParquetTable(spark: SparkSession, root: String,
       onBeforePublish()
       tryCommit(Some(cur), v0, keptEntries :+ entry,
         readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap
-          ++ newStats) match {
+          ++ newStats, tableColumns(cur)) match {
         case Some(v) => return Some(v)
         case None => // stale survivors — recompute from the fresh snapshot
           lastConflicts += 1
@@ -962,6 +1213,12 @@ final class ParquetTable(spark: SparkSession, root: String,
 }
 
 object ParquetTable {
+  /** Default vacuum retention — Delta VACUUM's 7-day default. Anything
+    * younger is presumed reachable: an in-flight writer's uncommitted
+    * data, a mid-commit manifest, or a reader's still-open old version.
+    */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   def apply(spark: SparkSession, root: String): ParquetTable =
     new ParquetTable(spark, root)
 

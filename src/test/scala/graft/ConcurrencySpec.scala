@@ -220,4 +220,137 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
     assert((System.nanoTime() - t0) / 1e9 < 20.0, "stale lock not broken promptly")
     assert(rows(t) == Map(1 -> "a", 2 -> "b"))
   }
+
+  test("N waiters race one stale lock: exactly one break, all writers land") {
+    // round-15 (stale-breaker TOCTOU fix): the break is claim-by-atomic-
+    // rename + revalidate, so of N concurrent breakers exactly one can
+    // remove the stale lock; the rest lose their rename and fall back to
+    // ordinary waiting. Success criterion: every append lands (no lost
+    // update, no wedged lock, no spurious mutual-exclusion crash).
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(0 -> "base"))
+    val lock = java.nio.file.Paths.get(t.rootPath, "_COMMIT.lock")
+    // token-stamped stale lock (the post-round-15 on-disk format)
+    java.nio.file.Files.write(lock,
+      s"${System.currentTimeMillis() - 300000L}:dead-beef-crashed".getBytes)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            ParquetTable(spark, t.rootPath).append(df(i -> s"w$i"))
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(rows(t) ==
+        (0 to 8).map(i => i -> (if (i == 0) "base" else s"w$i")).toMap,
+        "all 8 appends must land after the stale lock is broken")
+      assert(!java.nio.file.Files.exists(lock), "lock must be released")
+    } finally pool.shutdownNow()
+  }
+
+  test("a LIVE (fresh) foreign lock is waited out and times out — never broken") {
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(1 -> "a"))
+    val lock = java.nio.file.Paths.get(t.rootPath, "_COMMIT.lock")
+    val stamp = s"${System.currentTimeMillis()}:live-holder-token"
+    java.nio.file.Files.write(lock, stamp.getBytes)
+    t.commitLockTimeoutMs = 2000L
+    try {
+      val e = intercept[IllegalStateException] { t.append(df(2 -> "b")) }
+      assert(e.getMessage.contains("commit lock held"))
+      assert(new String(java.nio.file.Files.readAllBytes(lock)).trim == stamp,
+        "a live holder's lock must never be deleted by a waiter")
+    } finally {
+      t.commitLockTimeoutMs = 60000L
+      java.nio.file.Files.deleteIfExists(lock)
+    }
+  }
+
+  test("compaction commits via CAS: a concurrent append's rows survive") {
+    // ADVICE r14 (high): compact published through overwrite(), which
+    // ignores the base snapshot — an append CASed in between compact's
+    // read and its publish was silently dropped. Now compact prepares
+    // against the snapshot it read and recomputes on conflict.
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(1 -> "a", 2 -> "b"))
+    var armed = true
+    t.onBeforePublish = () => {
+      if (armed) {
+        armed = false
+        ParquetTable(spark, t.rootPath).append(df(3 -> "c"))
+      }
+    }
+    try {
+      t.compact(1)
+      assert(t.lastConflicts == 1, "compact must detect the mid-rewrite append")
+      assert(rows(t) == Map(1 -> "a", 2 -> "b", 3 -> "c"),
+        "the concurrent append's committed rows must survive compaction")
+    } finally t.onBeforePublish = () => ()
+  }
+
+  test("clustered compaction CASes too: a concurrent merge survives") {
+    val t = ParquetTable(spark, tmp(), Seq("k"))
+    t.overwrite(df(1 -> "a", 2 -> "b"))
+    var armed = true
+    t.onBeforePublish = () => {
+      if (armed) {
+        armed = false
+        ParquetTable(spark, t.rootPath).merge(df(2 -> "UPDATED"), keys = Seq("k"))
+      }
+    }
+    try {
+      t.compactClustered(2, Seq("k"))
+      assert(rows(t) == Map(1 -> "a", 2 -> "UPDATED"),
+        "the concurrent merge's update must survive the clustered rewrite")
+    } finally t.onBeforePublish = () => ()
+  }
+
+  test("vacuum's retention window spares an in-flight writer's uncommitted data") {
+    // ADVICE r14 (high): vacuum deleted every unreferenced data file,
+    // including a concurrent writer's already-written-not-yet-committed
+    // dir — the writer then committed a manifest pointing at deleted
+    // files. The retention window makes young state untouchable.
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(1 -> "a"))
+    t.merge(df(2 -> "b"), keys = Seq("k")) // superseded history to tempt vacuum
+    var armed = true
+    t.onBeforePublish = () => {
+      if (armed) {
+        armed = false
+        // a maintenance pass fires while writer A's batch sits uncommitted
+        ParquetTable(spark, t.rootPath)
+          .vacuum(keepLast = 1, olderThanMs = 60000L)
+      }
+    }
+    try {
+      t.append(df(3 -> "c")) // writer A
+      assert(rows(t) == Map(1 -> "a", 2 -> "b", 3 -> "c"),
+        "vacuum must never reclaim an in-flight writer's young data")
+      t.read.collect() // every referenced file still physically present
+    } finally t.onBeforePublish = () => ()
+  }
+
+  test("vacuum reclaims only state older than the retention window") {
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(1 -> "a"))                              // v1
+    t.merge(df(2 -> "b"), keys = Seq("k"))                 // v2
+    t.merge(df(3 -> "c"), keys = Seq("k"))                 // v3
+    // default window: everything is young -> nothing reclaimed
+    assert(t.vacuum(keepLast = 1).isEmpty,
+      "young superseded versions must survive a default-retention vacuum")
+    assert(t.readVersion(1).count() == 1, "young history stays readable")
+    // age the whole table 2 hours and vacuum with a 1-hour window
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(t.rootPath))
+    try walk.iterator().asScala.foreach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    finally walk.close()
+    val removed = t.vacuum(keepLast = 1, olderThanMs = 3600 * 1000L)
+    assert(removed == Seq(1L, 2L), s"aged history reclaimed (got $removed)")
+    assert(rows(t) == Map(1 -> "a", 2 -> "b", 3 -> "c"))
+    intercept[Exception] { t.readVersion(1) }
+  }
 }

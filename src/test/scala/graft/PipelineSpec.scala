@@ -119,7 +119,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     t.merge(Seq((2, "b")).toDF("k", "v"), keys = Seq("k"))    // v2
     t.merge(Seq((3, "c")).toDF("k", "v"), keys = Seq("k"))    // v3
     Seq((9, "z")).toDF("k", "v").write.parquet(s"$root/d/v9") // orphan dir
-    val removed = t.vacuum(keepLast = 2)
+    val removed = t.vacuum(keepLast = 2, olderThanMs = 0L)
     assert(removed == Seq(1L, 9L)) // old v1 + orphan v9; v2/v3 retained
     assert(t.read.count() == 3)
     assert(t.readVersion(2).count() == 2) // retained history still works
@@ -152,7 +152,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] { t.readVersion(2) }
     // vacuum keys retention off the committed log, not version arithmetic:
     // it removes the below-pointer orphan and keeps committed {1, 3}
-    assert(t.vacuum(keepLast = 2) == Seq(2L))
+    assert(t.vacuum(keepLast = 2, olderThanMs = 0L) == Seq(2L))
     assert(t.readVersion(1).count() == 1)
     assert(t.readVersion(3).count() == 2)
   }

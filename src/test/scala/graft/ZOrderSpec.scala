@@ -85,7 +85,7 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     graft.pipeline.cli.TableMain.main(Array(
       "--table", root, "--stats", "x,y",
       "--cluster", "x,y", "--target_files", "16",
-      "--vacuum", "1"))
+      "--vacuum", "1", "--vacuum_age_hours", "0"))
     val t2 = ParquetTable(spark, root, Seq("x", "y"))
     t2.readBox(Seq(("x", 0L, 7L), ("y", 0L, 7L))).count()
     assert(t2.lastBoxScannedFiles.size <= 3)
@@ -123,7 +123,7 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     // plan target well above the table's total bytes -> 1 planned bin
     graft.pipeline.cli.TableMain.main(Array(
       "--table", root, "--maintain", (64L * 1024 * 1024).toString,
-      "--retain", "2"))
+      "--retain", "2", "--vacuum_age_hours", "0"))
     val t2 = ParquetTable(spark, root)
     assert(t2.currentFiles.size == 1,
       s"maintain should pack to the planned single bin, got ${t2.currentFiles.size}")
