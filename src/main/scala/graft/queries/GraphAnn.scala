@@ -504,8 +504,16 @@ object GraphAnn {
           .agg(max(col("score")).as("score"))
           .localCheckpoint()) // orphan-bounded; pinned across the delete
       }
-      t.delete(isTomb("u") || isTomb("v"))
+      // REPAIR BEFORE DELETE (ADVICE r14): the patch links live nodes
+      // only, so the delete never touches it — and if the process dies
+      // between the two steps, the tombstones are still set, the next
+      // fold recomputes partners from the still-present edges and
+      // re-merges the (idempotent, keyed) patch before deleting.
+      // Delete-first had no such recovery: a crash after the delete
+      // left partners empty on retry, the patch was never derived
+      // again, and the orphans stayed unreachable forever.
       patch.foreach { pf => t.merge(pf, keys = Seq("u", "v", "layer")); () }
+      t.delete(isTomb("u") || isTomb("v"))
       IndexStore.clearTombstones(kind, d)
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -751,11 +759,18 @@ object GraphAnn {
       val leftover = done.filterNot(satisfied.contains)
       if (leftover.nonEmpty) {
         val lq = leftover.toDF("query_id", "qv")
-        finals += topK(e.filter(col("label") === 1)
-          .join(broadcast(lq), col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("cand"),
-            Similarity.fastCosine(s)(col("qv"), col("embedding"))
-              .as("score")))
+        // the backstop serves from RAW embeddings, so it must mask
+        // tombstones exactly like the beam path does — a taken-down
+        // vec_id re-served here would be a takedown-contract violation
+        // on what is, at sparse filters, the COMMON path (ADVICE r14)
+        finals += topK(graft.tables.IndexStore.maskTombstones(s,
+          "nsw_index", d,
+          e.filter(col("label") === 1)
+            .join(broadcast(lq), col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("cand"),
+              Similarity.fastCosine(s)(col("qv"), col("embedding"))
+                .as("score")),
+          cols = Seq("cand")))
       }
       remaining = notDone
     }

@@ -52,13 +52,20 @@ object IvfPq {
   private[graft] val encodeCount =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Sidecar row-schema generation: v2 added the `label` filter column
+    * (round-15 filtered IVF-PQ). Stores written under v1 resolve MISS
+    * and rebuild once rather than serving rows the filtered probe
+    * can't read.
+    */
+  private[graft] val PqFormat = "v2-label"
+
   /** Stored-index read normalized back to the encode schema (cell cast
     * long, original column order); the optimizer unwraps the cast when
     * pruning, so the probed-cell filter still partition-prunes.
     */
   private def normalizedPqRead(t: graft.tables.ParquetTable): DataFrame =
     t.read.select(col("vec_id"), col("cell").cast("long").as("cell"),
-      col("codes"), col("rnorm"))
+      col("codes"), col("rnorm"), col("label"))
 
   /** The encoded index resolved against the dataset's current backing
     * files — [[Similarity.resolveIvfIndex]]'s lifecycle for the PQ
@@ -125,7 +132,7 @@ object IvfPq {
         try {
           val t = IndexStore.corpusIndexTable(s, kind, d)
           t.overwrite(computed, partitionBy = Seq("cell"))
-          IndexStore.commitCorpusIndexState(kind, d, fp, meta)
+          IndexStore.commitCorpusIndexState(kind, d, fp, meta, PqFormat)
           normalizedPqRead(t)
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -142,7 +149,7 @@ object IvfPq {
         books <- ProductQuantization.pinnedCodebooks(s, d, qfp, fp)
       } yield (cs, books)
 
-    IndexStore.resolveCorpusIndex(s, kind, d, meta) match {
+    IndexStore.resolveCorpusIndex(s, kind, d, meta, PqFormat) match {
       case IndexStore.CorpusIndexHit(qfp) =>
         pinned(qfp) match {
           case Some((cs, books)) =>
@@ -157,12 +164,15 @@ object IvfPq {
               val t = IndexStore.corpusIndexTable(s, kind, d)
               val toAppend = IndexStore.filesNeedingAppend(s, t, newFiles)
               if (toAppend.nonEmpty) {
-                val fresh = s.read.parquet(toAppend: _*)
-                  .select(col("vec_id"), col("embedding"))
+                val freshRaw = s.read.parquet(toAppend: _*)
+                val fresh = freshRaw.select(
+                  col("vec_id") +: col("embedding") +:
+                    (if (freshRaw.columns.contains("label"))
+                      Seq(col("label")) else Nil): _*)
                 t.append(encodeRows(s, fresh, cs, books),
                   partitionBy = Seq("cell"))
               }
-              IndexStore.commitCorpusIndexState(kind, d, qfp, meta)
+              IndexStore.commitCorpusIndexState(kind, d, qfp, meta, PqFormat)
               IndexStore.maybeCompactCorpusIndex(s, kind, d)
               (cs, books, normalizedPqRead(t))
             } catch {
@@ -184,10 +194,15 @@ object IvfPq {
     encodeRows(s, load(s, d, "embeddings"), centroids, books)
   }
 
-  /** (vec_id, cell, codes, rnorm): the compressed index row. One narrow
-    * typed pass; `rnorm` is the reconstruction's norm — |v̂|² is the sum
-    * of the chosen codewords' squared norms because subspaces
-    * concatenate — so ADC can score cosines without touching v.
+  /** (vec_id, cell, codes, rnorm, label): the compressed index row. One
+    * narrow typed pass; `rnorm` is the reconstruction's norm — |v̂|² is
+    * the sum of the chosen codewords' squared norms because subspaces
+    * concatenate — so ADC can score cosines without touching v. `label`
+    * rides beside the codes (round-15 filtered IVF-PQ, the
+    * [[Similarity.assignRows]] rule): a filtered probe's predicate then
+    * lands on the pruned code scan as a parquet PushedFilter next to
+    * the cell PartitionFilter, so ADC ranking only ever sees qualifying
+    * rows. A corpus without the column indexes a constant 0.
     */
   private[graft] def encodeRows(s: SparkSession, vectors: DataFrame,
       centroids: Array[(Long, Array[Double], Double)],
@@ -195,14 +210,17 @@ object IvfPq {
     import s.implicits._
     val bcC = s.sparkContext.broadcast(centroids)
     val bcB = s.sparkContext.broadcast(books)
-    vectors.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+    val labelCol =
+      if (vectors.columns.contains("label")) col("label").cast("int")
+      else lit(0)
+    vectors.select(col("vec_id"), col("embedding"), labelCol.as("label"))
+      .as[(Long, Array[Float], Int)]
       .mapPartitions { rows =>
         val cs = bcC.value
         val bs = bcB.value
         val m = bs.length
         val ds = bs(0)(0).length
-        rows.map { case (id, v) =>
+        rows.map { case (id, v, label) =>
           val cell = Similarity.rankedCells(cs, v).head
           val codes = new Array[Byte](m)
           var rn2 = 0.0
@@ -228,9 +246,9 @@ object IvfPq {
             while (i < ds) { rn2 += c(i) * c(i); i += 1 }
             mi += 1
           }
-          (id, cell, codes, math.sqrt(rn2))
+          (id, cell, codes, math.sqrt(rn2), label)
         }
-      }.toDF("vec_id", "cell", "codes", "rnorm")
+      }.toDF("vec_id", "cell", "codes", "rnorm", "label")
   }
 
   /** Top-10 per query (vec_id < 20), IVF-routed, ADC-ranked, exactly
@@ -322,6 +340,141 @@ object IvfPq {
         col("score"), col("rn").cast("int").as("rn"))
   }
 
+  /** FILTERED IVF-PQ ANN (round-15, closing the filtered-ANN contract
+    * on the compressed index): q87's ADC pipeline under a metadata
+    * predicate, with the q273 design rules —
+    *
+    *  1. The predicate lands AT THE CODE SCAN (the stored row carries
+    *     the filter column beside the codes, so the cell `isin` stays a
+    *     PartitionFilter and the predicate is an ordinary parquet
+    *     PushedFilter); ADC ranking and the re-rank pool only ever see
+    *     qualifying rows — a post-filter on the top-k would silently
+    *     under-return, the exact failure q273 was built to kill.
+    *  2. ADAPTIVE PROBE DOUBLING: queries short of overFetch·k
+    *     qualifying ADC candidates re-probe with doubled nProbe (only
+    *     the deficient queries pay), until the probe set is the whole
+    *     cell space — at which point every qualifying code was ADC-
+    *     scored and the result is exact-within-ADC, so the operator
+    *     never under-returns.
+    *
+    * The ADC scan and exact re-rank are q87's shapes unchanged: codes
+    * move for candidates, full embeddings only for RerankPool rows per
+    * query.
+    */
+  private[graft] def ivfPqTopKFiltered(s: SparkSession, d: String,
+      pred: org.apache.spark.sql.Column, k: Int = 10,
+      nProbe0: Int = NProbe, overFetch: Int = 3): DataFrame = {
+    import s.implicits._
+    val (centroids, books, index) = resolvePqIndex(s, d)
+    val qvecs = load(s, d, "embeddings").filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val m = books.length
+    val ds = books(0)(0).length
+    val luts: Array[(Array[Array[Double]], Double)] =
+      qvecs.map { case (_, qv) =>
+        val lut = Array.tabulate(m, books(0).length) { (mi, kk) =>
+          val c = books(mi)(kk)
+          var dot = 0.0
+          var i = 0
+          while (i < ds) { dot += qv(mi * ds + i).toDouble * c(i); i += 1 }
+          dot
+        }
+        (lut, Similarity.vecNorm(qv))
+      }
+    val bcLut = s.sparkContext.broadcast(luts)
+    def adcCandidates(ords: Seq[Int], nProbe: Int): DataFrame = {
+      val probeRows = ords.flatMap { ord =>
+        val (qid, qv) = qvecs(ord)
+        Similarity.rankedCells(centroids, qv).take(nProbe)
+          .map(c => (qid, ord, c))
+      }
+      val probedCells = probeRows.map(_._3).distinct.sorted
+      val probes = probeRows.toDF("query_id", "query_ord", "probe_cell")
+      index.filter(col("cell").isin(probedCells: _*) && pred)
+        .join(broadcast(probes),
+          col("cell") === col("probe_cell") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("query_ord"), col("vec_id"),
+          col("codes"), col("rnorm"))
+        .as[(Long, Int, Long, Array[Byte], Double)]
+        .mapPartitions { rows =>
+          val tables = bcLut.value
+          rows.map { case (qid, ord, vid, codes, rnorm) =>
+            val (lut, qnorm) = tables(ord)
+            var adot = 0.0
+            var mi = 0
+            while (mi < codes.length) {
+              adot += lut(mi)(codes(mi) & 0xff); mi += 1
+            }
+            val denom = qnorm * rnorm
+            (qid, vid, if (denom == 0.0) 0.0 else adot / denom)
+          }
+        }.toDF("query_id", "vec_id", "ascore")
+    }
+    val emb = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qemb = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val poolW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id").asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    def finish(approx: DataFrame): DataFrame = {
+      val pool = approx.withColumn("prn", row_number().over(poolW))
+        .filter(col("prn") <= RerankPool)
+        .select(col("query_id"), col("vec_id"))
+      emb.join(broadcast(pool), "vec_id").join(broadcast(qemb), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          Similarity.fastCosine(s)(col("qv"), col("embedding")).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("query_id"), col("vec_id"),
+          col("score"), col("rn").cast("int").as("rn"))
+    }
+    var remaining: Seq[Int] = qvecs.indices.toSeq
+    var nProbe = nProbe0
+    val finals = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    while (remaining.nonEmpty) {
+      // consumed twice (counts + pool) UNCHECKPOINTED, the q273 rule:
+      // the pruned code scan is cheap to recompute and checkpointing
+      // would hide the PartitionFilters/PushedFilters scan from the
+      // emitted plan (FilteredAnnSpec pins the scan shape)
+      val approx = adcCandidates(remaining, nProbe)
+      if (nProbe >= centroids.length) {
+        finals += finish(approx) // whole cell space: every qualifying code seen
+        remaining = Nil
+      } else {
+        // candidate-depth satisfaction (q273's over-fetch rule): one
+        // |queries|-row collect per round, bounded by the probe set
+        val counts = approx.groupBy("query_id").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val (done, notDone) = remaining.partition { ord =>
+          counts.getOrElse(qvecs(ord)._1, 0L) >= k.toLong * overFetch
+        }
+        if (done.nonEmpty)
+          finals += finish(approx
+            .filter(col("query_id").isin(done.map(qvecs(_)._1): _*)))
+        remaining = notDone
+        nProbe = math.min(centroids.length, nProbe * 2)
+      }
+    }
+    finals.reduce(_.unionByName(_))
+  }
+
+  /** Filtered IVF-PQ ANN: label = 1 pushed into the code scan, adaptive
+    * probe widening, exact re-rank of the qualifying pool.
+    */
+  private val q275 = QueryDef(
+    (s, d) => ivfPqTopKFiltered(s, d, col("label") === 1),
+    // derived oracle restricted to the FILTERED universe (q273's
+    // pattern): an emitted row with label != 1 vanishes from the
+    // verified frame and fails the hash compare
+    Some(Similarity.emittedTopKOracle("q275_ann_ivfpq_filtered",
+      "e.label = 1")),
+    "filtered IVF-PQ ANN top-10: label=1 pushed to the code scan, " +
+      "adaptive probe widening, exact re-rank [similarity,approx]")
+
   private val q87 = QueryDef(
     (s, d) => ivfPqTopK(s, d),
     // pair-level derived oracle (Similarity.emittedTopKOracle): emitted
@@ -333,5 +486,6 @@ object IvfPq {
       s"re-rank of $RerankPool [similarity,approx]")
 
   def all: Seq[(String, QueryDef)] = Seq(
-    "q87_ann_ivfpq" -> q87)
+    "q87_ann_ivfpq" -> q87,
+    "q275_ann_ivfpq_filtered" -> q275)
 }

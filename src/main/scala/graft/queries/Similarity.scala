@@ -177,20 +177,56 @@ object Similarity {
     }
   }
 
-  /** (vec_id, embedding, bucket) rows for all L tables over `vectors`,
-    * one typed partition pass (plane dots in a primitive loop — Spark's
-    * higher-order array functions are interpreted and ~30x slower
-    * here).
+  /** All bucket ids within Hamming distance `radius` of the vector's L
+    * signatures — multi-probe LSH (Lv et al., VLDB'07): a deficient
+    * filtered query widens its probe set by perturbing signature bits
+    * instead of re-scanning the corpus, the LSH analogue of IVF's
+    * probe-doubling. radius=0 is exactly [[bucketIdsOf]]; radius=1 adds
+    * BitsPerTable buckets per table (the partition-pruned widening is
+    * L·(1+K) directories at these settings — still a static
+    * PartitionFilter, never a scan).
+    */
+  private[graft] def multiprobeBucketIdsOf(v: Array[Float],
+      radius: Int): Array[Int] = {
+    val exact = bucketIdsOf(v)
+    if (radius <= 0) exact
+    else {
+      val out = scala.collection.mutable.LinkedHashSet[Int]()
+      def expand(sig: Int, table: Int, fromBit: Int, left: Int): Unit = {
+        out += sig
+        if (left > 0) {
+          var b = fromBit
+          while (b < BitsPerTable) {
+            expand(sig ^ (1 << b), table, b + 1, left - 1)
+            b += 1
+          }
+        }
+      }
+      exact.zipWithIndex.foreach { case (sig, t) => expand(sig, t, 0, radius) }
+      out.toArray
+    }
+  }
+
+  /** (vec_id, embedding, bucket, label) rows for all L tables over
+    * `vectors`, one typed partition pass (plane dots in a primitive
+    * loop — Spark's higher-order array functions are interpreted and
+    * ~30x slower here). `label` rides into the bucket row for the same
+    * reason it rides into the inverted file ([[assignRows]]): a
+    * filtered probe's predicate must land on the pruned index scan as
+    * a parquet PushedFilter, not post-filter a top-k.
     */
   private def bucketRows(s: SparkSession, vectors: DataFrame): DataFrame = {
     import s.implicits._
-    vectors.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+    val labelCol =
+      if (vectors.columns.contains("label")) col("label").cast("int")
+      else lit(0)
+    vectors.select(col("vec_id"), col("embedding"), labelCol.as("label"))
+      .as[(Long, Array[Float], Int)]
       .mapPartitions { rows =>
-        rows.flatMap { case (id, v) =>
-          bucketIdsOf(v).iterator.map(bkt => (id, v, bkt))
+        rows.flatMap { case (id, v, label) =>
+          bucketIdsOf(v).iterator.map(bkt => (id, v, bkt, label))
         }
-      }.toDF("vec_id", "embedding", "bkt")
+      }.toDF("vec_id", "embedding", "bkt", "label")
   }
 
   /** Version marker recorded as the LSH index's "quantizer": the planes
@@ -200,7 +236,10 @@ object Similarity {
     * every stored bucket table, and bumping this string does exactly
     * that through the ordinary pin-mismatch path.
     */
-  private val LshPlanesVersion = "planes:xorshift64s:L16xK4:v1"
+  // v2: bucket rows carry the `label` filter column (round-15 filtered
+  // LSH) — bumping the scheme string rebuilds every v1 store through
+  // the ordinary pin-mismatch path
+  private val LshPlanesVersion = "planes:xorshift64s:L16xK4:v2-label"
 
   /** Number of in-JVM full-corpus bucketing passes for the LSH index —
     * lets IncrementalIndexSpec prove the delta path never re-buckets
@@ -210,7 +249,8 @@ object Similarity {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def normalizedLshRead(t: graft.tables.ParquetTable): DataFrame =
-    t.read.select(col("vec_id"), col("bkt").cast("int").as("bkt"))
+    t.read.select(col("vec_id"), col("bkt").cast("int").as("bkt"),
+      col("label"))
 
   /** The persisted multi-table LSH index — (vec_id, bkt) partitioned by
     * bkt, [[resolveIvfIndex]]'s lifecycle for the hyperplane buckets.
@@ -318,7 +358,7 @@ object Similarity {
     def rebuild(): DataFrame = {
       lshBucketCount.incrementAndGet()
       val computed = bucketRows(s, load(s, d, "embeddings"))
-        .select(col("vec_id"), col("bkt"))
+        .select(col("vec_id"), col("bkt"), col("label"))
       try {
         val t = IndexStore.corpusIndexTable(s, kind, d)
         t.overwrite(computed, partitionBy = Seq("bkt"))
@@ -339,9 +379,13 @@ object Similarity {
           val t = IndexStore.corpusIndexTable(s, kind, d)
           val toAppend = IndexStore.filesNeedingAppend(s, t, newFiles)
           if (toAppend.nonEmpty) {
-            val fresh = s.read.parquet(toAppend: _*)
-              .select(col("vec_id"), col("embedding"))
-            t.append(bucketRows(s, fresh).select(col("vec_id"), col("bkt")),
+            val freshRaw = s.read.parquet(toAppend: _*)
+            val fresh = freshRaw.select(
+              col("vec_id") +: col("embedding") +:
+                (if (freshRaw.columns.contains("label"))
+                  Seq(col("label")) else Nil): _*)
+            t.append(bucketRows(s, fresh)
+              .select(col("vec_id"), col("bkt"), col("label")),
               partitionBy = Seq("bkt"))
           }
           IndexStore.commitCorpusIndexState(kind, d, LshPlanesVersion, meta)
@@ -403,6 +447,110 @@ object Similarity {
     Some(emittedTopKOracle("q39_ann_lsh")), // pair-level derived oracle;
     // recall vs q38 measured in specs
     "LSH ANN top-10, 16 tables x 4-bit hyperplane buckets [similarity]")
+
+  /** FILTERED LSH ANN (round-15, closing the filtered-ANN contract on
+    * the last hash index): q39's bucket probe under a metadata
+    * predicate, with the q273 design rules —
+    *
+    *  1. The predicate lands AT THE INDEX SCAN (the bucket table stores
+    *     the filter column beside the bucket id, so the probed-bucket
+    *     `isin` is a PartitionFilter and the predicate an ordinary
+    *     parquet PushedFilter); candidates the ranking sees are
+    *     qualifying by construction, never post-filtered out of a
+    *     top-k.
+    *  2. ADAPTIVE WIDENING, the LSH analogue of q273's probe-doubling:
+    *     a query short of overFetch·k qualifying candidates re-probes
+    *     with MULTI-PROBE buckets (Hamming-1 perturbations of its L
+    *     signatures — Lv et al., VLDB'07), which widens the
+    *     partition-pruned read from L to L·(1+K) directories without
+    *     any corpus scan. Still-deficient queries fall back to the
+    *     exact filtered scan for themselves alone (the bounded
+    *     no-under-return backstop), tombstone-masked exactly like the
+    *     bucket path.
+    */
+  private[graft] def lshTopKFiltered(s: SparkSession, d: String,
+      pred: Column, k: Int = 10, overFetch: Int = 3): DataFrame = {
+    import s.implicits._
+    val idx = resolveLshIndex(s, d) // masked (vec_id, bkt, label)
+    val e = load(s, d, "embeddings")
+    val emb = e.select(col("vec_id"), col("embedding"))
+    val qvecs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qemb = qvecs.toSeq.toDF("query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    def topK(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"),
+        col("score"), col("rn").cast("int").as("rn"))
+    def score(cands: DataFrame): DataFrame = cands
+      .join(emb, "vec_id") // embeddings only for qualifying candidates
+      .join(broadcast(qemb), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        fastCosine(s)(col("qv"), col("embedding")).as("score"))
+    var remaining: Seq[(Long, Array[Float])] = qvecs.toSeq
+    val finals = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (radius <- 0 to 1 if remaining.nonEmpty) {
+      val qRows = remaining.flatMap { case (qid, v) =>
+        multiprobeBucketIdsOf(v, radius).toSeq.map(b => (qid, b))
+      }
+      val probed = qRows.map(_._2).distinct.sorted
+      val q = qRows.toDF("query_id", "qbkt")
+      val cands = idx.filter(col("bkt").isin(probed: _*) && pred)
+        .join(broadcast(q),
+          col("bkt") === col("qbkt") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+        .distinct() // collapse multi-table collisions as 16-byte pairs
+      // (consumed twice — counts + emit — UNCHECKPOINTED, the q273
+      // rule: the pruned bucket scan is cheap and a checkpoint would
+      // hide the scan shape FilteredAnnSpec pins)
+      // candidate-depth satisfaction, the q273 over-fetch rule: one
+      // |queries|-row collect per round, driver-bounded by the fixed
+      // query-set size
+      val counts = cands.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (done, notDone) = remaining.partition { case (qid, _) =>
+        counts.getOrElse(qid, 0L) >= k.toLong * overFetch || radius == 1
+      }
+      val satisfied = done.filter { case (qid, _) =>
+        counts.getOrElse(qid, 0L) >= k.toLong * overFetch
+      }
+      if (satisfied.nonEmpty)
+        finals += topK(score(cands
+          .filter(col("query_id").isin(satisfied.map(_._1): _*))))
+      // multiprobe-exhausted leftovers: exact filtered scan for THESE
+      // queries only — |deficient| broadcast against the pushed-
+      // predicate embedding scan, masked like the bucket path (a
+      // takedown must not resurface through the backstop)
+      val leftover = done.filterNot(satisfied.contains)
+      if (leftover.nonEmpty) {
+        val lq = leftover.toDF("query_id", "qv")
+        finals += topK(graft.tables.IndexStore.maskTombstones(s,
+          "lsh_index", d,
+          e.filter(pred)
+            .join(broadcast(lq), col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id"),
+              fastCosine(s)(col("qv"), col("embedding")).as("score")),
+          cols = Seq("vec_id")))
+      }
+      remaining = notDone
+    }
+    finals.reduce(_.unionByName(_))
+  }
+
+  /** Filtered LSH ANN: label = 1 pushed into the bucket scan,
+    * Hamming-1 multiprobe widening, exact filtered backstop.
+    */
+  private val q276 = QueryDef(
+    (s, d) => lshTopKFiltered(s, d, col("label") === 1),
+    // derived oracle restricted to the FILTERED universe (q273's
+    // pattern): an emitted row with label != 1 vanishes from the
+    // verified frame and fails the hash compare
+    Some(emittedTopKOracle("q276_ann_lsh_filtered", "e.label = 1")),
+    "filtered LSH ANN top-10: label=1 pushed to the bucket scan, " +
+      "Hamming-1 multiprobe widening, exact backstop [similarity]")
 
   /** Rows per broadcast block in the blocked 1-NN. Sized so the sf0.1
     * correctness gate exercises the multi-block argmax merge (2000
@@ -1943,6 +2091,7 @@ object Similarity {
     "q271_ann_rbo" -> q271,
     "q250_mmr_diversify" -> q250,
     "q39_ann_lsh" -> q39,
+    "q276_ann_lsh_filtered" -> q276,
     "q40_dedup_embedding" -> q40,
     "q54_ann_ivf" -> q54,
     "q273_ann_filtered" -> q273,

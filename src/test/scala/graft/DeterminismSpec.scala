@@ -156,7 +156,15 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     "q273_ann_filtered",
     // graph-filtered: beam-widening decisions + the exact backstop cut
     // must be partition-invariant end to end
-    "q274_ann_graph_filtered")
+    "q274_ann_graph_filtered",
+    // filtered IVF-PQ: probe-doubling decisions count qualifying ADC
+    // candidates per query; the ADC pool cut and exact re-rank must be
+    // partition-invariant
+    "q275_ann_ivfpq_filtered",
+    // filtered LSH: the multiprobe-widening decision (over-fetch floor
+    // on distinct qualifying candidates) and the masked exact backstop
+    // must be partition-invariant
+    "q276_ann_lsh_filtered")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

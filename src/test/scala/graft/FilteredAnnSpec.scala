@@ -137,4 +137,86 @@ class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
       .findFirstIn(plan).nonEmpty,
       s"the label predicate must reach the parquet scan as a pushed filter:\n$plan")
   }
+
+  // ---- q275/q276 (round-15): the same contract on the last two indexes ----
+
+  private def purityFillRecall(q: String): Unit = {
+    val df = SparkEntry.queries(q)(spark, Sf)
+    val e = graft.common.Tables.load(spark, Sf, "embeddings")
+    assert(df.join(e.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") =!= 1).count() == 0,
+      s"$q: filter leaked past the index scan")
+    val nFiltered = e.filter(col("label") === 1).count()
+    val selfFiltered = e.filter(col("label") === 1 && col("vec_id") < 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val counts = df.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size == 20, s"$q: all 20 queries must answer")
+    counts.foreach { case (qid, n) =>
+      val universe = nFiltered - (if (selfFiltered.contains(qid)) 1 else 0)
+      assert(n == math.min(K.toLong, universe),
+        s"$q query $qid returned $n of ${math.min(K.toLong, universe)} " +
+          "— adaptive widening / backstop failed")
+    }
+    val exact = exactFiltered()
+    val approx = df.select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(1)).toSet
+      }
+    val recalls = exact.map { case (qid, ids) =>
+      approx.get(qid).map(a => (a & ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // at sf0.001's sparse filtered universe most queries widen to full
+    // coverage (q275: whole cell space + a RerankPool that covers the
+    // universe = exact; q276: multiprobe then the exact backstop), so
+    // the floor is high; early-satisfied queries are the approximate
+    // remainder
+    assert(mean >= 0.9, s"$q mean filtered recall@$K = $mean")
+  }
+
+  test("q275 IVF-PQ-filtered: purity, fill, and recall vs the exact filtered baseline") {
+    purityFillRecall("q275_ann_ivfpq_filtered")
+  }
+
+  test("q276 LSH-filtered: purity, fill, and recall vs the exact filtered baseline") {
+    purityFillRecall("q276_ann_lsh_filtered")
+  }
+
+  test("q275: the label predicate reaches the stored CODE scan beside the cell pruning") {
+    val q = SparkEntry.queries("q275_ann_ivfpq_filtered")
+    q(spark, Sf).collect() // warm the store
+    val plan = q(spark, Sf).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ (INSET|IN)".r
+      .findFirstIn(plan).nonEmpty,
+      s"probed cells must prune the code table's partitions:\n$plan")
+    assert("PushedFilters: \\[.*EqualTo\\(label,1\\)".r
+      .findFirstIn(plan).nonEmpty,
+      s"the label predicate must reach the code scan as a pushed filter:\n$plan")
+  }
+
+  test("q276: the label predicate reaches the stored BUCKET scan beside the bkt pruning") {
+    val q = SparkEntry.queries("q276_ann_lsh_filtered")
+    q(spark, Sf).collect() // warm the store
+    val plan = q(spark, Sf).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[bkt#\\d+ (INSET|IN)".r
+      .findFirstIn(plan).nonEmpty,
+      s"probed buckets must prune the bucket table's partitions:\n$plan")
+    assert("PushedFilters: \\[.*EqualTo\\(label,1\\)".r
+      .findFirstIn(plan).nonEmpty,
+      s"the label predicate must reach the bucket scan as a pushed filter:\n$plan")
+  }
+
+  test("multiprobe widening is real: Hamming-1 ids strictly contain the exact ids") {
+    val e = graft.common.Tables.load(spark, Sf, "embeddings")
+    val v = e.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val exact = Similarity.multiprobeBucketIdsOf(v, 0).toSet
+    val widened = Similarity.multiprobeBucketIdsOf(v, 1).toSet
+    assert(exact.subsetOf(widened))
+    // 16 tables x (1 exact + 4 one-bit perturbations), all distinct by
+    // the table-prefix encoding
+    assert(exact.size == 16 && widened.size == 16 * 5,
+      s"got ${exact.size} exact / ${widened.size} widened")
+  }
 }

@@ -117,6 +117,26 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSpec {
       .foreach(IndexStore.clearTombstones(_, Sf))
   }
 
+  test("a takedown masks ALL filtered paths, including the exact backstops") {
+    // ADVICE r14: q274's beam-cap backstop brute-forced raw embeddings
+    // without the mask, so a taken-down label=1 id was still served
+    // whenever a query fell to the backstop — the COMMON path at sparse
+    // filters. Drop ids that the filtered queries actually return and
+    // assert none of the four filtered operators (scan paths AND
+    // backstops) ever serves them again.
+    val filteredQs = Seq("q273_ann_filtered", "q274_ann_graph_filtered",
+      "q275_ann_ivfpq_filtered", "q276_ann_lsh_filtered")
+    val drop = filteredQs.flatMap(q => returned(q).map(_._2)).distinct.take(3)
+    assert(drop.nonEmpty)
+    Seq("ivf_index", "lsh_index", "pq_index", "nsw_index")
+      .foreach(k => IndexStore.addTombstones(spark, k, Sf, drop))
+    try filteredQs.foreach { q =>
+      assert(returned(q).forall { case (_, v) => !drop.contains(v) },
+        s"$q still serves a taken-down id through its scan or backstop")
+    } finally Seq("ivf_index", "lsh_index", "pq_index", "nsw_index")
+      .foreach(IndexStore.clearTombstones(_, Sf))
+  }
+
   test("IVF fold: past the threshold the index physically drops the rows") {
     val drop = returned("q54_ann_ivf").map(_._2).distinct.take(3)
     val trainBefore = Similarity.kMeansTrainCount.get()
