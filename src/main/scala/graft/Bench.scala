@@ -145,6 +145,44 @@ object Bench {
     }.toMap
   }
 
+  /** The box's demonstrated steady probe time: the median across CLEAN
+    * history lines of each line's median probe (round-15). The probe
+    * workload is FIXED (sum over 50M ids at the same core count), so
+    * its absolute seconds are a box-speed dial comparable across runs —
+    * which is what `probe_ratio` (an in-run RELATIVE shift detector)
+    * deliberately is not: a box uniformly 1.2x slow all run reads
+    * probe_ratio ≈ 1.0 but probe_median 1.2x high. Dividing the total
+    * by (probe_median / this reference) yields `value_norm`, the
+    * quiet-box-equivalent total that makes cross-round diffs
+    * machine-comparable without hand-adjudicating box speed (the r14
+    * 96.04 s vs 87.96 s same-code confusion). None when history has no
+    * clean full-registry line — value_norm then equals value.
+    */
+  def cleanProbeRef(lines: Seq[String], minQueries: Int): Option[Double] = {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val perLine = lines.flatMap { line =>
+      try {
+        val o = common.Json.obj(common.Json.parse(line))
+        val probeOk = o.get("probe_ratio").forall {
+          case d: Double => d <= 1.05
+          case _ => true
+        }
+        val hotOk = o.get("hot_run").forall { case b: Boolean => !b; case _ => true }
+        val cleanOk = o.get("window_clean").forall { case b: Boolean => b; case _ => true }
+        val qs = o.get("queries").map(common.Json.obj).getOrElse(Map.empty)
+        val probes = o.get("probe_secs").map(common.Json.arr).getOrElse(Nil)
+          .collect { case d: Double => d }
+        if (probeOk && hotOk && cleanOk && qs.size >= minQueries &&
+            probes.nonEmpty) Some(median(probes))
+        else None
+      } catch { case _: Exception => None }
+    }
+    if (perLine.isEmpty) None else Some(median(perLine))
+  }
+
   /** Queries whose measured time exceeds `factor` x their clean-history
     * median — the candidates for a third measurement. Capped: a build
     * with a GENUINE fleet-wide regression should show it, not spend an
@@ -297,14 +335,15 @@ object Bench {
     // the SAME warmed JVM separates the two, and both numbers ride
     // along in the JSON so the adjudication is visible in the line
     val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")
-    val medians: Map[String, Double] =
+    val historyLines: Seq[String] =
       try {
         val p = java.nio.file.Paths.get(historyPath)
         if (java.nio.file.Files.exists(p)) {
           import scala.jdk.CollectionConverters._
-          cleanMedians(java.nio.file.Files.readAllLines(p).asScala.toSeq, minQueries = 200)
-        } else Map.empty
-      } catch { case _: Exception => Map.empty }
+          java.nio.file.Files.readAllLines(p).asScala.toSeq
+        } else Nil
+      } catch { case _: Exception => Nil }
+    val medians: Map[String, Double] = cleanMedians(historyLines, minQueries = 200)
     val flagged = rerunCandidates(afterPass2, medians, factor = 1.5, cap = 20)
     val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = afterPass2.map { case (name, t) =>
@@ -341,6 +380,38 @@ object Bench {
       jstr(k) + ":[" + f(before) + "," + f(again) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // probe-normalized total (round-15): probe_median_secs is the box's
+    // ABSOLUTE speed dial during this run (fixed probe workload). The
+    // correction is DAMPENED, not linear: the probe is pure-CPU while
+    // the registry mixes I/O, shuffles, and driver round trips, so the
+    // total moves far less than the probe — the r14 same-code pair
+    // (87.96 s at probe 0.0642 vs 96.04 s at 0.0982) measures an
+    // elasticity of log(96.04/87.96)/log(0.0982/0.0642) ≈ 0.21. A
+    // linear model would "normalize" that 96.04 to 71 s — a number the
+    // box never produced; the dampened model lands it at ~88 s, on top
+    // of the clean measurement. Elasticity env-overridable as more
+    // same-code pairs accumulate.
+    val probeMedian = {
+      val s = probes.sorted; val n = s.size
+      if (n == 0) 0.0
+      else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val probeRef: Option[Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_REF_PROBE").map(_.toDouble)
+        .orElse(cleanProbeRef(historyLines, minQueries = 200))
+    val elasticity = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_PROBE_ELASTICITY", "0.21").toDouble
+    val valueNorm = probeRef match {
+      case Some(ref) if ref > 0 && probeMedian > 0 =>
+        total / math.pow(probeMedian / ref, elasticity)
+      case _ => total
+    }
+    // the clean-history medians the rerun flagging used, echoed for the
+    // queries in this run: the line is then self-contained for per-query
+    // drift adjudication (tools/bench_diff.py reads them back)
+    val medJson = results.collect {
+      case (k, _) if medians.contains(k) => "\"" + k + "\":" + f(medians(k))
+    }.mkString("{", ",", "}")
     val env = s""""started_at":${jstr(startedAt.toString)},""" +
       s""""load_avg_launch":${f(loadLaunch)},""" +
       s""""load_avg_start":${f(loadStart)},"load_avg_end":${f(loadAvg())},""" +
@@ -351,7 +422,10 @@ object Bench {
       s""""window_reasons":[${reasons.map(jstr).mkString(",")}],""" +
       s""""reruns":$rerunJson"""
     val line =
-      s"""{"queries":$qs,"errors":$errJson,$env,"sf":"$sfDir","metric":"total","value":${f(total)},"unit":"sec"}"""
+      s"""{"queries":$qs,"clean_medians":$medJson,"errors":$errJson,$env,"sf":"$sfDir",""" +
+      s""""probe_median_secs":${f(probeMedian)},""" +
+      probeRef.fold("")(r => s""""probe_ref_secs":${f(r)},""") +
+      s""""value_norm":${f(valueNorm)},"metric":"total","value":${f(total)},"unit":"sec"}"""
     println(line)
     // per-query history: append every CERTIFIED run (timestamped) so
     // later rounds can diff query-by-query against earlier recordings,

@@ -94,6 +94,42 @@ object CorpusPipeline {
       broadcast(drops.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
   }
 
+  /** Curation drops reach the persisted ANN indexes' takedown path
+    * AUTOMATICALLY (round-15, closing the r14 gap where a curated-out
+    * doc stayed servable from ANN until someone ran `IndexMain
+    * --tombstone`): every doc the pass drops as an exact duplicate,
+    * near-duplicate, or benchmark contamination is tombstoned against
+    * all four index kinds in the same pass — probes mask immediately
+    * with no rebuild; the threshold fold removes the rows physically
+    * later. doc_id ≡ vec_id (the embeddings are the documents'
+    * vectors). Only NEW ids are appended (one bounded read of the live
+    * set per kind), so replays are idempotent. QUALITY-floor rejects
+    * are deliberately NOT tombstoned: they are training-export
+    * membership decisions, not "this content must never serve"
+    * decisions — the dedup/decontamination drops are. Failures
+    * propagate: a drop that silently doesn't reach the serve path is
+    * the exact compliance bug this wiring exists to kill.
+    */
+  private[graft] def tombstoneCurationDrops(s: SparkSession, d: String,
+      drops: Set[Long]): Unit = {
+    if (drops.isEmpty) return
+    import graft.tables.IndexStore
+    Seq("ivf_index", "lsh_index", "pq_index", "nsw_index").foreach { kind =>
+      val live = IndexStore.tombstoneIds(s, kind, d).toSet
+      val fresh = (drops -- live).toSeq.sorted
+      if (fresh.nonEmpty) IndexStore.addTombstones(s, kind, d, fresh)
+    }
+  }
+
+  /** Bounded drop-set collect: the ids of `before` missing from
+    * `after` (anti-join then collect — bounded by the drop mass, never
+    * the corpus).
+    */
+  private def droppedIds(before: DataFrame, after: DataFrame): Set[Long] =
+    before.select("doc_id")
+      .join(after.select("doc_id"), Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+
   /** Quality floor + exact dedup in one plan (q56's composition). */
   private[graft] def cleanDocs(docs: DataFrame): DataFrame = {
     val keep = Window.partitionBy(col("content_hash"))
@@ -185,7 +221,11 @@ object CorpusPipeline {
     // stand-in for what a 100 TB run does anyway — materialize the
     // survivor frame (as this pipeline already does for chunks/packed)
     // instead of re-running the quality+dedup+near-dup plan per reader
-    val nearKept = nearDupSurvivors(spark, cleaned).localCheckpoint()
+    val nearPairs = Dedup.lshNearDupPairsOf(spark, cleaned)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nearDrops = Dedup.greedyNearDupDrops(nearPairs)
+    val nearKept = dropById(spark, cleaned, nearDrops).localCheckpoint()
     val nNearDup = nearKept.count()
     Dedup.bandSetsFrom(spark, nearKept)
       .write.mode("overwrite").parquet(s"$outDir/lsh_index")
@@ -217,6 +257,15 @@ object CorpusPipeline {
     val training = decontaminateWithGrams(spark,
       spark.read.parquet(s"$outDir/bench_grams"), nearKept, isBench)
 
+    // auto-tombstone the curation drops against the ANN indexes:
+    // exact-dup drops (quality-passing docs deduped away), near-dup
+    // drops (greedy walk victims), contamination drops (bench-gram
+    // sharers). Each set is drop-mass-bounded.
+    val exactDrops = droppedIds(docs.filter(passesQuality), cleaned)
+    val contamDrops = droppedIds(nearKept.filter(!isBench), training)
+    tombstoneCurationDrops(spark, sfDir,
+      exactDrops ++ nearDrops ++ contamDrops)
+
     val chunks = TextOps.chunkDocs(spark, training)
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
 
@@ -238,7 +287,7 @@ object CorpusPipeline {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     writeStats(outDir, summary,
       docs.agg(max(col("doc_id"))).collect()(0).getLong(0),
-      containCap, nContainment)
+      containCap, nContainment, datasetDir = Some(sfDir))
     summary
   }
 
@@ -250,10 +299,17 @@ object CorpusPipeline {
     */
   private def writeStats(outDir: String, summary: Summary,
       maxDocId: Long, containCap: Long, nContainmentPairs: Long,
-      ledger: Map[String, Long] = Map.empty): Unit =
+      ledger: Map[String, Long] = Map.empty,
+      datasetDir: Option[String] = None): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/corpus_stats.json"),
-      JsonIO.render(Map(
+      JsonIO.render(
+        // the source dataset dir keys the ANN indexes' tombstone
+        // tables, so incremental batches (which never see the corpus)
+        // can still route their curation drops to the right indexes
+        datasetDir.fold(Map.empty[String, Any])(d =>
+          Map("dataset_dir" -> d)) ++
+        Map(
         "n_input" -> summary.nInput,
         "n_after_quality" -> summary.nAfterQuality,
         "n_after_dedup" -> summary.nAfterDedup,
@@ -488,6 +544,19 @@ object CorpusPipeline {
     val training = decontaminateWithGrams(spark,
       spark.read.parquet(s"$outDir/bench_grams"), nearNew, isBench)
 
+    // auto-tombstone the batch's curation drops (exact dup-of-batch,
+    // dup-of-corpus, near-dup victims, contamination) against the ANN
+    // indexes of the standing corpus's recorded dataset. A pre-round-15
+    // sidecar has no dataset_dir — those corpora predate the wiring and
+    // keep the manual `IndexMain --tombstone` path.
+    prev.get("dataset_dir").collect { case d: String => d }.foreach { d =>
+      val exactDrops = droppedIds(batchDocs.filter(passesQuality), newDocs)
+      val contamDrops = droppedIds(nearNew.filter(!isBench), training)
+      tombstoneCurationDrops(spark, d,
+        exactDrops ++ graft.queries.Dedup.greedyNearDupDrops(nearPairs) ++
+          contamDrops)
+    }
+
     // 4: append chunks (idempotent, batch-keyed file name), repack only
     // the touched groups
     val newChunks = TextOps.chunkDocs(spark, training)
@@ -534,7 +603,10 @@ object CorpusPipeline {
       case _ => prevLedger
     }
     writeStats(outDir, summary, math.max(maxOld, maxBatch), containCap,
-      nContainment, ledger)
+      nContainment, ledger,
+      // carry the source dataset key so every later batch keeps routing
+      // its curation drops to the right indexes
+      datasetDir = prev.get("dataset_dir").collect { case s: String => s })
     IncrementalResult(summary, nBatch, nBatchQuality, nNewDocs,
       nNearNew, affected, nContainmentPairs = nContainment)
   }

@@ -1527,13 +1527,15 @@ object Stats {
     * n·Σx² ≤ 2500·n² — sound past 10⁹ rows per group; beyond that the
     * q252 decimal-evidence discipline applies.
     *
-    * FMA contingency (round-14 advice): t_welch/df_welch compare as
-    * exact doubles today because their chains avoid fusible
-    * multiply-subtract shapes at the tested scales; q265 in the same
-    * batch MEASURED a 1-ulp DuckDB FMA divergence on such chains. If a
-    * new scale ever trips this oracle, apply q265's derived-oracle
-    * 1e-12 band to the two terminal doubles — never loosen the integer
-    * evidence columns.
+    * FMA hardening (round-15, closing the r14 advice): q265 in the
+    * same batch MEASURED a 1-ulp DuckDB FMA divergence on fusible
+    * multiply-subtract chains, and t_welch/df_welch carry exactly such
+    * shapes — they passed exact compares at the tested scales only by
+    * luck of the operand values. The oracle now applies q265's derived
+    * band: counts/means/variances still compare EXACTLY (their only
+    * subtraction is integer), and the two terminal ratios take a 1e-12
+    * band (relative for df_welch, whose magnitude is ~n) — never a
+    * loosening of the integer evidence columns.
     */
   private val q262 = QueryDef(
     (s, d) => {
@@ -1569,7 +1571,7 @@ object Stats {
               se(2) * se(2) / (col("n2") - 1L).cast("double")))
           .as("df_welch"))
     },
-    Some("""WITH m AS (
+    Some(s"""WITH m AS (
               SELECT
                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n1,
@@ -1597,7 +1599,7 @@ object Stats {
                 CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
                   / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS v2
               FROM m
-            )
+            ), ref AS (
             SELECT n1, n2, mean1, mean2,
               CASE WHEN n1 >= 2 AND n2 >= 2 THEN v1 END AS var1,
               CASE WHEN n1 >= 2 AND n2 >= 2 THEN v2 END AS var2,
@@ -1615,7 +1617,29 @@ object Stats {
                     + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
                       / CAST(n2 - 1 AS DOUBLE))
                 END AS df_welch
-            FROM e"""),
+            FROM e
+            ), emitted AS (
+              SELECT * FROM read_parquet(
+                '${graft.QueryDef.OutDirToken}/q262_welch_t/*.parquet')
+            )
+            -- q265's derived band applied proactively (round-15, r14
+            -- advice): the integer counts join EXACTLY, the single-
+            -- division means/variances compare exactly (their only
+            -- subtraction is INTEGER, FMA-immune), and ONLY the two
+            -- terminal ratio chains — whose multiply-subtract shapes
+            -- are exactly what DuckDB's FMA evaluated 1 ulp off in
+            -- q265 — take a 1e-12 band, so a new scale or a DuckDB
+            -- codegen change can never trip an exact compare here
+            SELECT e.n1, e.n2, e.mean1, e.mean2, e.var1, e.var2,
+              e.t_welch, e.df_welch
+            FROM emitted e JOIN ref r
+              ON e.n1 = r.n1 AND e.n2 = r.n2
+              AND e.mean1 = r.mean1 AND e.mean2 = r.mean2
+              AND COALESCE(e.var1, -1) = COALESCE(r.var1, -1)
+              AND COALESCE(e.var2, -1) = COALESCE(r.var2, -1)
+            WHERE abs(COALESCE(e.t_welch, 0) - COALESCE(r.t_welch, 0)) < 1e-12
+              AND abs(COALESCE(e.df_welch, 0) - COALESCE(r.df_welch, 0))
+                < 1e-12 * GREATEST(abs(COALESCE(r.df_welch, 0)), 1.0)"""),
     "Welch unequal-variance t-test on quantities, returned vs " +
       "delivered: exact integer moments, terminal doubles [stats]")
 

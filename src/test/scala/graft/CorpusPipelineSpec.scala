@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** End-to-end corpus preparation: quality → dedup → decontaminate →
   * chunk → pack, against real testdata into a temp dir.
   */
-class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
+class CorpusPipelineSpec extends AnyFunSuite with SparkSpec with IsolatedIndexRoot {
 
   private lazy val out =
     java.nio.file.Files.createTempDirectory("corpus").toString
@@ -72,6 +72,47 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
   test("rerun overwrites cleanly and is deterministic") {
     val again = CorpusPipeline.run(spark, Sf, out)
     assert(again == summary)
+  }
+
+  test("curation drops auto-tombstone every ANN index: probes exclude them, builds flat") {
+    // round-15 (VERDICT task 2): before this wiring a curated-out doc
+    // stayed servable from ANN until someone ran `IndexMain
+    // --tombstone`. The lazy `summary` above has already run the pass
+    // under this suite's private index root, so the tombstones exist.
+    import graft.tables.IndexStore
+    val curated = spark.read.parquet(s"$out/packed")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val dropped = IndexStore.tombstoneIds(spark, "ivf_index", Sf).toSet
+    assert(dropped.nonEmpty, "this corpus has known near-dup/exact drops")
+    assert((dropped & curated).isEmpty,
+      "a surviving doc must never be tombstoned")
+    Seq("lsh_index", "pq_index", "nsw_index").foreach { k =>
+      assert(IndexStore.tombstoneIds(spark, k, Sf).toSet == dropped,
+        s"$k must carry the same drop set")
+    }
+    // warm the indexes AFTER the drops exist (first resolve under this
+    // suite's fresh root legitimately builds them), then assert every
+    // serve path — plain and filtered, scan and backstop — excludes
+    // every dropped id
+    Seq("q54_ann_ivf", "q39_ann_lsh", "q87_ann_ivfpq", "q211_ann_graph",
+      "q273_ann_filtered", "q275_ann_ivfpq_filtered",
+      "q276_ann_lsh_filtered", "q274_ann_graph_filtered").foreach { q =>
+      val served = SparkEntry.queries(q)(spark, Sf)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert((served & dropped).isEmpty,
+        s"$q serves a curation-dropped doc")
+    }
+    // a SECOND curation pass re-derives the same drops: idempotent
+    // (no duplicate tombstone growth), and the re-add of an already-
+    // live set must not rebuild a standing index
+    import graft.queries.IvfPq
+    val encodesWarm = IvfPq.encodeCount.get()
+    val graphsWarm = queries.GraphAnn.graphBuildCount.get()
+    CorpusPipeline.run(spark, Sf, out)
+    assert(IndexStore.tombstoneIds(spark, "ivf_index", Sf).toSet == dropped)
+    assert(IvfPq.encodeCount.get() == encodesWarm &&
+      queries.GraphAnn.graphBuildCount.get() == graphsWarm,
+      "curation tombstones must never trigger an index rebuild")
   }
 
   test("a verbatim copy of a deduped-away or quality-dropped benchmark " +

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * batch incremental path — and a restart must skip already-folded
   * files (the checkpoint IS the exactly-once ledger).
   */
-class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
+class CorpusStreamSpec extends AnyFunSuite with SparkSpec with IsolatedIndexRoot {
 
   private def txt(seed: Long): String =
     (1 to 25).map(i => s"s${seed}v$i").mkString(" ")

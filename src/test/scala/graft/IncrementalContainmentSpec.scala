@@ -17,7 +17,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * AFFECTED by a crossing but still valid via surviving witnesses, and
   * untouched pairs — with rebuild parity asserted after every batch.
   */
-class IncrementalContainmentSpec extends AnyFunSuite with SparkSpec {
+class IncrementalContainmentSpec extends AnyFunSuite with SparkSpec with IsolatedIndexRoot {
 
   private val Cap = 3L
 

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * standing run's output must reproduce the full rebuild bit-for-bit
   * while touching only the new docs and the pack groups they land in.
   */
-class IncrementalCorpusSpec extends AnyFunSuite with SparkSpec {
+class IncrementalCorpusSpec extends AnyFunSuite with SparkSpec with IsolatedIndexRoot {
 
   /** 25 distinct words, unique to the seed — passes the quality floor
     * and shares no 5-grams across seeds.
