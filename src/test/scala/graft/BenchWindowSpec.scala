@@ -171,4 +171,42 @@ class BenchWindowSpec extends AnyFunSuite with SparkSpec {
       threads.foreach(_.join(2000))
     }
   }
+
+  // --- probe-normalized recording (round-15) ----------------------------
+
+  private def historyLine(probe: Double, n: Int = 200,
+      clean: Boolean = true, ratio: Double = 1.0): String = {
+    val qs = (1 to n).map(i => s""""q$i":0.1""").mkString("{", ",", "}")
+    s"""{"queries":$qs,"probe_secs":[$probe,$probe,$probe],""" +
+      s""""probe_ratio":$ratio,"hot_run":false,"window_clean":$clean,""" +
+      s""""value":100.0}"""
+  }
+
+  test("cleanProbeRef: median of clean full-registry lines' probe medians") {
+    assert(Bench.cleanProbeRef(
+      Seq(historyLine(0.06), historyLine(0.10)), 200).contains(0.08))
+    // refused windows, high-ratio lines and few-query probes are excluded
+    assert(Bench.cleanProbeRef(
+      Seq(historyLine(0.50, clean = false), historyLine(0.06)), 200)
+      .contains(0.06))
+    assert(Bench.cleanProbeRef(
+      Seq(historyLine(0.50, ratio = 1.4), historyLine(0.06)), 200)
+      .contains(0.06))
+    assert(Bench.cleanProbeRef(Seq(historyLine(0.50, n = 10)), 200).isEmpty)
+    assert(Bench.cleanProbeRef(Seq("not json", ""), 200).isEmpty)
+  }
+
+  test("dampened normalization reconciles the r14 same-code pair") {
+    // the measured pair that motivated value_norm: same code, 87.96 s at
+    // probe-median 0.0642 vs 96.04 s at 0.0982. With elasticity 0.21 the
+    // two normalize to the same total (within 1%) REGARDLESS of the
+    // shared reference; a linear model (elasticity 1.0) would spread
+    // them 40% apart in the opposite direction.
+    def norm(value: Double, pm: Double, e: Double) =
+      value / math.pow(pm / 0.08, e)
+    val dampened = norm(96.04, 0.0982, 0.21) / norm(87.96, 0.0642, 0.21)
+    assert(math.abs(dampened - 1.0) < 0.01, s"dampened ratio $dampened")
+    val linear = norm(96.04, 0.0982, 1.0) / norm(87.96, 0.0642, 1.0)
+    assert(linear < 0.75, s"linear would overcorrect: $linear")
+  }
 }

@@ -55,4 +55,60 @@ class ScaleGrowthSpec extends AnyFunSuite with SparkSpec {
           "change has gone super-linear (see PLANS.md growth section)")
     }
   }
+
+  test("filtered serve paths stay sub-linear WITH a live tombstone mask") {
+    // round-15 stretch (VERDICT task 8): the delete/filtered
+    // discipline — mask on the scan path, mask on the backstop — must
+    // hold under scale, not just correctness. 50 live tombstones
+    // (below the fold threshold: the codegen-InSet MASK path, the
+    // serving steady state) ride on both scales while the exponent is
+    // measured.
+    import graft.tables.IndexStore
+    val byName = SparkEntry.registry.toMap
+    val qs = Seq("q273_ann_filtered" -> "ivf_index",
+      "q274_ann_graph_filtered" -> "nsw_index")
+    val tombs = (100L until 150L).toSeq
+    def once(name: String, d: String): Double = {
+      val t0 = System.nanoTime()
+      byName(name).fn(spark, d).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      qs.foreach { case (_, k) =>
+        IndexStore.addTombstones(spark, k, Base, tombs)
+        IndexStore.addTombstones(spark, k, Big, tombs)
+      }
+      qs.foreach { case (n, _) => once(n, Base); once(n, Big) } // warmup
+      val exponents = qs.map { case (n, _) =>
+        val b1 = once(n, Base); val s1 = once(n, Big)
+        val b2 = once(n, Base); val s2 = once(n, Big)
+        val e = math.log(math.min(s1, s2) / math.min(b1, b2)) / math.log(10.0)
+        n -> e
+      }
+      info(exponents.map { case (n, e) => f"$n=$e%.2f" }.mkString(" "))
+      exponents.foreach { case (n, e) =>
+        assert(e <= 1.3,
+          f"$n with a live tombstone mask grew with exponent $e%.2f — " +
+            "the mask/fold discipline has gone super-linear")
+      }
+      // and the mask is genuinely LIVE while measured: no tombstoned id
+      // is served at either scale
+      qs.foreach { case (q, _) =>
+        Seq(Base, Big).foreach { d =>
+          val served = byName(q).fn(spark, d)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          assert((served & tombs.toSet).isEmpty,
+            s"$q at $d serves a tombstoned id under the live mask")
+        }
+      }
+    } finally {
+      qs.foreach { case (_, k) =>
+        IndexStore.clearTombstones(k, Base)
+        IndexStore.clearTombstones(k, Big)
+      }
+      // the graph-walk memo keys on the tombstone version, but drop
+      // every session memo so no later suite can see a masked plan
+      graft.common.Memos.clearAll()
+    }
+  }
 }
