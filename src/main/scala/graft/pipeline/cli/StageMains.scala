@@ -302,6 +302,10 @@ object IndexMain {
   *   `--vacuum <keepLast>`        drop data of superseded versions
   *   `--vacuum_age_hours <N>`     vacuum retention window (default 168 =
   *                                7 days, Delta's; 0 = unsafe override)
+  *   `--restore <v>`              make committed version v current again
+  *                                as a NEW commit (zero data copied)
+  *   `--history true`             print per-commit audit rows (DESCRIBE
+  *                                HISTORY: version, op, ts, file count)
   *   `--stats c1[,c2,...]`        declare stats columns so the rewrite
   *                                records per-file min/max (data skipping)
   *   `--append <parquetDir>`      O(batch) append of landed rows (CAS
@@ -419,6 +423,15 @@ object TableMain {
       a.get("vacuum").foreach { k =>
         val removed = t.vacuum(k.toInt, olderThanMs = vacuumAgeMs(a))
         println(s"[table] vacuumed versions=${removed.mkString(",")}")
+      }
+      a.get("restore").foreach { v =>
+        val nv = t.restore(v.toLong)
+        println(s"[table] restored v=$v as version=$nv " +
+          s"rows=${t.read.count()}")
+      }
+      if (a.contains("history")) t.history.foreach { h =>
+        println(s"[table] v=${h.version} op=${h.op} ts=${h.tsMillis} " +
+          s"files=${h.nFiles}")
       }
     }
   }

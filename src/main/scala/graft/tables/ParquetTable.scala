@@ -96,8 +96,40 @@ final class ParquetTable(spark: SparkSession, root: String,
     val logged =
       if (!Files.exists(committedLogPath)) Set.empty[Long]
       else new String(Files.readAllBytes(committedLogPath))
-        .split("\n").filter(_.nonEmpty).map(_.trim.toLong).toSet
+        .split("\n").filter(_.nonEmpty)
+        .map(_.split("\t")(0).trim.toLong).toSet
     logged ++ latestVersion
+  }
+
+  /** One committed version's audit record — Delta DESCRIBE HISTORY's
+    * row for this layout. Commits older than round-15 (or a version
+    * whose log line was lost to the flip-then-append crash window)
+    * read op="unknown" with zeroed fields; the version itself is
+    * still fully readable.
+    */
+  final case class CommitInfo(version: Long, op: String,
+      tsMillis: Long, nFiles: Long)
+
+  /** The table's commit history, newest first — Delta DESCRIBE
+    * HISTORY. Derived from the committed log's per-line metadata
+    * (operation name, wall-clock millis, manifest file count appended
+    * at commit time); a version visible only through the pointer (the
+    * crash window) synthesizes an "unknown" row, so history and
+    * [[committedVersions]] always agree on membership.
+    */
+  def history: Seq[CommitInfo] = {
+    val fromLog: Map[Long, CommitInfo] =
+      if (!Files.exists(committedLogPath)) Map.empty
+      else new String(Files.readAllBytes(committedLogPath))
+        .split("\n").filter(_.nonEmpty).map { l =>
+          val parts = l.split("\t")
+          val v = parts(0).trim.toLong
+          v -> (if (parts.length >= 4)
+            CommitInfo(v, parts(1), parts(2).toLong, parts(3).toLong)
+          else CommitInfo(v, "unknown", 0L, 0L))
+        }.toMap
+    committedVersions.toSeq.sorted.reverse.map(v =>
+      fromLog.getOrElse(v, CommitInfo(v, "unknown", 0L, 0L)))
   }
 
   def read: DataFrame = latestVersion match {
@@ -210,7 +242,8 @@ final class ParquetTable(spark: SparkSession, root: String,
   private def commitUnlocked(v: Long, entries: Seq[Entry],
       stats: Map[String, String] = Map.empty,
       cols: Seq[String] = Nil,
-      guard: () => Boolean = () => true): Boolean = {
+      guard: () => Boolean = () => true,
+      op: String = "unknown"): Boolean = {
     Files.createDirectories(manifestDir)
     val header =
       if (cols.isEmpty) "" else cols.mkString("#cols\t", "\t", "\n")
@@ -230,7 +263,11 @@ final class ParquetTable(spark: SparkSession, root: String,
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    Files.writeString(committedLogPath, s"$v\n",
+    // extended log line (round-15, DESCRIBE HISTORY): version TAB op
+    // TAB wall-millis TAB manifest-file-count; pre-round-15 plain
+    // number lines keep parsing (history reads them as op=unknown)
+    Files.writeString(committedLogPath,
+      s"$v\t$op\t${System.currentTimeMillis()}\t${entries.map(_._2.size).sum}\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     true
@@ -369,7 +406,7 @@ final class ParquetTable(spark: SparkSession, root: String,
     */
   private def tryCommit(base: Option[Long], preferredV: Long,
       entries: Seq[Entry], stats: Map[String, String],
-      cols: Seq[String] = Nil): Option[Long] =
+      cols: Seq[String] = Nil, op: String = "unknown"): Option[Long] =
     withCommitLock() {
       if (latestVersion != base) None
       else {
@@ -383,7 +420,7 @@ final class ParquetTable(spark: SparkSession, root: String,
         // write and pointer flip — a no-op under mutual exclusion,
         // a lost-update stopper if a live lock was ever wrongly broken
         if (commitUnlocked(v, entries, stats, cols,
-            guard = () => latestVersion == base)) Some(v)
+            guard = () => latestVersion == base, op = op)) Some(v)
         else None
       }
     }
@@ -551,7 +588,8 @@ final class ParquetTable(spark: SparkSession, root: String,
         }).getOrElse(Nil).maxOption.getOrElse(0L)
       val v = math.max(v0,
         math.max(maxManifest + 1L, latestVersion.getOrElse(0L) + 1L))
-      commitUnlocked(v, Seq(entry), stats, df.columns.toSeq)
+      commitUnlocked(v, Seq(entry), stats, df.columns.toSeq,
+        op = "overwrite")
       v
     }
   }
@@ -606,7 +644,7 @@ final class ParquetTable(spark: SparkSession, root: String,
         case None => (Seq(entry), stats)
         case Some(cur) => (readManifest(cur) :+ entry, readStatsMap(cur) ++ stats)
       }
-      tryCommit(base, v0, entries, allStats, cols) match {
+      tryCommit(base, v0, entries, allStats, cols, op = "append") match {
         case Some(v) => return v
         case None =>
           lastConflicts += 1
@@ -680,10 +718,23 @@ final class ParquetTable(spark: SparkSession, root: String,
         .flatMap(v => readManifest(v).flatMap { case (dir, files) =>
           files.map(f => s"$dir/$f")
         }).toSet
+      // rewrite the log KEEPING each surviving version's original line
+      // (the per-commit history metadata must survive retention);
+      // pointer-only versions (crash window) get a synthesized line
+      val victimSet = victims.toSet
+      val oldLines =
+        if (!Files.exists(committedLogPath)) Nil
+        else new String(Files.readAllBytes(committedLogPath))
+          .split("\n").filter(_.nonEmpty).toSeq
+      val loggedVs = oldLines.map(_.split("\t")(0).trim.toLong)
+      val keptLines = oldLines.zip(loggedVs)
+        .filterNot { case (_, v) => victimSet.contains(v) }
+      val synthesized = (committedVersions -- victimSet -- loggedVs)
+        .toSeq.sorted.map(v => (s"$v", v))
       val tmp = Paths.get(root, "._COMMITTED.tmp")
       Files.writeString(tmp,
-        (committedVersions -- victims).toSeq.sorted
-          .map(v => s"$v\n").mkString)
+        (keptLines ++ synthesized).sortBy(_._2)
+          .map(_._1 + "\n").mkString)
       Files.move(tmp, committedLogPath, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       (victims, referenced)
@@ -735,7 +786,7 @@ final class ParquetTable(spark: SparkSession, root: String,
   def compact(targetFiles: Int = 1): Long =
     rewriteCurrent(df =>
       if (targetFiles <= 1) df.coalesce(1)
-      else df.repartition(targetFiles), Nil)
+      else df.repartition(targetFiles), Nil, op = "compact")
 
   /** Row-preserving rewrite of the CURRENT version, committed with the
     * same compare-and-swap as every other writer (round-15): the rewrite
@@ -749,7 +800,7 @@ final class ParquetTable(spark: SparkSession, root: String,
     * contract.
     */
   private[graft] def rewriteCurrent(transform: DataFrame => DataFrame,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, op: String = "rewrite"): Long = {
     lastConflicts = 0
     var attempt = 0
     while (true) {
@@ -758,7 +809,8 @@ final class ParquetTable(spark: SparkSession, root: String,
       val (v0, entry, stats) =
         writeData(transform(readVersion(cur)), partitionBy, nextVersion)
       onBeforePublish()
-      tryCommit(Some(cur), v0, Seq(entry), stats, tableColumns(cur)) match {
+      tryCommit(Some(cur), v0, Seq(entry), stats, tableColumns(cur),
+        op = op) match {
         case Some(v) => return v
         case None => // a writer landed mid-rewrite: recompute on its snapshot
           lastConflicts += 1
@@ -785,7 +837,7 @@ final class ParquetTable(spark: SparkSession, root: String,
     require(targetFiles >= 1 && clusterBy.nonEmpty)
     val cols = clusterBy.map(col)
     rewriteCurrent(_.repartitionByRange(targetFiles, cols: _*)
-      .sortWithinPartitions(cols: _*), Nil)
+      .sortWithinPartitions(cols: _*), Nil, op = "cluster")
   }
 
   /** Multi-dimensional clustered compaction: rewrite the current version
@@ -815,7 +867,36 @@ final class ParquetTable(spark: SparkSession, root: String,
         .repartitionByRange(targetFiles, col("__graft_z"))
         .sortWithinPartitions(col("__graft_z"))
         .drop("__graft_z")
-    }, Nil)
+    }, Nil, op = "zorder")
+  }
+
+  /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION AS OF v`: make a
+    * committed historical version current again by publishing a NEW
+    * commit whose manifest is v's manifest verbatim — every file by
+    * reference, zero data copied or rewritten, history strictly
+    * append-only (the bad versions stay time-travel-readable for the
+    * post-mortem; vacuum ages them out later). The operational undo
+    * for a bad merge/delete/compaction. Publishes under the commit
+    * lock like every writer; an explicit restore is a deliberate
+    * point-in-time decision, so like [[overwrite]] it does not CAS
+    * against a base snapshot — last writer wins.
+    */
+  def restore(v: Long): Long = {
+    require(committedVersions.contains(v),
+      s"version $v is not committed (committed=${committedVersions.toSeq.sorted})")
+    val entries = readManifest(v)
+    val stats = readStatsMap(v)
+    val cols = manifestCols(v).getOrElse(Nil)
+    withCommitLock() {
+      val manifestRe = "v=(\\d+)\\.manifest".r
+      val maxManifest = Option(manifestDir.toFile.listFiles())
+        .map(_.toSeq.collect { f =>
+          f.getName match { case manifestRe(n) => n.toLong }
+        }).getOrElse(Nil).maxOption.getOrElse(0L)
+      val nv = math.max(maxManifest + 1L, latestVersion.getOrElse(0L) + 1L)
+      commitUnlocked(nv, entries, stats, cols, op = s"restore(v=$v)")
+      nv
+    }
   }
 
   /** Stats-pruned box scan — Delta data skipping on the READ path: files
@@ -898,7 +979,7 @@ final class ParquetTable(spark: SparkSession, root: String,
       onBeforePublish()
       tryCommit(Some(cur), v0, keptEntries :+ entry,
         readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap
-          ++ newStats, tableColumns(cur)) match {
+          ++ newStats, tableColumns(cur), op = "replace") match {
         case Some(v) => return Some(v)
         case None => // victim set may be stale — re-derive from the winner
           lastConflicts += 1
@@ -949,7 +1030,8 @@ final class ParquetTable(spark: SparkSession, root: String,
           // first-merges must not both win
           val (v0, entry, stats) = writeData(source, partitionBy, nextVersion)
           onBeforePublish()
-          tryCommit(None, v0, Seq(entry), stats, source.columns.toSeq)
+          tryCommit(None, v0, Seq(entry), stats, source.columns.toSeq,
+            op = "merge")
         case Some(cur) =>
           // additive evolution (Delta MERGE + mergeSchema): a source with
           // NEW columns on top of every existing one upserts normally —
@@ -1005,7 +1087,7 @@ final class ParquetTable(spark: SparkSession, root: String,
           onBeforePublish()
           tryCommit(Some(cur), v0, keptEntries :+ entry,
             priorStats.view.filterKeys(keptFiles.contains).toMap ++ newStats,
-            cols)
+            cols, op = "merge")
       }
       outcome match {
         case Some(v) => return v
@@ -1069,7 +1151,7 @@ final class ParquetTable(spark: SparkSession, root: String,
       onBeforePublish()
       tryCommit(Some(cur), v0, keptEntries :+ entry,
         readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap
-          ++ newStats, tableColumns(cur)) match {
+          ++ newStats, tableColumns(cur), op = "delete") match {
         case Some(v) => return Some(v)
         case None => // stale survivors — recompute from the fresh snapshot
           lastConflicts += 1
