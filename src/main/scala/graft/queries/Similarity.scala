@@ -540,6 +540,74 @@ object Similarity {
     finals.reduce(_.unionByName(_))
   }
 
+  /** Contamination flag threshold for q277 — the published
+    * semantic-decontamination operating range (SemDeDup-family work
+    * flags near-verbatim semantic copies well above 0.9 cosine; the
+    * continuous `bench_sim` column is the audit signal below it).
+    */
+  private[graft] val SemanticDecontamTau = 0.95
+
+  /** q277: SEMANTIC decontamination audit — the embedding-level
+    * complement of q69's 5-gram decontamination: an eval answer
+    * paraphrased into the training set shares no exact n-gram but
+    * sits at high embedding cosine. Every train doc (doc_id ≢ 0 mod
+    * 50, q69's benchmark convention; vec_id ≡ doc_id) reports its
+    * nearest benchmark doc and that cosine, plus the τ-threshold
+    * contamination flag.
+    *
+    * Scale shape — the reason this is NOT an ANN problem: the
+    * benchmark side is bounded by construction (eval suites are
+    * small and fixed), so the exact scan is one broadcast
+    * nested-loop pass over the train side; the argmax is a max-by
+    * STRUCT aggregate — (sim, −bid) lexicographic max = highest sim,
+    * ties to the lowest bench id — which partial-aggregates map-side
+    * to |train| rows before the exchange, instead of shuffling the
+    * full |train|·|bench| pair stream through a window sort. At
+    * 100 TB: one pass, one |train|-row exchange, zero index to
+    * maintain or trust.
+    */
+  private val q277 = QueryDef(
+    (s, d) => {
+      val e = load(s, d, "embeddings")
+      val bench = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("bid"), col("embedding").as("be"))
+      val train = e.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      train.crossJoin(broadcast(bench))
+        .select(col("doc_id"), col("bid"),
+          fastCosine(s)(col("embedding"), col("be")).as("bench_sim"))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("bench_sim"),
+          (col("bid") * -1L).as("negbid"), col("bid"))).as("m"))
+        .select(col("doc_id"),
+          col("m.bid").as("nearest_bench_id"),
+          col("m.bench_sim").as("bench_sim"),
+          (col("m.bench_sim") >= SemanticDecontamTau)
+            .as("is_contaminated"))
+    },
+    Some(s"""WITH b AS (
+              SELECT vec_id AS bid, embedding AS be FROM embeddings
+              WHERE vec_id % 50 = 0
+            ), t AS (
+              SELECT vec_id AS doc_id, embedding FROM embeddings
+              WHERE vec_id % 50 <> 0
+            ), scored AS (
+              SELECT t.doc_id, b.bid,
+                ${cosineSql("t.embedding", "b.be")} AS bench_sim
+              FROM t CROSS JOIN b
+            ), ranked AS (
+              SELECT doc_id, bid, bench_sim,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY bench_sim DESC, bid ASC) AS rn
+              FROM scored
+            )
+            SELECT doc_id, bid AS nearest_bench_id, bench_sim,
+              bench_sim >= $SemanticDecontamTau AS is_contaminated
+            FROM ranked WHERE rn = 1"""),
+    "semantic decontamination audit: per-train-doc nearest benchmark " +
+      "cosine via broadcast exact scan + max-by-struct argmax " +
+      "[similarity,curation]")
+
   /** Filtered LSH ANN: label = 1 pushed into the bucket scan,
     * Hamming-1 multiprobe widening, exact filtered backstop.
     */
@@ -2092,6 +2160,7 @@ object Similarity {
     "q250_mmr_diversify" -> q250,
     "q39_ann_lsh" -> q39,
     "q276_ann_lsh_filtered" -> q276,
+    "q277_semantic_decontam" -> q277,
     "q40_dedup_embedding" -> q40,
     "q54_ann_ivf" -> q54,
     "q273_ann_filtered" -> q273,

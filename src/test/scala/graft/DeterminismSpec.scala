@@ -164,7 +164,11 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // filtered LSH: the multiprobe-widening decision (over-fetch floor
     // on distinct qualifying candidates) and the masked exact backstop
     // must be partition-invariant
-    "q276_ann_lsh_filtered")
+    "q276_ann_lsh_filtered",
+    // semantic decontamination: the (sim, -bid) max-struct argmax must
+    // be merge-order-free (float MAX is order-independent, unlike a
+    // float SUM) and the τ flag must not wobble across partitionings
+    "q277_semantic_decontam")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
