@@ -177,4 +177,33 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
     assert(IndexStore.loadCodebooks(spark, "fp-of-some-other-dataset",
       8, 16, 6).isEmpty)
   }
+
+  test("a pre-round-15 PQ store (format v1, no label column) rebuilds, never misserves") {
+    // round-15 widened the stored code row with the `label` filter
+    // column and bumped the sidecar format to v2-label; a store
+    // written under v1 must resolve MISS and rebuild once — the
+    // filtered probe (q275) would otherwise read a column that isn't
+    // there. Simulate the old store by rewriting the sidecar's format.
+    SparkEntry.queries("q87_ann_ivfpq")(spark, Sf).collect() // build
+    val sidecars = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(tmpRoot.resolve("pq_index"))
+      try w.iterator().asScala.toList
+      finally w.close()
+    }
+    val state = sidecars.filter(_.getFileName.toString == "state.json")
+    assert(state.nonEmpty, "pq index sidecar must exist after the build")
+    state.foreach { p =>
+      val json = java.nio.file.Files.readString(p)
+      java.nio.file.Files.writeString(p,
+        json.replace("\"v2-label\"", "\"v1\""))
+    }
+    graft.common.Memos.clearAll() // drop the served-index session memo
+    import graft.queries.IvfPq
+    val encodesBefore = IvfPq.encodeCount.get()
+    val out = SparkEntry.queries("q275_ann_ivfpq_filtered")(spark, Sf)
+    assert(out.count() > 0, "filtered probe must serve after migration")
+    assert(IvfPq.encodeCount.get() == encodesBefore + 1,
+      "a v1-format store must rebuild exactly once, not error or misserve")
+  }
 }
