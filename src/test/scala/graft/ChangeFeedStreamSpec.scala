@@ -88,7 +88,10 @@ class ChangeFeedStreamSpec extends AnyFunSuite with SparkSpec {
     val lines = new String(Files.readAllBytes(log))
       .split("\n").filter(_.nonEmpty)
     Files.writeString(log,
-      lines.filterNot(_.trim == v2.toString).mkString("", "\n", "\n"))
+      // log lines carry op/ts metadata since round-15: match the
+      // leading version field, not the whole line
+      lines.filterNot(_.split("\t")(0).trim == v2.toString)
+        .mkString("", "\n", "\n"))
 
     val manifests = spark.read.text(s"$tableRoot/m")
     ChangeFeedStream.applyBatch(spark, manifests, tableRoot, feedRoot,
@@ -131,7 +134,10 @@ class ChangeFeedStreamSpec extends AnyFunSuite with SparkSpec {
     val log = java.nio.file.Paths.get(tableRoot, "_COMMITTED")
     val lines = new String(Files.readAllBytes(log)).split("\n").filter(_.nonEmpty)
     Files.writeString(log,
-      lines.filterNot(_.trim == v2.toString).mkString("", "\n", "\n"))
+      // log lines carry op/ts metadata since round-15: match the
+      // leading version field, not the whole line
+      lines.filterNot(_.split("\t")(0).trim == v2.toString)
+        .mkString("", "\n", "\n"))
     val manifests = spark.read.text(s"$tableRoot/m")
     ChangeFeedStream.applyBatch(spark, manifests, tableRoot, feedRoot,
       Seq("id"), Seq("price"))
@@ -176,7 +182,10 @@ class ChangeFeedStreamSpec extends AnyFunSuite with SparkSpec {
     val log = java.nio.file.Paths.get(tableRoot, "_COMMITTED")
     val lines = new String(Files.readAllBytes(log)).split("\n").filter(_.nonEmpty)
     Files.writeString(log,
-      lines.filterNot(_.trim == v2.toString).mkString("", "\n", "\n"))
+      // log lines carry op/ts metadata since round-15: match the
+      // leading version field, not the whole line
+      lines.filterNot(_.split("\t")(0).trim == v2.toString)
+        .mkString("", "\n", "\n"))
     // first drain consumes ALL manifest files; v2 unresolved -> skip-level
     ChangeFeedStream.publishAvailable(spark, tableRoot, feedRoot,
       Seq("id"), Seq("price"), ckpt)
