@@ -306,6 +306,54 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
     } finally t.onBeforePublish = () => ()
   }
 
+  test("a schema-evolving append racing a plain append: both land, schema evolves once") {
+    import org.apache.spark.sql.functions.col
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(df(1 -> "a"))
+    var armed = true
+    t.onBeforePublish = () => {
+      if (armed) {
+        armed = false
+        // a plain (k, v) append commits between the evolving writer's
+        // data write and its CAS — the loser re-validates its additive
+        // claim against the WINNER's schema and rebases
+        ParquetTable(spark, t.rootPath).append(df(2 -> "b"))
+      }
+    }
+    try {
+      import spark.implicits._
+      t.append(Seq((3, "c", 30L)).toDF("k", "v", "score"),
+        mergeSchema = true)
+      assert(t.lastConflicts == 1)
+      assert(t.read.columns.toSeq == Seq("k", "v", "score"))
+      val scores = t.read.collect()
+        .map(r => r.getInt(0) -> !r.isNullAt(2)).toMap
+      assert(scores == Map(1 -> false, 2 -> false, 3 -> true),
+        "both writers' rows land; only the evolved batch carries the column")
+      // and the REVERSE race: a plain append prepared against the
+      // pre-evolution schema must be REFUSED when the winner evolved
+      // (its batch now misses a column), not silently committed narrow
+      val t2 = ParquetTable(spark, tmp())
+      t2.overwrite(df(1 -> "a"))
+      var armed2 = true
+      t2.onBeforePublish = () => {
+        if (armed2) {
+          armed2 = false
+          ParquetTable(spark, t2.rootPath)
+            .append(Seq((9, "z", 90L)).toDF("k", "v", "score"),
+              mergeSchema = true)
+        }
+      }
+      try {
+        val e = intercept[IllegalArgumentException] {
+          t2.append(df(2 -> "b"))
+        }
+        assert(e.getMessage.contains("schema mismatch"),
+          "the loser must re-validate against the evolved winner")
+      } finally t2.onBeforePublish = () => ()
+    } finally t.onBeforePublish = () => ()
+  }
+
   test("vacuum's retention window spares an in-flight writer's uncommitted data") {
     // ADVICE r14 (high): vacuum deleted every unreferenced data file,
     // including a concurrent writer's already-written-not-yet-committed
