@@ -183,6 +183,49 @@ object Bench {
     if (perLine.isEmpty) None else Some(median(perLine))
   }
 
+  /** JSON summary `{ts, value, value_norm, n}` of the NEWEST certified
+    * full-registry history line (round-16). A refused window's emitted
+    * line embeds this as `last_certified`, so a reader of BENCH_rN.json
+    * alone — the driver's per-round artifact, which on a contaminated
+    * box records the refusal — still lands on the trustworthy number
+    * without digging through bench_history.jsonl (VERDICT r15: the r15
+    * close itself was a refusal and the certified numbers lived only in
+    * the history file). Certified = window_clean (or the pre-flag era),
+    * not hot, full registry; newest first.
+    */
+  def lastCertifiedJson(lines: Seq[String], minQueries: Int): Option[String] = {
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    lines.reverseIterator.flatMap { line =>
+      try {
+        val o = common.Json.obj(common.Json.parse(line))
+        val hotOk = o.get("hot_run").forall { case b: Boolean => !b; case _ => true }
+        val cleanOk = o.get("window_clean").forall { case b: Boolean => b; case _ => true }
+        val qs = o.get("queries").map(common.Json.obj).getOrElse(Map.empty)
+        val value = o.get("value").collect { case d: Double => d }
+        if (hotOk && cleanOk && qs.size >= minQueries && value.nonEmpty) {
+          val ts = o.get("ts").collect { case s: String => s }.getOrElse("")
+          val vn = o.get("value_norm").collect { case d: Double => d }
+          Some(s"""{"ts":"$ts","value":${fmt(value.get)},""" +
+            vn.fold(""""value_norm":null""")(v => s""""value_norm":${fmt(v)}""") +
+            s""","n":${qs.size}}""")
+        } else None
+      } catch { case _: Exception => None }
+    }.nextOption()
+  }
+
+  /** The JSON value emitted for `value_norm`: the dampened probe
+    * normalization assumes a UNIFORMLY slow box, and a refused window
+    * (a mid-run capacity shift is exactly what probe_ratio detects)
+    * violates that assumption — the number is not a quiet-box
+    * equivalent and must not invite comparison, so it is suppressed to
+    * null rather than emitted (VERDICT r15 "what's wrong" #3).
+    */
+  def valueNormJson(windowClean: Boolean, valueNorm: Double): String =
+    if (!windowClean) "null"
+    else BigDecimal(valueNorm)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
   /** Queries whose measured time exceeds `factor` x their clean-history
     * median — the candidates for a third measurement. Capped: a build
     * with a GENUINE fleet-wide regression should show it, not spend an
@@ -412,7 +455,23 @@ object Bench {
     val medJson = results.collect {
       case (k, _) if medians.contains(k) => "\"" + k + "\":" + f(medians(k))
     }.mkString("{", ",", "}")
+    // code fingerprint (round-16): same-fingerprint clean pairs are the
+    // raw material for FITTING the probe elasticity instead of pinning
+    // it to the one measured r14 pair — tools/bench_diff.py aggregates
+    // them. HEAD alone would mislabel an uncommitted tree, hence -dirty.
+    val codeFp: String = sys.env.get("SPARK_GRAFT_CODE_FP").getOrElse {
+      try {
+        import scala.sys.process._
+        val quiet = ProcessLogger(_ => (), _ => ())
+        val head = Process(Seq("git", "rev-parse", "--short=12", "HEAD"))
+          .!!(quiet).trim
+        val dirty = Process(Seq("git", "status", "--porcelain"))
+          .!!(quiet).trim.nonEmpty
+        if (dirty) s"$head-dirty" else head
+      } catch { case _: Exception => "unknown" }
+    }
     val env = s""""started_at":${jstr(startedAt.toString)},""" +
+      s""""code_fp":${jstr(codeFp)},""" +
       s""""load_avg_launch":${f(loadLaunch)},""" +
       s""""load_avg_start":${f(loadStart)},"load_avg_end":${f(loadAvg())},""" +
       s""""probe_secs":[${probes.map(f).mkString(",")}],""" +
@@ -421,11 +480,20 @@ object Bench {
       s""""window_clean":$windowClean,""" +
       s""""window_reasons":[${reasons.map(jstr).mkString(",")}],""" +
       s""""reruns":$rerunJson"""
+    // a REFUSED window embeds the newest certified line's summary so
+    // BENCH_rN.json alone carries the trustworthy number, and nulls
+    // value_norm (uniform-slow-box assumption violated) — round-16
+    val certJson =
+      if (windowClean) ""
+      else lastCertifiedJson(historyLines, minQueries = 200)
+        .fold("")(j => s""""last_certified":$j,""")
     val line =
       s"""{"queries":$qs,"clean_medians":$medJson,"errors":$errJson,$env,"sf":"$sfDir",""" +
       s""""probe_median_secs":${f(probeMedian)},""" +
       probeRef.fold("")(r => s""""probe_ref_secs":${f(r)},""") +
-      s""""value_norm":${f(valueNorm)},"metric":"total","value":${f(total)},"unit":"sec"}"""
+      certJson +
+      s""""value_norm":${valueNormJson(windowClean, valueNorm)},""" +
+      s""""metric":"total","value":${f(total)},"unit":"sec"}"""
     println(line)
     // per-query history: append every CERTIFIED run (timestamped) so
     // later rounds can diff query-by-query against earlier recordings,

@@ -262,10 +262,10 @@ object IndexStore {
         val v = t.rewriteCurrent(
           _.repartition(org.apache.spark.sql.functions.col(partitionCol)),
           partitionBy = Seq(partitionCol))
-        // zero retention is sanctioned here: an index is derived
-        // single-maintainer state (rebuildable), and compaction is
-        // exactly when superseded history piles up
-        t.vacuum(vacuumKeep, olderThanMs = 0L)
+        // bounded retention ([[maintenanceRetentionMs]]): compaction is
+        // exactly when superseded history piles up, but a concurrent
+        // resolver's in-flight uncommitted append must never be swept
+        t.vacuum(vacuumKeep, olderThanMs = maintenanceRetentionMs)
         Some(v)
       }
     } catch {
@@ -285,6 +285,23 @@ object IndexStore {
     */
   private[graft] def compactThreshold: Int =
     sys.props.get("graft.index.compact.threshold").map(_.toInt).getOrElse(4)
+
+  /** Retention window for index-maintenance vacuums (round-16). The
+    * maintenance paths used to pass `olderThanMs = 0` on the
+    * "single maintainer" assumption, but nothing ENFORCES that
+    * assumption: two sessions resolving the same shared store key
+    * concurrently would let one session's vacuum reclaim the other's
+    * written-but-uncommitted append dir (the exact r14 in-flight-writer
+    * race, reintroduced through the back door). A 10-minute floor makes
+    * the race structurally impossible — an in-flight resolve's
+    * uncommitted state is always younger than that — while superseded
+    * delta tiers still reclaim on the next maintenance pass after they
+    * age out. Tests that assert immediate reclamation override via
+    * `graft.index.vacuum.retention.ms`.
+    */
+  private[graft] def maintenanceRetentionMs: Long =
+    sys.props.get("graft.index.vacuum.retention.ms").map(_.toLong)
+      .getOrElse(10L * 60L * 1000L)
 
   /** TIERED compaction, triggered when some partition of the standing
     * index holds more than [[compactThreshold]] files — called from
@@ -343,9 +360,8 @@ object IndexStore {
         if (victims.isEmpty) None
         else {
           val v = t.replaceFiles(victims, partitionBy = Seq(partitionCol))
-          // zero retention: derived single-maintainer state (see
-          // compactCorpusIndex)
-          if (v.nonEmpty) t.vacuum(1, olderThanMs = 0L)
+          // bounded retention, same rationale as compactCorpusIndex
+          if (v.nonEmpty) t.vacuum(1, olderThanMs = maintenanceRetentionMs)
           v
         }
       }

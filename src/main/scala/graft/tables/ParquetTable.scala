@@ -310,9 +310,22 @@ final class ParquetTable(spark: SparkSession, root: String,
   private def newLockStamp(): String =
     s"${System.currentTimeMillis()}:${java.util.UUID.randomUUID()}"
 
-  private def stampAgeMs(content: String): Long =
+  /** Lock age for the staleness decision. Parseable content dates the
+    * acquisition exactly. UNPARSEABLE content (round-16) is a writer
+    * that crashed between `CREATE_NEW` and its content write — treating
+    * it as forever-fresh would wedge the table permanently (every later
+    * writer spins to timeout), so staleness falls back to the lock
+    * FILE's mtime, which still dates the crash. Only a file that
+    * vanished mid-read (the holder released) reads as fresh → retry.
+    */
+  private def stampAgeMs(content: String, file: Path): Long =
     try System.currentTimeMillis() - content.takeWhile(_ != ':').trim.toLong
-    catch { case _: Exception => 0L } // torn/foreign content: treat as fresh
+    catch {
+      case _: Exception =>
+        try System.currentTimeMillis() -
+          Files.getLastModifiedTime(file).toMillis
+        catch { case _: Exception => 0L } // vanished: not stale, retry
+    }
 
   /** Atomically remove the commit lock iff its content satisfies `pred`.
     * The lock is first CLAIMED by an atomic rename to a caller-unique
@@ -331,7 +344,7 @@ final class ParquetTable(spark: SparkSession, root: String,
     * release path — whose commit already finished — records the claim
     * file as an inert tombstone and moves on.
     */
-  private def removeLockIf(pred: String => Boolean,
+  private def removeLockIf(pred: (String, Path) => Boolean,
       throwOnUnrestorable: Boolean): Boolean = {
     val claim = Paths.get(root,
       s"._COMMIT.claim.${java.util.UUID.randomUUID()}")
@@ -340,7 +353,9 @@ final class ParquetTable(spark: SparkSession, root: String,
     val content =
       try new String(Files.readAllBytes(claim)).trim
       catch { case _: Exception => "" }
-    if (pred(content)) { Files.deleteIfExists(claim); true }
+    // pred sees the CLAIMED file (rename preserves mtime), so the
+    // unparseable-content mtime fallback stays valid post-claim
+    if (pred(content, claim)) { Files.deleteIfExists(claim); true }
     else {
       try {
         Files.move(claim, lockPath, StandardCopyOption.ATOMIC_MOVE)
@@ -383,10 +398,11 @@ final class ParquetTable(spark: SparkSession, root: String,
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val age =
-            try stampAgeMs(new String(Files.readAllBytes(lockPath)).trim)
-            catch { case _: Exception => 0L } // vanished or torn: retry
+            try stampAgeMs(
+              new String(Files.readAllBytes(lockPath)).trim, lockPath)
+            catch { case _: Exception => 0L } // vanished: retry
           if (age > StaleLockMs)
-            removeLockIf(c => stampAgeMs(c) > StaleLockMs,
+            removeLockIf((c, p) => stampAgeMs(c, p) > StaleLockMs,
               throwOnUnrestorable = true)
           else if (System.nanoTime() > deadline)
             throw new IllegalStateException(
@@ -395,7 +411,7 @@ final class ParquetTable(spark: SparkSession, root: String,
       }
     }
     try f
-    finally removeLockIf(_ == myStamp, throwOnUnrestorable = false)
+    finally removeLockIf((c, _) => c == myStamp, throwOnUnrestorable = false)
   }
 
   /** Compare-and-swap commit: publish `entries` as the next version only
@@ -881,22 +897,47 @@ final class ParquetTable(spark: SparkSession, root: String,
     * point-in-time decision, so like [[overwrite]] it does not CAS
     * against a base snapshot — last writer wins.
     */
-  def restore(v: Long): Long = {
-    require(committedVersions.contains(v),
-      s"version $v is not committed (committed=${committedVersions.toSeq.sorted})")
+  /** Round-16 safety: ALL of restore's validation and reads run inside
+    * the commit lock, serializing with vacuum's planning/log-rewrite
+    * phase — a vacuum that chose v as a victim removed it from the
+    * committed log UNDER the lock, so a later locked restore sees the
+    * removal and refuses before publishing; a restore that commits
+    * first makes v's files referenced by the new current manifest, so a
+    * later vacuum keeps them. A version whose manifest or data files
+    * were ALREADY reclaimed (restore-after-vacuum) refuses loudly up
+    * front with [[RestoreTargetVacuumedException]] instead of
+    * publishing a current version that cannot be read.
+    */
+  def restore(v: Long): Long = withCommitLock() {
+    if (!committedVersions.contains(v))
+      throw new ParquetTable.RestoreTargetVacuumedException(
+        s"RESTORE refused: version $v of table $root is not in the " +
+          s"committed set (committed=${committedVersions.toSeq.sorted}) — " +
+          "it never existed or was reclaimed by vacuum")
+    if (!Files.exists(manifestPath(v)))
+      throw new ParquetTable.RestoreTargetVacuumedException(
+        s"RESTORE refused: version $v of table $root has no manifest " +
+          "on disk — it was reclaimed by vacuum")
     val entries = readManifest(v)
+    val missing = entries.flatMap { case (dir, fs) =>
+      fs.filterNot(f => Files.exists(dataDir.resolve(dir).resolve(f)))
+        .map(f => s"$dir/$f")
+    }
+    if (missing.nonEmpty)
+      throw new ParquetTable.RestoreTargetVacuumedException(
+        s"RESTORE refused: version $v of table $root references " +
+          s"${missing.size} data file(s) already reclaimed by vacuum " +
+          s"(first: ${missing.head})")
     val stats = readStatsMap(v)
     val cols = manifestCols(v).getOrElse(Nil)
-    withCommitLock() {
-      val manifestRe = "v=(\\d+)\\.manifest".r
-      val maxManifest = Option(manifestDir.toFile.listFiles())
-        .map(_.toSeq.collect { f =>
-          f.getName match { case manifestRe(n) => n.toLong }
-        }).getOrElse(Nil).maxOption.getOrElse(0L)
-      val nv = math.max(maxManifest + 1L, latestVersion.getOrElse(0L) + 1L)
-      commitUnlocked(nv, entries, stats, cols, op = s"restore(v=$v)")
-      nv
-    }
+    val manifestRe = "v=(\\d+)\\.manifest".r
+    val maxManifest = Option(manifestDir.toFile.listFiles())
+      .map(_.toSeq.collect { f =>
+        f.getName match { case manifestRe(n) => n.toLong }
+      }).getOrElse(Nil).maxOption.getOrElse(0L)
+    val nv = math.max(maxManifest + 1L, latestVersion.getOrElse(0L) + 1L)
+    commitUnlocked(nv, entries, stats, cols, op = s"restore(v=$v)")
+    nv
   }
 
   /** Stats-pruned box scan — Delta data skipping on the READ path: files
@@ -1295,6 +1336,15 @@ final class ParquetTable(spark: SparkSession, root: String,
 }
 
 object ParquetTable {
+  /** Thrown by [[ParquetTable.restore]] when the target version (its
+    * manifest or any referenced data file) was already reclaimed by
+    * vacuum — the refusal happens BEFORE the pointer flips, so the
+    * table's current version stays readable (Delta errors only at read
+    * time after such a restore; refusing up front is strictly safer).
+    */
+  final class RestoreTargetVacuumedException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Default vacuum retention — Delta VACUUM's 7-day default. Anything
     * younger is presumed reachable: an in-flight writer's uncommitted
     * data, a mid-commit manifest, or a reader's still-open old version.

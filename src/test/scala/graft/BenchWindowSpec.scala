@@ -196,6 +196,45 @@ class BenchWindowSpec extends AnyFunSuite with SparkSpec {
     assert(Bench.cleanProbeRef(Seq("not json", ""), 200).isEmpty)
   }
 
+  test("a refused window's JSON names the certified fallback") {
+    // round-16 (VERDICT r15 "what's wrong" #2): BENCH_r15.json recorded
+    // only a refusal; the certified number lived in bench_history alone.
+    // lastCertifiedJson is what a refused emission embeds — it must pick
+    // the NEWEST certified full-registry line and skip refused / hot /
+    // few-query / corrupt lines.
+    def certLine(ts: String, value: Double, norm: Double, n: Int = 250,
+        clean: Boolean = true, hot: Boolean = false): String = {
+      val qs = (1 to n).map(i => s""""q$i":0.1""").mkString("{", ",", "}")
+      s"""{"ts":"$ts","queries":$qs,"hot_run":$hot,"window_clean":$clean,""" +
+        s""""value_norm":$norm,"value":$value}"""
+    }
+    val lines = Seq(
+      certLine("2026-08-15T10:00:00Z", 90.0, 91.0),     // older certified
+      certLine("2026-08-16T19:30:00Z", 94.27, 96.5),    // newest certified
+      certLine("2026-08-16T22:00:00Z", 70.0, 70.0, n = 10), // probe run
+      certLine("2026-08-16T23:00:00Z", 127.0, 113.0, clean = false), // refused
+      certLine("2026-08-16T23:30:00Z", 80.0, 80.0, hot = true), // hot
+      "corrupt { line")
+    val j = Bench.lastCertifiedJson(lines, minQueries = 200)
+    assert(j.nonEmpty)
+    assert(j.get.contains(""""ts":"2026-08-16T19:30:00Z""""),
+      s"must pick the newest certified line, got $j")
+    assert(j.get.contains(""""value":94.27"""))
+    assert(j.get.contains(""""value_norm":96.5"""))
+    assert(j.get.contains(""""n":250"""))
+    // no certified history at all: no fallback, not a crash
+    assert(Bench.lastCertifiedJson(
+      Seq(certLine("t", 1.0, 1.0, clean = false), "junk"), 200).isEmpty)
+  }
+
+  test("value_norm is suppressed (null) on a refused window") {
+    // round-16 (VERDICT r15 "what's wrong" #3): dampened normalization
+    // assumes a UNIFORMLY slow box; a mid-run capacity shift — what a
+    // refusal detects — violates that, so the number must not be emitted
+    assert(Bench.valueNormJson(windowClean = false, 113.89) == "null")
+    assert(Bench.valueNormJson(windowClean = true, 96.5004) == "96.5004")
+  }
+
   test("dampened normalization reconciles the r14 same-code pair") {
     // the measured pair that motivated value_norm: same code, 87.96 s at
     // probe-median 0.0642 vs 96.04 s at 0.0982. With elasticity 0.21 the

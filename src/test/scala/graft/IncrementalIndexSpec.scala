@@ -180,6 +180,46 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("maintenance vacuums honor a retention window (no 0L backdoor)") {
+    // round-16 (ADVICE r15): compactCorpusIndex/maybeFoldCorpusIndex
+    // passed olderThanMs=0 on an UNENFORCED single-maintainer
+    // assumption — two sessions resolving one shared store key would
+    // let one vacuum reclaim the other's in-flight uncommitted append
+    // dir (the r14 race, reintroduced). Production default is a
+    // 10-minute floor; this spec proves the maintenance path passes it
+    // through: young superseded files survive compaction's vacuum.
+    val saved = sys.props.get("graft.index.vacuum.retention.ms")
+    try {
+      sys.props -= "graft.index.vacuum.retention.ms"
+      assert(IndexStore.maintenanceRetentionMs == 10L * 60L * 1000L,
+        "production default must be the 10-minute floor")
+      sys.props("graft.index.vacuum.retention.ms") = "600000"
+      val dir = java.nio.file.Files.createTempDirectory("incr_ret").toString
+      writeBatch(dir, 0 until 48, seed = 11, "overwrite")
+      Similarity.resolveIvfIndex(spark, dir)
+      writeBatch(dir, 48 until 56, seed = 11, "append")
+      Similarity.resolveIvfIndex(spark, dir)
+      val t = IndexStore.corpusIndexTable(spark, "ivf_index", dir)
+      def onDisk: Long = {
+        val stream = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(t.rootPath, "d"))
+        try stream.filter(_.toString.endsWith(".parquet")).count()
+        finally stream.close()
+      }
+      val diskBefore = onDisk
+      assert(IndexStore.compactCorpusIndex(spark, "ivf_index", dir).nonEmpty)
+      val current = t.read.inputFiles.length
+      assert(onDisk >= diskBefore + current,
+        s"young superseded files must SURVIVE a retention-window vacuum " +
+          s"(disk=$onDisk, before=$diskBefore, current=$current)")
+    } finally {
+      saved match {
+        case Some(v) => sys.props("graft.index.vacuum.retention.ms") = v
+        case None => sys.props -= "graft.index.vacuum.retention.ms"
+      }
+    }
+  }
+
   test("index compaction: one file per cell, identical rows, layout preserved") {
     val dir = java.nio.file.Files.createTempDirectory("incr_cmp").toString
     writeBatch(dir, 0 until 48, seed = 5, "overwrite")

@@ -14,6 +14,11 @@ trait SparkSpec extends BeforeAndAfterAll { self: AnyFunSuite =>
 }
 
 object SparkSpec {
+  // tests assert immediate reclamation after index maintenance; the
+  // production default is IndexStore.maintenanceRetentionMs (round-16 —
+  // a spec pins that default explicitly by clearing this prop)
+  sys.props.getOrElseUpdate("graft.index.vacuum.retention.ms", "0")
+
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")

@@ -76,7 +76,56 @@ class TableHistorySpec extends AnyFunSuite with SparkSpec {
     t.restore(narrow)
     assert(t.read.columns.toSeq == Seq("k", "v"),
       "restoring a pre-evolution version restores its schema")
-    intercept[IllegalArgumentException] { t.restore(999L) }
+    intercept[ParquetTable.RestoreTargetVacuumedException] { t.restore(999L) }
+  }
+
+  test("restore-after-vacuum refuses loudly BEFORE flipping the pointer") {
+    // round-16 (VERDICT r15 task 5): restore(v) of a version whose
+    // manifest/files vacuum already reclaimed must throw a named error
+    // up front — Delta only errors later, at read time, leaving the
+    // table's CURRENT version unreadable
+    import spark.implicits._
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    val old = t.latestVersion.get
+    t.merge(Seq((1, "A"), (2, "b")).toDF("k", "v"), keys = Seq("k"))
+    val retained = t.latestVersion.get
+    t.merge(Seq((3, "c")).toDF("k", "v"), keys = Seq("k"))
+    val cur = t.latestVersion.get
+    t.vacuum(keepLast = 2, olderThanMs = 0L) // reclaims `old` only
+    val e = intercept[ParquetTable.RestoreTargetVacuumedException] {
+      t.restore(old)
+    }
+    assert(e.getMessage.contains("RESTORE refused"))
+    assert(t.latestVersion.contains(cur),
+      "a refused restore must not move the pointer")
+    assert(rows(t) == Map(1 -> "A", 2 -> "b", 3 -> "c"),
+      "the current version must stay fully readable after the refusal")
+    // a RETAINED version still restores normally
+    val nv = t.restore(retained)
+    assert(nv > cur && rows(t) == Map(1 -> "A", 2 -> "b"))
+  }
+
+  test("restore refuses when a referenced data file vanished out-of-band") {
+    // defense in depth: even with the manifest and log intact, a data
+    // file reclaimed outside the vacuum protocol (manual cleanup, a
+    // partial historical sweep) must refuse before the pointer flips
+    import spark.implicits._
+    val t = ParquetTable(spark, tmp())
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    val v1 = t.latestVersion.get
+    val v1Files = t.currentFiles
+    // the merge TOUCHES v1's file (key 1 matches), so the new current
+    // version rewrites it — only v1's manifest still references it
+    t.merge(Seq((1, "A"), (2, "b")).toDF("k", "v"), keys = Seq("k"))
+    assert(!t.currentFiles.exists(v1Files.contains))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(v1Files.head))
+    val e = intercept[ParquetTable.RestoreTargetVacuumedException] {
+      t.restore(v1)
+    }
+    assert(e.getMessage.contains("reclaimed"))
+    assert(rows(t) == Map(1 -> "A", 2 -> "b"),
+      "current version unaffected by the refused restore")
   }
 
   test("vacuum preserves surviving versions' history metadata") {

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Probe-normalized bench diff over bench_history.jsonl (round-15).
+"""Probe-normalized bench diff over bench_history.jsonl (round-15/16).
 
 Usage:
   python3 tools/bench_diff.py [historyPath] [--last N]
@@ -11,34 +11,45 @@ not read as a 1.2x plan regression — the r14 confusion (a certified
 96.04s line vs the same code's 87.96s on a quieter box) adjudicated by
 hand back then, mechanical now.
 
+Round-16:
+  - the probe elasticity is FITTED from all same-`code_fp` clean pairs
+    in the history (each pair of runs of identical code at different
+    probe speeds yields one estimate log(v1/v2)/log(p1/p2)); the
+    0.21 single-pair prior remains the fallback, and
+    BENCH_ELASTICITY=<x> in the environment pins it outright;
+  - a file whose NEWEST line is a refused window (`window_clean:false`,
+    e.g. a driver BENCH_rN.json) is adjudicated from the line's embedded
+    `last_certified` summary instead of being silently skipped.
+
 Per-query drift is judged against each line's own `clean_medians`
 snapshot when present, else cross-line, with min-of-available on the
 older side (a single slow pass must not read as a regression).
 """
 import json
+import math
+import os
 import statistics
 import sys
 
 
-def load_clean(path):
-    lines = []
+def load_lines(path):
+    out = []
     with open(path) as fh:
         for raw in fh:
             raw = raw.strip()
             if not raw:
                 continue
             try:
-                o = json.loads(raw)
+                out.append(json.loads(raw))
             except json.JSONDecodeError:
                 continue
-            if not o.get("window_clean", True):
-                continue
-            if o.get("hot_run", False):
-                continue
-            if len(o.get("queries", {})) < 200:
-                continue  # few-query probes read high (underwarmed)
-            lines.append(o)
-    return lines
+    return out
+
+
+def is_clean(o):
+    return (o.get("window_clean", True)
+            and not o.get("hot_run", False)
+            and len(o.get("queries", {})) >= 200)
 
 
 def probe_median(o):
@@ -46,20 +57,49 @@ def probe_median(o):
     return statistics.median(ps) if ps else None
 
 
-ELASTICITY = 0.21  # measured from the r14 same-code pair; see Bench.scala
+ELASTICITY_PRIOR = 0.21  # the measured r14 same-code pair; see Bench.scala
 
 
-def norm_total(o, ref):
+def fit_elasticity(lines):
+    """Median of per-pair estimates across all same-code_fp clean pairs
+    with a meaningful probe-speed spread. Returns (elasticity, n_pairs,
+    source)."""
+    pinned = os.environ.get("BENCH_ELASTICITY")
+    if pinned:
+        return float(pinned), 0, "env-pinned"
+    by_fp = {}
+    for o in lines:
+        fp = o.get("code_fp")
+        pm = probe_median(o)
+        v = o.get("value")
+        if fp and fp != "unknown" and pm and v:
+            by_fp.setdefault(fp, []).append((pm, v))
+    ests = []
+    for runs in by_fp.values():
+        for i in range(len(runs)):
+            for j in range(i + 1, len(runs)):
+                (p1, v1), (p2, v2) = runs[i], runs[j]
+                # require a real speed spread: tiny probe deltas make the
+                # ratio of logs explode on measurement noise
+                if min(p1, p2) <= 0 or abs(math.log(p1 / p2)) < 0.1:
+                    continue
+                ests.append(math.log(v1 / v2) / math.log(p1 / p2))
+    if ests:
+        return statistics.median(ests), len(ests), "fitted"
+    return ELASTICITY_PRIOR, 0, "prior (no same-code_fp pairs)"
+
+
+def norm_total(o, ref, elasticity):
     """Quiet-box-equivalent total: prefer the recorded value_norm
     (computed against the run's own history reference); else derive
     from probe_secs against the shared reference with the DAMPENED
     model (the probe is pure-CPU; the registry total's measured
     elasticity to probe speed is ~0.21, not 1.0)."""
-    if "value_norm" in o:
+    if o.get("value_norm") is not None:
         return o["value_norm"]
     pm = probe_median(o)
     if ref and pm:
-        return o.get("value", 0.0) / ((pm / ref) ** ELASTICITY)
+        return o.get("value", 0.0) / ((pm / ref) ** elasticity)
     return o.get("value", 0.0)
 
 
@@ -73,7 +113,27 @@ def main():
             last = int(args.pop(0))
         else:
             path = a
-    lines = load_clean(path)
+    all_lines = load_lines(path)
+    lines = [o for o in all_lines if is_clean(o)]
+    elasticity, n_pairs, source = fit_elasticity(lines)
+    print(f"elasticity {elasticity:.3f} ({source}"
+          + (f", {n_pairs} same-code pairs" if source == "fitted" else "")
+          + ")")
+
+    # a refused newest line (driver BENCH_rN.json): prefer its embedded
+    # certified summary — that IS the trustworthy number for the round
+    if all_lines and not all_lines[-1].get("window_clean", True):
+        cert = all_lines[-1].get("last_certified")
+        if cert:
+            print("newest line is a REFUSED window; adjudicating from its "
+                  f"embedded last_certified: ts={cert.get('ts','?')} "
+                  f"value={cert.get('value')}s "
+                  f"value_norm={cert.get('value_norm')}s "
+                  f"n={cert.get('n')}")
+        else:
+            print("newest line is a REFUSED window with no last_certified "
+                  "fallback; ignoring it")
+
     if len(lines) < 2:
         print(f"need >=2 clean full-registry lines in {path}, have {len(lines)}")
         return 1
@@ -84,10 +144,13 @@ def main():
 
     for tag, o in (("prev", prev), ("cur ", cur)):
         pm = probe_median(o)
-        print(f"{tag} ts={o.get('ts','?')} raw={o.get('value'):.2f}s "
-              f"norm={norm_total(o, ref):.2f}s "
-              f"probe_median={pm:.4f}s probe_ratio={o.get('probe_ratio')}")
-    nc, np_ = norm_total(cur, ref), norm_total(prev, ref)
+        pm_s = f"{pm:.4f}s" if pm is not None else "n/a"
+        print(f"{tag} ts={o.get('ts','?')} fp={o.get('code_fp','?')} "
+              f"raw={o.get('value'):.2f}s "
+              f"norm={norm_total(o, ref, elasticity):.2f}s "
+              f"probe_median={pm_s} probe_ratio={o.get('probe_ratio')}")
+    nc = norm_total(cur, ref, elasticity)
+    np_ = norm_total(prev, ref, elasticity)
     print(f"normalized total ratio cur/prev = {nc / np_:.3f} "
           f"(raw would read {cur.get('value') / prev.get('value'):.3f})")
 
