@@ -703,12 +703,14 @@ object GraphAnn {
   }
 
   /** FILTERED graph ANN (round-14, the q273 contract on the NSW
-    * index): top-k among label=1 vectors only. The walk ROUTES over
-    * the full graph — restricting routing to matching nodes would
-    * fragment the navigable structure at selective filters, the known
-    * failure mode of filtered graph search — and the predicate applies
-    * to the FINAL beam (one metadata join against the column-pruned
-    * (vec_id, label) scan per round, never per hop). Queries whose
+    * index; round-16: arbitrary predicate over the declared filter
+    * columns): top-k among predicate-matching vectors only. The walk
+    * ROUTES over the full graph — restricting routing to matching
+    * nodes would fragment the navigable structure at selective
+    * filters, the known failure mode of filtered graph search — and
+    * the predicate applies to the FINAL beam (one metadata join
+    * against the column-pruned filter-column scan per round, never
+    * per hop). Queries whose
     * beam holds fewer than k matching candidates re-walk with a
     * DOUBLED beam (32→64→128 — the filtered-HNSW over-fetch rule);
     * a query still short at the beam cap falls back to the EXACT
@@ -718,11 +720,17 @@ object GraphAnn {
     * correctness backstop, not the serving path.
     */
   private[graft] def walkTopKFiltered(s: SparkSession, d: String,
-      k: Int = 10): DataFrame = {
+      pred: org.apache.spark.sql.Column, k: Int = 10): DataFrame = {
     import s.implicits._
     val edges = resolveGraphIndex(s, d).select(col("u"), col("v"), col("layer"))
     val e = graft.common.Tables.load(s, d, "embeddings")
-    val labels = e.select(col("vec_id").as("cand"), col("label"))
+    // the beam's metadata side: one column-pruned corpus scan carrying
+    // exactly the filter columns `pred` references (round-16 — the
+    // graph index stores edges, so its filter columns live on the
+    // corpus scan, enriched from `documents` only when referenced)
+    val meta = Similarity.enrichForPred(s, d,
+        e.select(col("vec_id"), col("label")), pred)
+      .withColumnRenamed("vec_id", "cand")
     val wQ = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand").asc)
     def topK(f: DataFrame): DataFrame = f
@@ -739,7 +747,7 @@ object GraphAnn {
       val q = remaining.toDF("query_id", "qv")
       val masked = graft.tables.IndexStore.maskTombstones(s, "nsw_index", d,
         beamSearch(s, d, q, edges, beam), cols = Seq("cand"))
-      val matching = masked.join(labels, "cand").filter(col("label") === 1)
+      val matching = masked.join(meta, "cand").filter(pred)
         .select(col("query_id"), col("cand"), col("score"))
         .localCheckpoint() // consumed twice: counts + emit
       val counts = matching.groupBy("query_id").agg(count(lit(1)).as("n"))
@@ -765,7 +773,7 @@ object GraphAnn {
         // on what is, at sparse filters, the COMMON path (ADVICE r14)
         finals += topK(graft.tables.IndexStore.maskTombstones(s,
           "nsw_index", d,
-          e.filter(col("label") === 1)
+          Similarity.enrichForPred(s, d, e, pred).filter(pred)
             .join(broadcast(lq), col("vec_id") =!= col("query_id"))
             .select(col("query_id"), col("vec_id").as("cand"),
               Similarity.fastCosine(s)(col("qv"), col("embedding"))
@@ -774,7 +782,8 @@ object GraphAnn {
       }
       remaining = notDone
     }
-    finals.reduce(_.unionByName(_))
+    finals.reduceOption(_.unionByName(_))
+      .getOrElse(Similarity.emptyTopKFrame(s))
   }
 
   /** q274's memoized frame — q211's memo discipline (fingerprint +
@@ -792,7 +801,8 @@ object GraphAnn {
         .getOrElse(-1L)
     filteredWalkMemo.compute(d, (_, cur) =>
       if (cur != null && cur._1 == fp && (cur._2.sparkSession eq s)) cur
-      else (fp, walkTopKFiltered(s, d).localCheckpoint()))._2
+      else (fp, walkTopKFiltered(s, d, col("label") === 1)
+        .localCheckpoint()))._2
   }
 
   private val q274 = QueryDef(

@@ -53,19 +53,21 @@ object IvfPq {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Sidecar row-schema generation: v2 added the `label` filter column
-    * (round-15 filtered IVF-PQ). Stores written under v1 resolve MISS
-    * and rebuild once rather than serving rows the filtered probe
-    * can't read.
+    * (round-15 filtered IVF-PQ); v3 (round-16) records the DECLARED
+    * filter-column set ([[Similarity.IndexFilterCols]]) in the pin —
+    * every declared column rides beside the codes, and changing the
+    * set rebuilds older stores through the ordinary MISS path.
     */
-  private[graft] val PqFormat = "v2-label"
+  private[graft] val PqFormat = s"v3-filters:${Similarity.FilterColsTag}"
 
   /** Stored-index read normalized back to the encode schema (cell cast
     * long, original column order); the optimizer unwraps the cast when
     * pruning, so the probed-cell filter still partition-prunes.
     */
   private def normalizedPqRead(t: graft.tables.ParquetTable): DataFrame =
-    t.read.select(col("vec_id"), col("cell").cast("long").as("cell"),
-      col("codes"), col("rnorm"), col("label"))
+    t.read.select(col("vec_id") +: col("cell").cast("long").as("cell") +:
+      col("codes") +: col("rnorm") +:
+      Similarity.IndexFilterCols.map(c => col(c._1)): _*)
 
   /** The encoded index resolved against the dataset's current backing
     * files — [[Similarity.resolveIvfIndex]]'s lifecycle for the PQ
@@ -164,11 +166,8 @@ object IvfPq {
               val t = IndexStore.corpusIndexTable(s, kind, d)
               val toAppend = IndexStore.filesNeedingAppend(s, t, newFiles)
               if (toAppend.nonEmpty) {
-                val freshRaw = s.read.parquet(toAppend: _*)
-                val fresh = freshRaw.select(
-                  col("vec_id") +: col("embedding") +:
-                    (if (freshRaw.columns.contains("label"))
-                      Seq(col("label")) else Nil): _*)
+                val fresh =
+                  Similarity.withFilterCols(s, d, s.read.parquet(toAppend: _*))
                 t.append(encodeRows(s, fresh, cs, books),
                   partitionBy = Seq("cell"))
               }
@@ -191,18 +190,20 @@ object IvfPq {
       centroids: Array[(Long, Array[Double], Double)],
       books: Array[Array[Array[Double]]]): DataFrame = {
     encodeCount.incrementAndGet()
-    encodeRows(s, load(s, d, "embeddings"), centroids, books)
+    encodeRows(s, Similarity.withFilterCols(s, d, load(s, d, "embeddings")),
+      centroids, books)
   }
 
-  /** (vec_id, cell, codes, rnorm, label): the compressed index row. One
-    * narrow typed pass; `rnorm` is the reconstruction's norm — |v̂|² is
-    * the sum of the chosen codewords' squared norms because subspaces
-    * concatenate — so ADC can score cosines without touching v. `label`
-    * rides beside the codes (round-15 filtered IVF-PQ, the
-    * [[Similarity.assignRows]] rule): a filtered probe's predicate then
-    * lands on the pruned code scan as a parquet PushedFilter next to
-    * the cell PartitionFilter, so ADC ranking only ever sees qualifying
-    * rows. A corpus without the column indexes a constant 0.
+  /** (vec_id, cell, codes, rnorm, <filter cols>): the compressed index
+    * row. One narrow typed pass; `rnorm` is the reconstruction's norm —
+    * |v̂|² is the sum of the chosen codewords' squared norms because
+    * subspaces concatenate — so ADC can score cosines without touching
+    * v. The declared filter columns ([[Similarity.IndexFilterCols]])
+    * ride beside the codes (round-15 filtered IVF-PQ, generalized
+    * round-16): a filtered probe's predicate then lands on the pruned
+    * code scan as parquet PushedFilters next to the cell
+    * PartitionFilter, so ADC ranking only ever sees qualifying rows. A
+    * corpus without a declared column indexes its typed default.
     */
   private[graft] def encodeRows(s: SparkSession, vectors: DataFrame,
       centroids: Array[(Long, Array[Double], Double)],
@@ -210,17 +211,15 @@ object IvfPq {
     import s.implicits._
     val bcC = s.sparkContext.broadcast(centroids)
     val bcB = s.sparkContext.broadcast(books)
-    val labelCol =
-      if (vectors.columns.contains("label")) col("label").cast("int")
-      else lit(0)
-    vectors.select(col("vec_id"), col("embedding"), labelCol.as("label"))
-      .as[(Long, Array[Float], Int)]
+    vectors.select(col("vec_id"), col("embedding"),
+        Similarity.fmetaExpr(vectors).as("fmeta"))
+      .as[(Long, Array[Float], Map[String, String])]
       .mapPartitions { rows =>
         val cs = bcC.value
         val bs = bcB.value
         val m = bs.length
         val ds = bs(0)(0).length
-        rows.map { case (id, v, label) =>
+        rows.map { case (id, v, fm) =>
           val cell = Similarity.rankedCells(cs, v).head
           val codes = new Array[Byte](m)
           var rn2 = 0.0
@@ -246,9 +245,11 @@ object IvfPq {
             while (i < ds) { rn2 += c(i) * c(i); i += 1 }
             mi += 1
           }
-          (id, cell, codes, math.sqrt(rn2), label)
+          (id, cell, codes, math.sqrt(rn2), fm)
         }
-      }.toDF("vec_id", "cell", "codes", "rnorm", "label")
+      }.toDF("vec_id", "cell", "codes", "rnorm", "fmeta")
+      .select(col("vec_id") +: col("cell") +: col("codes") +:
+        col("rnorm") +: Similarity.restoredFilterCols: _*)
   }
 
   /** Top-10 per query (vec_id < 20), IVF-routed, ADC-ranked, exactly
@@ -459,7 +460,8 @@ object IvfPq {
         nProbe = math.min(centroids.length, nProbe * 2)
       }
     }
-    finals.reduce(_.unionByName(_))
+    finals.reduceOption(_.unionByName(_))
+      .getOrElse(Similarity.emptyTopKFrame(s))
   }
 
   /** Filtered IVF-PQ ANN: label = 1 pushed into the code scan, adaptive

@@ -168,7 +168,14 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // semantic decontamination: the (sim, -bid) max-struct argmax must
     // be merge-order-free (float MAX is order-independent, unlike a
     // float SUM) and the τ flag must not wobble across partitionings
-    "q277_semantic_decontam")
+    "q277_semantic_decontam",
+    // filtered IVF on a non-label stored column: same widening
+    // machinery as q273, plus the documents-joined lang attachment at
+    // index build must not vary with partitioning
+    "q278_ann_filtered_lang",
+    // conjunctive two-column filtered LSH: multiprobe widening + masked
+    // backstop under a sparse joint predicate, partition-invariant
+    "q279_ann_lsh_filtered_multi")
 
   test("results are invariant under shuffle-partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

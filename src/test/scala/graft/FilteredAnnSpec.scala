@@ -17,15 +17,20 @@ class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
   private def run() =
     SparkEntry.queries("q273_ann_filtered")(spark, Sf)
 
-  /** Exact filtered top-K: brute-force cosine over ONLY label=1 rows. */
-  private def exactFiltered(): Map[Long, Set[Long]] = {
+  /** Exact filtered top-K: brute-force cosine over ONLY the rows
+    * matching `pred` (round-16: parameterized over the declared
+    * stored-filter-column set — documents-resident columns are joined
+    * in exactly like the probes' backstops do).
+    */
+  private def exactFilteredBy(
+      pred: org.apache.spark.sql.Column): Map[Long, Set[Long]] = {
     val e = graft.common.Tables.load(spark, Sf, "embeddings")
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    e.filter(col("label") === 1)
+    Similarity.enrichForPred(spark, Sf, e, pred).filter(pred)
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Similarity.cosine(col("qv"), col("embedding")).as("score"))
@@ -35,6 +40,9 @@ class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
         qid -> rs.map(_.getLong(1)).toSet
       }
   }
+
+  private def exactFiltered(): Map[Long, Set[Long]] =
+    exactFilteredBy(col("label") === 1)
 
   test("every returned row satisfies the filter (no leakage past the scan)") {
     val e = graft.common.Tables.load(spark, Sf, "embeddings")
@@ -205,6 +213,106 @@ class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
     assert("PushedFilters: \\[.*EqualTo\\(label,1\\)".r
       .findFirstIn(plan).nonEmpty,
       s"the label predicate must reach the bucket scan as a pushed filter:\n$plan")
+  }
+
+  // ---- q278/q279 (round-16): the generalized filter-column contract ----
+
+  /** Purity + fill + recall for a probe under an arbitrary predicate
+    * over the declared stored filter columns — the round-15
+    * purityFillRecall generalized to any (pred, universe).
+    */
+  private def purityFillRecallBy(q: String,
+      pred: org.apache.spark.sql.Column): Unit = {
+    val df = SparkEntry.queries(q)(spark, Sf)
+    val e = graft.common.Tables.load(spark, Sf, "embeddings")
+    val universe = Similarity.enrichForPred(spark, Sf, e, pred)
+      .filter(pred).select("vec_id").collect().map(_.getLong(0)).toSet
+    val leaked = df.select("vec_id").collect().map(_.getLong(0))
+      .filterNot(universe.contains)
+    assert(leaked.isEmpty, s"$q: ${leaked.length} rows leaked the filter")
+    val counts = df.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size == 20, s"$q: all 20 queries must answer")
+    counts.foreach { case (qid, n) =>
+      val u = universe.size - (if (universe.contains(qid) && qid < 20) 1 else 0)
+      assert(n == math.min(K.toLong, u),
+        s"$q query $qid returned $n of ${math.min(K.toLong, u)} " +
+          "— adaptive widening / backstop failed")
+    }
+    val exact = exactFilteredBy(pred)
+    val approx = df.select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(1)).toSet
+      }
+    val recalls = exact.map { case (qid, ids) =>
+      approx.get(qid).map(a => (a & ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // measured floors: q278's lang='fr' universe (82 of 500, ~16%) is
+    // DENSER than label=1 (~10%), so more queries hit the 3k over-fetch
+    // floor early and finish on the approximate path (measured 0.86 —
+    // consistent with the unfiltered IVF probe's ~0.78-0.85 recall
+    // band); the sparser predicates widen to full coverage and sit near
+    // 1.0
+    assert(mean >= 0.8, s"$q mean filtered recall@$K = $mean")
+  }
+
+  test("q278 non-label-column-filtered IVF: purity, fill, and recall") {
+    purityFillRecallBy("q278_ann_filtered_lang", col("lang") === "fr")
+  }
+
+  test("q279 conjunctive two-column-filtered LSH: purity, fill, and recall") {
+    purityFillRecallBy("q279_ann_lsh_filtered_multi",
+      col("lang") === "en" && col("label") === 1)
+  }
+
+  test("q278: the lang predicate reaches the stored index scan beside the cell pruning") {
+    val q = SparkEntry.queries("q278_ann_filtered_lang")
+    q(spark, Sf).collect() // warm the store
+    val plan = q(spark, Sf).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ (INSET|IN)".r
+      .findFirstIn(plan).nonEmpty,
+      s"probed cells must prune partitions at listing time:\n$plan")
+    assert("PushedFilters: \\[.*EqualTo\\(lang,fr\\)".r
+      .findFirstIn(plan).nonEmpty,
+      s"the lang predicate must reach the parquet scan as a pushed filter:\n$plan")
+  }
+
+  test("a multi-column conjunction reaches the stored bucket scan as pushed filters") {
+    // q279's registered predicate is so sparse at sf0.001 (~19 rows)
+    // that EVERY query exhausts multiprobe and the emitted plan is the
+    // backstop alone — so the stored-scan pushdown contract is pinned
+    // here with a DENSE two-column conjunction that satisfies at radius
+    // 0 and therefore emits the bucket-scan plan
+    val df = Similarity.lshTopKFiltered(spark, Sf,
+      col("lang").isin("en", "fr", "es", "zh", "de") && col("label") >= 0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[bkt#\\d+ (INSET|IN)".r
+      .findFirstIn(plan).nonEmpty,
+      s"probed buckets must prune the bucket table's partitions:\n$plan")
+    // [^\n]* not [^\]]*: In(lang, [de,en,...]) itself contains brackets
+    assert("PushedFilters: \\[[^\\n]*In\\(lang".r
+      .findFirstIn(plan).nonEmpty &&
+      "PushedFilters: \\[[^\\n]*GreaterThanOrEqual\\(label,0\\)".r
+        .findFirstIn(plan).nonEmpty,
+      s"both conjuncts must reach the bucket scan as pushed filters:\n$plan")
+  }
+
+  test("q279: the backstop pushes each conjunct to its own corpus scan") {
+    // the all-backstop emitted plan is still scan-shape-disciplined:
+    // label=1 lands on the embeddings scan and lang='en' on the
+    // documents scan as ordinary parquet PushedFilters (the metadata
+    // join is filtered BEFORE the join, not after)
+    val q = SparkEntry.queries("q279_ann_lsh_filtered_multi")
+    q(spark, Sf).collect() // warm the store
+    val plan = q(spark, Sf).queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(label,1\\)".r
+      .findFirstIn(plan).nonEmpty,
+      s"label=1 must reach the embeddings scan pushed:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(lang,en\\)".r
+      .findFirstIn(plan).nonEmpty,
+      s"lang='en' must reach the documents scan pushed:\n$plan")
   }
 
   test("multiprobe widening is real: Hamming-1 ids strictly contain the exact ids") {

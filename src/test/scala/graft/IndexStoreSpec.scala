@@ -178,6 +178,25 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
       8, 16, 6).isEmpty)
   }
 
+  test("q277's bench registry is a real stored table: seeded once, HIT thereafter") {
+    // round-16 (VERDICT r15 task 6): bench membership is a registered
+    // table under the table layer, seeded from the oracle's convention;
+    // a second resolve must serve the STORED table, not re-derive it
+    import graft.queries.Similarity
+    import graft.tables.IndexStore
+    val ids1 = Similarity.benchRegistryIds(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    val t = IndexStore.corpusIndexTable(spark, "bench_registry", Sf)
+    assert(t.exists, "the registry must be persisted through the table layer")
+    val v = t.latestVersion
+    val ids2 = Similarity.benchRegistryIds(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids1 && t.latestVersion == v,
+      "second resolve must HIT the stored registry, not re-seed")
+    // membership equals the seeded convention the DuckDB oracle uses
+    assert(ids1 == (0L until 500L by 50L).toSet, s"got $ids1")
+  }
+
   test("a pre-round-15 PQ store (format v1, no label column) rebuilds, never misserves") {
     // round-15 widened the stored code row with the `label` filter
     // column and bumped the sidecar format to v2-label; a store
@@ -193,13 +212,15 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
     }
     val state = sidecars.filter(_.getFileName.toString == "state.json")
     assert(state.nonEmpty, "pq index sidecar must exist after the build")
+    import graft.queries.IvfPq
     state.foreach { p =>
       val json = java.nio.file.Files.readString(p)
-      java.nio.file.Files.writeString(p,
-        json.replace("\"v2-label\"", "\"v1\""))
+      val rewritten = json.replace("\"" + IvfPq.PqFormat + "\"", "\"v1\"")
+      assert(rewritten != json,
+        "fixture must actually downgrade the recorded format pin")
+      java.nio.file.Files.writeString(p, rewritten)
     }
     graft.common.Memos.clearAll() // drop the served-index session memo
-    import graft.queries.IvfPq
     val encodesBefore = IvfPq.encodeCount.get()
     val out = SparkEntry.queries("q275_ann_ivfpq_filtered")(spark, Sf)
     assert(out.count() > 0, "filtered probe must serve after migration")
