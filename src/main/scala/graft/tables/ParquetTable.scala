@@ -147,12 +147,13 @@ final class ParquetTable(spark: SparkSession, root: String,
     require(committedVersions.contains(v),
       s"version $v is not committed (committed=${committedVersions.toSeq.sorted})")
     val df = readEntries(readManifest(v))
-    // the manifest's recorded column list pins BOTH the column order and
-    // — for time travel — the version's own schema: a version written
-    // before a column was added reads WITHOUT it, even though the union
-    // over newer handles would surface it
-    manifestCols(v) match {
-      case Some(cs) => df.select(cs.map(col): _*)
+    // the manifest's recorded schema pins the column order, the logical
+    // names (rename mapping), and the recorded types (widened columns
+    // cast up) — and, for time travel, the version's OWN schema: a
+    // version written before a column was added/renamed/widened reads
+    // under its own names and types
+    manifestSchema(v) match {
+      case Some(specs) => toLogical(df, specs)
       case None => df // pre-round-15 manifest: schema = union of its files
     }
   }
@@ -197,23 +198,156 @@ final class ParquetTable(spark: SparkSession, root: String,
         }
       }
 
-  /** The column list recorded in version v's `#cols` manifest header —
-    * the version's schema-of-record (names + order). None for manifests
-    * written before round-15; those fall back to the union of their
-    * files' schemas. Recording the schema in the manifest makes append's
-    * compatibility check free (no parquet footer read) and gives time
-    * travel an exact per-version schema under additive evolution.
+  /** One column of a version's schema-of-record (round-16). `name` is
+    * the LOGICAL name users address; `phys` is the name physically
+    * written in parquet files — they differ only after a
+    * [[renameColumn]] (Delta's column-mapping idea: a rename changes
+    * the logical name, never rewrites data; appends keep writing under
+    * the original physical name so every file stays uniform, and reads
+    * alias phys→logical). `tpe` is the recorded logical type: a
+    * widened column (int→long) records the WIDE type while old files
+    * keep their narrow physical type and cast up at read. None = a
+    * pre-round-16 manifest with no `#types` header.
     */
-  private def manifestCols(v: Long): Option[Seq[String]] =
-    Files.readAllLines(manifestPath(v)).asScala
-      .find(_.startsWith("#cols\t"))
-      .map(_.split("\t").toSeq.drop(1))
+  private[graft] final case class ColSpec(name: String, phys: String,
+      tpe: Option[org.apache.spark.sql.types.DataType])
 
-  /** Version v's column list: the manifest header when present, else one
-    * schema read over the version's files (pre-round-15 manifests).
+  /** The schema recorded in version v's manifest headers — `#cols`
+    * (logical names + order, round-15), `#types` (catalog type strings,
+    * round-16), `#phys` (physical names, round-16, present only when a
+    * rename made any differ). None for pre-round-15 manifests; those
+    * fall back to the union of their files' schemas. Recording the
+    * schema in the manifest makes append's compatibility check free
+    * (no parquet footer read), gives time travel an exact per-version
+    * schema under evolution, and carries the rename mapping.
     */
-  private def tableColumns(v: Long): Seq[String] =
-    manifestCols(v).getOrElse(readEntries(readManifest(v)).columns.toSeq)
+  private def manifestSchema(v: Long): Option[Seq[ColSpec]] = {
+    val lines = Files.readAllLines(manifestPath(v)).asScala
+    def header(tag: String): Option[Seq[String]] =
+      lines.find(_.startsWith(s"#$tag\t"))
+        .map(_.split("\t", -1).toSeq.drop(1))
+    header("cols").map { names =>
+      val types = header("types").getOrElse(Nil)
+      val phys = header("phys").getOrElse(Nil)
+      names.zipWithIndex.map { case (n, i) =>
+        val t = types.lift(i).filter(_ != "?").flatMap(s =>
+          try Some(org.apache.spark.sql.types.DataType.fromDDL(s))
+          catch { case _: Exception => None })
+        ColSpec(n, phys.lift(i).getOrElse(n), t)
+      }
+    }
+  }
+
+  private def manifestCols(v: Long): Option[Seq[String]] =
+    manifestSchema(v).map(_.map(_.name))
+
+  /** Version v's schema-of-record: the manifest headers when present,
+    * else names inferred from one schema read over the version's files
+    * (pre-round-15 manifests; no recorded types, phys = logical).
+    */
+  private def tableSpecs(v: Long): Seq[ColSpec] =
+    manifestSchema(v).getOrElse(
+      readEntries(readManifest(v)).schema.fields.toSeq
+        .map(f => ColSpec(f.name, f.name, None)))
+
+  /** Version v's logical column list. */
+  private def tableColumns(v: Long): Seq[String] = tableSpecs(v).map(_.name)
+
+  private def specsOf(df: DataFrame): Seq[ColSpec] =
+    df.schema.fields.toSeq.map(f => ColSpec(f.name, f.name, Some(f.dataType)))
+
+  /** logical → physical name under `specs` (identity for unknown names,
+    * e.g. a partition column on a legacy table).
+    */
+  private def physOf(specs: Seq[ColSpec], name: String): String =
+    specs.find(_.name == name).map(_.phys).getOrElse(name)
+
+  /** Physical-file frame → the logical schema-of-record: each column
+    * aliased phys→logical and cast to its recorded type (no-op when
+    * equal; casts a narrow pre-widening file up). A physical column
+    * entirely ABSENT from the frame (all selected files predate its
+    * addition) reads as typed nulls — the column-subset analog of
+    * `allowMissingColumns`.
+    */
+  private def toLogical(df: DataFrame, specs: Seq[ColSpec]): DataFrame =
+    df.select(specs.map { sp =>
+      val base =
+        if (df.columns.contains(sp.phys)) col(sp.phys)
+        else org.apache.spark.sql.functions.lit(null)
+      sp.tpe.fold(base)(t => base.cast(t)).as(sp.name)
+    }: _*)
+
+  /** Logical frame → the physical write shape: logical names aliased
+    * back to physical, each column cast to the recorded type so every
+    * written file carries the schema-of-record's (possibly widened)
+    * type — a narrow batch appended into a widened column lands wide
+    * on disk, keeping files and their stats records uniform.
+    */
+  private def toPhysical(df: DataFrame, specs: Seq[ColSpec]): DataFrame =
+    df.select(specs.map { sp =>
+      val c = col(sp.name)
+      sp.tpe.fold(c)(t => c.cast(t)).as(sp.phys)
+    }: _*)
+
+  /** int→long / float→double-class widenings (Delta type widening). */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** The committed schema after accepting `df` against `existing` —
+    * the shared append/merge compatibility-and-evolution check:
+    *  - logical name sets must match (strict) or be a superset
+    *    (mergeSchema, additive columns);
+    *  - a batch column NARROWER than the recorded type upcasts at
+    *    write (always accepted — Delta's implicit up-cast);
+    *  - a batch column WIDER than the recorded type WIDENS the
+    *    recorded type (int→long, float→double), gated on mergeSchema
+    *    like added columns — old files keep their narrow physical
+    *    type and cast up at read;
+    *  - anything else (string→int, long→int, …) refuses.
+    */
+  private def evolveSchema(existing: Seq[ColSpec], df: DataFrame,
+      mergeSchema: Boolean, opName: String): Seq[ColSpec] = {
+    val batch = df.schema
+    val batchNames = batch.fieldNames.toSeq
+    val existingNames = existing.map(_.name)
+    if (mergeSchema)
+      require(existingNames.toSet.subsetOf(batchNames.toSet),
+        s"$opName(mergeSchema) is additive: batch must carry every " +
+          s"existing column; table has ${existingNames.sorted}, " +
+          s"batch has ${batchNames.sorted}")
+    else
+      require(batchNames.toSet == existingNames.toSet,
+        s"$opName schema mismatch: table has ${existingNames.sorted}, " +
+          s"batch has ${batchNames.sorted} " +
+          "(pass mergeSchema=true for additive evolution)")
+    val evolved = existing.map { sp =>
+      val bt = batch(sp.name).dataType
+      sp.tpe match {
+        case None => sp.copy(tpe = Some(bt)) // legacy: adopt the batch's
+        case Some(te) if bt == te => sp
+        case Some(te) if widens(bt, te) => sp // narrow batch: upcast
+        case Some(te) if widens(te, bt) =>
+          require(mergeSchema,
+            s"$opName: column ${sp.name} widens $te -> $bt — type " +
+              "widening is schema evolution; pass mergeSchema=true")
+          sp.copy(tpe = Some(bt))
+        case Some(te) => throw new IllegalArgumentException(
+          s"$opName: incompatible type change for column ${sp.name}: " +
+            s"table has $te, batch has ${bt}")
+      }
+    }
+    evolved ++ batchNames.filterNot(existingNames.contains)
+      .map(n => ColSpec(n, n, Some(batch(n).dataType)))
+  }
 
   /** "dir/file" → stats JSON for every file of version v that has stats. */
   private def readStatsMap(v: Long): Map[String, String] =
@@ -223,8 +357,9 @@ final class ParquetTable(spark: SparkSession, root: String,
 
   /** Write the manifest (temp + atomic move), flip `_LATEST`, then record
     * v in the committed log. `stats` ("dir/file" → stats JSON) rides as
-    * each line's optional third field; `cols` is recorded as the `#cols`
-    * header (the version's schema-of-record). Callers hold the commit
+    * each line's optional third field; `schema` is recorded as the
+    * `#cols`/`#types`/`#phys` headers (the version's schema-of-record;
+    * `#phys` only when a rename made any name differ). Callers hold the commit
     * lock; the manifest move deliberately does NOT replace — version
     * numbers are never reused, so a collision here is a protocol bug and
     * must throw, not silently clobber a committed manifest.
@@ -241,12 +376,23 @@ final class ParquetTable(spark: SparkSession, root: String,
     */
   private def commitUnlocked(v: Long, entries: Seq[Entry],
       stats: Map[String, String] = Map.empty,
-      cols: Seq[String] = Nil,
+      schema: Seq[ColSpec] = Nil,
       guard: () => Boolean = () => true,
       op: String = "unknown"): Boolean = {
     Files.createDirectories(manifestDir)
     val header =
-      if (cols.isEmpty) "" else cols.mkString("#cols\t", "\t", "\n")
+      if (schema.isEmpty) ""
+      else {
+        val colsLine = schema.map(_.name).mkString("#cols\t", "\t", "\n")
+        val typesLine =
+          if (schema.forall(_.tpe.isEmpty)) ""
+          else schema.map(_.tpe.fold("?")(_.catalogString))
+            .mkString("#types\t", "\t", "\n")
+        val physLine =
+          if (schema.forall(s => s.phys == s.name)) ""
+          else schema.map(_.phys).mkString("#phys\t", "\t", "\n")
+        colsLine + typesLine + physLine
+      }
     val body = entries.flatMap { case (dir, files) =>
       files.map { f =>
         stats.get(s"$dir/$f").fold(s"$dir\t$f")(s => s"$dir\t$f\t$s")
@@ -422,7 +568,7 @@ final class ParquetTable(spark: SparkSession, root: String,
     */
   private def tryCommit(base: Option[Long], preferredV: Long,
       entries: Seq[Entry], stats: Map[String, String],
-      cols: Seq[String] = Nil, op: String = "unknown"): Option[Long] =
+      schema: Seq[ColSpec] = Nil, op: String = "unknown"): Option[Long] =
     withCommitLock() {
       if (latestVersion != base) None
       else {
@@ -435,7 +581,7 @@ final class ParquetTable(spark: SparkSession, root: String,
         // the guard re-verifies the CAS precondition between manifest
         // write and pointer flip — a no-op under mutual exclusion,
         // a lost-update stopper if a live lock was ever wrongly broken
-        if (commitUnlocked(v, entries, stats, cols,
+        if (commitUnlocked(v, entries, stats, schema,
             guard = () => latestVersion == base, op = op)) Some(v)
         else None
       }
@@ -595,6 +741,8 @@ final class ParquetTable(spark: SparkSession, root: String,
     * commit lock so a racing writer can never tear the pointer.
     */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    // a full replace REBASELINES the schema: physical = logical again
+    // (every file is new), types = the batch's
     val (v0, entry, stats) = writeData(df, partitionBy, nextVersion)
     withCommitLock() {
       val manifestRe = "v=(\\d+)\\.manifest".r
@@ -604,7 +752,7 @@ final class ParquetTable(spark: SparkSession, root: String,
         }).getOrElse(Nil).maxOption.getOrElse(0L)
       val v = math.max(v0,
         math.max(maxManifest + 1L, latestVersion.getOrElse(0L) + 1L))
-      commitUnlocked(v, Seq(entry), stats, df.columns.toSeq,
+      commitUnlocked(v, Seq(entry), stats, specsOf(df),
         op = "overwrite")
       v
     }
@@ -636,23 +784,16 @@ final class ParquetTable(spark: SparkSession, root: String,
   def append(df: DataFrame, partitionBy: Seq[String] = Nil,
       mergeSchema: Boolean = false): Long = {
     lastConflicts = 0
-    def checkSchema(cur: Long): Seq[String] = {
-      val existing = tableColumns(cur)
-      val batch = df.columns.toSeq
-      if (mergeSchema)
-        require(existing.toSet.subsetOf(batch.toSet),
-          s"append(mergeSchema) is additive: batch must carry every " +
-            s"existing column; table has ${existing.sorted}, " +
-            s"batch has ${batch.sorted}")
-      else
-        require(batch.toSet == existing.toSet,
-          s"append schema mismatch: table has ${existing.sorted}, " +
-            s"batch has ${batch.sorted}")
-      existing ++ batch.filterNot(existing.contains)
-    }
     var base = latestVersion
-    var cols = base.map(checkSchema).getOrElse(df.columns.toSeq)
-    val (v0, entry, stats) = writeData(df, partitionBy, nextVersion)
+    var specs = base.map(cur =>
+        evolveSchema(tableSpecs(cur), df, mergeSchema, "append"))
+      .getOrElse(specsOf(df))
+    // the batch is written PHYSICALLY: renamed columns land under
+    // their original physical names so every file of the table stays
+    // uniform, and columns widened by this or an earlier commit land
+    // at the recorded wide type
+    val (v0, entry, stats) = writeData(toPhysical(df, specs),
+      partitionBy.map(physOf(specs, _)), nextVersion)
     var attempt = 0
     while (true) {
       onBeforePublish()
@@ -660,7 +801,7 @@ final class ParquetTable(spark: SparkSession, root: String,
         case None => (Seq(entry), stats)
         case Some(cur) => (readManifest(cur) :+ entry, readStatsMap(cur) ++ stats)
       }
-      tryCommit(base, v0, entries, allStats, cols, op = "append") match {
+      tryCommit(base, v0, entries, allStats, specs, op = "append") match {
         case Some(v) => return v
         case None =>
           lastConflicts += 1
@@ -671,8 +812,9 @@ final class ParquetTable(spark: SparkSession, root: String,
                 s"(base=$base, now=$latestVersion)")
           backoff(attempt)
           base = latestVersion
-          cols = base.map(checkSchema) // the winner may have evolved the schema
-            .getOrElse(df.columns.toSeq)
+          specs = base.map(cur => // the winner may have evolved the schema
+              evolveSchema(tableSpecs(cur), df, mergeSchema, "append"))
+            .getOrElse(specsOf(df))
       }
     }
     -1L // unreachable
@@ -822,10 +964,15 @@ final class ParquetTable(spark: SparkSession, root: String,
     while (true) {
       val cur = latestVersion.getOrElse(
         throw new IllegalStateException(s"table $root does not exist"))
-      val (v0, entry, stats) =
-        writeData(transform(readVersion(cur)), partitionBy, nextVersion)
+      // the rewrite reads LOGICAL (readVersion) and writes the
+      // transformed frame as-is — a full rewrite REBASELINES the
+      // schema: physical names = logical again (rename debt healed by
+      // compaction), recorded types = the frame's (already the
+      // widened/cast-up ones)
+      val out = transform(readVersion(cur))
+      val (v0, entry, stats) = writeData(out, partitionBy, nextVersion)
       onBeforePublish()
-      tryCommit(Some(cur), v0, Seq(entry), stats, tableColumns(cur),
+      tryCommit(Some(cur), v0, Seq(entry), stats, specsOf(out),
         op = op) match {
         case Some(v) => return v
         case None => // a writer landed mid-rewrite: recompute on its snapshot
@@ -929,14 +1076,44 @@ final class ParquetTable(spark: SparkSession, root: String,
           s"${missing.size} data file(s) already reclaimed by vacuum " +
           s"(first: ${missing.head})")
     val stats = readStatsMap(v)
-    val cols = manifestCols(v).getOrElse(Nil)
+    val schema = manifestSchema(v).getOrElse(Nil)
     val manifestRe = "v=(\\d+)\\.manifest".r
     val maxManifest = Option(manifestDir.toFile.listFiles())
       .map(_.toSeq.collect { f =>
         f.getName match { case manifestRe(n) => n.toLong }
       }).getOrElse(Nil).maxOption.getOrElse(0L)
     val nv = math.max(maxManifest + 1L, latestVersion.getOrElse(0L) + 1L)
-    commitUnlocked(nv, entries, stats, cols, op = s"restore(v=$v)")
+    commitUnlocked(nv, entries, stats, schema, op = s"restore(v=$v)")
+    nv
+  }
+
+  /** RENAME COLUMN — Delta's column-mapping rename: a metadata-only
+    * commit that changes the LOGICAL name while every data file keeps
+    * the original physical name (zero data rewritten; appends keep
+    * writing under the physical name so files stay uniform; reads
+    * alias phys→logical). Historical versions time-travel under their
+    * own recorded names. The whole operation runs under the commit
+    * lock — read-evolve-commit on the current schema is not safely
+    * CAS-able from outside it.
+    */
+  def renameColumn(oldName: String, newName: String): Long = withCommitLock() {
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"table $root does not exist"))
+    val specs = tableSpecs(cur)
+    require(specs.exists(_.name == oldName),
+      s"rename: no column $oldName (have ${specs.map(_.name).sorted})")
+    require(!specs.exists(_.name == newName),
+      s"rename: column $newName already exists")
+    val renamed = specs.map(sp =>
+      if (sp.name == oldName) sp.copy(name = newName) else sp)
+    val manifestRe = "v=(\\d+)\\.manifest".r
+    val maxManifest = Option(manifestDir.toFile.listFiles())
+      .map(_.toSeq.collect { f =>
+        f.getName match { case manifestRe(n) => n.toLong }
+      }).getOrElse(Nil).maxOption.getOrElse(0L)
+    val nv = math.max(maxManifest + 1L, cur + 1L)
+    commitUnlocked(nv, readManifest(cur), readStatsMap(cur), renamed,
+      op = s"rename($oldName->$newName)")
     nv
   }
 
@@ -956,9 +1133,11 @@ final class ParquetTable(spark: SparkSession, root: String,
     latestVersion match {
       case None => throw new IllegalStateException(s"no version at $root")
       case Some(cur) =>
+        val specs = tableSpecs(cur)
         val entries = readManifest(cur)
+        // bounds address logical names; stats are physical-keyed
         val lit_ = bounds.map { case (k, lo, hi) =>
-          k -> ((lo.toString, hi.toString))
+          physOf(specs, k) -> ((lo.toString, hi.toString))
         }.toMap
         val candidates =
           pruneByBounds(entries, readStatsMap(cur), lit_)
@@ -966,7 +1145,7 @@ final class ParquetTable(spark: SparkSession, root: String,
           files.map(f => s"$dir/$f")
         }
         if (candidates.isEmpty) read.limit(0).filter(pred)
-        else readEntries(candidates).filter(pred)
+        else toLogical(readEntries(candidates), specs).filter(pred)
     }
   }
 
@@ -1018,9 +1197,11 @@ final class ParquetTable(spark: SparkSession, root: String,
         fs.map(f => s"$d/$f")
       }.toSet
       onBeforePublish()
+      // replaceFiles stays entirely in PHYSICAL space (rows rewritten
+      // verbatim), so the schema-of-record is carried unchanged
       tryCommit(Some(cur), v0, keptEntries :+ entry,
         readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap
-          ++ newStats, tableColumns(cur), op = "replace") match {
+          ++ newStats, tableSpecs(cur), op = "replace") match {
         case Some(v) => return Some(v)
         case None => // victim set may be stale — re-derive from the winner
           lastConflicts += 1
@@ -1071,64 +1252,55 @@ final class ParquetTable(spark: SparkSession, root: String,
           // first-merges must not both win
           val (v0, entry, stats) = writeData(source, partitionBy, nextVersion)
           onBeforePublish()
-          tryCommit(None, v0, Seq(entry), stats, source.columns.toSeq,
+          tryCommit(None, v0, Seq(entry), stats, specsOf(source),
             op = "merge")
         case Some(cur) =>
-          // additive evolution (Delta MERGE + mergeSchema): a source with
-          // NEW columns on top of every existing one upserts normally —
-          // untouched files ride by reference and read null for the new
-          // columns; surviving rows of touched files get null via the
-          // allowMissingColumns union
-          val existing = tableColumns(cur)
-          val cols =
-            if (!mergeSchema) {
-              require(source.columns.toSet == existing.toSet,
-                s"merge schema mismatch: table has ${existing.sorted}, " +
-                  s"source has ${source.columns.sorted.toSeq} " +
-                  "(pass mergeSchema=true for additive evolution)")
-              existing
-            } else {
-              require(existing.toSet.subsetOf(source.columns.toSet),
-                s"merge(mergeSchema) is additive: source must carry every " +
-                  s"existing column; table has ${existing.sorted}, " +
-                  s"source has ${source.columns.sorted.toSeq}")
-              existing ++ source.columns.filterNot(existing.contains)
-            }
+          // additive evolution (Delta MERGE + mergeSchema): a source
+          // with NEW columns (or a WIDENED type) on top of every
+          // existing one upserts normally — untouched files ride by
+          // reference and read null (or cast up) for the evolution;
+          // surviving rows of touched files get null via the
+          // missing-tolerant logical mapping
+          val specs = evolveSchema(tableSpecs(cur), source,
+            mergeSchema, "merge")
           val entries = readManifest(cur)
           val priorStats = readStatsMap(cur)
           val srcKeys = source.select(keyCols: _*).distinct()
-          val candidates = pruneByStats(entries, priorStats, source, keys)
+          val candidates = pruneByStats(entries, priorStats, source, keys,
+            physOf(specs, _))
           lastScanned = candidates.flatMap { case (dir, files) =>
             files.map(f => s"$dir/$f")
           }
+          // discovery scan reads PHYSICAL files: select the keys by
+          // their physical names, aliased back to logical for the join
           val touched: Set[String] =
             if (candidates.isEmpty) Set.empty
             else readEntries(candidates)
-              .select(keyCols :+ input_file_name().as("__graft_file"): _*)
+              .select(keys.map(k => col(physOf(specs, k)).as(k)) :+
+                input_file_name().as("__graft_file"): _*)
               .join(srcKeys, keys, "left_semi")
               .select("__graft_file").distinct()
               .collect().map(r => baseName(r.getString(0))).toSet
           val (touchedEntries, keptEntries) =
             splitEntries(entries, touched)
-          // allowMissingColumns unconditionally: once a table has
-          // evolved, a touched PRE-evolution file is narrower than the
-          // (already schema-checked) source even for a plain merge —
-          // its surviving rows genuinely read null for the newer
-          // columns. Schema compatibility is enforced by the explicit
-          // checks above, not by union analysis failure.
+          // survivors are computed in LOGICAL space (toLogical is
+          // missing-tolerant: a touched pre-evolution file's rows read
+          // null for newer columns) and written back PHYSICAL
           val survivors =
             if (touchedEntries.forall(_._2.isEmpty)) source
-            else readEntries(touchedEntries)
+            else toLogical(readEntries(touchedEntries), specs)
               .join(srcKeys, keys, "left_anti")
               .unionByName(source, allowMissingColumns = true)
-          val (v0, entry, newStats) = writeData(survivors, partitionBy, nextVersion)
+          val (v0, entry, newStats) = writeData(
+            toPhysical(survivors, specs),
+            partitionBy.map(physOf(specs, _)), nextVersion)
           val keptFiles = keptEntries.flatMap { case (d, fs) =>
             fs.map(f => s"$d/$f")
           }.toSet
           onBeforePublish()
           tryCommit(Some(cur), v0, keptEntries :+ entry,
             priorStats.view.filterKeys(keptFiles.contains).toMap ++ newStats,
-            cols, op = "merge")
+            specs, op = "merge")
       }
       outcome match {
         case Some(v) => return v
@@ -1175,24 +1347,28 @@ final class ParquetTable(spark: SparkSession, root: String,
     while (true) {
       val cur = latestVersion.getOrElse(
         throw new IllegalStateException(s"table $root does not exist"))
+      val specs = tableSpecs(cur)
       val entries = readManifest(cur)
-      val touched: Set[String] = readEntries(entries)
+      // the condition addresses LOGICAL names; both scans map through
+      // the schema-of-record (rename aliasing + widening casts)
+      val touched: Set[String] = toLogical(readEntries(entries), specs)
         .filter(condition)
         .select(input_file_name().as("__graft_file"))
         .distinct().collect().map(r => baseName(r.getString(0))).toSet
       if (touched.isEmpty) return None
       val (touchedEntries, keptEntries) = splitEntries(entries, touched)
-      val survivors = readEntries(touchedEntries)
+      val survivors = toLogical(readEntries(touchedEntries), specs)
         .filter(!org.apache.spark.sql.functions.coalesce(
           condition, lit(false)))
-      val (v0, entry, newStats) = writeData(survivors, partitionBy, nextVersion)
+      val (v0, entry, newStats) = writeData(toPhysical(survivors, specs),
+        partitionBy.map(physOf(specs, _)), nextVersion)
       val keptFiles = keptEntries.flatMap { case (d, fs) =>
         fs.map(f => s"$d/$f")
       }.toSet
       onBeforePublish()
       tryCommit(Some(cur), v0, keptEntries :+ entry,
         readStatsMap(cur).view.filterKeys(keptFiles.contains).toMap
-          ++ newStats, tableColumns(cur), op = "delete") match {
+          ++ newStats, specs, op = "delete") match {
         case Some(v) => return Some(v)
         case None => // stale survivors — recompute from the fresh snapshot
           lastConflicts += 1
@@ -1228,7 +1404,12 @@ final class ParquetTable(spark: SparkSession, root: String,
       val sub = readManifest(v).map { case (d, fs) =>
         d -> fs.filter(f => keep.contains(s"$d/$f"))
       }.filter(_._2.nonEmpty)
-      if (sub.nonEmpty) readEntries(sub)
+      // each side reads under ITS OWN version's logical schema, so the
+      // keyed diff joins logical names even across a rename boundary
+      if (sub.nonEmpty) manifestSchema(v) match {
+        case Some(specs) => toLogical(readEntries(sub), specs)
+        case None => readEntries(sub)
+      }
       else readVersion(v).where(lit(false)) // schema-only empty frame
     }
     val (f1, f2) = (files(v1), files(v2))
@@ -1243,16 +1424,20 @@ final class ParquetTable(spark: SparkSession, root: String,
     * pruning only ever over-approximates the touched set.
     */
   private def pruneByStats(entries: Seq[Entry], stats: Map[String, String],
-      source: DataFrame, keys: Seq[String]): Seq[Entry] = {
+      source: DataFrame, keys: Seq[String],
+      statsKeyOf: String => String = identity): Seq[Entry] = {
     if (stats.isEmpty) return entries
     val aggs = keys.flatMap(k =>
       Seq(min(col(k)).cast("string"), max(col(k)).cast("string")))
     val row = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // bounds come off the LOGICAL source; stats records are keyed by
+    // the PHYSICAL column name the file was written under
     val bounds: Map[String, (String, String)] = keys.zipWithIndex.flatMap {
       case (k, i) =>
         val mn = row.getString(2 * i)
         val mx = row.getString(2 * i + 1)
-        if (mn == null || mx == null) None else Some(k -> ((mn, mx)))
+        if (mn == null || mx == null) None
+        else Some(statsKeyOf(k) -> ((mn, mx)))
     }.toMap
     pruneByBounds(entries, stats, bounds)
   }

@@ -111,4 +111,62 @@ class ScaleGrowthSpec extends AnyFunSuite with SparkSpec {
       graft.common.Memos.clearAll()
     }
   }
+
+  test("write path stays sub-~1.3: merge and compact across a 10x table") {
+    // round-16 (VERDICT r15 task 8): GrowthProbe covers the SERVE
+    // paths; this closes the scale story for the WRITE path. Two
+    // tables built from the committed testdata decade — 10x the rows
+    // AND 10x the files (one append per batch) — then the same merge
+    // and compaction timed on each. Merge's cost model is
+    // O(candidate files scanned + touched files rewritten + manifest);
+    // compaction is one table rewrite — both must hold a sub-~1.3
+    // exponent or copy-on-write has quietly gone super-linear.
+    import graft.tables.ParquetTable
+    import org.apache.spark.sql.functions.{col, pmod}
+    def build(sf: String, batches: Int): ParquetTable = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-wg").toString + "/t"
+      val t = ParquetTable(spark, root, statsColumns = Seq("o_orderkey"))
+      val orders = graft.common.Tables.load(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      (0 until batches).foreach { b =>
+        t.append(orders.filter(
+          pmod(col("o_orderkey"), org.apache.spark.sql.functions
+            .lit(batches)) === b).coalesce(1))
+      }
+      t
+    }
+    def source(sf: String) = graft.common.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") < 2000)
+      .withColumn("o_custkey", org.apache.spark.sql.functions.lit(-1L))
+    val small = build(Base, 4)
+    val big = build(Big, 40)
+    def timeOf(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warm both scales off the clock, then min-of-2 alternating
+    small.merge(source(Base), keys = Seq("o_orderkey"))
+    big.merge(source(Big), keys = Seq("o_orderkey"))
+    val m1s = timeOf(small.merge(source(Base), keys = Seq("o_orderkey")))
+    val m1b = timeOf(big.merge(source(Big), keys = Seq("o_orderkey")))
+    val m2s = timeOf(small.merge(source(Base), keys = Seq("o_orderkey")))
+    val m2b = timeOf(big.merge(source(Big), keys = Seq("o_orderkey")))
+    val eMerge = math.log(math.min(m1b, m2b) / math.min(m1s, m2s)) /
+      math.log(10.0)
+    val c1s = timeOf(small.compact(2))
+    val c1b = timeOf(big.compact(2))
+    val c2s = timeOf(small.compact(2))
+    val c2b = timeOf(big.compact(2))
+    val eCompact = math.log(math.min(c1b, c2b) / math.min(c1s, c2s)) /
+      math.log(10.0)
+    info(f"merge=$eMerge%.2f compact=$eCompact%.2f")
+    assert(eMerge <= 1.3,
+      f"merge grew with exponent $eMerge%.2f over a 10x table")
+    assert(eCompact <= 1.3,
+      f"compact grew with exponent $eCompact%.2f over a 10x table")
+    // the timed merges were real writes: the keyed rows were upserted
+    assert(big.read.filter(col("o_orderkey") < 2000 &&
+      col("o_custkey") =!= -1L).count() == 0)
+  }
 }
