@@ -289,6 +289,23 @@ final class ParquetTable(spark: SparkSession, root: String,
       sp.tpe.fold(c)(t => c.cast(t)).as(sp.phys)
     }: _*)
 
+  /** The type with every nullability flag (array containsNull, map
+    * valueContainsNull, struct field nullable) forced true — equality
+    * modulo nullability for the evolution check.
+    */
+  private def normNull(t: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ArrayType(e, _) => ArrayType(normNull(e), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(normNull(k), normNull(v), valueContainsNull = true)
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = normNull(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
   /** int→long / float→double-class widenings (Delta type widening). */
   private def widens(from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean = {
@@ -333,7 +350,14 @@ final class ParquetTable(spark: SparkSession, root: String,
       val bt = batch(sp.name).dataType
       sp.tpe match {
         case None => sp.copy(tpe = Some(bt)) // legacy: adopt the batch's
-        case Some(te) if bt == te => sp
+        // nullability (incl. array containsNull / map valueContainsNull)
+        // is not a type change: a batch with tighter nullability casts
+        // up to the recorded type losslessly — without this, an IVF
+        // delta append whose collected centroids produce
+        // array<float, containsNull=false> refuses against the stored
+        // array<float, containsNull=true> and degrades to a full
+        // rebuild every batch
+        case Some(te) if normNull(bt) == normNull(te) => sp
         case Some(te) if widens(bt, te) => sp // narrow batch: upcast
         case Some(te) if widens(te, bt) =>
           require(mergeSchema,

@@ -77,7 +77,9 @@ class BroadcastLintSpec extends AnyFunSuite with SparkSpec {
     "q254_mh_odds_ratio" ->
       "MH scalar attach: the hinted frames derive from the localCheckpointed 25-row nation-stratum frame (nation is a fixed-size table) — one scalar count and one 1-row ordered-fold result at any corpus size",
     "q255_binseg_changepoint" ->
-      "binseg argmin rival side: the localCheckpointed candidate frame has one row per observed DAY — calendar-bounded (~2.4k rows for the generator's date range, never corpus-proportional), the q221 calendar-frame argument")
+      "binseg argmin rival side: the localCheckpointed candidate frame has one row per observed DAY — calendar-bounded (~2.4k rows for the generator's date range, never corpus-proportional), the q221 calendar-frame argument",
+    "q277_semantic_decontam" ->
+      "benchmark registry attach: every hinted frame is either the registry id table itself or the corpus semi-joined BY it — both are <= |registry| rows, and the registry store is seeded under the documented BenchRegistryCap (vec_id % 50 = 0 AND vec_id < cap => <= cap/50 ids) so its cardinality is registry-governed, never corpus-proportional")
 
   private def refsBounded(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     e.references.nonEmpty && e.references.forall(r => BoundedDomainCols(r.name))
