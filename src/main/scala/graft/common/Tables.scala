@@ -12,13 +12,80 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Identity of a single-file parquet source: canonical path + length +
+    * mtime. A regenerated file changes the signature and misses the memo.
+    */
+  private final case class Sig(path: String, len: Long, mtime: Long)
+  private final case class Meta(schema: StructType, nanosAsLong: Boolean)
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[Sig, Meta]()
+
+  private def sigOf(path: String): Option[Sig] = {
+    val f = new java.io.File(path)
+    if (f.isFile) Some(Sig(f.getCanonicalPath, f.length(), f.lastModified()))
+    else None
+  }
+
+  /** Schema-pinned parquet read. `spark.read.parquet(path)` re-infers the
+    * schema from the footer on EVERY DataFrameReader (~80 ms of driver
+    * time per call on this box vs ~10 ms with a pinned schema); across a
+    * multi-hundred-query registry that re-reads the same ten immutable
+    * files, the inference is pure repeated work. This memoizes ONLY the
+    * StructType — never row data — keyed by the file's identity signature,
+    * the same metadata shortcut a manifest-backed table format (Delta/
+    * Iceberg) provides at scale instead of directory listing + footer
+    * reads (optimization guide §6). Directory sources (pipeline/table-
+    * layer output, multi-file deltas) bypass the memo entirely: only
+    * single regular files are ever pinned.
+    *
+    * `nanosFallback` preserves the events-source contract: a plain read
+    * of TIMESTAMP(NANOS) fails, and only the events loader may opt into
+    * the legacy nanos-as-long read. The flag rides in the memo so a
+    * cache hit on a fresh session re-establishes the session conf the
+    * pinned LongType schema depends on.
+    */
+  def readParquet(spark: SparkSession, path: String,
+      nanosFallback: Boolean = false): DataFrame =
+    sigOf(path) match {
+      case Some(sig) =>
+        val hit = schemaMemo.get(sig)
+        if (hit != null) {
+          if (hit.nanosAsLong)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.schema(hit.schema).parquet(path)
+        } else {
+          var nanos = false
+          val df =
+            try spark.read.parquet(path)
+            catch {
+              case e: Exception if nanosFallback && e.getMessage != null &&
+                  e.getMessage.toLowerCase.contains("nanos") =>
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                nanos = true
+                spark.read.parquet(path)
+            }
+          schemaMemo.put(sig, Meta(df.schema, nanos))
+          df
+        }
+      case None =>
+        if (nanosFallback)
+          try spark.read.parquet(path)
+          catch {
+            case e: Exception if e.getMessage != null &&
+                e.getMessage.toLowerCase.contains("nanos") =>
+              spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+              spark.read.parquet(path)
+          }
+        else spark.read.parquet(path)
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" => loadEvents(spark, sfDir)
       case "documents" => loadDocumentsPath(spark, s"$sfDir/documents.parquet")
       case "embeddings" =>
         loadEmbeddingsPath(spark, s"$sfDir/embeddings.parquet")
-      case _ => spark.read.parquet(s"$sfDir/$name.parquet")
+      case _ => readParquet(spark, s"$sfDir/$name.parquet")
     }
 
   /** Register every testdata table as a temp view so the whole corpus is
@@ -45,16 +112,10 @@ object Tables {
 
   /** Path-addressed variant (streaming probe + fixture specs use it). */
   def loadEventsPath(spark: SparkSession, path: String): DataFrame = {
-    val raw =
-      try spark.read.parquet(path)
-      catch {
-        // TIMESTAMP(NANOS) has no native Spark type and fails the plain
-        // read; only then opt into the legacy long-read and convert below.
-        case e: Exception if e.getMessage != null &&
-            e.getMessage.toLowerCase.contains("nanos") =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(path)
-      }
+    // TIMESTAMP(NANOS) has no native Spark type and fails the plain
+    // read; only the events source may opt into the legacy long-read
+    // (readParquet's nanosFallback) and convert below.
+    val raw = readParquet(spark, path, nanosFallback = true)
     EventsContract.validate(normalizeEventTs(raw), path)
   }
 
@@ -89,7 +150,7 @@ object Tables {
     * boundary with a named column instead of mid-plan.
     */
   def loadDocumentsPath(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.parquet(path)
+    val raw = readParquet(spark, path)
     val widened = raw.schema.find(_.name == "n_chars").map(_.dataType) match {
       case Some(IntegerType) | Some(ShortType) =>
         raw.withColumn("n_chars", col("n_chars").cast(LongType))
@@ -110,7 +171,7 @@ object Tables {
     * queries' silent analysis failures. `label` canonicalizes to INT.
     */
   def loadEmbeddingsPath(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.parquet(path)
+    val raw = readParquet(spark, path)
     val vecFixed = raw.schema.find(_.name == "embedding").map(_.dataType) match {
       case Some(ArrayType(FloatType, _)) => raw
       case Some(ArrayType(DoubleType, _)) =>

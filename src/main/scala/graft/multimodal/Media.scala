@@ -56,7 +56,7 @@ object Media {
     */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.common.Tables.readParquet(spark, s"$sfDir/documents.parquet")
       .select(
         col("doc_id").as("media_id"),
         // deterministic kind assignment from the id

@@ -71,7 +71,8 @@ object ProfileQuery {
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
     println(f"${"query"}%-34s ${"plan_s"}%7s ${"run1_s"}%7s ${"run2_s"}%7s " +
       f"${"jobs"}%5s ${"stg"}%5s ${"tasks"}%6s ${"task_s"}%7s ${"gc_s"}%6s " +
-      f"${"shW_MB"}%7s ${"shR_MB"}%7s")
+      f"${"shW_MB"}%7s ${"shR_MB"}%7s " +
+      f"${"jobs2"}%5s ${"stg2"}%5s ${"tsk2"}%6s ${"tsk2_s"}%7s")
     active.foreach { case (name, q) =>
       spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
@@ -85,12 +86,15 @@ object ProfileQuery {
       val (j1, s1, k1, tm1, g1, sw1, sr1) =
         (jobs.get, stages.get, tasks.get, taskMs.get, gcMs.get,
           shufWrite.get, shufRead.get)
+      reset()
       val t2 = System.nanoTime()
       q.fn(spark, sfDir).count()
       val tRun2 = (System.nanoTime() - t2) / 1e9
+      val (j2, s2, k2, tm2) = (jobs.get, stages.get, tasks.get, taskMs.get)
       println(f"$name%-34s $tPlan%7.3f $tRun1%7.3f $tRun2%7.3f " +
         f"$j1%5d $s1%5d $k1%6d ${tm1 / 1e3}%7.2f ${g1 / 1e3}%6.2f " +
-        f"${sw1 / 1048576.0}%7.1f ${sr1 / 1048576.0}%7.1f")
+        f"${sw1 / 1048576.0}%7.1f ${sr1 / 1048576.0}%7.1f " +
+        f"$j2%5d $s2%5d $k2%6d ${tm2 / 1e3}%7.2f")
     }
     spark.stop()
   }
