@@ -222,55 +222,87 @@ object Attribution {
       val trans = starts.unionByName(steps)
         .groupBy(col("src"), col("dst"))
         .agg(graft.common.Exact.lcountAll.as("c"))
-      val chainNames = "base" +: MkChannels.map("no_" + _)
-      val chained = trans
-        .withColumn("chain", explode(array(chainNames.map(lit): _*)))
-        .filter(concat(lit("no_"), col("src")) =!= col("chain"))
-        .withColumn("dst",
-          when(concat(lit("no_"), col("dst")) === col("chain"), "NULL")
-            .otherwise(col("dst")))
-        .groupBy(col("chain"), col("src"), col("dst"))
-        .agg(sum(col("c")).as("c"))
-        .withColumn("ct", sum(col("c"))
-          .over(Window.partitionBy(col("chain"), col("src"))))
-        .localCheckpoint()
-      var v = chained.select(col("chain"), col("src").as("node"))
-        .distinct().withColumn("v", lit(0L))
-      for (_ <- 1 to MkRounds) {
-        v = chained
-          .join(v.select(col("chain"), col("node").as("dst"),
-            col("v")), Seq("chain", "dst"), "left")
-          .withColumn("tv",
-            when(col("dst") === "CONV", lit(MkScale))
-              .when(col("dst") === "NULL", lit(0L))
-              .otherwise(coalesce(col("v"), lit(0L))))
-          .groupBy(col("chain"), col("src"), col("ct"))
-          .agg(sum(col("c") * col("tv")).as("cv"))
-          .select(col("chain"), col("src").as("node"),
-            expr("cv div ct").as("v"))
+      // The transition-count matrix is STRUCTURALLY bounded by the
+      // channel vocabulary — ≤ (|channels|+3)² cells however large the
+      // corpus (the event-type domain, not the event count, sets its
+      // size) — so the one corpus exchange above is the whole
+      // distributed computation, and the 8-round value iteration runs
+      // driver-side on the collected matrix (the q59 bounded-driver-
+      // state discipline; r16 optimization: the unrolled 8×(join+agg)
+      // DataFrame loop spent ~2.5 s in Catalyst planning alone to move
+      // ≤180 rows). Identical integer semantics: all counts and values
+      // are non-negative i64, so Scala `/` equals Spark's `div`.
+      val mat = trans.collect().map { r =>
+        (r.getString(0), r.getString(1), r.getLong(2))
       }
-      // the 5-row START-value frame has three consumers (base, removals,
-      // the share denominator) — materialize it once or each replays
-      // the full 8-round iteration lineage
-      val vStart = v.filter(col("node") === "START")
-        .select(col("chain"), col("v"))
-        .localCheckpoint()
-      val base = vStart.filter(col("chain") === "base")
-        .select(col("v").as("v_base"))
-      val rem = vStart.filter(col("chain") =!= "base")
-        .select(expr("substring(chain, 4)").as("channel"),
-          col("v").as("v_removed"))
-      val sumRem = rem.agg(sum(col("v_removed")).as("sum_removed"),
-        graft.common.Exact.lcountAll.as("k"))
-      rem.crossJoin(broadcast(base)).crossJoin(broadcast(sumRem))
-        .select(col("channel"), col("v_base"), col("v_removed"),
-          ((col("v_base") - col("v_removed")).cast("double") /
-            col("v_base").cast("double")).as("removal_effect"),
-          when(col("k") * col("v_base") - col("sum_removed") === 0L,
-            lit(null).cast("double"))
-            .otherwise((col("v_base") - col("v_removed")).cast("double") /
-              (col("k") * col("v_base") - col("sum_removed"))
-                .cast("double")).as("share"))
+      require(mat.length <= 10000,
+        s"q251: transition matrix unexpectedly large (${mat.length} cells)")
+      val chainNames = "base" +: MkChannels.map("no_" + _)
+      // empty corpus → no START transitions → the original emitted zero
+      // rows (vStart empty); preserve that exactly
+      val vStart: Seq[(String, Long)] = if (mat.isEmpty) Nil
+      else chainNames.map { chain =>
+        val chained = mat.iterator
+          .filter { case (src, _, _) => "no_" + src != chain }
+          .map { case (src, dst, c) =>
+            (src, if ("no_" + dst == chain) "NULL" else dst, c)
+          }.toSeq
+          .groupBy(t => (t._1, t._2))
+          .map { case ((src, dst), xs) => (src, dst, xs.map(_._3).sum) }
+          .toSeq
+        val ct: Map[String, Long] = chained.groupBy(_._1)
+          .map { case (src, xs) => src -> xs.map(_._3).sum }
+        var v: Map[String, Long] =
+          chained.map(_._1).distinct.map(_ -> 0L).toMap
+        for (_ <- 1 to MkRounds) {
+          v = chained.groupBy(_._1).map { case (src, xs) =>
+            val cv = xs.map { case (_, dst, c) =>
+              val tv = dst match {
+                case "CONV" => MkScale
+                case "NULL" => 0L
+                case n => v.getOrElse(n, 0L)
+              }
+              c * tv
+            }.sum
+            src -> cv / ct(src)
+          }
+        }
+        chain -> v.getOrElse("START", 0L)
+      }
+      val vBase = vStart.collectFirst { case ("base", x) => x }.getOrElse(0L)
+      val rem = vStart.collect { case (chain, x) if chain != "base" =>
+        (chain.substring(3), x)
+      }
+      val sumRem = rem.map(_._2).sum
+      val k = rem.size.toLong
+      // divide-by-zero → null, matching Spark's non-ANSI Divide
+      val rows: java.util.List[org.apache.spark.sql.Row] = {
+        import scala.jdk.CollectionConverters._
+        rem.map { case (channel, vRemoved) =>
+          val effect: java.lang.Double =
+            if (vBase == 0L) null
+            else java.lang.Double.valueOf(
+              (vBase - vRemoved).toDouble / vBase.toDouble)
+          val denom = k * vBase - sumRem
+          val share: java.lang.Double =
+            if (denom == 0L) null
+            else java.lang.Double.valueOf(
+              (vBase - vRemoved).toDouble / denom.toDouble)
+          org.apache.spark.sql.Row(channel, vBase, vRemoved, effect, share)
+        }.asJava
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("channel",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v_base",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v_removed",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("removal_effect",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("share",
+          org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(rows, schema)
     },
     Some {
       val chainList = ("base" +: MkChannels.map("no_" + _))

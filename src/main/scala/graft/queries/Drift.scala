@@ -150,13 +150,18 @@ object Drift {
         col("o_orderpriority").as("priority"))
     val cells = base.groupBy(col("segment"), col("priority"))
       .agg(lcountAll.as("obs"))
-    val rowT = cells.groupBy(col("segment"))
-      .agg(sum("obs").as("row_tot"))
-    val colT = cells.groupBy(col("priority"))
-      .agg(sum("obs").as("col_tot"))
-    val n = cells.agg(sum("obs").as("n_rows"))
-    cells.join(rowT, "segment").join(colT, "priority")
-      .crossJoin(broadcast(n))
+    // marginals as windows over the ≤|segments|·|priorities| aggregate
+    // frame (bounded by the category vocabularies, never the corpus) —
+    // the former groupBy+join-back marginals re-ran the corpus
+    // join+aggregation once per marginal (measured: 11 AQE jobs, 4
+    // corpus passes; guide §2.4 "share one exchange")
+    import org.apache.spark.sql.expressions.Window
+    cells
+      .withColumn("row_tot",
+        sum("obs").over(Window.partitionBy(col("segment"))))
+      .withColumn("col_tot",
+        sum("obs").over(Window.partitionBy(col("priority"))))
+      .withColumn("n_rows", sum("obs").over(Window.partitionBy()))
       .withColumn("expected",
         (col("row_tot") * col("col_tot")).cast("double") /
           col("n_rows").cast("double"))

@@ -33,6 +33,10 @@ object Rfm {
     (s, d) => {
       val orders = load(s, d, "orders")
       val mx = orders.agg(max(col("o_orderdate")).as("m"))
+      // materialized ONCE: `per` has five consumers (the count, the
+      // three rank passes, and the final join) — without the cut each
+      // replans and re-runs the full orders scan + aggregation
+      // (measured: 12 AQE jobs, 5 corpus scans; r16 guide §2.4/§5)
       val per = orders.groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_ts"),
           lcountAll.as("freq"),
@@ -41,6 +45,7 @@ object Rfm {
         .select(col("o_custkey"),
           datediff(col("m"), col("last_ts")).cast("long").as("recency"),
           col("freq"), col("monetary"))
+        .localCheckpoint()
       val n = per.count()
       def binOf(sorted: org.apache.spark.sql.DataFrame, out: String) =
         sorted.select(col("o_custkey"),

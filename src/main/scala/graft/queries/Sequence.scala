@@ -204,25 +204,47 @@ object Sequence {
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type"), col("next_type"))
         .agg(lcountAll.as("n"))
-      val states = pairs.select(col("event_type")).distinct()
-      val t = pairs
-        .join(states.select(col("event_type").as("next_type")), "next_type")
-        .withColumn("from_total",
-          sum(col("n")).over(Window.partitionBy(col("event_type"))))
-        .localCheckpoint()
-      var pi = t.select(col("event_type").as("node")).distinct()
-        .withColumn("r", lit(PiScale))
-      for (_ <- 1 to PiIters) {
-        pi = t
-          .join(pi.withColumnRenamed("node", "event_type"), "event_type")
-          .select(col("next_type"),
-            expr("(r * n) div from_total").as("contrib"))
-          .groupBy(col("next_type"))
-          .agg(sum(col("contrib")).as("r"))
-          .select(col("next_type").as("node"), col("r"))
+      // The transition matrix is STRUCTURALLY ≤ |event types|² cells —
+      // the type vocabulary, not the corpus, bounds it — so the one
+      // user exchange above is the whole distributed computation and
+      // the fixed-round power iteration runs driver-side on the
+      // collected matrix (q59/q251's bounded-driver-state discipline;
+      // r16: the unrolled DataFrame loop cost 8 AQE jobs and most of
+      // the query's planning time to move ≤36 rows). Identical integer
+      // semantics: counts and π values are non-negative i64, so Scala
+      // `/` equals Spark's `div`.
+      val mat = pairs.collect().map { r =>
+        (r.getString(0), r.getString(1), r.getLong(2))
       }
-      pi.select(col("node").as("event_type"), col("r").as("pi_scaled"),
-        (col("r").cast("double") / lit(PiScale.toDouble)).as("pi"))
+      require(mat.length <= 10000,
+        s"q200: transition matrix unexpectedly large (${mat.length} cells)")
+      val states = mat.map(_._1).toSet
+      val t = mat.filter { case (_, nxt, _) => states.contains(nxt) }
+      val fromTotal: Map[String, Long] = t.groupBy(_._1)
+        .map { case (src, xs) => src -> xs.map(_._3).sum }
+      var pi: Map[String, Long] =
+        t.map(_._1).distinct.map(_ -> PiScale).toMap
+      for (_ <- 1 to PiIters) {
+        pi = t.iterator
+          .filter { case (src, _, _) => pi.contains(src) }
+          .map { case (src, nxt, n) => nxt -> (pi(src) * n) / fromTotal(src) }
+          .toSeq.groupBy(_._1)
+          .map { case (nxt, xs) => nxt -> xs.map(_._2).sum }
+      }
+      val rows: java.util.List[org.apache.spark.sql.Row] = {
+        import scala.jdk.CollectionConverters._
+        pi.toSeq.map { case (node, r) =>
+          org.apache.spark.sql.Row(node, r, r.toDouble / PiScale.toDouble)
+        }.asJava
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pi_scaled",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pi",
+          org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(rows, schema)
     },
     Some(s"""WITH seq AS (
               SELECT event_type,
