@@ -274,6 +274,16 @@ object Bench {
       // query (74.8 s -> 98.5 s on the shared set). Static conf, so it
       // must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // let AQE size the materialized layout of cached plans (off by
+      // default for output-partitioning stability, SPARK-34182): the
+      // session-memoized graph/bipartite edge caches otherwise pin the
+      // accidental partition count of their build plan — 64 near-empty
+      // partitions at sf0.1, measured ~130 ms of fixed per-task cost on
+      // EVERY warm scan (q140 warm: 261 tasks/22 CPU-s → 7 tasks/0.1).
+      // Scale-independent: AQE coalesces by bytes, so at corpus scale
+      // the cache materializes at the advisory partition size instead.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def probeOnce(): Double = {

@@ -44,12 +44,15 @@ object Basket {
       val orders = load(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      // in-row C(n,2) expansion as two chained explodes + a<b filter:
+      // same pair set as the nested transform/slice HOF but fully
+      // whole-stage-codegen — the interpreted slice-per-element chain
+      // copies the array O(n²) times per order (the q64 shingle
+      // pitfall; r16: measured ~2x task time on the pair stages)
       val pairs = orders
-        .select(explode(flatten(transform(col("parts"), (x, i) =>
-          transform(
-            slice(col("parts"), i + lit(2), size(col("parts"))),
-            y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
-        .select(col("p.part_a"), col("p.part_b"))
+        .select(explode(col("parts")).as("part_a"), col("parts"))
+        .select(col("part_a"), explode(col("parts")).as("part_b"))
+        .filter(col("part_a") < col("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(lcountAll.as("n_orders_pair"))
         .filter(col("n_orders_pair") >= MinSupport)
@@ -128,13 +131,13 @@ object Basket {
       val orders = load(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      // both orientations in one pass: two chained explodes + a≠b
+      // filter — the codegen'd equivalent of the nested slice HOF's
+      // in-row mirror (see q119's pair-expansion note)
       val sym = orders
-        .select(explode(flatten(transform(col("parts"), (x, i) =>
-          flatten(transform(
-            slice(col("parts"), i + lit(2), size(col("parts"))),
-            y => array(struct(x.as("part"), y.as("neighbor")),
-              struct(y.as("part"), x.as("neighbor")))))))).as("p"))
-        .select(col("p.part"), col("p.neighbor"))
+        .select(explode(col("parts")).as("part"), col("parts"))
+        .select(col("part"), explode(col("parts")).as("neighbor"))
+        .filter(col("part") =!= col("neighbor"))
         .groupBy(col("part"), col("neighbor"))
         .agg(lcountAll.as("n_orders_pair"))
         .filter(col("n_orders_pair") >= MinSupport)

@@ -32,12 +32,12 @@ object Graph {
     val orders = load(s, d, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    // codegen'd C(n,2) expansion (two explodes + u<v), same pair set
+    // as the former nested transform/slice HOF — see q119's note
     val pairs = orders
-      .select(explode(flatten(transform(col("parts"), (x, i) =>
-        transform(
-          slice(col("parts"), i + lit(2), size(col("parts"))),
-          y => struct(x.as("u"), y.as("v")))))).as("p"))
-      .select(col("p.u"), col("p.v"))
+      .select(explode(col("parts")).as("u"), col("parts"))
+      .select(col("u"), explode(col("parts")).as("v"))
+      .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v"))
       .agg(lcountAll.as("n"))
       .filter(col("n") >= MinSupport)
@@ -80,7 +80,16 @@ object Graph {
   private def degreeEdges(s: SparkSession, d: String): DataFrame =
     edMemo.getOrElseUpdate(d) {
       val e = edges(s, d)
-      e.join(e.groupBy(col("u")).agg(lcountAll.as("deg")), "u").cache()
+      // the trailing keyed repartition makes the CACHED layout
+      // scale-adaptive: AQE sizes the exchange by bytes (one partition
+      // at test scale, many at corpus scale) and the key matches every
+      // consumer's join/agg key. Without it the cache inherits the
+      // union's 64 accidental micro-partitions, and each of the many
+      // warm-path scans paid 64 near-empty tasks (measured: ~22 CPU-s
+      // warm → ~1; guide §2.2 "fewer, larger partitions").
+      e.join(e.groupBy(col("u")).agg(lcountAll.as("deg")), "u")
+        .repartition(col("u"))
+        .cache()
     }
 
   private val q140 = QueryDef(

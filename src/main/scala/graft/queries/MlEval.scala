@@ -166,22 +166,31 @@ object MlEval {
   private val q154 = QueryDef(
     (s, d) => {
       val pu = perUser(s, d)
+      // materialized once: the prefix-sum operator's two passes, the
+      // totals, and the max/arg-max all read this value-domain
+      // histogram — without the cut each replayed the corpus scan (r16)
       val byScore = pu.groupBy(col("score"))
         .agg(sum("label").as("pos"),
           (lcountAll - sum("label")).cast("long").as("neg"))
+        .localCheckpoint()
       val cum = graft.operators.PrefixSum.runningSums(
         byScore, Seq(col("score").asc), Seq("pos", "neg"))
-      val tot = pu.agg(sum("label").as("p"),
-        (lcountAll - sum("label")).cast("long").as("nn"))
+      // identical integers to the former corpus-level fold: summing the
+      // per-score long counts regroups exact integer addition
+      val tot = byScore.agg(sum("pos").as("p"), sum("neg").as("nn"))
       val diffed = cum.crossJoin(broadcast(tot))
         .withColumn("diff",
           abs(col("pos_cum").cast("double") / col("p").cast("double") -
             col("neg_cum").cast("double") / col("nn").cast("double")))
-      val ksRow = diffed.agg(max(col("diff")).as("ks"))
-      diffed.crossJoin(broadcast(ksRow))
-        .filter(col("diff") === col("ks"))
+      // max + smallest-score-at-max in ONE aggregate: lexicographic
+      // struct max picks max diff then max(-score) = min score among
+      // exact double ties — the same (max, then min-score) policy the
+      // former self-crossJoin + equality filter computed in two passes
+      diffed
         .agg(max("p").as("n_pos"), max("nn").as("n_neg"),
-          max("ks").as("ks"), min("score").as("ks_score"))
+          max(struct(col("diff"), (-col("score")).as("ns"))).as("m"))
+        .select(col("n_pos"), col("n_neg"),
+          col("m.diff").as("ks"), (-col("m.ns")).as("ks_score"))
     },
     Some(s"""WITH pu AS ($PerUserSql),
             t AS (

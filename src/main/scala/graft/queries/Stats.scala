@@ -568,10 +568,13 @@ object Stats {
         .groupBy(col("o_custkey").as("c_custkey"))
         .agg(sum(graft.common.Exact.cents(col("o_totalprice")))
           .as("spend_cents"))
+      // materialized once: both rank passes re-ran the orders fold +
+      // customer join without the cut (r16; guide §2.4)
       val both = load(s, d, "customer")
         .select(col("c_custkey"),
           graft.common.Exact.cents(col("c_acctbal")).as("bal_cents"))
         .join(spend, "c_custkey")
+        .localCheckpoint()
       val rx = Curation.globalOrder(both,
           Seq(col("bal_cents").asc, col("c_custkey").asc))
         .select(col("c_custkey"), col("position").as("rank_bal"))
@@ -1001,8 +1004,11 @@ object Stats {
         .agg(graft.common.Exact.lcountAll.as("c"))
         .localCheckpoint()
       val vh = gh.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      // two consumers (per-group fold + tie term) — materialize or each
+      // replays the two-phase prefix sum including its collect job (r16)
       val cum = graft.operators.PrefixSum.runningSums(
         vh, Seq(col("v")), Seq("t"))
+        .localCheckpoint()
       val perGrp = gh.join(cum, "v")
         .groupBy(col("grp"))
         .agg(sum(col("c")).as("n_g"),

@@ -242,7 +242,11 @@ object TextOps {
     */
   private val q83 = QueryDef(
     (s, d) => {
+      // materialized ONCE: ≤5 rows per doc by construction, and the
+      // self-join below otherwise replays the whole tokenize+tf+df+rank
+      // lineage for BOTH sides (r16: measured 2 full corpus passes)
       val t = distinctiveTerms(s, d).select("doc_id", "term")
+        .localCheckpoint()
       t.as("a").join(t.as("b"),
           col("a.doc_id") === col("b.doc_id") &&
             col("a.term") < col("b.term"))
@@ -530,7 +534,12 @@ object TextOps {
     */
   private val q205 = QueryDef(
     (s, d) => {
+      // materialized ONCE (≤5 rows per doc): the pair self-join, both
+      // marginal join-backs, and the doc total otherwise each replay
+      // the tokenize+tf+df+rank lineage — measured 4 corpus passes and
+      // ~76 task-seconds at sf0.1 (r16; guide §2.4)
       val t = distinctiveTerms(s, d).select("doc_id", "term")
+        .localCheckpoint()
       val pairs = t.as("a").join(t.as("b"),
           col("a.doc_id") === col("b.doc_id") &&
             col("a.term") < col("b.term"))
