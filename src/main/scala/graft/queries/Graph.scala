@@ -488,7 +488,12 @@ object Graph {
             expr("shiftleft(cast(1 as bigint), cast(seed_rank - 1 as int))"),
             lit(0L)).as("mask"))
         .localCheckpoint()
-      val perRadius = (1 to BfsHops).map { r =>
+      // the four supersteps stay materialized Pregel rounds, but the
+      // per-radius popcount folds collapse into ONE grouped aggregate
+      // over the unioned round frames — the former per-radius
+      // stack-aggregate subplans ran as four separate AQE jobs over
+      // four checkpoints (r16: 28 warm jobs → ~10, identical sums)
+      val roundFrames = (1 to BfsHops).map { r =>
         val prop = ed.select(col("u"), col("v"))
           .join(masked.withColumnRenamed("node", "u"), "u")
           .filter(col("mask") =!= 0L)
@@ -498,17 +503,19 @@ object Graph {
           .select(col("node"),
             expr("mask | coalesce(pm, 0L)").as("mask"))
           .localCheckpoint()
-        val sums = (1 to BfsSeeds).map { i =>
-          sum(expr(s"shiftright(mask, ${i - 1}) & 1")).as(s"c_$i")
-        }
-        val stackArgs = (1 to BfsSeeds)
-          .map(i => s"${i}L, c_$i").mkString(", ")
-        masked.agg(sums.head, sums.tail: _*)
-          .select(expr(s"stack($BfsSeeds, $stackArgs) AS (seed_rank, n_reached)"))
-          .select(lit(r.toLong).as("radius"), col("seed_rank"),
-            col("n_reached"))
+        masked.select(lit(r.toLong).as("radius"), col("mask"))
       }
-      perRadius.reduce(_ unionByName _)
+      val sums = (1 to BfsSeeds).map { i =>
+        sum(expr(s"shiftright(mask, ${i - 1}) & 1")).as(s"c_$i")
+      }
+      val stackArgs = (1 to BfsSeeds)
+        .map(i => s"${i}L, c_$i").mkString(", ")
+      roundFrames.reduce(_ unionByName _)
+        .groupBy(col("radius"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("radius"),
+          expr(s"stack($BfsSeeds, $stackArgs) AS (seed_rank, n_reached)"))
+        .select(col("radius"), col("seed_rank"), col("n_reached"))
         .join(broadcast(seeds), "seed_rank")
         .select(col("radius"), col("seed_rank"),
           col("node").as("seed_part"), col("n_reached"))

@@ -588,6 +588,13 @@ object Similarity {
           col("bkt") === col("qbkt") && col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"))
         .distinct() // collapse multi-table collisions as 16-byte pairs
+        // deliberately UNHINTED (r16): at bench scale the planner
+        // broadcasts the embedding side and rebuilds its hash relation
+        // per execution (~7 task-s) — but the candidate side is
+        // bucket-occupancy-proportional, so pinning it as the build
+        // side would be a latent 100 TB OOM (BroadcastLintSpec's
+        // contract); the planner's own choice degrades safely to SMJ
+        // at scale
         .join(emb, "vec_id") // embeddings only for surviving candidates
         .join(broadcast(qemb), "query_id")
         .select(col("query_id"), col("vec_id"),

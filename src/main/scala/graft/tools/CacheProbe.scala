@@ -57,6 +57,10 @@ object CacheProbe {
             println(f"  stage $sid%4d ${ms / 1e3}%7.2fs n=$n%3d  " +
               stageNames.getOrDefault(sid, "?"))
         }
+        val df = q.fn(spark, sfDir)
+        df.count()
+        println("=== final adaptive plan ===")
+        println(df.queryExecution.executedPlan.toString.take(12000))
       }
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         println(s"  rdd $id: parts=${rdd.getNumPartitions} " +
