@@ -141,15 +141,20 @@ object Advanced {
 
   /** q178: order-to-ship lead time quartiles per order priority — the
     * fulfillment-SLA table ("URGENT orders ship in a median of N
-    * days"). Rides q81's histogram-style positional-quartile engine:
-    * the heavy shuffle ends at a (priority, lead_days) count frame
-    * (lead days are calendar-bounded), never a per-row sort — the
+    * days"). The heavy shuffle ends at a (priority, lead_days) count
+    * frame (lead days are calendar-bounded), never a per-row sort — the
     * per-group ROW_NUMBER formulation would hand one task the whole
     * priority class at 100 TB. The line→order join picks up priority
     * with the orders side keyed on the same join key as the fact.
+    * r17: the quartile selection over that calendar-bounded histogram
+    * (≤ |priorities|·|calendar days| cells at ANY corpus size) moved
+    * from two window passes + a re-aggregation to a driver-side sweep
+    * on the collected histogram (the q251 bounded-driver-state
+    * discipline, size-guarded) — one fewer exchange, no per-group
+    * serial window task, identical positional-rank arithmetic.
     */
   private lazy val q178 = QueryDef(
-    (s, d) => positionalQuartiles(
+    (s, d) => positionalQuartilesCollected(s,
       load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_shipdate"))
         .join(load(s, d, "orders")
@@ -211,32 +216,136 @@ object Advanced {
     * handles BIGINT but not DECIMAL (the q89 surface rule, enforced by
     * QuerySurfaceSpec's type whitelist).
     */
+  /** Round-15/16 windowed take-overlap formulation, kept as the
+    * empty-corpus fallback (zero rows either way).
+    */
+  private def q224Windowed(src: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byGrp = Window.partitionBy(col("grp"))
+    val hist = src
+      .groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    hist
+      // rows ≡ range on the distinct (grp, v) histogram; row frame is
+      // the cheaper evaluator (r17)
+      .withColumn("cum", sum(col("c")).over(byGrp.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(byGrp))
+      .withColumn("k", expr(s"n div $TrimDen"))
+      .withColumn("take",
+        greatest(least(col("cum"), col("n") - col("k")) -
+          greatest(col("cum") - col("c"), col("k")), lit(0L)))
+      .filter(col("take") > 0L)
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n_rows"), max(col("k")).as("k_trim"),
+        sum(col("take").cast("decimal(38,0)") * col("v"))
+          .cast("long").as("kept_cents"),
+        sum(col("take")).as("n_kept"))
+      .select(col("grp").as("o_orderpriority"),
+        col("n_rows"), col("k_trim"), col("kept_cents"),
+        col("n_kept"),
+        (col("kept_cents").cast("double") /
+          col("n_kept").cast("double")).as("trimmed_mean_cents"))
+  }
+
+  /** Coarse bucket width of q224's two-phase selection: $1000 in cents
+    * over o_totalprice. Same driver-state/sliver bounds as q247's
+    * [[WqBucket]] (totalprice domain is wider than line price, so the
+    * bucket is coarser).
+    */
+  private val TmBucket = 100000L
+
   private lazy val q224 = QueryDef(
     (s, d) => {
-      val byGrp = Window.partitionBy(col("grp"))
-      val hist = load(s, d, "orders")
+      // r17 two-phase selection (guide §2/§5): kept mass = F(n−k) − F(k)
+      // where F(r) is the mass of the r cheapest orders. The r16 shape
+      // ran per-priority cumulative windows over the FULL value
+      // histogram (price-domain-bounded, but a serial ~10⁵-row task per
+      // priority on the critical path). Now a coarse $1000-bucket
+      // (count, mass) histogram collects to the driver (price-domain/B
+      // cells, guarded), the driver locates each rank's bucket and its
+      // exact prefix (count, mass), and one sliver pass over ONLY the
+      // two boundary buckets per priority computes the within-bucket
+      // partial — nothing corpus-sized is ever sorted in one task. All
+      // arithmetic stays integer/decimal; the trimmed mean is the same
+      // single terminal double division.
+      val src = load(s, d, "orders")
         .select(col("o_orderpriority").as("grp"),
           cents(col("o_totalprice")).as("v"))
-        .groupBy(col("grp"), col("v"))
-        .agg(count(lit(1)).as("c"))
-      hist
-        .withColumn("cum", sum(col("c")).over(byGrp.orderBy(col("v"))))
-        .withColumn("n", sum(col("c")).over(byGrp))
-        .withColumn("k", expr(s"n div $TrimDen"))
-        .withColumn("take",
-          greatest(least(col("cum"), col("n") - col("k")) -
-            greatest(col("cum") - col("c"), col("k")), lit(0L)))
-        .filter(col("take") > 0L)
-        .groupBy(col("grp"))
-        .agg(max(col("n")).as("n_rows"), max(col("k")).as("k_trim"),
-          sum(col("take").cast("decimal(38,0)") * col("v"))
-            .cast("long").as("kept_cents"),
-          sum(col("take")).as("n_kept"))
-        .select(col("grp").as("o_orderpriority"),
-          col("n_rows"), col("k_trim"), col("kept_cents"),
-          col("n_kept"),
-          (col("kept_cents").cast("double") /
-            col("n_kept").cast("double")).as("trimmed_mean_cents"))
+      def bucketCol = col("v") - pmod(col("v"), lit(TmBucket))
+      val coarse = src
+        .groupBy(col("grp"), bucketCol.as("cb"))
+        .agg(count(lit(1)).as("c"),
+          sum(col("v").cast("decimal(38,0)")).as("m"))
+        .collect()
+      require(coarse.length <= 500000,
+        s"q224 coarse histogram ${coarse.length} cells - price domain " +
+          "assumption broken")
+      if (coarse.isEmpty) q224Windowed(src)
+      else {
+        // per priority: n, k, and for each rank target r ∈ {k, n−k}
+        // the boundary bucket plus exact prefix count/mass before it
+        val meta = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+        val targets = coarse.groupBy(_.getString(0)).toSeq
+          .flatMap { case (grp, rows) =>
+            val sorted = rows.map(r => (r.getLong(1), r.getLong(2),
+              BigDecimal(r.getDecimal(3)))).sortBy(_._1)
+            val n = sorted.map(_._2).sum
+            val k = n / TrimDen
+            meta(grp) = (n, k)
+            Seq((1, k), (2, n - k)).filter(_._2 > 0).map { case (which, r) =>
+              var cum = 0L; var mass = BigDecimal(0); var i = 0
+              while (i < sorted.length && cum + sorted(i)._2 < r) {
+                cum += sorted(i)._2; mass += sorted(i)._3; i += 1
+              }
+              (grp, which, r, sorted(i)._1, cum, mass.bigDecimal)
+            }
+          }
+        import s.implicits._
+        val tgtDf = targets.toDF("grp", "which", "r", "cb", "cum_prev",
+          "mass_prev")
+        val bucketOf = targets.groupBy(_._1).view
+          .mapValues(_.map(_._4).distinct).toMap
+        val pred = bucketOf.toSeq.map { case (g, cbs) =>
+          col("grp") === g && bucketCol.isin(cbs: _*)
+        }.reduce(_ || _)
+        val sliver = src.filter(pred)
+          .groupBy(col("grp"), col("v"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cb", bucketCol)
+          .join(broadcast(tgtDf), Seq("grp", "cb"))
+        val w = Window.partitionBy(col("grp"), col("which"))
+          .orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = sliver
+          .withColumn("cumw", col("cum_prev") + sum(col("c")).over(w))
+          .withColumn("massw", col("mass_prev").cast("decimal(38,0)") +
+            sum(col("v").cast("decimal(38,0)") * col("c")).over(w))
+        // F(r): prefix mass at the boundary value vb (smallest v with
+        // cumw ≥ r), trimmed back by the (cumw − r) surplus copies of vb
+        val f = cum
+          .filter(col("cumw") >= col("r"))
+          .groupBy(col("grp"), col("which"), col("r"))
+          .agg(min(struct(col("v"), col("cumw"), col("massw"))).as("b"))
+          .select(col("grp"), col("which"),
+            (col("b.massw") - (col("b.cumw") - col("r"))
+              .cast("decimal(38,0)") * col("b.v")).as("fr"))
+        val metaDf = meta.toSeq.map { case (g, (n, k)) => (g, n, k) }
+          .toDF("grp", "n_rows", "k_trim")
+        f.groupBy(col("grp"))
+          .agg(
+            coalesce(sum(when(col("which") === 1, col("fr"))),
+              lit(0).cast("decimal(38,0)")).as("f_k"),
+            sum(when(col("which") === 2, col("fr"))).as("f_nk"))
+          .join(broadcast(metaDf), Seq("grp"))
+          .select(col("grp").as("o_orderpriority"),
+            col("n_rows"), col("k_trim"),
+            (col("f_nk") - col("f_k")).cast("long").as("kept_cents"),
+            (col("n_rows") - lit(2) * col("k_trim")).as("n_kept"),
+            ((col("f_nk") - col("f_k")).cast("long").cast("double") /
+              (col("n_rows") - lit(2) * col("k_trim")).cast("double"))
+              .as("trimmed_mean_cents"))
+      }
     },
     Some(s"""WITH g AS (
               SELECT o_orderpriority AS grp,
@@ -354,31 +463,115 @@ object Advanced {
     * cumulative weight reaches q·W (computed as 4·cumw ≥ k·W in
     * integers, no division). An actual data value, no interpolation.
     *
-    * Scale: exactly the q81 histogram discipline — the corpus folds
-    * map-side to a (mode, value-cents) weight histogram (price-domain-
-    * bounded, corpus-invariant), the cumulative weight runs over each
-    * group's distinct values, and the quartile pick is a min-when fold.
-    * No per-row rank window touches the corpus; weights sum in i64
+    * Scale (r17, guide §2/§5 — two-phase selection): the round-16 shape
+    * ended the heavy shuffle at the full (mode, value-cents) weight
+    * histogram and ran ONE cumulative-weight window task per return
+    * flag over it — price-domain-bounded (corpus-invariant), so never a
+    * 100 TB correctness hazard, but a serial ~10⁵–10⁷-row sort per
+    * group on the critical path (measured: the window stage's 3 tasks
+    * carried 1.6 task-s of the query's 1.3 s warm wall at sf0.1). Now a
+    * COARSE $100-bucket weight histogram (≤ ~10³ buckets per flag —
+    * two orders below the fine histogram, bounded by price-domain/B)
+    * folds map-side and collects to the driver (r16's q251 bounded-
+    * driver-state discipline, size-guarded); the driver locates each
+    * quartile's bucket and its preceding cumulative weight in pure
+    * integer arithmetic, and a second pass aggregates ONLY the rows of
+    * the ≤3 target buckets per flag (a literal bucket-list filter —
+    * nothing corpus-sized is ever sorted in one task; the within-bucket
+    * running sum is over ≤ B distinct values). Identical semantics:
+    * smallest v with 4·cumw ≥ k·wtot, all integer; weights sum in i64
     * (Σ quantity ≤ 50·|lineitem| — 3e12 at a 100 TB corpus, safe).
+    * Empty-corpus behavior preserved by falling back to the windowed
+    * formulation (zero rows either way).
     */
+  /** Round-15/16 windowed formulation, kept as the empty-corpus
+    * fallback so the degenerate path needs no special-casing.
+    */
+  private def q247Windowed(src: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byMode = Window.partitionBy(col("mode"))
+    val hist = src
+      .groupBy(col("mode"), col("v"))
+      .agg(sum(col("w")).as("wv"))
+    val cum = hist
+      .withColumn("cumw", sum(col("wv")).over(byMode.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("wtot", sum(col("wv")).over(byMode))
+    def at(k: Int) =
+      min(when(col("cumw") * 4 >= col("wtot") * k, col("v")))
+    cum.groupBy(col("mode"), col("wtot").as("w_total"))
+      .agg(at(1).as("wp25"), at(2).as("wp50"), at(3).as("wp75"))
+      .select(col("mode").as("l_returnflag"), col("w_total"),
+        col("wp25"), col("wp50"), col("wp75"))
+  }
+
+  /** Coarse bucket width of q247's two-phase selection: $100 in cents.
+    * Bounds BOTH driver state (price-domain/B buckets per flag) and the
+    * sliver pass (≤ B distinct values per target bucket).
+    */
+  private val WqBucket = 10000L
+
   private lazy val q247 = QueryDef(
     (s, d) => {
-      val byMode = Window.partitionBy(col("mode"))
-      val hist = load(s, d, "lineitem")
+      val src = load(s, d, "lineitem")
         .select(col("l_returnflag").as("mode"),
           cents(col("l_extendedprice")).as("v"),
           col("l_quantity").cast("long").as("w"))
-        .groupBy(col("mode"), col("v"))
-        .agg(sum(col("w")).as("wv"))
-      val cum = hist
-        .withColumn("cumw", sum(col("wv")).over(byMode.orderBy(col("v"))))
-        .withColumn("wtot", sum(col("wv")).over(byMode))
-      def at(k: Int) =
-        min(when(col("cumw") * 4 >= col("wtot") * k, col("v")))
-      cum.groupBy(col("mode"), col("wtot").as("w_total"))
-        .agg(at(1).as("wp25"), at(2).as("wp50"), at(3).as("wp75"))
-        .select(col("mode").as("l_returnflag"), col("w_total"),
-          col("wp25"), col("wp50"), col("wp75"))
+      def bucketCol = col("v") - pmod(col("v"), lit(WqBucket))
+      // phase 1: coarse weight histogram, price-domain/B-bounded
+      val coarse = src
+        .groupBy(col("mode"), bucketCol.as("cb"))
+        .agg(sum(col("w")).as("cwv"))
+        .collect()
+      require(coarse.length <= 500000,
+        s"q247 coarse histogram ${coarse.length} cells - price domain " +
+          "assumption broken")
+      if (coarse.isEmpty) q247Windowed(src)
+      else {
+        // driver-side: per flag, the bucket holding each weighted
+        // quartile and the cumulative weight strictly before it
+        val targets = coarse.groupBy(_.getString(0)).toSeq
+          .flatMap { case (mode, rows) =>
+            val sorted = rows.map(r => (r.getLong(1), r.getLong(2)))
+              .sortBy(_._1)
+            val wtot = sorted.map(_._2).sum
+            (1 to 3).map { k =>
+              var cum = 0L; var i = 0
+              while (i < sorted.length &&
+                  (cum + sorted(i)._2) * 4 < wtot * k) {
+                cum += sorted(i)._2; i += 1
+              }
+              (mode, k, sorted(i)._1, cum, wtot)
+            }
+          }
+        import s.implicits._
+        val tgtDf = targets
+          .toDF("mode", "k", "cb", "cum_prev", "wtot")
+        val bucketOf = targets.groupBy(_._1).view
+          .mapValues(_.map(_._3).distinct).toMap
+        val pred = bucketOf.toSeq.map { case (m, cbs) =>
+          col("mode") === m && bucketCol.isin(cbs: _*)
+        }.reduce(_ || _)
+        // phase 2: fine histogram of the target buckets only; the
+        // running sum is per (flag, quartile) over ≤ B distinct values
+        val sliver = src.filter(pred)
+          .groupBy(col("mode"), col("v"))
+          .agg(sum(col("w")).as("wv"))
+          .withColumn("cb", bucketCol)
+          .join(broadcast(tgtDf), Seq("mode", "cb"))
+        val cum = sliver.withColumn("cumw",
+          col("cum_prev") + sum(col("wv")).over(
+            Window.partitionBy(col("mode"), col("k")).orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        def at(k: Int) =
+          min(when(col("cumw") * 4 >= col("wtot") * k && col("k") === k,
+            col("v")))
+        cum.groupBy(col("mode"))
+          .agg(max(col("wtot")).as("w_total"),
+            at(1).as("wp25"), at(2).as("wp50"), at(3).as("wp75"))
+          .select(col("mode").as("l_returnflag"), col("w_total"),
+            col("wp25"), col("wp50"), col("wp75"))
+      }
     },
     Some(s"""WITH h AS (
               SELECT l_returnflag AS mode,
@@ -445,9 +638,14 @@ object Advanced {
     val counts = df
       .groupBy(col(group), col(value))
       .agg(count(lit(1)).as("c"))
+    // rows frame, not the default range frame: (group, value) rows are
+    // distinct after the groupBy so the two are equivalent, and the
+    // row-frame running-sum evaluator skips the per-row range-bound
+    // comparisons (r17, guide §1.2 per-task work)
     val cum = counts
       .withColumn("cum", sum(col("c"))
-        .over(byGroup.orderBy(col(value))))
+        .over(byGroup.orderBy(col(value))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum(col("c")).over(byGroup))
     def at(k: Int): org.apache.spark.sql.Column =
       greatest(floor((col("n") + 1) * k / 4), lit(1)).cast("long")
@@ -463,8 +661,59 @@ object Advanced {
         col("p75").cast("double").as("p75"))
   }
 
+  /** Collected twin of [[positionalQuartiles]] for value domains that
+    * are STRUCTURALLY bounded (l_quantity: 50 integers; lead days:
+    * calendar-bounded): the corpus still folds map-side to the
+    * (group, value) count histogram in Spark — the honest heavy
+    * shuffle — but the quartile sweep runs driver-side on the collected
+    * histogram instead of two window passes + a re-aggregation (r17,
+    * guide §2: the q251/q200 bounded-driver-state discipline). One
+    * fewer exchange and no serial per-group window task; identical
+    * positional-rank arithmetic, size-guarded so a broken domain
+    * assumption fails loudly rather than OOMing the driver. Output
+    * rows are sorted by group for run-to-run determinism.
+    */
+  private[graft] def positionalQuartilesCollected(
+      s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      group: String, value: String): org.apache.spark.sql.DataFrame = {
+    val hist = df
+      .groupBy(col(group), col(value))
+      .agg(count(lit(1)).as("c"))
+      .select(col(group), col(value).cast("double").as("v"), col("c"))
+      .limit(500001)
+      .collect()
+    require(hist.length <= 500000,
+      s"positional-quartile histogram exceeds 500000 cells - bounded " +
+        s"value-domain assumption broken for $group/$value")
+    val out = hist.groupBy(_.getString(0)).toSeq.map { case (g, rows) =>
+      val sorted = rows.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+      val n = sorted.map(_._2).sum
+      def at(k: Int): Long = math.max((n + 1) * k / 4, 1L)
+      def pick(k: Int): Double = {
+        var cum = 0L
+        sorted.find { case (_, c) => cum += c; cum >= at(k) }.get._1
+      }
+      org.apache.spark.sql.Row(g, n, pick(1), pick(2), pick(3))
+    }.sortBy(_.getString(0))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(group,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p25",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("median",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("p75",
+        org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
+  }
+
   private lazy val q81 = QueryDef(
-    (s, d) => positionalQuartiles(
+    (s, d) => positionalQuartilesCollected(s,
       load(s, d, "lineitem"), "l_returnflag", "l_quantity"),
     Some("""WITH r AS (
               SELECT l_returnflag, l_quantity,

@@ -135,6 +135,52 @@ class QuerySurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == df.select("customer_id").distinct().count())
   }
 
+  test("collected positional quartiles match the windowed formulation " +
+      "on tiny groups (r17 two-phase rewrite)") {
+    import spark.implicits._
+    val df = Seq(("a", 5.0), ("b", 1.0), ("b", 9.0),
+      ("c", 2.0), ("c", 4.0), ("c", 6.0), ("c", 8.0)).toDF("g", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val windowed = graft.queries.Advanced.positionalQuartiles(df, "g", "v")
+    val collected = graft.queries.Advanced
+      .positionalQuartilesCollected(spark, df, "g", "v")
+    assert(canon(collected) == canon(windowed))
+    assert(collected.schema.map(f => (f.name, f.dataType)) ==
+      windowed.schema.map(f => (f.name, f.dataType)))
+    // empty input: zero rows, same schema
+    val empty = graft.queries.Advanced
+      .positionalQuartilesCollected(spark, df.limit(0), "g", "v")
+    assert(empty.count() == 0)
+    assert(empty.schema.map(f => (f.name, f.dataType)) ==
+      windowed.schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("q224 trimmed mean matches a local sort-and-trim sweep " +
+      "(r17 two-phase rewrite)") {
+    import org.apache.spark.sql.functions.col
+    val cents = graft.common.Tables.load(spark, Sf, "orders")
+      .select(col("o_orderpriority"),
+        graft.common.Exact.cents(col("o_totalprice")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = SparkEntry.queries("q224_trimmed_mean")(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSet == cents.map(_._1).toSet)
+    rows.foreach { r =>
+      val grp = r.getString(0)
+      val sorted = cents.filter(_._1 == grp).map(_._2).sorted
+      val n = sorted.length.toLong
+      val k = n / 10
+      val kept = sorted.slice(k.toInt, (n - k).toInt)
+      assert(r.getLong(1) == n, s"$grp n_rows")
+      assert(r.getLong(2) == k, s"$grp k_trim")
+      assert(r.getLong(3) == kept.map(BigInt(_)).sum.toLong, s"$grp kept")
+      assert(r.getLong(4) == kept.length.toLong, s"$grp n_kept")
+      assert(r.getDouble(5) ==
+        kept.map(BigInt(_)).sum.toLong.toDouble / kept.length,
+        s"$grp trimmed mean")
+    }
+  }
+
   test("positional quartiles clamp the rank to >= 1 on tiny groups") {
     import spark.implicits._
     // n = 1 and n = 2 make floor((n+1)k/4) = 0 for the lower ranks; the
